@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Parquet table loader for the driver testdata layout (TESTDATA.md):
+  * one parquet file per table under a scale-factor directory, e.g.
+  * `/root/testdata/sf0.01/lineitem.parquet`.
+  *
+  * Reads stay fully declarative (`spark.read.parquet`) so Catalyst can
+  * push filters and prune columns into the vectorized parquet scan —
+  * the Spark-native replacement for the reference's manual chunk
+  * splitter (`/root/reference/.../Master.java:226-247`).
+  */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    if (name == "events") {
+      // events.ts is parquet TIMESTAMP(NANOS), which Spark's µs TimestampType
+      // rejects by default. Read the raw int64 nanos and convert with integer
+      // division (`div`, not `/` — a double round-trip would lose precision on
+      // epoch-nano magnitudes). The driver's testdata is µs-aligned, so the
+      // conversion is lossless and matches DuckDB's view of the column.
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$dir/events.parquet")
+        .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    } else {
+      spark.read.parquet(s"$dir/$name.parquet")
+    }
+  }
+}

@@ -1,0 +1,99 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Time-series / event-stream operators over the `events` table — the
+  * batch forms of the windowed aggregations the reference's W3 workload
+  * gestures at (interval → time-bucket expansion,
+  * `finding_peek_numbers/mapper.cpp:26-30`), generalized to tumbling
+  * windows, running aggregates, and sessionization.
+  *
+  * Timestamps are emitted as epoch milliseconds (unix_millis / epoch_ms)
+  * where a raw value crosses the oracle boundary, so µs-precision
+  * timestamps hash identically in both engines.
+  */
+object Events {
+
+  private def dec(c: Column): Column = c.cast("decimal(18,2)")
+
+  /** Tumbling 1-hour windows: event counts + value sum per (hour, type).
+    * Pure two-key hash aggregate — scales linearly, no window function. */
+  def evHourHistogram(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "events")
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(dec(col("value"))).cast("double").as("total_value"))
+      .orderBy(col("hour"), col("event_type"))
+
+  /** Running (cumulative) sum of `value` per user in event-time order —
+    * the canonical window-frame aggregate. */
+  def evRunningSum(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables(s, dir, "events")
+      .withColumn("running_value", sum(dec(col("value"))).over(w).cast("double"))
+      .select(col("user_id"), col("event_id"),
+        unix_millis(col("ts")).as("ts_ms"), col("running_value"))
+      .orderBy(col("user_id"), col("ts_ms"), col("event_id"))
+  }
+
+  /** Sessionization: split each user's event stream at gaps > 12h, then
+    * aggregate per session. lag → gap flag → running sum = session id is
+    * the standard scalable formulation (one shuffle on user_id; all window
+    * work is partition-local). */
+  def evSessionize(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val gapMs = 12L * 3600 * 1000
+    val flagged = Tables(s, dir, "events")
+      .withColumn("prev_ms", lag(unix_millis(col("ts")), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_ms").isNull || unix_millis(col("ts")) - col("prev_ms") > gapMs, 1L)
+          .otherwise(0L))
+      .withColumn("session_id",
+        sum(col("new_sess")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    flagged.groupBy(col("user_id"), col("session_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        unix_millis(min(col("ts"))).as("start_ms"),
+        unix_millis(max(col("ts"))).as("end_ms"),
+        sum(dec(col("value"))).cast("double").as("total_value"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_hour_histogram" -> evHourHistogram _,
+    "ev_running_sum" -> evRunningSum _,
+    "ev_sessionize" -> evSessionize _,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "ev_hour_histogram" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+    "ev_running_sum" ->
+      """SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
+        |FROM events ORDER BY user_id, ts_ms, event_id""".stripMargin,
+    "ev_sessionize" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, event_id, value,
+        |    CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
+        |           OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 43200000
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), sess AS (
+        |  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM flagged)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id, count(*) AS n_events,
+        |  epoch_ms(min(ts)) AS start_ms, epoch_ms(max(ts)) AS end_ms,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM sess GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+  )
+}

@@ -1,0 +1,271 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Relational operator coverage over the driver's TPC-H-ish testdata.
+  *
+  * The reference has no relational layer at all (SURVEY.md §2 "explicitly
+  * absent": joins, windows, sorts, set ops, subqueries) — its only query
+  * surface is arbitrary map/reduce code. These queries prove the new
+  * engine subsumes that surface with a full declarative operator set:
+  * scan+pushdown, projection, filter, hash aggregation (partial+final),
+  * distinct aggregation, HAVING, broadcast/shuffle joins, semi/anti joins,
+  * union, rollup, window functions, top-k, and generator (sequence) ops.
+  *
+  * Numeric discipline for oracle hash-parity: monetary doubles are cast to
+  * DECIMAL(18,2) before SUM (exact, order-insensitive), and the final
+  * aggregate is cast back to DOUBLE so both engines emit bit-identical
+  * values. Raw pass-through doubles are untouched. Every query ends in a
+  * deterministic ORDER BY with a unique tie-break key.
+  */
+object Relational {
+
+  private def dec(c: Column): Column = c.cast("decimal(18,2)")
+  private def dsum(c: Column): Column = sum(dec(c)).cast("double")
+
+  /** TPC-H Q1-shaped pricing summary: filter + multi-aggregate groupBy.
+    * Exercises partial/final HashAggregate with map-side combine — the
+    * Spark replacement for the reference's hand-written in-mapper
+    * combiners (`word_count/mapper.cpp:24`). */
+  def q1PricingSummary(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
+          .cast("double").as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** TPC-H Q6-shaped selective filter + global aggregate: predicate
+    * pushdown into the parquet scan, then a single partial+final agg
+    * with no shuffle key (one row out). */
+  def q6RevenueFilter(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_discount") >= 0.04 && col("l_discount") <= 0.06 &&
+        col("l_quantity") < 24)
+      .agg(
+        sum(dec(col("l_extendedprice")) * dec(col("l_discount"))).cast("double").as("revenue"),
+        count(lit(1)).as("n_rows"))
+
+  /** Top-k by sort: global ORDER BY + LIMIT compiles to TakeOrderedAndProject
+    * (per-partition heap + driver merge) — no full sort at scale. */
+  def qTopkOrders(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(10)
+
+  /** Broadcast hash join: orders (fact) ⋈ customer (dim). The dim side is
+    * explicitly broadcast — at 100 TB the fact table never shuffles for
+    * this join. */
+  def qJoinBroadcastSegments(s: SparkSession, dir: String): DataFrame = {
+    val orders = Tables(s, dir, "orders")
+    val customer = Tables(s, dir, "customer")
+    orders.join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total_rev"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** TPC-H Q5-shaped multi-join: lineitem ⋈ orders ⋈ customer ⋈ nation ⋈
+    * region, dims broadcast, revenue per nation in one region. */
+  def q5RegionRevenue(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables(s, dir, "lineitem")
+    val orders = Tables(s, dir, "orders")
+    val customer = Tables(s, dir, "customer")
+    val nation = Tables(s, dir, "nation")
+    val region = Tables(s, dir, "region")
+    li.join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region.filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** Left-semi join (EXISTS): customers with at least one order in 2001. */
+  def qSemiJoin(s: SparkSession, dir: String): DataFrame = {
+    val customer = Tables(s, dir, "customer")
+    val recent = Tables(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("2001-01-01").cast("timestamp"))
+    customer.join(recent, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Left-anti join (NOT EXISTS): customers with no order in 2001. */
+  def qAntiJoin(s: SparkSession, dir: String): DataFrame = {
+    val customer = Tables(s, dir, "customer")
+    val recent = Tables(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("2001-01-01").cast("timestamp"))
+    customer.join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Set op: UNION + DISTINCT over two inputs — the keyed generalization of
+    * the reference's blind concat-union merge (`Master.java:173-178`). */
+  def qUnionDistinct(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "customer").select(col("c_nationkey").cast("long").as("nk"))
+      .union(Tables(s, dir, "supplier").select(col("s_nationkey").cast("long")))
+      .distinct()
+      .orderBy(col("nk"))
+
+  /** Window function: top-3 customers per market segment by balance. */
+  def qWindowRank(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    Tables(s, dir, "customer")
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 3)
+      .select(col("c_mktsegment"), col("rk"), col("c_custkey"), col("c_acctbal"))
+      .orderBy(col("c_mktsegment"), col("rk"))
+  }
+
+  /** Grouping sets via ROLLUP: subtotals + grand total in one pass. */
+  def qRollupAgg(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n_rows"), dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+
+  /** Exact distinct aggregation (expand + two-phase agg under the hood). */
+  def qDistinctCounts(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(col("l_partkey")).as("n_part"),
+        countDistinct(col("l_orderkey")).as("n_orders"))
+      .orderBy(col("l_returnflag"))
+
+  /** HAVING: post-aggregation filter on the aggregate value. */
+  def qHavingOrders(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("spend"))
+      .filter(col("n_orders") >= 18)
+      .orderBy(col("o_custkey"))
+
+  /** Generator: explode(sequence(...)) — the Spark form of the reference's
+    * interval→seconds expansion (`finding_peek_numbers/mapper.cpp:26-30`). */
+  def qSequenceExplode(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "orders")
+      .select(explode(sequence(lit(1L), col("o_orderkey") % 5 + 1)).as("n"))
+      .groupBy(col("n"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("n"))
+
+  /** Semi-structured: extract a field from the JSON `props` column and
+    * aggregate it. Spark side uses native get_json_object. */
+  def qJsonExtract(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "events")
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("k")).as("sum_k"), min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"), count(lit(1)).as("n"))
+      .orderBy(col("event_type"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing_summary" -> q1PricingSummary _,
+    "q6_revenue_filter" -> q6RevenueFilter _,
+    "q_topk_orders" -> qTopkOrders _,
+    "q_join_broadcast_segments" -> qJoinBroadcastSegments _,
+    "q5_region_revenue" -> q5RegionRevenue _,
+    "q_semi_join" -> qSemiJoin _,
+    "q_anti_join" -> qAntiJoin _,
+    "q_union_distinct" -> qUnionDistinct _,
+    "q_window_rank" -> qWindowRank _,
+    "q_rollup_agg" -> qRollupAgg _,
+    "q_distinct_counts" -> qDistinctCounts _,
+    "q_having_orders" -> qHavingOrders _,
+    "q_sequence_explode" -> qSequenceExplode _,
+    "q_json_extract" -> qJsonExtract _,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        |  count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q6_revenue_filter" ->
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_rows
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount >= 0.04 AND l_discount <= 0.06 AND l_quantity < 24""".stripMargin,
+    "q_topk_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q_join_broadcast_segments" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_rev
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q5_region_revenue" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+    "q_semi_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '2001-01-01')
+        |ORDER BY c_custkey""".stripMargin,
+    "q_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '2001-01-01')
+        |ORDER BY c_custkey""".stripMargin,
+    "q_union_distinct" ->
+      """SELECT DISTINCT nk FROM (
+        |  SELECT CAST(c_nationkey AS BIGINT) AS nk FROM customer
+        |  UNION ALL SELECT CAST(s_nationkey AS BIGINT) FROM supplier)
+        |ORDER BY nk""".stripMargin,
+    "q_window_rank" ->
+      """SELECT c_mktsegment, rk, c_custkey, c_acctbal FROM (
+        |  SELECT c_mktsegment, c_custkey, c_acctbal,
+        |    row_number() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS rk
+        |  FROM customer)
+        |WHERE rk <= 3 ORDER BY c_mktsegment, rk""".stripMargin,
+    "q_rollup_agg" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "q_distinct_counts" ->
+      """SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_supp,
+        |  count(DISTINCT l_partkey) AS n_part, count(DISTINCT l_orderkey) AS n_orders
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_having_orders" ->
+      """SELECT o_custkey, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+        |FROM orders GROUP BY o_custkey HAVING count(*) >= 18 ORDER BY o_custkey""".stripMargin,
+    "q_sequence_explode" ->
+      """SELECT n, count(*) AS cnt
+        |FROM (SELECT unnest(generate_series(1, o_orderkey % 5 + 1)) AS n FROM orders)
+        |GROUP BY n ORDER BY n""".stripMargin,
+    "q_json_extract" ->
+      """SELECT event_type, sum(k) AS sum_k, min(k) AS min_k, max(k) AS max_k, count(*) AS n
+        |FROM (SELECT event_type, CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT) AS k FROM events)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+  )
+}
