@@ -21,12 +21,24 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ops.Reference.queries ++
       ops.Relational.queries ++
-      ops.Events.queries
+      ops.Events.queries ++
+      ops.TextAnalysis.queries ++
+      ops.Dedup.queries ++
+      ops.Similarity.queries ++
+      ops.Compat.queries ++
+      multimodal.Multimodal.queries ++
+      streaming.EventStreams.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     ops.Reference.oracles ++
       ops.Relational.oracles ++
-      ops.Events.oracles
+      ops.Events.oracles ++
+      ops.TextAnalysis.oracles ++
+      ops.Dedup.oracles ++
+      ops.Similarity.oracles ++
+      ops.Compat.oracles ++
+      multimodal.Multimodal.oracles ++
+      streaming.EventStreams.oracles
 }

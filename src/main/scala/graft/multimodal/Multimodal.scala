@@ -1,0 +1,100 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Multimodal-column plumbing: image/audio/video payloads as opaque
+  * `binary` columns with typed metadata, decoded partition-locally.
+  *
+  * This container has no media libraries, so the *decode step is a
+  * deterministic STUB* (arithmetic on the payload bytes — see
+  * `stubDecode`); everything around it is the real thing a 100 TB
+  * pipeline needs: a binary payload column, a typed output schema, a
+  * partition-local batched iterator (`mapPartitions` — one decoder
+  * context per partition, not per row, which is how a real codec/model
+  * handle would be amortized), and downstream relational ops over the
+  * extracted metadata. Payloads are synthesized from `documents.text`
+  * bytes since the testdata has no binary table.
+  */
+object Multimodal {
+
+  final case class MediaRecord(doc_id: Long, kind: String, payload: Array[Byte])
+  final case class MediaMeta(doc_id: Long, kind: String, byte_len: Long,
+      sha16: String, width: Long, height: Long, n_frames: Long)
+
+  /** The media table: binary payload + modality tag (deterministic by id). */
+  def mediaTable(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        when(col("doc_id") % 3 === 0, "image")
+          .when(col("doc_id") % 3 === 1, "audio")
+          .otherwise("video").as("kind"),
+        col("text").cast("binary").as("payload"))
+
+  /** STUB decoder — stands in for image decode / audio feature extraction.
+    * Deliberately pure arithmetic on payload bytes so the full pipeline is
+    * still oracle-checkable; a real deployment swaps only this function's
+    * body for a codec call. md5 here matches SQL md5 over the same bytes. */
+  private def stubDecode(r: MediaRecord): MediaMeta = {
+    val len = r.payload.length.toLong
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val sha16 = md.digest(r.payload).map("%02x".format(_)).mkString.substring(0, 16)
+    MediaMeta(r.doc_id, r.kind, len, sha16,
+      width = len % 640, height = len % 480,
+      n_frames = if (r.kind == "video") len % 100 else 0L)
+  }
+
+  /** Decode metadata for every payload: partition-local batched map. */
+  def decodeMeta(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    mediaTable(s, dir).as[MediaRecord]
+      .mapPartitions { it =>
+        // one decoder context per partition (amortized in a real codec)
+        it.map(stubDecode)
+      }
+      .toDF()
+  }
+
+  /** Per-payload metadata, relationally queryable. */
+  def mmPayloadMeta(s: SparkSession, dir: String): DataFrame =
+    decodeMeta(s, dir)
+      .select(col("doc_id"), col("kind"), col("byte_len"), col("sha16"),
+        col("width"), col("height"), col("n_frames"))
+      .orderBy(col("doc_id"))
+
+  /** Frame sampling: every 10th frame index of each video payload —
+    * the explode-over-media-structure pattern (same Catalyst generator as
+    * interval expansion). */
+  def mmFrameSample(s: SparkSession, dir: String): DataFrame =
+    decodeMeta(s, dir)
+      .filter(col("kind") === "video" && col("n_frames") >= 1)
+      .select(col("doc_id"),
+        explode(sequence(lit(0L), col("n_frames") - 1, lit(10L))).as("frame_idx"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_payload_meta" -> mmPayloadMeta _,
+    "mm_frame_sample" -> mmFrameSample _,
+  )
+
+  private val kindSql =
+    """CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END"""
+
+  val oracles: Map[String, String] = Map(
+    "mm_payload_meta" ->
+      s"""SELECT doc_id, $kindSql AS kind,
+         |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+         |  substr(md5(text), 1, 16) AS sha16,
+         |  CAST(octet_length(encode(text)) % 640 AS BIGINT) AS width,
+         |  CAST(octet_length(encode(text)) % 480 AS BIGINT) AS height,
+         |  CAST(CASE WHEN doc_id % 3 = 2 THEN octet_length(encode(text)) % 100 ELSE 0 END AS BIGINT) AS n_frames
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "mm_frame_sample" ->
+      s"""SELECT doc_id, unnest(range(0, octet_length(encode(text)) % 100, 10)) AS frame_idx
+         |FROM documents
+         |WHERE doc_id % 3 = 2 AND octet_length(encode(text)) % 100 >= 1
+         |ORDER BY doc_id, frame_idx""".stripMargin,
+  )
+}

@@ -1,0 +1,61 @@
+package graft.ops
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.mr.{MapReduce, Pipe}
+
+/** The L2 compatibility surface under the oracle gate: the same W1 word
+  * count computed through (a) the generic typed MapReduce layer and (b) a
+  * real external python process via RDD.pipe — proving the engine
+  * subsumes the reference's "arbitrary user program" contract
+  * (`/root/reference/worker/.../Worker.java:134-160`) while remaining
+  * hash-identical to the declarative DataFrame form. Both share
+  * `w1_word_count`'s DuckDB oracle.
+  */
+object Compat {
+
+  /** W1 through MapReduce.run: flatMap mapper → shuffle → Aggregator. */
+  def mrWordCount(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val lines = Tables(s, dir, "documents").select(col("text")).as[String]
+    MapReduce.wordCount(lines)
+      .toDF("word", "cnt")
+      .orderBy(col("word"))
+  }
+
+  /** W1 with the tokenizer as an external python process (line-stream
+    * stdin/stdout contract, one process per partition). */
+  def pipeWordCount(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val script = Files.createTempFile("graft_pipe_mapper", ".py")
+    Files.write(script,
+      "import sys\nfor line in sys.stdin:\n    for w in line.split():\n        print(w)\n"
+        .getBytes(StandardCharsets.UTF_8))
+    script.toFile.deleteOnExit()
+    val lines = Tables(s, dir, "documents").select(col("text")).as[String]
+    Pipe.run(lines, Seq("python3", script.toString))
+      .toDF("word")
+      .filter(col("word") =!= "")
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("word"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mr_word_count" -> mrWordCount _,
+    "pipe_word_count" -> pipeWordCount _,
+  )
+
+  private val w1Oracle =
+    """SELECT word, count(*) AS cnt
+      |FROM (SELECT unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS word FROM documents)
+      |GROUP BY word ORDER BY word""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "mr_word_count" -> w1Oracle,
+    "pipe_word_count" -> w1Oracle,
+  )
+}

@@ -1,0 +1,129 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Similarity search over the `embeddings` table (64-dim float vectors).
+  *
+  * Two paths:
+  *  - brute-force exact top-k: every (query, candidate) pair scored with
+  *    a codegen'd double-precision dot product. The baseline and oracle.
+  *    At 100 TB this is only viable per-query-batch with a broadcast of
+  *    the query set — which is exactly how it is written (queries are
+  *    broadcast; the big candidate side streams, never shuffles).
+  *  - LSH-bucketed ANN: 8 deterministic random hyperplanes → 256 buckets;
+  *    candidates are scored only within the query's bucket. Sub-linear
+  *    candidate sets at scale; recall is checked against brute force in
+  *    the test suite.
+  *
+  * Dot products are left-fold aggregates over zip_with (both engines fold
+  * left-to-right in double precision → bit-identical results, so raw
+  * doubles are safe to hash-compare).
+  */
+object Similarity {
+
+  val topK = 5
+  val queryStride = 50 // queries = vectors with vec_id % stride == 0
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  private def normed(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("nrm", sqrt(dot(col("embedding"), col("embedding"))))
+
+  /** Exact top-k cosine neighbors for the query subset. */
+  def simTopkBruteforce(s: SparkSession, dir: String): DataFrame = {
+    val n = normed(s, dir)
+    val q = n.filter(col("vec_id") % queryStride === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+    val c = n.select(col("vec_id").as("cand_id"), col("embedding").as("c_emb"), col("nrm").as("c_nrm"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("cand_id"))
+    c.join(broadcast(q), col("cand_id") =!= col("q_id"))
+      .withColumn("cosine", dot(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm")))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= topK)
+      .select(col("q_id"), col("rk"), col("cand_id"), col("cosine"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+
+  /** Multi-table hyperplane LSH: `lshTables` independent tables of
+    * `lshBits` hyperplanes each (fixed seed → same plan every run;
+    * regenerated identically in the recall test). One table of many bits
+    * has near-zero recall on weakly-correlated vectors; unioning
+    * candidates across several coarse tables is the standard fix —
+    * candidates/query ≈ tables · N/2^bits, tunable independently of
+    * recall. */
+  val lshTables = 4
+  val lshBits = 4
+  lazy val hyperplanes: Array[Array[Double]] = {
+    val rnd = new scala.util.Random(42)
+    Array.fill(lshTables * lshBits, 64)(rnd.nextGaussian())
+  }
+
+  /** Array of `lshTables` bucket ids (one per table) for an embedding. */
+  private def bucketsCol(emb: Column): Column =
+    array((0 until lshTables).map { t =>
+      (0 until lshBits).map { b =>
+        val hLit = array(hyperplanes(t * lshBits + b).map(lit): _*)
+        when(aggregate(zip_with(emb, hLit, (x, y) => x.cast("double") * y),
+          lit(0.0), (acc, v) => acc + v) > 0, lit(1L << b)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }: _*)
+
+  /** ANN via multi-table hyperplane LSH: candidates = union over tables of
+    * same-bucket vectors; exact rescoring + top-k on candidates only.
+    * Rows-only (no SQL oracle — the projections are not SQL-expressible);
+    * recall vs brute force is asserted in DedupSimilaritySpec. */
+  def simLshAnn(s: SparkSession, dir: String): DataFrame = {
+    val n = normed(s, dir)
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        posexplode(bucketsCol(col("embedding"))).as(Seq("tbl", "bucket")))
+    val q = n.filter(col("vec_id") % queryStride === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"), col("tbl").as("q_tbl"), col("bucket").as("q_bucket"))
+    val c = n.select(col("vec_id").as("cand_id"), col("embedding").as("c_emb"),
+      col("nrm").as("c_nrm"), col("tbl"), col("bucket"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("cand_id"))
+    c.join(broadcast(q),
+        col("tbl") === col("q_tbl") && col("bucket") === col("q_bucket") &&
+          col("cand_id") =!= col("q_id"))
+      .select(col("q_id"), col("cand_id"), col("q_emb"), col("c_emb"),
+        col("q_nrm"), col("c_nrm"))
+      .distinct() // a pair may collide in several tables
+      .withColumn("cosine", dot(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm")))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= topK)
+      .select(col("q_id"), col("rk"), col("cand_id"), col("cosine"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_topk_bruteforce" -> simTopkBruteforce _,
+    "sim_lsh_ann" -> simLshAnn _,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "sim_topk_bruteforce" ->
+      s"""WITH n AS (
+         |  SELECT vec_id, embedding,
+         |    sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
+         |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS nrm
+         |  FROM embeddings),
+         |scored AS (
+         |  SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
+         |    list_sum(list_transform(range(1, len(q.embedding) + 1),
+         |      i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))) / (q.nrm * c.nrm) AS cosine
+         |  FROM n q JOIN n c ON q.vec_id % $queryStride = 0 AND c.vec_id <> q.vec_id),
+         |ranked AS (
+         |  SELECT q_id, cand_id, cosine,
+         |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, cand_id) AS BIGINT) AS rk
+         |  FROM scored)
+         |SELECT q_id, rk, cand_id, cosine FROM ranked WHERE rk <= $topK
+         |ORDER BY q_id, rk""".stripMargin,
+  )
+}

@@ -1,0 +1,152 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextFns
+
+/** Text-analysis operators over `documents` — the training-data-pipeline
+  * extensions (language ID, quality scoring, token statistics, document
+  * fingerprinting). All per-document work is embarrassingly parallel
+  * column computation inside whole-stage codegen: no shuffle at all until
+  * an (optional) aggregate, so these scale linearly to any corpus size.
+  *
+  * The stopword lists and score formulas are mirrored verbatim into the
+  * DuckDB oracle SQL (generated from the same Scala constants below).
+  */
+object TextAnalysis {
+
+  val stopEn = Seq("the", "a", "and", "of", "to", "in", "is")
+  val stopFr = Seq("le", "la", "les", "de", "et", "un")
+  val stopDe = Seq("der", "die", "das", "und", "ein")
+  val stopEs = Seq("el", "la", "los", "de", "y", "un")
+
+  private def sqlList(ws: Seq[String]): String =
+    ws.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  private def stopCount(toks: Column, ws: Seq[String]): Column =
+    size(filter(toks, t => t.isInCollection(ws))).cast("long")
+
+  /** Token statistics: token count, distinct count, type-token ratio,
+    * mean token length. */
+  def textTokenStats(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .withColumn("toks", TextFns.tokens(col("text")))
+      .select(
+        col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(array_distinct(col("toks"))).cast("long").as("n_uniq"),
+        length(col("text")).cast("long").as("n_chars"),
+        (aggregate(col("toks"), lit(0L), (acc, t) => acc + length(t)).cast("double") /
+          size(col("toks")).cast("double")).as("mean_token_len"),
+        (size(array_distinct(col("toks"))).cast("double") /
+          size(col("toks")).cast("double")).as("ttr"))
+      .orderBy(col("doc_id"))
+
+  /** Heuristic quality score: lexical diversity + length + stopword
+    * density, plus punctuation/space counts. The kind of cheap filter a
+    * 100 TB pretraining pipeline runs before anything expensive. */
+  def textQuality(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .withColumn("toks", TextFns.tokens(col("text")))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("uniq_ratio",
+        size(array_distinct(col("toks"))).cast("double") / col("n_tokens").cast("double"))
+      .withColumn("stop_ratio", stopCount(col("toks"), stopEn).cast("double") / col("n_tokens").cast("double"))
+      .withColumn("n_punct",
+        (length(col("text")) - length(regexp_replace(col("text"), "[.,!?;:]", ""))).cast("long"))
+      .withColumn("score",
+        col("uniq_ratio") * 0.4 +
+          least(col("n_tokens").cast("double") / 50.0, lit(1.0)) * 0.4 +
+          col("stop_ratio") * 0.2)
+      .select(col("doc_id"), col("n_tokens"), col("uniq_ratio"), col("stop_ratio"),
+        col("n_punct"), col("score"), (col("score") >= 0.5).as("is_quality"))
+      .orderBy(col("doc_id"))
+
+  /** Stopword-overlap language ID (n-gram-free heuristic): score each
+    * candidate language by stopword hits, argmax with a fixed tie order. */
+  def textLangId(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .withColumn("toks", TextFns.tokens(col("text")))
+      .withColumn("s_en", stopCount(col("toks"), stopEn))
+      .withColumn("s_fr", stopCount(col("toks"), stopFr))
+      .withColumn("s_de", stopCount(col("toks"), stopDe))
+      .withColumn("s_es", stopCount(col("toks"), stopEs))
+      .withColumn("detected",
+        when(col("s_en") > 0 && col("s_en") >= col("s_fr") && col("s_en") >= col("s_de") && col("s_en") >= col("s_es"), "en")
+          .when(col("s_fr") > 0 && col("s_fr") >= col("s_de") && col("s_fr") >= col("s_es"), "fr")
+          .when(col("s_de") > 0 && col("s_de") >= col("s_es"), "de")
+          .when(col("s_es") > 0, "es")
+          .otherwise("und"))
+      .select(col("doc_id"), col("lang"), col("detected"),
+        col("s_en"), col("s_fr"), col("s_de"), col("s_es"))
+      .orderBy(col("doc_id"))
+
+  /** Document fingerprints: polynomial rolling hash + md5 prefix. */
+  def textFingerprint(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        TextFns.polyHash(col("text")).as("fp_poly"),
+        substring(md5(col("text")), 1, 16).as("fp_md5"))
+      .orderBy(col("doc_id"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_token_stats" -> textTokenStats _,
+    "text_quality" -> textQuality _,
+    "text_lang_id" -> textLangId _,
+    "text_fingerprint" -> textFingerprint _,
+  )
+
+  private val tokSql =
+    """list_filter(string_split_regex(text, '\s+'), x -> x <> '')"""
+
+  val oracles: Map[String, String] = Map(
+    "text_token_stats" ->
+      s"""SELECT doc_id,
+         |  CAST(len(toks) AS BIGINT) AS n_tokens,
+         |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_uniq,
+         |  CAST(length(text) AS BIGINT) AS n_chars,
+         |  CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS mean_token_len,
+         |  CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS ttr
+         |FROM (SELECT doc_id, text, $tokSql AS toks FROM documents)
+         |ORDER BY doc_id""".stripMargin,
+    "text_quality" ->
+      s"""SELECT doc_id, n_tokens, uniq_ratio, stop_ratio, n_punct, score,
+         |  score >= 0.5 AS is_quality
+         |FROM (
+         |  SELECT doc_id, n_tokens, uniq_ratio, stop_ratio, n_punct,
+         |    uniq_ratio * 0.4 + least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0) * 0.4 + stop_ratio * 0.2 AS score
+         |  FROM (
+         |    SELECT doc_id,
+         |      CAST(len(toks) AS BIGINT) AS n_tokens,
+         |      CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS uniq_ratio,
+         |      CAST(len(list_filter(toks, t -> list_contains(${sqlList(stopEn)}, t))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS stop_ratio,
+         |      CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS BIGINT) AS n_punct
+         |    FROM (SELECT doc_id, text, $tokSql AS toks FROM documents)))
+         |ORDER BY doc_id""".stripMargin,
+    "text_lang_id" ->
+      s"""SELECT doc_id, lang,
+         |  CASE WHEN s_en > 0 AND s_en >= s_fr AND s_en >= s_de AND s_en >= s_es THEN 'en'
+         |       WHEN s_fr > 0 AND s_fr >= s_de AND s_fr >= s_es THEN 'fr'
+         |       WHEN s_de > 0 AND s_de >= s_es THEN 'de'
+         |       WHEN s_es > 0 THEN 'es'
+         |       ELSE 'und' END AS detected,
+         |  s_en, s_fr, s_de, s_es
+         |FROM (
+         |  SELECT doc_id, lang,
+         |    CAST(len(list_filter(toks, t -> list_contains(${sqlList(stopEn)}, t))) AS BIGINT) AS s_en,
+         |    CAST(len(list_filter(toks, t -> list_contains(${sqlList(stopFr)}, t))) AS BIGINT) AS s_fr,
+         |    CAST(len(list_filter(toks, t -> list_contains(${sqlList(stopDe)}, t))) AS BIGINT) AS s_de,
+         |    CAST(len(list_filter(toks, t -> list_contains(${sqlList(stopEs)}, t))) AS BIGINT) AS s_es
+         |  FROM (SELECT doc_id, lang, $tokSql AS toks FROM documents))
+         |ORDER BY doc_id""".stripMargin,
+    "text_fingerprint" ->
+      """SELECT doc_id,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+        |    (a, b) -> (a * 31 + b) % 1000000007) AS fp_poly,
+        |  substr(md5(text), 1, 16) AS fp_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
+  )
+}

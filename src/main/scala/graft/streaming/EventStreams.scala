@@ -1,0 +1,62 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Structured Streaming over the events table.
+  *
+  * The reference is strictly batch (upload → run → download,
+  * `/root/reference/master/.../Master.java:158-167`; SURVEY.md §2 lists
+  * streaming as absent) — this is pure north-star surface: the same
+  * tumbling-window aggregation as the batch `ev_hour_histogram`, run
+  * through `readStream` → windowed agg → memory sink, so one pipeline
+  * definition serves both batch backfill and live ingestion.
+  *
+  * In production the source is a stream (Kafka/files arriving); here the
+  * static parquet file drives the query to completion with
+  * `processAllAvailable`, which makes the result deterministic and
+  * oracle-checkable like any batch query.
+  */
+object EventStreams {
+
+  /** Raw schema of events.parquet (ts = int64 nanos; see graft.Tables). */
+  private val rawSchema = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** Streaming tumbling-window counts per (hour, event_type). */
+  def streamHourCounts(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val name = "stream_hour_counts_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    // the streaming file source requires a directory: scan the sf dir,
+    // glob-filtered to the events table
+    val stream = s.readStream.schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+    val q = stream.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    s.table(name)
+      .select(col("window.start").as("hour"), col("event_type"), col("n_events"))
+      .orderBy(col("hour"), col("event_type"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_hour_counts" -> streamHourCounts _,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "stream_hour_counts" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n_events
+        |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+  )
+}

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.TextFns
+
+/** Per-operator units on tiny literal frames (SURVEY.md §5.4) plus
+  * smoke-level invariants for every registered query at sf0.001. */
+class OperatorSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("tokens splits on whitespace runs and drops empties") {
+    import spark.implicits._
+    val r = Seq("  a  bb\tc ", "", "x").toDF("text")
+      .select(TextFns.tokens(col("text")).as("t")).as[Seq[String]].collect()
+    assert(r(0) === Seq("a", "bb", "c"))
+    assert(r(1) === Seq())
+    assert(r(2) === Seq("x"))
+  }
+
+  test("shingles: fewer tokens than n gives empty, duplicates removed") {
+    import spark.implicits._
+    val r = Seq("a b", "a b c d", "a b a b a b").toDF("text")
+      .select(TextFns.shingles(TextFns.tokens(col("text")), 3).as("s"))
+      .as[Seq[String]].collect()
+    assert(r(0) === Seq())
+    assert(r(1) === Seq("a b c", "b c d"))
+    assert(r(2).sorted === Seq("a b a", "b a b")) // deduped
+  }
+
+  test("polyHash and md5Int match known cross-engine values") {
+    import spark.implicits._
+    val r = Seq("abc").toDF("t")
+      .select(TextFns.polyHash(col("t")), TextFns.md5Int(lit("hello world")))
+      .as[(Long, Long)].head()
+    assert(r._1 === 96354L) // == duckdb list_reduce fold
+    assert(r._2 === 1589001147L) // == duckdb ('0x'||substr(md5,1,8))::BIGINT
+  }
+
+  test("every registered query returns rows at sf0.001 (t1 smoke)") {
+    val failures = SparkEntry.queries.flatMap { case (name, fn) =>
+      try {
+        val n = fn(spark, TestSpark.sf0001).count()
+        if (n > 0 || name.startsWith("dedup_") || name.startsWith("q_anti")) None
+        else Some(s"$name: 0 rows")
+      } catch { case e: Throwable => Some(s"$name: ${e.getMessage}") }
+    }
+    assert(failures.isEmpty, failures.mkString("; "))
+  }
+
+  test("every query with an oracle is registered, and entry returns rows") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracle without query: $missing")
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}
