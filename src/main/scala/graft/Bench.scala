@@ -1,5 +1,15 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: times every registered query on SPARK_GRAFT_SF_DIR.
+  *
+  * Each query is materialized through the noop sink — unlike `count()`,
+  * this keeps sorts and all projected expressions in the plan (count()
+  * would let Catalyst eliminate ORDER BY and prune the very expressions
+  * being benchmarked). One untimed warmup pass amortizes JVM/codegen
+  * warmup and OS page cache, so timings reflect steady-state throughput.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -7,17 +17,29 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+
+    def materialize(name: String): Unit =
+      SparkEntry.queries(name)(spark, sfDir).write.mode("overwrite").format("noop").save()
+
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    // warmup: one untimed pass
+    names.foreach { n =>
+      try materialize(n)
+      catch { case e: Throwable => System.err.println(s"[bench][warmup] $n: ${e.getMessage}") }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val results = names.map { n =>
+      val t0 = System.nanoTime()
+      try materialize(n)
+      catch { case _: Throwable => () }
+      n -> (System.nanoTime() - t0) / 1e9
+    }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

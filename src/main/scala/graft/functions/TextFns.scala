@@ -38,10 +38,10 @@ object TextFns {
     conv(substring(md5(c), 1, 8), 16, 10).cast("long")
 
   /** Polynomial rolling hash over the characters of `text`, mod 1e9+7.
-    * Deterministic document fingerprint (same shape as Rabin-Karp). */
+    * Deterministic document fingerprint (same shape as Rabin-Karp).
+    * Backed by the codegen'd PolyHash expression — the HOF formulation
+    * (split('') + aggregate) builds a one-char-string array per row and
+    * was the whole cost of the fingerprint query. */
   def polyHash(text: Column): Column =
-    aggregate(
-      filter(split(text, ""), ch => ch =!= lit("")),
-      lit(0L),
-      (acc, ch) => pmod(acc * 31 + ascii(ch), lit(1000000007L)))
+    graft.plans.VectorFunctions.poly_hash(text)
 }

@@ -43,12 +43,6 @@ object Dedup {
   val hammingThreshold = 6
   val cosineThreshold = 0.45
 
-  /** (doc_id, shingle) — distinct 3-gram shingles per document. */
-  private def shingleDf(s: SparkSession, dir: String): DataFrame =
-    Tables(s, dir, "documents")
-      .select(col("doc_id"),
-        explode(TextFns.shingles(TextFns.tokens(col("text")), 3)).as("shingle"))
-
   private val tokSql = """list_filter(string_split_regex(text, '\s+'), x -> x <> '')"""
   private val shingleSql =
     s"""SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(tk) - 1),
@@ -65,32 +59,54 @@ object Dedup {
       .select(col("keep_id"), col("copies"), col("text_md5"))
       .orderBy(col("keep_id"))
 
-  /** Exact pairwise n-gram Jaccard ≥ threshold. The shingle-equality join
-    * only materializes pairs that share ≥1 shingle — never the full cross
-    * product — but is still the expensive exact path; see minhash LSH. */
+  /** (doc_id, hs: sorted array<long> of 60-bit shingle hashes, n). The
+    * whole-set form used for candidate verification: one two-pointer
+    * `sorted_intersect_count` per candidate pair replaces a double
+    * explode-join, and long keys make every downstream join/agg
+    * integer-speed. Hash collisions vs the oracle's string sets: ~N²/2⁶¹,
+    * negligible. */
+  private def docSets(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .select(col("doc_id"),
+        graft.plans.VectorFunctions.word_shingle_hashes(col("text"), 3).as("hs"))
+      .withColumn("n", size(col("hs")))
+      .filter(col("n") >= 1)
+
+  /** Exact pairwise n-gram Jaccard ≥ threshold, with PPJoin-style prefix
+    * filtering: order each doc's shingles rarest-first (global doc-freq)
+    * and only join on the first n - ceil(t·n) + 1 of them — any pair with
+    * Jaccard ≥ t MUST share a prefix shingle (pigeonhole), so the result
+    * is identical to the naive all-shingles join while the join touches a
+    * fraction of the rows, and the rows it touches are the rare (small
+    * fan-out) shingles. Prefix length is computed in integer arithmetic
+    * (no fp wobble). */
   def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingleDf(s, dir)
-    jaccardVerify(s, sh,
-      sh.as("a").join(sh.as("b"),
-          col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-        .distinct())
+    val sets = docSets(s, dir)
+    val sh = sets.select(col("doc_id"), col("n"), explode(col("hs")).as("h"))
+    val dfreq = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("df"), col("h"))
+    // jaccardThreshold = 7/10: prefixLen = n - ceil(7n/10) + 1
+    val prefix = sh.join(dfreq, "h")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= col("n") - expr("(7 * n + 9) div 10") + 1)
+    val cand = prefix.as("a").join(prefix.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    jaccardVerify(sets, cand)
   }
 
-  /** Exact Jaccard for a set of candidate (id_a, id_b) pairs, filtered to
-    * ≥ jaccardThreshold. */
-  private def jaccardVerify(s: SparkSession, sh: DataFrame, cand: DataFrame): DataFrame = {
-    val card = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val inter = cand
-      .join(sh.as("sa"), col("id_a") === col("sa.doc_id"))
-      .join(sh.as("sb"), col("id_b") === col("sb.doc_id") && col("sa.shingle") === col("sb.shingle"))
-      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
-    inter
-      .join(card.as("ca"), col("id_a") === col("ca.doc_id"))
-      .join(card.as("cb"), col("id_b") === col("cb.doc_id"))
+  /** Exact Jaccard for candidate (id_a, id_b) pairs via whole-set
+    * intersection, filtered to ≥ jaccardThreshold. */
+  private def jaccardVerify(sets: DataFrame, cand: DataFrame): DataFrame = {
+    val a = sets.select(col("doc_id").as("id_a"), col("hs").as("hs_a"), col("n").as("n_a"))
+    val b = sets.select(col("doc_id").as("id_b"), col("hs").as("hs_b"), col("n").as("n_b"))
+    cand.join(a, "id_a").join(b, "id_b")
+      .withColumn("inter",
+        graft.plans.VectorFunctions.sorted_intersect_count(col("hs_a"), col("hs_b")))
       .withColumn("jaccard",
-        col("inter").cast("double") /
-          (col("ca.n") + col("cb.n") - col("inter")).cast("double"))
+        col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")).cast("double"))
       .filter(col("jaccard") >= jaccardThreshold)
       .select(col("id_a"), col("id_b"), col("inter"), col("jaccard"))
       .orderBy(col("id_a"), col("id_b"))
@@ -115,46 +131,46 @@ object Dedup {
     * one narrow shuffle, buckets are tiny, and the quadratic verify only
     * ever sees same-bucket pairs. */
   def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val sh = shingleDf(s, dir)
-    val params = mhParams.toDF("j", "a", "b")
-    val mh = sh
-      .withColumn("h", TextFns.md5Int(col("shingle")))
-      .crossJoin(broadcast(params))
-      .groupBy(col("doc_id"), col("j"))
-      .agg(min(pmod(col("a") * col("h") + col("b"), lit(P))).as("mh"))
-    val bands = mh
-      .withColumn("band", expr("j div 4"))
-      .groupBy(col("doc_id"), col("band"))
-      .agg(array_join(
-        transform(array_sort(collect_list(struct(col("j"), col("mh")))),
-          x => x.getField("mh").cast("string")), ",").as("sig"))
+    val sets = docSets(s, dir)
+    val sh = Tables(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(graft.plans.VectorFunctions.word_shingles(col("text"), 3)).as("shingle"))
+    // all 16 minhashes in ONE aggregation pass over the shingle rows —
+    // 16 min() columns instead of a 16× row blowup + re-shuffle
+    val withH = sh.withColumn("h", TextFns.md5Int(col("shingle")))
+    val mhCols = mhParams.map { case (j, a, b) =>
+      min(pmod(lit(a) * col("h") + lit(b), lit(P))).as(s"mh$j")
+    }
+    val sig = withH.groupBy(col("doc_id")).agg(mhCols.head, mhCols.tail: _*)
+    val bandStructs = (0 until mhBands).map { band =>
+      struct(lit(band).as("band"),
+        concat_ws(",", (0 until 4).map(r => col(s"mh${band * 4 + r}").cast("string")): _*).as("sig"))
+    }
+    val bands = sig
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
       .distinct()
-    jaccardVerify(s, sh, cand)
+    jaccardVerify(sets, cand)
   }
 
   /** SimHash near-dup: 32-bit signature = sign of per-bit weight sums over
     * token hashes (with multiplicity); byte-band blocking; Hamming ≤ 6 on
     * candidates. One signature per doc — the cheapest near-dup sketch. */
   def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val bits = (0 until 32).map(b => (b, 1L << b)).toDF("bit", "pow")
-    val tok = Tables(s, dir, "documents")
-      .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("token"))
-      .withColumn("h", TextFns.md5Int(col("token")))
-    val sig = tok.crossJoin(broadcast(bits))
-      .withColumn("contrib", when(expr("(h div pow) % 2") === 1, 1L).otherwise(-1L))
-      .groupBy(col("doc_id"), col("bit"), col("pow"))
-      .agg(sum(col("contrib")).as("w"))
-      .groupBy(col("doc_id"))
-      .agg(sum(when(col("w") > 0, col("pow")).otherwise(0L)).as("simhash"))
-    val bandPow = Seq(0, 1, 2, 3).map(k => (k, 1L << (8 * k))).toDF("band", "bpow")
-    val banded = sig.crossJoin(broadcast(bandPow))
-      .withColumn("bval", expr("(simhash div bpow) % 256"))
+    // fused SimHash32 expression: tokenize + md5 + bit-majority in one
+    // linear pass per row — signatures need no shuffle at all
+    val sig = Tables(s, dir, "documents")
+      .select(col("doc_id"), graft.plans.VectorFunctions.simhash32(col("text")).as("simhash"))
+    val bandStructs = (0 until 4).map { k =>
+      struct(lit(k).as("band"), expr(s"(simhash div ${1L << (8 * k)}) % 256").as("bval"))
+    }
+    val banded = sig
+      .select(col("doc_id"), col("simhash"), explode(array(bandStructs: _*)).as("bs"))
+      .select(col("doc_id"), col("simhash"), col("bs.band").as("band"), col("bs.bval").as("bval"))
     banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bval") === col("y.bval") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -172,9 +188,7 @@ object Dedup {
     * `sim_lsh_ann` in Similarity. Double-precision left-fold dot products
     * are bit-identical across engines. */
   def dedupEmbeddingCosine(s: SparkSession, dir: String): DataFrame = {
-    val dot = (a: Column, b: Column) =>
-      aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-        lit(0.0), (acc, v) => acc + v)
+    val dot = (a: Column, b: Column) => graft.plans.VectorFunctions.vec_dot(a, b)
     val n = Tables(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding"))
       .withColumn("nrm", sqrt(dot(col("embedding"), col("embedding"))))

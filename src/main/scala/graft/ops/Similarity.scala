@@ -28,8 +28,7 @@ object Similarity {
   val queryStride = 50 // queries = vectors with vec_id % stride == 0
 
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    graft.plans.VectorFunctions.vec_dot(a, b)
 
   private def normed(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "embeddings")
@@ -70,8 +69,8 @@ object Similarity {
     array((0 until lshTables).map { t =>
       (0 until lshBits).map { b =>
         val hLit = array(hyperplanes(t * lshBits + b).map(lit): _*)
-        when(aggregate(zip_with(emb, hLit, (x, y) => x.cast("double") * y),
-          lit(0.0), (acc, v) => acc + v) > 0, lit(1L << b)).otherwise(lit(0L))
+        when(graft.plans.VectorFunctions.vec_dot(emb, hLit) > 0, lit(1L << b))
+          .otherwise(lit(0L))
       }.reduce(_ + _)
     }: _*)
 

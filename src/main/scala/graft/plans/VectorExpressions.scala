@@ -1,0 +1,309 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftBridge
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Custom codegen'd Catalyst expressions for the vector / hashing hot
+  * paths. The composable alternative (`zip_with` + `aggregate`
+  * higher-order functions) materializes an intermediate array per row and
+  * walks lambda closures per element — an order of magnitude slower on a
+  * 64-dim dot product than this tight fused loop, which whole-stage
+  * codegen inlines straight into the scan-join-filter pipeline.
+  *
+  * Semantics are kept bit-identical to the HOF formulation (left-to-right
+  * double-precision accumulation), so DuckDB-oracle hash parity is
+  * unaffected.
+  */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vec_dot"
+
+  private def accessor(e: Expression): String =
+    e.dataType.asInstanceOf[ArrayType].elementType match {
+      case FloatType => "getFloat"
+      case DoubleType => "getDouble"
+      case other => throw new IllegalArgumentException(s"vec_dot: unsupported element type $other")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val lf = left.dataType.asInstanceOf[ArrayType].elementType == FloatType
+    val rf = right.dataType.asInstanceOf[ArrayType].elementType == FloatType
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
+      acc += xv * yv
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += (double) $a.${accessor(left)}($i) * (double) $b.${accessor(right)}($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Polynomial rolling hash over a string's code points, mod 1e9+7 —
+  * fused replacement for split('')+aggregate (which builds a one-char
+  * string array per row). Mirrors DuckDB's
+  * `list_reduce(list_prepend(0, list_transform(string_split(s,''), ascii)), …)`.
+  */
+case class PolyHash(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "poly_hash"
+
+  override def nullSafeEval(v: Any): Any =
+    HashUtil.polyHash(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.HashUtil.polyHash($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Distinct word n-gram shingles in one fused pass: tokenize + slide +
+  * dedup inside a single expression evaluation. The composable form
+  * (`transform(sequence(…), i -> concat_ws(' ', slice(toks, i, n)))`)
+  * re-evaluates the tokenizer expression for every lambda element —
+  * O(tokens²) regex splits per row — which made shingling the dominant
+  * cost of every dedup query. Output order is first-occurrence; only set
+  * membership/cardinality is observable downstream. */
+case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_shingles"
+
+  override def nullSafeEval(v: Any): Any =
+    HashUtil.wordShingles(v.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.HashUtil.wordShingles($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Sorted array of distinct 60-bit md5 hashes of a document's word
+  * n-gram shingles — the internal form the Jaccard machinery runs on.
+  * Long keys make the doc-frequency aggregation, prefix join, and
+  * pairwise intersection all integer-speed; the string shingles
+  * themselves never leave the expression. Collision risk at 60 bits is
+  * ~N²/2⁶¹ — negligible against the oracle's string-set semantics. */
+case class WordShingleHashes(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "word_shingle_hashes"
+
+  override def nullSafeEval(v: Any): Any =
+    HashUtil.wordShingleHashes(v.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.HashUtil.wordShingleHashes($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Intersection size of two SORTED distinct long arrays — two-pointer
+  * merge, zero allocation. Pairs with `word_shingle_hashes` for the
+  * candidate-verification step of Jaccard dedup. */
+case class SortedIntersectCount(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "sorted_intersect_count"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    HashUtil.sortedIntersectCount(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.plans.HashUtil.sortedIntersectCount($a, $b)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** 32-bit SimHash of a document in one fused pass: tokenize (with
+  * multiplicity), md5-hash each token exactly like `md5Int` (first 4
+  * md5 bytes, unsigned), per-bit majority vote. Replaces an
+  * explode(tokens) → 32-column aggregation → reassembly pipeline with a
+  * single linear scan per row — no shuffle at all for signatures. */
+case class SimHash32(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash32"
+
+  override def nullSafeEval(v: Any): Any =
+    HashUtil.simHash32(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.HashUtil.simHash32($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Static helpers callable from generated Java (Scala top-level object →
+  * static forwarders). */
+object HashUtil {
+  private val ws = java.util.regex.Pattern.compile("\\s+")
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** First 4 md5 bytes as an unsigned 32-bit value in a long — identical
+    * to Spark's conv(substring(md5(s),1,8),16,10) and DuckDB's
+    * ('0x' || substr(md5(s),1,8))::BIGINT. */
+  private def md5Int32(bytes: Array[Byte]): Long = {
+    val md = md5Local.get()
+    md.reset()
+    val d = md.digest(bytes)
+    ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) | ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+  }
+
+  /** First 60 bits of md5 (keeps the long positive). */
+  private def md5Int60(bytes: Array[Byte]): Long = {
+    val md = md5Local.get()
+    md.reset()
+    val d = md.digest(bytes)
+    var h = 0L
+    var i = 0
+    while (i < 8) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+    h >>> 4
+  }
+
+  def wordShingleHashes(s: UTF8String, n: Int): ArrayData = {
+    val toks = ws.split(s.toString).filterNot(_.isEmpty)
+    val m = toks.length - n + 1
+    if (m <= 0) return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    val hs = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      val sb = new java.lang.StringBuilder(toks(i))
+      var j = 1
+      while (j < n) { sb.append(' ').append(toks(i + j)); j += 1 }
+      hs(i) = md5Int60(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      i += 1
+    }
+    java.util.Arrays.sort(hs)
+    // unique in place (set semantics, like the distinct string shingles)
+    var k = 0
+    var p = 1
+    while (p < m) {
+      if (hs(p) != hs(k)) { k += 1; hs(k) = hs(p) }
+      p += 1
+    }
+    val out = new Array[Any](k + 1)
+    var q = 0
+    while (q <= k) { out(q) = hs(q); q += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  def sortedIntersectCount(a: ArrayData, b: ArrayData): Long = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var c = 0L
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { c += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    c
+  }
+
+  def simHash32(s: UTF8String): Long = {
+    val toks = ws.split(s.toString)
+    val w = new Array[Int](32)
+    var i = 0
+    while (i < toks.length) {
+      if (!toks(i).isEmpty) {
+        val h = md5Int32(toks(i).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        var b = 0
+        while (b < 32) {
+          if (((h >>> b) & 1L) == 1L) w(b) += 1 else w(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 32) {
+      if (w(b) > 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+
+  def polyHash(s: UTF8String): Long = {
+    val str = s.toString
+    var acc = 0L
+    var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      acc = (acc * 31 + cp) % 1000000007L
+      i += Character.charCount(cp)
+    }
+    acc
+  }
+
+  def wordShingles(s: UTF8String, n: Int): ArrayData = {
+    val toks = ws.split(s.toString).filterNot(_.isEmpty)
+    val out = new java.util.LinkedHashSet[String]()
+    var i = 0
+    while (i + n <= toks.length) {
+      val sb = new java.lang.StringBuilder(toks(i))
+      var j = 1
+      while (j < n) { sb.append(' ').append(toks(i + j)); j += 1 }
+      out.add(sb.toString)
+      i += 1
+    }
+    val arr = new Array[Any](out.size)
+    val it = out.iterator()
+    var k = 0
+    while (it.hasNext) { arr(k) = UTF8String.fromString(it.next()); k += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
+  }
+}
+
+/** Column-level API for the custom expressions. */
+object VectorFunctions {
+  def vec_dot(a: Column, b: Column): Column =
+    GraftBridge.column(DotProduct(GraftBridge.expression(a), GraftBridge.expression(b)))
+  def poly_hash(c: Column): Column =
+    GraftBridge.column(PolyHash(GraftBridge.expression(c)))
+  def word_shingles(c: Column, n: Int): Column =
+    GraftBridge.column(WordShingles(GraftBridge.expression(c), n))
+  def word_shingle_hashes(c: Column, n: Int): Column =
+    GraftBridge.column(WordShingleHashes(GraftBridge.expression(c), n))
+  def sorted_intersect_count(a: Column, b: Column): Column =
+    GraftBridge.column(SortedIntersectCount(GraftBridge.expression(a), GraftBridge.expression(b)))
+  def simhash32(c: Column): Column =
+    GraftBridge.column(SimHash32(GraftBridge.expression(c)))
+}
