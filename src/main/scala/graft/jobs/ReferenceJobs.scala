@@ -56,6 +56,22 @@ object ReferenceJobs {
       .orderBy(col("op"))
   }
 
+  /** A8 text sink (`Master.java:172` + static serving `Master.java:58`):
+    * write a result in the reference's output format — space-separated
+    * fields, one line per row (array columns flattened) — as a single
+    * text file, ready for download like `final_result.out`. */
+  def writeResultText(df: DataFrame, path: String): Unit = {
+    val cols = df.schema.fields.map { f =>
+      f.dataType match {
+        case _: org.apache.spark.sql.types.ArrayType => array_join(col(f.name), " ")
+        case _ => col(f.name).cast("string")
+      }
+    }
+    df.select(concat_ws(" ", cols: _*).as("value"))
+      .coalesce(1)
+      .write.mode("overwrite").text(path)
+  }
+
   /** W4 finding_the_suspects (`exampleCodes/finding_the_suspects/`): rows
     * `name family city year`; key = name-family-year, distinct city set,
     * keep groups with > 10 distinct cities (`reducer.py:18-19`). */

@@ -177,7 +177,21 @@ object Relational {
         max(col("k")).as("max_k"), count(lit(1)).as("n"))
       .orderBy(col("event_type"))
 
+  /** Approximate distinct counting (HyperLogLog++) — the 100 TB form of
+    * q_distinct_counts: sketches merge associatively, so no expand and a
+    * bounded-memory two-phase aggregate. Rows-only (no oracle: DuckDB's
+    * approx sketch differs); accuracy vs exact is asserted in tests. */
+  def qApproxDistinct(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_suppkey"), 0.02).as("approx_supp"),
+        approx_count_distinct(col("l_partkey"), 0.02).as("approx_part"),
+        approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"))
+      .orderBy(col("l_returnflag"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_approx_distinct" -> qApproxDistinct _,
     "q1_pricing_summary" -> q1PricingSummary _,
     "q6_revenue_filter" -> q6RevenueFilter _,
     "q_topk_orders" -> qTopkOrders _,

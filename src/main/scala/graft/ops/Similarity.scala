@@ -79,21 +79,22 @@ object Similarity {
     * Rows-only (no SQL oracle — the projections are not SQL-expressible);
     * recall vs brute force is asserted in DedupSimilaritySpec. */
   def simLshAnn(s: SparkSession, dir: String): DataFrame = {
+    val buckets = Tables(s, dir, "embeddings")
+      .select(col("vec_id"), posexplode(bucketsCol(col("embedding"))).as(Seq("tbl", "bucket")))
+    val qb = buckets.filter(col("vec_id") % queryStride === 0)
+      .select(col("vec_id").as("q_id"), col("tbl"), col("bucket"))
+    // dedupe (q, cand) pairs on the narrow id columns BEFORE attaching
+    // the 64-float vectors — a pair may collide in several tables, and
+    // distinct over embedding arrays would hash the vectors themselves
+    val cand = buckets.join(broadcast(qb),
+        Seq("tbl", "bucket")).filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("cand_id"))
+      .distinct()
     val n = normed(s, dir)
-      .select(col("vec_id"), col("embedding"), col("nrm"),
-        posexplode(bucketsCol(col("embedding"))).as(Seq("tbl", "bucket")))
-    val q = n.filter(col("vec_id") % queryStride === 0)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-        col("nrm").as("q_nrm"), col("tbl").as("q_tbl"), col("bucket").as("q_bucket"))
-    val c = n.select(col("vec_id").as("cand_id"), col("embedding").as("c_emb"),
-      col("nrm").as("c_nrm"), col("tbl"), col("bucket"))
+    val q = n.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+    val c = n.select(col("vec_id").as("cand_id"), col("embedding").as("c_emb"), col("nrm").as("c_nrm"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("cand_id"))
-    c.join(broadcast(q),
-        col("tbl") === col("q_tbl") && col("bucket") === col("q_bucket") &&
-          col("cand_id") =!= col("q_id"))
-      .select(col("q_id"), col("cand_id"), col("q_emb"), col("c_emb"),
-        col("q_nrm"), col("c_nrm"))
-      .distinct() // a pair may collide in several tables
+    cand.join(broadcast(q), "q_id").join(c, "cand_id")
       .withColumn("cosine", dot(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm")))
       .withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= topK)

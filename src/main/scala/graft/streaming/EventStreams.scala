@@ -50,13 +50,55 @@ object EventStreams {
       .orderBy(col("hour"), col("event_type"))
   }
 
+  final case class RawEvent(event_id: Long, ts: Long, user_id: Long,
+      event_type: String, value: Double, props: String)
+
+  /** Stateful streaming: running per-type event counts via
+    * `flatMapGroupsWithState` (arbitrary keyed state, the building block
+    * for custom streaming operators). The final state after draining the
+    * source equals the batch count — deterministic regardless of
+    * micro-batch boundaries, hence oracle-checkable. */
+  def streamStatefulCounts(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val name = "stream_stateful_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val updates = s.readStream.schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .as[RawEvent]
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (key: String, rows: Iterator[RawEvent], state: GroupState[Long]) => {
+          val n = state.getOption.getOrElse(0L) + rows.size
+          state.update(n)
+          Iterator((key, n))
+        })
+      .toDF("event_type", "n_events")
+    val q = updates.writeStream
+      .outputMode("update")
+      .format("memory")
+      .queryName(name)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    // the last update per key IS the final count
+    s.table(name)
+      .groupBy(col("event_type"))
+      .agg(max(col("n_events")).as("n_events"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_hour_counts" -> streamHourCounts _,
+    "stream_stateful_counts" -> streamStatefulCounts _,
   )
 
   val oracles: Map[String, String] = Map(
     "stream_hour_counts" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n_events
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+    "stream_stateful_counts" ->
+      """SELECT event_type, count(*) AS n_events
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
   )
 }

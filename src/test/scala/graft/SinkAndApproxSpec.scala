@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.jobs.ReferenceJobs
+
+/** A8 text sink round-trip + approximate-distinct accuracy. */
+class SinkAndApproxSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("writeResultText emits reference-format lines (W4 golden round-trip)") {
+    val refDir = "/root/reference/exampleCodes/finding_the_suspects"
+    val result = ReferenceJobs.suspects(spark, s"$refDir/sample.data")
+    val out = java.nio.file.Files.createTempDirectory("sink").toString
+    ReferenceJobs.writeResultText(result, out)
+
+    def canon(lines: Iterator[String]): Seq[(String, Seq[String])] =
+      lines.filter(_.nonEmpty).map { l =>
+        val p = l.trim.split("\\s+"); (p.head, p.tail.sorted.toSeq)
+      }.toSeq.sortBy(_._1)
+
+    val written = canon(spark.read.textFile(out).collect().iterator)
+    val golden = canon(scala.io.Source.fromFile(s"$refDir/final_result.out").getLines())
+    assert(written === golden)
+  }
+
+  test("approx_count_distinct within 5% of exact") {
+    val approx = ops.Relational.qApproxDistinct(spark, TestSpark.sf0001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val exact = ops.Relational.qDistinctCounts(spark, TestSpark.sf0001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(approx.keySet === exact.keySet)
+    for ((k, (a1, a2, a3)) <- approx; (e1, e2, e3) = exact(k)) {
+      def close(a: Long, e: Long) = math.abs(a - e).toDouble / math.max(e, 1L) < 0.05
+      assert(close(a1, e1) && close(a2, e2) && close(a3, e3),
+        s"$k: approx ($a1,$a2,$a3) vs exact ($e1,$e2,$e3)")
+    }
+  }
+}

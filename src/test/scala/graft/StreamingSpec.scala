@@ -19,4 +19,14 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed === batch)
     assert(streamed.nonEmpty)
   }
+
+  test("stateful flatMapGroupsWithState final counts equal batch counts") {
+    import org.apache.spark.sql.functions._
+    val streamed = EventStreams.streamStatefulCounts(spark, TestSpark.sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val batch = Tables(spark, TestSpark.sf0001, "events")
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(streamed === batch)
+  }
 }
