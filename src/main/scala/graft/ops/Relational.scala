@@ -190,7 +190,24 @@ object Relational {
         approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"))
       .orderBy(col("l_returnflag"))
 
+  /** Two-level salted aggregation — the skew-mitigation pattern for hot
+    * keys at 100 TB. lineitem has only 3 return-flag values, so a naive
+    * groupBy sends a third of the table to one reducer; salting fans each
+    * hot key over 16 sub-keys (cheap partial sums), then merges the 48
+    * partials. The result is identical to the plain aggregate, which is
+    * exactly what the oracle checks. */
+  def qSaltedAgg(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "lineitem")
+      .withColumn("salt", pmod(hash(col("l_orderkey")), lit(16)))
+      .groupBy(col("l_returnflag"), col("salt"))
+      .agg(sum(dec(col("l_quantity"))).as("partial_qty"), count(lit(1)).as("partial_cnt"))
+      .groupBy(col("l_returnflag"))
+      .agg(sum(col("partial_qty")).cast("double").as("sum_qty"),
+        sum(col("partial_cnt")).as("n_rows"))
+      .orderBy(col("l_returnflag"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_salted_agg" -> qSaltedAgg _,
     "q_approx_distinct" -> qApproxDistinct _,
     "q1_pricing_summary" -> q1PricingSummary _,
     "q6_revenue_filter" -> q6RevenueFilter _,
@@ -209,6 +226,11 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_salted_agg" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
