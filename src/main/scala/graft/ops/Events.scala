@@ -63,13 +63,34 @@ object Events {
       .orderBy(col("user_id"), col("session_id"))
   }
 
+  /** Sliding windows: 1-hour windows every 15 minutes — each event lands
+    * in 4 windows (Spark's `window()` generator, epoch-aligned). Output
+    * keys as epoch ms so the overlap arithmetic is mirrorable in SQL. */
+  def evSlidingWindow(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "events")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(dec(col("value"))).cast("double").as("total_value"))
+      .select(unix_millis(col("window.start")).as("w_start_ms"), col("event_type"),
+        col("n_events"), col("total_value"))
+      .orderBy(col("w_start_ms"), col("event_type"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_sliding_window" -> evSlidingWindow _,
     "ev_hour_histogram" -> evHourHistogram _,
     "ev_running_sum" -> evRunningSum _,
     "ev_sessionize" -> evSessionize _,
   )
 
   val oracles: Map[String, String] = Map(
+    "ev_sliding_window" ->
+      """SELECT w_start_ms, event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM (
+        |  SELECT epoch_ms(ts) - epoch_ms(ts) % 900000 - k * 900000 AS w_start_ms,
+        |    event_type, value
+        |  FROM events, (SELECT unnest(range(0, 4)) AS k))
+        |GROUP BY w_start_ms, event_type
+        |ORDER BY w_start_ms, event_type""".stripMargin,
     "ev_hour_histogram" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n_events,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value

@@ -91,7 +91,22 @@ object TextAnalysis {
         substring(md5(col("text")), 1, 16).as("fp_md5"))
       .orderBy(col("doc_id"))
 
+  /** The end-to-end corpus-cleaning pipeline a pretraining run starts
+    * with: quality-score filter + near-dup removal (keep the lower doc_id
+    * of every verified Jaccard pair). Composes the quality and dedup
+    * operators into one declarative plan — Catalyst fuses the whole thing;
+    * nothing is materialized in between. */
+  def corpusClean(s: SparkSession, dir: String): DataFrame = {
+    val quality = textQuality(s, dir).select(col("doc_id"), col("n_tokens"), col("score"))
+    val dupIds = Dedup.dedupNgramJaccard(s, dir)
+      .select(col("id_b").as("doc_id")).distinct()
+    quality.filter(col("score") >= 0.5)
+      .join(dupIds, Seq("doc_id"), "left_anti")
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_clean" -> corpusClean _,
     "text_token_stats" -> textTokenStats _,
     "text_quality" -> textQuality _,
     "text_lang_id" -> textLangId _,
@@ -102,6 +117,18 @@ object TextAnalysis {
     """list_filter(string_split_regex(text, '\s+'), x -> x <> '')"""
 
   val oracles: Map[String, String] = Map(
+    "corpus_clean" ->
+      s"""${Dedup.allPairsSql},
+         |q AS (
+         |  SELECT doc_id,
+         |    CAST(len(toks) AS BIGINT) AS n_tokens,
+         |    (CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE)) * 0.4
+         |      + least(CAST(len(toks) AS DOUBLE) / 50.0, 1.0) * 0.4
+         |      + (CAST(len(list_filter(toks, t -> list_contains(${sqlList(stopEn)}, t))) AS DOUBLE) / CAST(len(toks) AS DOUBLE)) * 0.2 AS score
+         |  FROM (SELECT doc_id, $tokSql AS toks FROM documents))
+         |SELECT doc_id, n_tokens, score FROM q
+         |WHERE score >= 0.5 AND doc_id NOT IN (SELECT id_b FROM jpairs)
+         |ORDER BY doc_id""".stripMargin,
     "text_token_stats" ->
       s"""SELECT doc_id,
          |  CAST(len(toks) AS BIGINT) AS n_tokens,
