@@ -206,7 +206,69 @@ object Relational {
         sum(col("partial_cnt")).as("n_rows"))
       .orderBy(col("l_returnflag"))
 
+  /** Set operations beyond union: INTERSECT / EXCEPT (distinct set
+    * semantics in both engines). */
+  def qIntersectExcept(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables(s, dir, "customer").select(col("c_nationkey").cast("long").as("nk"))
+    val su = Tables(s, dir, "supplier").select(col("s_nationkey").cast("long").as("nk"))
+    c.intersect(su).withColumn("tag", lit("both"))
+      .union(c.except(su).withColumn("tag", lit("customer_only")))
+      .orderBy(col("tag"), col("nk"))
+  }
+
+  /** Scalar subquery: customers above the global average balance. The
+    * average goes through an exact decimal sum so both engines compare
+    * against the identical double. */
+  def qScalarSubquery(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables(s, dir, "customer")
+    val avg = c.agg((sum(dec(col("c_acctbal"))).cast("double") / count(lit(1))).as("avg_bal"))
+    c.join(broadcast(avg))
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .select(col("c_custkey"), col("c_acctbal"), col("avg_bal"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Date/time parts: orders per (year, month). */
+  def qDateParts(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "orders")
+      .groupBy(year(col("o_orderdate")).cast("long").as("y"),
+        month(col("o_orderdate")).cast("long").as("m"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("revenue"))
+      .orderBy(col("y"), col("m"))
+
+  /** Row-level string function battery (projection-only — stays entirely
+    * inside whole-stage codegen, no shuffle). */
+  def qStringFuncs(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "customer")
+      .select(
+        col("c_custkey"),
+        upper(col("c_mktsegment")).as("seg_upper"),
+        lower(col("c_name")).as("name_lower"),
+        substring(col("c_name"), 1, 8).as("name_prefix"),
+        length(col("c_name")).cast("long").as("name_len"),
+        concat_ws("|", col("c_mktsegment"), col("c_name")).as("joined"))
+      .orderBy(col("c_custkey"))
+
+  /** Math function battery on IEEE-deterministic ops (sqrt/abs/floor/
+    * ceil — no libm-dependent transcendentals, which can differ across
+    * engines in the last ulp). */
+  def qMathFuncs(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "lineitem")
+      .filter(col("l_orderkey") < 100)
+      .select(
+        col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+        sqrt(col("l_quantity")).as("qty_sqrt"),
+        abs(col("l_discount") - 0.05).as("disc_dev"),
+        floor(col("l_extendedprice")).cast("long").as("price_floor"),
+        ceil(col("l_extendedprice")).cast("long").as("price_ceil"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_intersect_except" -> qIntersectExcept _,
+    "q_scalar_subquery" -> qScalarSubquery _,
+    "q_date_parts" -> qDateParts _,
+    "q_string_funcs" -> qStringFuncs _,
+    "q_math_funcs" -> qMathFuncs _,
     "q_salted_agg" -> qSaltedAgg _,
     "q_approx_distinct" -> qApproxDistinct _,
     "q1_pricing_summary" -> q1PricingSummary _,
@@ -226,6 +288,39 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_intersect_except" ->
+      """SELECT nk, 'both' AS tag FROM (
+        |  SELECT CAST(c_nationkey AS BIGINT) AS nk FROM customer
+        |  INTERSECT SELECT CAST(s_nationkey AS BIGINT) FROM supplier)
+        |UNION ALL
+        |SELECT nk, 'customer_only' AS tag FROM (
+        |  SELECT CAST(c_nationkey AS BIGINT) AS nk FROM customer
+        |  EXCEPT SELECT CAST(s_nationkey AS BIGINT) FROM supplier)
+        |ORDER BY tag, nk""".stripMargin,
+    "q_scalar_subquery" ->
+      """SELECT c_custkey, c_acctbal,
+        |  (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*) FROM customer) AS avg_bal
+        |FROM customer
+        |WHERE c_acctbal > (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*) FROM customer)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_date_parts" ->
+      """SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS y,
+        |  CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) AS m,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders GROUP BY y, m ORDER BY y, m""".stripMargin,
+    "q_string_funcs" ->
+      """SELECT c_custkey, upper(c_mktsegment) AS seg_upper, lower(c_name) AS name_lower,
+        |  substr(c_name, 1, 8) AS name_prefix, CAST(length(c_name) AS BIGINT) AS name_len,
+        |  concat_ws('|', c_mktsegment, c_name) AS joined
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q_math_funcs" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        |  sqrt(l_quantity) AS qty_sqrt, abs(l_discount - 0.05) AS disc_dev,
+        |  CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
+        |  CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil
+        |FROM lineitem WHERE l_orderkey < 100
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "q_salted_agg" ->
       """SELECT l_returnflag,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

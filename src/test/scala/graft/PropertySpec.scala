@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Properties}
+import org.scalacheck.Prop.forAll
+import graft.functions.TextFns
+import graft.plans.VectorFunctions
+
+/** Property-based checks (SURVEY.md §5.3): algebraic laws of the
+  * map/reduce contract and equivalence of the fused codegen expressions
+  * with their composable reference formulations. Runs under ScalaCheck's
+  * own sbt test framework. */
+object PropertySpec extends Properties("graft") {
+  lazy val spark = TestSpark.spark
+
+  private val wordGen = Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString)
+  private val textGen = Gen.listOf(wordGen).map(_.mkString(" "))
+
+  property("vec_dot == HOF zip_with+aggregate, bit-for-bit") = {
+    import spark.implicits._
+    val vecGen = Gen.listOfN(16, Gen.chooseNum(-100f, 100f))
+    forAll(Gen.nonEmptyListOf(Gen.zip(vecGen, vecGen))) { pairs =>
+      val df = pairs.map { case (a, b) => (a.toArray, b.toArray) }.toDF("a", "b")
+      df.select(
+        VectorFunctions.vec_dot(col("a"), col("b")).as("fused"),
+        aggregate(zip_with(col("a"), col("b"), (x, y) => x.cast("double") * y.cast("double")),
+          lit(0.0), (acc, v) => acc + v).as("hof"))
+        .collect()
+        .forall(r => r.getDouble(0) == r.getDouble(1))
+    }
+  }
+
+  property("word_shingle_hashes: sorted, distinct, |hs| <= max(0, tokens-2)") = {
+    import spark.implicits._
+    forAll(Gen.nonEmptyListOf(textGen)) { texts =>
+      texts.toDF("text").select(
+        VectorFunctions.word_shingle_hashes(col("text"), 3).as("hs"),
+        TextFns.tokens(col("text")).as("toks"))
+        .collect()
+        .forall { r =>
+          val hs = r.getSeq[Long](0)
+          val nToks = r.getSeq[String](1).size
+          hs == hs.sorted && hs.distinct.size == hs.size &&
+            hs.size <= math.max(0, nToks - 2)
+        }
+    }
+  }
+
+  property("sorted_intersect_count == naive set intersection") = {
+    import spark.implicits._
+    val setGen = Gen.listOf(Gen.chooseNum(0L, 50L)).map(_.distinct.sorted.toArray)
+    forAll(Gen.nonEmptyListOf(Gen.zip(setGen, setGen))) { pairs =>
+      val got = pairs.toDF("a", "b")
+        .select(VectorFunctions.sorted_intersect_count(col("a"), col("b")))
+        .collect().map(_.getLong(0)).toSeq
+      val expected = pairs.map { case (a, b) => a.toSet.intersect(b.toSet).size.toLong }
+      got == expected
+    }
+  }
+
+  property("poly_hash matches a scala code-point fold") = {
+    import spark.implicits._
+    forAll(Gen.nonEmptyListOf(textGen)) { texts =>
+      val got = texts.toDF("t").select(VectorFunctions.poly_hash(col("t")))
+        .collect().map(_.getLong(0)).toSeq
+      val expected = texts.map(_.foldLeft(0L)((acc, c) => (acc * 31 + c.toInt) % 1000000007L))
+      got == expected
+    }
+  }
+
+  property("word count invariant under line order + partitioning (MR contract)") = {
+    import spark.implicits._
+    forAll(Gen.nonEmptyListOf(textGen), Gen.chooseNum(1, 7)) { (lines, parts) =>
+      val base = mr.MapReduce.wordCount(lines.toDS()).collect().toMap
+      val shuffled = mr.MapReduce
+        .wordCount(scala.util.Random.shuffle(lines).toDS().repartition(parts))
+        .collect().toMap
+      base == shuffled
+    }
+  }
+}
