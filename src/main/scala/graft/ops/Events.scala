@@ -74,7 +74,24 @@ object Events {
         col("n_events"), col("total_value"))
       .orderBy(col("w_start_ms"), col("event_type"))
 
+  /** Native session windows (`session_window`, the streaming-capable
+    * operator): merge each user's events while gaps stay under 12h.
+    * Same semantics as the lag-based evSessionize (which is what the
+    * oracle computes), but expressed as a first-class Spark windowing
+    * primitive — usable unchanged under readStream with a watermark.
+    * Window end = last event + gap, per session_window's definition. */
+  def evSessionWindow(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "events")
+      .groupBy(session_window(col("ts"), "12 hours").as("sw"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(dec(col("value"))).cast("double").as("total_value"))
+      .select(col("user_id"),
+        unix_millis(col("sw.start")).as("start_ms"),
+        unix_millis(col("sw.end")).as("end_ms"),
+        col("n_events"), col("total_value"))
+      .orderBy(col("user_id"), col("start_ms"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_session_window" -> evSessionWindow _,
     "ev_sliding_window" -> evSlidingWindow _,
     "ev_hour_histogram" -> evHourHistogram _,
     "ev_running_sum" -> evRunningSum _,
@@ -82,6 +99,25 @@ object Events {
   )
 
   val oracles: Map[String, String] = Map(
+    // session_window uses half-open [start, last+gap): an event exactly
+    // `gap` after the previous one starts a NEW session, hence `>=` in
+    // the gap test below (vs `>` in ev_sessionize).
+    "ev_session_window" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, event_id, value,
+        |    CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
+        |           OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w >= 43200000
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), sess AS (
+        |  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM flagged)
+        |SELECT user_id, epoch_ms(min(ts)) AS start_ms,
+        |  epoch_ms(max(ts)) + 43200000 AS end_ms,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM sess GROUP BY user_id, session_id ORDER BY user_id, start_ms""".stripMargin,
     "ev_sliding_window" ->
       """SELECT w_start_ms, event_type, count(*) AS n_events,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value

@@ -102,12 +102,93 @@ object Similarity {
       .orderBy(col("q_id"), col("rk"))
   }
 
+  /** IVF-style ANN: a deterministic coarse quantizer (centroids = every
+    * `centroidStride`-th vector, standing in for k-means output) assigns
+    * each vector to its nearest centroid; a query probes its `nProbe`
+    * nearest centroids and rescoring runs only inside those inverted
+    * lists. Cost per query ≈ nProbe/nCentroids of the corpus instead of
+    * all of it. Fully deterministic (argmin with id tie-break), so unlike
+    * most IVF builds it is oracle-checkable end-to-end. */
+  val centroidStride = 100
+  val nProbe = 2
+
+  def simIvfTopk(s: SparkSession, dir: String): DataFrame = {
+    val n = normed(s, dir)
+    val cent = n.filter(col("vec_id") % centroidStride === 1)
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"), col("nrm").as("c_nrm"))
+    def nearestCentroids(src: DataFrame, idCol: String, embCol: String, nrmCol: String, keep: Int) = {
+      val w = Window.partitionBy(col(idCol)).orderBy(col("c_cos").desc, col("c_id"))
+      src.join(broadcast(cent))
+        .withColumn("c_cos", dot(col(embCol), col("c_emb")) / (col(nrmCol) * col("c_nrm")))
+        .withColumn("c_rk", row_number().over(w))
+        .filter(col("c_rk") <= keep)
+        .select(col(idCol), col("c_id"))
+    }
+    val assign = nearestCentroids(
+      n.select(col("vec_id"), col("embedding"), col("nrm")), "vec_id", "embedding", "nrm", 1)
+    val q = n.filter(col("vec_id") % queryStride === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+    val probes = nearestCentroids(q, "q_id", "q_emb", "q_nrm", nProbe)
+    val cand = probes.join(assign, "c_id")
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("cand_id"))
+      .distinct()
+    val c = n.select(col("vec_id").as("cand_id"), col("embedding").as("c_emb2"), col("nrm").as("c_nrm2"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("cand_id"))
+    cand.join(broadcast(q), "q_id").join(c, "cand_id")
+      .withColumn("cosine", dot(col("q_emb"), col("c_emb2")) / (col("q_nrm") * col("c_nrm2")))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= topK)
+      .select(col("q_id"), col("rk"), col("cand_id"), col("cosine"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_topk_bruteforce" -> simTopkBruteforce _,
     "sim_lsh_ann" -> simLshAnn _,
+    "sim_ivf_topk" -> simIvfTopk _,
   )
 
+  private def dotSql(a: String, b: String): String =
+    s"list_sum(list_transform(range(1, len($a) + 1), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+
   val oracles: Map[String, String] = Map(
+    "sim_ivf_topk" ->
+      s"""WITH n AS (
+         |  SELECT vec_id, embedding,
+         |    sqrt(${dotSql("embedding", "embedding")}) AS nrm
+         |  FROM embeddings),
+         |cent AS (SELECT vec_id AS c_id, embedding AS c_emb, nrm AS c_nrm
+         |         FROM n WHERE vec_id % $centroidStride = 1),
+         |asgn AS (
+         |  SELECT vec_id, c_id FROM (
+         |    SELECT v.vec_id, c.c_id,
+         |      row_number() OVER (PARTITION BY v.vec_id
+         |        ORDER BY ${dotSql("v.embedding", "c.c_emb")} / (v.nrm * c.c_nrm) DESC, c.c_id) AS c_rk
+         |    FROM n v, cent c)
+         |  WHERE c_rk = 1),
+         |q AS (SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm
+         |      FROM n WHERE vec_id % $queryStride = 0),
+         |probes AS (
+         |  SELECT q_id, c_id FROM (
+         |    SELECT q.q_id, c.c_id,
+         |      row_number() OVER (PARTITION BY q.q_id
+         |        ORDER BY ${dotSql("q.q_emb", "c.c_emb")} / (q.q_nrm * c.c_nrm) DESC, c.c_id) AS c_rk
+         |    FROM q, cent c)
+         |  WHERE c_rk <= $nProbe),
+         |cand AS (
+         |  SELECT DISTINCT q_id, vec_id AS cand_id
+         |  FROM probes JOIN asgn USING (c_id) WHERE vec_id <> q_id),
+         |scored AS (
+         |  SELECT cand.q_id, cand.cand_id,
+         |    ${dotSql("q.q_emb", "c.embedding")} / (q.q_nrm * c.nrm) AS cosine
+         |  FROM cand JOIN q ON cand.q_id = q.q_id JOIN n c ON cand.cand_id = c.vec_id),
+         |ranked AS (
+         |  SELECT q_id, cand_id, cosine,
+         |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, cand_id) AS BIGINT) AS rk
+         |  FROM scored)
+         |SELECT q_id, rk, cand_id, cosine FROM ranked WHERE rk <= $topK
+         |ORDER BY q_id, rk""".stripMargin,
     "sim_topk_bruteforce" ->
       s"""WITH n AS (
          |  SELECT vec_id, embedding,
