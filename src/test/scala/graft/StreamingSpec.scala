@@ -20,6 +20,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("watermark drops late data in append mode (MemoryStream, manual batches)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String)]
+    val name = "wm_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val agg = input.toDF().toDF("ts", "k")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "10 minutes"), col("k"))
+      .agg(count(lit(1)).as("n"))
+    val q = agg.writeStream.outputMode("append").format("memory").queryName(name).start()
+    def t(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+    try {
+      input.addData((t(0), "a"), (t(1), "a"))   // window [10:00,10:10)
+      q.processAllAvailable()
+      input.addData((t(31), "a"))               // watermark -> 10:21, closes [10:00,10:10)
+      q.processAllAvailable()
+      input.addData((t(2), "late"))             // far behind watermark: dropped
+      input.addData((t(45), "a"))               // push watermark further
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table(name)
+      .select(col("window.start").cast("string"), col("k"), col("n"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(rows.contains(("2024-01-01 10:00:00", "a", 2L)), s"closed window missing: $rows")
+    assert(!rows.exists(_._2 == "late"), s"late row leaked into results: $rows")
+  }
+
   test("stateful flatMapGroupsWithState final counts equal batch counts") {
     import org.apache.spark.sql.functions._
     val streamed = EventStreams.streamStatefulCounts(spark, TestSpark.sf0001)
