@@ -263,7 +263,49 @@ object Relational {
         ceil(col("l_extendedprice")).cast("long").as("price_ceil"))
       .orderBy(col("l_orderkey"), col("l_linenumber"))
 
+  /** Pivot: one column per l_linestatus value, sums as cells. */
+  def qPivot(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(sum(dec(col("l_quantity"))).cast("double"))
+      .orderBy(col("l_returnflag"))
+
+  /** Full outer join: per-nation customer and supplier counts, nations
+    * missing on either side kept with zero counts. */
+  def qFullOuter(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables(s, dir, "customer").groupBy(col("c_nationkey").cast("long").as("nk"))
+      .agg(count(lit(1)).as("n_cust"))
+    val su = Tables(s, dir, "supplier").groupBy(col("s_nationkey").cast("long").as("nk"))
+      .agg(count(lit(1)).as("n_supp"))
+    c.withColumnRenamed("nk", "c_nk")
+      .join(su.withColumnRenamed("nk", "s_nk"), col("c_nk") === col("s_nk"), "full_outer")
+      .select(coalesce(col("c_nk"), col("s_nk")).as("nk"),
+        coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+        coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+      .orderBy(col("nk"))
+  }
+
+  /** Array/struct construction + manipulation ops, reduced to scalar
+    * outputs for oracle comparison. */
+  def qStructArrayOps(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "customer")
+      .select(
+        col("c_custkey"),
+        array(col("c_nationkey").cast("long"), col("c_custkey") % 10,
+          length(col("c_name")).cast("long")).as("arr"))
+      .select(
+        col("c_custkey"),
+        element_at(col("arr"), 1).as("first_el"),
+        sort_array(col("arr")).getItem(0).as("min_el"),
+        array_contains(col("arr"), 3L).cast("boolean").as("has_three"),
+        aggregate(col("arr"), lit(0L), (a, b) => a + b).as("arr_sum"))
+      .orderBy(col("c_custkey"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pivot" -> qPivot _,
+    "q_full_outer" -> qFullOuter _,
+    "q_struct_array_ops" -> qStructArrayOps _,
     "q_intersect_except" -> qIntersectExcept _,
     "q_scalar_subquery" -> qScalarSubquery _,
     "q_date_parts" -> qDateParts _,
@@ -288,6 +330,27 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_pivot" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS "F",
+        |  CAST(sum(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS "O"
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_full_outer" ->
+      """SELECT coalesce(c.nk, s.nk) AS nk,
+        |  coalesce(n_cust, 0) AS n_cust, coalesce(n_supp, 0) AS n_supp
+        |FROM (SELECT CAST(c_nationkey AS BIGINT) AS nk, count(*) AS n_cust FROM customer GROUP BY 1) c
+        |FULL OUTER JOIN (SELECT CAST(s_nationkey AS BIGINT) AS nk, count(*) AS n_supp FROM supplier GROUP BY 1) s
+        |  ON c.nk = s.nk
+        |ORDER BY nk""".stripMargin,
+    "q_struct_array_ops" ->
+      """SELECT c_custkey, arr[1] AS first_el, list_sort(arr)[1] AS min_el,
+        |  list_contains(arr, 3) AS has_three,
+        |  CAST(list_sum(arr) AS BIGINT) AS arr_sum
+        |FROM (
+        |  SELECT c_custkey,
+        |    [CAST(c_nationkey AS BIGINT), c_custkey % 10, CAST(length(c_name) AS BIGINT)] AS arr
+        |  FROM customer)
+        |ORDER BY c_custkey""".stripMargin,
     "q_intersect_except" ->
       """SELECT nk, 'both' AS tag FROM (
         |  SELECT CAST(c_nationkey AS BIGINT) AS nk FROM customer

@@ -105,7 +105,19 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Top character trigrams across the corpus — the char-n-gram side of
+    * n-gram analysis (the word-n-gram side lives in Dedup). Deterministic
+    * top-50 via (count, gram) ordering. */
+  def textNgramFreq(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .select(explode(transform(sequence(lit(1), length(col("text")) - 2),
+        i => col("text").substr(i, lit(3)))).as("gram"))
+      .groupBy(col("gram")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("gram"))
+      .limit(50)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_ngram_freq" -> textNgramFreq _,
     "corpus_clean" -> corpusClean _,
     "text_token_stats" -> textTokenStats _,
     "text_quality" -> textQuality _,
@@ -117,6 +129,12 @@ object TextAnalysis {
     """list_filter(string_split_regex(text, '\s+'), x -> x <> '')"""
 
   val oracles: Map[String, String] = Map(
+    "text_ngram_freq" ->
+      """SELECT gram, count(*) AS cnt
+        |FROM (SELECT unnest(list_transform(range(1, length(text) - 1),
+        |        i -> substr(text, i, 3))) AS gram
+        |      FROM documents)
+        |GROUP BY gram ORDER BY cnt DESC, gram LIMIT 50""".stripMargin,
     "corpus_clean" ->
       s"""${Dedup.allPairsSql},
          |q AS (
