@@ -36,15 +36,20 @@ object Bench {
       try materialize(n)
       catch { case e: Throwable => System.err.println(s"[bench][warmup] $n: ${e.getMessage}") }
     }
+    val failed = scala.collection.mutable.ListBuffer[String]()
     val results = names.map { n =>
       val t0 = System.nanoTime()
       try materialize(n)
-      catch { case _: Throwable => () }
+      catch { case e: Throwable =>
+        failed += n
+        System.err.println(s"[bench] $n FAILED: ${e.getMessage}")
+      }
       n -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -19,7 +19,11 @@ object Tables {
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") {
       // events.ts is parquet TIMESTAMP(NANOS), which Spark's µs TimestampType
-      // rejects by default. Read the raw int64 nanos and convert with integer
+      // rejects by default. Note: nanosAsLong is a session-level flag (no
+      // per-read form exists) — after the first events read it stays set, so
+      // any OTHER nanos-typed parquet would silently read as raw int64; the
+      // driver testdata has exactly one such column, and this loader is its
+      // single entry point. Read the raw int64 nanos and convert with integer
       // division (`div`, not `/` — a double round-trip would lose precision on
       // epoch-nano magnitudes). The driver's testdata is µs-aligned, so the
       // conversion is lossless and matches DuckDB's view of the column.

@@ -22,9 +22,17 @@ import org.apache.spark.sql.functions._
   */
 object TextFns {
 
+  /** Explicit ASCII whitespace class used for ALL tokenization, in Spark,
+    * the generated-code tokenizers, the python pipe mapper, and the DuckDB
+    * oracle SQL. Java's \s and RE2's \s disagree on \x0B (vertical tab)
+    * and Python's str.split() adds Unicode spaces — an explicit class is
+    * the only way all four agree. Matches C's isspace() set, i.e. the
+    * reference's `cin >>` tokenization (word_count/mapper.cpp:23). */
+  val WhitespaceRegex = "[ \\t\\n\\x0B\\f\\r]+"
+
   /** Whitespace tokenization with empty-token removal. */
   def tokens(text: Column): Column =
-    filter(split(text, "\\s+"), t => t =!= lit(""))
+    filter(split(text, WhitespaceRegex), t => t =!= lit(""))
 
   /** Distinct word n-gram shingles (space-joined), for Jaccard/MinHash. */
   def shingles(toks: Column, n: Int): Column =

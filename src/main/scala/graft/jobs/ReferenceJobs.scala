@@ -21,7 +21,7 @@ object ReferenceJobs {
     * ordered by word (the reference's std::map iteration order). */
   def wordCount(s: SparkSession, path: String): DataFrame =
     s.read.textFile(path).toDF("value")
-      .select(explode(split(col("value"), "\\s+")).as("word"))
+      .select(explode(split(col("value"), graft.functions.TextFns.WhitespaceRegex)).as("word"))
       .filter(col("word") =!= "")
       .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
       .orderBy(col("word"))
@@ -41,7 +41,7 @@ object ReferenceJobs {
     * `explode(sequence(start, end))` — the Catalyst form of the mapper's
     * per-second loop (`mapper.cpp:26-30`). */
   def peakNumbers(s: SparkSession, path: String): DataFrame = {
-    val parts = split(col("value"), "\\s+")
+    val parts = split(col("value"), graft.functions.TextFns.WhitespaceRegex)
     s.read.textFile(path).toDF("value")
       .select(
         parts.getItem(0).as("op"),
@@ -76,7 +76,7 @@ object ReferenceJobs {
     * `name family city year`; key = name-family-year, distinct city set,
     * keep groups with > 10 distinct cities (`reducer.py:18-19`). */
   def suspects(s: SparkSession, path: String): DataFrame = {
-    val parts = split(col("value"), "\\s+")
+    val parts = split(col("value"), graft.functions.TextFns.WhitespaceRegex)
     s.read.textFile(path).toDF("value")
       .select(
         concat_ws("-", parts.getItem(0), parts.getItem(1), parts.getItem(3)).as("key"),

@@ -52,15 +52,6 @@ object MapReduce {
     def outputEncoder: Encoder[Long] = org.apache.spark.sql.Encoders.scalaLong
   }
 
-  /** Distinct-set aggregator (bounded domains only — W4's city sets). */
-  class CollectSet[T] extends Aggregator[T, Set[T], Seq[T]] {
-    def zero: Set[T] = Set.empty
-    def reduce(b: Set[T], a: T): Set[T] = b + a
-    def merge(b1: Set[T], b2: Set[T]): Set[T] = b1 ++ b2
-    def finish(r: Set[T]): Seq[T] = r.toSeq.map(_.toString).sorted.asInstanceOf[Seq[T]]
-    def bufferEncoder: Encoder[Set[T]] = org.apache.spark.sql.Encoders.kryo[Set[T]]
-    def outputEncoder: Encoder[Seq[T]] = org.apache.spark.sql.Encoders.kryo[Seq[T]]
-  }
 }
 
 /** Literal external-executable support — the reference's "the user program

@@ -33,7 +33,7 @@ object Compat {
     import s.implicits._
     val script = Files.createTempFile("graft_pipe_mapper", ".py")
     Files.write(script,
-      "import sys\nfor line in sys.stdin:\n    for w in line.split():\n        print(w)\n"
+      "import re, sys\nfor line in sys.stdin:\n    for w in re.split('[ \\t\\n\\x0b\\f\\r]+', line):\n        if w: print(w)\n"
         .getBytes(StandardCharsets.UTF_8))
     script.toFile.deleteOnExit()
     val lines = Tables(s, dir, "documents").select(col("text")).as[String]
@@ -51,7 +51,7 @@ object Compat {
 
   private val w1Oracle =
     """SELECT word, count(*) AS cnt
-      |FROM (SELECT unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS word FROM documents)
+      |FROM (SELECT unnest(list_filter(string_split_regex(text, '[ \t\n\x0B\f\r]+'), x -> x <> '')) AS word FROM documents)
       |GROUP BY word ORDER BY word""".stripMargin
 
   val oracles: Map[String, String] = Map(

@@ -39,11 +39,17 @@ object Dedup {
       .zipWithIndex.map { case (a, j) => (j, a, 7919L * j + 13) }
   val mhBands = 4 // 16 hashes = 4 bands × 4 rows
 
-  val jaccardThreshold = 0.7
+  // jaccardThreshold as an exact rational so the PPJoin prefix length can
+  // be derived in integer arithmetic from the SAME constant (no silent
+  // divergence if the threshold changes)
+  val jaccardNum = 7
+  val jaccardDen = 10
+  val jaccardThreshold: Double = jaccardNum.toDouble / jaccardDen
   val hammingThreshold = 3
   val cosineThreshold = 0.45
 
-  private val tokSql = """list_filter(string_split_regex(text, '\s+'), x -> x <> '')"""
+  private val tokSql =
+    """list_filter(string_split_regex(text, '[ \t\n\x0B\f\r]+'), x -> x <> '')"""
   private val shingleSql =
     s"""SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(tk) - 1),
        |    i -> array_to_string(tk[i:i+2], ' ')))) AS shingle
@@ -86,10 +92,11 @@ object Dedup {
     val dfreq = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("df"), col("h"))
-    // jaccardThreshold = 7/10: prefixLen = n - ceil(7n/10) + 1
+    // prefixLen = n - ceil(t*n) + 1, derived from jaccardNum/jaccardDen
     val prefix = sh.join(dfreq, "h")
       .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= col("n") - expr("(7 * n + 9) div 10") + 1)
+      .filter(col("rn") <=
+        col("n") - expr(s"($jaccardNum * n + ${jaccardDen - 1}) div $jaccardDen") + 1)
     val cand = prefix.as("a").join(prefix.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
@@ -156,20 +163,25 @@ object Dedup {
     try {
       var labels = edges.select(col("src").as("doc")).distinct()
         .withColumn("lab", col("doc")).cache()
+      // coalesce: sum over an empty label set is NULL (duplicate-free
+      // corpus) — treat as 0 and fall straight through to the empty result
+      def sumLabels(df: DataFrame): Long =
+        df.agg(coalesce(sum(col("lab")), lit(0L))).head().getLong(0)
       var prev = -1L
-      var checksum = labels.agg(sum(col("lab"))).head().getLong(0)
-      var iters = 0
-      while (checksum != prev && iters < 20) {
+      var checksum = sumLabels(labels)
+      // labels are monotonically non-increasing per node, so the checksum
+      // strictly decreases until the exact fixpoint — no iteration cap
+      // needed (terminates within the largest component's diameter)
+      while (checksum != prev) {
         prev = checksum
         val next = labels
           .union(labels.join(edges, col("doc") === col("src"))
             .select(col("dst").as("doc"), col("lab")))
           .groupBy(col("doc")).agg(min(col("lab")).as("lab"))
           .cache()
-        checksum = next.agg(sum(col("lab"))).head().getLong(0)
+        checksum = sumLabels(next)
         labels.unpersist()
         labels = next
-        iters += 1
       }
       labels.select(col("doc").as("doc_id"), col("lab").as("cluster_id"))
         .orderBy(col("doc_id"))
@@ -209,7 +221,7 @@ object Dedup {
   }
 
   /** SimHash near-dup: 32-bit signature = sign of per-bit weight sums over
-    * token hashes (with multiplicity); byte-band blocking; Hamming ≤ 6 on
+    * token hashes (with multiplicity); byte-band blocking; Hamming ≤ hammingThreshold on
     * candidates. One signature per doc — the cheapest near-dup sketch. */
   def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
     // fused SimHash32 expression: tokenize + md5 + bit-majority in one

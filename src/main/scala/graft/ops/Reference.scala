@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.functions.TextFns
 
 /** Spark-native re-expressions of the reference's four example workloads
   * (SURVEY.md §2B), applied to the driver's parquet testdata.
@@ -26,7 +27,7 @@ object Reference {
     */
   def w1WordCount(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents")
-      .select(explode(split(col("text"), "\\s+")).as("word"))
+      .select(explode(split(col("text"), TextFns.WhitespaceRegex)).as("word"))
       .filter(col("word") =!= "")
       .groupBy(col("word"))
       .agg(count(lit(1)).as("cnt"))
@@ -81,7 +82,7 @@ object Reference {
   val oracles: Map[String, String] = Map(
     "w1_word_count" ->
       """SELECT word, count(*) AS cnt
-        |FROM (SELECT unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS word FROM documents)
+        |FROM (SELECT unnest(list_filter(string_split_regex(text, '[ \t\n\x0B\f\r]+'), x -> x <> '')) AS word FROM documents)
         |GROUP BY word ORDER BY word""".stripMargin,
     "w2_char_count" ->
       """SELECT ch, count(*) AS cnt

@@ -110,6 +110,10 @@ object TextAnalysis {
     * top-50 via (count, gram) ordering. */
   def textNgramFreq(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents")
+      // guard: Spark sequence(1, n) runs DESCENDING when n < 1 (texts
+      // shorter than 3 chars would yield bogus grams); DuckDB's range is
+      // empty there, so filter to keep parity
+      .filter(length(col("text")) >= 3)
       .select(explode(transform(sequence(lit(1), length(col("text")) - 2),
         i => col("text").substr(i, lit(3)))).as("gram"))
       .groupBy(col("gram")).agg(count(lit(1)).as("cnt"))
@@ -126,7 +130,7 @@ object TextAnalysis {
   )
 
   private val tokSql =
-    """list_filter(string_split_regex(text, '\s+'), x -> x <> '')"""
+    """list_filter(string_split_regex(text, '[ \t\n\x0B\f\r]+'), x -> x <> '')"""
 
   val oracles: Map[String, String] = Map(
     "text_ngram_freq" ->

@@ -167,7 +167,7 @@ case class SimHash32(child: Expression) extends UnaryExpression {
 /** Static helpers callable from generated Java (Scala top-level object →
   * static forwarders). */
 object HashUtil {
-  private val ws = java.util.regex.Pattern.compile("\\s+")
+  private val ws = java.util.regex.Pattern.compile("[ \\t\\n\\x0B\\f\\r]+")
   private val md5Local = new ThreadLocal[java.security.MessageDigest] {
     override def initialValue(): java.security.MessageDigest =
       java.security.MessageDigest.getInstance("MD5")

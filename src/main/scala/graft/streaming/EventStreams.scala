@@ -45,9 +45,23 @@ object EventStreams {
       .start()
     try q.processAllAvailable()
     finally q.stop()
-    s.table(name)
-      .select(col("window.start").as("hour"), col("event_type"), col("n_events"))
-      .orderBy(col("hour"), col("event_type"))
+    materializeAndDrop(s, name,
+      s.table(name)
+        .select(col("window.start").as("hour"), col("event_type"), col("n_events"))
+        .orderBy(col("hour"), col("event_type")))
+  }
+
+  /** Collect a memory-sink result and drop its temp view — memory-sink
+    * tables otherwise accumulate full result copies in the driver for the
+    * session lifetime (one per invocation). Results here are small
+    * aggregates; the returned local DataFrame preserves row order. */
+  private def materializeAndDrop(s: SparkSession, name: String, df: DataFrame): DataFrame = {
+    val rows = df.collect()
+    val schema = df.schema
+    val out = s.createDataFrame(new java.util.ArrayList(java.util.Arrays.asList(rows: _*)), schema)
+      .coalesce(1)
+    s.catalog.dropTempView(name)
+    out
   }
 
   final case class RawEvent(event_id: Long, ts: Long, user_id: Long,
@@ -82,10 +96,11 @@ object EventStreams {
     try q.processAllAvailable()
     finally q.stop()
     // the last update per key IS the final count
-    s.table(name)
-      .groupBy(col("event_type"))
-      .agg(max(col("n_events")).as("n_events"))
-      .orderBy(col("event_type"))
+    materializeAndDrop(s, name,
+      s.table(name)
+        .groupBy(col("event_type"))
+        .agg(max(col("n_events")).as("n_events"))
+        .orderBy(col("event_type")))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

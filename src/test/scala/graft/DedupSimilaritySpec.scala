@@ -38,6 +38,24 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(copies === total)
   }
 
+  test("clusters group the verified pairs; empty on a duplicate-free corpus") {
+    import spark.implicits._
+    // real corpus: every clustered doc appears in some verified pair
+    val pairs = Dedup.dedupNgramJaccard(spark, sf0001).collect()
+      .flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    val clusters = Dedup.dedupClusters(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(clusters.map(_._1).toSet === pairs)
+    assert(clusters.forall { case (doc, cl) => cl <= doc })
+    // duplicate-free corpus: no NPE, empty result
+    val tmp = java.nio.file.Files.createTempDirectory("nodup")
+    Seq((1L, "alpha beta gamma delta epsilon zeta", "en", "s", 30L),
+      (2L, "one two three four five six seven", "en", "s", 30L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$tmp/documents.parquet")
+    assert(Dedup.dedupClusters(spark, tmp.toString).count() === 0)
+  }
+
   test("brute-force top-k: k rows per query, self excluded, descending") {
     val rows = Similarity.simTopkBruteforce(spark, sf0001).collect()
     val byQ = rows.groupBy(_.getLong(0))
