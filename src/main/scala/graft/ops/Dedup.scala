@@ -225,8 +225,11 @@ object Dedup {
     * candidates. One signature per doc — the cheapest near-dup sketch. */
   def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
     // fused SimHash32 expression: tokenize + md5 + bit-majority in one
-    // linear pass per row — signatures need no shuffle at all
+    // linear pass per row — signatures need no shuffle at all. Token-less
+    // docs have no signature (all-zero would spuriously pair them all):
+    // excluded here exactly as the oracle's token explode drops them.
     val sig = Tables(s, dir, "documents")
+      .filter(size(TextFns.tokens(col("text"))) >= 1)
       .select(col("doc_id"), graft.plans.VectorFunctions.simhash32(col("text")).as("simhash"))
     val bandStructs = (0 until 4).map { k =>
       struct(lit(k).as("band"), expr(s"(simhash div ${1L << (8 * k)}) % 256").as("bval"))

@@ -87,7 +87,7 @@ object Reference {
     "w2_char_count" ->
       """SELECT ch, count(*) AS cnt
         |FROM (SELECT unnest(string_split(text, '')) AS ch FROM documents)
-        |WHERE ch <> chr(10)
+        |WHERE ch <> chr(10) AND ch <> ''
         |GROUP BY ch ORDER BY ch""".stripMargin,
     "w3_peak_concurrent" ->
       """SELECT event_type, max(active_users) AS peak_active

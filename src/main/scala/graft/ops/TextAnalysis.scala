@@ -32,6 +32,9 @@ object TextAnalysis {
   def textTokenStats(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents")
       .withColumn("toks", TextFns.tokens(col("text")))
+      // docs with zero tokens have no defined per-token stats (and ANSI
+      // mode makes the ratio a div-by-zero error): excluded in both engines
+      .filter(size(col("toks")) >= 1)
       .select(
         col("doc_id"),
         size(col("toks")).cast("long").as("n_tokens"),
@@ -49,6 +52,7 @@ object TextAnalysis {
   def textQuality(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents")
       .withColumn("toks", TextFns.tokens(col("text")))
+      .filter(size(col("toks")) >= 1) // see textTokenStats
       .withColumn("n_tokens", size(col("toks")).cast("long"))
       .withColumn("uniq_ratio",
         size(array_distinct(col("toks"))).cast("double") / col("n_tokens").cast("double"))
@@ -147,7 +151,8 @@ object TextAnalysis {
          |    (CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE)) * 0.4
          |      + least(CAST(len(toks) AS DOUBLE) / 50.0, 1.0) * 0.4
          |      + (CAST(len(list_filter(toks, t -> list_contains(${sqlList(stopEn)}, t))) AS DOUBLE) / CAST(len(toks) AS DOUBLE)) * 0.2 AS score
-         |  FROM (SELECT doc_id, $tokSql AS toks FROM documents))
+         |  FROM (SELECT doc_id, $tokSql AS toks FROM documents)
+         |  WHERE len(toks) >= 1)
          |SELECT doc_id, n_tokens, score FROM q
          |WHERE score >= 0.5 AND doc_id NOT IN (SELECT id_b FROM jpairs)
          |ORDER BY doc_id""".stripMargin,
@@ -159,6 +164,7 @@ object TextAnalysis {
          |  CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS mean_token_len,
          |  CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS ttr
          |FROM (SELECT doc_id, text, $tokSql AS toks FROM documents)
+         |WHERE len(toks) >= 1
          |ORDER BY doc_id""".stripMargin,
     "text_quality" ->
       s"""SELECT doc_id, n_tokens, uniq_ratio, stop_ratio, n_punct, score,
@@ -172,7 +178,8 @@ object TextAnalysis {
          |      CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS uniq_ratio,
          |      CAST(len(list_filter(toks, t -> list_contains(${sqlList(stopEn)}, t))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS stop_ratio,
          |      CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS BIGINT) AS n_punct
-         |    FROM (SELECT doc_id, text, $tokSql AS toks FROM documents)))
+         |    FROM (SELECT doc_id, text, $tokSql AS toks FROM documents)
+         |    WHERE len(toks) >= 1))
          |ORDER BY doc_id""".stripMargin,
     "text_lang_id" ->
       s"""SELECT doc_id, lang,
