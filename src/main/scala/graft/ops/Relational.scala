@@ -168,10 +168,15 @@ object Relational {
       .orderBy(col("n"))
 
   /** Semi-structured: extract a field from the JSON `props` column and
-    * aggregate it. Spark side uses native get_json_object. */
+    * aggregate it. Spark side uses native get_json_object; try_cast keeps
+    * malformed / missing / non-integer values as NULL instead of an ANSI
+    * cast error (and the oracle's regexp + TRY_CAST mirrors that —
+    * signed integers only, anything else NULL, aggregates skip NULLs). */
   def qJsonExtract(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "events")
-      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .withColumn("raw", get_json_object(col("props"), "$.k"))
+      .withColumn("k",
+        when(col("raw").rlike("^-?[0-9]+$"), expr("try_cast(raw AS BIGINT)")))
       .groupBy(col("event_type"))
       .agg(sum(col("k")).as("sum_k"), min(col("k")).as("min_k"),
         max(col("k")).as("max_k"), count(lit(1)).as("n"))
@@ -459,7 +464,15 @@ object Relational {
         |GROUP BY n ORDER BY n""".stripMargin,
     "q_json_extract" ->
       """SELECT event_type, sum(k) AS sum_k, min(k) AS min_k, max(k) AS max_k, count(*) AS n
-        |FROM (SELECT event_type, CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT) AS k FROM events)
+        |FROM (
+        |  SELECT event_type,
+        |    CASE WHEN raw IS NOT NULL AND regexp_matches(raw, '^-?[0-9]+$')
+        |         THEN CAST(raw AS BIGINT) END AS k
+        |  FROM (
+        |    SELECT event_type,
+        |      CASE WHEN props IS NOT NULL AND json_valid(props)
+        |           THEN json_extract_string(props, '$.k') END AS raw
+        |    FROM events))
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
   )
 }
