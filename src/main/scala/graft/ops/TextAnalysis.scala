@@ -124,7 +124,28 @@ object TextAnalysis {
       .orderBy(col("cnt").desc, col("gram"))
       .limit(50)
 
+  /** Token counting with a BPE-style pre-tokenizer (GPT-2-shaped, minus
+    * the lookahead RE2 lacks): runs of letters / digits / other, each
+    * with an optional leading space — the unit a byte-pair encoder would
+    * merge from. Reported next to the whitespace token count. \p{L}/\p{N}
+    * are Unicode classes in both Java regex and RE2, so the counts agree
+    * cross-engine on non-ASCII text too. */
+  // explicit whitespace set in the negated class — Java \s and RE2 \s
+  // disagree on \x0B, which would make "other" token counts diverge
+  val bpeRegex = """ ?[\p{L}]+| ?[\p{N}]+| ?[^ \t\n\x0B\f\r\p{L}\p{N}]+"""
+
+  def textBpeTokens(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        size(expr(s"regexp_extract_all(text, '${bpeRegex.replace("\\", "\\\\")}', 0)"))
+          .cast("long").as("n_bpe"),
+        size(TextFns.tokens(col("text"))).cast("long").as("n_ws"),
+        length(col("text")).cast("long").as("n_chars"))
+      .orderBy(col("doc_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_bpe_tokens" -> textBpeTokens _,
     "text_ngram_freq" -> textNgramFreq _,
     "corpus_clean" -> corpusClean _,
     "text_token_stats" -> textTokenStats _,
@@ -137,6 +158,12 @@ object TextAnalysis {
     """list_filter(string_split_regex(text, '[ \t\n\x0B\f\r]+'), x -> x <> '')"""
 
   val oracles: Map[String, String] = Map(
+    "text_bpe_tokens" ->
+      s"""SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, ' ?[\\p{L}]+| ?[\\p{N}]+| ?[^ \\t\\n\\x0B\\f\\r\\p{L}\\p{N}]+')) AS BIGINT) AS n_bpe,
+         |  CAST(len($tokSql) AS BIGINT) AS n_ws,
+         |  CAST(length(text) AS BIGINT) AS n_chars
+         |FROM documents ORDER BY doc_id""".stripMargin,
     "text_ngram_freq" ->
       """SELECT gram, count(*) AS cnt
         |FROM (SELECT unnest(list_transform(range(1, length(text) - 1),
