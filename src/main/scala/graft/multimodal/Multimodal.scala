@@ -74,9 +74,37 @@ object Multimodal {
         explode(sequence(lit(0L), col("n_frames") - 1, lit(10L))).as("frame_idx"))
       .orderBy(col("doc_id"), col("frame_idx"))
 
+  final case class MediaFeatures(doc_id: Long, kind: String, features: Array[Double])
+
+  /** STUB feature extractor — stands in for an image/audio embedding
+    * model. Deterministic arithmetic over the payload (so the pipeline
+    * stays oracle-checkable); a real deployment swaps the body for a
+    * model forward pass. Shape matters and is real: batched
+    * partition-local iteration producing a fixed-width vector column that
+    * downstream similarity ops (Similarity.scala) consume directly. */
+  private def stubFeatures(r: MediaRecord): MediaFeatures = {
+    val len = r.payload.length.toDouble
+    MediaFeatures(r.doc_id, r.kind, Array(
+      len / 255.0,
+      (r.payload.length % 7).toDouble / 7.0,
+      (r.payload.length % 640).toDouble / 640.0,
+      (r.payload.length % 480).toDouble / 480.0))
+  }
+
+  /** Per-payload feature vectors (array<double>), partition-local batch. */
+  def mmFeatureExtract(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    mediaTable(s, dir).as[MediaRecord]
+      .mapPartitions(_.map(stubFeatures))
+      .toDF()
+      .select(col("doc_id"), col("kind"), col("features"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_payload_meta" -> mmPayloadMeta _,
     "mm_frame_sample" -> mmFrameSample _,
+    "mm_feature_extract" -> mmFeatureExtract _,
   )
 
   private val kindSql =
@@ -96,5 +124,12 @@ object Multimodal {
          |FROM documents
          |WHERE doc_id % 3 = 2 AND octet_length(encode(text)) % 100 >= 1
          |ORDER BY doc_id, frame_idx""".stripMargin,
+    "mm_feature_extract" ->
+      s"""SELECT doc_id, $kindSql AS kind,
+         |  [CAST(octet_length(encode(text)) AS DOUBLE) / 255.0,
+         |   CAST(octet_length(encode(text)) % 7 AS DOUBLE) / 7.0,
+         |   CAST(octet_length(encode(text)) % 640 AS DOUBLE) / 640.0,
+         |   CAST(octet_length(encode(text)) % 480 AS DOUBLE) / 480.0] AS features
+         |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }
