@@ -39,8 +39,8 @@ object Multimodal {
     * body for a codec call. md5 here matches SQL md5 over the same bytes. */
   private def stubDecode(r: MediaRecord): MediaMeta = {
     val len = r.payload.length.toLong
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val sha16 = md.digest(r.payload).map("%02x".format(_)).mkString.substring(0, 16)
+    // thread-local digest: per-partition amortization, not per-record
+    val sha16 = graft.plans.HashUtil.md5Hex(r.payload).substring(0, 16)
     MediaMeta(r.doc_id, r.kind, len, sha16,
       width = len % 640, height = len % 480,
       n_frames = if (r.kind == "video") len % 100 else 0L)

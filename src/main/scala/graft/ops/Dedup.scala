@@ -78,24 +78,50 @@ object Dedup {
       .withColumn("n", size(col("hs")))
       .filter(col("n") >= 1)
 
+  /** Above this doc-frequency for the hottest shingle, hash-order
+    * prefixes risk quadratic join fan-out (a boilerplate shingle lands in
+    * ~30% of prefixes regardless of frequency) and the rarity-order path
+    * is taken instead. */
+  val hotShingleDf = 10000L
+
   /** Exact pairwise n-gram Jaccard ≥ threshold, with PPJoin-style prefix
     * filtering: under ANY fixed global shingle order, a pair with
     * Jaccard ≥ t MUST share one of each doc's first n - ceil(t·n) + 1
     * shingles (pigeonhole), so joining only on those prefixes yields the
-    * exact same verified pairs as the naive all-shingles join. The global
-    * order used is hash order — the `hs` arrays are ALREADY sorted by it,
-    * so the prefix is a zero-cost `slice` with no doc-frequency pass and
-    * no window (classical PPJoin's rarest-first order produces ~40% fewer
-    * candidates here but costs an extra aggregation + per-doc sort and
-    * measured ~2× slower end-to-end; verification per candidate is a cheap
-    * two-pointer intersect, so candidate volume is not the bottleneck).
+    * exact same verified pairs as the naive all-shingles join — under
+    * either order below, which is why the choice can be adaptive:
+    *  - hash order (default): the `hs` arrays are already sorted by it,
+    *    so the prefix is a zero-cost `slice`; measured ~2× faster here.
+    *  - rarest-first (classical PPJoin): taken when the corpus has a hot
+    *    shingle (doc-freq > hotShingleDf) whose frequency-blind inclusion
+    *    in ~30% of prefixes would blow the equi-join up quadratically —
+    *    boilerplate-heavy web corpora at the 100 TB design point.
     * Prefix length is integer arithmetic from jaccardNum/jaccardDen — no
     * fp wobble, and it cannot drift from the oracle threshold. */
   def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame = {
-    val sets = docSets(s, dir)
-    val prefixLen = col("n") - expr(s"($jaccardNum * n + ${jaccardDen - 1}) div $jaccardDen") + 1
-    val prefix = sets.select(col("doc_id"),
-      explode(slice(col("hs"), lit(1), prefixLen)).as("h"))
+    // cached: the shingle-hash pass (regex split + md5 per shingle) is the
+    // dominant linear cost and feeds prefix generation AND both verify sides
+    val sets = docSets(s, dir).cache()
+    val prefixLenExpr = s"n - (($jaccardNum * n + ${jaccardDen - 1}) div $jaccardDen) + 1"
+    val sh = sets.select(col("doc_id"), col("n"), explode(col("hs")).as("h"))
+    val dfreq = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val maxDf = dfreq.agg(coalesce(max(col("df")), lit(0L))).head().getLong(0)
+    val prefix =
+      if (maxDf <= hotShingleDf) {
+        // fast path: hash order — the hs arrays are already sorted by it,
+        // so the prefix is a zero-cost slice (no window, no df join)
+        sets.select(col("doc_id"),
+          explode(slice(col("hs"), lit(1), expr(prefixLenExpr))).as("h"))
+      } else {
+        // robust path: classical PPJoin rarest-first order — boilerplate
+        // shingles fall outside every prefix, bounding join fan-out
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id")).orderBy(col("df"), col("h"))
+        sh.join(dfreq, "h")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= expr(prefixLenExpr))
+          .select(col("doc_id"), col("h"))
+      }
     val cand = prefix.as("a").join(prefix.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
@@ -162,9 +188,12 @@ object Dedup {
     try {
       // verified near-dup pairs are a vanishing fraction of the corpus by
       // construction; below this bound, broadcasting the edge list makes
-      // each propagation step shuffle-free (only the tiny groupBy moves)
+      // each propagation step shuffle-free (only the tiny groupBy moves).
+      // NB each iteration's action re-runs the BroadcastExchange (no
+      // cross-job reuse), so the bound is kept small enough that a
+      // rebroadcast is a few MB from cache, not a driver-memory risk.
       val joinEdges =
-        if (edges.count() <= 2000000L) broadcast(edges) else edges
+        if (edges.count() <= 500000L) broadcast(edges) else edges
       var labels = edges.select(col("src").as("doc")).distinct()
         .withColumn("lab", col("doc")).cache()
       // coalesce: sum over an empty label set is NULL (duplicate-free
@@ -198,7 +227,7 @@ object Dedup {
     * one narrow shuffle, buckets are tiny, and the quadratic verify only
     * ever sees same-bucket pairs. */
   def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame = {
-    val sets = docSets(s, dir)
+    val sets = docSets(s, dir).cache()
     val sh = Tables(s, dir, "documents")
       .select(col("doc_id"),
         explode(graft.plans.VectorFunctions.word_shingles(col("text"), 3)).as("shingle"))

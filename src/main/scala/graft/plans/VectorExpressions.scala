@@ -173,6 +173,15 @@ object HashUtil {
       java.security.MessageDigest.getInstance("MD5")
   }
 
+  /** Thread-local md5 as lowercase hex — for callers outside codegen
+    * (e.g. the multimodal stub decoder) so they share the per-thread
+    * digest instead of allocating one per record. */
+  def md5Hex(bytes: Array[Byte]): String = {
+    val md = md5Local.get()
+    md.reset()
+    md.digest(bytes).map("%02x".format(_)).mkString
+  }
+
   /** First 4 md5 bytes as an unsigned 32-bit value in a long — identical
     * to Spark's conv(substring(md5(s),1,8),16,10) and DuckDB's
     * ('0x' || substr(md5(s),1,8))::BIGINT. */
