@@ -291,6 +291,7 @@ object Dedup {
     val n = Tables(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding"))
       .withColumn("nrm", sqrt(dot(col("embedding"), col("embedding"))))
+      .filter(col("nrm") > 0) // zero vectors: see Similarity.normed
     val a = n.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"), col("nrm").as("nrm_a"))
     val b = n.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"), col("nrm").as("nrm_b"))
     a.crossJoin(b).filter(col("id_a") < col("id_b"))
@@ -371,10 +372,11 @@ object Dedup {
          |ORDER BY id_a, id_b""".stripMargin,
     "dedup_embedding_cosine" ->
       s"""WITH n AS (
-         |  SELECT vec_id, embedding,
-         |    sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
-         |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS nrm
-         |  FROM embeddings)
+         |  SELECT * FROM (
+         |    SELECT vec_id, embedding,
+         |      sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
+         |        i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS nrm
+         |    FROM embeddings) WHERE nrm > 0)
          |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          |  list_sum(list_transform(range(1, len(a.embedding) + 1),
          |    i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) / (a.nrm * b.nrm) AS cosine

@@ -34,6 +34,9 @@ object Similarity {
     Tables(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding"))
       .withColumn("nrm", sqrt(dot(col("embedding"), col("embedding"))))
+      // zero vectors have no direction: cosine would be NaN, and Spark and
+      // DuckDB order NaN differently — excluded identically in the oracle
+      .filter(col("nrm") > 0)
 
   /** Exact top-k cosine neighbors for the query subset. */
   def simTopkBruteforce(s: SparkSession, dir: String): DataFrame = {
@@ -155,9 +158,10 @@ object Similarity {
   val oracles: Map[String, String] = Map(
     "sim_ivf_topk" ->
       s"""WITH n AS (
-         |  SELECT vec_id, embedding,
-         |    sqrt(${dotSql("embedding", "embedding")}) AS nrm
-         |  FROM embeddings),
+         |  SELECT * FROM (
+         |    SELECT vec_id, embedding,
+         |      sqrt(${dotSql("embedding", "embedding")}) AS nrm
+         |    FROM embeddings) WHERE nrm > 0),
          |cent AS (SELECT vec_id AS c_id, embedding AS c_emb, nrm AS c_nrm
          |         FROM n WHERE vec_id % $centroidStride = 1),
          |asgn AS (
@@ -191,10 +195,11 @@ object Similarity {
          |ORDER BY q_id, rk""".stripMargin,
     "sim_topk_bruteforce" ->
       s"""WITH n AS (
-         |  SELECT vec_id, embedding,
-         |    sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
-         |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS nrm
-         |  FROM embeddings),
+         |  SELECT * FROM (
+         |    SELECT vec_id, embedding,
+         |      sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
+         |        i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS nrm
+         |    FROM embeddings) WHERE nrm > 0),
          |scored AS (
          |  SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
          |    list_sum(list_transform(range(1, len(q.embedding) + 1),
