@@ -6,13 +6,38 @@ Usage: python3 scripts/check_oracle.py <sfDir> <verifyOutDir>
 For each query dumped by graft.Verify, runs the declared oracle SQL in
 DuckDB over the same parquet tables and compares values column-by-column
 (columns sorted by name), both order-sensitive and order-insensitive.
-Dev tool only — not part of the shipped library.
+
+Additionally emulates the driver's pandas-based compare (round-1 lesson):
+the driver loads both sides into pandas, sorts rows by all columns, and
+hashes stringified values. That path (a) crashes on array columns
+("unhashable type: numpy.ndarray" → never emit arrays from a query) and
+(b) renders DuckDB HUGEINT aggregates as float ("12.0" vs Spark "12" →
+CAST sums to BIGINT in oracle SQL). Dev tool only — not shipped.
 """
 import json
 import math
 import sys
 
 import duckdb
+
+
+def pandas_check(con, name, sql, out_dir):
+    """Emulate the driver's pandas sort+stringify compare; returns error or None."""
+    try:
+        got = con.execute(
+            f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')").df()
+        exp = con.execute(sql).df()
+        cols = sorted(got.columns)
+        if cols != sorted(exp.columns):
+            return f"pandas columns differ: {cols} vs {sorted(exp.columns)}"
+        g = got[cols].sort_values(by=cols).astype(str).values.tolist()
+        e = exp[cols].sort_values(by=cols).astype(str).values.tolist()
+        if g != e:
+            diffs = [(a, b) for a, b in zip(g, e) if a != b][:2]
+            return f"pandas value mismatch, e.g. {diffs}"
+        return None
+    except Exception as ex:
+        return f"pandas-path error: {str(ex)[:160]}"
 
 
 def canon(rows, ncols):
@@ -61,7 +86,11 @@ def main():
         ei = [exp_cols.index(c) for c in sorted(exp_cols)]
         g = canon([[r[i] for i in gi] for r in got], len(gi))
         e = canon([[r[i] for i in ei] for r in exp], len(ei))
-        if g == e:
+        pd_err = pandas_check(con, name, sql, out_dir)
+        if (g == e or sorted(g) == sorted(e)) and pd_err:
+            print(f"FAIL {name}: values match but driver-style {pd_err}")
+            n_bad += 1
+        elif g == e:
             print(f"OK   {name}: {len(g)} rows (ordered match)")
             n_ok += 1
         elif sorted(g) == sorted(e):

@@ -19,14 +19,13 @@ object Tables {
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") {
       // events.ts is parquet TIMESTAMP(NANOS), which Spark's µs TimestampType
-      // rejects by default. Note: nanosAsLong is a session-level flag (no
-      // per-read form exists) — after the first events read it stays set, so
-      // any OTHER nanos-typed parquet would silently read as raw int64; the
-      // driver testdata has exactly one such column, and this loader is its
-      // single entry point. Read the raw int64 nanos and convert with integer
-      // division (`div`, not `/` — a double round-trip would lose precision on
-      // epoch-nano magnitudes). The driver's testdata is µs-aligned, so the
-      // conversion is lossless and matches DuckDB's view of the column.
+      // rejects by default. nanosAsLong is session-global (no per-read form);
+      // GraftSession sets it at build time so behavior is uniform rather than
+      // order-dependent — the set here only covers sessions built elsewhere.
+      // Read the raw int64 nanos and convert with integer division (`div`,
+      // not `/` — a double round-trip would lose precision on epoch-nano
+      // magnitudes). The driver's testdata is µs-aligned, so the conversion
+      // is lossless and matches DuckDB's view of the column.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       spark.read.parquet(s"$dir/events.parquet")
         .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))

@@ -67,4 +67,15 @@ object Pipe {
     import spark.implicits._
     spark.createDataset(lines.rdd.pipe(cmd))
   }
+
+  /** Run a user-supplied python mapper *file* per partition. The script
+    * source is read once on the driver and inlined into the command
+    * (`python3 -c`), so it is self-contained on every executor of a real
+    * cluster — a driver-local path would not exist on remote workers. */
+  def runScript(lines: Dataset[String], scriptPath: String): Dataset[String] = {
+    val src = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(scriptPath)),
+      java.nio.charset.StandardCharsets.UTF_8)
+    run(lines, Seq("python3", "-c", src))
+  }
 }

@@ -91,15 +91,25 @@ object Multimodal {
       (r.payload.length % 480).toDouble / 480.0))
   }
 
-  /** Per-payload feature vectors (array<double>), partition-local batch. */
-  def mmFeatureExtract(s: SparkSession, dir: String): DataFrame = {
+  /** Per-payload feature vectors (array<double>), partition-local batch.
+    * The verified query flattens the vector to scalar columns (f0..f3):
+    * the driver's row-hash compare sorts column values in pandas, which
+    * cannot order raw array cells. Downstream vector consumers use
+    * [[featureVectors]] for the array<double> form. */
+  def featureVectors(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     mediaTable(s, dir).as[MediaRecord]
       .mapPartitions(_.map(stubFeatures))
       .toDF()
       .select(col("doc_id"), col("kind"), col("features"))
-      .orderBy(col("doc_id"))
   }
+
+  def mmFeatureExtract(s: SparkSession, dir: String): DataFrame =
+    featureVectors(s, dir)
+      .select(col("doc_id"), col("kind"),
+        col("features").getItem(0).as("f0"), col("features").getItem(1).as("f1"),
+        col("features").getItem(2).as("f2"), col("features").getItem(3).as("f3"))
+      .orderBy(col("doc_id"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_payload_meta" -> mmPayloadMeta _,
@@ -126,10 +136,10 @@ object Multimodal {
          |ORDER BY doc_id, frame_idx""".stripMargin,
     "mm_feature_extract" ->
       s"""SELECT doc_id, $kindSql AS kind,
-         |  [CAST(octet_length(encode(text)) AS DOUBLE) / 255.0,
-         |   CAST(octet_length(encode(text)) % 7 AS DOUBLE) / 7.0,
-         |   CAST(octet_length(encode(text)) % 640 AS DOUBLE) / 640.0,
-         |   CAST(octet_length(encode(text)) % 480 AS DOUBLE) / 480.0] AS features
+         |  CAST(octet_length(encode(text)) AS DOUBLE) / 255.0 AS f0,
+         |  CAST(octet_length(encode(text)) % 7 AS DOUBLE) / 7.0 AS f1,
+         |  CAST(octet_length(encode(text)) % 640 AS DOUBLE) / 640.0 AS f2,
+         |  CAST(octet_length(encode(text)) % 480 AS DOUBLE) / 480.0 AS f3
          |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }

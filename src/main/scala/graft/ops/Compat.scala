@@ -1,8 +1,5 @@
 package graft.ops
 
-import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Paths}
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -28,16 +25,19 @@ object Compat {
   }
 
   /** W1 with the tokenizer as an external python process (line-stream
-    * stdin/stdout contract, one process per partition). */
+    * stdin/stdout contract, one process per partition). The mapper source
+    * is passed inline via `python3 -c`, so the command is self-contained
+    * on every executor — no driver-local temp file to ship (a driver-side
+    * path would not exist on remote workers; ADVICE round 1). User-supplied
+    * script *files* go through `Pipe.runScript`, which ships them with
+    * SparkContext.addFile. */
+  private val pipeMapperSrc =
+    "import re, sys\nfor line in sys.stdin:\n    for w in re.split('[ \\t\\n\\x0b\\f\\r]+', line):\n        if w: print(w)\n"
+
   def pipeWordCount(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val script = Files.createTempFile("graft_pipe_mapper", ".py")
-    Files.write(script,
-      "import re, sys\nfor line in sys.stdin:\n    for w in re.split('[ \\t\\n\\x0b\\f\\r]+', line):\n        if w: print(w)\n"
-        .getBytes(StandardCharsets.UTF_8))
-    script.toFile.deleteOnExit()
     val lines = Tables(s, dir, "documents").select(col("text")).as[String]
-    Pipe.run(lines, Seq("python3", script.toString))
+    Pipe.run(lines, Seq("python3", "-c", pipeMapperSrc))
       .toDF("word")
       .filter(col("word") =!= "")
       .groupBy(col("word")).agg(count(lit(1)).as("cnt"))

@@ -78,6 +78,34 @@ object Dedup {
       .withColumn("n", size(col("hs")))
       .filter(col("n") >= 1)
 
+  /** Per-(session, dir) memo of the cached shingle-hash sets plus the max
+    * shingle doc-frequency. The shingle pass (regex split + md5 per
+    * shingle) is the dominant linear cost and is shared by
+    * ngram-Jaccard, MinHash-LSH, clustering, and corpus_clean — memoizing
+    * one cache here (instead of `.cache()` per call) means repeated /
+    * composed invocations reuse one storage entry rather than leaking a
+    * new one each time, and the eager max-df statistic (needed to pick
+    * the prefix order before the plan exists) runs once per corpus, not
+    * once per query construction. `clearShingleCache()` releases it. */
+  private val setsMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, (DataFrame, Long)]()
+
+  private def docSetsCached(s: SparkSession, dir: String): (DataFrame, Long) =
+    setsMemo.computeIfAbsent(System.identityHashCode(s) + "|" + dir, _ => {
+      val sets = docSets(s, dir).cache()
+      val maxDf = sets.select(explode(col("hs")).as("h"))
+        .groupBy(col("h")).agg(count(lit(1)).as("df"))
+        .agg(coalesce(max(col("df")), lit(0L))).head().getLong(0)
+      (sets, maxDf)
+    })
+
+  /** Unpersist and forget every memoized shingle cache (library consumers
+    * call this when done with a corpus). */
+  def clearShingleCache(): Unit = {
+    setsMemo.values.forEach { case (df, _) => df.unpersist() }
+    setsMemo.clear()
+  }
+
   /** Above this doc-frequency for the hottest shingle, hash-order
     * prefixes risk quadratic join fan-out (a boilerplate shingle lands in
     * ~30% of prefixes regardless of frequency) and the rarity-order path
@@ -99,13 +127,10 @@ object Dedup {
     * Prefix length is integer arithmetic from jaccardNum/jaccardDen — no
     * fp wobble, and it cannot drift from the oracle threshold. */
   def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame = {
-    // cached: the shingle-hash pass (regex split + md5 per shingle) is the
-    // dominant linear cost and feeds prefix generation AND both verify sides
-    val sets = docSets(s, dir).cache()
+    // the memoized shingle-hash cache feeds prefix generation AND both
+    // verify sides (and the other dedup ops against the same corpus)
+    val (sets, maxDf) = docSetsCached(s, dir)
     val prefixLenExpr = s"n - (($jaccardNum * n + ${jaccardDen - 1}) div $jaccardDen) + 1"
-    val sh = sets.select(col("doc_id"), col("n"), explode(col("hs")).as("h"))
-    val dfreq = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
-    val maxDf = dfreq.agg(coalesce(max(col("df")), lit(0L))).head().getLong(0)
     val prefix =
       if (maxDf <= hotShingleDf) {
         // fast path: hash order — the hs arrays are already sorted by it,
@@ -115,6 +140,8 @@ object Dedup {
       } else {
         // robust path: classical PPJoin rarest-first order — boilerplate
         // shingles fall outside every prefix, bounding join fan-out
+        val sh = sets.select(col("doc_id"), col("n"), explode(col("hs")).as("h"))
+        val dfreq = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col("doc_id")).orderBy(col("df"), col("h"))
         sh.join(dfreq, "h")
@@ -216,8 +243,20 @@ object Dedup {
         labels.unpersist()
         labels = next
       }
-      labels.select(col("doc").as("doc_id"), col("lab").as("cluster_id"))
+      val out = labels
+        .select(col("doc").as("doc_id"), col("lab").as("cluster_id"))
         .orderBy(col("doc_id"))
+      // label rows ≤ nodes of the verified pair graph — a vanishing
+      // fraction of the corpus. Below the same bound that allows the edge
+      // broadcast, snapshot them driver-side so the cache can be released
+      // here rather than leaked to the caller (ADVICE round 1); above it,
+      // hand back the cached plan (caller unpersists via clearCache hooks).
+      if (labels.count() <= 1000000L) {
+        val snap = s.createDataFrame(
+          java.util.Arrays.asList(out.collect(): _*), out.schema)
+        labels.unpersist()
+        snap
+      } else out
     } finally edges.unpersist()
   }
 
@@ -227,7 +266,7 @@ object Dedup {
     * one narrow shuffle, buckets are tiny, and the quadratic verify only
     * ever sees same-bucket pairs. */
   def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame = {
-    val sets = docSets(s, dir).cache()
+    val (sets, _) = docSetsCached(s, dir)
     val sh = Tables(s, dir, "documents")
       .select(col("doc_id"),
         explode(graft.plans.VectorFunctions.word_shingles(col("text"), 3)).as("shingle"))

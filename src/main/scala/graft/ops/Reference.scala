@@ -62,14 +62,17 @@ object Reference {
     * mapper.py:13-16`, `reducer.py:10-19`): group by key, collect the
     * distinct value set, keep only groups whose set is large (HAVING), emit
     * key + sorted set. Here: customers that used all 5 order priorities.
-    * collect_set is bounded (≤5 distinct priorities) so safe at scale. */
+    * collect_set is bounded (≤5 distinct priorities) so safe at scale.
+    * The set is emitted space-joined (`key SP v1 SP v2 …`), matching the
+    * reference's output line format (`reducer.py:21-23`) and keeping the
+    * result free of array columns for the driver's row-hash compare. */
   def w4SuspectSets(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "orders")
       .groupBy(col("o_custkey"))
-      .agg(sort_array(collect_set(col("o_orderpriority"))).as("priorities"))
-      .filter(size(col("priorities")) >= 5)
-      .select(col("o_custkey"), col("priorities"),
-        size(col("priorities")).cast("long").as("n_priorities"))
+      .agg(sort_array(collect_set(col("o_orderpriority"))).as("pset"))
+      .filter(size(col("pset")) >= 5)
+      .select(col("o_custkey"), concat_ws(" ", col("pset")).as("priorities"),
+        size(col("pset")).cast("long").as("n_priorities"))
       .orderBy(col("o_custkey"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -95,7 +98,7 @@ object Reference {
         |      FROM events GROUP BY 1, 2)
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "w4_suspect_sets" ->
-      """SELECT o_custkey, list_sort(list(DISTINCT o_orderpriority)) AS priorities,
+      """SELECT o_custkey, array_to_string(list_sort(list(DISTINCT o_orderpriority)), ' ') AS priorities,
         |       CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS n_priorities
         |FROM orders GROUP BY o_custkey
         |HAVING count(DISTINCT o_orderpriority) >= 5

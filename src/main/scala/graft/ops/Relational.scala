@@ -463,7 +463,7 @@ object Relational {
         |FROM (SELECT unnest(generate_series(1, o_orderkey % 5 + 1)) AS n FROM orders)
         |GROUP BY n ORDER BY n""".stripMargin,
     "q_json_extract" ->
-      """SELECT event_type, sum(k) AS sum_k, min(k) AS min_k, max(k) AS max_k, count(*) AS n
+      """SELECT event_type, CAST(sum(k) AS BIGINT) AS sum_k, min(k) AS min_k, max(k) AS max_k, count(*) AS n
         |FROM (
         |  SELECT event_type,
         |    CASE WHEN raw IS NOT NULL AND regexp_matches(raw, '^-?[0-9]+$')

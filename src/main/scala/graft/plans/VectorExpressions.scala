@@ -2,11 +2,38 @@ package graft.plans
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftBridge
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
+
+/** Analysis-time input checks shared by the custom expressions. Spark 4
+  * hides `AbstractDataType` (so `ExpectsInputTypes` can't be mixed in
+  * from outside the sql package); overriding `checkInputDataTypes`
+  * directly gives the same analysis-time error instead of a codegen-time
+  * ClassCastException when SQL users call graft functions on wrong types
+  * (they are registered globally via GraftExtensions). */
+private[plans] object InputChecks {
+  def check(name: String)(exprs: (Expression, DataType => Boolean, String)*): TypeCheckResult = {
+    exprs.zipWithIndex.foreach { case ((e, ok, want), i) =>
+      if (!ok(e.dataType))
+        return TypeCheckResult.TypeCheckFailure(
+          s"$name: argument ${i + 1} must be $want, got ${e.dataType.catalogString}")
+    }
+    TypeCheckResult.TypeCheckSuccess
+  }
+  val isNumericArray: DataType => Boolean = {
+    case ArrayType(FloatType | DoubleType, _) => true
+    case _ => false
+  }
+  val isLongArray: DataType => Boolean = {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
+  val isString: DataType => Boolean = _ == StringType
+}
 
 /** Custom codegen'd Catalyst expressions for the vector / hashing hot
   * paths. The composable alternative (`zip_with` + `aggregate`
@@ -25,6 +52,11 @@ case class DotProduct(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "vec_dot"
 
+  override def checkInputDataTypes(): TypeCheckResult =
+    InputChecks.check(prettyName)(
+      (left, InputChecks.isNumericArray, "array<float> or array<double>"),
+      (right, InputChecks.isNumericArray, "array<float> or array<double>"))
+
   private def accessor(e: Expression): String =
     e.dataType.asInstanceOf[ArrayType].elementType match {
       case FloatType => "getFloat"
@@ -37,7 +69,8 @@ case class DotProduct(left: Expression, right: Expression)
     val y = b.asInstanceOf[ArrayData]
     val lf = left.dataType.asInstanceOf[ArrayType].elementType == FloatType
     val rf = right.dataType.asInstanceOf[ArrayType].elementType == FloatType
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (y.numElements() != n) throw DotProduct.lengthMismatch(n, y.numElements())
     var acc = 0.0
     var i = 0
     while (i < n) {
@@ -55,7 +88,10 @@ case class DotProduct(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
+         |if ($b.numElements() != $n) {
+         |  throw graft.plans.DotProduct.lengthMismatch($n, $b.numElements());
+         |}
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  $acc += (double) $a.${accessor(left)}($i) * (double) $b.${accessor(right)}($i);
@@ -68,6 +104,14 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+object DotProduct {
+  /** Vectors of different dimensionality have no meaningful dot product —
+    * fail loudly rather than silently truncate (callable from codegen). */
+  def lengthMismatch(n: Int, m: Int): IllegalArgumentException =
+    new IllegalArgumentException(
+      s"vec_dot: vector length mismatch ($n vs $m); dot products require equal dimensions")
+}
+
 /** Polynomial rolling hash over a string's code points, mod 1e9+7 —
   * fused replacement for split('')+aggregate (which builds a one-char
   * string array per row). Mirrors DuckDB's
@@ -76,6 +120,9 @@ case class DotProduct(left: Expression, right: Expression)
 case class PolyHash(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def prettyName: String = "poly_hash"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    InputChecks.check(prettyName)((child, InputChecks.isString, "string"))
 
   override def nullSafeEval(v: Any): Any =
     HashUtil.polyHash(v.asInstanceOf[UTF8String])
@@ -98,6 +145,9 @@ case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "word_shingles"
 
+  override def checkInputDataTypes(): TypeCheckResult =
+    InputChecks.check(prettyName)((child, InputChecks.isString, "string"))
+
   override def nullSafeEval(v: Any): Any =
     HashUtil.wordShingles(v.asInstanceOf[UTF8String], n)
 
@@ -118,6 +168,9 @@ case class WordShingleHashes(child: Expression, n: Int) extends UnaryExpression 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "word_shingle_hashes"
 
+  override def checkInputDataTypes(): TypeCheckResult =
+    InputChecks.check(prettyName)((child, InputChecks.isString, "string"))
+
   override def nullSafeEval(v: Any): Any =
     HashUtil.wordShingleHashes(v.asInstanceOf[UTF8String], n)
 
@@ -134,6 +187,11 @@ case class WordShingleHashes(child: Expression, n: Int) extends UnaryExpression 
 case class SortedIntersectCount(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = LongType
   override def prettyName: String = "sorted_intersect_count"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    InputChecks.check(prettyName)(
+      (left, InputChecks.isLongArray, "array<bigint>"),
+      (right, InputChecks.isLongArray, "array<bigint>"))
 
   override def nullSafeEval(a: Any, b: Any): Any =
     HashUtil.sortedIntersectCount(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
@@ -153,6 +211,9 @@ case class SortedIntersectCount(left: Expression, right: Expression) extends Bin
 case class SimHash32(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash32"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    InputChecks.check(prettyName)((child, InputChecks.isString, "string"))
 
   override def nullSafeEval(v: Any): Any =
     HashUtil.simHash32(v.asInstanceOf[UTF8String])
