@@ -203,24 +203,58 @@ object Dedup {
 
   /** Near-dup clustering: connected components over the verified Jaccard
     * pair graph, labels = min doc_id per component (the canonical doc).
-    * Iterative min-label propagation on the pair graph, which after
-    * near-dup verification is a vanishing fraction of the corpus; at
-    * 100 TB the same loop runs with the large-star/small-star optimization
-    * and checkpointing every few rounds. Deterministic fixpoint ⇒
+    *
+    * Hybrid execution, decided by the measured pair count — the same
+    * shape as Spark's own broadcast-threshold decisions: verified
+    * near-dup pairs are a vanishing fraction of the corpus, so on all but
+    * pathological corpora the graph fits on the driver and a union-find
+    * resolves it in milliseconds with zero extra Spark jobs. Above the
+    * bound, iterative distributed min-label propagation takes over (at
+    * true 100 TB scale the same loop runs with large-star/small-star and
+    * periodic checkpointing). Both paths are exact and deterministic ⇒
     * oracle-checkable against a recursive CTE. */
+  val unionFindMaxPairs = 2000000L
+
   def dedupClusters(s: SparkSession, dir: String): DataFrame = {
-    val pairs = dedupNgramJaccard(s, dir).select(col("id_a"), col("id_b"))
+    val pairs = dedupNgramJaccard(s, dir).select(col("id_a"), col("id_b")).cache()
+    try {
+      if (pairs.count() <= unionFindMaxPairs) driverUnionFind(s, pairs)
+      else distributedLabelPropagation(s, pairs)
+    } finally pairs.unpersist()
+  }
+
+  /** Driver-side union-find over a collected pair list (≤ unionFindMaxPairs
+    * edges ⇒ tens of MB). Union by min root keeps every component labeled
+    * by its smallest doc_id. */
+  private def driverUnionFind(s: SparkSession, pairs: DataFrame): DataFrame = {
+    val es = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = new java.util.HashMap[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrDefault(r, r) != r) r = parent.get(r)
+      var c = x // path compression
+      while (parent.getOrDefault(c, c) != c) { val n = parent.get(c); parent.put(c, r); c = n }
+      r
+    }
+    es.foreach { case (a, b) =>
+      parent.putIfAbsent(a, a); parent.putIfAbsent(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb) }
+    }
+    val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+    val keys = parent.keySet().toArray(Array.empty[java.lang.Long]).map(_.longValue).sorted
+    keys.foreach(d => rows.add(org.apache.spark.sql.Row(d, find(d))))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("cluster_id", org.apache.spark.sql.types.LongType, nullable = false)))
+    s.createDataFrame(rows, schema)
+  }
+
+  /** Distributed min-label propagation — the scale path. */
+  private def distributedLabelPropagation(s: SparkSession, pairs: DataFrame): DataFrame = {
     val edges = pairs.union(pairs.select(col("id_b"), col("id_a")))
       .toDF("src", "dst").cache()
     try {
-      // verified near-dup pairs are a vanishing fraction of the corpus by
-      // construction; below this bound, broadcasting the edge list makes
-      // each propagation step shuffle-free (only the tiny groupBy moves).
-      // NB each iteration's action re-runs the BroadcastExchange (no
-      // cross-job reuse), so the bound is kept small enough that a
-      // rebroadcast is a few MB from cache, not a driver-memory risk.
-      val joinEdges =
-        if (edges.count() <= 500000L) broadcast(edges) else edges
       var labels = edges.select(col("src").as("doc")).distinct()
         .withColumn("lab", col("doc")).cache()
       // coalesce: sum over an empty label set is NULL (duplicate-free
@@ -235,7 +269,7 @@ object Dedup {
       while (checksum != prev) {
         prev = checksum
         val next = labels
-          .union(labels.join(joinEdges, col("doc") === col("src"))
+          .union(labels.join(edges, col("doc") === col("src"))
             .select(col("dst").as("doc"), col("lab")))
           .groupBy(col("doc")).agg(min(col("lab")).as("lab"))
           .cache()
@@ -243,20 +277,10 @@ object Dedup {
         labels.unpersist()
         labels = next
       }
-      val out = labels
-        .select(col("doc").as("doc_id"), col("lab").as("cluster_id"))
+      // hand back the cached plan — on this path the label table is too
+      // large to snapshot driver-side; callers unpersist when done
+      labels.select(col("doc").as("doc_id"), col("lab").as("cluster_id"))
         .orderBy(col("doc_id"))
-      // label rows ≤ nodes of the verified pair graph — a vanishing
-      // fraction of the corpus. Below the same bound that allows the edge
-      // broadcast, snapshot them driver-side so the cache can be released
-      // here rather than leaked to the caller (ADVICE round 1); above it,
-      // hand back the cached plan (caller unpersists via clearCache hooks).
-      if (labels.count() <= 1000000L) {
-        val snap = s.createDataFrame(
-          java.util.Arrays.asList(out.collect(): _*), out.schema)
-        labels.unpersist()
-        snap
-      } else out
     } finally edges.unpersist()
   }
 
