@@ -16,7 +16,29 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+  /** Per-session memo of loaded table DataFrames: `spark.read.parquet`
+    * re-lists files and re-reads footers (a small Spark job) on every
+    * call, so composing many queries over the same corpus would pay
+    * schema inference once per *construction* instead of once per
+    * table. Keyed weakly by session (same rationale as
+    * `Dedup.setsMemo`); assumes corpus files are immutable while
+    * memoized — `dropCache()` resets. These are plain lazy plans, not
+    * persisted data: memoizing costs nothing but the plan object. */
+  private val readMemo =
+    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, DataFrame]]()
+
+  /** Forget memoized table plans (call after replacing corpus files). */
+  def dropCache(): Unit = readMemo.synchronized { readMemo.clear() }
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
+    readMemo.synchronized {
+      val it = readMemo.entrySet().iterator()
+      while (it.hasNext) if (it.next().getKey.sparkContext.isStopped) it.remove()
+      readMemo.computeIfAbsent(spark, _ => scala.collection.mutable.Map.empty)
+        .getOrElseUpdate(s"$dir/$name", load(spark, dir, name))
+    }
+
+  private def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") {
       // events.ts is parquet TIMESTAMP(NANOS), which Spark's µs TimestampType
       // rejects by default. nanosAsLong is session-global (no per-read form);

@@ -68,14 +68,82 @@ object Pipe {
     spark.createDataset(lines.rdd.pipe(cmd))
   }
 
-  /** Run a user-supplied python mapper *file* per partition. The script
-    * source is read once on the driver and inlined into the command
-    * (`python3 -c`), so it is self-contained on every executor of a real
-    * cluster — a driver-local path would not exist on remote workers. */
+  /** Run a user-supplied python mapper *file* per partition over the
+    * stdin/stdout line contract. The script source is read once on the
+    * driver and inlined into the command (`python3 -c`), so it is
+    * self-contained on every executor of a real cluster — a driver-local
+    * path would not exist on remote workers. Inlining breaks scripts that
+    * use `__file__`/`sys.argv` and large scripts can exceed exec arg
+    * limits; those go through `runArgvScript`, which ships the file with
+    * `SparkContext.addFile` instead. */
   def runScript(lines: Dataset[String], scriptPath: String): Dataset[String] = {
     val src = new String(
       java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(scriptPath)),
       java.nio.charset.StandardCharsets.UTF_8)
     run(lines, Seq("python3", "-c", src))
   }
+
+  /** The reference's argv-file contract (`Worker.java:138,153`): the user
+    * program is executed as `prog <in-file> <out-file>` over a chunk
+    * file, NOT over stdin/stdout — the reference's own shipped example
+    * mappers read `sys.argv[1]` and write `sys.argv[2]`. Per partition:
+    * spill the partition's lines to a temp in-file, exec the program,
+    * read its out-file back as the partition's output. The out-file is
+    * materialized in memory before deletion — bounded by chunk-aggregate
+    * size, exactly the memory the reference's own mapper dict holds.
+    *
+    * `cmdF` is evaluated ON THE EXECUTOR (so `SparkFiles.get` resolves
+    * the shipped copy); it returns the argv prefix the two file paths are
+    * appended to. */
+  def runArgv(lines: Dataset[String], cmdF: () => Seq[String]): Dataset[String] = {
+    val spark = lines.sparkSession
+    import spark.implicits._
+    lines.mapPartitions { it =>
+      val in = java.nio.file.Files.createTempFile("graft-argv-in", ".data")
+      val out = java.nio.file.Files.createTempFile("graft-argv-out", ".data")
+      val w = java.nio.file.Files.newBufferedWriter(in, java.nio.charset.StandardCharsets.UTF_8)
+      try it.foreach { l => w.write(l); w.write('\n') } finally w.close()
+      try {
+        val cmd = cmdF() ++ Seq(in.toString, out.toString)
+        val proc = new ProcessBuilder(cmd: _*).start()
+        proc.getOutputStream.close()
+        val err = scala.io.Source.fromInputStream(proc.getErrorStream, "UTF-8").mkString
+        val exit = proc.waitFor()
+        if (exit != 0)
+          throw new RuntimeException(s"argv program exited $exit: ${cmd.mkString(" ")}\n$err")
+        val src = scala.io.Source.fromFile(out.toFile, "UTF-8")
+        try src.getLines().toVector.iterator finally src.close()
+      } finally {
+        java.nio.file.Files.deleteIfExists(in)
+        java.nio.file.Files.deleteIfExists(out)
+      }
+    }
+  }
+
+  /** Run a user script file under the argv contract, shipping it to every
+    * executor with `SparkContext.addFile`. The script is first copied to
+    * a unique temp name: `addFile` registers by basename for the lifetime
+    * of the context, so two different `mapper.py`s would otherwise
+    * collide. */
+  def runArgvScript(lines: Dataset[String], scriptPath: String,
+      interpreter: String = "python3"): Dataset[String] = {
+    val src = java.nio.file.Paths.get(scriptPath)
+    val unique = java.nio.file.Files.createTempFile("graft-script-", "-" + src.getFileName)
+    java.nio.file.Files.copy(src, unique, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    lines.sparkSession.sparkContext.addFile(unique.toString)
+    val shippedName = unique.getFileName.toString
+    runArgv(lines, () => Seq(interpreter, org.apache.spark.SparkFiles.get(shippedName)))
+  }
+
+  /** The reference's literal end-to-end job (`Master.java:169-210`):
+    * mapper program per chunk, then ONE reducer process over the
+    * concatenation of all mapper outputs (`coalesce(1)` = the reference's
+    * merged-file reduce, including its single-process ceiling — the
+    * scalable alternative is MapReduce.run's per-key Aggregator). Both
+    * programs run verbatim under the argv contract, so a user's existing
+    * mapper.py/reducer.py pair works unmodified. */
+  def argvMapReduce(lines: Dataset[String], mapperScript: String, reducerScript: String,
+      interpreter: String = "python3"): Dataset[String] =
+    runArgvScript(runArgvScript(lines, mapperScript, interpreter).coalesce(1),
+      reducerScript, interpreter)
 }

@@ -28,9 +28,11 @@ object Compat {
     * stdin/stdout contract, one process per partition). The mapper source
     * is passed inline via `python3 -c`, so the command is self-contained
     * on every executor — no driver-local temp file to ship (a driver-side
-    * path would not exist on remote workers; ADVICE round 1). User-supplied
-    * script *files* go through `Pipe.runScript`, which ships them with
-    * SparkContext.addFile. */
+    * path would not exist on remote workers; ADVICE round 1). Script
+    * *files* that need `sys.argv`/`__file__` semantics go through
+    * `Pipe.runArgvScript`, which ships them with SparkContext.addFile
+    * (`Pipe.runScript` inlines small stdin/stdout scripts the same way
+    * as here). */
   private val pipeMapperSrc =
     "import re, sys\nfor line in sys.stdin:\n    for w in re.split('[ \\t\\n\\x0b\\f\\r]+', line):\n        if w: print(w)\n"
 
@@ -44,9 +46,41 @@ object Compat {
       .orderBy(col("word"))
   }
 
+  /** W1 through the reference's argv-file contract: a mapper FILE that
+    * reads `sys.argv[1]` and writes per-chunk `word count` lines to
+    * `sys.argv[2]` — the exact program shape the reference's shipped
+    * examples use (`Worker.java:138`); per-chunk partial counts are then
+    * summed per key (the shuffle the reference's single reducer never
+    * had). Proves an unmodified reference-style mapper runs end-to-end. */
+  private val argvMapperSrc =
+    """import re, sys
+      |counts = {}
+      |with open(sys.argv[1]) as fp:
+      |    for line in fp:
+      |        for w in re.split('[ \t\n\x0b\f\r]+', line):
+      |            if w:
+      |                counts[w] = counts.get(w, 0) + 1
+      |with open(sys.argv[2], 'w') as f:
+      |    for k, v in counts.items():
+      |        f.write(k + ' ' + str(v) + '\n')
+      |""".stripMargin
+
+  def pipeArgvWordCount(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val script = java.nio.file.Files.createTempFile("graft-argv-wc-", ".py")
+    java.nio.file.Files.write(script, argvMapperSrc.getBytes("UTF-8"))
+    val lines = Tables(s, dir, "documents").select(col("text")).as[String]
+    Pipe.runArgvScript(lines, script.toString)
+      .map { l => val i = l.lastIndexOf(' '); (l.substring(0, i), l.substring(i + 1).toLong) }
+      .toDF("word", "cnt")
+      .groupBy(col("word")).agg(sum(col("cnt")).as("cnt"))
+      .orderBy(col("word"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mr_word_count" -> mrWordCount _,
     "pipe_word_count" -> pipeWordCount _,
+    "pipe_argv_word_count" -> pipeArgvWordCount _,
   )
 
   private val w1Oracle =
@@ -57,5 +91,6 @@ object Compat {
   val oracles: Map[String, String] = Map(
     "mr_word_count" -> w1Oracle,
     "pipe_word_count" -> w1Oracle,
+    "pipe_argv_word_count" -> w1Oracle,
   )
 }

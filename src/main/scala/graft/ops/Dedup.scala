@@ -78,31 +78,36 @@ object Dedup {
       .withColumn("n", size(col("hs")))
       .filter(col("n") >= 1)
 
-  /** Per-(session, dir) memo of the cached shingle-hash sets plus the max
-    * shingle doc-frequency. The shingle pass (regex split + md5 per
-    * shingle) is the dominant linear cost and is shared by
-    * ngram-Jaccard, MinHash-LSH, clustering, and corpus_clean — memoizing
-    * one cache here (instead of `.cache()` per call) means repeated /
-    * composed invocations reuse one storage entry rather than leaking a
-    * new one each time, and the eager max-df statistic (needed to pick
-    * the prefix order before the plan exists) runs once per corpus, not
-    * once per query construction. `clearShingleCache()` releases it. */
+  /** Per-(session, dir) memo of the cached shingle-hash sets. The shingle
+    * pass (regex split + md5 per shingle) is the dominant linear cost and
+    * is shared by ngram-Jaccard, MinHash-LSH, clustering, and
+    * corpus_clean — memoizing one cache here (instead of `.cache()` per
+    * call) means repeated / composed invocations reuse one storage entry
+    * rather than leaking a new one each time.
+    *
+    * Keyed by the SparkSession *object* (WeakHashMap): identity-hash
+    * strings can collide across sessions, and a WeakHashMap lets a
+    * dropped session's entries be garbage-collected instead of pinning
+    * its cached plans forever. Entries of stopped sessions are evicted on
+    * access. Assumes the corpus under `dir` is immutable while memoized —
+    * if files change, call `clearShingleCache()` to drop the stale sets. */
   private val setsMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, (DataFrame, Long)]()
+    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, DataFrame]]()
 
-  private def docSetsCached(s: SparkSession, dir: String): (DataFrame, Long) =
-    setsMemo.computeIfAbsent(System.identityHashCode(s) + "|" + dir, _ => {
-      val sets = docSets(s, dir).cache()
-      val maxDf = sets.select(explode(col("hs")).as("h"))
-        .groupBy(col("h")).agg(count(lit(1)).as("df"))
-        .agg(coalesce(max(col("df")), lit(0L))).head().getLong(0)
-      (sets, maxDf)
-    })
+  private def docSetsCached(s: SparkSession, dir: String): DataFrame =
+    setsMemo.synchronized {
+      val it = setsMemo.entrySet().iterator()
+      while (it.hasNext) if (it.next().getKey.sparkContext.isStopped) it.remove()
+      val perDir = setsMemo.computeIfAbsent(s, _ => scala.collection.mutable.Map.empty)
+      perDir.getOrElseUpdate(dir, docSets(s, dir).cache())
+    }
 
   /** Unpersist and forget every memoized shingle cache (library consumers
-    * call this when done with a corpus). */
-  def clearShingleCache(): Unit = {
-    setsMemo.values.forEach { case (df, _) => df.unpersist() }
+    * call this when done with a corpus, or after replacing corpus files).
+    * Each unpersist is Try-wrapped so an already-stopped session cannot
+    * abort the sweep and leak the remaining entries. */
+  def clearShingleCache(): Unit = setsMemo.synchronized {
+    setsMemo.values.forEach(_.values.foreach(df => scala.util.Try(df.unpersist())))
     setsMemo.clear()
   }
 
@@ -111,6 +116,14 @@ object Dedup {
     * ~30% of prefixes regardless of frequency) and the rarity-order path
     * is taken instead. */
   val hotShingleDf = 10000L
+
+  /** Session conf key selecting the PPJoin prefix order:
+    * `auto` (default) decides at *execution* time from the measured max
+    * shingle doc-frequency — the statistic is a broadcast 1-row aggregate
+    * inside the plan, so constructing the query runs no Spark job;
+    * `hash` / `rarity` pin one order and skip the statistic entirely
+    * (set explicitly on a 100 TB run where the corpus shape is known). */
+  val prefixOrderConfKey = "spark.graft.jaccardPrefixOrder"
 
   /** Exact pairwise n-gram Jaccard ≥ threshold, with PPJoin-style prefix
     * filtering: under ANY fixed global shingle order, a pair with
@@ -129,26 +142,47 @@ object Dedup {
   def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame = {
     // the memoized shingle-hash cache feeds prefix generation AND both
     // verify sides (and the other dedup ops against the same corpus)
-    val (sets, maxDf) = docSetsCached(s, dir)
+    val sets = docSetsCached(s, dir)
     val prefixLenExpr = s"n - (($jaccardNum * n + ${jaccardDen - 1}) div $jaccardDen) + 1"
-    val prefix =
-      if (maxDf <= hotShingleDf) {
-        // fast path: hash order — the hs arrays are already sorted by it,
-        // so the prefix is a zero-cost slice (no window, no df join)
-        sets.select(col("doc_id"),
-          explode(slice(col("hs"), lit(1), expr(prefixLenExpr))).as("h"))
-      } else {
-        // robust path: classical PPJoin rarest-first order — boilerplate
-        // shingles fall outside every prefix, bounding join fan-out
-        val sh = sets.select(col("doc_id"), col("n"), explode(col("hs")).as("h"))
-        val dfreq = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("doc_id")).orderBy(col("df"), col("h"))
-        sh.join(dfreq, "h")
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") <= expr(prefixLenExpr))
-          .select(col("doc_id"), col("h"))
-      }
+    // fast path: hash order — the hs arrays are already sorted by it,
+    // so the prefix is a zero-cost slice (no window, no df join)
+    def hashPrefix(src: DataFrame) =
+      src.select(col("doc_id"),
+        explode(slice(col("hs"), lit(1), expr(prefixLenExpr))).as("h"))
+    // robust path: classical PPJoin rarest-first order — boilerplate
+    // shingles fall outside every prefix, bounding join fan-out
+    def rarityPrefix(src: DataFrame) = {
+      val sh = src.select(col("doc_id"), col("n"), explode(col("hs")).as("h"))
+      val dfreq = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("df"), col("h"))
+      sh.join(dfreq, "h")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= expr(prefixLenExpr))
+        .select(col("doc_id"), col("h"))
+    }
+    val prefix = s.conf.get(prefixOrderConfKey, "auto") match {
+      case "hash"   => hashPrefix(sets)
+      case "rarity" => rarityPrefix(sets)
+      case _ =>
+        // auto: the order choice is made INSIDE the plan, AQE-style, so
+        // plan construction runs no Spark job. The max shingle
+        // doc-frequency is a broadcast 1-row aggregate joined under a
+        // guard; the dead branch's guard is false, so zero rows flow
+        // through its (expensive) subtree. The guard predicate is an OR
+        // referencing BOTH join sides (`n < 0` is never true: sets keeps
+        // n >= 1) — a deliberately non-splittable conjunct, so the
+        // optimizer cannot push a one-sided filter into the broadcast
+        // subtree, which keeps the two subtrees identical and lets
+        // ReuseExchange compute the statistic once, not per branch.
+        val stat = sets.select(explode(col("hs")).as("h"))
+          .groupBy(col("h")).agg(count(lit(1)).as("df"))
+          .agg(coalesce(max(col("df")), lit(0L)).as("max_df"))
+        def guarded(cond: Column) =
+          sets.join(broadcast(stat), cond || col("n") < 0, "inner").drop("max_df")
+        hashPrefix(guarded(col("max_df") <= hotShingleDf))
+          .unionByName(rarityPrefix(guarded(col("max_df") > hotShingleDf)))
+    }
     val cand = prefix.as("a").join(prefix.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
@@ -247,11 +281,22 @@ object Dedup {
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType, nullable = false),
       org.apache.spark.sql.types.StructField("cluster_id", org.apache.spark.sql.types.LongType, nullable = false)))
-    s.createDataFrame(rows, schema)
+    // explicit ORDER BY for guaranteed-ordering parity with the
+    // distributed path (insertion order alone is not a contract)
+    s.createDataFrame(rows, schema).orderBy(col("doc_id"))
   }
 
+  /** Every this-many label-propagation iterations, the label table is
+    * localCheckpoint'ed: each iteration otherwise stacks one more
+    * union+join+agg on the lineage, and a component of diameter d would
+    * accumulate a d-deep plan (stack-overflow / re-planning blowup on
+    * long-path graphs). Checkpointing truncates lineage to the
+    * materialized partitions. (On a multi-executor cluster with possible
+    * executor loss, swap for reliable `checkpoint()` + a checkpoint dir.) */
+  val labelCheckpointEvery = 5
+
   /** Distributed min-label propagation — the scale path. */
-  private def distributedLabelPropagation(s: SparkSession, pairs: DataFrame): DataFrame = {
+  private[graft] def distributedLabelPropagation(s: SparkSession, pairs: DataFrame): DataFrame = {
     val edges = pairs.union(pairs.select(col("id_b"), col("id_a")))
       .toDF("src", "dst").cache()
     try {
@@ -263,16 +308,18 @@ object Dedup {
         df.agg(coalesce(sum(col("lab")), lit(0L))).head().getLong(0)
       var prev = -1L
       var checksum = sumLabels(labels)
+      var iter = 0
       // labels are monotonically non-increasing per node, so the checksum
       // strictly decreases until the exact fixpoint — no iteration cap
       // needed (terminates within the largest component's diameter)
       while (checksum != prev) {
         prev = checksum
-        val next = labels
+        iter += 1
+        var next = labels
           .union(labels.join(edges, col("doc") === col("src"))
             .select(col("dst").as("doc"), col("lab")))
           .groupBy(col("doc")).agg(min(col("lab")).as("lab"))
-          .cache()
+        next = if (iter % labelCheckpointEvery == 0) next.localCheckpoint() else next.cache()
         checksum = sumLabels(next)
         labels.unpersist()
         labels = next
@@ -284,13 +331,27 @@ object Dedup {
     } finally edges.unpersist()
   }
 
+  /** Expand a sorted bucket array into its i<j element pairs, bucket-
+    * locally — `mk(x, y)` builds the output struct. Used instead of a
+    * bucket self-join: a self-join would place TWO copies of the
+    * (expensive) signature-aggregation subtree in the plan, which the
+    * round-2 plan audit measured as the dominant cost of the LSH queries;
+    * grouping once and expanding pairs keeps exactly ONE aggregation
+    * subtree and the same bucket-local O(m²) output. The per-bucket array
+    * is bounded by bucket size m — LSH band signatures keep m small, and
+    * exact duplicates (the one unbounded source of mega-buckets) are
+    * removed by dedup_exact upstream in any sane pipeline. */
+  private def bucketPairs(sorted: Column)(mk: (Column, Column) => Column): Column =
+    flatten(transform(sorted, (x, i) =>
+      transform(slice(sorted, i + lit(2), size(sorted)), y => mk(x, y))))
+
   /** MinHash + LSH near-dup: 16 exact integer minhashes per doc, banded
     * 4×4; docs sharing any band signature become candidates; candidates
     * are verified with exact Jaccard. The scalable path: signatures are
     * one narrow shuffle, buckets are tiny, and the quadratic verify only
     * ever sees same-bucket pairs. */
   def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame = {
-    val (sets, _) = docSetsCached(s, dir)
+    val sets = docSetsCached(s, dir)
     val sh = Tables(s, dir, "documents")
       .select(col("doc_id"),
         explode(graft.plans.VectorFunctions.word_shingles(col("text"), 3)).as("shingle"))
@@ -308,10 +369,15 @@ object Dedup {
     val bands = sig
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
-    val cand = bands.as("x").join(bands.as("y"),
-        col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+    // one (band, sig) shuffle groups each LSH bucket; pairs expand
+    // bucket-locally from the sorted id array (ascending ⇒ id_a < id_b)
+    val cand = bands
+      .groupBy(col("band"), col("sig"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) >= 2)
+      .select(explode(bucketPairs(col("ids"))((x, y) =>
+        struct(x.as("id_a"), y.as("id_b")))).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
       .distinct()
     jaccardVerify(sets, cand)
   }
@@ -333,11 +399,19 @@ object Dedup {
     val banded = sig
       .select(col("doc_id"), col("simhash"), explode(array(bandStructs: _*)).as("bs"))
       .select(col("doc_id"), col("simhash"), col("bs.band").as("band"), col("bs.bval").as("bval"))
-    banded.as("x").join(banded.as("y"),
-        col("x.band") === col("y.band") && col("x.bval") === col("y.bval") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
-        col("x.simhash").as("sh_a"), col("y.simhash").as("sh_b"))
+    // same single-subtree bucket expansion as MinHash-LSH: group the
+    // byte-band buckets once and expand pairs locally (the signature
+    // struct rides along so Hamming needs no second lookup join);
+    // sort_array orders by doc_id first ⇒ id_a < id_b
+    banded
+      .groupBy(col("band"), col("bval"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("simhash")))).as("ds"))
+      .filter(size(col("ds")) >= 2)
+      .select(explode(bucketPairs(col("ds"))((x, y) =>
+        struct(x.getField("doc_id").as("id_a"), y.getField("doc_id").as("id_b"),
+          x.getField("simhash").as("sh_a"), y.getField("simhash").as("sh_b")))).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
+        col("p.sh_a").as("sh_a"), col("p.sh_b").as("sh_b"))
       .distinct()
       .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long"))
       .filter(col("hamming") <= hammingThreshold)
@@ -345,19 +419,69 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** The exact all-pairs cosine variant refuses corpora above this row
+    * count — O(N²) comparisons is the deliberate ground-truth shape for
+    * test-scale oracles, not a production path. Above the bound, use
+    * `dedupEmbeddingBlocked` (same threshold, IVF-blocked candidates) or
+    * the ANN routes in Similarity. Mirrors `unionFindMaxPairs`. */
+  val exactCosineMaxRows = 200000L
+
   /** Exact embedding near-dup: all pairs with cosine ≥ threshold. Kept
-    * exact as the ground truth; the blocked/ANN variant is
-    * `sim_lsh_ann` in Similarity. Double-precision left-fold dot products
-    * are bit-identical across engines. */
+    * exact as the ground truth; the scale path is `dedupEmbeddingBlocked`
+    * below / `sim_lsh_ann` in Similarity. Double-precision left-fold dot
+    * products are bit-identical across engines. */
   def dedupEmbeddingCosine(s: SparkSession, dir: String): DataFrame = {
     val dot = (a: Column, b: Column) => graft.plans.VectorFunctions.vec_dot(a, b)
     val n = Tables(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding"))
       .withColumn("nrm", sqrt(dot(col("embedding"), col("embedding"))))
       .filter(col("nrm") > 0) // zero vectors: see Similarity.normed
+    // guard the cartesian product (parquet metadata count — cheap): an
+    // unguarded all-pairs run on a full corpus would be a silent O(N²)
+    val rows = Tables(s, dir, "embeddings").count()
+    require(rows <= exactCosineMaxRows,
+      s"dedupEmbeddingCosine is the exact all-pairs ground truth and refuses $rows > " +
+        s"$exactCosineMaxRows rows; use dedupEmbeddingBlocked or Similarity's ANN paths at scale")
     val a = n.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"), col("nrm").as("nrm_a"))
     val b = n.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"), col("nrm").as("nrm_b"))
     a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", dot(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b")))
+      .filter(col("cosine") >= cosineThreshold)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** How many nearest centroids each vector is blocked into. 2 probes
+    * recovers most near-boundary pairs a 1-probe blocking would cut. */
+  val blockProbes = 2
+
+  /** Blocked embedding near-dup — the 100 TB path: vectors are assigned
+    * to their `blockProbes` nearest coarse-quantizer centroids (the SAME
+    * deterministic IVF assignment as `sim_ivf_topk`), candidate pairs
+    * co-occur in a centroid block, and the exact cosine verify runs on
+    * candidates only. Cost ≈ sum of block sizes squared instead of N²;
+    * with k centroids ∝ √N the expected block is O(√N). Approximate
+    * (pairs split across all probed blocks are missed) but fully
+    * deterministic — unlike most ANN dedup it is oracle-checkable, and
+    * its recall vs the exact variant is asserted in DedupSimilaritySpec.
+    * Candidates expand bucket-locally (one assignment subtree, same
+    * single-subtree shape as the LSH dedups). */
+  def dedupEmbeddingBlocked(s: SparkSession, dir: String): DataFrame = {
+    val dot = (a: Column, b: Column) => graft.plans.VectorFunctions.vec_dot(a, b)
+    val n = Similarity.normed(s, dir)
+    val asg = Similarity.nearestCentroids(Similarity.centroidsOf(n))(
+      n, "vec_id", "embedding", "nrm", blockProbes)
+    val cand = asg
+      .groupBy(col("c_id"))
+      .agg(sort_array(collect_list(col("vec_id"))).as("ids"))
+      .filter(size(col("ids")) >= 2)
+      .select(explode(bucketPairs(col("ids"))((x, y) =>
+        struct(x.as("id_a"), y.as("id_b")))).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .distinct()
+    val a = n.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"), col("nrm").as("nrm_a"))
+    val b = n.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"), col("nrm").as("nrm_b"))
+    cand.join(a, "id_a").join(b, "id_b")
       .withColumn("cosine", dot(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b")))
       .filter(col("cosine") >= cosineThreshold)
       .select(col("id_a"), col("id_b"), col("cosine"))
@@ -371,6 +495,7 @@ object Dedup {
     "dedup_simhash" -> dedupSimhash _,
     "dedup_clusters" -> dedupClusters _,
     "dedup_embedding_cosine" -> dedupEmbeddingCosine _,
+    "dedup_embedding_blocked" -> dedupEmbeddingBlocked _,
   )
 
   private val mhValuesSql =
@@ -432,6 +557,34 @@ object Dedup {
          |    ON x.band = y.band AND x.bval = y.bval AND x.doc_id < y.doc_id)
          |SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming
          |FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= $hammingThreshold
+         |ORDER BY id_a, id_b""".stripMargin,
+    "dedup_embedding_blocked" ->
+      s"""WITH n AS (
+         |  SELECT * FROM (
+         |    SELECT vec_id, embedding,
+         |      sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
+         |        i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS nrm
+         |    FROM embeddings) WHERE nrm > 0),
+         |cent AS (SELECT vec_id AS c_id, embedding AS c_emb, nrm AS c_nrm
+         |         FROM n WHERE vec_id % ${Similarity.centroidStride} = 1),
+         |asgn AS (
+         |  SELECT vec_id, c_id FROM (
+         |    SELECT v.vec_id, c.c_id,
+         |      row_number() OVER (PARTITION BY v.vec_id
+         |        ORDER BY list_sum(list_transform(range(1, len(v.embedding) + 1),
+         |          i -> CAST(v.embedding[i] AS DOUBLE) * CAST(c.c_emb[i] AS DOUBLE))) / (v.nrm * c.c_nrm) DESC,
+         |          c.c_id) AS c_rk
+         |    FROM n v, cent c)
+         |  WHERE c_rk <= $blockProbes),
+         |cand AS (
+         |  SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+         |  FROM asgn x JOIN asgn y ON x.c_id = y.c_id AND x.vec_id < y.vec_id)
+         |SELECT id_a, id_b,
+         |  list_sum(list_transform(range(1, len(a.embedding) + 1),
+         |    i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) / (a.nrm * b.nrm) AS cosine
+         |FROM cand JOIN n a ON id_a = a.vec_id JOIN n b ON id_b = b.vec_id
+         |WHERE list_sum(list_transform(range(1, len(a.embedding) + 1),
+         |    i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) / (a.nrm * b.nrm) >= $cosineThreshold
          |ORDER BY id_a, id_b""".stripMargin,
     "dedup_embedding_cosine" ->
       s"""WITH n AS (

@@ -30,7 +30,7 @@ object Similarity {
   private def dot(a: Column, b: Column): Column =
     graft.plans.VectorFunctions.vec_dot(a, b)
 
-  private def normed(s: SparkSession, dir: String): DataFrame =
+  private[ops] def normed(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding"))
       .withColumn("nrm", sqrt(dot(col("embedding"), col("embedding"))))
@@ -115,23 +115,34 @@ object Similarity {
   val centroidStride = 100
   val nProbe = 2
 
+  /** The deterministic coarse quantizer's centroid table (every
+    * `centroidStride`-th vector, standing in for k-means output). */
+  private[ops] def centroidsOf(n: DataFrame): DataFrame =
+    n.filter(col("vec_id") % centroidStride === 1)
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"), col("nrm").as("c_nrm"))
+
+  /** (id, c_id): each source vector's `keep` nearest centroids by cosine,
+    * deterministic (cosine desc, c_id tie-break). Shared by simIvfTopk
+    * and Dedup.dedupEmbeddingBlocked — the SAME assignment serves search
+    * probes and dedup blocking, so one quantizer build covers both. */
+  private[ops] def nearestCentroids(cent: DataFrame)(
+      src: DataFrame, idCol: String, embCol: String, nrmCol: String, keep: Int): DataFrame = {
+    val w = Window.partitionBy(col(idCol)).orderBy(col("c_cos").desc, col("c_id"))
+    src.join(broadcast(cent))
+      .withColumn("c_cos", dot(col(embCol), col("c_emb")) / (col(nrmCol) * col("c_nrm")))
+      .withColumn("c_rk", row_number().over(w))
+      .filter(col("c_rk") <= keep)
+      .select(col(idCol), col("c_id"))
+  }
+
   def simIvfTopk(s: SparkSession, dir: String): DataFrame = {
     val n = normed(s, dir)
-    val cent = n.filter(col("vec_id") % centroidStride === 1)
-      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"), col("nrm").as("c_nrm"))
-    def nearestCentroids(src: DataFrame, idCol: String, embCol: String, nrmCol: String, keep: Int) = {
-      val w = Window.partitionBy(col(idCol)).orderBy(col("c_cos").desc, col("c_id"))
-      src.join(broadcast(cent))
-        .withColumn("c_cos", dot(col(embCol), col("c_emb")) / (col(nrmCol) * col("c_nrm")))
-        .withColumn("c_rk", row_number().over(w))
-        .filter(col("c_rk") <= keep)
-        .select(col(idCol), col("c_id"))
-    }
-    val assign = nearestCentroids(
+    val cent = centroidsOf(n)
+    val assign = nearestCentroids(cent)(
       n.select(col("vec_id"), col("embedding"), col("nrm")), "vec_id", "embedding", "nrm", 1)
     val q = n.filter(col("vec_id") % queryStride === 0)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
-    val probes = nearestCentroids(q, "q_id", "q_emb", "q_nrm", nProbe)
+    val probes = nearestCentroids(cent)(q, "q_id", "q_emb", "q_nrm", nProbe)
     val cand = probes.join(assign, "c_id")
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("cand_id"))

@@ -24,15 +24,24 @@ private[plans] object InputChecks {
     }
     TypeCheckResult.TypeCheckSuccess
   }
+  // NullType is accepted everywhere (e.g. SQL `vec_dot(NULL, emb)`):
+  // evaluation is null-safe, so a null literal propagates null exactly
+  // like the null-tolerant builtins instead of failing analysis
   val isNumericArray: DataType => Boolean = {
     case ArrayType(FloatType | DoubleType, _) => true
+    case NullType => true
     case _ => false
   }
   val isLongArray: DataType => Boolean = {
     case ArrayType(LongType, _) => true
+    case NullType => true
     case _ => false
   }
-  val isString: DataType => Boolean = _ == StringType
+  val isString: DataType => Boolean = {
+    case StringType => true
+    case NullType => true
+    case _ => false
+  }
 }
 
 /** Custom codegen'd Catalyst expressions for the vector / hashing hot
@@ -51,18 +60,20 @@ case class DotProduct(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "vec_dot"
+  override def nullIntolerant: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult =
     InputChecks.check(prettyName)(
       (left, InputChecks.isNumericArray, "array<float> or array<double>"),
       (right, InputChecks.isNumericArray, "array<float> or array<double>"))
 
-  private def accessor(e: Expression): String =
-    e.dataType.asInstanceOf[ArrayType].elementType match {
-      case FloatType => "getFloat"
-      case DoubleType => "getDouble"
-      case other => throw new IllegalArgumentException(s"vec_dot: unsupported element type $other")
-    }
+  private def accessor(e: Expression): String = e.dataType match {
+    case ArrayType(FloatType, _) => "getFloat"
+    // DoubleType arrays; also the dead-code branch for a (rare,
+    // non-foldable) NullType input that survives NullPropagation — the
+    // generated code must compile even though the null check skips it
+    case _ => "getDouble"
+  }
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -120,6 +131,7 @@ object DotProduct {
 case class PolyHash(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def prettyName: String = "poly_hash"
+  override def nullIntolerant: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult =
     InputChecks.check(prettyName)((child, InputChecks.isString, "string"))
@@ -144,6 +156,7 @@ case class PolyHash(child: Expression) extends UnaryExpression {
 case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "word_shingles"
+  override def nullIntolerant: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult =
     InputChecks.check(prettyName)((child, InputChecks.isString, "string"))
@@ -167,6 +180,7 @@ case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
 case class WordShingleHashes(child: Expression, n: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "word_shingle_hashes"
+  override def nullIntolerant: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult =
     InputChecks.check(prettyName)((child, InputChecks.isString, "string"))
@@ -187,6 +201,7 @@ case class WordShingleHashes(child: Expression, n: Int) extends UnaryExpression 
 case class SortedIntersectCount(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = LongType
   override def prettyName: String = "sorted_intersect_count"
+  override def nullIntolerant: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult =
     InputChecks.check(prettyName)(
@@ -211,6 +226,7 @@ case class SortedIntersectCount(left: Expression, right: Expression) extends Bin
 case class SimHash32(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash32"
+  override def nullIntolerant: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult =
     InputChecks.check(prettyName)((child, InputChecks.isString, "string"))

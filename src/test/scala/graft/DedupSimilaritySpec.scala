@@ -68,6 +68,61 @@ class DedupSimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("blocked embedding dedup finds a subset of the exact pairs with good recall") {
+    val exact = Dedup.dedupEmbeddingCosine(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val blocked = Dedup.dedupEmbeddingBlocked(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // verification is exact cosine, so blocked can never invent a pair
+    assert(blocked.subsetOf(exact), s"blocked produced non-pairs: ${blocked -- exact}")
+    if (exact.nonEmpty) {
+      val recall = (exact intersect blocked).size.toDouble / exact.size
+      info(f"blocked-dedup recall vs exact all-pairs: $recall%.3f (${exact.size} exact pairs)")
+      assert(recall >= 0.5, f"recall $recall%.3f below 0.5")
+    }
+  }
+
+  test("distributed label propagation resolves a long path graph (diameter >> checkpoint interval)") {
+    import spark.implicits._
+    // path 0-1-2-...-40: min-label propagation needs ~40 iterations, i.e.
+    // ~8 localCheckpoint truncations — without them the lineage would grow
+    // by one union+join+agg per iteration
+    val n = 40
+    val pairs = (0L until n).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val labels = Dedup.distributedLabelPropagation(spark, pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(labels.length === n.toInt + 1)
+    assert(labels.forall(_._2 === 0L), s"path not fully labeled 0: ${labels.filter(_._2 != 0L).take(5).toSeq}")
+    assert(labels.map(_._1).toSeq === (0L to n).toSeq) // ordered output
+  }
+
+  test("constructing the shingle-based dedup plans runs no Spark job (lazy statistics)") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    import spark.implicits._
+    // cold corpus so nothing is memoized yet (written BEFORE the listener)
+    val tmp = java.nio.file.Files.createTempDirectory("lazystats")
+    Seq.tabulate(50)(i => (i.toLong, s"alpha beta gamma doc $i of many tokens", "en", "s", 30L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$tmp/documents.parquet")
+    // first construction pays parquet schema inference (one small job
+    // per table read, memoized by Tables); the point under test is that
+    // REPEAT construction — the steady state of a composing library —
+    // runs nothing: no eager statistics, no hidden head()/count()
+    Dedup.dedupNgramJaccard(spark, tmp.toString)
+    @volatile var jobs = 0
+    val l = new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit = jobs += 1
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      Dedup.dedupNgramJaccard(spark, tmp.toString)
+      Dedup.dedupMinhashLsh(spark, tmp.toString)
+      Dedup.dedupSimhash(spark, tmp.toString)
+      Thread.sleep(1000) // listener bus is async
+      assert(jobs === 0, s"plan construction launched $jobs Spark job(s)")
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
+
   test("LSH ANN returns same-bucket true neighbors with measurable recall") {
     val exact = Similarity.simTopkBruteforce(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet

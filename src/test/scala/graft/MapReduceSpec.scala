@@ -56,4 +56,29 @@ class MapReduceSpec extends AnyFunSuite {
       .collect().map(_.toInt).sorted
     assert(out.toSeq === Seq(2, 3))
   }
+
+  test("runArgvScript runs an argv-file program per partition (reference Worker.java:138 contract)") {
+    import spark.implicits._
+    // a sys.argv[1]/sys.argv[2] program — the shape Pipe.run CANNOT run
+    val script = java.nio.file.Files.createTempFile("argv-upper", ".py")
+    java.nio.file.Files.write(script,
+      ("import sys\n" +
+        "with open(sys.argv[1]) as fi, open(sys.argv[2], 'w') as fo:\n" +
+        "    for line in fi:\n" +
+        "        fo.write(line.strip().upper() + '\\n')\n").getBytes)
+    val data = lines(100, 5)
+    val out = Pipe.runArgvScript(data.toDS().repartition(7), script.toString).collect()
+    assert(out.sorted.toSeq === data.map(_.toUpperCase).sorted)
+  }
+
+  test("runArgv fails loudly when the program exits nonzero") {
+    import spark.implicits._
+    val script = java.nio.file.Files.createTempFile("argv-fail", ".py")
+    java.nio.file.Files.write(script, "import sys\nsys.exit(3)\n".getBytes)
+    val ex = intercept[Exception] {
+      Pipe.runArgvScript(Seq("x").toDS(), script.toString).collect()
+    }
+    assert(ex.getMessage.contains("exited 3") ||
+      Option(ex.getCause).exists(_.getMessage.contains("exited 3")))
+  }
 }

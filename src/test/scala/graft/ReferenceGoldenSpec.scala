@@ -34,6 +34,31 @@ class ReferenceGoldenSpec extends AnyFunSuite {
     assert(got === golden)
   }
 
+  test("the reference's VERBATIM mapper.py/reducer.py reproduce the golden output via the argv contract") {
+    // the reference runs user programs as `prog <in> <out>` over chunk
+    // files (Worker.java:138, Master.java:184,201); Pipe.argvMapReduce
+    // replicates that contract exactly, so the unmodified shipped
+    // programs must reproduce final_result.out end-to-end
+    val dir = s"$refDir/finding_the_suspects"
+    val lines = spark.read.textFile(s"$dir/sample.data").repartition(4)
+    val out = graft.mr.Pipe.argvMapReduce(lines, s"$dir/mapper.py", s"$dir/reducer.py")
+      .collect().filter(_.trim.nonEmpty)
+      .map { line =>
+        val parts = line.trim.split("\\s+")
+        (parts.head, parts.tail.sorted.toSeq)
+      }.toSeq.sortBy(_._1)
+
+    val golden = scala.io.Source.fromFile(s"$dir/final_result.out")
+      .getLines().filter(_.nonEmpty)
+      .map { line =>
+        val parts = line.trim.split("\\s+")
+        (parts.head, parts.tail.sorted.toSeq)
+      }.toSeq.sortBy(_._1)
+
+    assert(out.size === 17)
+    assert(out === golden)
+  }
+
   test("W1 word count matches a scala oracle on a generated input") {
     import spark.implicits._
     val words = Seq("akbar", "alireza", "armin", "hooman", "melika", "milad")

@@ -49,6 +49,48 @@ class StreamingSpec extends AnyFunSuite {
     assert(!rows.exists(_._2 == "late"), s"late row leaked into results: $rows")
   }
 
+  test("production file-sink append stream equals the batch hourly histogram") {
+    import org.apache.spark.sql.functions._
+    import scala.jdk.CollectionConverters._
+    val base = java.nio.file.Files.createTempDirectory("fsink")
+    val src = base.resolve("src"); java.nio.file.Files.createDirectories(src)
+    // stage sf0.001 events as several ts-ordered parquet files (ascending
+    // mod-times => oldest-first admission) plus a far-future sentinel
+    // event whose watermark advance closes every real window — append
+    // mode only emits a window once the watermark passes its end
+    val ev = Tables(spark, TestSpark.sf0001, "events")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .orderBy(col("ts"))
+    val rows = ev.collect()
+    val schema = ev.schema
+    val maxTs = rows.last.getTimestamp(1)
+    val chunks = rows.toSeq.grouped(rows.length / 3 + 1).map(_.toSeq).toSeq
+    val sentinel = org.apache.spark.sql.Row(
+      -1L, new java.sql.Timestamp(maxTs.getTime + 3 * 3600 * 1000L), -1L, "sentinel", 0.0)
+    (chunks :+ Seq(sentinel)).zipWithIndex.foreach { case (chunk, i) =>
+      val stage = base.resolve(s"stage$i")
+      spark.createDataFrame(chunk.asJava, schema).coalesce(1)
+        .write.parquet(stage.toString)
+      val part = java.nio.file.Files.list(stage).iterator().asScala
+        .find(_.toString.endsWith(".parquet")).get
+      val dst = src.resolve(f"events-$i%02d.parquet")
+      java.nio.file.Files.move(part, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
+    }
+    graft.streaming.EventStreams.streamHourCountsToFiles(
+      spark, src.toString, base.resolve("out").toString, base.resolve("ckpt").toString)
+    val got = spark.read.parquet(base.resolve("out").toString)
+      .filter(col("event_type") =!= "sentinel")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    val want = Tables(spark, TestSpark.sf0001, "events")
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    assert(got.nonEmpty)
+    assert(got === want)
+  }
+
   test("stateful flatMapGroupsWithState final counts equal batch counts") {
     import org.apache.spark.sql.functions._
     val streamed = EventStreams.streamStatefulCounts(spark, TestSpark.sf0001)
