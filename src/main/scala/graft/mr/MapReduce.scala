@@ -135,15 +135,57 @@ object Pipe {
     runArgv(lines, () => Seq(interpreter, org.apache.spark.SparkFiles.get(shippedName)))
   }
 
+  /** On-worker compilation of C++ user programs — the reference's
+    * `codeLang == "cpp"` path (`Worker.java:145-153`, `Master.java:184-201`:
+    * `g++ --std=c++11 code.cpp -o binary.out`, then `binary <in> <out>`).
+    * The source ships with `addFile`; each executor JVM compiles it at
+    * most once (memoized below) — separate JVMs on a real cluster each
+    * compile their own copy, exactly the reference's once-per-worker
+    * behavior. */
+  def runArgvCpp(lines: Dataset[String], cppPath: String): Dataset[String] = {
+    val src = java.nio.file.Paths.get(cppPath)
+    val unique = java.nio.file.Files.createTempFile("graft-src-", "-" + src.getFileName)
+    java.nio.file.Files.copy(src, unique, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    lines.sparkSession.sparkContext.addFile(unique.toString)
+    val shippedName = unique.getFileName.toString
+    runArgv(lines, () => Seq(Pipe.compiledBinary(shippedName)))
+  }
+
+  /** Executor-side compile memo (JVM-global: one compile per worker per
+    * shipped source, concurrent partitions share the result). */
+  private val binaries = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[mr] def compiledBinary(shippedName: String): String =
+    binaries.computeIfAbsent(shippedName, _ => {
+      val srcPath = org.apache.spark.SparkFiles.get(shippedName)
+      val bin = java.nio.file.Files.createTempFile("graft-cpp-", ".out")
+      val cmd = Seq("g++", "--std=c++11", srcPath, "-o", bin.toString)
+      val p = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
+      p.getOutputStream.close()
+      val log = scala.io.Source.fromInputStream(p.getInputStream, "UTF-8").mkString
+      if (p.waitFor() != 0)
+        throw new RuntimeException(s"worker-side g++ failed for $shippedName:\n$log")
+      bin.toFile.setExecutable(true)
+      bin.toString
+    })
+
+  /** Dispatch a user program by extension, like the reference's
+    * `codeLang` switch: `.cpp` compiles on the worker, anything else
+    * runs under `interpreter`. */
+  private def argvRunner(lines: Dataset[String], path: String, interpreter: String) =
+    if (path.endsWith(".cpp")) runArgvCpp(lines, path)
+    else runArgvScript(lines, path, interpreter)
+
   /** The reference's literal end-to-end job (`Master.java:169-210`):
     * mapper program per chunk, then ONE reducer process over the
     * concatenation of all mapper outputs (`coalesce(1)` = the reference's
     * merged-file reduce, including its single-process ceiling — the
     * scalable alternative is MapReduce.run's per-key Aggregator). Both
-    * programs run verbatim under the argv contract, so a user's existing
-    * mapper.py/reducer.py pair works unmodified. */
+    * programs run verbatim under the argv contract — `.py` via the
+    * interpreter, `.cpp` compiled on the worker — so a user's existing
+    * mapper/reducer pair works unmodified in either language. */
   def argvMapReduce(lines: Dataset[String], mapperScript: String, reducerScript: String,
       interpreter: String = "python3"): Dataset[String] =
-    runArgvScript(runArgvScript(lines, mapperScript, interpreter).coalesce(1),
+    argvRunner(argvRunner(lines, mapperScript, interpreter).coalesce(1),
       reducerScript, interpreter)
 }

