@@ -96,6 +96,25 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(labels.map(_._1).toSeq === (0L to n).toSeq) // ordered output
   }
 
+  test("large-star/small-star equals union-find on random graphs and long paths") {
+    import spark.implicits._
+    def labelsOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // random graph: 120 nodes, 150 random edges (many small components)
+    val rnd = new scala.util.Random(23)
+    val raw = Seq.fill(150) { val a = rnd.nextInt(120); val b = rnd.nextInt(120); (a.toLong, b.toLong) }
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .distinct
+    val pairs = raw.toDF("id_a", "id_b")
+    assert(labelsOf(Dedup.largeStarSmallStar(spark, pairs)) ===
+      labelsOf(Dedup.driverUnionFind(spark, pairs)))
+    // long path (worst case for propagation, O(log n) rounds here)
+    val path = (0L until 60L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = labelsOf(Dedup.largeStarSmallStar(spark, path))
+    assert(got.size === 61 && got.values.forall(_ == 0L))
+  }
+
   test("constructing the shingle-based dedup plans runs no Spark job (lazy statistics)") {
     import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
     import spark.implicits._

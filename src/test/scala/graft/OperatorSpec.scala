@@ -37,6 +37,22 @@ class OperatorSpec extends AnyFunSuite {
     assert(r._2 === 1589001147L) // == duckdb ('0x'||substr(md5,1,8))::BIGINT
   }
 
+  test("custom expressions propagate null instead of failing analysis") {
+    import spark.implicits._
+    // NullType literal (NullPropagation folds the null-intolerant expr)
+    // and a typed-but-null array (null-safe eval) both yield null — the
+    // same behavior as null-tolerant builtins (round-2 ADVICE)
+    val r = Seq((Some(Seq(1.0, 2.0)), Option.empty[Seq[Double]]))
+      .toDF("a", "b")
+      .select(
+        graft.plans.VectorFunctions.vec_dot(lit(null), col("a")).as("n1"),
+        graft.plans.VectorFunctions.vec_dot(col("a"), col("b")).as("n2"),
+        graft.plans.VectorFunctions.vec_dot(col("a"), col("a")).as("d"))
+      .head()
+    assert(r.isNullAt(0) && r.isNullAt(1))
+    assert(r.getDouble(2) === 5.0)
+  }
+
   test("every registered query returns rows at sf0.001 (t1 smoke)") {
     val failures = SparkEntry.queries.flatMap { case (name, fn) =>
       try {
