@@ -23,6 +23,7 @@ object SparkEntry {
       ops.Relational.queries ++
       ops.Events.queries ++
       ops.TextAnalysis.queries ++
+      ops.Curation.queries ++
       ops.Dedup.queries ++
       ops.Similarity.queries ++
       ops.Compat.queries ++
@@ -36,6 +37,7 @@ object SparkEntry {
       ops.Relational.oracles ++
       ops.Events.oracles ++
       ops.TextAnalysis.oracles ++
+      ops.Curation.oracles ++
       ops.Dedup.oracles ++
       ops.Similarity.oracles ++
       ops.Compat.oracles ++

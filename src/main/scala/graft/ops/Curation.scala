@@ -1,0 +1,157 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextFns
+
+/** Dataset-curation operators — the selection/mixing/decontamination
+  * steps between a raw crawl and a training set. The reference harness
+  * has no notion of these (it runs arbitrary user programs); they are
+  * north-star surface like Dedup/Similarity, designed so every decision
+  * is DETERMINISTIC (hash-based, not RNG-based) and therefore both
+  * reproducible at 100 TB and DuckDB-oracle-checkable at test scale:
+  *
+  *  - stratified sampling: per-language keep-rates out of 100, decided
+  *    by an md5-derived bucket of the doc_id — stable under reruns,
+  *    partition layout, and cluster size, unlike `DataFrame.sample`;
+  *  - token-budget curation: greedy per-source prefix in doc_id order
+  *    until each source's token budget is spent — the "N tokens per
+  *    source" recipe step, one window per source, no driver loop;
+  *  - n-gram decontamination: flag training docs sharing any 8-token
+  *    shingle with a held-out eval set — an equi-join on 60-bit shingle
+  *    hashes (never an all-pairs scan), returning a per-doc overlap
+  *    count so thresholds stay a downstream policy choice.
+  *
+  * The per-language rates and budgets below are Scala constants and the
+  * oracle SQL is generated from the SAME constants — the two engines
+  * cannot silently drift.
+  */
+object Curation {
+
+  /** Keep-rate percent per language (pretraining mix weights); languages
+    * absent from the map fall back to [[sampleDefaultRate]]. */
+  val sampleRates: Seq[(String, Int)] = Seq("en" -> 60, "de" -> 40, "fr" -> 40, "es" -> 30)
+  val sampleDefaultRate = 20
+
+  /** Deterministic bucket in [0, 100) from the decimal string of the id —
+    * md5-based so DuckDB computes the identical value. */
+  private def hashBucket(c: Column): Column =
+    pmod(TextFns.md5Int(c.cast("string")), lit(100L))
+
+  private def rateCol: Column =
+    sampleRates.foldRight(lit(sampleDefaultRate): Column) {
+      case ((l, r), acc) => when(col("lang") === l, lit(r)).otherwise(acc)
+    }
+
+  /** Deterministic stratified sample: keep doc iff its hash bucket falls
+    * under its language's rate. Shuffle-free (pure filter — the scan
+    * prunes to 3 columns) and exactly reproducible on any cluster. */
+  def curateSampleStratified(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .withColumn("bucket", hashBucket(col("doc_id")))
+      .filter(col("bucket") < rateCol)
+      .select(col("doc_id"), col("lang"), col("bucket"))
+      .orderBy(col("doc_id"))
+
+  /** Token budget per source for the greedy prefix curation. Small on
+    * purpose: at every scale factor some sources exceed it, so the
+    * operator's cut-off behavior is actually exercised. */
+  val tokenBudgetPerSource = 500L
+
+  /** Greedy per-source curation: take docs in doc_id order while the
+    * tokens consumed BEFORE the doc are within budget (so the first doc
+    * of a source is always taken and the budget may be exceeded at most
+    * once — the standard greedy-fill contract). One running-sum window
+    * per source partition; no shuffle beyond it. */
+  def curateTokenBudget(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        size(TextFns.tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") - col("n_tokens") < tokenBudgetPerSource)
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("cum_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Decontamination shingle width: 8 contiguous tokens, the common
+    * "8-gram overlap with the benchmark" rule. */
+  val contamShingleN = 8
+
+  /** Every `evalStride`-th doc stands in for the held-out benchmark set
+    * (deterministic, so the oracle can reproduce the split). */
+  val evalStride = 50
+
+  /** Per-training-doc eval-set overlap: number of distinct 8-token
+    * shingles shared with ANY eval doc, plus the smallest contaminated
+    * eval partner (null for clean docs). Equi-join on 60-bit shingle
+    * hashes — cost is bounded by true overlap, never all-pairs; the
+    * eval side is a vanishing fraction but still shuffle-joined (at
+    * 100 TB even the eval shingle table exceeds broadcast budgets). */
+  def decontaminateNgram(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    val sh = docs.select(col("doc_id"),
+      explode(graft.plans.VectorFunctions.word_shingle_hashes(col("text"), contamShingleN)).as("h"))
+    val evalSh = sh.filter(col("doc_id") % evalStride === 0)
+      .select(col("doc_id").as("eval_id"), col("h"))
+    val hits = sh.filter(col("doc_id") % evalStride =!= 0)
+      .join(evalSh, "h")
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("h")).as("n_shared"), min(col("eval_id")).as("first_eval"))
+    docs.filter(col("doc_id") % evalStride =!= 0)
+      .select(col("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"), col("first_eval"))
+      .orderBy(col("doc_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "curate_sample_stratified" -> curateSampleStratified _,
+    "curate_token_budget" -> curateTokenBudget _,
+    "decontaminate_ngram" -> decontaminateNgram _,
+  )
+
+  private val tokSql =
+    """list_filter(string_split_regex(text, '[ \t\n\x0B\f\r]+'), x -> x <> '')"""
+
+  private val rateCaseSql =
+    "CASE " + sampleRates.map { case (l, r) => s"WHEN lang = '$l' THEN $r" }.mkString(" ") +
+      s" ELSE $sampleDefaultRate END"
+
+  val oracles: Map[String, String] = Map(
+    "curate_sample_stratified" ->
+      s"""SELECT doc_id, lang, bucket FROM (
+         |  SELECT doc_id, lang,
+         |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bucket
+         |  FROM documents)
+         |WHERE bucket < ($rateCaseSql)
+         |ORDER BY doc_id""".stripMargin,
+    "curate_token_budget" ->
+      s"""SELECT doc_id, source, n_tokens, cum_tokens FROM (
+         |  SELECT doc_id, source, n_tokens,
+         |    -- DuckDB sums BIGINT into HUGEINT; cast back for schema parity
+         |    CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+         |  FROM (SELECT doc_id, source, CAST(len($tokSql) AS BIGINT) AS n_tokens FROM documents))
+         |WHERE cum_tokens - n_tokens < $tokenBudgetPerSource
+         |ORDER BY doc_id""".stripMargin,
+    "decontaminate_ngram" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(tk) - ${contamShingleN - 2}),
+         |    i -> array_to_string(tk[i:i+${contamShingleN - 1}], ' ')))) AS shingle
+         |  FROM (SELECT doc_id, $tokSql AS tk FROM documents)),
+         |ev AS (SELECT doc_id AS eval_id, shingle FROM sh WHERE doc_id % $evalStride = 0),
+         |tr AS (SELECT doc_id, shingle FROM sh WHERE doc_id % $evalStride <> 0),
+         |hits AS (
+         |  SELECT tr.doc_id, count(DISTINCT tr.shingle) AS n_shared, min(ev.eval_id) AS first_eval
+         |  FROM tr JOIN ev ON tr.shingle = ev.shingle GROUP BY tr.doc_id)
+         |SELECT d.doc_id, COALESCE(hits.n_shared, 0) AS n_shared, hits.first_eval
+         |FROM (SELECT doc_id FROM documents WHERE doc_id % $evalStride <> 0) d
+         |LEFT JOIN hits ON d.doc_id = hits.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+  )
+}
