@@ -90,12 +90,31 @@ object Events {
         col("n_events"), col("total_value"))
       .orderBy(col("user_id"), col("start_ms"))
 
+  /** Adjacent-event features per user: gap to the previous event, gap to
+    * the next (lag/lead over one ordered window — Catalyst evaluates both
+    * in a single Window operator), and the event's value quartile within
+    * the user (ntile). The standard clickstream feature-derivation trio;
+    * one shuffle on user_id total. */
+  def evLeadLag(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val wq = Window.partitionBy(col("user_id")).orderBy(col("value"), col("event_id"))
+    Tables(s, dir, "events")
+      .withColumn("ms", unix_millis(col("ts")))
+      .withColumn("prev_gap_ms", col("ms") - lag(col("ms"), 1).over(w))
+      .withColumn("next_gap_ms", lead(col("ms"), 1).over(w) - col("ms"))
+      .withColumn("value_quartile", ntile(4).over(wq).cast("long"))
+      .select(col("user_id"), col("event_id"), col("prev_gap_ms"),
+        col("next_gap_ms"), col("value_quartile"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev_session_window" -> evSessionWindow _,
     "ev_sliding_window" -> evSlidingWindow _,
     "ev_hour_histogram" -> evHourHistogram _,
     "ev_running_sum" -> evRunningSum _,
     "ev_sessionize" -> evSessionize _,
+    "ev_lead_lag" -> evLeadLag _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -131,6 +150,15 @@ object Events {
       """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n_events,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+    "ev_lead_lag" ->
+      """SELECT user_id, event_id,
+        |  epoch_ms(ts) - lag(epoch_ms(ts)) OVER w AS prev_gap_ms,
+        |  lead(epoch_ms(ts)) OVER w - epoch_ms(ts) AS next_gap_ms,
+        |  CAST(ntile(4) OVER wq AS BIGINT) AS value_quartile
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+        |       wq AS (PARTITION BY user_id ORDER BY value, event_id)
+        |ORDER BY user_id, event_id""".stripMargin,
     "ev_running_sum" ->
       """SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (

@@ -144,7 +144,33 @@ object TextAnalysis {
         length(col("text")).cast("long").as("n_chars"))
       .orderBy(col("doc_id"))
 
+  /** Discrete quantile percentages for the corpus profile. */
+  val quantilePs = Seq(50, 90, 99)
+
+  /** Per-language token-count quantiles (p50/p90/p99) — the first plot
+    * anyone makes of a new corpus. Discrete quantiles via integer rank
+    * arithmetic (`rank == max(1, ceil(p·n/100))` over the per-language
+    * ordering) rather than interpolating percentile functions, whose
+    * interpolation arithmetic differs across engines; integer ranks are
+    * bit-identical everywhere and still one window pass. */
+  def textLengthQuantiles(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("lang")).orderBy(col("n_tokens"), col("doc_id"))
+    val wc = Window.partitionBy(col("lang"))
+    Tables(s, dir, "documents")
+      .select(col("lang"), col("doc_id"),
+        size(TextFns.tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(wc))
+      .select(col("lang"), col("n_tokens"), col("rk"), col("n"),
+        explode(array(quantilePs.map(lit): _*)).as("p"))
+      .filter(col("rk") === greatest(lit(1L), expr("(p * n + 99) div 100")))
+      .select(col("lang"), col("p"), col("n_tokens").as("tokens_at_p"))
+      .orderBy(col("lang"), col("p"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_length_quantiles" -> textLengthQuantiles _,
     "text_bpe_tokens" -> textBpeTokens _,
     "text_ngram_freq" -> textNgramFreq _,
     "corpus_clean" -> corpusClean _,
@@ -158,6 +184,19 @@ object TextAnalysis {
     """list_filter(string_split_regex(text, '[ \t\n\x0B\f\r]+'), x -> x <> '')"""
 
   val oracles: Map[String, String] = Map(
+    "text_length_quantiles" ->
+      s"""WITH base AS (
+         |  SELECT lang, doc_id, CAST(len($tokSql) AS BIGINT) AS n_tokens FROM documents),
+         |ranked AS (
+         |  SELECT lang, n_tokens,
+         |    row_number() OVER (PARTITION BY lang ORDER BY n_tokens, doc_id) AS rk,
+         |    count(*) OVER (PARTITION BY lang) AS n
+         |  FROM base),
+         |ps AS (SELECT * FROM (VALUES ${quantilePs.map(p => s"($p)").mkString(", ")}) AS t(p))
+         |SELECT lang, p, n_tokens AS tokens_at_p
+         |FROM ranked, ps
+         |WHERE rk = GREATEST(1, (p * n + 99) // 100)
+         |ORDER BY lang, p""".stripMargin,
     "text_bpe_tokens" ->
       s"""SELECT doc_id,
          |  CAST(len(regexp_extract_all(text, ' ?[\\p{L}]+| ?[\\p{N}]+| ?[^ \\t\\n\\x0B\\f\\r\\p{L}\\p{N}]+')) AS BIGINT) AS n_bpe,
