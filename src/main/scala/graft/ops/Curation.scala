@@ -109,6 +109,23 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  /** Materialize the stratified corpus as a lang-partitioned parquet
+    * dataset — the write-side half of the 100 TB story: `partitionBy`
+    * turns every language-filtered read into directory pruning
+    * (`PartitionFilters` in the scan, no data read at all for other
+    * languages), and the `repartition(lang)` BEFORE the write makes each
+    * partition land as one well-sized file per task instead of
+    * numPartitions-way small-file sharding — the classic small-files
+    * failure mode of naive partitioned writes. Round-trip + pruning are
+    * pinned in `SourcesSpec`. */
+  def materializeCorpus(s: SparkSession, dir: String, outDir: String): Unit =
+    Tables(s, dir, "documents")
+      .withColumn("bucket", hashBucket(col("doc_id")))
+      .filter(col("bucket") < rateCol)
+      .drop("bucket")
+      .repartition(col("lang"))
+      .write.mode("overwrite").partitionBy("lang").parquet(outDir)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "curate_sample_stratified" -> curateSampleStratified _,
     "curate_token_budget" -> curateTokenBudget _,

@@ -25,4 +25,25 @@ class SourcesSpec extends AnyFunSuite {
       .orderBy(col("l_returnflag"), col("l_linestatus"))
     assert(jsonBack.collect().map(_.toSeq).toSeq === expected)
   }
+
+  test("partitioned corpus sink prunes partitions on language-filtered reads") {
+    val out = java.nio.file.Files.createTempDirectory("graft-part").resolve("corpus")
+    ops.Curation.materializeCorpus(spark, TestSpark.sf0001, out.toString)
+    // hive-style lang=... directories exist
+    assert(java.nio.file.Files.exists(out.resolve("lang=en")))
+
+    val back = spark.read.parquet(out.toString).filter(col("lang") === "en")
+    val expected = ops.Curation.curateSampleStratified(spark, TestSpark.sf0001)
+      .filter(col("lang") === "en").count()
+    assert(back.count() === expected)
+    assert(expected > 0)
+
+    // the filter must land in PartitionFilters (directory pruning), not
+    // as a data filter evaluated per row
+    val plan = back.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: ["), plan.take(800))
+    val pf = plan.linesIterator.find(_.contains("PartitionFilters")).get
+    assert(pf.replaceAll(""".*PartitionFilters: \[([^\]]*)\].*""", "$1").contains("lang"),
+      s"lang filter not pushed to partition pruning: $pf")
+  }
 }
