@@ -307,7 +307,26 @@ object Relational {
         aggregate(col("arr"), lit(0L), (a, b) => a + b).as("arr_sum"))
       .orderBy(col("c_custkey"))
 
+  /** Top-2 customers per nation through a correlated LATERAL subquery
+    * with ORDER BY + LIMIT — per-group top-k expressed as the inner
+    * query the user actually thinks in, decorrelated by Catalyst rather
+    * than hand-rewritten to a window. Exercises the `spark.sql` entry
+    * path (reading the parquet directly via the `parquet.` catalog); the
+    * DataFrame spelling of the same operator is `Dataset.lateralJoin`.
+    * The doubles compared/ordered come straight from parquet, so
+    * cross-engine hash parity holds bit-for-bit. */
+  def qLateralTopk(s: SparkSession, dir: String): DataFrame =
+    s.sql(
+      s"""SELECT n.n_name, t.c_custkey, t.c_name, t.c_acctbal
+         |FROM parquet.`$dir/nation.parquet` n,
+         |LATERAL (SELECT c_custkey, c_name, c_acctbal
+         |         FROM parquet.`$dir/customer.parquet` c
+         |         WHERE c.c_nationkey = n.n_nationkey
+         |         ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
+         |ORDER BY n_name, c_acctbal DESC, c_custkey""".stripMargin)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_lateral_topk" -> qLateralTopk _,
     "q_pivot" -> qPivot _,
     "q_full_outer" -> qFullOuter _,
     "q_struct_array_ops" -> qStructArrayOps _,
@@ -335,6 +354,14 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_lateral_topk" ->
+      """SELECT n.n_name, t.c_custkey, t.c_name, t.c_acctbal
+        |FROM nation n,
+        |LATERAL (SELECT c_custkey, c_name, c_acctbal
+        |         FROM customer c
+        |         WHERE c.c_nationkey = n.n_nationkey
+        |         ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
+        |ORDER BY n_name, c_acctbal DESC, c_custkey""".stripMargin,
     "q_pivot" ->
       """SELECT l_returnflag,
         |  CAST(sum(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS "F",

@@ -103,6 +103,37 @@ object EventStreams {
         .orderBy(col("event_type")))
   }
 
+  /** Streaming ingest-dedup — the landing-zone pattern of a training
+    * pipeline: duplicates are dropped ON THE STREAM with
+    * watermark-bounded state (`dropDuplicatesWithinWatermark`), not in a
+    * later batch pass over the landed data. The source is read twice and
+    * unioned so every event provably arrives duplicated; the deduped
+    * append stream must restore exact batch per-type counts. State holds
+    * only keys younger than the watermark — bounded, unlike a plain
+    * `dropDuplicates` whose key state grows forever. */
+  def streamDedupCounts(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val name = "stream_dedup_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    def src = s.readStream.schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val deduped = src.union(src)
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+      .select(col("event_id"), col("event_type"))
+    val q = deduped.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    materializeAndDrop(s, name,
+      s.table(name)
+        .groupBy(col("event_type")).agg(count(lit(1)).as("n_events"))
+        .orderBy(col("event_type")))
+  }
+
   /** Schema of a production events feed (real TimestampType ts — the
     * int64-nanos quirk is testdata-specific; a data lake lands proper
     * timestamps). */
@@ -144,6 +175,7 @@ object EventStreams {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_hour_counts" -> streamHourCounts _,
     "stream_stateful_counts" -> streamStatefulCounts _,
+    "stream_dedup_counts" -> streamDedupCounts _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -151,6 +183,11 @@ object EventStreams {
       """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n_events
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
     "stream_stateful_counts" ->
+      """SELECT event_type, count(*) AS n_events
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // the doubled stream deduped on event_id (unique in the source)
+    // must equal the plain batch counts
+    "stream_dedup_counts" ->
       """SELECT event_type, count(*) AS n_events
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
   )
