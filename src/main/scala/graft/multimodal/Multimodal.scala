@@ -111,10 +111,41 @@ object Multimodal {
         col("features").getItem(2).as("f2"), col("features").getItem(3).as("f3"))
       .orderBy(col("doc_id"))
 
+  /** Query stride + k for the feature-similarity composition. */
+  val annQueryStride = 20
+  val annTopK = 3
+
+  /** The multimodal→similarity composition end-to-end: extracted feature
+    * vectors flow straight into cosine top-k (same codegen'd `vec_dot` +
+    * broadcast-queries shape as `sim_topk_bruteforce`) — image payloads
+    * querying the whole media corpus for nearest neighbors by content
+    * features. Zero-norm vectors (empty payloads) are excluded exactly
+    * like `Similarity.normed`. Deterministic stub features keep even this
+    * cross-modality pipeline oracle-checkable. */
+  def mmFeatureAnn(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dot = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
+      graft.plans.VectorFunctions.vec_dot(a, b)
+    val n = featureVectors(s, dir)
+      .withColumn("nrm", sqrt(dot(col("features"), col("features"))))
+      .filter(col("nrm") > 0)
+    val q = n.filter(col("kind") === "image" && col("doc_id") % annQueryStride === 0)
+      .select(col("doc_id").as("q_id"), col("features").as("q_f"), col("nrm").as("q_nrm"))
+    val c = n.select(col("doc_id").as("cand_id"), col("features").as("c_f"), col("nrm").as("c_nrm"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("cand_id"))
+    c.join(broadcast(q), col("cand_id") =!= col("q_id"))
+      .withColumn("cosine", dot(col("q_f"), col("c_f")) / (col("q_nrm") * col("c_nrm")))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= annTopK)
+      .select(col("q_id"), col("rk"), col("cand_id"), col("cosine"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_payload_meta" -> mmPayloadMeta _,
     "mm_frame_sample" -> mmFrameSample _,
     "mm_feature_extract" -> mmFeatureExtract _,
+    "mm_feature_ann" -> mmFeatureAnn _,
   )
 
   private val kindSql =
@@ -141,5 +172,29 @@ object Multimodal {
          |  CAST(octet_length(encode(text)) % 640 AS DOUBLE) / 640.0 AS f2,
          |  CAST(octet_length(encode(text)) % 480 AS DOUBLE) / 480.0 AS f3
          |FROM documents ORDER BY doc_id""".stripMargin,
+    // left-assoc + and 0+x==x keep the 4-term dot/norm bit-identical to
+    // the codegen'd left-fold vec_dot
+    "mm_feature_ann" ->
+      s"""WITH f AS (
+         |  SELECT doc_id, $kindSql AS kind,
+         |    CAST(octet_length(encode(text)) AS DOUBLE) / 255.0 AS f0,
+         |    CAST(octet_length(encode(text)) % 7 AS DOUBLE) / 7.0 AS f1,
+         |    CAST(octet_length(encode(text)) % 640 AS DOUBLE) / 640.0 AS f2,
+         |    CAST(octet_length(encode(text)) % 480 AS DOUBLE) / 480.0 AS f3
+         |  FROM documents),
+         |n AS (SELECT * FROM (
+         |    SELECT *, sqrt(f0*f0 + f1*f1 + f2*f2 + f3*f3) AS nrm FROM f)
+         |  WHERE nrm > 0),
+         |q AS (SELECT * FROM n WHERE kind = 'image' AND doc_id % $annQueryStride = 0),
+         |scored AS (
+         |  SELECT q.doc_id AS q_id, c.doc_id AS cand_id,
+         |    (q.f0*c.f0 + q.f1*c.f1 + q.f2*c.f2 + q.f3*c.f3) / (q.nrm * c.nrm) AS cosine
+         |  FROM q JOIN n c ON c.doc_id <> q.doc_id),
+         |ranked AS (
+         |  SELECT q_id, cand_id, cosine,
+         |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, cand_id) AS BIGINT) AS rk
+         |  FROM scored)
+         |SELECT q_id, rk, cand_id, cosine FROM ranked WHERE rk <= $annTopK
+         |ORDER BY q_id, rk""".stripMargin,
   )
 }
