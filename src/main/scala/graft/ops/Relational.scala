@@ -325,7 +325,31 @@ object Relational {
          |         ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
          |ORDER BY n_name, c_acctbal DESC, c_custkey""".stripMargin)
 
+  /** Iterative SQL without a driver loop: a recursive CTE (new in Spark 4)
+    * walks each region's nation chain from its minimum key, labeling every
+    * node with the chain root — the transitive-closure shape that
+    * previously required the hand-rolled loop in `Dedup`'s clustering.
+    * The recursion is a DAG walk (strictly increasing keys), so UNION ALL
+    * terminates; DuckDB executes the identical statement as the oracle. */
+  def qRecursiveChain(s: SparkSession, dir: String): DataFrame =
+    s.sql(
+      s"""WITH RECURSIVE
+         |succ AS (
+         |  SELECT n_nationkey AS src,
+         |    lead(n_nationkey) OVER (PARTITION BY n_regionkey ORDER BY n_nationkey) AS dst
+         |  FROM parquet.`$dir/nation.parquet`),
+         |roots AS (
+         |  SELECT min(n_nationkey) AS node FROM parquet.`$dir/nation.parquet`
+         |  GROUP BY n_regionkey),
+         |chain AS (
+         |  SELECT node, node AS lab FROM roots
+         |  UNION ALL
+         |  SELECT s.dst AS node, c.lab FROM chain c JOIN succ s ON s.src = c.node
+         |  WHERE s.dst IS NOT NULL)
+         |SELECT node AS n_nationkey, lab AS chain_root FROM chain ORDER BY node""".stripMargin)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_recursive_chain" -> qRecursiveChain _,
     "q_lateral_topk" -> qLateralTopk _,
     "q_pivot" -> qPivot _,
     "q_full_outer" -> qFullOuter _,
@@ -354,6 +378,19 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_recursive_chain" ->
+      """WITH RECURSIVE
+        |succ AS (
+        |  SELECT n_nationkey AS src,
+        |    lead(n_nationkey) OVER (PARTITION BY n_regionkey ORDER BY n_nationkey) AS dst
+        |  FROM nation),
+        |roots AS (SELECT min(n_nationkey) AS node FROM nation GROUP BY n_regionkey),
+        |chain AS (
+        |  SELECT node, node AS lab FROM roots
+        |  UNION ALL
+        |  SELECT s.dst AS node, c.lab FROM chain c JOIN succ s ON s.src = c.node
+        |  WHERE s.dst IS NOT NULL)
+        |SELECT node AS n_nationkey, lab AS chain_root FROM chain ORDER BY node""".stripMargin,
     "q_lateral_topk" ->
       """SELECT n.n_name, t.c_custkey, t.c_name, t.c_acctbal
         |FROM nation n,
