@@ -20,4 +20,6 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // the custom expressions resolve by name in spark.sql(...) too
+      .withExtensions(new plans.GraftExtensions)
 }

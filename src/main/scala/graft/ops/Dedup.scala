@@ -409,7 +409,7 @@ object Dedup {
     * is bounded by bucket size m — LSH band signatures keep m small, and
     * exact duplicates (the one unbounded source of mega-buckets) are
     * removed by dedup_exact upstream in any sane pipeline. */
-  private def bucketPairs(sorted: Column)(mk: (Column, Column) => Column): Column =
+  private[graft] def bucketPairs(sorted: Column)(mk: (Column, Column) => Column): Column =
     flatten(transform(sorted, (x, i) =>
       transform(slice(sorted, i + lit(2), size(sorted)), y => mk(x, y))))
 

@@ -14,6 +14,14 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * extension only adds SQL-name resolution.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  /** The shingle width argument must be a foldable literal (it shapes
+    * the expression itself, like the builtins' `round(x, 2)`). */
+  private def intLit(e: Expression, fn: String): Int = {
+    require(e.foldable, s"$fn: n must be a literal integer")
+    e.eval().asInstanceOf[Number].intValue
+  }
+
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction((FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "vec_dot"),
@@ -21,5 +29,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("poly_hash"),
       new ExpressionInfo(classOf[PolyHash].getName, "poly_hash"),
       (exprs: Seq[Expression]) => PolyHash(exprs.head)))
+    e.injectFunction((FunctionIdentifier("word_shingles"),
+      new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
+      (exprs: Seq[Expression]) => WordShingles(exprs(0), intLit(exprs(1), "word_shingles"))))
+    e.injectFunction((FunctionIdentifier("word_shingle_hashes"),
+      new ExpressionInfo(classOf[WordShingleHashes].getName, "word_shingle_hashes"),
+      (exprs: Seq[Expression]) => WordShingleHashes(exprs(0), intLit(exprs(1), "word_shingle_hashes"))))
+    e.injectFunction((FunctionIdentifier("sorted_intersect_count"),
+      new ExpressionInfo(classOf[SortedIntersectCount].getName, "sorted_intersect_count"),
+      (exprs: Seq[Expression]) => SortedIntersectCount(exprs(0), exprs(1))))
+    e.injectFunction((FunctionIdentifier("simhash32"),
+      new ExpressionInfo(classOf[SimHash32].getName, "simhash32"),
+      (exprs: Seq[Expression]) => SimHash32(exprs.head)))
   }
 }

@@ -53,6 +53,22 @@ class OperatorSpec extends AnyFunSuite {
     assert(r.getDouble(2) === 5.0)
   }
 
+  test("all six custom expressions resolve by name in SQL") {
+    val r = spark.sql(
+      """SELECT
+        |  vec_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d,
+        |  poly_hash('abc') AS ph,
+        |  size(word_shingles('a b c d', 3)) AS nsh,
+        |  size(word_shingle_hashes('a b c d', 3)) AS nh,
+        |  sorted_intersect_count(array(1L, 2L, 3L), array(2L, 3L, 9L)) AS ic,
+        |  simhash32('hello world') AS sh""".stripMargin).head()
+    assert(r.getDouble(0) === 11.0)
+    assert(r.getLong(1) === 96354L)
+    assert(r.getInt(2) === 2 && r.getInt(3) === 2)
+    assert(r.getLong(4) === 2L)
+    assert(r.getLong(5) >= 0L && r.getLong(5) <= 0xFFFFFFFFL)
+  }
+
   test("every registered query returns rows at sf0.001 (t1 smoke)") {
     val failures = SparkEntry.queries.flatMap { case (name, fn) =>
       try {

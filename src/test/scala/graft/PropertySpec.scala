@@ -46,6 +46,21 @@ object PropertySpec extends Properties("graft") {
     }
   }
 
+  property("bucketPairs expands exactly the i<j pairs of a sorted bucket") = {
+    import spark.implicits._
+    val bucketGen = Gen.listOf(Gen.chooseNum(0L, 30L)).map(_.distinct.sorted)
+    forAll(Gen.nonEmptyListOf(bucketGen)) { buckets =>
+      val got = buckets.toDF("ids")
+        .select(explode(graft.ops.Dedup.bucketPairs(col("ids"))((x, y) =>
+          struct(x.as("a"), y.as("b")))).as("p"))
+        .select(col("p.a"), col("p.b"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+      val expected = buckets.flatMap(ids =>
+        for (i <- ids.indices; j <- i + 1 until ids.size) yield (ids(i), ids(j))).sorted
+      got == expected
+    }
+  }
+
   property("sorted_intersect_count == naive set intersection") = {
     import spark.implicits._
     val setGen = Gen.listOf(Gen.chooseNum(0L, 50L)).map(_.distinct.sorted.toArray)
