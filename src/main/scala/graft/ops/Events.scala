@@ -148,7 +148,41 @@ object Events {
       .orderBy(col("purchase_id"))
   }
 
+  /** Band width for the range join: 5 minutes in ms. */
+  val rangeBandMs = 300000L
+
+  /** Bounded-range temporal join via time-banding — the second
+    * time-series operator Spark lacks natively: (click, error) pairs of
+    * the same user with the error at most 5 minutes after the click.
+    * The naive plan is a per-user range cross join (quadratic on hot
+    * users); banding floors each timestamp to a 5-minute band, emits
+    * each click into its band AND the next (a pair within the range can
+    * only straddle adjacent bands), and equi-joins on (user_id, band) —
+    * fan-out bounded by band occupancy. Each qualifying pair matches in
+    * exactly one band, so no dedup pass is needed. */
+  def evRangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        unix_millis(col("ts")).as("click_ms"))
+      // integer div, not fp division-then-cast: a double quotient can
+      // round across a band boundary at exactly-on-boundary timestamps
+      .withColumn("band",
+        explode(array(expr(s"click_ms div $rangeBandMs"),
+          expr(s"click_ms div $rangeBandMs") + 1)))
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("event_id").as("err_id"),
+        unix_millis(col("ts")).as("err_ms"))
+      .withColumn("band", expr(s"err_ms div $rangeBandMs"))
+    clicks.join(errors, Seq("user_id", "band"))
+      .withColumn("gap_ms", col("err_ms") - col("click_ms"))
+      .filter(col("gap_ms") >= 0 && col("gap_ms") <= rangeBandMs)
+      .select(col("user_id"), col("click_id"), col("err_id"), col("gap_ms"))
+      .orderBy(col("click_id"), col("err_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_range_join" -> evRangeJoin _,
     "ev_asof_join" -> evAsofJoin _,
     "ev_session_window" -> evSessionWindow _,
     "ev_sliding_window" -> evSlidingWindow _,
@@ -191,6 +225,15 @@ object Events {
       """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n_events,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+    // the oracle is the plain range join — banding is a pure Spark-side
+    // execution strategy, invisible in the result
+    "ev_range_join" ->
+      s"""SELECT c.user_id, c.event_id AS click_id, e.event_id AS err_id,
+         |  epoch_ms(e.ts) - epoch_ms(c.ts) AS gap_ms
+         |FROM events c JOIN events e
+         |  ON c.user_id = e.user_id AND c.event_type = 'click' AND e.event_type = 'error'
+         |  AND epoch_ms(e.ts) - epoch_ms(c.ts) BETWEEN 0 AND $rangeBandMs
+         |ORDER BY click_id, err_id""".stripMargin,
     "ev_asof_join" ->
       """WITH p AS (
         |  SELECT event_id AS purchase_id, user_id, epoch_ms(ts) AS purchase_ms
