@@ -60,18 +60,38 @@ object Curation {
     * operator's cut-off behavior is actually exercised. */
   val tokenBudgetPerSource = 500L
 
+  /** Bucket width for the two-level running sum (doc_ids per bucket). */
+  val budgetBucketWidth = 256L
+
   /** Greedy per-source curation: take docs in doc_id order while the
     * tokens consumed BEFORE the doc are within budget (so the first doc
     * of a source is always taken and the budget may be exceeded at most
-    * once — the standard greedy-fill contract). One running-sum window
-    * per source partition; no shuffle beyond it. */
+    * once — the standard greedy-fill contract).
+    *
+    * Scale shape: a single running-sum window per source would sort an
+    * entire source inside ONE window task — the single-task-per-group
+    * trap. Instead the prefix sum is two-level, the distributed scan
+    * algorithm: (1) parallel per-(source, doc_id-bucket) token sums,
+    * (2) a running total over the tiny bucket table, (3) intra-bucket
+    * running sums in windows bounded by the bucket width, offset by the
+    * bucket totals. Deeper hierarchies repeat step 2 on the bucket
+    * table if it ever gets large. Results are identical to the direct
+    * window, row for row. */
   def curateTokenBudget(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables(s, dir, "documents")
+    val base = Tables(s, dir, "documents")
       .select(col("doc_id"), col("source"),
         size(TextFns.tokens(col("text"))).cast("long").as("n_tokens"))
-      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .withColumn("bkt", expr(s"doc_id div $budgetBucketWidth"))
+    val wb = Window.partitionBy(col("source")).orderBy(col("bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bucketOffsets = base
+      .groupBy(col("source"), col("bkt")).agg(sum(col("n_tokens")).as("bkt_tokens"))
+      .withColumn("bkt_before", coalesce(sum(col("bkt_tokens")).over(wb), lit(0L)))
+      .select(col("source"), col("bkt"), col("bkt_before"))
+    val wi = Window.partitionBy(col("source"), col("bkt")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base.join(bucketOffsets, Seq("source", "bkt"))
+      .withColumn("cum_tokens", col("bkt_before") + sum(col("n_tokens")).over(wi))
       .filter(col("cum_tokens") - col("n_tokens") < tokenBudgetPerSource)
       .select(col("doc_id"), col("source"), col("n_tokens"), col("cum_tokens"))
       .orderBy(col("doc_id"))

@@ -149,22 +149,33 @@ object TextAnalysis {
 
   /** Per-language token-count quantiles (p50/p90/p99) — the first plot
     * anyone makes of a new corpus. Discrete quantiles via integer rank
-    * arithmetic (`rank == max(1, ceil(p·n/100))` over the per-language
-    * ordering) rather than interpolating percentile functions, whose
-    * interpolation arithmetic differs across engines; integer ranks are
-    * bit-identical everywhere and still one window pass. */
+    * arithmetic (the value at rank `max(1, ceil(p·n/100))` of the sorted
+    * multiset) rather than interpolating percentile functions, whose
+    * interpolation arithmetic differs across engines.
+    *
+    * Scale shape: computed over the VALUE-FREQUENCY table, not the rows —
+    * a shuffle-parallel groupBy(lang, n_tokens) first, then cumulative
+    * counts over the per-language DISTINCT values (thousands at most, so
+    * the per-language window is trivially small). Ranking the raw rows
+    * instead would sort an entire language's documents in one window
+    * task — exactly the single-task-per-group trap this avoids. The
+    * value at quantile rank k is the smallest value whose cumulative
+    * frequency reaches k — identical to row-ranking, bit-for-bit. */
   def textLengthQuantiles(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("lang")).orderBy(col("n_tokens"), col("doc_id"))
-    val wc = Window.partitionBy(col("lang"))
-    Tables(s, dir, "documents")
-      .select(col("lang"), col("doc_id"),
-        size(TextFns.tokens(col("text"))).cast("long").as("n_tokens"))
-      .withColumn("rk", row_number().over(w))
-      .withColumn("n", count(lit(1)).over(wc))
-      .select(col("lang"), col("n_tokens"), col("rk"), col("n"),
+    val freq = Tables(s, dir, "documents")
+      .select(col("lang"), size(TextFns.tokens(col("text"))).cast("long").as("n_tokens"))
+      .groupBy(col("lang"), col("n_tokens")).agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("n_tokens"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wl = Window.partitionBy(col("lang"))
+    freq
+      .withColumn("cum", sum(col("cnt")).over(w))
+      .withColumn("n", sum(col("cnt")).over(wl))
+      .select(col("lang"), col("n_tokens"), col("cnt"), col("cum"), col("n"),
         explode(array(quantilePs.map(lit): _*)).as("p"))
-      .filter(col("rk") === greatest(lit(1L), expr("(p * n + 99) div 100")))
+      .withColumn("k", greatest(lit(1L), expr("(p * n + 99) div 100")))
+      .filter(col("cum") >= col("k") && col("cum") - col("cnt") < col("k"))
       .select(col("lang"), col("p"), col("n_tokens").as("tokens_at_p"))
       .orderBy(col("lang"), col("p"))
   }
