@@ -348,7 +348,32 @@ object Relational {
          |  WHERE s.dst IS NOT NULL)
          |SELECT node AS n_nationkey, lab AS chain_root FROM chain ORDER BY node""".stripMargin)
 
+  /** UNPIVOT (wide → long): per-returnflag measures stacked into
+    * (measure, value) rows via the `stack` generator — the inverse of
+    * q_pivot. The oracle spells it as the portable UNION ALL. */
+  def qUnpivot(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+        sum(dec(col("l_extendedprice"))).cast("double").as("sum_price"))
+      .select(col("l_returnflag"),
+        expr("stack(2, 'sum_price', sum_price, 'sum_qty', sum_qty) AS (measure, value)"))
+      .orderBy(col("l_returnflag"), col("measure"))
+
+  /** Null semantics pinned cross-engine: a derived nullable group key,
+    * the null group counted like any other by count(*) but skipped by
+    * count(col), and explicit NULLS FIRST ordering (Spark's ASC default —
+    * DuckDB defaults NULLS LAST, the classic silent divergence). */
+  def qNullSemantics(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "customer")
+      .select(expr("nullif(c_nationkey % 5, 0)").cast("long").as("grp"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_rows"), count(col("grp")).as("n_nonnull"))
+      .orderBy(asc_nulls_first("grp"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_unpivot" -> qUnpivot _,
+    "q_null_semantics" -> qNullSemantics _,
     "q_recursive_chain" -> qRecursiveChain _,
     "q_lateral_topk" -> qLateralTopk _,
     "q_pivot" -> qPivot _,
@@ -378,6 +403,20 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_unpivot" ->
+      """WITH w AS (
+        |  SELECT l_returnflag,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, 'sum_price' AS measure, sum_price AS value FROM w
+        |UNION ALL
+        |SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS value FROM w
+        |ORDER BY l_returnflag, measure""".stripMargin,
+    "q_null_semantics" ->
+      """SELECT grp, count(*) AS n_rows, count(grp) AS n_nonnull
+        |FROM (SELECT CAST(nullif(c_nationkey % 5, 0) AS BIGINT) AS grp FROM customer)
+        |GROUP BY grp ORDER BY grp ASC NULLS FIRST""".stripMargin,
     "q_recursive_chain" ->
       """WITH RECURSIVE
         |succ AS (
