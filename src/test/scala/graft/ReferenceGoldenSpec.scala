@@ -81,6 +81,46 @@ class ReferenceGoldenSpec extends AnyFunSuite {
     assert(out.map(_._1).toSeq === out.map(_._1).toSeq.sorted)
   }
 
+  test("the reference's VERBATIM char_count mapper.py/reduce.py count chars via the argv contract") {
+    import spark.implicits._
+    // alphanumeric-only input: the reference's OWN reduce.py splits its
+    // "ch n" lines on whitespace, so a counted space character would
+    // crash it (tmp[1] IndexError) — running verbatim means faithfully
+    // keeping that constraint, not fixing it
+    val rnd = new scala.util.Random(17)
+    val data = Seq.fill(400)(Seq.fill(3 + rnd.nextInt(20))(
+      ('a' + rnd.nextInt(6)).toChar).mkString)
+    val expected = data.flatMap(_.toSeq).groupBy(identity)
+      .map { case (c, cs) => (c.toString, cs.size) }
+    val out = graft.mr.Pipe.argvMapReduce(data.toDS().repartition(4),
+      s"$refDir/char_count/mapper.py", s"$refDir/char_count/reduce.py")
+      .collect().filter(_.trim.nonEmpty)
+      .map { l => val p = l.trim.split("\\s+"); (p(0), p(1).toInt) }.toMap
+    assert(out === expected)
+  }
+
+  test("the reference's VERBATIM peek_numbers mapper.cpp/reducer.cpp find peaks via on-worker compile") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(29)
+    val ops = Seq("mci", "mtn", "rtl")
+    val rows = Seq.tabulate(250) { _ =>
+      val st = rnd.nextInt(500)
+      (ops(rnd.nextInt(3)), s"n${rnd.nextInt(30)}", st, st + rnd.nextInt(80))
+    }
+    // sweep oracle: per op, max over seconds of distinct active numbers
+    val expected = ops.map { op =>
+      op -> (0 to 600).map { sec =>
+        rows.filter(r => r._1 == op && r._3 <= sec && sec <= r._4).map(_._2).distinct.size
+      }.max
+    }.toMap
+    val lines = rows.map { case (o, n, s0, e0) => s"$o $n $s0 $e0" }
+    val out = graft.mr.Pipe.argvMapReduce(lines.toDS().repartition(4),
+      s"$refDir/finding_peek_numbers/mapper.cpp", s"$refDir/finding_peek_numbers/reducer.cpp")
+      .collect().filter(_.trim.nonEmpty)
+      .map { l => val p = l.trim.split(":\\s*"); (p(0), p(1).trim.toInt) }.toMap
+    assert(out === expected)
+  }
+
   test("W1 word count matches a scala oracle on a generated input") {
     import spark.implicits._
     val words = Seq("akbar", "alireza", "armin", "hooman", "melika", "milad")
