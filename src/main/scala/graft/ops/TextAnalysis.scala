@@ -180,7 +180,36 @@ object TextAnalysis {
       .orderBy(col("lang"), col("p"))
   }
 
+  /** CMS parameters: ±eps·N error at the given confidence; fixed seed
+    * makes the sketch fully deterministic (counts are additive, so the
+    * merge order across partitions cannot change the result). */
+  val cmsEps = 0.0005
+  val cmsConfidence = 0.99
+  val cmsSeed = 42
+
+  /** Heavy-hitter words via Count-Min Sketch — the bounded-memory
+    * frequency sketch a streaming/multi-pass system serves lookups from
+    * (HLL answers "how many distinct", CMS answers "how often is X").
+    * The sketch is a single `treeAggregate` pass of fixed size
+    * regardless of corpus scale; the exact top-20 (computed by the
+    * ordinary distributed count for comparison) is then probed against
+    * it. Rows-only: sketches have no SQL oracle — the overestimate
+    * bound `exact <= est <= exact + eps·N` is asserted in
+    * `SinkAndApproxSpec`. */
+  def textHeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    val words = Tables(s, dir, "documents")
+      .select(explode(TextFns.tokens(col("text"))).as("word"))
+    val cms = words.stat.countMinSketch("word", cmsEps, cmsConfidence, cmsSeed)
+    val top = words.groupBy(col("word")).agg(count(lit(1)).as("exact_cnt"))
+      .orderBy(col("exact_cnt").desc, col("word")).limit(20).collect()
+    import s.implicits._
+    top.map(r => (r.getString(0), r.getLong(1), cms.estimateCount(r.getString(0))))
+      .toSeq.toDF("word", "exact_cnt", "cms_est")
+      .orderBy(col("exact_cnt").desc, col("word"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_heavy_hitters" -> textHeavyHitters _,
     "text_length_quantiles" -> textLengthQuantiles _,
     "text_bpe_tokens" -> textBpeTokens _,
     "text_ngram_freq" -> textNgramFreq _,

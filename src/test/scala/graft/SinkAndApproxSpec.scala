@@ -36,4 +36,18 @@ class SinkAndApproxSpec extends AnyFunSuite {
         s"$k: approx ($a1,$a2,$a3) vs exact ($e1,$e2,$e3)")
     }
   }
+
+  test("count-min sketch estimates bound the exact counts (one-sided, eps·N)") {
+    import org.apache.spark.sql.functions._
+    val rows = ops.TextAnalysis.textHeavyHitters(spark, TestSpark.sf0001).collect()
+    assert(rows.length === 20)
+    val totalTokens = Tables(spark, TestSpark.sf0001, "documents")
+      .select(sum(size(graft.functions.TextFns.tokens(col("text"))))).head().getLong(0)
+    val bound = (ops.TextAnalysis.cmsEps * totalTokens).ceil.toLong
+    rows.foreach { r =>
+      val (exact, est) = (r.getLong(1), r.getLong(2))
+      assert(est >= exact, s"${r.getString(0)}: CMS underestimated ($est < $exact)")
+      assert(est - exact <= bound, s"${r.getString(0)}: error ${est - exact} > eps*N $bound")
+    }
+  }
 }
