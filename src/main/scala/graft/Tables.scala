@@ -20,23 +20,36 @@ object Tables {
     * re-lists files and re-reads footers (a small Spark job) on every
     * call, so composing many queries over the same corpus would pay
     * schema inference once per *construction* instead of once per
-    * table. Keyed weakly by session (same rationale as
-    * `Dedup.setsMemo`); assumes corpus files are immutable while
-    * memoized — `dropCache()` resets. These are plain lazy plans, not
-    * persisted data: memoizing costs nothing but the plan object. */
+    * table. Reclamation = the explicit isStopped sweep (values reference
+    * their session, so weak-key GC can't fire — see `Dedup.setsMemo`);
+    * assumes corpus files are immutable while memoized — `dropCache()`
+    * resets. These are plain lazy plans, not persisted data: memoizing
+    * costs nothing but the plan object. */
   private val readMemo =
     new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, DataFrame]]()
 
   /** Forget memoized table plans (call after replacing corpus files). */
   def dropCache(): Unit = readMemo.synchronized { readMemo.clear() }
 
-  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
-    readMemo.synchronized {
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // lookup + sweep under the lock, but run load() (which triggers a
+    // schema-inference Spark job) OUTSIDE it — a cold object-store
+    // listing must not serialize every other thread's plan construction.
+    // Two threads may race the same cold load; getOrElseUpdate keeps one.
+    val hit = readMemo.synchronized {
       val it = readMemo.entrySet().iterator()
       while (it.hasNext) if (it.next().getKey.sparkContext.isStopped) it.remove()
       readMemo.computeIfAbsent(spark, _ => scala.collection.mutable.Map.empty)
-        .getOrElseUpdate(s"$dir/$name", load(spark, dir, name))
+        .get(s"$dir/$name")
     }
+    hit.getOrElse {
+      val df = load(spark, dir, name)
+      readMemo.synchronized {
+        readMemo.computeIfAbsent(spark, _ => scala.collection.mutable.Map.empty)
+          .getOrElseUpdate(s"$dir/$name", df)
+      }
+    }
+  }
 
   private def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") {

@@ -105,12 +105,15 @@ object Pipe {
       try it.foreach { l => w.write(l); w.write('\n') } finally w.close()
       try {
         val cmd = cmdF() ++ Seq(in.toString, out.toString)
-        val proc = new ProcessBuilder(cmd: _*).start()
+        // stderr merged into stdout and FULLY drained before waitFor: a
+        // program chatty on either stream would otherwise fill the ~64KB
+        // pipe buffer, block on write, and deadlock the task
+        val proc = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
         proc.getOutputStream.close()
-        val err = scala.io.Source.fromInputStream(proc.getErrorStream, "UTF-8").mkString
+        val log = scala.io.Source.fromInputStream(proc.getInputStream, "UTF-8").mkString
         val exit = proc.waitFor()
         if (exit != 0)
-          throw new RuntimeException(s"argv program exited $exit: ${cmd.mkString(" ")}\n$err")
+          throw new RuntimeException(s"argv program exited $exit: ${cmd.mkString(" ")}\n$log")
         val src = scala.io.Source.fromFile(out.toFile, "UTF-8")
         try src.getLines().toVector.iterator finally src.close()
       } finally {
@@ -120,18 +123,33 @@ object Pipe {
     }
   }
 
+  /** Driver-side memo of shipped program files, keyed by (applicationId,
+    * content-md5): `addFile` registers by basename for the lifetime of
+    * the context and has no removeFile, so re-shipping per invocation
+    * (bench loops re-run queries hundreds of times) would grow the
+    * driver file server and every executor's fetch dir without bound.
+    * Identical content ships once; distinct content gets a fresh unique
+    * basename (two different `mapper.py`s never collide). */
+  private val shippedFiles = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def shipOnce(sc: org.apache.spark.SparkContext, path: java.nio.file.Path): String = {
+    val bytes = java.nio.file.Files.readAllBytes(path)
+    val key = sc.applicationId + "|" + graft.plans.HashUtil.md5Hex(bytes)
+    shippedFiles.computeIfAbsent(key, _ => {
+      val unique = java.nio.file.Files.createTempFile("graft-script-", "-" + path.getFileName)
+      java.nio.file.Files.write(unique, bytes)
+      sc.addFile(unique.toString)
+      unique.getFileName.toString
+    })
+  }
+
   /** Run a user script file under the argv contract, shipping it to every
-    * executor with `SparkContext.addFile`. The script is first copied to
-    * a unique temp name: `addFile` registers by basename for the lifetime
-    * of the context, so two different `mapper.py`s would otherwise
-    * collide. */
+    * executor with `SparkContext.addFile` (once per distinct content —
+    * see shipOnce). */
   def runArgvScript(lines: Dataset[String], scriptPath: String,
       interpreter: String = "python3"): Dataset[String] = {
-    val src = java.nio.file.Paths.get(scriptPath)
-    val unique = java.nio.file.Files.createTempFile("graft-script-", "-" + src.getFileName)
-    java.nio.file.Files.copy(src, unique, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    lines.sparkSession.sparkContext.addFile(unique.toString)
-    val shippedName = unique.getFileName.toString
+    val shippedName = shipOnce(lines.sparkSession.sparkContext,
+      java.nio.file.Paths.get(scriptPath))
     runArgv(lines, () => Seq(interpreter, org.apache.spark.SparkFiles.get(shippedName)))
   }
 
@@ -143,11 +161,8 @@ object Pipe {
     * compile their own copy, exactly the reference's once-per-worker
     * behavior. */
   def runArgvCpp(lines: Dataset[String], cppPath: String): Dataset[String] = {
-    val src = java.nio.file.Paths.get(cppPath)
-    val unique = java.nio.file.Files.createTempFile("graft-src-", "-" + src.getFileName)
-    java.nio.file.Files.copy(src, unique, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    lines.sparkSession.sparkContext.addFile(unique.toString)
-    val shippedName = unique.getFileName.toString
+    val shippedName = shipOnce(lines.sparkSession.sparkContext,
+      java.nio.file.Paths.get(cppPath))
     runArgv(lines, () => Seq(Pipe.compiledBinary(shippedName)))
   }
 
@@ -178,14 +193,19 @@ object Pipe {
 
   /** The reference's literal end-to-end job (`Master.java:169-210`):
     * mapper program per chunk, then ONE reducer process over the
-    * concatenation of all mapper outputs (`coalesce(1)` = the reference's
-    * merged-file reduce, including its single-process ceiling — the
-    * scalable alternative is MapReduce.run's per-key Aggregator). Both
-    * programs run verbatim under the argv contract — `.py` via the
-    * interpreter, `.cpp` compiled on the worker — so a user's existing
-    * mapper/reducer pair works unmodified in either language. */
+    * concatenation of all mapper outputs — the reference's merged-file
+    * reduce, including its single-process ceiling (the scalable
+    * alternative is MapReduce.run's per-key Aggregator). The single
+    * stream is `repartition(1)` — a shuffle barrier — NOT `coalesce(1)`,
+    * whose narrow dependency would pull the mapper stage into the one
+    * reduce task and run every mapper process sequentially on a single
+    * core; the reference runs mappers in parallel across workers and
+    * only the reducer alone. Both programs run verbatim under the argv
+    * contract — `.py` via the interpreter, `.cpp` compiled on the
+    * worker — so a user's existing mapper/reducer pair works unmodified
+    * in either language. */
   def argvMapReduce(lines: Dataset[String], mapperScript: String, reducerScript: String,
       interpreter: String = "python3"): Dataset[String] =
-    argvRunner(argvRunner(lines, mapperScript, interpreter).coalesce(1),
+    argvRunner(argvRunner(lines, mapperScript, interpreter).repartition(1),
       reducerScript, interpreter)
 }

@@ -85,12 +85,14 @@ object Dedup {
     * call) means repeated / composed invocations reuse one storage entry
     * rather than leaking a new one each time.
     *
-    * Keyed by the SparkSession *object* (WeakHashMap): identity-hash
-    * strings can collide across sessions, and a WeakHashMap lets a
-    * dropped session's entries be garbage-collected instead of pinning
-    * its cached plans forever. Entries of stopped sessions are evicted on
-    * access. Assumes the corpus under `dir` is immutable while memoized —
-    * if files change, call `clearShingleCache()` to drop the stale sets. */
+    * Keyed by the SparkSession *object*: identity-hash strings can
+    * collide across sessions. Reclamation is the explicit isStopped
+    * sweep on every access — NOT weak-key GC, which cannot fire here
+    * because the memoized DataFrames themselves reference their session
+    * (value→key strong path, the WeakHashMap caveat); the WeakHashMap
+    * still helps when a session is dropped without being referenced by
+    * any retained value. Assumes the corpus under `dir` is immutable
+    * while memoized — if files change, call `clearShingleCache()`. */
   private val setsMemo =
     new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, DataFrame]]()
 
@@ -343,10 +345,18 @@ object Dedup {
     var edges = pairs.select(col("id_b").as("u"), col("id_a").as("v")).localCheckpoint()
     var prev = (-1L, -1L)
     var cur = checksum(edges)
-    while (cur != prev) {
+    var converged = false
+    while (!converged) {
       prev = cur
-      edges = smallStar(largeStar(edges)).localCheckpoint()
-      cur = checksum(edges)
+      val next = smallStar(largeStar(edges)).localCheckpoint()
+      cur = checksum(next)
+      // the checksum is the cheap per-round signal; on a hit, CONFIRM
+      // with an exact set-difference so a (count, hash-sum) collision
+      // between different edge sets (~2⁻³⁰/round) can never end the
+      // loop early — the "exact and deterministic" claim stays exact.
+      // Both frames are checkpointed, so the exceptAll is one cheap job.
+      converged = cur == prev && next.exceptAll(edges).isEmpty
+      edges = next
     }
     edges.select(col("u").as("doc_id"), col("v").as("cluster_id"))
       .union(edges.select(col("v"), col("v")).toDF("doc_id", "cluster_id"))
@@ -507,13 +517,20 @@ object Dedup {
       .select(col("vec_id"), col("embedding"))
       .withColumn("nrm", sqrt(dot(col("embedding"), col("embedding"))))
       .filter(col("nrm") > 0) // zero vectors: see Similarity.normed
-    // guard the cartesian product (parquet metadata count — cheap): an
-    // unguarded all-pairs run on a full corpus would be a silent O(N²)
-    val rows = Tables(s, dir, "embeddings").count()
-    require(rows <= exactCosineMaxRows,
-      s"dedupEmbeddingCosine is the exact all-pairs ground truth and refuses $rows > " +
-        s"$exactCosineMaxRows rows; use dedupEmbeddingBlocked or Similarity's ANN paths at scale")
+    // guard the cartesian product IN the plan (a broadcast 1-row count +
+    // raise_error): an unguarded all-pairs run on a full corpus would be
+    // a silent O(N²), and an eager driver-side count() here would break
+    // the job-free-construction invariant the other dedup ops keep
+    val guard = Tables(s, dir, "embeddings")
+      .agg(count(lit(1)).as("n_emb"))
+      .select(when(col("n_emb") <= exactCosineMaxRows, lit(1L))
+        .otherwise(raise_error(concat(
+          lit("dedupEmbeddingCosine is the exact all-pairs ground truth and refuses "),
+          col("n_emb").cast("string"),
+          lit(s" > $exactCosineMaxRows rows; use dedupEmbeddingBlocked or the ANN paths at scale"))))
+        .as("guard_ok"))
     val a = n.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"), col("nrm").as("nrm_a"))
+      .crossJoin(broadcast(guard)).drop("guard_ok")
     val b = n.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"), col("nrm").as("nrm_b"))
     a.crossJoin(b).filter(col("id_a") < col("id_b"))
       .withColumn("cosine", dot(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b")))

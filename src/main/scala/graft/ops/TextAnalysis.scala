@@ -195,7 +195,10 @@ object TextAnalysis {
     * ordinary distributed count for comparison) is then probed against
     * it. Rows-only: sketches have no SQL oracle — the overestimate
     * bound `exact <= est <= exact + eps·N` is asserted in
-    * `SinkAndApproxSpec`. */
+    * `SinkAndApproxSpec`. NOTE: eager by nature — the sketch build and
+    * probe run at call time (like `dedupClusters`' hybrid decision) and
+    * the result is a small driver-local frame, unlike the lazy plans
+    * every other query returns. */
   def textHeavyHitters(s: SparkSession, dir: String): DataFrame = {
     val words = Tables(s, dir, "documents")
       .select(explode(TextFns.tokens(col("text"))).as("word"))

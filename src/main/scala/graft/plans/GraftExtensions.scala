@@ -15,11 +15,17 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
-  /** The shingle width argument must be a foldable literal (it shapes
-    * the expression itself, like the builtins' `round(x, 2)`). */
-  private def intLit(e: Expression, fn: String): Int = {
+  /** The shingle width argument must be a non-null foldable literal (it
+    * shapes the expression itself, like the builtins' `round(x, 2)`);
+    * missing/NULL/non-literal widths get the clean message rather than a
+    * raw NPE or IndexOutOfBounds from inside analysis. */
+  private def intLit(exprs: Seq[Expression], i: Int, fn: String): Int = {
+    require(exprs.length > i, s"$fn: expects ${i + 1} arguments, got ${exprs.length}")
+    val e = exprs(i)
     require(e.foldable, s"$fn: n must be a literal integer")
-    e.eval().asInstanceOf[Number].intValue
+    val v = e.eval()
+    require(v != null, s"$fn: n must be a non-NULL literal integer")
+    v.asInstanceOf[Number].intValue
   }
 
   override def apply(e: SparkSessionExtensions): Unit = {
@@ -31,10 +37,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => PolyHash(exprs.head)))
     e.injectFunction((FunctionIdentifier("word_shingles"),
       new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
-      (exprs: Seq[Expression]) => WordShingles(exprs(0), intLit(exprs(1), "word_shingles"))))
+      (exprs: Seq[Expression]) => WordShingles(exprs.head, intLit(exprs, 1, "word_shingles"))))
     e.injectFunction((FunctionIdentifier("word_shingle_hashes"),
       new ExpressionInfo(classOf[WordShingleHashes].getName, "word_shingle_hashes"),
-      (exprs: Seq[Expression]) => WordShingleHashes(exprs(0), intLit(exprs(1), "word_shingle_hashes"))))
+      (exprs: Seq[Expression]) => WordShingleHashes(exprs.head, intLit(exprs, 1, "word_shingle_hashes"))))
     e.injectFunction((FunctionIdentifier("sorted_intersect_count"),
       new ExpressionInfo(classOf[SortedIntersectCount].getName, "sorted_intersect_count"),
       (exprs: Seq[Expression]) => SortedIntersectCount(exprs(0), exprs(1))))
