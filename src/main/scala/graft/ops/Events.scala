@@ -181,7 +181,29 @@ object Events {
       .orderBy(col("click_id"), col("err_id"))
   }
 
+  /** 7-day rolling window in ms for the RANGE-frame query. */
+  val rollingWindowMs = 7L * 86400000L
+
+  /** Rolling 7-day per-user value sum via a RANGE window frame — value
+    * ranges, not row counts: each row aggregates every event within the
+    * trailing week regardless of how many rows that is, which no ROWS
+    * frame or tumbling window expresses. Frame bounds are on the epoch-ms
+    * key (integer, engine-portable); the sum goes through DECIMAL(18,2)
+    * for order-insensitive exactness like every monetary sum here. */
+  def evRollingWeek(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"))
+      .rangeBetween(-(rollingWindowMs - 1), 0)
+    Tables(s, dir, "events")
+      .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("ts_ms"),
+        col("value"))
+      .withColumn("rolling_7d_value",
+        sum(col("value").cast("decimal(18,2)")).over(w).cast("double"))
+      .select(col("user_id"), col("event_id"), col("ts_ms"), col("rolling_7d_value"))
+      .orderBy(col("user_id"), col("ts_ms"), col("event_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_rolling_week" -> evRollingWeek _,
     "ev_range_join" -> evRangeJoin _,
     "ev_asof_join" -> evAsofJoin _,
     "ev_session_window" -> evSessionWindow _,
@@ -225,6 +247,13 @@ object Events {
       """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n_events,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+    "ev_rolling_week" ->
+      s"""SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
+         |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (
+         |    PARTITION BY user_id ORDER BY epoch_ms(ts)
+         |    RANGE BETWEEN ${rollingWindowMs - 1} PRECEDING AND CURRENT ROW) AS DOUBLE)
+         |    AS rolling_7d_value
+         |FROM events ORDER BY user_id, ts_ms, event_id""".stripMargin,
     // the oracle is the plain range join — banding is a pure Spark-side
     // execution strategy, invisible in the result
     "ev_range_join" ->
