@@ -140,6 +140,24 @@ object Relational {
       .agg(count(lit(1)).as("n_rows"), dsum(col("l_quantity")).as("sum_qty"))
       .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
 
+  /** CUBE: all 2ⁿ grouping-set marginals — including the cross-marginals
+    * (NULL, l_linestatus) that ROLLUP's prefix hierarchy omits. */
+  def qCubeAgg(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n_rows"), dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+
+  /** Fixed-bound value histogram via width_bucket — the numeric
+    * data-profiling primitive (20 bins over [0, 500), plus the engine-
+    * defined overflow bins 0 and 21 for out-of-range values). Integer
+    * bucket arithmetic is engine-portable where float binning is not. */
+  def evValueHistogram(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "events")
+      .select(width_bucket(col("value"), lit(0.0), lit(500.0), lit(20)).as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n_events"))
+      .orderBy(col("bucket"))
+
   /** Exact distinct aggregation (expand + two-phase agg under the hood). */
   def qDistinctCounts(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "lineitem")
@@ -374,6 +392,8 @@ object Relational {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_unpivot" -> qUnpivot _,
     "q_null_semantics" -> qNullSemantics _,
+    "q_cube_agg" -> qCubeAgg _,
+    "ev_value_histogram" -> evValueHistogram _,
     "q_recursive_chain" -> qRecursiveChain _,
     "q_lateral_topk" -> qLateralTopk _,
     "q_pivot" -> qPivot _,
@@ -553,6 +573,22 @@ object Relational {
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "q_cube_agg" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    // DuckDB 1.0 has no width_bucket; this CASE is arithmetically
+    // identical to Spark's implementation for these bounds
+    // ((500-0)/20 = 25.0 exactly, so both engines floor(value/25.0)+1
+    // on the same double) including the PostgreSQL overflow buckets
+    "ev_value_histogram" ->
+      """SELECT bucket, count(*) AS n_events FROM (
+        |  SELECT CASE WHEN value < 0.0 THEN 0
+        |              WHEN value >= 500.0 THEN 21
+        |              ELSE CAST(floor(value / 25.0) AS BIGINT) + 1 END AS bucket
+        |  FROM events)
+        |GROUP BY bucket ORDER BY bucket""".stripMargin,
     "q_distinct_counts" ->
       """SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_supp,
         |  count(DISTINCT l_partkey) AS n_part, count(DISTINCT l_orderkey) AS n_orders
