@@ -134,6 +134,43 @@ object EventStreams {
         .orderBy(col("event_type")))
   }
 
+  /** Stream-stream interval join — the streaming counterpart of the
+    * batch `ev_range_join`: a clicks stream joined to an errors stream
+    * on user_id with the error inside (click, click + 5 min], both sides
+    * watermarked so the join STATE is bounded (a side's buffered rows
+    * are dropped once the watermark proves no future match can arrive —
+    * the property that makes stream-stream joins viable at all). Inner
+    * join ⇒ matches emit as found, and draining the static source makes
+    * the result equal to the batch range join, hence oracle-checkable.
+    * The time arithmetic stays in native µs timestamps on both engines
+    * (a ms-rounded oracle would disagree at window edges). */
+  def streamStreamJoin(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val name = "stream_join_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    def src = s.readStream.schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val clicks = src.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    val errors = src.filter(col("event_type") === "error")
+      .select(col("user_id").as("e_user"), col("event_id").as("err_id"), col("ts").as("e_ts"))
+      .withWatermark("e_ts", "1 hour")
+    val joined = clicks.join(errors,
+      expr("c_user = e_user AND e_ts >= c_ts AND e_ts <= c_ts + interval 5 minutes"))
+      .select(col("c_user").as("user_id"), col("click_id"), col("err_id"),
+        (unix_micros(col("e_ts")) - unix_micros(col("c_ts"))).as("gap_us"))
+    val q = joined.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    materializeAndDrop(s, name,
+      s.table(name).orderBy(col("click_id"), col("err_id")))
+  }
+
   /** Schema of a production events feed (real TimestampType ts — the
     * int64-nanos quirk is testdata-specific; a data lake lands proper
     * timestamps). */
@@ -176,6 +213,7 @@ object EventStreams {
     "stream_hour_counts" -> streamHourCounts _,
     "stream_stateful_counts" -> streamStatefulCounts _,
     "stream_dedup_counts" -> streamDedupCounts _,
+    "stream_stream_join" -> streamStreamJoin _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -190,5 +228,13 @@ object EventStreams {
     "stream_dedup_counts" ->
       """SELECT event_type, count(*) AS n_events
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // drained stream-stream interval join == batch range join, in µs
+    "stream_stream_join" ->
+      """SELECT c.user_id, c.event_id AS click_id, e.event_id AS err_id,
+        |  epoch_us(e.ts) - epoch_us(c.ts) AS gap_us
+        |FROM events c JOIN events e
+        |  ON c.user_id = e.user_id AND c.event_type = 'click' AND e.event_type = 'error'
+        |  AND epoch_us(e.ts) - epoch_us(c.ts) BETWEEN 0 AND 300000000
+        |ORDER BY click_id, err_id""".stripMargin,
   )
 }
