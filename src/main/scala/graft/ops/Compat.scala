@@ -65,12 +65,20 @@ object Compat {
       |        f.write(k + ' ' + str(v) + '\n')
       |""".stripMargin
 
-  def pipeArgvWordCount(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
+  // materialized once per JVM (bench loops call the query hundreds of
+  // times — a per-call temp file would leak even though Pipe's shipOnce
+  // dedupes the addFile by content); deleteOnExit cleans the one file up
+  private lazy val argvMapperScript: String = {
     val script = java.nio.file.Files.createTempFile("graft-argv-wc-", ".py")
     java.nio.file.Files.write(script, argvMapperSrc.getBytes("UTF-8"))
+    script.toFile.deleteOnExit()
+    script.toString
+  }
+
+  def pipeArgvWordCount(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     val lines = Tables(s, dir, "documents").select(col("text")).as[String]
-    Pipe.runArgvScript(lines, script.toString)
+    Pipe.runArgvScript(lines, argvMapperScript)
       .map { l => val i = l.lastIndexOf(' '); (l.substring(0, i), l.substring(i + 1).toLong) }
       .toDF("word", "cnt")
       .groupBy(col("word")).agg(sum(col("cnt")).as("cnt"))

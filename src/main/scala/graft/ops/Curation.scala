@@ -176,16 +176,21 @@ object Curation {
          |  FROM (SELECT doc_id, source, CAST(len($tokSql) AS BIGINT) AS n_tokens FROM documents))
          |WHERE cum_tokens - n_tokens < $tokenBudgetPerSource
          |ORDER BY doc_id""".stripMargin,
+    // the oracle joins on the SAME md5-derived 60-bit hash as the Spark
+    // side (substr(md5,1,15) = top 60 bits = HashUtil.md5Int60), so both
+    // engines compute the identical quantity — including in the
+    // astronomically-unlikely event of a hash collision
     "decontaminate_ngram" ->
       s"""WITH sh AS (
-         |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(tk) - ${contamShingleN - 2}),
-         |    i -> array_to_string(tk[i:i+${contamShingleN - 1}], ' ')))) AS shingle
-         |  FROM (SELECT doc_id, $tokSql AS tk FROM documents)),
-         |ev AS (SELECT doc_id AS eval_id, shingle FROM sh WHERE doc_id % $evalStride = 0),
-         |tr AS (SELECT doc_id, shingle FROM sh WHERE doc_id % $evalStride <> 0),
+         |  SELECT doc_id, CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) AS h FROM (
+         |    SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(tk) - ${contamShingleN - 2}),
+         |      i -> array_to_string(tk[i:i+${contamShingleN - 1}], ' ')))) AS shingle
+         |    FROM (SELECT doc_id, $tokSql AS tk FROM documents))),
+         |ev AS (SELECT doc_id AS eval_id, h FROM sh WHERE doc_id % $evalStride = 0),
+         |tr AS (SELECT doc_id, h FROM sh WHERE doc_id % $evalStride <> 0),
          |hits AS (
-         |  SELECT tr.doc_id, count(DISTINCT tr.shingle) AS n_shared, min(ev.eval_id) AS first_eval
-         |  FROM tr JOIN ev ON tr.shingle = ev.shingle GROUP BY tr.doc_id)
+         |  SELECT tr.doc_id, count(DISTINCT tr.h) AS n_shared, min(ev.eval_id) AS first_eval
+         |  FROM tr JOIN ev ON tr.h = ev.h GROUP BY tr.doc_id)
          |SELECT d.doc_id, COALESCE(hits.n_shared, 0) AS n_shared, hits.first_eval
          |FROM (SELECT doc_id FROM documents WHERE doc_id % $evalStride <> 0) d
          |LEFT JOIN hits ON d.doc_id = hits.doc_id

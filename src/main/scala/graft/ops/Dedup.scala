@@ -511,7 +511,13 @@ object Dedup {
     * exact as the ground truth; the scale path is `dedupEmbeddingBlocked`
     * below / `sim_lsh_ann` in Similarity. Double-precision left-fold dot
     * products are bit-identical across engines. */
-  def dedupEmbeddingCosine(s: SparkSession, dir: String): DataFrame = {
+  def dedupEmbeddingCosine(s: SparkSession, dir: String): DataFrame =
+    dedupEmbeddingCosineBounded(s, dir, exactCosineMaxRows)
+
+  /** Bound-injectable variant so the over-limit refusal is testable
+    * without a 200k-row corpus. */
+  private[graft] def dedupEmbeddingCosineBounded(
+      s: SparkSession, dir: String, maxRows: Long): DataFrame = {
     val dot = (a: Column, b: Column) => graft.plans.VectorFunctions.vec_dot(a, b)
     val n = Tables(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding"))
@@ -520,17 +526,22 @@ object Dedup {
     // guard the cartesian product IN the plan (a broadcast 1-row count +
     // raise_error): an unguarded all-pairs run on a full corpus would be
     // a silent O(N²), and an eager driver-side count() here would break
-    // the job-free-construction invariant the other dedup ops keep
+    // the job-free-construction invariant the other dedup ops keep.
+    // The guard column must be CONSUMED (the filter below) — a bare
+    // drop() lets column pruning + CollapseProject eliminate the
+    // raise_error expression entirely (round-3 advice; PlanGuardSpec
+    // pins raise_error surviving into the optimized plan).
     val guard = Tables(s, dir, "embeddings")
       .agg(count(lit(1)).as("n_emb"))
-      .select(when(col("n_emb") <= exactCosineMaxRows, lit(1L))
+      .select(when(col("n_emb") <= maxRows, lit(1L))
         .otherwise(raise_error(concat(
           lit("dedupEmbeddingCosine is the exact all-pairs ground truth and refuses "),
           col("n_emb").cast("string"),
-          lit(s" > $exactCosineMaxRows rows; use dedupEmbeddingBlocked or the ANN paths at scale"))))
+          lit(s" > $maxRows rows; use dedupEmbeddingBlocked or the ANN paths at scale"))))
         .as("guard_ok"))
     val a = n.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"), col("nrm").as("nrm_a"))
-      .crossJoin(broadcast(guard)).drop("guard_ok")
+      .crossJoin(broadcast(guard))
+      .filter(col("guard_ok") === 1L).drop("guard_ok")
     val b = n.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"), col("nrm").as("nrm_b"))
     a.crossJoin(b).filter(col("id_a") < col("id_b"))
       .withColumn("cosine", dot(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b")))

@@ -82,6 +82,24 @@ class DedupSimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("exact cosine dedup REFUSES an over-limit corpus (guard survives optimization)") {
+    // bound injected below the sf0.001 row count, so the raise_error arm fires.
+    // Round-3 advice: with a bare drop() the guard column was pruned and the
+    // over-limit corpus ran all-pairs silently — the filter consumes it now.
+    val overLimit = Dedup.dedupEmbeddingCosineBounded(spark, sf0001, maxRows = 10L)
+    val ex = intercept[Exception] { overLimit.collect() }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("refuses")),
+      s"expected the guard's refusal message, got: ${ex.getMessage}")
+    // the optimized plan keeps the raise_error expression (not pruned)
+    val optimized = Dedup.dedupEmbeddingCosineBounded(spark, sf0001, maxRows = 10L)
+      .queryExecution.optimizedPlan.toString
+    assert(optimized.contains("raise_error"), "guard pruned from optimized plan")
+    // and the in-limit path still works
+    assert(Dedup.dedupEmbeddingCosine(spark, sf0001).count() >= 0)
+  }
+
   test("distributed label propagation resolves a long path graph (diameter >> checkpoint interval)") {
     import spark.implicits._
     // path 0-1-2-...-40: min-label propagation needs ~40 iterations, i.e.
