@@ -67,6 +67,10 @@ object EventStreams {
   final case class RawEvent(event_id: Long, ts: Long, user_id: Long,
       event_type: String, value: Double, props: String)
 
+  /** Production feed row (real TimestampType ts; see feedSchema). */
+  final case class FeedEvent(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
   /** Stateful streaming: running per-type event counts via
     * `flatMapGroupsWithState` (arbitrary keyed state, the building block
     * for custom streaming operators). The final state after draining the
@@ -208,6 +212,112 @@ object EventStreams {
       .start()
     q.awaitTermination()
   }
+
+  /** PRODUCTION landing-zone ingest-dedup: the deduped APPEND stream
+    * lands as parquet files (checkpointed, exactly-once within the sink
+    * contract) and downstream consumers batch-read the landed corpus.
+    * First occurrence of each event_id is emitted immediately; the
+    * watermark only bounds the dedup key state, so no window-close
+    * sentinel is needed. Counterpart of the memory-sink
+    * `streamDedupCounts` oracle harness above. */
+  def streamDedupToFiles(s: SparkSession, srcDir: String, outDir: String,
+      checkpointDir: String, maxFilesPerTrigger: Int = 1): Unit = {
+    val deduped = s.readStream.schema(feedSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      .parquet(srcDir)
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+    val q = deduped.writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** PRODUCTION stream-stream interval join: click→error matches land
+    * as parquet files. Inner joins emit a match the micro-batch both
+    * sides are present, so the file sink sees rows without waiting for
+    * window closure; the two watermarks exist to BOUND the buffered
+    * join state (rows older than watermark − interval are evicted).
+    * Counterpart of the memory-sink `streamStreamJoin` harness. */
+  def streamStreamJoinToFiles(s: SparkSession, srcDir: String, outDir: String,
+      checkpointDir: String, maxFilesPerTrigger: Int = 1): Unit = {
+    def src = s.readStream.schema(feedSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      .parquet(srcDir)
+    val clicks = src.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    val errors = src.filter(col("event_type") === "error")
+      .select(col("user_id").as("e_user"), col("event_id").as("err_id"), col("ts").as("e_ts"))
+      .withWatermark("e_ts", "1 hour")
+    val joined = clicks.join(errors,
+      expr("c_user = e_user AND e_ts >= c_ts AND e_ts <= c_ts + interval 5 minutes"))
+      .select(col("c_user").as("user_id"), col("click_id"), col("err_id"),
+        (unix_micros(col("e_ts")) - unix_micros(col("c_ts"))).as("gap_us"))
+    val q = joined.writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** PRODUCTION stateful counts: `flatMapGroupsWithState` emits keyed
+    * UPDATE rows, which a bare file sink cannot take (append-only) — the
+    * standard pattern is `foreachBatch` writing each micro-batch's
+    * updates as a CHANGELOG (batch_id column, idempotent per-batch
+    * overwrite via partitionBy(batch_id)+dynamic overwrite, so a replayed
+    * batch after crash-recovery rewrites its own partition instead of
+    * duplicating it). The serving view is the latest update per key —
+    * `statefulCountsFromChangelog` below. With a Delta/Iceberg sink the
+    * foreachBatch body would MERGE instead; parquet is what this
+    * container has. */
+  def streamStatefulCountsToFiles(s: SparkSession, srcDir: String, outDir: String,
+      checkpointDir: String, maxFilesPerTrigger: Int = 1): Unit = {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val updates = s.readStream.schema(feedSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      .parquet(srcDir)
+      .as[FeedEvent]
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (key: String, rows: Iterator[FeedEvent], state: GroupState[Long]) => {
+          val n = state.getOption.getOrElse(0L) + rows.size
+          state.update(n)
+          Iterator((key, n))
+        })
+      .toDF("event_type", "n_events")
+    val q = updates.writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        batch.withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(outDir)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Serving view over the changelog `streamStatefulCountsToFiles`
+    * writes: the latest (max batch_id) update per key is the current
+    * state. One shuffle on the key — the same query a downstream
+    * dashboard would run. */
+  def statefulCountsFromChangelog(s: SparkSession, outDir: String): DataFrame =
+    s.read.parquet(outDir)
+      .groupBy(col("event_type"))
+      .agg(max_by(col("n_events"), col("batch_id")).as("n_events"))
+      .orderBy(col("event_type"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_hour_counts" -> streamHourCounts _,

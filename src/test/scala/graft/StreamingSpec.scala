@@ -49,25 +49,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(!rows.exists(_._2 == "late"), s"late row leaked into results: $rows")
   }
 
-  test("production file-sink append stream equals the batch hourly histogram") {
+  /** sf0.001 events in the production feed shape (real TimestampType ts),
+    * ts-ordered — the raw material every file-sink test stages. */
+  private def feedRowsAndSchema() = {
     import org.apache.spark.sql.functions._
-    import scala.jdk.CollectionConverters._
-    val base = java.nio.file.Files.createTempDirectory("fsink")
-    val src = base.resolve("src"); java.nio.file.Files.createDirectories(src)
-    // stage sf0.001 events as several ts-ordered parquet files (ascending
-    // mod-times => oldest-first admission) plus a far-future sentinel
-    // event whose watermark advance closes every real window — append
-    // mode only emits a window once the watermark passes its end
     val ev = Tables(spark, TestSpark.sf0001, "events")
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
       .orderBy(col("ts"))
-    val rows = ev.collect()
-    val schema = ev.schema
-    val maxTs = rows.last.getTimestamp(1)
-    val chunks = rows.toSeq.grouped(rows.length / 3 + 1).map(_.toSeq).toSeq
-    val sentinel = org.apache.spark.sql.Row(
-      -1L, new java.sql.Timestamp(maxTs.getTime + 3 * 3600 * 1000L), -1L, "sentinel", 0.0)
-    (chunks :+ Seq(sentinel)).zipWithIndex.foreach { case (chunk, i) =>
+    (ev.collect().toSeq, ev.schema)
+  }
+
+  /** Stage row chunks as individual parquet files with ascending
+    * mod-times (=> oldest-first admission by the streaming file source);
+    * returns the source dir. */
+  private def stageEventFiles(base: java.nio.file.Path,
+      chunks: Seq[Seq[org.apache.spark.sql.Row]],
+      schema: org.apache.spark.sql.types.StructType): String = {
+    import scala.jdk.CollectionConverters._
+    val src = base.resolve("src"); java.nio.file.Files.createDirectories(src)
+    chunks.zipWithIndex.foreach { case (chunk, i) =>
       val stage = base.resolve(s"stage$i")
       spark.createDataFrame(chunk.asJava, schema).coalesce(1)
         .write.parquet(stage.toString)
@@ -78,8 +78,23 @@ class StreamingSpec extends AnyFunSuite {
       java.nio.file.Files.setLastModifiedTime(dst,
         java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
     }
+    src.toString
+  }
+
+  test("production file-sink append stream equals the batch hourly histogram") {
+    import org.apache.spark.sql.functions._
+    val base = java.nio.file.Files.createTempDirectory("fsink")
+    // several ts-ordered files plus a far-future sentinel event whose
+    // watermark advance closes every real window — append mode only
+    // emits a window once the watermark passes its end
+    val (rows, schema) = feedRowsAndSchema()
+    val maxTs = rows.last.getTimestamp(1)
+    val chunks = rows.grouped(rows.length / 3 + 1).map(_.toSeq).toSeq
+    val sentinel = org.apache.spark.sql.Row(
+      -1L, new java.sql.Timestamp(maxTs.getTime + 3 * 3600 * 1000L), -1L, "sentinel", 0.0)
+    val src = stageEventFiles(base, chunks :+ Seq(sentinel), schema)
     graft.streaming.EventStreams.streamHourCountsToFiles(
-      spark, src.toString, base.resolve("out").toString, base.resolve("ckpt").toString)
+      spark, src, base.resolve("out").toString, base.resolve("ckpt").toString)
     val got = spark.read.parquet(base.resolve("out").toString)
       .filter(col("event_type") =!= "sentinel")
       .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
@@ -88,6 +103,72 @@ class StreamingSpec extends AnyFunSuite {
       .agg(count(lit(1)).as("n"))
       .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
     assert(got.nonEmpty)
+    assert(got === want)
+  }
+
+  test("production landing-zone dedup sink: doubled input lands exactly-once") {
+    import org.apache.spark.sql.functions._
+    val base = java.nio.file.Files.createTempDirectory("dsink")
+    val (rows, schema) = feedRowsAndSchema()
+    // every chunk staged TWICE — each event provably arrives duplicated
+    // (and the duplicate arrives in a LATER file, exercising cross-batch
+    // dedup state, not just within-batch distinct)
+    val chunks = rows.grouped(rows.length / 3 + 1).map(_.toSeq).toSeq
+    val src = stageEventFiles(base, chunks ++ chunks, schema)
+    graft.streaming.EventStreams.streamDedupToFiles(
+      spark, src, base.resolve("out").toString, base.resolve("ckpt").toString)
+    val landed = spark.read.parquet(base.resolve("out").toString)
+    assert(landed.count() === rows.length.toLong)
+    assert(landed.select("event_id").distinct().count() === rows.length.toLong)
+    val gotCounts = landed.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val want = Tables(spark, TestSpark.sf0001, "events")
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(gotCounts === want)
+  }
+
+  test("production stream-stream join sink equals the batch range join") {
+    import org.apache.spark.sql.functions._
+    val base = java.nio.file.Files.createTempDirectory("jsink")
+    val (rows, schema) = feedRowsAndSchema()
+    val chunks = rows.grouped(rows.length / 3 + 1).map(_.toSeq).toSeq
+    val src = stageEventFiles(base, chunks, schema)
+    graft.streaming.EventStreams.streamStreamJoinToFiles(
+      spark, src, base.resolve("out").toString, base.resolve("ckpt").toString)
+    val got = spark.read.parquet(base.resolve("out").toString)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val ev = Tables(spark, TestSpark.sf0001, "events")
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("c_ts"))
+    val e = ev.filter(col("event_type") === "error")
+      .select(col("user_id").as("e_user"), col("event_id").as("err_id"), col("ts").as("e_ts"))
+    val want = c.join(e, col("user_id") === col("e_user") &&
+        (unix_micros(col("e_ts")) - unix_micros(col("c_ts"))).between(0L, 300000000L))
+      .select(col("user_id"), col("click_id"), col("err_id"),
+        (unix_micros(col("e_ts")) - unix_micros(col("c_ts"))).as("gap_us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got.nonEmpty)
+    assert(got === want)
+  }
+
+  test("production stateful-counts changelog sink reconstructs batch counts") {
+    import org.apache.spark.sql.functions._
+    val base = java.nio.file.Files.createTempDirectory("ssink")
+    val (rows, schema) = feedRowsAndSchema()
+    val chunks = rows.grouped(rows.length / 3 + 1).map(_.toSeq).toSeq
+    val src = stageEventFiles(base, chunks, schema)
+    graft.streaming.EventStreams.streamStatefulCountsToFiles(
+      spark, src, base.resolve("out").toString, base.resolve("ckpt").toString)
+    val changelog = spark.read.parquet(base.resolve("out").toString)
+    // multiple micro-batches => multiple changelog updates per key
+    assert(changelog.select("batch_id").distinct().count() > 1)
+    val got = graft.streaming.EventStreams
+      .statefulCountsFromChangelog(spark, base.resolve("out").toString)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val want = Tables(spark, TestSpark.sf0001, "events")
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
     assert(got === want)
   }
 
