@@ -1,0 +1,81 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.aggregate.HashAggregateExec
+import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, CartesianProductExec, ShuffledHashJoinExec, SortMergeJoinExec}
+
+/** Plan-regression guards: structural invariants of the physical plans
+  * the round-2/3 verdicts hand-audited, pinned so the double-compute
+  * class of bug (the round-2 MinHash defect — only caught by diffing
+  * PLANS.md between rounds) cannot silently return.
+  *
+  * Assertions run on `sparkPlan` (the pre-AQE physical tree —
+  * `AdaptiveSparkPlanExec` is a leaf, so `executedPlan.collect` would
+  * see nothing under AQE) and on plan text where the detail only exists
+  * there (PushedFilters / ReadSchema).
+  */
+class PlanGuardSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import TestSpark.sf0001
+
+  private def q(name: String): DataFrame = SparkEntry.queries(name)(spark, sf0001)
+  private def plan(name: String): SparkPlan = q(name).queryExecution.sparkPlan
+
+  test("dedup_minhash_lsh has exactly ONE signature-aggregation subtree") {
+    // the 16-column min(pmod(a*h+b, P)) aggregation: one logical subtree
+    // = one partial + one final HashAggregate. The round-2 bug (bucket
+    // self-join) placed TWO copies of the subtree in the plan => 4.
+    val sigAggs = plan("dedup_minhash_lsh").collect {
+      case h: HashAggregateExec if h.aggregateExpressions.mkString(",").contains("pmod") => h
+    }
+    assert(sigAggs.nonEmpty, "signature aggregation missing entirely")
+    assert(sigAggs.length <= 2,
+      s"${sigAggs.length} signature HashAggregates — the aggregation subtree is duplicated")
+  }
+
+  test("no CartesianProduct outside the guarded exact-cosine ground truth") {
+    val allowed = Set("dedup_embedding_cosine")
+    // streaming queries execute eagerly and return collected local
+    // results — there is no lazy plan to guard
+    val names = SparkEntry.queries.keys.filterNot(_.startsWith("stream_")).toSeq.sorted
+    val offenders = names.filterNot(allowed).flatMap { n =>
+      val cart = plan(n).collect { case c: CartesianProductExec => c }
+      if (cart.nonEmpty) Some(n) else None
+    }
+    assert(offenders.isEmpty, s"unguarded cartesian products in: $offenders")
+  }
+
+  test("q5_region_revenue joins are all broadcast (fact side never shuffles)") {
+    val p = plan("q5_region_revenue")
+    val bhj = p.collect { case j: BroadcastHashJoinExec => j }
+    val shuffled = p.collect {
+      case j: SortMergeJoinExec => j
+      case j: ShuffledHashJoinExec => j
+    }
+    assert(bhj.size >= 3, s"expected all-broadcast dims, found ${bhj.size} BHJ")
+    assert(shuffled.isEmpty, s"dim join fell back to a shuffle join: $shuffled")
+  }
+
+  test("sim_topk_bruteforce prunes map-side with WindowGroupLimit") {
+    val txt = plan("sim_topk_bruteforce").toString
+    assert(txt.contains("WindowGroupLimit"),
+      "rank-filter no longer decorrelates to WindowGroupLimit — full window sort is back")
+  }
+
+  test("q6_revenue_filter pushes filters into the scan and prunes columns") {
+    val txt = q("q6_revenue_filter").queryExecution.executedPlan.toString
+    val pushed = txt.linesIterator.find(_.contains("PushedFilters: [")).getOrElse("")
+    assert(pushed.nonEmpty && !pushed.contains("PushedFilters: []"),
+      s"no filters pushed to parquet: $pushed")
+    // 4 of lineitem's 11 columns survive pruning (SURVEY.md plan audit)
+    val scanCols = "\\[(l_[a-z_#0-9,]+)\\]".r.findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
+    assert(scanCols.split(",").length <= 4, s"scan reads too many columns: $scanCols")
+  }
+
+  test("dedup_embedding_cosine keeps its raise_error scale guard after optimization") {
+    val optimized = q("dedup_embedding_cosine").queryExecution.optimizedPlan.toString
+    assert(optimized.contains("raise_error"), "O(N²) guard was pruned from the plan")
+  }
+}
