@@ -83,41 +83,17 @@ object Dedup {
     * is shared by ngram-Jaccard, MinHash-LSH, clustering, and
     * corpus_clean — memoizing one cache here (instead of `.cache()` per
     * call) means repeated / composed invocations reuse one storage entry
-    * rather than leaking a new one each time.
-    *
-    * Keyed by the SparkSession *object*: identity-hash strings can
-    * collide across sessions. Reclamation is the explicit isStopped
-    * sweep on every access — NOT weak-key GC, which cannot fire here
-    * because the memoized DataFrames themselves reference their session
-    * (value→key strong path, the WeakHashMap caveat); the WeakHashMap
-    * still helps when a session is dropped without being referenced by
-    * any retained value. Assumes the corpus under `dir` is immutable
-    * while memoized — if files change, call `clearShingleCache()`. */
-  private val setsMemo =
-    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, DataFrame]]()
-
-  /** Memoize `build` as a cached DataFrame under (session, key). The
-    * plan is built and `.cache()`d lazily — nothing materializes until a
-    * query actually runs, so construction stays job-free. */
+    * rather than leaking a new one each time. Mechanism in [[PlanCache]]. */
   private def memoized(s: SparkSession, key: String)(build: => DataFrame): DataFrame =
-    setsMemo.synchronized {
-      val it = setsMemo.entrySet().iterator()
-      while (it.hasNext) if (it.next().getKey.sparkContext.isStopped) it.remove()
-      val perKey = setsMemo.computeIfAbsent(s, _ => scala.collection.mutable.Map.empty)
-      perKey.getOrElseUpdate(key, build.cache())
-    }
+    PlanCache.memoized(s, key)(build)
 
   private def docSetsCached(s: SparkSession, dir: String): DataFrame =
     memoized(s, s"$dir|sets")(docSets(s, dir))
 
-  /** Unpersist and forget every memoized shingle cache (library consumers
-    * call this when done with a corpus, or after replacing corpus files).
-    * Each unpersist is Try-wrapped so an already-stopped session cannot
-    * abort the sweep and leak the remaining entries. */
-  def clearShingleCache(): Unit = setsMemo.synchronized {
-    setsMemo.values.forEach(_.values.foreach(df => scala.util.Try(df.unpersist())))
-    setsMemo.clear()
-  }
+  /** Unpersist and forget every memoized plan cache — shingle tables AND
+    * the shared IVF centroids (library consumers call this when done
+    * with a corpus, or after replacing corpus files). */
+  def clearShingleCache(): Unit = PlanCache.clear()
 
   /** Above this doc-frequency for the hottest shingle, hash-order
     * prefixes risk quadratic join fan-out (a boilerplate shingle lands in
@@ -565,10 +541,22 @@ object Dedup {
     * its recall vs the exact variant is asserted in DedupSimilaritySpec.
     * Candidates expand bucket-locally (one assignment subtree, same
     * single-subtree shape as the LSH dedups). */
-  def dedupEmbeddingBlocked(s: SparkSession, dir: String): DataFrame = {
+  def dedupEmbeddingBlocked(s: SparkSession, dir: String): DataFrame =
+    dedupEmbeddingBlockedWith(s, dir, Similarity.centroidsOf)
+
+  /** Blocked dedup with the TRAINED (k-means) quantizer — same shape,
+    * better-balanced blocks (Σ block² drops when no stride-sampled
+    * centroid hoards a hot region); shares ONE trained centroid table
+    * with `sim_ivf_topk_trained` via the PlanCache memo. Rows-only for
+    * the same float-summation-order reason as the search variant. */
+  def dedupEmbeddingBlockedTrained(s: SparkSession, dir: String): DataFrame =
+    dedupEmbeddingBlockedWith(s, dir, _ => Similarity.trainedCentroidsOf(s, dir))
+
+  private def dedupEmbeddingBlockedWith(
+      s: SparkSession, dir: String, centFn: DataFrame => DataFrame): DataFrame = {
     val dot = (a: Column, b: Column) => graft.plans.VectorFunctions.vec_dot(a, b)
     val n = Similarity.normed(s, dir)
-    val asg = Similarity.nearestCentroids(Similarity.centroidsOf(n))(
+    val asg = Similarity.nearestCentroids(centFn(n))(
       n, "vec_id", "embedding", "nrm", blockProbes)
     val cand = asg
       .groupBy(col("c_id"))
@@ -595,6 +583,7 @@ object Dedup {
     "dedup_clusters" -> dedupClusters _,
     "dedup_embedding_cosine" -> dedupEmbeddingCosine _,
     "dedup_embedding_blocked" -> dedupEmbeddingBlocked _,
+    "dedup_embedding_blocked_trained" -> dedupEmbeddingBlockedTrained _,
   )
 
   private val mhValuesSql =

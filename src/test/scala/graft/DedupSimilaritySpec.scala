@@ -160,6 +160,77 @@ class DedupSimilaritySpec extends AnyFunSuite {
     } finally spark.sparkContext.removeSparkListener(l)
   }
 
+  test("trained k-means quantizer beats stride sampling: recall and block balance") {
+    // recall@topK vs brute force, both quantizers at the SAME probe cost
+    val exact = Similarity.simTopkBruteforce(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val stride = Similarity.simIvfTopk(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val trained = Similarity.simIvfTopkTrained(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val strideRecall = (exact intersect stride).size.toDouble / exact.size
+    val trainedRecall = (exact intersect trained).size.toDouble / exact.size
+    info(f"IVF recall@${Similarity.topK} — stride: $strideRecall%.3f, trained: $trainedRecall%.3f")
+    assert(trainedRecall >= strideRecall,
+      f"training made recall WORSE: $trainedRecall%.3f < $strideRecall%.3f")
+    // inverted-list balance: the sf0.001 embeddings are near-uniform, so
+    // both quantizers sit near skew 1 — assert training doesn't break a
+    // corpus that was already balanced (the skew-REDUCTION claim is
+    // demonstrated on a corpus that actually has a hot region, below)
+    val skewStride = Similarity.assignmentSkew(spark, sf0001, trained = false)
+    val skewTrained = Similarity.assignmentSkew(spark, sf0001, trained = true)
+    info(f"assignment skew max/mean — stride: $skewStride%.3f, trained: $skewTrained%.3f")
+    assert(skewTrained <= skewStride * 1.15,
+      f"training unbalanced an already-balanced corpus: $skewTrained%.3f vs $skewStride%.3f")
+  }
+
+  test("k-means splits the hot block stride sampling creates on a clustered corpus") {
+    import spark.implicits._
+    // 941 vectors in a loose cone around e0 occupy ids where only ONE is
+    // ≡1 (mod centroidStride); 59 isotropic vectors hold the other 9
+    // sampled ids. Stride sampling thus spends 1 centroid on 94% of the
+    // mass → one hot inverted list ≈ 9× the mean (a straggler task at
+    // scale). Lloyd refinement lets isotropic centroids capture cone
+    // members and migrate in, splitting the hot block.
+    val rnd = new scala.util.Random(7)
+    def cone(): Array[Float] =
+      Array.tabulate(64)(d => ((if (d == 0) 1.0 else 0.0) + 0.35 * rnd.nextGaussian()).toFloat)
+    def iso(): Array[Float] = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val stride = Similarity.centroidStride
+    val rows = (0L until 1000L).map { id =>
+      val sampled = id % stride == 1
+      (id, if (sampled && id != 1L) iso() else if (id >= 950L) iso() else cone())
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("hotblock")
+    rows.toDF("vec_id", "embedding").write.parquet(s"$tmp/embeddings.parquet")
+    val skewStride = Similarity.assignmentSkew(spark, tmp.toString, trained = false)
+    val curve = Seq(2, 4, 6, 8, 12).map(i =>
+      i -> Similarity.assignmentSkew(spark, tmp.toString, trained = true, iters = i))
+    info(f"hot-block skew max/mean — stride: $skewStride%.3f, trained by iters: " +
+      curve.map { case (i, s) => f"$i→$s%.2f" }.mkString(", "))
+    val skewTrained = curve.toMap.apply(Similarity.kmeansIters)
+    assert(skewStride >= 3.0, f"corpus failed to produce a hot block: $skewStride%.3f")
+    assert(skewTrained <= skewStride * 0.7,
+      f"training did not split the hot block: $skewTrained%.3f vs $skewStride%.3f")
+  }
+
+  test("trained blocked dedup never invents pairs and matches stride-blocked recall") {
+    val exact = Dedup.dedupEmbeddingCosine(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val stride = Dedup.dedupEmbeddingBlocked(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val trained = Dedup.dedupEmbeddingBlockedTrained(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // verification is exact cosine either way — no false pairs possible
+    assert(trained.subsetOf(exact), s"trained-blocked produced non-pairs: ${trained -- exact}")
+    if (exact.nonEmpty) {
+      val rs = (exact intersect stride).size.toDouble / exact.size
+      val rt = (exact intersect trained).size.toDouble / exact.size
+      info(f"blocked-dedup recall — stride: $rs%.3f, trained: $rt%.3f (${exact.size} exact pairs)")
+      assert(rt >= rs, f"trained blocking lost pairs stride blocking found: $rt%.3f < $rs%.3f")
+    }
+  }
+
   test("LSH ANN returns same-bucket true neighbors with measurable recall") {
     val exact = Similarity.simTopkBruteforce(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet
