@@ -37,6 +37,33 @@ class SinkAndApproxSpec extends AnyFunSuite {
     }
   }
 
+  test("sketch-only heavy hitters serve every truly-heavy word, no exact pass") {
+    val out = ops.TextAnalysis.textHeavyHittersSketch(spark, TestSpark.sf0001).collect()
+    val served = out.map(_.getString(0)).toSet
+    // exact side is computed HERE, test-only — the operator under test never does
+    val words = Tables(spark, TestSpark.sf0001, "documents")
+      .select(explode(graft.functions.TextFns.tokens(col("text"))).as("word"))
+    val total = words.count()
+    val threshold = math.max(1L, math.ceil(total * ops.TextAnalysis.hhFraction).toLong)
+    val exactCounts = words.groupBy("word").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exactHeavy = exactCounts.filter(_._2 >= threshold).keySet
+    assert(exactHeavy.nonEmpty, "no word reaches the serving threshold — test is vacuous")
+    // containment: Misra-Gries candidates + CMS overestimate can never
+    // drop a word with exact freq >= threshold (pigeonhole + est >= exact)
+    assert(exactHeavy.subsetOf(served), s"sketch path missed: ${exactHeavy -- served}")
+    // soundness: every served word is within eps·N of the threshold, and
+    // its estimate obeys the one-sided CMS bound
+    val slack = (ops.TextAnalysis.cmsEps * total).ceil.toLong
+    out.foreach { r =>
+      val (w, est) = (r.getString(0), r.getLong(1))
+      val exact = exactCounts.getOrElse(w, 0L)
+      assert(est >= exact, s"$w: CMS underestimated ($est < $exact)")
+      assert(est - exact <= slack, s"$w: error ${est - exact} > eps*N $slack")
+      assert(exact >= threshold - slack, s"$w served but exact $exact << threshold $threshold")
+    }
+  }
+
   test("count-min sketch estimates bound the exact counts (one-sided, eps·N)") {
     import org.apache.spark.sql.functions._
     val rows = ops.TextAnalysis.textHeavyHitters(spark, TestSpark.sf0001).collect()
