@@ -13,10 +13,14 @@ import graft.Tables
   *    At 100 TB this is only viable per-query-batch with a broadcast of
   *    the query set — which is exactly how it is written (queries are
   *    broadcast; the big candidate side streams, never shuffles).
-  *  - LSH-bucketed ANN: 8 deterministic random hyperplanes → 256 buckets;
-  *    candidates are scored only within the query's bucket. Sub-linear
-  *    candidate sets at scale; recall is checked against brute force in
-  *    the test suite.
+  *  - LSH-bucketed ANN: multi-table mean-centered hyperplane hashing
+  *    with query-side 1-flip multi-probe; candidates are scored only
+  *    within probed buckets. Sub-linear candidate sets at scale; recall
+  *    and candidate fraction are checked against brute force in the
+  *    test suite.
+  *  - IVF ANN: a coarse quantizer (stride-sampled for the oracle path,
+  *    driver-side spherical k-means for serving) assigns vectors to
+  *    inverted lists; queries probe their nProbe nearest lists.
   *
   * Dot products are left-fold aggregates over zip_with (both engines fold
   * left-to-right in double precision → bit-identical results, so raw
@@ -53,46 +57,51 @@ object Similarity {
       .orderBy(col("q_id"), col("rk"))
   }
 
-  /** Multi-table hyperplane LSH: `lshTables` independent tables of
-    * `lshBits` hyperplanes each (fixed seed → same plan every run;
-    * regenerated identically in the recall test). One table of many bits
-    * has near-zero recall on weakly-correlated vectors; unioning
-    * candidates across several coarse tables is the standard fix —
-    * candidates/query ≈ tables · N/2^bits, tunable independently of
-    * recall. */
-  val lshTables = 4
-  val lshBits = 4
-  lazy val hyperplanes: Array[Array[Double]] = {
+  /** Multi-table hyperplane LSH with query-side MULTI-PROBE: `lshTables`
+    * independent tables of `lshBits` hyperplanes each (fixed seed → same
+    * plan every run). The INDEX side stays one bucket per table (linear
+    * storage); each QUERY additionally probes the `lshBits` buckets one
+    * hyperplane-flip away — a near-miss on a single hyperplane is the
+    * dominant failure mode, so probing 1-flip neighborhoods buys the
+    * recall extra tables would, without re-indexing the corpus.
+    * Candidates/query ≈ tables · (1 + bits) · N/2^bits — the bits
+    * exponent dominates, so deeper tables cut candidate volume faster
+    * than multiprobe adds it (constants pinned by the recall/
+    * candidate-fraction sweep in DedupSimilaritySpec). */
+  val lshTables = 10
+  val lshBits = 8
+
+  private def hyperplanesFor(tables: Int, bits: Int): Array[Array[Double]] = {
     val rnd = new scala.util.Random(42)
-    Array.fill(lshTables * lshBits, 64)(rnd.nextGaussian())
+    Array.fill(tables * bits, 64)(rnd.nextGaussian())
   }
 
-  /** Array of `lshTables` bucket ids (one per table) for an embedding. */
-  private def bucketsCol(emb: Column): Column =
-    array((0 until lshTables).map { t =>
-      (0 until lshBits).map { b =>
-        val hLit = array(hyperplanes(t * lshBits + b).map(lit): _*)
-        when(graft.plans.VectorFunctions.vec_dot(emb, hLit) > 0, lit(1L << b))
+  /** Array of `tables` bucket ids (one per table) for an embedding —
+    * each bit is the sign of the MEAN-CENTERED projection (see
+    * [[lshCandidates]] for why centering is load-bearing here). */
+  private def bucketsCol(emb: Column, meanEmb: Column, tables: Int, bits: Int): Column = {
+    val planes = hyperplanesFor(tables, bits)
+    array((0 until tables).map { t =>
+      (0 until bits).map { b =>
+        val hLit = array(planes(t * bits + b).map(lit): _*)
+        when(graft.plans.VectorFunctions.vec_dot(emb, hLit) >
+            graft.plans.VectorFunctions.vec_dot(meanEmb, hLit), lit(1L << b))
           .otherwise(lit(0L))
       }.reduce(_ + _)
     }: _*)
+  }
 
-  /** ANN via multi-table hyperplane LSH: candidates = union over tables of
-    * same-bucket vectors; exact rescoring + top-k on candidates only.
-    * Rows-only (no SQL oracle — the projections are not SQL-expressible);
-    * recall vs brute force is asserted in DedupSimilaritySpec. */
-  def simLshAnn(s: SparkSession, dir: String): DataFrame = {
-    val buckets = Tables(s, dir, "embeddings")
-      .select(col("vec_id"), posexplode(bucketsCol(col("embedding"))).as(Seq("tbl", "bucket")))
-    val qb = buckets.filter(col("vec_id") % queryStride === 0)
-      .select(col("vec_id").as("q_id"), col("tbl"), col("bucket"))
-    // dedupe (q, cand) pairs on the narrow id columns BEFORE attaching
-    // the 64-float vectors — a pair may collide in several tables, and
-    // distinct over embedding arrays would hash the vectors themselves
-    val cand = buckets.join(broadcast(qb),
-        Seq("tbl", "bucket")).filter(col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id").as("cand_id"))
-      .distinct()
+  /** ANN via multi-probe multi-table hyperplane LSH: candidates = union
+    * over tables of vectors in the query's bucket or any 1-flip probe of
+    * it; exact rescoring + top-k on candidates only. Rows-only (no SQL
+    * oracle — the projections are not SQL-expressible); recall ≥ 0.6 and
+    * the candidate-fraction ceiling are asserted in DedupSimilaritySpec. */
+  def simLshAnn(s: SparkSession, dir: String): DataFrame =
+    simLshAnnWith(s, dir, lshTables, lshBits, multiprobe = true)
+
+  private[graft] def simLshAnnWith(s: SparkSession, dir: String,
+      tables: Int, bits: Int, multiprobe: Boolean): DataFrame = {
+    val cand = lshCandidates(s, dir, tables, bits, multiprobe)
     val n = normed(s, dir)
     val q = n.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
     val c = n.select(col("vec_id").as("cand_id"), col("embedding").as("c_emb"), col("nrm").as("c_nrm"))
@@ -103,6 +112,43 @@ object Similarity {
       .filter(col("rk") <= topK)
       .select(col("q_id"), col("rk"), col("cand_id"), col("cosine"))
       .orderBy(col("q_id"), col("rk"))
+  }
+
+  /** Deduped (q_id, cand_id) LSH candidate pairs — also the unit the
+    * candidate-fraction spec measures (pairs / (queries · corpus)).
+    *
+    * Hyperplanes are thresholded at the CORPUS MEAN's projection, not 0:
+    * these embeddings are not centered, so raw dot-signs mostly agree —
+    * measured on sf0.001, uncentered 6×8-bit tables put 29% of the
+    * corpus in the query's bucket yet recalled 4% (giant buckets, no
+    * locality signal). The mean is a 1-row aggregate broadcast into the
+    * plan (same lazy pattern as the ngram max-df statistic): hashing
+    * compares dot(emb, h) > dot(mean, h), which equals the sign of the
+    * centered projection, and bits become ~balanced AND informative. */
+  private[graft] def lshCandidates(s: SparkSession, dir: String,
+      tables: Int, bits: Int, multiprobe: Boolean): DataFrame = {
+    val meanRow = Tables(s, dir, "embeddings")
+      .select(array((0 until embDims).map(i =>
+        avg(element_at(col("embedding"), i + 1).cast("double"))): _*).as("mean_emb"))
+    val buckets = Tables(s, dir, "embeddings")
+      .crossJoin(broadcast(meanRow))
+      .select(col("vec_id"),
+        posexplode(bucketsCol(col("embedding"), col("mean_emb"), tables, bits))
+          .as(Seq("tbl", "bucket")))
+    val qbase = buckets.filter(col("vec_id") % queryStride === 0)
+      .select(col("vec_id").as("q_id"), col("tbl"), col("bucket"))
+    val qb =
+      if (!multiprobe) qbase
+      else qbase.select(col("q_id"), col("tbl"),
+        explode(array(col("bucket") +:
+          (0 until bits).map(j => col("bucket").bitwiseXOR(lit(1L << j))): _*)).as("bucket"))
+    // dedupe (q, cand) pairs on the narrow id columns BEFORE attaching
+    // the 64-float vectors — a pair may collide in several tables (and
+    // probes), and distinct over embedding arrays would hash the vectors
+    buckets.join(broadcast(qb), Seq("tbl", "bucket"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("cand_id"))
+      .distinct()
   }
 
   /** IVF-style ANN: a deterministic coarse quantizer (centroids = every

@@ -231,14 +231,24 @@ class DedupSimilaritySpec extends AnyFunSuite {
     }
   }
 
-  test("LSH ANN returns same-bucket true neighbors with measurable recall") {
+  test("multi-probe LSH ANN: recall >= 0.6 at a bounded candidate fraction") {
     val exact = Similarity.simTopkBruteforce(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet
-    val ann = Similarity.simLshAnn(spark, sf0001).collect()
-      .map(r => (r.getLong(0), r.getLong(2))).toSet
-    val recall = (exact intersect ann).size.toDouble / exact.size
-    info(f"LSH ANN recall@5 vs brute force: $recall%.3f (${ann.size} candidates)")
-    assert(ann.nonEmpty)
-    assert(recall >= 0.3, f"recall $recall%.3f below 0.3")
+    val nCorpus = Tables(spark, sf0001, "embeddings").count()
+    val nQueries = exact.map(_._1).size
+    def measure(tables: Int, bits: Int, mp: Boolean): (Double, Double) = {
+      val ann = Similarity.simLshAnnWith(spark, sf0001, tables, bits, mp).collect()
+        .map(r => (r.getLong(0), r.getLong(2))).toSet
+      val recall = (exact intersect ann).size.toDouble / exact.size
+      val candPairs = Similarity.lshCandidates(spark, sf0001, tables, bits, mp).count()
+      (recall, candPairs.toDouble / (nQueries.toDouble * nCorpus))
+    }
+    val (recall, frac) = measure(Similarity.lshTables, Similarity.lshBits, mp = true)
+    val (r0, f0) = measure(Similarity.lshTables, Similarity.lshBits, mp = false)
+    info(f"LSH ANN recall@5 — multiprobe: $recall%.3f at candidate fraction $frac%.3f; " +
+      f"same tables w/o multiprobe: $r0%.3f at $f0%.3f")
+    assert(recall >= 0.6, f"recall $recall%.3f below 0.6")
+    assert(frac <= 0.35, f"candidate fraction $frac%.3f above 0.35 — scoring too much of the corpus")
+    assert(recall > r0, "multiprobe failed to beat plain multi-table at the same index")
   }
 }
