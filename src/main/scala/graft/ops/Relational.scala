@@ -229,6 +229,37 @@ object Relational {
         sum(col("partial_cnt")).as("n_rows"))
       .orderBy(col("l_returnflag"))
 
+  /** Skewed shuffle join — the AQE-side complement to qSaltedAgg's
+    * manual salting. 30% of lineitem rows are remapped to ONE hot part
+    * key, then merge-hint-joined (sort-merge, broadcast disabled by the
+    * hint) against the unique-keyed part table: the hot key lands in a
+    * single shuffle partition that dwarfs the median — exactly the
+    * straggler AQE's skew-join handling exists to split at runtime
+    * (hot-partition split on the fact side, dim rows replicated to each
+    * split). The query itself is config-free and oracle-checked; the
+    * runtime split (`skew=true` in the executed plan) is pinned by
+    * AqeSkewSpec with the skew thresholds scaled to test data, and the
+    * resulting plan is dumped in PLANS.md. */
+  def qSkewJoin(s: SparkSession, dir: String): DataFrame = {
+    // The hash-repartition gives the join shuffle a MULTI-TASK map side,
+    // which any real corpus has (thousands of scan tasks at 100 TB) but a
+    // one-row-group test parquet does not. AQE's skew split works at map-
+    // output granularity — a hot reduce partition fed by ONE mapper is a
+    // single indivisible chunk and is not even counted as skewed.
+    val li = Tables(s, dir, "lineitem")
+      .repartition(col("l_orderkey"))
+      .withColumn("skew_key",
+        when(col("l_partkey") % 10 < 3, lit(1L)).otherwise(col("l_partkey").cast("long")))
+    val p = Tables(s, dir, "part")
+      .select(col("p_partkey").cast("long").as("skew_key"), col("p_brand"))
+    li.hint("merge").join(p, "skew_key")
+      .groupBy(col("p_brand"))
+      .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))).cast("double").as("revenue"),
+        sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("p_brand"))
+  }
+
   /** Set operations beyond union: INTERSECT / EXCEPT (distinct set
     * semantics in both engines). */
   def qIntersectExcept(s: SparkSession, dir: String): DataFrame = {
@@ -405,6 +436,7 @@ object Relational {
     "q_string_funcs" -> qStringFuncs _,
     "q_math_funcs" -> qMathFuncs _,
     "q_salted_agg" -> qSaltedAgg _,
+    "q_skew_join" -> qSkewJoin _,
     "q_approx_distinct" -> qApproxDistinct _,
     "q1_pricing_summary" -> q1PricingSummary _,
     "q6_revenue_filter" -> q6RevenueFilter _,
@@ -512,6 +544,16 @@ object Relational {
         |  CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil
         |FROM lineitem WHERE l_orderkey < 100
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_skew_join" ->
+      """SELECT p_brand,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  count(*) AS n_rows
+        |FROM (SELECT CASE WHEN l_partkey % 10 < 3 THEN 1 ELSE l_partkey END AS skew_key,
+        |             l_extendedprice, l_discount, l_quantity
+        |      FROM lineitem) li
+        |JOIN (SELECT p_partkey AS skew_key, p_brand FROM part) p USING (skew_key)
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
     "q_salted_agg" ->
       """SELECT l_returnflag,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
