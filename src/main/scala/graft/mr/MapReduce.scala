@@ -56,10 +56,11 @@ object MapReduce {
 
 /** Literal external-executable support — the reference's "the user program
   * IS the UDF" surface (`Worker.java:138,153`: mapper run as an OS process
-  * over a chunk file). `RDD.pipe` gives the same line-stream contract,
-  * distributed: each partition's lines stream through the command's
-  * stdin/stdout. On-worker compilation of C++ (`Worker.java:145-153`) is
-  * deliberately not ported; any executable already on the workers works.
+  * over a chunk file). `RDD.pipe` gives the stdin/stdout line contract,
+  * distributed; `runArgv`/`runArgvScript` give the reference's argv-file
+  * contract; `runArgvCpp` ports its on-worker C++ compilation
+  * (`Worker.java:145-153`), so all four shipped reference workloads run
+  * with their unmodified programs (ReferenceGoldenSpec).
   */
 object Pipe {
   def run(lines: Dataset[String], cmd: Seq[String]): Dataset[String] = {
@@ -88,9 +89,17 @@ object Pipe {
     * file, NOT over stdin/stdout — the reference's own shipped example
     * mappers read `sys.argv[1]` and write `sys.argv[2]`. Per partition:
     * spill the partition's lines to a temp in-file, exec the program,
-    * read its out-file back as the partition's output. The out-file is
-    * materialized in memory before deletion — bounded by chunk-aggregate
-    * size, exactly the memory the reference's own mapper dict holds.
+    * stream its out-file back as the partition's output.
+    *
+    * The out-file is read LAZILY, line by line (round-3 verdict #8): a
+    * mapper that expands its input (or a chunk sized near executor
+    * headroom) would OOM if the whole file were materialized, and
+    * downstream operators with map-side pruning (limit, partial top-k)
+    * would pay for lines they never pull. The in-file is deleted as soon
+    * as the program exits; the out-file when its iterator is exhausted,
+    * with a task-completion listener as the safety net for consumers
+    * that stop early — so neither early termination nor task failure
+    * leaks temp files.
     *
     * `cmdF` is evaluated ON THE EXECUTOR (so `SparkFiles.get` resolves
     * the shipped copy); it returns the argv prefix the two file paths are
@@ -101,9 +110,14 @@ object Pipe {
     lines.mapPartitions { it =>
       val in = java.nio.file.Files.createTempFile("graft-argv-in", ".data")
       val out = java.nio.file.Files.createTempFile("graft-argv-out", ".data")
+      def cleanup(reader: java.io.Reader): Unit = {
+        if (reader != null) scala.util.Try(reader.close())
+        java.nio.file.Files.deleteIfExists(in)
+        java.nio.file.Files.deleteIfExists(out)
+      }
       val w = java.nio.file.Files.newBufferedWriter(in, java.nio.charset.StandardCharsets.UTF_8)
-      try it.foreach { l => w.write(l); w.write('\n') } finally w.close()
       try {
+        try it.foreach { l => w.write(l); w.write('\n') } finally w.close()
         val cmd = cmdF() ++ Seq(in.toString, out.toString)
         // stderr merged into stdout and FULLY drained before waitFor: a
         // program chatty on either stream would otherwise fill the ~64KB
@@ -114,11 +128,22 @@ object Pipe {
         val exit = proc.waitFor()
         if (exit != 0)
           throw new RuntimeException(s"argv program exited $exit: ${cmd.mkString(" ")}\n$log")
-        val src = scala.io.Source.fromFile(out.toFile, "UTF-8")
-        try src.getLines().toVector.iterator finally src.close()
-      } finally {
-        java.nio.file.Files.deleteIfExists(in)
-        java.nio.file.Files.deleteIfExists(out)
+      } catch { case e: Throwable => cleanup(null); throw e }
+      java.nio.file.Files.deleteIfExists(in) // program done reading it
+      val reader = java.nio.file.Files.newBufferedReader(out, java.nio.charset.StandardCharsets.UTF_8)
+      // safety net: a downstream limit may abandon the iterator mid-file
+      val ctx = org.apache.spark.TaskContext.get()
+      if (ctx != null) ctx.addTaskCompletionListener[Unit](_ => cleanup(reader))
+      new Iterator[String] {
+        private var line = reader.readLine()
+        if (line == null) cleanup(reader) // empty output: release eagerly
+        def hasNext: Boolean = line != null
+        def next(): String = {
+          val l = line
+          line = reader.readLine()
+          if (line == null) cleanup(reader) // exhausted: release before task end
+          l
+        }
       }
     }
   }

@@ -71,6 +71,40 @@ class MapReduceSpec extends AnyFunSuite {
     assert(out.sorted.toSeq === data.map(_.toUpperCase).sorted)
   }
 
+  private def argvTempFiles(): Seq[String] = {
+    val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
+    tmp.listFiles().map(_.getName).filter(_.startsWith("graft-argv-")).toSeq
+  }
+
+  test("runArgv streams its out-file lazily and deletes temps: full, partial, empty reads") {
+    import spark.implicits._
+    // an EXPANDING mapper: each input line produces 2000 output lines —
+    // the shape that OOMs if the out-file is materialized per partition
+    val script = java.nio.file.Files.createTempFile("argv-expand", ".py")
+    java.nio.file.Files.write(script,
+      ("import sys\n" +
+        "with open(sys.argv[1]) as fi, open(sys.argv[2], 'w') as fo:\n" +
+        "    for line in fi:\n" +
+        "        for i in range(2000):\n" +
+        "            fo.write(line.strip() + ':' + str(i) + '\\n')\n").getBytes)
+    val before = argvTempFiles()
+    val data = (1 to 50).map(i => s"row$i")
+    val ds = Pipe.runArgvScript(data.toDS().repartition(4), script.toString)
+    // full consumption
+    assert(ds.count() === 50L * 2000)
+    // partial consumption: limit abandons the iterator mid-file — the
+    // task-completion listener must still delete the temps
+    assert(ds.limit(7).collect().length === 7)
+    // empty output
+    val empty = java.nio.file.Files.createTempFile("argv-empty", ".py")
+    java.nio.file.Files.write(empty,
+      "import sys\nopen(sys.argv[2], 'w').close()\n".getBytes)
+    assert(Pipe.runArgvScript(Seq("x").toDS(), empty.toString).collect().isEmpty)
+    // no graft-argv temp files left beyond whatever predated the test
+    val leaked = argvTempFiles().diff(before)
+    assert(leaked.isEmpty, s"leaked argv temp files: $leaked")
+  }
+
   test("runArgv fails loudly when the program exits nonzero") {
     import spark.implicits._
     val script = java.nio.file.Files.createTempFile("argv-fail", ".py")
