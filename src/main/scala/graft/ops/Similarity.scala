@@ -71,24 +71,14 @@ object Similarity {
   val lshTables = 10
   val lshBits = 8
 
-  private def hyperplanesFor(tables: Int, bits: Int): Array[Array[Double]] = {
+  /** Flattened plane matrix (plane p = slice [p·64, (p+1)·64)) — carried
+    * into the plan as ONE reference object by the fused
+    * `lsh_projections` expression, not as per-plane literal arrays: the
+    * literal form built a ~10k-node tree whose per-action analysis +
+    * codegen cost (measured 3.8 s at 10×8) dwarfed the actual data work. */
+  private def hyperplanesFor(tables: Int, bits: Int): Array[Double] = {
     val rnd = new scala.util.Random(42)
-    Array.fill(tables * bits, 64)(rnd.nextGaussian())
-  }
-
-  /** Array of `tables` bucket ids (one per table) for an embedding —
-    * each bit is the sign of the MEAN-CENTERED projection (see
-    * [[lshCandidates]] for why centering is load-bearing here). */
-  private def bucketsCol(emb: Column, meanEmb: Column, tables: Int, bits: Int): Column = {
-    val planes = hyperplanesFor(tables, bits)
-    array((0 until tables).map { t =>
-      (0 until bits).map { b =>
-        val hLit = array(planes(t * bits + b).map(lit): _*)
-        when(graft.plans.VectorFunctions.vec_dot(emb, hLit) >
-            graft.plans.VectorFunctions.vec_dot(meanEmb, hLit), lit(1L << b))
-          .otherwise(lit(0L))
-      }.reduce(_ + _)
-    }: _*)
+    Array.fill(tables * bits * embDims)(rnd.nextGaussian())
   }
 
   /** ANN via multi-probe multi-table hyperplane LSH: candidates = union
@@ -127,13 +117,19 @@ object Similarity {
     * centered projection, and bits become ~balanced AND informative. */
   private[graft] def lshCandidates(s: SparkSession, dir: String,
       tables: Int, bits: Int, multiprobe: Boolean): DataFrame = {
-    val meanRow = Tables(s, dir, "embeddings")
-      .select(array((0 until embDims).map(i =>
-        avg(element_at(col("embedding"), i + 1).cast("double"))): _*).as("mean_emb"))
+    val planes = hyperplanesFor(tables, bits)
+    val proj = (c: Column) => graft.plans.VectorFunctions.lsh_projections(c, planes, embDims)
+    // per-plane threshold = the corpus-MEAN's projection = avg of per-row
+    // projections (linearity of dot) — one small aggregate, broadcast
+    val thrRow = Tables(s, dir, "embeddings")
+      .select(proj(col("embedding")).as("p"))
+      .select(array((0 until tables * bits).map(i =>
+        avg(element_at(col("p"), i + 1))): _*).as("thr"))
     val buckets = Tables(s, dir, "embeddings")
-      .crossJoin(broadcast(meanRow))
+      .crossJoin(broadcast(thrRow))
       .select(col("vec_id"),
-        posexplode(bucketsCol(col("embedding"), col("mean_emb"), tables, bits))
+        posexplode(graft.plans.VectorFunctions.lsh_buckets(
+          proj(col("embedding")), col("thr"), tables, bits))
           .as(Seq("tbl", "bucket")))
     val qbase = buckets.filter(col("vec_id") % queryStride === 0)
       .select(col("vec_id").as("q_id"), col("tbl"), col("bucket"))

@@ -30,6 +30,36 @@ object PropertySpec extends Properties("graft") {
     }
   }
 
+  property("lsh_projections == one vec_dot per plane; lsh_buckets == manual bit assembly") = {
+    import spark.implicits._
+    val dim = 8
+    val tables = 3
+    val bits = 4
+    val planeGen = Gen.listOfN(tables * bits * dim, Gen.chooseNum(-10.0, 10.0))
+    val vecGen = Gen.listOfN(dim, Gen.chooseNum(-100f, 100f))
+    forAll(Gen.zip(planeGen, Gen.nonEmptyListOf(vecGen))) { case (planesL, vecs) =>
+      val planes = planesL.toArray
+      val thr = Array.fill(tables * bits)(0.5)
+      val rows = vecs.map(_.toArray).toDF("emb")
+        .select(VectorFunctions.lsh_projections(col("emb"), planes, dim).as("p"))
+        .select(col("p"),
+          VectorFunctions.lsh_buckets(col("p"), array(thr.map(lit): _*), tables, bits).as("bk"))
+        .collect()
+      rows.zip(vecs).forall { case (r, v) =>
+        val proj = r.getSeq[Double](0)
+        val expectProj = (0 until tables * bits).map { p =>
+          (0 until dim).foldLeft(0.0)((acc, d) => acc + v(d).toDouble * planes(p * dim + d))
+        }
+        val buckets = r.getSeq[Long](1)
+        val expectBuckets = (0 until tables).map { t =>
+          (0 until bits).foldLeft(0L)((acc, b) =>
+            if (proj(t * bits + b) > thr(t * bits + b)) acc | (1L << b) else acc)
+        }
+        proj == expectProj && buckets == expectBuckets
+      }
+    }
+  }
+
   property("word_shingle_hashes: sorted, distinct, |hs| <= max(0, tokens-2)") = {
     import spark.implicits._
     forAll(Gen.nonEmptyListOf(textGen)) { texts =>
