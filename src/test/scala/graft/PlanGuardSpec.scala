@@ -78,4 +78,24 @@ class PlanGuardSpec extends AnyFunSuite {
     val optimized = q("dedup_embedding_cosine").queryExecution.optimizedPlan.toString
     assert(optimized.contains("raise_error"), "O(N²) guard was pruned from the plan")
   }
+
+  test("sim_lsh_ann hashes through the fused expressions, not per-plane literals") {
+    // the per-plane literal formulation put 160 vec_dot nodes (each with a
+    // 64-element literal array) in the tree — 3.8 s of per-action
+    // analysis+codegen. Fused: lsh_projections/lsh_buckets appear, and
+    // vec_dot survives only in the exact rescoring step.
+    val txt = plan("sim_lsh_ann").toString
+    assert(txt.contains("lsh_projections") && txt.contains("lsh_buckets"),
+      "LSH hashing no longer uses the fused expressions")
+    val dots = "vec_dot".r.findAllIn(txt).length
+    assert(dots <= 8, s"$dots vec_dot nodes in sim_lsh_ann — per-plane literal hashing is back")
+  }
+
+  test("q_skew_join stays a sort-merge join (the shape AQE skew-split requires)") {
+    val p = plan("q_skew_join")
+    assert(p.collect { case j: SortMergeJoinExec => j }.nonEmpty,
+      "merge hint lost — broadcast would disable the runtime skew-split demo")
+    assert(p.collect { case j: BroadcastHashJoinExec => j }.isEmpty,
+      "part side broadcast — the skewed shuffle partition never forms")
+  }
 }
