@@ -556,23 +556,30 @@ object Dedup {
       s: SparkSession, dir: String, centFn: DataFrame => DataFrame): DataFrame = {
     val dot = (a: Column, b: Column) => graft.plans.VectorFunctions.vec_dot(a, b)
     val n = Similarity.normed(s, dir)
+    // vectors ride WITH the assignment into the blocks (carry), so pair
+    // verification happens inside the block arrays: the previous
+    // ids-then-join form shuffled the full vector table into ~50M
+    // candidate-pair rows at 250k vectors (~27 GB through two joins) and
+    // could not finish the scale experiment. Here the only vector
+    // shuffle is N·probes member rows into their blocks; the Σ block²
+    // cosines stream through the same whole-stage-codegen explode+filter
+    // with no materialization and no join at all.
     val asg = Similarity.nearestCentroids(centFn(n))(
-      n, "vec_id", "embedding", "nrm", blockProbes)
-    val cand = asg
+      n, "vec_id", "embedding", "nrm", blockProbes, carry = Seq("embedding", "nrm"))
+    val pairs = asg
       .groupBy(col("c_id"))
-      .agg(sort_array(collect_list(col("vec_id"))).as("ids"))
-      .filter(size(col("ids")) >= 2)
-      .select(explode(bucketPairs(col("ids"))((x, y) =>
-        struct(x.as("id_a"), y.as("id_b")))).as("p"))
-      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
-      .distinct()
-    val a = n.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"), col("nrm").as("nrm_a"))
-    val b = n.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"), col("nrm").as("nrm_b"))
-    cand.join(a, "id_a").join(b, "id_b")
-      .withColumn("cosine", dot(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b")))
+      .agg(sort_array(collect_list(
+        struct(col("vec_id"), col("embedding"), col("nrm")))).as("items"))
+      .filter(size(col("items")) >= 2)
+      .select(explode(bucketPairs(col("items"))((x, y) =>
+        struct(x.getField("vec_id").as("id_a"), y.getField("vec_id").as("id_b"),
+          (dot(x.getField("embedding"), y.getField("embedding")) /
+            (x.getField("nrm") * y.getField("nrm"))).as("cosine")))).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"), col("p.cosine").as("cosine"))
       .filter(col("cosine") >= cosineThreshold)
-      .select(col("id_a"), col("id_b"), col("cosine"))
-      .orderBy(col("id_a"), col("id_b"))
+    // a pair sharing two probe blocks appears twice with the identical
+    // cosine — dedupe AFTER the threshold filter, when few rows remain
+    pairs.distinct().orderBy(col("id_a"), col("id_b"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

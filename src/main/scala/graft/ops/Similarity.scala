@@ -89,6 +89,33 @@ object Similarity {
   def simLshAnn(s: SparkSession, dir: String): DataFrame =
     simLshAnnWith(s, dir, lshTables, lshBits, multiprobe = true)
 
+  /** Expected vectors per bucket the auto-depth serving path targets. */
+  val lshTargetBucket = 4
+  private val lshBytesPerRow = 350.0 // calibrated on the parquet corpora (≈390 B/row snappy)
+
+  /** Table depth for a corpus of `rows` vectors: enough bits that bucket
+    * occupancy stays ≈`lshTargetBucket` — candidates/query ≈
+    * tables·(1+bits)·occupancy stays CONSTANT as the corpus grows,
+    * instead of growing linearly at fixed depth (at 250k rows the pinned
+    * 8-bit index puts ~1000 vectors in every bucket → ~90k candidates
+    * per query, ~450M scored pairs — the scale experiment filled 60 GB
+    * of shuffle spill before finishing). Floor of `lshBits` keeps small
+    * corpora on the recall-asserted pinned configuration. */
+  def lshBitsFor(rows: Double): Int =
+    math.max(lshBits, math.min(24,
+      math.round(math.log(math.max(1.0, rows / lshTargetBucket)) / math.log(2)).toInt))
+
+  /** The SCALE serving path: depth chosen from the corpus's optimizer
+    * size statistic (file bytes — available without running a job, the
+    * same signal broadcast planning uses), so plan construction stays
+    * lazy. Identical to `simLshAnn` on recall-asserted small corpora
+    * (the bits floor); sub-linear candidates on large ones. Rows-only. */
+  def simLshAnnAuto(s: SparkSession, dir: String): DataFrame = {
+    val bytes = Tables(s, dir, "embeddings")
+      .queryExecution.optimizedPlan.stats.sizeInBytes.toDouble
+    simLshAnnWith(s, dir, lshTables, lshBitsFor(bytes / lshBytesPerRow), multiprobe = true)
+  }
+
   private[graft] def simLshAnnWith(s: SparkSession, dir: String,
       tables: Int, bits: Int, multiprobe: Boolean): DataFrame = {
     val cand = lshCandidates(s, dir, tables, bits, multiprobe)
@@ -163,18 +190,36 @@ object Similarity {
     n.filter(col("vec_id") % centroidStride === 1)
       .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"), col("nrm").as("c_nrm"))
 
+  /** The centroid table as ONE broadcastable row: c_id-sorted array of
+    * (c_id, c_emb: array<double>, c_nrm) structs — the input shape of
+    * the `nearest_centroid_ids` kernel. */
+  private def centArrayOf(cent: DataFrame): DataFrame =
+    cent.select(struct(col("c_id"),
+        col("c_emb").cast("array<double>").as("c_emb"), col("c_nrm")).as("c"))
+      .agg(sort_array(collect_list(col("c"))).as("cents"))
+
   /** (id, c_id): each source vector's `keep` nearest centroids by cosine,
-    * deterministic (cosine desc, c_id tie-break). Shared by simIvfTopk
-    * and Dedup.dedupEmbeddingBlocked — the SAME assignment serves search
-    * probes and dedup blocking, so one quantizer build covers both. */
+    * deterministic (cosine desc, c_id tie-break). Shared by simIvfTopk,
+    * Dedup.dedupEmbeddingBlocked, and k-means training — the SAME
+    * assignment kernel serves search probes, dedup blocking, and Lloyd
+    * steps, so one quantizer build covers all three.
+    *
+    * Shape: the centroid table folds into a single broadcast array row
+    * and the fused `nearest_centroid_ids` expression picks the top-keep
+    * per source row — NO (src × centroids) intermediate exists. The
+    * previous generate-and-rank form (crossJoin + window row_number)
+    * materialized 625M rows through a per-key sort at 250k×2.5k and
+    * could not finish the scale experiment; this one is a single
+    * narrow-output projection. `carry` lists source columns to keep
+    * alongside (id, c_id) — carrying them here beats re-joining the
+    * source table downstream. */
   private[ops] def nearestCentroids(cent: DataFrame)(
-      src: DataFrame, idCol: String, embCol: String, nrmCol: String, keep: Int): DataFrame = {
-    val w = Window.partitionBy(col(idCol)).orderBy(col("c_cos").desc, col("c_id"))
-    src.join(broadcast(cent))
-      .withColumn("c_cos", dot(col(embCol), col("c_emb")) / (col(nrmCol) * col("c_nrm")))
-      .withColumn("c_rk", row_number().over(w))
-      .filter(col("c_rk") <= keep)
-      .select(col(idCol), col("c_id"))
+      src: DataFrame, idCol: String, embCol: String, nrmCol: String, keep: Int,
+      carry: Seq[String] = Nil): DataFrame = {
+    val nc = graft.plans.VectorFunctions.nearest_centroid_ids(
+      col(embCol), col(nrmCol), col("cents"), keep)
+    src.crossJoin(broadcast(centArrayOf(cent)))
+      .select(col(idCol) +: carry.map(col) :+ explode(nc).as("c_id"): _*)
   }
 
   /** Iterations of the spherical Lloyd refinement — fixed count (no
@@ -232,7 +277,8 @@ object Similarity {
     }
 
   /** One Lloyd step: per-cluster mean of the members assigned to each
-    * centroid (nearest by cosine, c_id tie-break), zero-norm means
+    * centroid (nearest by cosine, c_id tie-break — the same
+    * `nearest_centroid_ids` kernel as serving, keep=1), zero-norm means
     * dropped (a mean can only be zero if its members cancel exactly —
     * it carries no direction, so the cluster keeps its old centroid). */
   private def lloydMeans(s: SparkSession, n: DataFrame,
@@ -241,11 +287,8 @@ object Similarity {
     val centDf = cent.toSeq.sortBy(_._1).toDF("c_id", "c_emb")
       .withColumn("c_nrm", sqrt(dot(col("c_emb"), col("c_emb"))))
       .filter(col("c_nrm") > 0)
-    val assigned = n.crossJoin(broadcast(centDf))
-      .withColumn("c_cos", dot(col("embedding"), col("c_emb")) / (col("nrm") * col("c_nrm")))
-      .groupBy(col("vec_id"))
-      .agg(max_by(col("c_id"), struct(col("c_cos"), (lit(0L) - col("c_id")).as("tb"))).as("c_id"),
-        first(col("embedding")).as("embedding"))
+    val assigned = nearestCentroids(centDf)(
+      n, "vec_id", "embedding", "nrm", 1, carry = Seq("embedding"))
     val sums = (0 until embDims).map(i =>
       sum(element_at(col("embedding"), i + 1).cast("double")).as(s"s$i"))
     assigned.groupBy(col("c_id"))
@@ -309,6 +352,7 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_topk_bruteforce" -> simTopkBruteforce _,
     "sim_lsh_ann" -> simLshAnn _,
+    "sim_lsh_ann_auto" -> simLshAnnAuto _,
     "sim_ivf_topk" -> simIvfTopk _,
     "sim_ivf_topk_trained" -> simIvfTopkTrained _,
   )

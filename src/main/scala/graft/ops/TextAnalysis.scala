@@ -180,6 +180,43 @@ object TextAnalysis {
       .orderBy(col("lang"), col("p"))
   }
 
+  /** Repetition thresholds: a doc is flagged when over `dupFracMax` of
+    * its word 2-grams are repeats, or one 2-gram alone accounts for over
+    * `topShareMax` of them — the standard boilerplate/loop signals a
+    * pretraining quality pass filters on. */
+  val dupFracMax = 0.4
+  val topShareMax = 0.15
+
+  /** Per-document repetition profile over word 2-grams: total / distinct
+    * counts, duplicate fraction, the share of the single most frequent
+    * 2-gram, and the filter flag. Shape: explode → two-level aggregate —
+    * per-(doc, gram) counts first, then per-doc — one linear shuffle
+    * whose key space is (doc × distinct grams), never a per-doc sort or
+    * an O(grams²) in-row fold. Docs with fewer than two tokens have no
+    * 2-grams (and an ANSI div-by-zero) — excluded in both engines. */
+  def textRepetition(s: SparkSession, dir: String): DataFrame = {
+    val grams = Tables(s, dir, "documents")
+      // toks as its OWN projected column: a lambda over an attribute
+      // reference — inlining the tokenizer into the transform() would
+      // re-split the text once per gram (the HOF per-element re-eval trap)
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("toks")) - 1),
+        i => concat_ws(" ", element_at(col("toks"), i), element_at(col("toks"), i + 1)))).as("gram"))
+    grams.groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n2_total"),
+        count(lit(1)).as("n2_distinct"),
+        max(col("c")).as("top_c"))
+      .select(col("doc_id"), col("n2_total"), col("n2_distinct"),
+        ((col("n2_total") - col("n2_distinct")).cast("double") / col("n2_total").cast("double")).as("dup2_frac"),
+        (col("top_c").cast("double") / col("n2_total").cast("double")).as("top2_share"))
+      .withColumn("is_repetitive",
+        col("dup2_frac") > dupFracMax || col("top2_share") > topShareMax)
+      .orderBy(col("doc_id"))
+  }
+
   /** CMS parameters: ±eps·N error at the given confidence; fixed seed
     * makes the sketch fully deterministic (counts are additive, so the
     * merge order across partitions cannot change the result). */

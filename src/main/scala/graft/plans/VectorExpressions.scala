@@ -309,6 +309,56 @@ case class LshBuckets(left: Expression, right: Expression, tables: Int, bits: In
     copy(left = newLeft, right = newRight)
 }
 
+/** Top-`keep` nearest centroids of an embedding, by cosine with c_id
+  * tie-break, over a broadcast array of (c_id, c_emb, c_nrm) structs
+  * sorted by c_id — the quantizer-assignment kernel shared by IVF
+  * search, blocked embedding dedup, and k-means training.
+  *
+  * Replaces the generate-and-rank formulation (crossJoin every vector
+  * with every centroid row, then window row_number ≤ k): at 250k
+  * vectors × 2.5k centroids that materializes a 625M-row intermediate
+  * through a per-key sort — the scale experiment measured the blocked
+  * dedup unable to finish in 25 minutes on that shape. This expression
+  * folds over the centroid array in one fused loop per row: no
+  * intermediate rows exist at all, and the insertion sort keeps exactly
+  * the (cosine DESC, c_id ASC) order the window formulation (and the
+  * DuckDB oracle) defines, because centroids arrive c_id-ascending and
+  * replacement requires a STRICTLY greater cosine. */
+case class NearestCentroidIds(first: Expression, second: Expression, third: Expression, keep: Int)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+  def emb: Expression = first
+  def nrm: Expression = second
+  def cents: Expression = third
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "nearest_centroid_ids"
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    InputChecks.check(prettyName)(
+      (first, InputChecks.isNumericArray, "array<float> or array<double>"),
+      (second, { case DoubleType | NullType => true; case _ => false }, "double"),
+      (third, { case ArrayType(_: StructType, _) | NullType => true; case _ => false },
+        "array<struct<c_id,c_emb,c_nrm>>"))
+
+  private def isFloat: Boolean = first.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def nullSafeEval(e: Any, n: Any, c: Any): Any =
+    HashUtil.nearestCentroidIds(e.asInstanceOf[ArrayData], isFloat,
+      n.asInstanceOf[Double], c.asInstanceOf[ArrayData], keep)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (e, n, c) =>
+      s"${ev.value} = graft.plans.HashUtil.nearestCentroidIds($e, $isFloat, $n, $c, $keep);")
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
 /** Static helpers callable from generated Java (Scala top-level object →
   * static forwarders). */
 object HashUtil {
@@ -427,6 +477,52 @@ object HashUtil {
     acc
   }
 
+  /** Top-`keep` centroid ids by (cosine DESC, c_id ASC). `cents` is an
+    * array of structs (c_id: long, c_emb: array<double>, c_nrm: double)
+    * SORTED by c_id; strict-greater replacement preserves the ascending
+    * c_id order as the tie-break. */
+  def nearestCentroidIds(emb: ArrayData, isFloat: Boolean, nrm: Double,
+      cents: ArrayData, keep: Int): ArrayData = {
+    val dim = emb.numElements()
+    val nC = cents.numElements()
+    val k = math.min(keep, nC)
+    val topCos = Array.fill(k)(Double.NegativeInfinity)
+    val topId = new Array[Long](k)
+    var filled = 0
+    var c = 0
+    while (c < nC) {
+      val row = cents.getStruct(c, 3)
+      val cEmb = row.getArray(1)
+      if (cEmb.numElements() != dim)
+        throw new IllegalArgumentException(
+          s"nearest_centroid_ids: centroid dim ${cEmb.numElements()} != embedding dim $dim")
+      var acc = 0.0
+      var d = 0
+      while (d < dim) {
+        val v = if (isFloat) emb.getFloat(d).toDouble else emb.getDouble(d)
+        acc += v * cEmb.getDouble(d)
+        d += 1
+      }
+      val cos = acc / (nrm * row.getDouble(2))
+      // insertion position: strictly greater displaces (equal cosine keeps
+      // the earlier = lower c_id, matching ORDER BY cos DESC, c_id ASC)
+      var pos = filled
+      while (pos > 0 && cos > topCos(pos - 1)) pos -= 1
+      if (pos < k) {
+        var m = math.min(filled, k - 1)
+        while (m > pos) { topCos(m) = topCos(m - 1); topId(m) = topId(m - 1); m -= 1 }
+        topCos(pos) = cos
+        topId(pos) = row.getLong(0)
+        if (filled < k) filled += 1
+      }
+      c += 1
+    }
+    val out = new Array[Any](filled)
+    var i = 0
+    while (i < filled) { out(i) = topId(i); i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   def lshProjections(emb: ArrayData, isFloat: Boolean,
       planes: Array[Double], dim: Int): ArrayData = {
     if (emb.numElements() != dim)
@@ -507,4 +603,7 @@ object VectorFunctions {
     GraftBridge.column(LshProjections(GraftBridge.expression(c), planes, dim))
   def lsh_buckets(proj: Column, thr: Column, tables: Int, bits: Int): Column =
     GraftBridge.column(LshBuckets(GraftBridge.expression(proj), GraftBridge.expression(thr), tables, bits))
+  def nearest_centroid_ids(emb: Column, nrm: Column, cents: Column, keep: Int): Column =
+    GraftBridge.column(NearestCentroidIds(GraftBridge.expression(emb),
+      GraftBridge.expression(nrm), GraftBridge.expression(cents), keep))
 }

@@ -250,5 +250,12 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.6, f"recall $recall%.3f below 0.6")
     assert(frac <= 0.35, f"candidate fraction $frac%.3f above 0.35 — scoring too much of the corpus")
     assert(recall > r0, "multiprobe failed to beat plain multi-table at the same index")
+    // the auto-depth serving path clamps to the pinned (recall-asserted)
+    // depth on a corpus this small — results must be identical
+    val auto = Similarity.simLshAnnAuto(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val pinned = Similarity.simLshAnn(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(auto === pinned, "auto-depth diverged from the pinned index on a small corpus")
   }
 }
