@@ -316,6 +316,7 @@ object TextAnalysis {
     "text_quality" -> textQuality _,
     "text_lang_id" -> textLangId _,
     "text_fingerprint" -> textFingerprint _,
+    "text_repetition" -> textRepetition _,
   )
 
   private val tokSql =
@@ -400,6 +401,23 @@ object TextAnalysis {
          |    CAST(len(list_filter(toks, t -> list_contains(${sqlList(stopDe)}, t))) AS BIGINT) AS s_de,
          |    CAST(len(list_filter(toks, t -> list_contains(${sqlList(stopEs)}, t))) AS BIGINT) AS s_es
          |  FROM (SELECT doc_id, lang, $tokSql AS toks FROM documents))
+         |ORDER BY doc_id""".stripMargin,
+    "text_repetition" ->
+      s"""WITH base AS (SELECT doc_id, $tokSql AS toks FROM documents),
+         |g AS (SELECT doc_id,
+         |        unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS gram
+         |      FROM base WHERE len(toks) >= 2),
+         |c AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY doc_id, gram),
+         |a AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n2_total,
+         |        count(*) AS n2_distinct, max(c) AS top_c
+         |      FROM c GROUP BY doc_id)
+         |SELECT doc_id, n2_total, n2_distinct, dup2_frac, top2_share,
+         |  dup2_frac > $dupFracMax OR top2_share > $topShareMax AS is_repetitive
+         |FROM (
+         |  SELECT doc_id, n2_total, n2_distinct,
+         |    CAST(n2_total - n2_distinct AS DOUBLE) / CAST(n2_total AS DOUBLE) AS dup2_frac,
+         |    CAST(top_c AS DOUBLE) / CAST(n2_total AS DOUBLE) AS top2_share
+         |  FROM a)
          |ORDER BY doc_id""".stripMargin,
     "text_fingerprint" ->
       """SELECT doc_id,

@@ -69,6 +69,22 @@ class OperatorSpec extends AnyFunSuite {
     assert(r.getLong(5) >= 0L && r.getLong(5) <= 0xFFFFFFFFL)
   }
 
+  test("textRepetition flags looping/boilerplate docs and passes varied ones") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("rep")
+    Seq(
+      (1L, "spam spam spam spam spam spam spam spam spam spam", "en", "s", 49L),
+      (2L, ("the quick brown fox jumps over lazy dogs " +
+        "while seven wizards brew unique potions quietly tonight"), "en", "s", 98L),
+      (3L, "buy now " * 12 + "limited offer", "en", "s", 109L),
+      (4L, "solo", "en", "s", 4L)) // <2 tokens: excluded
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$tmp/documents.parquet")
+    val rows = ops.TextAnalysis.textRepetition(spark, tmp.toString).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(5)).toMap
+    assert(rows === Map(1L -> true, 2L -> false, 3L -> true))
+  }
+
   test("every registered query returns rows at sf0.001 (t1 smoke)") {
     val failures = SparkEntry.queries.flatMap { case (name, fn) =>
       try {
