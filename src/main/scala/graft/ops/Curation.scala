@@ -63,21 +63,18 @@ object Curation {
   /** Bucket width for the two-level running sum (doc_ids per bucket). */
   val budgetBucketWidth = 256L
 
-  /** Greedy per-source curation: take docs in doc_id order while the
-    * tokens consumed BEFORE the doc are within budget (so the first doc
-    * of a source is always taken and the budget may be exceeded at most
-    * once — the standard greedy-fill contract).
-    *
-    * Scale shape: a single running-sum window per source would sort an
-    * entire source inside ONE window task — the single-task-per-group
-    * trap. Instead the prefix sum is two-level, the distributed scan
-    * algorithm: (1) parallel per-(source, doc_id-bucket) token sums,
-    * (2) a running total over the tiny bucket table, (3) intra-bucket
-    * running sums in windows bounded by the bucket width, offset by the
-    * bucket totals. Deeper hierarchies repeat step 2 on the bucket
-    * table if it ever gets large. Results are identical to the direct
-    * window, row for row. */
-  def curateTokenBudget(s: SparkSession, dir: String): DataFrame = {
+  /** Two-level per-source running token sum — the distributed prefix
+    * scan shared by the token-budget and sequence-packing operators.
+    * A single running-sum window per source would sort an entire source
+    * inside ONE window task — the single-task-per-group trap. Instead:
+    * (1) parallel per-(source, doc_id-bucket) token sums, (2) a running
+    * total over the tiny bucket table, (3) intra-bucket running sums in
+    * windows bounded by the bucket width, offset by the bucket totals.
+    * Deeper hierarchies repeat step 2 on the bucket table if it ever
+    * gets large. Results are identical to the direct window, row for
+    * row. Returns (doc_id, source, n_tokens, cum_tokens) with
+    * cum_tokens INCLUSIVE of the current doc. */
+  private def cumTokensBySource(s: SparkSession, dir: String): DataFrame = {
     val base = Tables(s, dir, "documents")
       .select(col("doc_id"), col("source"),
         size(TextFns.tokens(col("text"))).cast("long").as("n_tokens"))
@@ -92,10 +89,68 @@ object Curation {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     base.join(bucketOffsets, Seq("source", "bkt"))
       .withColumn("cum_tokens", col("bkt_before") + sum(col("n_tokens")).over(wi))
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("cum_tokens"))
+  }
+
+  /** Greedy per-source curation: take docs in doc_id order while the
+    * tokens consumed BEFORE the doc are within budget (so the first doc
+    * of a source is always taken and the budget may be exceeded at most
+    * once — the standard greedy-fill contract). Prefix sums via
+    * [[cumTokensBySource]], never a single-task-per-source window. */
+  def curateTokenBudget(s: SparkSession, dir: String): DataFrame =
+    cumTokensBySource(s, dir)
       .filter(col("cum_tokens") - col("n_tokens") < tokenBudgetPerSource)
       .select(col("doc_id"), col("source"), col("n_tokens"), col("cum_tokens"))
       .orderBy(col("doc_id"))
-  }
+
+  /** Training sequence length (tokens) for greedy concat packing. */
+  val packSeqLen = 128L
+
+  /** Sequence packing: concatenate each source's docs in doc_id order
+    * into fixed-`packSeqLen`-token training sequences, GPT-style — each
+    * doc is assigned the bin its FIRST token lands in plus its offset
+    * within that bin (docs may straddle bins; the trainer's crossing
+    * policy — split or mask — is downstream of this assignment, which
+    * is why the operator emits offsets rather than cutting text).
+    * Same two-level prefix scan as the budget operator: linear, no
+    * single-task windows, deterministic on any cluster. */
+  def curatePackSequences(s: SparkSession, dir: String): DataFrame =
+    cumTokensBySource(s, dir)
+      .withColumn("start_off", col("cum_tokens") - col("n_tokens"))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        expr(s"start_off div $packSeqLen").as("bin_id"),
+        (col("start_off") % packSeqLen).as("bin_off"))
+      .orderBy(col("doc_id"))
+
+  /** Epoch multiplier per source, in percent (300 = 3.0 epochs): the
+    * "repeat high-quality sources, downweight the rest" mixing recipe.
+    * Fractional epochs take a deterministic hash-sampled subset. */
+  val mixEpochsPct: Seq[(String, Int)] = Seq("src0" -> 300, "src1" -> 250, "src2" -> 150)
+  val mixDefaultEpochsPct = 100
+
+  private def epochsPctCol: Column =
+    mixEpochsPct.foldRight(lit(mixDefaultEpochsPct): Column) {
+      case ((src, p), acc) => when(col("source") === src, lit(p)).otherwise(acc)
+    }
+
+  /** Source-mixture epoch expansion: emit each doc once per training
+    * epoch its source earns — `floor(epochs)` full copies plus, for a
+    * fractional remainder f, one more copy for a deterministic f-fraction
+    * of docs (md5 bucket salted with the epoch index, so the fractional
+    * subset is stable under reruns and cluster layout, unlike
+    * rand()-based upsampling). Pure generate + filter: linear, no
+    * shuffle, exactly the shape that survives a 100 TB corpus. */
+  def curateMixEpochs(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), col("source"))
+      .withColumn("pct", epochsPctCol)
+      .withColumn("epoch",
+        explode(sequence(lit(1L), expr("(pct + 99) div 100").cast("long"))))
+      .filter(col("epoch") * 100 <= col("pct") ||
+        hashBucket(concat(col("doc_id").cast("string"), lit(":"), col("epoch").cast("string")))
+          < col("pct") % 100)
+      .select(col("doc_id"), col("source"), col("epoch"))
+      .orderBy(col("doc_id"), col("epoch"))
 
   /** Decontamination shingle width: 8 contiguous tokens, the common
     * "8-gram overlap with the benchmark" rule. */
@@ -149,6 +204,8 @@ object Curation {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "curate_sample_stratified" -> curateSampleStratified _,
     "curate_token_budget" -> curateTokenBudget _,
+    "curate_pack_sequences" -> curatePackSequences _,
+    "curate_mix_epochs" -> curateMixEpochs _,
     "decontaminate_ngram" -> decontaminateNgram _,
   )
 
@@ -176,6 +233,26 @@ object Curation {
          |  FROM (SELECT doc_id, source, CAST(len($tokSql) AS BIGINT) AS n_tokens FROM documents))
          |WHERE cum_tokens - n_tokens < $tokenBudgetPerSource
          |ORDER BY doc_id""".stripMargin,
+    "curate_pack_sequences" ->
+      s"""SELECT doc_id, source, n_tokens,
+         |  start_off // $packSeqLen AS bin_id,
+         |  start_off % $packSeqLen AS bin_off
+         |FROM (
+         |  SELECT doc_id, source, n_tokens,
+         |    CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - n_tokens AS start_off
+         |  FROM (SELECT doc_id, source, CAST(len($tokSql) AS BIGINT) AS n_tokens FROM documents))
+         |ORDER BY doc_id""".stripMargin,
+    "curate_mix_epochs" ->
+      s"""SELECT doc_id, source, epoch FROM (
+         |  SELECT doc_id, source, pct, unnest(range(1, (pct + 99) // 100 + 1)) AS epoch
+         |  FROM (SELECT doc_id, source,
+         |          CASE ${mixEpochsPct.map { case (src, p) => s"WHEN source = '$src' THEN $p" }.mkString(" ")}
+         |          ELSE $mixDefaultEpochsPct END AS pct
+         |        FROM documents))
+         |WHERE epoch * 100 <= pct
+         |   OR CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(epoch AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < pct % 100
+         |ORDER BY doc_id, epoch""".stripMargin,
     // the oracle joins on the SAME md5-derived 60-bit hash as the Spark
     // side (substr(md5,1,15) = top 60 bits = HashUtil.md5Int60), so both
     // engines compute the identical quantity — including in the

@@ -436,24 +436,22 @@ object Dedup {
     jaccardVerify(sets, cand)
   }
 
-  /** SimHash near-dup: 32-bit signature = sign of per-bit weight sums over
-    * token hashes (with multiplicity); byte-band blocking; Hamming ≤ hammingThreshold on
-    * candidates. One signature per doc — the cheapest near-dup sketch. */
-  def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
-    // fused SimHash32 expression: tokenize + md5 + bit-majority in one
-    // linear pass per row — signatures need no shuffle at all. Token-less
-    // docs have no signature (all-zero would spuriously pair them all):
-    // excluded here exactly as the oracle's token explode drops them.
-    //
-    // The signature table is memo-cached so the self-join below reads
-    // ONE computed copy from storage instead of recomputing the
-    // tokenize+md5 pass per side (round-2 verdict). Unlike MinHash-LSH
-    // this stays a JOIN, not a bucket-array expansion: byte-band buckets
-    // are only 256 values per band, so natural-language bit skew
-    // produces hot buckets whose collected pair arrays serialize on one
-    // task (measured 2.4× slower) — the join form shuffles narrow rows
-    // and streams the quadratic bucket output instead of materializing
-    // it per-row.
+  /** SimHash signatures, banded into 4 byte-bands — the blocked signature
+    * table shared by the self-join dedup and the incremental batch dedup.
+    *
+    * The fused SimHash32 expression does tokenize + md5 + bit-majority in
+    * one linear pass per row — signatures need no shuffle at all.
+    * Token-less docs have no signature (all-zero would spuriously pair
+    * them all): excluded here exactly as the oracle's token explode drops
+    * them. The signature table is memo-cached so joins read ONE computed
+    * copy from storage instead of recomputing the tokenize+md5 pass per
+    * side (round-2 verdict). Banding stays a JOIN input, not a
+    * bucket-array expansion: byte-band buckets are only 256 values per
+    * band, so natural-language bit skew produces hot buckets whose
+    * collected pair arrays serialize on one task (measured 2.4× slower) —
+    * the join form shuffles narrow rows and streams the quadratic bucket
+    * output instead of materializing it per-row. */
+  private def simBandedCached(s: SparkSession, dir: String): DataFrame = {
     val sig = memoized(s, s"$dir|simsig")(
       Tables(s, dir, "documents")
         .filter(size(TextFns.tokens(col("text"))) >= 1)
@@ -461,9 +459,16 @@ object Dedup {
     val bandStructs = (0 until 4).map { k =>
       struct(lit(k).as("band"), expr(s"(simhash div ${1L << (8 * k)}) % 256").as("bval"))
     }
-    val banded = sig
+    sig
       .select(col("doc_id"), col("simhash"), explode(array(bandStructs: _*)).as("bs"))
       .select(col("doc_id"), col("simhash"), col("bs.band").as("band"), col("bs.bval").as("bval"))
+  }
+
+  /** SimHash near-dup: 32-bit signature = sign of per-bit weight sums over
+    * token hashes (with multiplicity); byte-band blocking; Hamming ≤ hammingThreshold on
+    * candidates. One signature per doc — the cheapest near-dup sketch. */
+  def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
+    val banded = simBandedCached(s, dir)
     banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bval") === col("y.bval") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -474,6 +479,43 @@ object Dedup {
       .filter(col("hamming") <= hammingThreshold)
       .select(col("id_a"), col("id_b"), col("hamming"))
       .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Which docs play the incoming batch in the incremental dedup:
+    * doc_id % batchMod == 0 (a deterministic ~10% slice, so the oracle
+    * reproduces the split). */
+  val batchMod = 10L
+
+  /** Incremental (landing-zone) dedup: flag each NEW-batch doc that
+    * near-duplicates any doc already in the corpus — the nightly-crawl
+    * shape, asymmetric where `dedupSimhash` is a self-join. Exact dups
+    * are subsumed (identical text ⇒ identical signature ⇒ hamming 0).
+    *
+    * Scale shape: on a real deployment the corpus's banded signature
+    * table is computed once and stored (here it is the memoized
+    * signature cache) — the incremental cost is hashing the batch plus
+    * ONE equi-join on (band, byte), with the batch side small enough
+    * that AQE broadcasts it; the 100 TB corpus side never reshuffles.
+    * Every batch doc is returned (is_dup=false for clean ones), so the
+    * operator composes directly with an append sink. */
+  def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val banded = simBandedCached(s, dir)
+    val batch = banded.filter(col("doc_id") % batchMod === 0)
+    val corpus = banded.filter(col("doc_id") % batchMod =!= 0)
+    val near = batch.as("x").join(corpus.as("y"),
+        col("x.band") === col("y.band") && col("x.bval") === col("y.bval"))
+      .withColumn("hamming",
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).cast("long"))
+      .filter(col("hamming") <= hammingThreshold)
+      .groupBy(col("x.doc_id").as("doc_id"))
+      .agg(min(col("y.doc_id")).as("dup_of"), min(col("hamming")).as("min_hamming"))
+    Tables(s, dir, "documents")
+      .filter(col("doc_id") % batchMod === 0)
+      .select(col("doc_id"))
+      .join(near, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("dup_of").isNotNull.as("is_dup"),
+        col("dup_of"), col("min_hamming"))
+      .orderBy(col("doc_id"))
   }
 
   /** The exact all-pairs cosine variant refuses corpora above this row
@@ -587,6 +629,7 @@ object Dedup {
     "dedup_ngram_jaccard" -> dedupNgramJaccard _,
     "dedup_minhash_lsh" -> dedupMinhashLsh _,
     "dedup_simhash" -> dedupSimhash _,
+    "dedup_incremental" -> dedupIncremental _,
     "dedup_clusters" -> dedupClusters _,
     "dedup_embedding_cosine" -> dedupEmbeddingCosine _,
     "dedup_embedding_blocked" -> dedupEmbeddingBlocked _,
@@ -653,6 +696,31 @@ object Dedup {
          |SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming
          |FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= $hammingThreshold
          |ORDER BY id_a, id_b""".stripMargin,
+    "dedup_incremental" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, CAST(('0x' || substr(md5(token), 1, 8)) AS BIGINT) AS h
+         |  FROM (SELECT doc_id, unnest($tokSql) AS token FROM documents)),
+         |bits AS (SELECT * FROM (VALUES $bitValuesSql) AS t(bit, pow)),
+         |sig AS (
+         |  SELECT doc_id, CAST(sum(CASE WHEN w > 0 THEN pow ELSE 0 END) AS BIGINT) AS simhash
+         |  FROM (
+         |    SELECT doc_id, bit, pow, sum(CASE WHEN (h // pow) % 2 = 1 THEN 1 ELSE -1 END) AS w
+         |    FROM tok, bits GROUP BY doc_id, bit, pow)
+         |  GROUP BY doc_id),
+         |bp AS (SELECT * FROM (VALUES $bandValuesSql) AS t(band, bpow)),
+         |banded AS (SELECT doc_id, simhash, band, (simhash // bpow) % 256 AS bval FROM sig, bp),
+         |near AS (
+         |  SELECT x.doc_id AS doc_id, min(y.doc_id) AS dup_of,
+         |    min(CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT)) AS min_hamming
+         |  FROM banded x JOIN banded y
+         |    ON x.band = y.band AND x.bval = y.bval
+         |    AND x.doc_id % $batchMod = 0 AND y.doc_id % $batchMod <> 0
+         |  WHERE bit_count(xor(x.simhash, y.simhash)) <= $hammingThreshold
+         |  GROUP BY x.doc_id)
+         |SELECT d.doc_id, near.dup_of IS NOT NULL AS is_dup, near.dup_of, near.min_hamming
+         |FROM (SELECT doc_id FROM documents WHERE doc_id % $batchMod = 0) d
+         |LEFT JOIN near ON d.doc_id = near.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
     "dedup_embedding_blocked" ->
       s"""WITH n AS (
          |  SELECT * FROM (

@@ -202,7 +202,51 @@ object Events {
       .orderBy(col("user_id"), col("ts_ms"), col("event_id"))
   }
 
+  /** Conversion funnel view → click → purchase: users counted at each
+    * stage only if they performed it AFTER (or at) their previous-stage
+    * timestamp — the ordered-funnel semantics, not mere event presence.
+    * Shape: three per-user min-aggregates, each chained through a join
+    * on user_id. Every stage keys on user_id, so the first shuffle's
+    * hash partitioning is reused down the chain (no re-shuffle), and
+    * per-stage state is one row per user — linear at any scale, no
+    * per-user sort, no collect. */
+  def evFunnel(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir, "events")
+      .select(col("user_id"), col("event_type"), unix_millis(col("ts")).as("ms"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ms")).as("v_ms"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(v, "user_id").filter(col("ms") >= col("v_ms"))
+      .groupBy(col("user_id")).agg(min(col("ms")).as("c_ms"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(c, "user_id").filter(col("ms") >= col("c_ms"))
+      .groupBy(col("user_id")).agg(min(col("ms")).as("p_ms"))
+    val one = (df: DataFrame, stage: Int, name: String) =>
+      df.agg(count(lit(1)).as("n_users")).select(lit(stage).as("stage"), lit(name).as("event_type"), col("n_users"))
+    one(v, 1, "view").unionByName(one(c, 2, "click")).unionByName(one(p, 3, "purchase"))
+      .orderBy(col("stage"))
+  }
+
+  /** Cohort retention: users grouped by their first active day; for each
+    * (cohort day, day offset) the number of cohort users active that day.
+    * The (user, day) activity table is deduped FIRST (one narrow
+    * distinct), the cohort day is a partition-wide min — no ordered
+    * window, no join — and the final aggregate is a plain two-key
+    * groupBy. All shuffles are on user_id or the tiny (cohort, offset)
+    * key space. */
+  def evRetention(s: SparkSession, dir: String): DataFrame = {
+    val days = Tables(s, dir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+    val w = Window.partitionBy(col("user_id"))
+    days.withColumn("cohort_day", min(col("d")).over(w))
+      .groupBy(col("cohort_day"), datediff(col("d"), col("cohort_day")).cast("long").as("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("cohort_day"), col("day_offset"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_funnel" -> evFunnel _,
+    "ev_retention" -> evRetention _,
     "ev_rolling_week" -> evRollingWeek _,
     "ev_range_join" -> evRangeJoin _,
     "ev_asof_join" -> evAsofJoin _,
@@ -215,6 +259,34 @@ object Events {
   )
 
   val oracles: Map[String, String] = Map(
+    "ev_funnel" ->
+      """WITH v AS (
+        |  SELECT user_id, min(epoch_ms(ts)) AS v_ms FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (
+        |  SELECT e.user_id, min(epoch_ms(e.ts)) AS c_ms
+        |  FROM events e JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'click' AND epoch_ms(e.ts) >= v.v_ms
+        |  GROUP BY e.user_id),
+        |p AS (
+        |  SELECT e.user_id, min(epoch_ms(e.ts)) AS p_ms
+        |  FROM events e JOIN c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase' AND epoch_ms(e.ts) >= c.c_ms
+        |  GROUP BY e.user_id)
+        |SELECT CAST(stage AS INT) AS stage, event_type, n_users FROM (
+        |  SELECT 1 AS stage, 'view' AS event_type, count(*) AS n_users FROM v
+        |  UNION ALL SELECT 2, 'click', count(*) FROM c
+        |  UNION ALL SELECT 3, 'purchase', count(*) FROM p)
+        |ORDER BY stage""".stripMargin,
+    "ev_retention" ->
+      """WITH days AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+        |coh AS (
+        |  SELECT user_id, d, min(d) OVER (PARTITION BY user_id) AS cohort_day
+        |  FROM days)
+        |SELECT cohort_day, CAST(date_diff('day', cohort_day, d) AS BIGINT) AS day_offset,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM coh GROUP BY 1, 2 ORDER BY cohort_day, day_offset""".stripMargin,
     // session_window uses half-open [start, last+gap): an event exactly
     // `gap` after the previous one starts a NEW session, hence `>=` in
     // the gap test below (vs `>` in ev_sessionize).

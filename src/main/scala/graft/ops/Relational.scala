@@ -148,6 +148,23 @@ object Relational {
       .agg(count(lit(1)).as("n_rows"), dsum(col("l_quantity")).as("sum_qty"))
       .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
 
+  /** Explicit GROUPING SETS — the general form ROLLUP/CUBE specialize,
+    * with an asymmetric set list neither shorthand expresses, plus
+    * grouping() flags disambiguating a NULL group value from a
+    * super-aggregate row (the reason ORDER BY the bare keys is not
+    * enough). One ExpandExec feeding a single hash aggregate — never a
+    * union of per-set scans. */
+  def qGroupingSets(s: SparkSession, dir: String): DataFrame =
+    s.sql(
+      s"""SELECT l_returnflag, l_linestatus,
+         |  CAST(grouping(l_returnflag) AS BIGINT) AS g_rf,
+         |  CAST(grouping(l_linestatus) AS BIGINT) AS g_ls,
+         |  count(*) AS n_rows,
+         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+         |FROM parquet.`$dir/lineitem.parquet`
+         |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), (l_linestatus), ())
+         |ORDER BY g_rf, g_ls, l_returnflag, l_linestatus""".stripMargin)
+
   /** Fixed-bound value histogram via width_bucket — the numeric
     * data-profiling primitive (20 bins over [0, 500), plus the engine-
     * defined overflow bins 0 and 21 for out-of-range values). Integer
@@ -424,6 +441,7 @@ object Relational {
     "q_unpivot" -> qUnpivot _,
     "q_null_semantics" -> qNullSemantics _,
     "q_cube_agg" -> qCubeAgg _,
+    "q_grouping_sets" -> qGroupingSets _,
     "ev_value_histogram" -> evValueHistogram _,
     "q_recursive_chain" -> qRecursiveChain _,
     "q_lateral_topk" -> qLateralTopk _,
@@ -620,6 +638,15 @@ object Relational {
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(grouping(l_returnflag) AS BIGINT) AS g_rf,
+        |  CAST(grouping(l_linestatus) AS BIGINT) AS g_ls,
+        |  count(*) AS n_rows,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), (l_linestatus), ())
+        |ORDER BY g_rf, g_ls, l_returnflag, l_linestatus""".stripMargin,
     // DuckDB 1.0 has no width_bucket; this CASE is arithmetically
     // identical to Spark's implementation for these bounds
     // ((500-0)/20 = 25.0 exactly, so both engines floor(value/25.0)+1

@@ -305,7 +305,41 @@ object TextAnalysis {
       .orderBy(col("cms_est").desc, col("word"))
   }
 
+  /** Coverage curve ranks: cumulative token share of the top-k words. */
+  val vocabRanks = Seq(1, 5, 10, 25, 100)
+
+  /** Vocabulary coverage — what fraction of all token occurrences the
+    * top-k most frequent words cover, for each k in [[vocabRanks]]: the
+    * curve that sizes a tokenizer vocabulary. One distributed word
+    * count (the only full shuffle), then a bounded top-maxRank
+    * TakeOrdered; the running sum over those max(vocabRanks) rows is a
+    * constant-size window (NOT a per-corpus sort — the single-task
+    * window here is bounded by the rank constant, never by data).
+    * Ties break by word for cross-engine determinism. */
+  def textVocabCoverage(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = Tables(s, dir, "documents")
+      .select(explode(TextFns.tokens(col("text"))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum(col("cnt")).as("total"))
+    val maxRank = vocabRanks.max
+    val w = Window.orderBy(col("cnt").desc, col("word"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val top = counts.orderBy(col("cnt").desc, col("word")).limit(maxRank)
+      .withColumn("rk", row_number().over(Window.orderBy(col("cnt").desc, col("word"))))
+      .withColumn("cum", sum(col("cnt")).over(w))
+    top.crossJoin(broadcast(total))
+      // ranks beyond the vocabulary size simply have no row, mirrored
+      // exactly by the oracle's row_number filter
+      .filter(col("rk").isInCollection(vocabRanks))
+      .select(col("rk").cast("long").as("rank"), col("word").as("word_at_rank"),
+        col("cum").as("covered_tokens"), col("total").as("total_tokens"),
+        (col("cum").cast("double") / col("total").cast("double")).as("coverage"))
+      .orderBy(col("rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_vocab_coverage" -> textVocabCoverage _,
     "text_heavy_hitters" -> textHeavyHitters _,
     "text_heavy_hitters_sketch" -> textHeavyHittersSketch _,
     "text_length_quantiles" -> textLengthQuantiles _,
@@ -323,6 +357,23 @@ object TextAnalysis {
     """list_filter(string_split_regex(text, '[ \t\n\x0B\f\r]+'), x -> x <> '')"""
 
   val oracles: Map[String, String] = Map(
+    "text_vocab_coverage" ->
+      s"""WITH counts AS (
+         |  SELECT word, count(*) AS cnt
+         |  FROM (SELECT unnest($tokSql) AS word FROM documents)
+         |  GROUP BY word),
+         |ranked AS (
+         |  SELECT word, cnt,
+         |    CAST(row_number() OVER (ORDER BY cnt DESC, word) AS BIGINT) AS rk,
+         |    CAST(sum(cnt) OVER (ORDER BY cnt DESC, word
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+         |    CAST(sum(cnt) OVER () AS BIGINT) AS total
+         |  FROM counts)
+         |SELECT rk AS rank, word AS word_at_rank, cum AS covered_tokens,
+         |  total AS total_tokens,
+         |  CAST(cum AS DOUBLE) / CAST(total AS DOUBLE) AS coverage
+         |FROM ranked WHERE rk IN (${vocabRanks.mkString(", ")})
+         |ORDER BY rank""".stripMargin,
     "text_length_quantiles" ->
       s"""WITH base AS (
          |  SELECT lang, doc_id, CAST(len($tokSql) AS BIGINT) AS n_tokens FROM documents),

@@ -85,6 +85,80 @@ class OperatorSpec extends AnyFunSuite {
     assert(rows === Map(1L -> true, 2L -> false, 3L -> true))
   }
 
+  test("curatePackSequences: greedy concat packing is gap-free per source") {
+    val rows = ops.Curation.curatePackSequences(spark, TestSpark.sf0001)
+      .orderBy(col("source"), col("doc_id")).collect()
+    assert(rows.nonEmpty)
+    val seqLen = ops.Curation.packSeqLen
+    rows.groupBy(_.getAs[String]("source")).foreach { case (_, docs) =>
+      var expectedStart = 0L
+      docs.foreach { r =>
+        val start = r.getAs[Long]("bin_id") * seqLen + r.getAs[Long]("bin_off")
+        assert(start === expectedStart, s"gap at doc ${r.getAs[Long]("doc_id")}")
+        assert(r.getAs[Long]("bin_off") >= 0 && r.getAs[Long]("bin_off") < seqLen)
+        expectedStart += r.getAs[Long]("n_tokens")
+      }
+    }
+  }
+
+  test("curateMixEpochs: copies bounded by floor/ceil of the source multiplier") {
+    val rows = ops.Curation.curateMixEpochs(spark, TestSpark.sf0001).collect()
+    val pctOf = ops.Curation.mixEpochsPct.toMap
+    val byDoc = rows.groupBy(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source")))
+    byDoc.foreach { case ((id, src), copies) =>
+      val pct = pctOf.getOrElse(src, ops.Curation.mixDefaultEpochsPct)
+      val n = copies.length
+      assert(n >= pct / 100 && n <= (pct + 99) / 100, s"doc $id of $src: $n copies for $pct%")
+      // epochs are the contiguous prefix 1..n — a doc never skips an epoch
+      assert(copies.map(_.getAs[Long]("epoch")).sorted === (1L to n).toSeq)
+    }
+    // the fractional epoch actually selects a strict subset somewhere
+    val fracSrc = pctOf.collect { case (s, p) if p % 100 != 0 => s }.toSet
+    val partial = byDoc.keys.filter { case (_, s) => fracSrc.contains(s) }
+    assert(partial.nonEmpty)
+  }
+
+  test("dedupIncremental agrees with the symmetric simhash pair set") {
+    val dir = TestSpark.sf0001
+    val pairs = ops.Dedup.dedupSimhash(spark, dir).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
+    val m = ops.Dedup.batchMod
+    val expectDup = pairs.flatMap { case (a, b) =>
+      Seq(a, b).filter(x => x % m == 0 && (if (x == a) b else a) % m != 0)
+    }.toSet
+    val got = ops.Dedup.dedupIncremental(spark, dir).collect()
+      .filter(_.getAs[Boolean]("is_dup")).map(_.getAs[Long]("doc_id")).toSet
+    assert(got === expectDup)
+  }
+
+  test("evFunnel stages are monotonically shrinking") {
+    val rows = ops.Events.evFunnel(spark, TestSpark.sf0001)
+      .orderBy(col("stage")).collect().map(_.getAs[Long]("n_users"))
+    assert(rows.length === 3)
+    assert(rows(0) >= rows(1) && rows(1) >= rows(2))
+    assert(rows(0) > 0)
+  }
+
+  test("evRetention: day-0 activity is each cohort's maximum") {
+    val rows = ops.Events.evRetention(spark, TestSpark.sf0001).collect()
+    val byCohort = rows.groupBy(_.getAs[java.sql.Date]("cohort_day"))
+    byCohort.foreach { case (c, rs) =>
+      val day0 = rs.find(_.getAs[Long]("day_offset") == 0L)
+      assert(day0.isDefined, s"cohort $c lacks a day-0 row")
+      assert(rs.forall(_.getAs[Long]("n_users") <= day0.get.getAs[Long]("n_users")))
+    }
+  }
+
+  test("textVocabCoverage: monotone, bounded, rank-1 is the top word's share") {
+    val rows = ops.TextAnalysis.textVocabCoverage(spark, TestSpark.sf0001)
+      .orderBy(col("rank")).collect()
+    assert(rows.nonEmpty)
+    val cov = rows.map(_.getAs[Double]("coverage"))
+    assert(cov.zip(cov.tail).forall { case (a, b) => a <= b })
+    assert(cov.forall(c => c > 0.0 && c <= 1.0))
+    assert(rows.forall(r => r.getAs[Long]("covered_tokens") <= r.getAs[Long]("total_tokens")))
+  }
+
   test("every registered query returns rows at sf0.001 (t1 smoke)") {
     val failures = SparkEntry.queries.flatMap { case (name, fn) =>
       try {
