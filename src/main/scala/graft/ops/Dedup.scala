@@ -624,7 +624,33 @@ object Dedup {
     pairs.distinct().orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Cluster representative selection — the step AFTER clustering in a
+    * real dedup pipeline: of each near-dup cluster, keep the
+    * highest-quality member (quality score from `TextAnalysis
+    * .textQuality`, ties to the smaller doc_id), not blindly the
+    * smallest id. Composes the cluster labels with the shuffle-free
+    * quality columns in one plan: the join and both windows key on
+    * cluster_id/doc_id, and per-cluster state is bounded by cluster
+    * size (near-dup clusters are small by construction — the pair
+    * threshold caps them), so no single-task window trap. Eager at call
+    * time like its input `dedupClusters` (the hybrid CC decision). */
+  def dedupKeepBest(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val clusters = dedupClusters(s, dir)
+    val quality = TextAnalysis.textQuality(s, dir).select(col("doc_id"), col("score"))
+    val wRank = Window.partitionBy(col("cluster_id")).orderBy(col("score").desc, col("doc_id"))
+    val wAll = Window.partitionBy(col("cluster_id"))
+    clusters.join(quality, "doc_id")
+      .withColumn("rk", row_number().over(wRank))
+      .withColumn("n_members", count(lit(1)).over(wAll))
+      .filter(col("rk") === 1)
+      .select(col("cluster_id"), col("doc_id").as("best_doc"),
+        col("score").as("best_score"), col("n_members"))
+      .orderBy(col("cluster_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_keep_best" -> dedupKeepBest _,
     "dedup_exact" -> dedupExact _,
     "dedup_ngram_jaccard" -> dedupNgramJaccard _,
     "dedup_minhash_lsh" -> dedupMinhashLsh _,
@@ -657,6 +683,24 @@ object Dedup {
          |  SELECT e.dst AS doc, r.lab FROM r JOIN e ON r.doc = e.src)
          |SELECT doc AS doc_id, min(lab) AS cluster_id FROM r
          |GROUP BY doc ORDER BY doc_id""".stripMargin,
+    "dedup_keep_best" ->
+      s"""WITH RECURSIVE ${allPairsSql.stripPrefix("WITH ")},
+         |e AS (SELECT id_a AS src, id_b AS dst FROM jpairs
+         |      UNION ALL SELECT id_b, id_a FROM jpairs),
+         |r AS (
+         |  SELECT src AS doc, src AS lab FROM e
+         |  UNION
+         |  SELECT e.dst AS doc, r.lab FROM r JOIN e ON r.doc = e.src),
+         |cl AS (SELECT doc AS doc_id, min(lab) AS cluster_id FROM r GROUP BY doc),
+         |${TextAnalysis.qualityScoreCteSql},
+         |ranked AS (
+         |  SELECT cl.cluster_id, cl.doc_id, q.score,
+         |    row_number() OVER (PARTITION BY cl.cluster_id
+         |      ORDER BY q.score DESC, cl.doc_id) AS rk,
+         |    count(*) OVER (PARTITION BY cl.cluster_id) AS n_members
+         |  FROM cl JOIN q ON cl.doc_id = q.doc_id)
+         |SELECT cluster_id, doc_id AS best_doc, score AS best_score, n_members
+         |FROM ranked WHERE rk = 1 ORDER BY cluster_id""".stripMargin,
     "dedup_ngram_jaccard" ->
       s"""WITH sh AS ($shingleSql),
          |cand AS (

@@ -244,7 +244,39 @@ object Events {
       .orderBy(col("cohort_day"), col("day_offset"))
   }
 
+  /** Time-series resample with gap fill: each user's event stream is
+    * regularized onto a complete daily spine between their first and
+    * last active day — missing days appear with n_events = 0 and a
+    * forward-filled last-known daily value (the standard
+    * resample/ffill pair). Shape: one per-user min/max aggregate
+    * generates the spine (`sequence` + explode — rows created
+    * distributed-side, never on the driver), one per-user-day aggregate,
+    * a left join, and an IGNORE-NULLS last() window. All three shuffles
+    * key on user_id, so one hash partitioning serves aggregate, join,
+    * and window; spine size is bounded by the observed time range, not
+    * the event count — at 100 TB of events the spine is still only
+    * users × days. */
+  def evGapFill(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("d"), col("value"))
+    val spine = ev.groupBy(col("user_id"))
+      .agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+      .select(col("user_id"), explode(sequence(col("d0"), col("d1"))).as("d"))
+    val daily = ev.groupBy(col("user_id"), col("d"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("day_value"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(daily, Seq("user_id", "d"), "left")
+      .select(col("user_id"), col("d"),
+        coalesce(col("n"), lit(0L)).as("n_events"),
+        col("day_value"),
+        last(col("day_value"), ignoreNulls = true).over(w).as("ff_value"))
+      .orderBy(col("user_id"), col("d"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_gap_fill" -> evGapFill _,
     "ev_funnel" -> evFunnel _,
     "ev_retention" -> evRetention _,
     "ev_rolling_week" -> evRollingWeek _,
@@ -259,6 +291,26 @@ object Events {
   )
 
   val oracles: Map[String, String] = Map(
+    "ev_gap_fill" ->
+      """WITH ev AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS d, value FROM events),
+        |spine AS (
+        |  SELECT user_id,
+        |    CAST(unnest(generate_series(min_d, max_d, INTERVAL 1 DAY)) AS DATE) AS d
+        |  FROM (SELECT user_id, min(d) AS min_d, max(d) AS max_d
+        |        FROM ev GROUP BY user_id)),
+        |daily AS (
+        |  SELECT user_id, d, count(*) AS n,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS day_value
+        |  FROM ev GROUP BY user_id, d)
+        |SELECT s.user_id, s.d,
+        |  COALESCE(daily.n, 0) AS n_events,
+        |  daily.day_value,
+        |  last_value(daily.day_value IGNORE NULLS) OVER (
+        |    PARTITION BY s.user_id ORDER BY s.d
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ff_value
+        |FROM spine s LEFT JOIN daily ON s.user_id = daily.user_id AND s.d = daily.d
+        |ORDER BY s.user_id, s.d""".stripMargin,
     "ev_funnel" ->
       """WITH v AS (
         |  SELECT user_id, min(epoch_ms(ts)) AS v_ms FROM events

@@ -277,6 +277,44 @@ object Relational {
       .orderBy(col("p_brand"))
   }
 
+  /** The batch boundary for the MERGE demo: orders before it are the
+    * standing snapshot, orders on/after it are the arriving batch. */
+  val mergeCutoff = "1999-01-01"
+
+  /** MERGE / upsert semantics — the incremental-refresh pattern every
+    * warehouse runs nightly: a per-customer revenue snapshot (target)
+    * absorbs an arriving order batch (source). Matched keys update
+    * (counts and totals add), unmatched source keys insert, unmatched
+    * target keys carry through — expressed as ONE full-outer join on the
+    * aggregate key plus coalesce arithmetic, which is exactly how a
+    * lakehouse MERGE INTO executes under the hood. Both sides aggregate
+    * BEFORE the join, so the shuffle carries one row per customer, not
+    * per order, and the join key equals the aggregation key — at 100 TB
+    * the partitioning from the two groupBys is reused by the join with
+    * no extra exchange. Decimal sums keep the addition exact and
+    * order-insensitive. */
+  def qMergeUpsert(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables(s, dir, "orders")
+    val cutoff = lit(mergeCutoff).cast("timestamp")
+    def rollup(df: DataFrame): DataFrame =
+      df.groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n"), sum(dec(col("o_totalprice"))).as("t"))
+    val target = rollup(o.filter(col("o_orderdate") < cutoff))
+      .select(col("o_custkey"), col("n").as("t_n"), col("t").as("t_t"))
+    val source = rollup(o.filter(col("o_orderdate") >= cutoff))
+      .select(col("o_custkey"), col("n").as("s_n"), col("t").as("s_t"))
+    target.join(source, Seq("o_custkey"), "full_outer")
+      .select(
+        col("o_custkey"),
+        (coalesce(col("t_n"), lit(0L)) + coalesce(col("s_n"), lit(0L))).as("n_orders"),
+        (coalesce(col("t_t"), lit(0).cast("decimal(18,2)")) +
+          coalesce(col("s_t"), lit(0).cast("decimal(18,2)"))).cast("double").as("total_spent"),
+        when(col("t_n").isNotNull && col("s_n").isNotNull, "update")
+          .when(col("s_n").isNotNull, "insert")
+          .otherwise("keep").as("action"))
+      .orderBy(col("o_custkey"))
+  }
+
   /** Set operations beyond union: INTERSECT / EXCEPT (distinct set
     * semantics in both engines). */
   def qIntersectExcept(s: SparkSession, dir: String): DataFrame = {
@@ -455,6 +493,7 @@ object Relational {
     "q_math_funcs" -> qMathFuncs _,
     "q_salted_agg" -> qSaltedAgg _,
     "q_skew_join" -> qSkewJoin _,
+    "q_merge_upsert" -> qMergeUpsert _,
     "q_approx_distinct" -> qApproxDistinct _,
     "q1_pricing_summary" -> q1PricingSummary _,
     "q6_revenue_filter" -> q6RevenueFilter _,
@@ -572,6 +611,25 @@ object Relational {
         |      FROM lineitem) li
         |JOIN (SELECT p_partkey AS skew_key, p_brand FROM part) p USING (skew_key)
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "q_merge_upsert" ->
+      s"""WITH target AS (
+         |  SELECT o_custkey, count(*) AS t_n,
+         |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS t_t
+         |  FROM orders WHERE o_orderdate < TIMESTAMP '$mergeCutoff'
+         |  GROUP BY o_custkey),
+         |source AS (
+         |  SELECT o_custkey, count(*) AS s_n,
+         |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS s_t
+         |  FROM orders WHERE o_orderdate >= TIMESTAMP '$mergeCutoff'
+         |  GROUP BY o_custkey)
+         |SELECT COALESCE(t.o_custkey, s.o_custkey) AS o_custkey,
+         |  COALESCE(t.t_n, 0) + COALESCE(s.s_n, 0) AS n_orders,
+         |  CAST(COALESCE(t.t_t, 0) + COALESCE(s.s_t, 0) AS DOUBLE) AS total_spent,
+         |  CASE WHEN t.t_n IS NOT NULL AND s.s_n IS NOT NULL THEN 'update'
+         |       WHEN s.s_n IS NOT NULL THEN 'insert'
+         |       ELSE 'keep' END AS action
+         |FROM target t FULL OUTER JOIN source s ON t.o_custkey = s.o_custkey
+         |ORDER BY o_custkey""".stripMargin,
     "q_salted_agg" ->
       """SELECT l_returnflag,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -338,7 +338,98 @@ object TextAnalysis {
       .orderBy(col("rank"))
   }
 
+  /** Posting-list head size for the inverted index — the per-term output
+    * row stays bounded no matter how common the term is. */
+  val invPostingsHead = 32
+
+  /** Inverted index over the corpus: per term, document frequency, corpus
+    * frequency, and the head of the sorted posting list. The serving
+    * artifact of any text-search system — and the one place a naive
+    * implementation melts at scale, by collecting a stopword's full
+    * posting list into one aggregation buffer. Here the heads are
+    * pre-pruned map-side: `row_number` + `rk <= k` compiles to Spark's
+    * WindowGroupLimit, so each task forwards at most k doc_ids per term
+    * and the final `collect_list` buffers ≤ k elements, independent of
+    * corpus size. (A full-list index at 100 TB is stored as the (term,
+    * doc_id) table itself, partitioned by term — that is exactly the
+    * `tf` frame below; the head column is the bounded digest of it.) */
+  def textInvertedIndex(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = Tables(s, dir, "documents")
+      .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("term"))
+      .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
+    // ONE subtree: rank within term, then a single per-term aggregate
+    // computes df/cf over ALL rows while the head collects only the
+    // rank<=k ids (collect_list skips the nulls), so the aggregation
+    // buffer stays <=k yet the token stream is scanned, exploded, and
+    // tf-aggregated exactly once. A stats-side + heads-side split would
+    // recompute that whole subtree twice (the round-2 minhash lesson).
+    // The window and the groupBy both key on term — one exchange serves
+    // both; the per-partition sort is by (term, doc_id), spillable.
+    tf
+      .withColumn("rk", row_number().over(Window.partitionBy(col("term")).orderBy(col("doc_id"))))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"),
+        concat_ws(" ", transform(
+          sort_array(collect_list(when(col("rk") <= invPostingsHead, col("doc_id")))),
+          _.cast("string"))).as("postings_head"))
+      .orderBy(col("term"))
+  }
+
+  /** BM25 parameters and the fixed demo query. */
+  val bm25K1 = 1.2
+  val bm25B = 0.75
+  val bm25Query = Seq("spark", "join", "vector")
+  val bm25TopK = 25
+
+  /** BM25 ranked retrieval for a fixed conjunctive-OR query — the
+    * classic lexical search scorer. Shuffle-free scoring: term
+    * frequencies come from `size(filter(toks, ...))` per document (no
+    * explode/groupBy of the token stream), the corpus statistics (N,
+    * avgdl, per-term df) are ONE 1-row aggregate cross-joined back as a
+    * broadcast, and the result is a TakeOrdered top-k. At 100 TB this is
+    * a single linear scan of the documents + a k-row sort — the same
+    * shape as `sim_topk_bruteforce`, for the lexical side of retrieval.
+    * The per-term score sum is written in fixed query order in BOTH
+    * engines, so the double arithmetic is bit-identical. */
+  def textBm25Search(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables(s, dir, "documents")
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 1)
+      .withColumn("dl", size(col("toks")).cast("long"))
+    val withTf = bm25Query.zipWithIndex.foldLeft(base) { case (df, (t, i)) =>
+      df.withColumn(s"tf_$i", size(filter(col("toks"), x => x === t)).cast("long"))
+    }
+    val statAggs =
+      Seq(count(lit(1)).as("n_docs"),
+        (sum(col("dl")).cast("double") / count(lit(1)).cast("double")).as("avgdl")) ++
+        bm25Query.indices.map(i => sum(when(col(s"tf_$i") > 0, 1L).otherwise(0L)).as(s"df_$i"))
+    val stats = withTf.agg(statAggs.head, statAggs.tail: _*)
+    val scored = withTf.crossJoin(broadcast(stats))
+    val contrib = bm25Query.indices.map { i =>
+      val idf = log(lit(1.0) +
+        (col("n_docs").cast("double") - col(s"df_$i").cast("double") + 0.5) /
+          (col(s"df_$i").cast("double") + 0.5))
+      val tf = col(s"tf_$i").cast("double")
+      idf * (tf * lit(bm25K1 + 1.0)) /
+        (tf + lit(bm25K1) * (lit(1.0 - bm25B) + lit(bm25B) * col("dl").cast("double") / col("avgdl")))
+    }
+    scored
+      // the two engines' ln() may differ in the last ulp (Java Math.log
+      // is not correctly-rounded) — the score is quantized to 6 decimals
+      // in BOTH engines and the top-k sorts on the QUANTIZED value, so
+      // ordering, cutoff, and hash all compare the identical number
+      .withColumn("score", round(contrib.reduce(_ + _), 6))
+      .filter(bm25Query.indices.map(i => col(s"tf_$i") > 0).reduce(_ || _))
+      .select(col("doc_id") +: col("dl") +:
+        bm25Query.indices.map(i => col(s"tf_$i")) :+ col("score"): _*)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(bm25TopK)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_inverted_index" -> textInvertedIndex _,
+    "text_bm25_search" -> textBm25Search _,
     "text_vocab_coverage" -> textVocabCoverage _,
     "text_heavy_hitters" -> textHeavyHitters _,
     "text_heavy_hitters_sketch" -> textHeavyHittersSketch _,
@@ -356,7 +447,56 @@ object TextAnalysis {
   private val tokSql =
     """list_filter(string_split_regex(text, '[ \t\n\x0B\f\r]+'), x -> x <> '')"""
 
+  /** `q(doc_id, score)` CTE for oracles that join the quality score
+    * (the same formula as `text_quality` / `corpus_clean`). */
+  private[ops] def qualityScoreCteSql: String =
+    s"""q AS (
+       |  SELECT doc_id,
+       |    (CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE)) * 0.4
+       |      + least(CAST(len(toks) AS DOUBLE) / 50.0, 1.0) * 0.4
+       |      + (CAST(len(list_filter(toks, t -> list_contains(${sqlList(stopEn)}, t))) AS DOUBLE) / CAST(len(toks) AS DOUBLE)) * 0.2 AS score
+       |  FROM (SELECT doc_id, $tokSql AS toks FROM documents)
+       |  WHERE len(toks) >= 1)""".stripMargin
+
+  private def bm25TfSql: Seq[String] =
+    bm25Query.zipWithIndex.map { case (t, i) =>
+      s"CAST(len(list_filter(toks, x -> x = '$t')) AS BIGINT) AS tf_$i"
+    }
+
+  private def bm25ContribSql(i: Int): String =
+    s"""ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df_$i AS DOUBLE) + 0.5) / (CAST(df_$i AS DOUBLE) + 0.5))
+       | * (CAST(tf_$i AS DOUBLE) * (${bm25K1} + 1.0))
+       | / (CAST(tf_$i AS DOUBLE) + ${bm25K1} * (1.0 - ${bm25B} + ${bm25B} * CAST(dl AS DOUBLE) / avgdl))""".stripMargin.replace("\n", "")
+
   val oracles: Map[String, String] = Map(
+    "text_inverted_index" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($tokSql) AS term FROM documents),
+         |tf AS (SELECT term, doc_id, count(*) AS tf FROM tok GROUP BY term, doc_id),
+         |stats AS (SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf
+         |          FROM tf GROUP BY term),
+         |rk AS (SELECT term, doc_id,
+         |         row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rk FROM tf),
+         |heads AS (SELECT term,
+         |            array_to_string(list(CAST(doc_id AS VARCHAR) ORDER BY doc_id), ' ') AS postings_head
+         |          FROM rk WHERE rk <= $invPostingsHead GROUP BY term)
+         |SELECT s.term, s.df, s.cf, h.postings_head
+         |FROM stats s JOIN heads h ON s.term = h.term ORDER BY s.term""".stripMargin,
+    "text_bm25_search" ->
+      s"""WITH base AS (SELECT doc_id, $tokSql AS toks FROM documents),
+         |d AS (
+         |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+         |    ${bm25TfSql.mkString(",\n    ")}
+         |  FROM base WHERE len(toks) >= 1),
+         |cs AS (
+         |  SELECT count(*) AS n_docs,
+         |    CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl,
+         |    ${bm25Query.indices.map(i => s"CAST(sum(CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_$i").mkString(",\n    ")}
+         |  FROM d)
+         |SELECT doc_id, dl, ${bm25Query.indices.map(i => s"tf_$i").mkString(", ")},
+         |  round(${bm25Query.indices.map(bm25ContribSql).mkString("\n  + ")}, 6) AS score
+         |FROM d, cs
+         |WHERE ${bm25Query.indices.map(i => s"tf_$i > 0").mkString(" OR ")}
+         |ORDER BY score DESC, doc_id LIMIT $bm25TopK""".stripMargin,
     "text_vocab_coverage" ->
       s"""WITH counts AS (
          |  SELECT word, count(*) AS cnt

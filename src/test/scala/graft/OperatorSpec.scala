@@ -159,6 +159,73 @@ class OperatorSpec extends AnyFunSuite {
     assert(rows.forall(r => r.getAs[Long]("covered_tokens") <= r.getAs[Long]("total_tokens")))
   }
 
+  test("textInvertedIndex: df/cf consistent, heads sorted and bounded") {
+    val rows = ops.TextAnalysis.textInvertedIndex(spark, TestSpark.sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val df = r.getAs[Long]("df")
+      val cf = r.getAs[Long]("cf")
+      assert(cf >= df, s"term ${r.getString(0)}: cf < df")
+      val head = r.getAs[String]("postings_head").split(" ").map(_.toLong)
+      assert(head.length <= ops.TextAnalysis.invPostingsHead)
+      assert(head.length === math.min(df, ops.TextAnalysis.invPostingsHead.toLong))
+      assert(head.sameElements(head.sorted), "postings head not sorted")
+    }
+  }
+
+  test("textBm25Search: scored docs contain a query term, scores descend") {
+    val rows = ops.TextAnalysis.textBm25Search(spark, TestSpark.sf0001).collect()
+    assert(rows.nonEmpty && rows.length <= ops.TextAnalysis.bm25TopK)
+    val scores = rows.map(_.getAs[Double]("score"))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    assert(scores.forall(_ > 0.0))
+    rows.foreach { r =>
+      val anyTf = ops.TextAnalysis.bm25Query.indices.map(i => r.getAs[Long](s"tf_$i")).sum
+      assert(anyTf > 0, "scored doc contains no query term")
+    }
+  }
+
+  test("qMergeUpsert: action partitioning and totals reconcile with raw orders") {
+    val rows = ops.Relational.qMergeUpsert(spark, TestSpark.sf0001).collect()
+    assert(rows.nonEmpty)
+    val byAction = rows.groupBy(_.getAs[String]("action")).view.mapValues(_.length).toMap
+    assert(byAction.keySet.subsetOf(Set("update", "insert", "keep")))
+    val totalOrders = rows.map(_.getAs[Long]("n_orders")).sum
+    val raw = graft.Tables(spark, TestSpark.sf0001, "orders").count()
+    assert(totalOrders === raw, "merged order counts must cover every order exactly once")
+  }
+
+  test("evGapFill: spine is complete per user, ffill never regresses to null") {
+    val rows = ops.Events.evGapFill(spark, TestSpark.sf0001).collect()
+    val byUser = rows.groupBy(_.getAs[Long]("user_id"))
+    byUser.foreach { case (_, rs) =>
+      val days = rs.map(_.getAs[java.sql.Date]("d").toLocalDate).sortBy(_.toEpochDay)
+      val span = days.last.toEpochDay - days.head.toEpochDay + 1
+      assert(days.length.toLong === span, "daily spine has holes")
+      // first day is the user's first active day => has events and a value
+      val first = rs.minBy(_.getAs[java.sql.Date]("d").toLocalDate.toEpochDay)
+      assert(first.getAs[Long]("n_events") > 0)
+      // once a value is seen, ff_value stays non-null
+      var seen = false
+      rs.sortBy(_.getAs[java.sql.Date]("d").toLocalDate.toEpochDay).foreach { r =>
+        if (!r.isNullAt(r.fieldIndex("ff_value"))) seen = true
+        else assert(!seen, "ff_value went back to null after being set")
+      }
+    }
+  }
+
+  test("dedupKeepBest: one representative per cluster with the max score") {
+    val best = ops.Dedup.dedupKeepBest(spark, TestSpark.sf0001).collect()
+    val clusters = ops.Dedup.dedupClusters(spark, TestSpark.sf0001).collect()
+    val members = clusters.groupBy(_.getAs[Long]("cluster_id"))
+    assert(best.length === members.size, "one row per cluster")
+    best.foreach { r =>
+      val cid = r.getAs[Long]("cluster_id")
+      assert(r.getAs[Long]("n_members") === members(cid).length.toLong)
+      assert(members(cid).map(_.getAs[Long]("doc_id")).contains(r.getAs[Long]("best_doc")))
+    }
+  }
+
   test("every registered query returns rows at sf0.001 (t1 smoke)") {
     val failures = SparkEntry.queries.flatMap { case (name, fn) =>
       try {
