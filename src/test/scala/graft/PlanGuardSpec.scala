@@ -91,6 +91,46 @@ class PlanGuardSpec extends AnyFunSuite {
     assert(dots <= 8, s"$dots vec_dot nodes in sim_lsh_ann — per-plane literal hashing is back")
   }
 
+  test("text_inverted_index builds from ONE token subtree (no stats/heads split)") {
+    // the first draft computed the scan→explode→tf aggregate twice (once
+    // for df/cf, once for the posting heads) — the minhash double-compute
+    // shape. Fused: exactly one Generate (explode) in the whole plan, and
+    // one partial+final tf HashAggregate pair.
+    val p = plan("text_inverted_index")
+    val generates = p.collect {
+      case g: org.apache.spark.sql.execution.GenerateExec => g
+    }
+    assert(generates.length == 1,
+      s"${generates.length} Generate nodes — the token explode subtree is duplicated")
+  }
+
+  test("text_bm25_search is shuffle-free: stats broadcast + TakeOrdered, no exchange") {
+    val p = plan("text_bm25_search")
+    val exchanges = p.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    // the only legal exchange is the 1-row stats aggregate's
+    // SinglePartition gather; the document side must never shuffle
+    assert(exchanges.length <= 1,
+      s"${exchanges.length} shuffle exchanges in BM25 — the doc scan is being shuffled")
+    assert(p.toString.contains("TakeOrderedAndProject"),
+      "top-k no longer compiles to TakeOrderedAndProject")
+  }
+
+  test("q_merge_upsert joins on the aggregation partitioning (no re-shuffle)") {
+    // both sides pre-aggregate per customer; the full-outer SMJ must
+    // consume those exchanges directly: 2 aggregate exchanges + 1
+    // presentation sort range exchange = 3 total, none between agg and join
+    val p = plan("q_merge_upsert")
+    val exchanges = p.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.length <= 3,
+      s"${exchanges.length} exchanges — the merge join no longer reuses the groupBy partitioning")
+    assert(p.collect { case j: SortMergeJoinExec if j.joinType.toString == "FullOuter" => j }.nonEmpty,
+      "MERGE semantics lost the full-outer join shape")
+  }
+
   test("q_skew_join stays a sort-merge join (the shape AQE skew-split requires)") {
     val p = plan("q_skew_join")
     assert(p.collect { case j: SortMergeJoinExec => j }.nonEmpty,
