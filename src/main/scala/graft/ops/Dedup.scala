@@ -594,31 +594,59 @@ object Dedup {
   def dedupEmbeddingBlockedTrained(s: SparkSession, dir: String): DataFrame =
     dedupEmbeddingBlockedWith(s, dir, _ => Similarity.trainedCentroidsOf(s, dir))
 
+  /** Tile edge for the blocked-dedup pair enumeration: each (tileA,
+    * tileB) cell verifies at most blockTile² candidate cosines. */
+  val blockTile = 1024
+
   private def dedupEmbeddingBlockedWith(
       s: SparkSession, dir: String, centFn: DataFrame => DataFrame): DataFrame = {
-    val dot = (a: Column, b: Column) => graft.plans.VectorFunctions.vec_dot(a, b)
     val n = Similarity.normed(s, dir)
     // vectors ride WITH the assignment into the blocks (carry), so pair
     // verification happens inside the block arrays: the previous
     // ids-then-join form shuffled the full vector table into ~50M
     // candidate-pair rows at 250k vectors (~27 GB through two joins) and
     // could not finish the scale experiment. Here the only vector
-    // shuffle is N·probes member rows into their blocks; the Σ block²
-    // cosines stream through the same whole-stage-codegen explode+filter
-    // with no materialization and no join at all.
+    // shuffle is N·probes member rows into their blocks plus the bounded
+    // tile cells below; the Σ block² cosines stream through whole-stage
+    // codegen with no join and no materialization.
     val asg = Similarity.nearestCentroids(centFn(n))(
       n, "vec_id", "embedding", "nrm", blockProbes, carry = Seq("embedding", "nrm"))
-    val pairs = asg
+    // TRIANGLE TILING (found by the round-4 100× experiment, second
+    // pass): expanding a whole block's pairs from its single array row
+    // pins Σ m² work to ONE task — a skewed quantizer's mega-block
+    // (~100k members under stride centroids here) ran 42 minutes on one
+    // core while 31 idled, and the tight codegen loop never reached a
+    // safepoint. Instead each block's id-sorted member array is cut
+    // into blockTile-sized slices, every (a <= b) slice cell becomes
+    // its own row, and a hash repartition spreads the cells over the
+    // cluster BEFORE the quadratic work runs: the diagonal cells expand
+    // their i<j pairs, off-diagonal cells the full A×B cross (slices
+    // are id-ordered, so id_a < id_b holds by construction). Identical
+    // pair set, bounded blockTile² work and 2·blockTile·dim cell width
+    // per task, regardless of how skewed the quantizer is.
+    val nc = ((size(col("items")) + lit(blockTile - 1)) / lit(blockTile)).cast("int")
+    val cells = asg
       .groupBy(col("c_id"))
       .agg(sort_array(collect_list(
         struct(col("vec_id"), col("embedding"), col("nrm")))).as("items"))
       .filter(size(col("items")) >= 2)
-      .select(explode(bucketPairs(col("items"))((x, y) =>
-        struct(x.getField("vec_id").as("id_a"), y.getField("vec_id").as("id_b"),
-          (dot(x.getField("embedding"), y.getField("embedding")) /
-            (x.getField("nrm") * y.getField("nrm"))).as("cosine")))).as("p"))
+      .select(col("c_id"), explode(flatten(transform(sequence(lit(0), nc - 1), a =>
+        transform(sequence(a, nc - 1), b =>
+          struct(a.as("ta"), b.as("tb"),
+            slice(col("items"), a * blockTile + 1, lit(blockTile)).as("ia"),
+            slice(col("items"), b * blockTile + 1, lit(blockTile)).as("ib")))))).as("cell"))
+      .repartition(col("c_id"), col("cell.ta"), col("cell.tb"))
+    // pair expansion + cosine + threshold run inside ONE fused expression
+    // (`cell_pairs_cosine`): the nested-transform HOF formulation walks an
+    // interpreted lambda tree per candidate pair — ~µs each across
+    // Σ block² candidates, which the 100× experiment measured as 250+
+    // CPU-minutes on this corpus. The fused loop pays ~ns per candidate
+    // and only allocates rows for pairs that pass the threshold.
+    val pairs = cells
+      .select(explode(graft.plans.VectorFunctions.cell_pairs_cosine(
+        col("cell.ia"), col("cell.ib"),
+        col("cell.ta") === col("cell.tb"), cosineThreshold)).as("p"))
       .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"), col("p.cosine").as("cosine"))
-      .filter(col("cosine") >= cosineThreshold)
     // a pair sharing two probe blocks appears twice with the identical
     // cosine — dedupe AFTER the threshold filter, when few rows remain
     pairs.distinct().orderBy(col("id_a"), col("id_b"))

@@ -275,7 +275,45 @@ object Events {
       .orderBy(col("user_id"), col("d"))
   }
 
+  /** Z-score threshold for the daily anomaly flag. */
+  val zThreshold = 2.0
+
+  /** Daily-volume anomaly detection: per event type, each day's event
+    * count is z-scored against that type's own daily distribution and
+    * flagged beyond [[zThreshold]] — the ops-dashboard "traffic spike"
+    * query. Two-level shape: the raw stream collapses to (type, day)
+    * counts first (one linear shuffle), and the per-type moments are
+    * computed over DAILY COUNT rows (hundreds per type), not events —
+    * integer-exact sums (count and decimal-exact count², immune to both
+    * long overflow and float ordering), so mean/variance/z are written
+    * as the identical double expression in both engines. Constant-count
+    * types have zero variance — z is NULL there (no division), mirrored
+    * exactly by the oracle's CASE. */
+  def evAnomalyZscore(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables(s, dir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("n_events"))
+    val stats = daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("n_events")).as("sum_c"),
+        sum((col("n_events") * col("n_events")).cast("decimal(38,0)")).as("sum_c2"))
+      .withColumn("mean_c", col("sum_c").cast("double") / col("n_days").cast("double"))
+      .withColumn("var_c",
+        col("sum_c2").cast("double") / col("n_days").cast("double") -
+          col("mean_c") * col("mean_c"))
+      .select(col("event_type"), col("mean_c"), col("var_c"))
+    daily.join(stats, "event_type")
+      .withColumn("z",
+        when(col("var_c") > 0.0,
+          round((col("n_events").cast("double") - col("mean_c")) / sqrt(col("var_c")), 6)))
+      .select(col("event_type"), col("d"), col("n_events"),
+        round(col("mean_c"), 6).as("mean_c"), col("z"),
+        (abs(col("z")) > zThreshold).as("is_anomaly"))
+      .orderBy(col("event_type"), col("d"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_anomaly_zscore" -> evAnomalyZscore _,
     "ev_gap_fill" -> evGapFill _,
     "ev_funnel" -> evFunnel _,
     "ev_retention" -> evRetention _,
@@ -291,6 +329,30 @@ object Events {
   )
 
   val oracles: Map[String, String] = Map(
+    "ev_anomaly_zscore" ->
+      s"""WITH daily AS (
+         |  SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS n_events
+         |  FROM events GROUP BY event_type, CAST(ts AS DATE)),
+         |stats AS (
+         |  SELECT event_type, count(*) AS n_days,
+         |    sum(n_events) AS sum_c, sum(n_events * n_events) AS sum_c2
+         |  FROM daily GROUP BY event_type),
+         |j AS (
+         |  SELECT d.event_type, d.d, d.n_events,
+         |    CAST(s.sum_c AS DOUBLE) / CAST(s.n_days AS DOUBLE) AS mean_raw,
+         |    CAST(s.sum_c2 AS DOUBLE) / CAST(s.n_days AS DOUBLE)
+         |      - (CAST(s.sum_c AS DOUBLE) / CAST(s.n_days AS DOUBLE))
+         |        * (CAST(s.sum_c AS DOUBLE) / CAST(s.n_days AS DOUBLE)) AS var_c
+         |  FROM daily d JOIN stats s ON d.event_type = s.event_type),
+         |zt AS (
+         |  SELECT event_type, d, n_events, mean_raw, var_c,
+         |    CASE WHEN var_c > 0.0
+         |      THEN round((CAST(n_events AS DOUBLE) - mean_raw) / sqrt(var_c), 6)
+         |    END AS z
+         |  FROM j)
+         |SELECT event_type, d, n_events, round(mean_raw, 6) AS mean_c, z,
+         |  abs(z) > $zThreshold AS is_anomaly
+         |FROM zt ORDER BY event_type, d""".stripMargin,
     "ev_gap_fill" ->
       """WITH ev AS (
         |  SELECT user_id, CAST(ts AS DATE) AS d, value FROM events),

@@ -91,6 +91,13 @@ object Similarity {
 
   /** Expected vectors per bucket the auto-depth serving path targets. */
   val lshTargetBucket = 4
+
+  /** Buckets larger than this are dropped from the LSH index (degenerate
+    * density pockets — see the hot-bucket pruning note in
+    * [[lshCandidates]]). 50× the occupancy target: unreachable on any
+    * corpus where the depth heuristic works, so the recall-pinned small
+    * configurations are byte-identical with or without the cap. */
+  val lshMaxBucket = 50 * lshTargetBucket
   private val lshBytesPerRow = 350.0 // calibrated on the parquet corpora (≈390 B/row snappy)
 
   /** Table depth for a corpus of `rows` vectors: enough bits that bucket
@@ -165,10 +172,25 @@ object Similarity {
       else qbase.select(col("q_id"), col("tbl"),
         explode(array(col("bucket") +:
           (0 until bits).map(j => col("bucket").bitwiseXOR(lit(1L << j))): _*)).as("bucket"))
+    // HOT-BUCKET PRUNING (second 100× experiment lesson): on a dense
+    // corpus — this one has 0.16% of ALL pairs genuinely above the
+    // near-dup threshold — no hashing depth can split the mass: a
+    // handful of buckets hold a large corpus fraction at ANY bits, and
+    // probing them scans the corpus (measured: 585 s and tens of GB of
+    // candidate spill at 250k rows WITH auto depth). Buckets over
+    // `lshMaxBucket` (50× the occupancy target) carry near-zero locality
+    // signal per member — dropping them from the index is the vector
+    // analogue of stop-word pruning, standard in production ANN. The
+    // size statistic is one narrow aggregate inside the plan (lazy); on
+    // corpora where depth does its job (everything the recall specs
+    // pin) no bucket comes near the cap and the result is identical.
+    val hot = buckets.groupBy(col("tbl"), col("bucket"))
+      .agg(count(lit(1)).as("bsz")).filter(col("bsz") > lshMaxBucket)
     // dedupe (q, cand) pairs on the narrow id columns BEFORE attaching
     // the 64-float vectors — a pair may collide in several tables (and
     // probes), and distinct over embedding arrays would hash the vectors
-    buckets.join(broadcast(qb), Seq("tbl", "bucket"))
+    buckets.join(hot, Seq("tbl", "bucket"), "left_anti")
+      .join(broadcast(qb), Seq("tbl", "bucket"))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("cand_id"))
       .distinct()

@@ -376,6 +376,39 @@ object TextAnalysis {
       .orderBy(col("term"))
   }
 
+  /** Keywords kept per document in the TF-IDF extraction. */
+  val tfidfTopTerms = 5
+
+  /** Per-document keyword extraction: the top-k terms by TF-IDF — the
+    * classic corpus-statistics feature a curation pipeline attaches to
+    * every document. One (doc, term) tf aggregate, one per-term df
+    * aggregate off it, a shuffle join back on term (correctly NOT
+    * broadcast: at corpus scale the vocabulary is itself large), and a
+    * per-doc top-k that compiles to WindowGroupLimit — map-side pruned,
+    * never a full per-doc sort. The score is quantized to 6 decimals in
+    * both engines (ln() ulp divergence) and the rank orders by the
+    * QUANTIZED score, so the kept set is engine-identical. */
+  def textTfidfTopTerms(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables(s, dir, "documents")
+    val tf = docs
+      .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(df, "term").crossJoin(broadcast(n))
+      .withColumn("score", round(
+        col("tf").cast("double") *
+          log((col("n_docs").cast("double") + 1.0) / (col("df").cast("double") + 1.0)), 6))
+    scored
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))))
+      .filter(col("rk") <= tfidfTopTerms)
+      .select(col("doc_id"), col("rk").cast("long").as("rk"), col("term"),
+        col("tf"), col("df"), col("score"))
+      .orderBy(col("doc_id"), col("rk"))
+  }
+
   /** BM25 parameters and the fixed demo query. */
   val bm25K1 = 1.2
   val bm25B = 0.75
@@ -430,6 +463,7 @@ object TextAnalysis {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_inverted_index" -> textInvertedIndex _,
     "text_bm25_search" -> textBm25Search _,
+    "text_tfidf_topterms" -> textTfidfTopTerms _,
     "text_vocab_coverage" -> textVocabCoverage _,
     "text_heavy_hitters" -> textHeavyHitters _,
     "text_heavy_hitters_sketch" -> textHeavyHittersSketch _,
@@ -481,6 +515,23 @@ object TextAnalysis {
          |          FROM rk WHERE rk <= $invPostingsHead GROUP BY term)
          |SELECT s.term, s.df, s.cf, h.postings_head
          |FROM stats s JOIN heads h ON s.term = h.term ORDER BY s.term""".stripMargin,
+    "text_tfidf_topterms" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($tokSql) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |n AS (SELECT count(*) AS n_docs FROM documents),
+         |scored AS (
+         |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         |    round(CAST(tf.tf AS DOUBLE) *
+         |      ln((CAST(n.n_docs AS DOUBLE) + 1.0) / (CAST(df.df AS DOUBLE) + 1.0)), 6) AS score
+         |  FROM tf JOIN df ON tf.term = df.term, n),
+         |ranked AS (
+         |  SELECT doc_id, term, tf, df, score,
+         |    CAST(row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY score DESC, term) AS BIGINT) AS rk
+         |  FROM scored)
+         |SELECT doc_id, rk, term, tf, df, score
+         |FROM ranked WHERE rk <= $tfidfTopTerms ORDER BY doc_id, rk""".stripMargin,
     "text_bm25_search" ->
       s"""WITH base AS (SELECT doc_id, $tokSql AS toks FROM documents),
          |d AS (

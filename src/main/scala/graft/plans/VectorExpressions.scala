@@ -359,6 +359,65 @@ case class NearestCentroidIds(first: Expression, second: Expression, third: Expr
     copy(first = newFirst, second = newSecond, third = newThird)
 }
 
+/** All above-threshold cosine pairs between two tile slices of a dedup
+  * block — the fused replacement for the nested `transform` pair
+  * expansion, whose per-element interpreted lambda walk dominated the
+  * 100× scale experiment (Σ block² candidate pairs each paid ~µs of
+  * Catalyst tree-eval; this loop pays ~ns and allocates output only for
+  * survivors). Inputs are two arrays of struct(vec_id: long, embedding:
+  * array<float|double>, nrm: double) slices of the SAME id-sorted block
+  * array; `diag` marks the (a == b) diagonal cell, which expands i<j
+  * pairs instead of the full A×B cross. Accumulation is left-to-right
+  * double precision, identical to `vec_dot` and the DuckDB oracle. */
+case class CellPairsCosine(
+    first: Expression, second: Expression, third: Expression, threshold: Double)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+  def ia: Expression = first
+  def ib: Expression = second
+  def diag: Expression = third
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("id_a", LongType, nullable = false),
+    StructField("id_b", LongType, nullable = false),
+    StructField("cosine", DoubleType, nullable = false))), containsNull = false)
+  override def prettyName: String = "cell_pairs_cosine"
+  override def nullIntolerant: Boolean = true
+
+  private def isItems(dt: DataType): Boolean = dt match {
+    case ArrayType(st: StructType, _) if st.length == 3 =>
+      st(0).dataType == LongType && st(2).dataType == DoubleType &&
+        InputChecks.isNumericArray(st(1).dataType)
+    case NullType => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    InputChecks.check(prettyName)(
+      (first, isItems, "array<struct<id: bigint, emb: array<float|double>, nrm: double>>"),
+      (second, isItems, "array<struct<id: bigint, emb: array<float|double>, nrm: double>>"),
+      (third, { case BooleanType | NullType => true; case _ => false }, "boolean"))
+
+  private def isFloat: Boolean = first.dataType match {
+    case ArrayType(st: StructType, _) => st(1).dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    case _ => false
+  }
+
+  override def nullSafeEval(a: Any, b: Any, d: Any): Any =
+    HashUtil.cellPairsCosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      d.asInstanceOf[Boolean], isFloat, threshold)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b, d) =>
+      s"${ev.value} = graft.plans.HashUtil.cellPairsCosine($a, $b, $d, $isFloat, $threshold);")
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
 /** Static helpers callable from generated Java (Scala top-level object →
   * static forwarders). */
 object HashUtil {
@@ -566,6 +625,65 @@ object HashUtil {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  /** See [[CellPairsCosine]]. Both slices are materialized into primitive
+    * arrays once (≤ tile × dim doubles each), then the O(na·nb) loop runs
+    * on plain JVM arrays — no per-pair ArrayData dispatch, no per-pair
+    * allocation unless the pair survives the threshold. */
+  def cellPairsCosine(ia: ArrayData, ib: ArrayData, diag: Boolean,
+      isFloat: Boolean, threshold: Double): ArrayData = {
+    val na = ia.numElements()
+    val nb = ib.numElements()
+    if (na == 0 || nb == 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    def extract(arr: ArrayData, n: Int): (Array[Long], Array[Array[Double]], Array[Double]) = {
+      val ids = new Array[Long](n)
+      val embs = new Array[Array[Double]](n)
+      val nrms = new Array[Double](n)
+      var i = 0
+      while (i < n) {
+        val row = arr.getStruct(i, 3)
+        ids(i) = row.getLong(0)
+        val e = row.getArray(1)
+        val dim = e.numElements()
+        val v = new Array[Double](dim)
+        var d = 0
+        while (d < dim) {
+          v(d) = if (isFloat) e.getFloat(d).toDouble else e.getDouble(d)
+          d += 1
+        }
+        embs(i) = v
+        nrms(i) = row.getDouble(2)
+        i += 1
+      }
+      (ids, embs, nrms)
+    }
+    val (aIds, aEmbs, aNrms) = extract(ia, na)
+    val (bIds, bEmbs, bNrms) =
+      if (diag) (aIds, aEmbs, aNrms) else extract(ib, nb)
+    val out = new java.util.ArrayList[Any]()
+    var i = 0
+    while (i < na) {
+      val av = aEmbs(i)
+      val dim = av.length
+      var j = if (diag) i + 1 else 0
+      while (j < nb) {
+        val bv = bEmbs(j)
+        if (bv.length != dim) throw DotProduct.lengthMismatch(dim, bv.length)
+        var acc = 0.0
+        var d = 0
+        while (d < dim) { acc += av(d) * bv(d); d += 1 }
+        val cos = acc / (aNrms(i) * bNrms(j))
+        if (cos >= threshold) {
+          out.add(new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+            Array[Any](aIds(i), bIds(j), cos)))
+        }
+        j += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+
   def wordShingles(s: UTF8String, n: Int): ArrayData = {
     val toks = ws.split(s.toString).filterNot(_.isEmpty)
     val out = new java.util.LinkedHashSet[String]()
@@ -606,4 +724,7 @@ object VectorFunctions {
   def nearest_centroid_ids(emb: Column, nrm: Column, cents: Column, keep: Int): Column =
     GraftBridge.column(NearestCentroidIds(GraftBridge.expression(emb),
       GraftBridge.expression(nrm), GraftBridge.expression(cents), keep))
+  def cell_pairs_cosine(ia: Column, ib: Column, diag: Column, threshold: Double): Column =
+    GraftBridge.column(CellPairsCosine(GraftBridge.expression(ia),
+      GraftBridge.expression(ib), GraftBridge.expression(diag), threshold))
 }

@@ -226,6 +226,33 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("textTfidfTopTerms: ranks dense, scores non-increasing within doc") {
+    val rows = ops.TextAnalysis.textTfidfTopTerms(spark, TestSpark.sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("doc_id")).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("rk"))
+      assert(sorted.map(_.getAs[Long]("rk")).toSeq === (1L to sorted.length))
+      assert(sorted.length <= ops.TextAnalysis.tfidfTopTerms)
+      val scores = sorted.map(_.getAs[Double]("score"))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("evAnomalyZscore: zero-variance types yield null z, flags match threshold") {
+    val rows = ops.Events.evAnomalyZscore(spark, TestSpark.sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val zIdx = r.fieldIndex("z")
+      if (!r.isNullAt(zIdx)) {
+        val flag = r.getAs[Boolean]("is_anomaly")
+        assert(flag === (math.abs(r.getDouble(zIdx)) > ops.Events.zThreshold))
+      } else assert(r.isNullAt(r.fieldIndex("is_anomaly")))
+    }
+    // z-scores of a distribution straddle zero unless every day is equal
+    val zs = rows.filterNot(_.isNullAt(rows.head.fieldIndex("z"))).map(_.getAs[Double]("z"))
+    if (zs.nonEmpty) assert(zs.exists(_ > 0) && zs.exists(_ < 0))
+  }
+
   test("every registered query returns rows at sf0.001 (t1 smoke)") {
     val failures = SparkEntry.queries.flatMap { case (name, fn) =>
       try {

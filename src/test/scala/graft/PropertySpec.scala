@@ -113,6 +113,41 @@ object PropertySpec extends Properties("graft") {
     }
   }
 
+  property("cell_pairs_cosine == HOF pair expansion + vec_dot + filter, bit-for-bit") = {
+    import spark.implicits._
+    val vecGen = Gen.listOfN(8, Gen.chooseNum(1f, 100f)) // non-zero norm
+    val itemsGen = Gen.chooseNum(1, 6).flatMap(n => Gen.listOfN(n, vecGen))
+    forAll(Gen.zip(itemsGen, itemsGen, Gen.oneOf(true, false),
+      Gen.chooseNum(-1.0, 1.0))) { case (as, bs, diag, thr) =>
+      // diagonal cells require ia == ib (the operator always satisfies this)
+      val bsEff = if (diag) as else bs
+      val mkItems = (vs: List[List[Float]], off: Long) => vs.zipWithIndex.map { case (v, i) =>
+        (off + i, v.toArray, math.sqrt(v.map(x => x.toDouble * x).sum))
+      }
+      val df = Seq((mkItems(as, 0L), mkItems(bsEff, if (diag) 0L else 100L)))
+        .toDF("ia", "ib")
+        .select(col("ia").cast("array<struct<vec_id:bigint,embedding:array<float>,nrm:double>>"),
+          col("ib").cast("array<struct<vec_id:bigint,embedding:array<float>,nrm:double>>"))
+      val fused = df.select(explode(
+        VectorFunctions.cell_pairs_cosine(col("ia"), col("ib"), lit(diag), thr)).as("p"))
+        .select("p.id_a", "p.id_b", "p.cosine")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val hofPair = (x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =>
+        struct(x.getField("vec_id").as("id_a"), y.getField("vec_id").as("id_b"),
+          (VectorFunctions.vec_dot(x.getField("embedding"), y.getField("embedding")) /
+            (x.getField("nrm") * y.getField("nrm"))).as("cosine"))
+      val hofExpand =
+        if (diag) flatten(transform(col("ia"), (x, i) =>
+          transform(slice(col("ia"), i + lit(2), size(col("ia"))), y => hofPair(x, y))))
+        else flatten(transform(col("ia"), x => transform(col("ib"), y => hofPair(x, y))))
+      val hof = df.select(explode(hofExpand).as("p"))
+        .filter(col("p.cosine") >= thr)
+        .select("p.id_a", "p.id_b", "p.cosine")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      fused == hof
+    }
+  }
+
   property("word count invariant under line order + partitioning (MR contract)") = {
     import spark.implicits._
     forAll(Gen.nonEmptyListOf(textGen), Gen.chooseNum(1, 7)) { (lines, parts) =>
