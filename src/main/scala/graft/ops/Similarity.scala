@@ -149,8 +149,10 @@ object Similarity {
     * plan (same lazy pattern as the ngram max-df statistic): hashing
     * compares dot(emb, h) > dot(mean, h), which equals the sign of the
     * centered projection, and bits become ~balanced AND informative. */
-  private[graft] def lshCandidates(s: SparkSession, dir: String,
-      tables: Int, bits: Int, multiprobe: Boolean): DataFrame = {
+  /** The (vec_id, tbl, bucket) index frame — the unit both candidate
+    * generation and the cap-headroom spec measure occupancy on. */
+  private[graft] def lshBuckets(s: SparkSession, dir: String,
+      tables: Int, bits: Int): DataFrame = {
     val planes = hyperplanesFor(tables, bits)
     val proj = (c: Column) => graft.plans.VectorFunctions.lsh_projections(c, planes, embDims)
     // per-plane threshold = the corpus-MEAN's projection = avg of per-row
@@ -159,12 +161,17 @@ object Similarity {
       .select(proj(col("embedding")).as("p"))
       .select(array((0 until tables * bits).map(i =>
         avg(element_at(col("p"), i + 1))): _*).as("thr"))
-    val buckets = Tables(s, dir, "embeddings")
+    Tables(s, dir, "embeddings")
       .crossJoin(broadcast(thrRow))
       .select(col("vec_id"),
         posexplode(graft.plans.VectorFunctions.lsh_buckets(
           proj(col("embedding")), col("thr"), tables, bits))
           .as(Seq("tbl", "bucket")))
+  }
+
+  private[graft] def lshCandidates(s: SparkSession, dir: String,
+      tables: Int, bits: Int, multiprobe: Boolean): DataFrame = {
+    val buckets = lshBuckets(s, dir, tables, bits)
     val qbase = buckets.filter(col("vec_id") % queryStride === 0)
       .select(col("vec_id").as("q_id"), col("tbl"), col("bucket"))
     val qb =

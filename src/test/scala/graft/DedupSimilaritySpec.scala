@@ -258,4 +258,19 @@ class DedupSimilaritySpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     assert(auto === pinned, "auto-depth diverged from the pinned index on a small corpus")
   }
+
+  test("hot-bucket cap is pure headroom on the recall-pinned corpus") {
+    // the pruning exists for density-degenerate corpora (PLANS.md 100×
+    // experiment, defect 6); on every corpus the recall assertions run
+    // against, occupancy must sit far below the cap so pruning changes
+    // nothing. If this fails, the recall numbers above are measuring a
+    // pruned index and the cap needs re-tuning.
+    import org.apache.spark.sql.functions._
+    val maxBucket = Similarity
+      .lshBuckets(spark, sf0001, Similarity.lshTables, Similarity.lshBits)
+      .groupBy(col("tbl"), col("bucket")).agg(count(lit(1)).as("n"))
+      .agg(max(col("n"))).head().getLong(0)
+    assert(maxBucket <= Similarity.lshMaxBucket / 2,
+      s"bucket occupancy $maxBucket within 2x of the ${Similarity.lshMaxBucket} cap — recall tests may be pruned")
+  }
 }

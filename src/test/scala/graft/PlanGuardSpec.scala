@@ -131,6 +131,24 @@ class PlanGuardSpec extends AnyFunSuite {
       "MERGE semantics lost the full-outer join shape")
   }
 
+  test("dedup_embedding_blocked keeps the tiled fused-pair shape") {
+    // the 100× experiment's defects 4+5: without tiling, one mega-block's
+    // Σ m² pairs run in a single task; without the fused expression each
+    // candidate pays an interpreted lambda walk. Both must stay in the
+    // plan: the cell repartition exchange and cell_pairs_cosine.
+    val txt = plan("dedup_embedding_blocked").toString
+    assert(txt.contains("cell_pairs_cosine"),
+      "pair expansion no longer goes through the fused cell_pairs_cosine expression")
+    assert(txt.contains("hashpartitioning(c_id"),
+      "tile cells are no longer repartitioned — a mega-block runs in one task again")
+  }
+
+  test("sim_lsh_ann_auto prunes hot buckets via an anti-join in the plan") {
+    val txt = plan("sim_lsh_ann_auto").toString
+    assert(txt.contains("LeftAnti"),
+      "hot-bucket pruning anti-join is gone — density-degenerate corpora spill again")
+  }
+
   test("q_skew_join stays a sort-merge join (the shape AQE skew-split requires)") {
     val p = plan("q_skew_join")
     assert(p.collect { case j: SortMergeJoinExec => j }.nonEmpty,

@@ -24,6 +24,12 @@ class SourcesSpec extends AnyFunSuite {
     val jsonBack = spark.read.schema(df.schema).json(s"$base/json")
       .orderBy(col("l_returnflag"), col("l_linestatus"))
     assert(jsonBack.collect().map(_.toSeq).toSeq === expected)
+
+    // ORC: the other columnar interchange format warehouses expect
+    df.write.mode("overwrite").orc(s"$base/orc")
+    val orcBack = spark.read.schema(df.schema).orc(s"$base/orc")
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+    assert(orcBack.collect().map(_.toSeq).toSeq === expected)
   }
 
   test("partitioned corpus sink prunes partitions on language-filtered reads") {
