@@ -42,6 +42,33 @@ object Similarity {
       // DuckDB order NaN differently — excluded identically in the oracle
       .filter(col("nrm") > 0)
 
+  /** Radius retrieval threshold: neighbors at cosine ≥ this are "in
+    * range" — the retrieval sibling of top-k (RAG-style cutoff search).
+    * 0.4 sits just under the testdata's max pairwise cosine (~0.45 on
+    * the near-orthogonal synthetic embeddings), so the result is the
+    * sparse its-a-real-neighbor tail at every SF. */
+  val rangeThreshold = 0.4
+
+  /** Exact range (radius) similarity search: every corpus vector within
+    * cosine ≥ [[rangeThreshold]] of each query — top-k's sibling where
+    * the result set is governed by a score cutoff, not a count. The
+    * scale shape is the same broadcast-queries linear scan as the
+    * brute-force top-k, but with NO window at all: the threshold filter
+    * runs inside whole-stage codegen on the scan, so there is no
+    * per-query sort, no shuffle, and the cost is one pass over the
+    * corpus regardless of how many neighbors qualify. */
+  def simRangeSearch(s: SparkSession, dir: String): DataFrame = {
+    val n = normed(s, dir)
+    val q = n.filter(col("vec_id") % queryStride === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+    val c = n.select(col("vec_id").as("cand_id"), col("embedding").as("c_emb"), col("nrm").as("c_nrm"))
+    c.join(broadcast(q), col("cand_id") =!= col("q_id"))
+      .withColumn("cosine", dot(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm")))
+      .filter(col("cosine") >= rangeThreshold)
+      .select(col("q_id"), col("cand_id"), col("cosine"))
+      .orderBy(col("q_id"), col("cand_id"))
+  }
+
   /** Exact top-k cosine neighbors for the query subset. */
   def simTopkBruteforce(s: SparkSession, dir: String): DataFrame = {
     val n = normed(s, dir)
@@ -380,6 +407,7 @@ object Similarity {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_topk_bruteforce" -> simTopkBruteforce _,
+    "sim_range_search" -> simRangeSearch _,
     "sim_lsh_ann" -> simLshAnn _,
     "sim_lsh_ann_auto" -> simLshAnnAuto _,
     "sim_ivf_topk" -> simIvfTopk _,
@@ -445,5 +473,19 @@ object Similarity {
          |  FROM scored)
          |SELECT q_id, rk, cand_id, cosine FROM ranked WHERE rk <= $topK
          |ORDER BY q_id, rk""".stripMargin,
+    "sim_range_search" ->
+      s"""WITH n AS (
+         |  SELECT * FROM (
+         |    SELECT vec_id, embedding,
+         |      sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
+         |        i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS nrm
+         |    FROM embeddings) WHERE nrm > 0)
+         |SELECT q_id, cand_id, cosine FROM (
+         |  SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
+         |    list_sum(list_transform(range(1, len(q.embedding) + 1),
+         |      i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))) / (q.nrm * c.nrm) AS cosine
+         |  FROM n q JOIN n c ON q.vec_id % $queryStride = 0 AND c.vec_id <> q.vec_id)
+         |WHERE cosine >= $rangeThreshold
+         |ORDER BY q_id, cand_id""".stripMargin,
   )
 }

@@ -259,6 +259,20 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(auto === pinned, "auto-depth diverged from the pinned index on a small corpus")
   }
 
+  test("range search returns exactly the in-radius subset of each query's neighbors") {
+    import org.apache.spark.sql.functions._
+    val inRange = Similarity.simRangeSearch(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(inRange.forall(_._3 >= Similarity.rangeThreshold))
+    // every top-k neighbor above the radius must also be in the range set
+    val topAbove = Similarity.simTopkBruteforce(spark, sf0001).collect()
+      .filter(_.getDouble(3) >= Similarity.rangeThreshold)
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val rangeSet = inRange.map(t => (t._1, t._2)).toSet
+    assert(topAbove.subsetOf(rangeSet),
+      "a top-k neighbor above the radius is missing from the range result")
+  }
+
   test("hot-bucket cap is pure headroom on the recall-pinned corpus") {
     // the pruning exists for density-degenerate corpora (PLANS.md 100×
     // experiment, defect 6); on every corpus the recall assertions run
