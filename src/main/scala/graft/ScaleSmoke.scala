@@ -112,7 +112,10 @@ object ScaleSmoke {
     val ivfTrained = time("sim_ivf_topk_trained (memoized quantizer)") {
       topkPairs(ops.Similarity.simIvfTopkTrained(spark, dir))
     }
-    val lshAuto = time("sim_lsh_ann_auto (depth from stats, hot buckets pruned)") {
+    val ivfAuto = time("sim_ivf_topk_auto (constant-fraction probes, tiled)") {
+      topkPairs(ops.Similarity.simIvfTopkAuto(spark, dir))
+    }
+    val lshAuto = time("sim_lsh_ann_auto (depth from stats, hot buckets tiled)") {
       topkPairs(ops.Similarity.simLshAnnAuto(spark, dir))
     }
     val exact = time("sim_topk_bruteforce (ground truth, 5k queries x 250k)") {
@@ -122,6 +125,7 @@ object ScaleSmoke {
       say(f"  recall@5 $tag: ${(exact intersect got).size.toDouble / exact.size}%.3f")
     recallOf("ivf stride", ivfStride)
     recallOf("ivf trained", ivfTrained)
+    recallOf("ivf auto", ivfAuto)
     recallOf("lsh auto", lshAuto)
 
     // 6. text dedup + sketch heavy hitters on 100k docs

@@ -42,6 +42,15 @@ private[plans] object InputChecks {
     case NullType => true
     case _ => false
   }
+  /** array<struct<id: long, emb: array<float|double>, nrm: double>> — the
+    * tile-slice row shape shared by CellPairsCosine and CellTopkPairs. */
+  val isItemsArray: DataType => Boolean = {
+    case ArrayType(st: StructType, _) if st.length == 3 =>
+      st(0).dataType == LongType && st(2).dataType == DoubleType &&
+        isNumericArray(st(1).dataType)
+    case NullType => true
+    case _ => false
+  }
 }
 
 /** Custom codegen'd Catalyst expressions for the vector / hashing hot
@@ -383,18 +392,10 @@ case class CellPairsCosine(
   override def prettyName: String = "cell_pairs_cosine"
   override def nullIntolerant: Boolean = true
 
-  private def isItems(dt: DataType): Boolean = dt match {
-    case ArrayType(st: StructType, _) if st.length == 3 =>
-      st(0).dataType == LongType && st(2).dataType == DoubleType &&
-        InputChecks.isNumericArray(st(1).dataType)
-    case NullType => true
-    case _ => false
-  }
-
   override def checkInputDataTypes(): TypeCheckResult =
     InputChecks.check(prettyName)(
-      (first, isItems, "array<struct<id: bigint, emb: array<float|double>, nrm: double>>"),
-      (second, isItems, "array<struct<id: bigint, emb: array<float|double>, nrm: double>>"),
+      (first, InputChecks.isItemsArray, "array<struct<id: bigint, emb: array<float|double>, nrm: double>>"),
+      (second, InputChecks.isItemsArray, "array<struct<id: bigint, emb: array<float|double>, nrm: double>>"),
       (third, { case BooleanType | NullType => true; case _ => false }, "boolean"))
 
   private def isFloat: Boolean = first.dataType match {
@@ -416,6 +417,57 @@ case class CellPairsCosine(
   override protected def withNewChildrenInternal(
       newFirst: Expression, newSecond: Expression, newThird: Expression): Expression =
     copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+/** Per-query top-`k` cosine candidates between a tile of QUERIES and a
+  * tile of CANDIDATES — the hot-LSH-bucket sibling of [[CellPairsCosine]].
+  * A density-degenerate bucket holds a corpus fraction no hashing depth
+  * can split; dropping it is a recall hole, and joining it is a spill.
+  * Instead its (query × member) work is cut into tile cells, each cell
+  * row pays a bounded q·m fused loop, and only `k` survivors per query
+  * per cell leave the expression — the union of per-cell top-k contains
+  * the per-bucket top-k (cell-local rank ≤ global rank), so downstream
+  * re-ranking is exact over what the bucket would have contributed.
+  * Inputs are arrays of struct(id: long, emb: array<float|double>,
+  * nrm: double); candidate slices are id-sorted so equal-cosine ties
+  * resolve to the lower cand_id, matching ORDER BY cosine DESC, cand_id.
+  * Self-pairs (cand id == query id) are skipped. Accumulation is
+  * left-to-right double precision, identical to `vec_dot`, so the ids
+  * selected here are exactly the ids the exact rescoring step would
+  * rank first. */
+case class CellTopkPairs(left: Expression, right: Expression, k: Int)
+    extends BinaryExpression {
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("q_id", LongType, nullable = false),
+    StructField("cand_id", LongType, nullable = false),
+    StructField("cosine", DoubleType, nullable = false))), containsNull = false)
+  override def prettyName: String = "cell_topk_pairs"
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    InputChecks.check(prettyName)(
+      (left, InputChecks.isItemsArray, "array<struct<id: bigint, emb: array<float|double>, nrm: double>>"),
+      (right, InputChecks.isItemsArray, "array<struct<id: bigint, emb: array<float|double>, nrm: double>>"))
+
+  private def isFloat(e: Expression): Boolean = e.dataType match {
+    case ArrayType(st: StructType, _) => st(1).dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    case _ => false
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    HashUtil.cellTopkPairs(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      isFloat(left), isFloat(right), k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.plans.HashUtil.cellTopkPairs($a, $b, ${isFloat(left)}, ${isFloat(right)}, $k);")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
 }
 
 /** Static helpers callable from generated Java (Scala top-level object →
@@ -629,37 +681,47 @@ object HashUtil {
     * arrays once (≤ tile × dim doubles each), then the O(na·nb) loop runs
     * on plain JVM arrays — no per-pair ArrayData dispatch, no per-pair
     * allocation unless the pair survives the threshold. */
+  /** Materialize a tile slice of struct(id, emb, nrm) rows into primitive
+    * arrays once (≤ tile × dim doubles), so the O(na·nb) loops below run
+    * on plain JVM arrays — no per-pair ArrayData dispatch. */
+  private def extractItems(arr: ArrayData, n: Int,
+      isFloat: Boolean): (Array[Long], Array[Array[Double]], Array[Double]) = {
+    val ids = new Array[Long](n)
+    val embs = new Array[Array[Double]](n)
+    val nrms = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      val row = arr.getStruct(i, 3)
+      ids(i) = row.getLong(0)
+      val e = row.getArray(1)
+      val dim = e.numElements()
+      val v = new Array[Double](dim)
+      var d = 0
+      while (d < dim) {
+        v(d) = if (isFloat) e.getFloat(d).toDouble else e.getDouble(d)
+        d += 1
+      }
+      embs(i) = v
+      nrms(i) = row.getDouble(2)
+      i += 1
+    }
+    (ids, embs, nrms)
+  }
+
   def cellPairsCosine(ia: ArrayData, ib: ArrayData, diag: Boolean,
       isFloat: Boolean, threshold: Double): ArrayData = {
     val na = ia.numElements()
     val nb = ib.numElements()
+    // diag means "ib IS the same slice as ia" — the loops below then reuse
+    // ia's extracted arrays while bounding on nb, so a mismatched pair
+    // would index out of bounds (nb > na) or silently drop pairs (nb < na)
+    if (diag) require(na == nb,
+      s"cell_pairs_cosine: diag=true requires identical slices, got $na vs $nb elements")
     if (na == 0 || nb == 0)
       return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
-    def extract(arr: ArrayData, n: Int): (Array[Long], Array[Array[Double]], Array[Double]) = {
-      val ids = new Array[Long](n)
-      val embs = new Array[Array[Double]](n)
-      val nrms = new Array[Double](n)
-      var i = 0
-      while (i < n) {
-        val row = arr.getStruct(i, 3)
-        ids(i) = row.getLong(0)
-        val e = row.getArray(1)
-        val dim = e.numElements()
-        val v = new Array[Double](dim)
-        var d = 0
-        while (d < dim) {
-          v(d) = if (isFloat) e.getFloat(d).toDouble else e.getDouble(d)
-          d += 1
-        }
-        embs(i) = v
-        nrms(i) = row.getDouble(2)
-        i += 1
-      }
-      (ids, embs, nrms)
-    }
-    val (aIds, aEmbs, aNrms) = extract(ia, na)
+    val (aIds, aEmbs, aNrms) = extractItems(ia, na, isFloat)
     val (bIds, bEmbs, bNrms) =
-      if (diag) (aIds, aEmbs, aNrms) else extract(ib, nb)
+      if (diag) (aIds, aEmbs, aNrms) else extractItems(ib, nb, isFloat)
     val out = new java.util.ArrayList[Any]()
     var i = 0
     while (i < na) {
@@ -678,6 +740,60 @@ object HashUtil {
             Array[Any](aIds(i), bIds(j), cos)))
         }
         j += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+
+  /** See [[CellTopkPairs]]: per-query top-k by (cosine DESC, cand_id ASC)
+    * within one (query tile × candidate tile) cell, self-pairs skipped.
+    * Insertion uses strict-greater displacement, so on equal cosine the
+    * earlier (= lower, slices are id-sorted) cand_id wins — the same
+    * tie-break as the downstream row_number window. */
+  def cellTopkPairs(qs: ArrayData, cs: ArrayData,
+      qFloat: Boolean, cFloat: Boolean, k: Int): ArrayData = {
+    val nq = qs.numElements()
+    val nc = cs.numElements()
+    if (nq == 0 || nc == 0 || k <= 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    val (qIds, qEmbs, qNrms) = extractItems(qs, nq, qFloat)
+    val (cIds, cEmbs, cNrms) = extractItems(cs, nc, cFloat)
+    val out = new java.util.ArrayList[Any]()
+    val topCos = new Array[Double](k)
+    val topId = new Array[Long](k)
+    var i = 0
+    while (i < nq) {
+      val qv = qEmbs(i)
+      val dim = qv.length
+      java.util.Arrays.fill(topCos, Double.NegativeInfinity)
+      var filled = 0
+      var j = 0
+      while (j < nc) {
+        if (cIds(j) != qIds(i)) {
+          val cv = cEmbs(j)
+          if (cv.length != dim) throw DotProduct.lengthMismatch(dim, cv.length)
+          var acc = 0.0
+          var d = 0
+          while (d < dim) { acc += qv(d) * cv(d); d += 1 }
+          val cos = acc / (qNrms(i) * cNrms(j))
+          var pos = filled
+          while (pos > 0 && cos > topCos(pos - 1)) pos -= 1
+          if (pos < k) {
+            var m = math.min(filled, k - 1)
+            while (m > pos) { topCos(m) = topCos(m - 1); topId(m) = topId(m - 1); m -= 1 }
+            topCos(pos) = cos
+            topId(pos) = cIds(j)
+            if (filled < k) filled += 1
+          }
+        }
+        j += 1
+      }
+      var r = 0
+      while (r < filled) {
+        out.add(new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](qIds(i), topId(r), topCos(r))))
+        r += 1
       }
       i += 1
     }
@@ -727,4 +843,6 @@ object VectorFunctions {
   def cell_pairs_cosine(ia: Column, ib: Column, diag: Column, threshold: Double): Column =
     GraftBridge.column(CellPairsCosine(GraftBridge.expression(ia),
       GraftBridge.expression(ib), GraftBridge.expression(diag), threshold))
+  def cell_topk_pairs(qs: Column, cs: Column, k: Int): Column =
+    GraftBridge.column(CellTopkPairs(GraftBridge.expression(qs), GraftBridge.expression(cs), k))
 }
