@@ -67,6 +67,21 @@ object Bench {
         (json + "\n").getBytes("UTF-8"))
     } catch { case e: Throwable => System.err.println(s"[bench] bench_out.json write failed: ${e.getMessage}") }
     System.err.println(f"[bench] per-query minima total ${total}%.1fs over $reps rounds (raw: ${rawTotals.map(t => f"$t%.1f").mkString(", ")})")
+    // ALSO print a summary as the LAST stdout line, sized to survive a
+    // bounded (2000-char) log-tail capture: the driver's round artifact
+    // records only the tail, and the ~100-query full JSON (~3 KB of
+    // query names alone) cannot fit, so round 4's artifact carried an
+    // unparseable truncated head. The tail line carries the headline
+    // numbers plus the per-query dict ONLY if it fits the budget;
+    // either way it names bench_out.json as the durable full record.
+    val compactQs = minima.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
+    val head =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","reps":$reps,"raw_totals":$rawJson,"failed":$failedJson,"sf":"$sfDir","full":"bench_out.json""""
+    val tailLine =
+      if (head.length + compactQs.length + 12 <= 1900) s"""$head,"queries":$compactQs}"""
+      else s"""$head}"""
+    println(tailLine)
     spark.stop()
   }
 }

@@ -43,6 +43,7 @@ object ScaleSmoke {
   val nDoc = 100000L
   val nDocDup = 1000L
   private val dim = 64
+  val stopwords = Seq("the", "of", "and", "to", "in")
 
   def generate(s: SparkSession, dir: String): Unit = {
     val noise = (idc: org.apache.spark.sql.Column, d: org.apache.spark.sql.Column) =>
@@ -59,13 +60,22 @@ object ScaleSmoke {
     // into all-pairs — real corpora are Zipfian, where rare shingles
     // exist and prefix filtering works (the 30-word first draft of this
     // generator filled 70 GB of spill in dedup_ngram_jaccard)
+    // …plus a Zipf head: every 7th position draws from 5 stopwords, so
+    // each carries ~2.9% of the token stream — far above the sketch
+    // serving threshold (0.5%) while every tail word stays far below it
+    // (~0.009% + eps·N ≈ 0.06%). Gives text_heavy_hitters_sketch exactly
+    // 5 true heavy hitters to find at 100×; without them the corpus has
+    // none and the scale check is vacuous.
     val docs = s.range(nDoc).select(col("id").as("doc_id"),
       concat_ws(" ", transform(
         sequence(lit(1), lit(60) + pmod(col("id"), lit(40)).cast("int")), w => {
           val src = when(col("id") >= nDoc - nDocDup, col("id") - nDocDup).otherwise(col("id"))
           val nudge = when(col("id") >= nDoc - nDocDup,
             (w.cast("long") % 29 === 0).cast("long")).otherwise(lit(0L))
-          concat(lit("w"), pmod(hash(src * 31 + w.cast("long") + nudge), lit(10000)))
+          when(w.cast("long") % 7 === 0, element_at(
+            array(stopwords.map(lit): _*),
+            (pmod(hash(src * 31 + w.cast("long")), lit(stopwords.length)) + 1).cast("int")))
+            .otherwise(concat(lit("w"), pmod(hash(src * 31 + w.cast("long") + nudge), lit(10000))))
         })).as("text"),
       element_at(array(lit("en"), lit("fr"), lit("de"), lit("es")),
         (pmod(col("id"), lit(4)) + 1).cast("int")).as("lang"),
@@ -80,7 +90,8 @@ object ScaleSmoke {
     val spark = GraftSession.builder(s"local[$cpus]", cpus).appName("graft-scale").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    if (!new java.io.File(s"$dir/embeddings.parquet").exists())
+    if (!new java.io.File(s"$dir/embeddings.parquet").exists() ||
+        !new java.io.File(s"$dir/documents.parquet").exists())
       time("generate corpus")(generate(spark, dir))
     say(s"corpus: $nVec vectors ($nVecDup planted dups), $nDoc docs ($nDocDup planted dups)")
 
@@ -135,9 +146,12 @@ object ScaleSmoke {
     say(s"  -> $mh minhash near-dup pairs (planted: $nDocDup)")
     time("dedup_ngram_jaccard (100k docs)")(noop(ops.Dedup.dedupNgramJaccard(spark, dir)))
     val hh = time("text_heavy_hitters_sketch (100k docs)") {
-      ops.TextAnalysis.textHeavyHittersSketch(spark, dir).count()
+      ops.TextAnalysis.textHeavyHittersSketch(spark, dir)
+        .select(col("word")).collect().map(_.getString(0)).toSet
     }
-    say(s"  -> $hh served heavy hitters")
+    val missedStops = stopwords.toSet -- hh
+    say(s"  -> ${hh.size} served heavy hitters (planted: ${stopwords.length}, missed: ${missedStops.size})")
+    assert(missedStops.isEmpty, s"sketch serving missed planted heavy hitters: $missedStops")
 
     // 7. lexical search at 100k docs: the inverted index (one token
     //    subtree, bounded heads) and shuffle-free BM25 must stay flat —

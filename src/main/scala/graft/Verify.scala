@@ -32,6 +32,27 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // rows-only manifest: for every query with no DuckDB oracle, run its
+    // in-Spark self-check (SelfChecks) and record reason + verdict, so
+    // the correctness artifact distinguishes "rows-only by design,
+    // invariant verified" from breakage. Failures of the check runner
+    // itself are recorded as pass=false, never swallowed.
+    val rowsOnly = (SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet).toSeq.sorted
+    val manifest = rowsOnly.map { name =>
+      val r = SelfChecks.checks.get(name) match {
+        case None => SelfChecks.CheckResult(pass = false,
+          "UNDECLARED rows-only query", "none", "no self-check registered")
+        case Some(chk) =>
+          try chk(spark, sfDir)
+          catch { case e: Throwable =>
+            SelfChecks.CheckResult(pass = false, "self-check crashed", "exception",
+              String.valueOf(e.getMessage).take(300))
+          }
+      }
+      System.err.println(s"[verify][rows-only] $name pass=${r.pass} ${r.detail}")
+      s"""${q(name)}: {"pass": ${r.pass}, "reason": ${q(r.reason)}, "check": ${q(r.check)}, "detail": ${q(r.detail)}}"""
+    }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/rows_only.json"), manifest)
     spark.stop()
   }
 }

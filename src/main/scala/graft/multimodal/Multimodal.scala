@@ -7,15 +7,18 @@ import graft.Tables
 /** Multimodal-column plumbing: image/audio/video payloads as opaque
   * `binary` columns with typed metadata, decoded partition-locally.
   *
-  * This container has no media libraries, so the *decode step is a
-  * deterministic STUB* (arithmetic on the payload bytes — see
-  * `stubDecode`); everything around it is the real thing a 100 TB
-  * pipeline needs: a binary payload column, a typed output schema, a
-  * partition-local batched iterator (`mapPartitions` — one decoder
-  * context per partition, not per row, which is how a real codec/model
-  * handle would be amortized), and downstream relational ops over the
-  * extracted metadata. Payloads are synthesized from `documents.text`
-  * bytes since the testdata has no binary table.
+  * IMAGE payloads are REAL container formats: each is a valid PNG
+  * (signature + IHDR chunk) or JPEG (SOI + SOF0 frame header) wrapping
+  * the document bytes, and the decoder extracts width/height by parsing
+  * those headers in pure JVM — byte-level scanning, no media libraries
+  * needed. Audio/video decode remains a *deterministic arithmetic STUB*
+  * (this container has no codecs); everything around it is the real
+  * thing a 100 TB pipeline needs: a binary payload column, a typed
+  * output schema, a partition-local batched iterator (`mapPartitions` —
+  * one decoder context per partition, not per row, which is how a real
+  * codec/model handle would be amortized), and downstream relational
+  * ops over the extracted metadata. Payloads are synthesized from
+  * `documents.text` bytes since the testdata has no binary table.
   */
 object Multimodal {
 
@@ -23,26 +26,112 @@ object Multimodal {
   final case class MediaMeta(doc_id: Long, kind: String, byte_len: Long,
       sha16: String, width: Long, height: Long, n_frames: Long)
 
-  /** The media table: binary payload + modality tag (deterministic by id). */
-  def mediaTable(s: SparkSession, dir: String): DataFrame =
+  /** Bytes a PNG wrapper adds around the content: 8 signature + 25 IHDR
+    * chunk (4 length + 4 type + 13 data + 4 crc). */
+  val pngHeaderLen = 33
+  /** Bytes a JPEG wrapper adds: 2 SOI + 19 SOF0 segment (2 marker + 17). */
+  val jpegHeaderLen = 21
+
+  /** The media table: binary payload + modality tag (deterministic by
+    * id). Image payloads are wrapped in a REAL container header — PNG
+    * for doc_id ≡ 0 (mod 6), JPEG otherwise — whose declared dimensions
+    * are (len%640+1, len%480+1) of the content bytes; the decoder must
+    * parse them back out, and the DuckDB oracle recomputes them
+    * arithmetically, so a broken parser is a hash mismatch. Headers are
+    * built in-plan from codegen'd string/binary builtins (hex/lpad/
+    * unhex/concat) — no UDF. */
+  def mediaTable(s: SparkSession, dir: String): DataFrame = {
+    val textBin = col("text").cast("binary")
+    val len = length(textBin) // bytes (UTF-8), = DuckDB octet_length(encode(text))
+    val w = len % 640 + 1
+    val h = len % 480 + 1
+    // PNG: signature, IHDR length(13) + "IHDR", w:int32be, h:int32be,
+    // bit depth 8, color type 2 (truecolor), compression/filter/
+    // interlace 0, then an (unchecked) CRC placeholder
+    val png = concat(
+      unhex(lit("89504E470D0A1A0A0000000D49484452")),
+      unhex(lpad(hex(w), 8, "0")), unhex(lpad(hex(h), 8, "0")),
+      unhex(lit("080200000000000000")), textBin)
+    // JPEG: SOI, SOF0 marker, segment length 0x0011, precision 8,
+    // h:int16be, w:int16be, 3 components (YCbCr ids + junk sampling)
+    val jpeg = concat(
+      unhex(lit("FFD8FFC0001108")),
+      unhex(lpad(hex(h), 4, "0")), unhex(lpad(hex(w), 4, "0")),
+      unhex(lit("03011100021101031101")), textBin)
     Tables(s, dir, "documents")
       .select(
         col("doc_id"),
         when(col("doc_id") % 3 === 0, "image")
           .when(col("doc_id") % 3 === 1, "audio")
           .otherwise("video").as("kind"),
-        col("text").cast("binary").as("payload"))
+        when(col("doc_id") % 6 === 0, png)
+          .when(col("doc_id") % 3 === 0, jpeg)
+          .otherwise(textBin).as("payload"))
+  }
 
-  /** STUB decoder — stands in for image decode / audio feature extraction.
-    * Deliberately pure arithmetic on payload bytes so the full pipeline is
-    * still oracle-checkable; a real deployment swaps only this function's
-    * body for a codec call. md5 here matches SQL md5 over the same bytes. */
+  private def be(p: Array[Byte], i: Int, n: Int): Long = {
+    var v = 0L
+    var j = 0
+    while (j < n) { v = (v << 8) | (p(i + j) & 0xffL); j += 1 }
+    v
+  }
+
+  private val pngSig =
+    Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  /** (width, height) from a PNG's IHDR chunk — the first chunk after the
+    * 8-byte signature; width/height are its first two big-endian int32
+    * fields. Pure byte inspection, works on any spec-conforming PNG. */
+  private[graft] def pngDims(p: Array[Byte]): Option[(Long, Long)] =
+    if (p.length >= 24 && p.startsWith(pngSig) &&
+        p(12) == 'I' && p(13) == 'H' && p(14) == 'D' && p(15) == 'R')
+      Some((be(p, 16, 4), be(p, 20, 4)))
+    else None
+
+  /** (width, height) from a JPEG: walk the marker segments from SOI to
+    * the first baseline/progressive frame header (SOF0-SOF3); height and
+    * width are big-endian int16 at offsets 3 and 5 of the segment body.
+    * Handles arbitrary preceding segments (APPn, COM, …) the way a real
+    * parser must — each declares its own length. */
+  private[graft] def jpegDims(p: Array[Byte]): Option[(Long, Long)] = {
+    if (p.length < 4 || (p(0) & 0xff) != 0xff || (p(1) & 0xff) != 0xd8) return None
+    var i = 2
+    while (i + 9 <= p.length && (p(i) & 0xff) == 0xff) {
+      val marker = p(i + 1) & 0xff
+      if (marker >= 0xc0 && marker <= 0xc3)
+        return Some((be(p, i + 7, 2), be(p, i + 5, 2)))
+      i += 2 + be(p, i + 2, 2).toInt
+    }
+    None
+  }
+
+  private val hexDigits = "0123456789ABCDEF".toCharArray
+  private def hexUpper(p: Array[Byte]): Array[Byte] = {
+    val out = new Array[Byte](p.length * 2)
+    var i = 0
+    while (i < p.length) {
+      out(2 * i) = hexDigits((p(i) >> 4) & 0xf).toByte
+      out(2 * i + 1) = hexDigits(p(i) & 0xf).toByte
+      i += 1
+    }
+    out
+  }
+
+  /** Decoder — image dimensions are REAL (PNG/JPEG header parse, pure
+    * JVM); audio/video metadata stays deterministic arithmetic standing
+    * in for codecs the container doesn't have. A real deployment swaps
+    * only the arithmetic branch for a codec call. The fingerprint is
+    * md5 of the payload's uppercase-hex encoding (not the raw bytes):
+    * DuckDB's md5 is VARCHAR-only, and `hex(payload)` is the identical
+    * string in both engines, so the oracle can recompute it. */
   private def stubDecode(r: MediaRecord): MediaMeta = {
     val len = r.payload.length.toLong
     // thread-local digest: per-partition amortization, not per-record
-    val sha16 = graft.plans.HashUtil.md5Hex(r.payload).substring(0, 16)
-    MediaMeta(r.doc_id, r.kind, len, sha16,
-      width = len % 640, height = len % 480,
+    val sha16 = graft.plans.HashUtil.md5Hex(hexUpper(r.payload)).substring(0, 16)
+    val (w, h) =
+      (if (r.kind == "image") pngDims(r.payload).orElse(jpegDims(r.payload)) else None)
+        .getOrElse((len % 640, len % 480))
+    MediaMeta(r.doc_id, r.kind, len, sha16, width = w, height = h,
       n_frames = if (r.kind == "video") len % 100 else 0L)
   }
 
@@ -151,37 +240,70 @@ object Multimodal {
   private val kindSql =
     """CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END"""
 
+  /** Shared oracle CTE: reconstruct the exact payload blob (PNG/JPEG
+    * wrapper for images, raw text bytes otherwise) and its length, so
+    * the oracle checks the Spark side's header PARSE against an
+    * arithmetic recomputation — a broken parser mismatches.
+    *
+    * This CTE is re-embedded inside outer stripMargin'd strings, so no
+    * line may start with whitespace-then-`|`: the second stripMargin
+    * pass would eat one pipe of a leading `||`. Concat operators
+    * therefore sit at end-of-line. */
+  private val payloadCte =
+    s"""WITH t AS (
+       |  SELECT doc_id, text, octet_length(encode(text)) AS tlen FROM documents),
+       |p AS (
+       |  SELECT doc_id, text, tlen,
+       |    CASE WHEN doc_id % 6 = 0 THEN tlen + $pngHeaderLen
+       |         WHEN doc_id % 3 = 0 THEN tlen + $jpegHeaderLen
+       |         ELSE tlen END AS plen,
+       |    CASE WHEN doc_id % 6 = 0 THEN
+       |        from_hex('89504E470D0A1A0A0000000D49484452') ||
+       |        from_hex(lpad(to_hex(tlen % 640 + 1), 8, '0')) ||
+       |        from_hex(lpad(to_hex(tlen % 480 + 1), 8, '0')) ||
+       |        from_hex('080200000000000000') || encode(text)
+       |      WHEN doc_id % 3 = 0 THEN
+       |        from_hex('FFD8FFC0001108') ||
+       |        from_hex(lpad(to_hex(tlen % 480 + 1), 4, '0')) ||
+       |        from_hex(lpad(to_hex(tlen % 640 + 1), 4, '0')) ||
+       |        from_hex('03011100021101031101') || encode(text)
+       |      ELSE encode(text) END AS payload
+       |  FROM t)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "mm_payload_meta" ->
-      s"""SELECT doc_id, $kindSql AS kind,
-         |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
-         |  substr(md5(text), 1, 16) AS sha16,
-         |  CAST(octet_length(encode(text)) % 640 AS BIGINT) AS width,
-         |  CAST(octet_length(encode(text)) % 480 AS BIGINT) AS height,
-         |  CAST(CASE WHEN doc_id % 3 = 2 THEN octet_length(encode(text)) % 100 ELSE 0 END AS BIGINT) AS n_frames
-         |FROM documents ORDER BY doc_id""".stripMargin,
+      s"""$payloadCte
+         |SELECT doc_id, $kindSql AS kind,
+         |  CAST(plen AS BIGINT) AS byte_len,
+         |  substr(md5(hex(payload)), 1, 16) AS sha16,
+         |  CAST(CASE WHEN doc_id % 3 = 0 THEN tlen % 640 + 1 ELSE plen % 640 END AS BIGINT) AS width,
+         |  CAST(CASE WHEN doc_id % 3 = 0 THEN tlen % 480 + 1 ELSE plen % 480 END AS BIGINT) AS height,
+         |  CAST(CASE WHEN doc_id % 3 = 2 THEN plen % 100 ELSE 0 END AS BIGINT) AS n_frames
+         |FROM p ORDER BY doc_id""".stripMargin,
     "mm_frame_sample" ->
       s"""SELECT doc_id, unnest(range(0, octet_length(encode(text)) % 100, 10)) AS frame_idx
          |FROM documents
          |WHERE doc_id % 3 = 2 AND octet_length(encode(text)) % 100 >= 1
          |ORDER BY doc_id, frame_idx""".stripMargin,
     "mm_feature_extract" ->
-      s"""SELECT doc_id, $kindSql AS kind,
-         |  CAST(octet_length(encode(text)) AS DOUBLE) / 255.0 AS f0,
-         |  CAST(octet_length(encode(text)) % 7 AS DOUBLE) / 7.0 AS f1,
-         |  CAST(octet_length(encode(text)) % 640 AS DOUBLE) / 640.0 AS f2,
-         |  CAST(octet_length(encode(text)) % 480 AS DOUBLE) / 480.0 AS f3
-         |FROM documents ORDER BY doc_id""".stripMargin,
+      s"""$payloadCte
+         |SELECT doc_id, $kindSql AS kind,
+         |  CAST(plen AS DOUBLE) / 255.0 AS f0,
+         |  CAST(plen % 7 AS DOUBLE) / 7.0 AS f1,
+         |  CAST(plen % 640 AS DOUBLE) / 640.0 AS f2,
+         |  CAST(plen % 480 AS DOUBLE) / 480.0 AS f3
+         |FROM p ORDER BY doc_id""".stripMargin,
     // left-assoc + and 0+x==x keep the 4-term dot/norm bit-identical to
     // the codegen'd left-fold vec_dot
     "mm_feature_ann" ->
-      s"""WITH f AS (
+      s"""$payloadCte,
+         |f AS (
          |  SELECT doc_id, $kindSql AS kind,
-         |    CAST(octet_length(encode(text)) AS DOUBLE) / 255.0 AS f0,
-         |    CAST(octet_length(encode(text)) % 7 AS DOUBLE) / 7.0 AS f1,
-         |    CAST(octet_length(encode(text)) % 640 AS DOUBLE) / 640.0 AS f2,
-         |    CAST(octet_length(encode(text)) % 480 AS DOUBLE) / 480.0 AS f3
-         |  FROM documents),
+         |    CAST(plen AS DOUBLE) / 255.0 AS f0,
+         |    CAST(plen % 7 AS DOUBLE) / 7.0 AS f1,
+         |    CAST(plen % 640 AS DOUBLE) / 640.0 AS f2,
+         |    CAST(plen % 480 AS DOUBLE) / 480.0 AS f3
+         |  FROM p),
          |n AS (SELECT * FROM (
          |    SELECT *, sqrt(f0*f0 + f1*f1 + f2*f2 + f3*f3) AS nrm FROM f)
          |  WHERE nrm > 0),

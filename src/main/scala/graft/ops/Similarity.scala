@@ -34,7 +34,7 @@ object Similarity {
   private def dot(a: Column, b: Column): Column =
     graft.plans.VectorFunctions.vec_dot(a, b)
 
-  private[ops] def normed(s: SparkSession, dir: String): DataFrame =
+  private[graft] def normed(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding"))
       .withColumn("nrm", sqrt(dot(col("embedding"), col("embedding"))))
@@ -69,15 +69,38 @@ object Similarity {
       .orderBy(col("q_id"), col("cand_id"))
   }
 
-  /** Exact top-k cosine neighbors for the query subset. */
+  /** Exact top-k cosine neighbors for the query subset.
+    *
+    * Shape (round 5): the corpus is hash-grouped by id span into
+    * ~[[lshTile]]-row array cells (ONE narrow shuffle, no sort), the
+    * query set folds into a handful of broadcastable array rows, and
+    * each (query tile × corpus cell) pair runs the fused
+    * `cell_topk_pairs` loop — so only ≤ topK rows per (query, cell)
+    * ever exist, and the final ranking window sees Q·(N/tile)·k narrow
+    * rows. The previous broadcast-join + row_number form was
+    * semantically identical but its map-side WindowGroupLimit sat above
+    * a LOCAL SORT of all Q·N scored rows WITH both embedding vectors
+    * (~600 B each): at 250k corpus × 5k queries that is ~750 GB through
+    * the sorter's spill path — the round-5 scale rerun filled the disk
+    * and killed the JVM twice. Per-cell top-k contains the global top-k
+    * (cell rank lower-bounds global rank), and the kernel's left-fold
+    * arithmetic is `vec_dot`'s, so results are bit-identical — the
+    * DuckDB oracle and every recall baseline is unchanged. */
   def simTopkBruteforce(s: SparkSession, dir: String): DataFrame = {
     val n = normed(s, dir)
-    val q = n.filter(col("vec_id") % queryStride === 0)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
-    val c = n.select(col("vec_id").as("cand_id"), col("embedding").as("c_emb"), col("nrm").as("c_nrm"))
+    val cands = n
+      .groupBy((col("vec_id") / lshTile).cast("long").as("ccell"))
+      .agg(sort_array(collect_list(
+        struct(col("vec_id"), col("embedding"), col("nrm")))).as("cands"))
+    val qs = n.filter(col("vec_id") % queryStride === 0)
+      .groupBy((col("vec_id") / (lshTile.toLong * queryStride)).cast("long").as("qcell"))
+      .agg(collect_list(struct(col("vec_id"), col("embedding"), col("nrm"))).as("qs"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("cand_id"))
-    c.join(broadcast(q), col("cand_id") =!= col("q_id"))
-      .withColumn("cosine", dot(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm")))
+    cands.crossJoin(broadcast(qs))
+      .select(explode(graft.plans.VectorFunctions.cell_topk_pairs(
+        col("qs"), col("cands"), topK)).as("p"))
+      .select(col("p.q_id").as("q_id"), col("p.cand_id").as("cand_id"),
+        col("p.cosine").as("cosine"))
       .withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= topK)
       .select(col("q_id"), col("rk"), col("cand_id"), col("cosine"))
@@ -110,25 +133,19 @@ object Similarity {
 
   /** ANN via multi-probe multi-table hyperplane LSH: candidates = union
     * over tables of vectors in the query's bucket or any 1-flip probe of
-    * it; exact rescoring + top-k on candidates only. Rows-only (no SQL
-    * oracle — the projections are not SQL-expressible); recall ≥ 0.6 and
-    * the candidate-fraction ceiling are asserted in DedupSimilaritySpec. */
+    * it; exact scoring + top-k on candidates only, computed inside tiled
+    * cells (see [[lshScoredCandidates]]). DuckDB-oracle-checked since
+    * round 5 ([[lshAnnOracleSql]]: the seeded hyperplanes ship as SQL
+    * literals); recall ≥ 0.6 and the scored-fraction ceiling are
+    * additionally asserted in DedupSimilaritySpec. */
   def simLshAnn(s: SparkSession, dir: String): DataFrame =
     simLshAnnWith(s, dir, lshTables, lshBits, multiprobe = true)
 
   /** Expected vectors per bucket the auto-depth serving path targets. */
   val lshTargetBucket = 4
 
-  /** Buckets larger than this leave the equi-join candidate path and are
-    * TILED instead (degenerate density pockets — see the hot-bucket
-    * tiling note in [[lshCandidates]]). 50× the occupancy target:
-    * unreachable on any corpus where the depth heuristic works, so the
-    * recall-pinned small configurations are byte-identical with or
-    * without the cap. */
-  val lshMaxBucket = 50 * lshTargetBucket
-
-  /** Tile edge for the hot-bucket (query × member) cells: each cell
-    * scores at most lshTile² candidate cosines in one fused loop. */
+  /** Tile edge for the (query × member) scoring cells: each cell scores
+    * at most lshTile² candidate cosines in one fused loop. */
   val lshTile = 1024
   private val lshBytesPerRow = 350.0 // calibrated on the parquet corpora (≈390 B/row snappy)
 
@@ -156,15 +173,9 @@ object Similarity {
   }
 
   private[graft] def simLshAnnWith(s: SparkSession, dir: String,
-      tables: Int, bits: Int, multiprobe: Boolean,
-      maxBucket: Int = lshMaxBucket): DataFrame = {
-    val cand = lshCandidates(s, dir, tables, bits, multiprobe, maxBucket)
-    val n = normed(s, dir)
-    val q = n.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
-    val c = n.select(col("vec_id").as("cand_id"), col("embedding").as("c_emb"), col("nrm").as("c_nrm"))
+      tables: Int, bits: Int, multiprobe: Boolean): DataFrame = {
     val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("cand_id"))
-    cand.join(broadcast(q), "q_id").join(c, "cand_id")
-      .withColumn("cosine", dot(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm")))
+    lshScoredCandidates(s, dir, tables, bits, multiprobe)
       .withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= topK)
       .select(col("q_id"), col("rk"), col("cand_id"), col("cosine"))
@@ -212,9 +223,43 @@ object Similarity {
             .as(Seq("tbl", "bucket")))
     }
 
-  private[graft] def lshCandidates(s: SparkSession, dir: String,
-      tables: Int, bits: Int, multiprobe: Boolean,
-      maxBucket: Int = lshMaxBucket): DataFrame = {
+  /** Scored, deduped LSH candidate pairs: (q_id, cand_id, cosine) for
+    * every vector sharing a probed bucket with the query, each query's
+    * per-cell top-[[topK]] only.
+    *
+    * TILED SCORING EVERYWHERE (the round-5 redesign; rounds of history
+    * behind it): the round-4 experiment showed density-degenerate
+    * buckets flood any per-pair candidate pipeline — at 250k rows the
+    * equi-join + distinct + vector-re-join + rank path shuffled 23M
+    * candidate pairs (60 GB of spill at fixed depth; still ~90 s at
+    * auto depth), and round 4's answer (DROP buckets over a cap) bought
+    * runtime with a recall hole (0.554 < the 0.6 floor) — dense pockets
+    * are exactly where true neighbors live. Here every probed bucket's
+    * (queries × members) work runs inside lshTile-bounded cells
+    * hash-repartitioned BEFORE the quadratic work (the
+    * dedupEmbeddingBlockedWith lesson: one array-row's expansion
+    * otherwise pins Σ q·m work to a single task), and each cell emits
+    * at most topK SCORED rows per query through the fused
+    * `cell_topk_pairs` loop. Consequences:
+    *
+    *  - no hot/cold split, no drop cap, no recall hole: dense pockets
+    *    are paid, in parallel, with per-task work ≤ lshTile²;
+    *  - no candidate-pair shuffle and NO vector re-join: each vector's
+    *    bytes move once into its bucket array, scores are computed
+    *    in-cell, and only ≤ topK rows per (query, cell) ever exist;
+    *  - the result is EXACT over the probed candidate set: per-cell
+    *    rank lower-bounds bucket rank, so the final per-query ranking
+    *    equals the old join path's — which is why the DuckDB oracle for
+    *    `sim_lsh_ann` is a plain top-k over all (bucket ∪ 1-flip probe)
+    *    pairs, and why `DedupSimilaritySpec` pins byte-identity against
+    *    an independent join-form reference implementation.
+    *
+    * The same (q, cand) pair surfaces from every table/probe whose
+    * bucket holds both, with a BIT-IDENTICAL cosine (same left-fold) —
+    * hence the distinct on the full row, without which duplicates of
+    * one strong neighbor would crowd the per-query top-k ranks. */
+  private[graft] def lshScoredCandidates(s: SparkSession, dir: String,
+      tables: Int, bits: Int, multiprobe: Boolean): DataFrame = {
     val buckets = lshBuckets(s, dir, tables, bits)
     val qbase = buckets.filter(col("vec_id") % queryStride === 0)
       .select(col("vec_id").as("q_id"), col("tbl"), col("bucket"))
@@ -223,70 +268,37 @@ object Similarity {
       else qbase.select(col("q_id"), col("tbl"),
         explode(array(col("bucket") +:
           (0 until bits).map(j => col("bucket").bitwiseXOR(lit(1L << j))): _*)).as("bucket"))
-    // HOT-BUCKET TILING (the round-4 experiment found the problem, the
-    // round-5 fix pays it instead of dodging it): on a dense corpus —
-    // this one has 0.16% of ALL pairs genuinely above the near-dup
-    // threshold — no hashing depth can split the mass: a handful of
-    // buckets hold a large corpus fraction at ANY bits, and probing them
-    // through the equi-join + window path scans the corpus per query
-    // (measured: 585 s and tens of GB of candidate spill at 250k rows
-    // WITH auto depth). Round 4 DROPPED buckets over `maxBucket` — which
-    // rescued the runtime (30.5 s) but cost recall@5 0.554 < the 0.6
-    // floor: dense pockets are exactly where a query's true neighbors
-    // live. Round 5 reuses the triangle-tiling idea from
-    // Dedup.dedupEmbeddingBlockedWith: a hot bucket's (probing queries ×
-    // members) work is cut into lshTile-bounded cells, hash-repartitioned
-    // so dense pockets are paid in parallel, and each cell forwards only
-    // its per-query top-k through a fused loop (`cell_topk_pairs`) — the
-    // union of per-cell top-k contains the per-bucket top-k, so the
-    // final ranking is exact over everything the bucket would have
-    // contributed via the join path, at bounded task size and bounded
-    // output volume. The size statistic is one narrow aggregate inside
-    // the plan (lazy); on corpora where depth does its job (everything
-    // the recall specs pin) no bucket reaches the cap, the hot subtrees
-    // are empty, and the result is byte-identical to the pure equi-join.
-    val hot = buckets.groupBy(col("tbl"), col("bucket"))
-      .agg(count(lit(1)).as("bsz")).filter(col("bsz") > maxBucket)
-      .select(col("tbl"), col("bucket"))
-    // COLD path: dedupe (q, cand) pairs on the narrow id columns BEFORE
-    // attaching the 64-float vectors — a pair may collide in several
-    // tables (and probes), and distinct over embeddings would hash them
-    val cold = buckets.join(hot, Seq("tbl", "bucket"), "left_anti")
-      .join(broadcast(qb), Seq("tbl", "bucket"))
-      .filter(col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id").as("cand_id"))
-    // HOT path: member vectors ride into id-sorted per-bucket arrays,
-    // probing queries likewise; every (query tile × member tile) cell
-    // becomes its own row spread by a hash repartition before the
-    // quadratic work runs (the dedupEmbeddingBlockedWith lesson: an
-    // array-row's expansion otherwise pins Σ q·m work to one task).
     val n = normed(s, dir)
-    val hotMembers = buckets.join(hot, Seq("tbl", "bucket"), "left_semi")
-      .join(n, "vec_id")
+    val members = buckets.join(n, "vec_id")
       .groupBy(col("tbl"), col("bucket"))
       .agg(sort_array(collect_list(
         struct(col("vec_id"), col("embedding"), col("nrm")))).as("cands"))
-    val hotQueries = qb.join(hot, Seq("tbl", "bucket"), "left_semi")
+    val queries = qb
       .join(n.filter(col("vec_id") % queryStride === 0)
         .withColumnRenamed("vec_id", "q_id"), "q_id")
       .groupBy(col("tbl"), col("bucket"))
       .agg(collect_list(struct(col("q_id"), col("embedding"), col("nrm"))).as("qs"))
-    // the same (q, cand) pair surfaces from every table/probe whose hot
-    // bucket holds both, with a BIT-IDENTICAL cosine (same fused
-    // left-fold arithmetic) — distinct the full row first, else
-    // duplicates of one strong neighbor crowd the per-query top-k ranks
-    val hotScored =
-      tiledTopkPairs(Seq("tbl", "bucket"), hotQueries, hotMembers).distinct()
-    // per-query pre-reduce to k rows (map-side WindowGroupLimit bounds
-    // the shuffle): the global top-k over (cold ∪ hot) candidates can
-    // only contain hot members that are in the hot subset's own top-k,
-    // and the kernel's cosine is bit-identical to the downstream
-    // rescoring, so this loses nothing
-    val wHot = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("cand_id"))
-    val hotTop = hotScored
-      .withColumn("rk", row_number().over(wHot)).filter(col("rk") <= topK)
-      .select(col("q_id"), col("cand_id"))
-    cold.union(hotTop).distinct()
+    tiledTopkPairs(Seq("tbl", "bucket"), queries, members).distinct()
+  }
+
+  /** Pair-scoring volume of the LSH index (Σ over probed buckets of
+    * queries × members) and the corpus size — the spec-facing statistic
+    * behind the candidate-fraction ceiling: scored-pairs / (Q · N) must
+    * stay well below 1 or the index isn't sub-linear. Counted from the
+    * same grouped frames the scoring path uses. */
+  private[graft] def lshScoredPairVolume(s: SparkSession, dir: String,
+      tables: Int, bits: Int, multiprobe: Boolean): Double = {
+    val buckets = lshBuckets(s, dir, tables, bits)
+    val qbase = buckets.filter(col("vec_id") % queryStride === 0)
+      .select(col("vec_id").as("q_id"), col("tbl"), col("bucket"))
+    val qb =
+      if (!multiprobe) qbase
+      else qbase.select(col("q_id"), col("tbl"),
+        explode(array(col("bucket") +:
+          (0 until bits).map(j => col("bucket").bitwiseXOR(lit(1L << j))): _*)).as("bucket"))
+    val sizes = buckets.groupBy(col("tbl"), col("bucket")).agg(count(lit(1)).as("m"))
+    qb.join(sizes, Seq("tbl", "bucket"))
+      .agg(sum(col("m"))).head().getLong(0).toDouble
   }
 
   /** Tile a per-key (queries × members) workload into lshTile-bounded
@@ -565,7 +577,73 @@ object Similarity {
   private def dotSql(a: String, b: String): String =
     s"list_sum(list_transform(range(1, len($a) + 1), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
 
+  /** DuckDB oracle for the PINNED LSH ANN — possible because (a) the
+    * hyperplanes are a fixed seeded array, emitted here as list
+    * literals (`Double.toString` round-trips exactly, and DuckDB's
+    * decimal→double conversion is correctly rounded, so every weight is
+    * the identical double); (b) the hot-bucket tiling is RESULT-exact,
+    * so the final ranking equals a plain top-k over ALL (bucket ∪
+    * 1-flip-probe) candidate pairs regardless of how Spark splits
+    * hot/cold internally (pinned by the maxBucket=1 byte-identity
+    * spec); and (c) projections/thresholds/dots are the same
+    * left-to-right double folds as every other vector oracle. The one
+    * non-bit-pinned quantity is the per-plane mean threshold (summation
+    * order differs across engines) — it only matters if some projection
+    * lands within ~1 ulp of its threshold, a measure-zero event on
+    * continuous gaussian projections. The auto-depth variant stays
+    * rows-only: its depth comes from a runtime size statistic no static
+    * SQL can see. */
+  private def lshAnnOracleSql: String = {
+    val planes = hyperplanesFor(lshTables, lshBits)
+    val planeRows = (0 until lshTables * lshBits).map { p =>
+      (0 until embDims).map(d => planes(p * embDims + d).toString)
+        .mkString(s"($p, [", ", ", "])")
+    }.mkString(",\n")
+    val probeList = ("bucket" +: (0 until lshBits).map(j => s"xor(bucket, ${1L << j})"))
+      .mkString(", ")
+    s"""WITH planes AS (SELECT * FROM (VALUES
+       |$planeRows) AS t(p, w)),
+       |proj AS (
+       |  SELECT e.vec_id, pl.p,
+       |    list_sum(list_transform(range(1, ${embDims + 1}),
+       |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(pl.w[i] AS DOUBLE))) AS pr
+       |  FROM embeddings e CROSS JOIN planes pl),
+       |thr AS (SELECT p, avg(pr) AS t FROM proj GROUP BY p),
+       |bits AS (
+       |  SELECT vec_id, p // $lshBits AS tbl,
+       |    CASE WHEN pr > t THEN 1 << (p % $lshBits) ELSE 0 END AS bit
+       |  FROM proj JOIN thr USING (p)),
+       |buckets AS (
+       |  SELECT vec_id, CAST(tbl AS BIGINT) AS tbl, CAST(sum(bit) AS BIGINT) AS bucket
+       |  FROM bits GROUP BY vec_id, tbl),
+       |qb AS (
+       |  SELECT q_id, tbl, unnest([$probeList]) AS bucket
+       |  FROM (SELECT vec_id AS q_id, tbl, bucket FROM buckets WHERE vec_id % $queryStride = 0)),
+       |cand AS (
+       |  SELECT DISTINCT qb.q_id, b.vec_id AS cand_id
+       |  FROM qb JOIN buckets b ON qb.tbl = b.tbl AND qb.bucket = b.bucket
+       |  WHERE b.vec_id <> qb.q_id),
+       |n AS (
+       |  SELECT * FROM (
+       |    SELECT vec_id, embedding,
+       |      sqrt(${dotSql("embedding", "embedding")}) AS nrm
+       |    FROM embeddings) WHERE nrm > 0),
+       |q AS (SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm
+       |      FROM n WHERE vec_id % $queryStride = 0),
+       |scored AS (
+       |  SELECT cand.q_id, cand.cand_id,
+       |    ${dotSql("q.q_emb", "c.embedding")} / (q.q_nrm * c.nrm) AS cosine
+       |  FROM cand JOIN q ON cand.q_id = q.q_id JOIN n c ON cand.cand_id = c.vec_id),
+       |ranked AS (
+       |  SELECT q_id, cand_id, cosine,
+       |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, cand_id) AS BIGINT) AS rk
+       |  FROM scored)
+       |SELECT q_id, rk, cand_id, cosine FROM ranked WHERE rk <= $topK
+       |ORDER BY q_id, rk""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "sim_lsh_ann" -> lshAnnOracleSql,
     "sim_ivf_topk" ->
       s"""WITH n AS (
          |  SELECT * FROM (

@@ -346,11 +346,14 @@ object TextAnalysis {
     * frequency, and the head of the sorted posting list. The serving
     * artifact of any text-search system — and the one place a naive
     * implementation melts at scale, by collecting a stopword's full
-    * posting list into one aggregation buffer. Here the heads are
-    * pre-pruned map-side: `row_number` + `rk <= k` compiles to Spark's
-    * WindowGroupLimit, so each task forwards at most k doc_ids per term
-    * and the final `collect_list` buffers ≤ k elements, independent of
-    * corpus size. (A full-list index at 100 TB is stored as the (term,
+    * posting list into one aggregation buffer. Here the bound lives in
+    * the AGGREGATION BUFFER: `collect_list(when(rk <= k, …))` skips the
+    * beyond-head ranks, so the per-term buffer holds ≤ k elements no
+    * matter the term frequency. (All (term, doc_id) rows still FLOW
+    * through the window — df/cf need every row, so there is no rk<=k
+    * row filter and WindowGroupLimit cannot prune map-side here; the
+    * scan-once property below is what makes that single pass cheap.)
+    * (A full-list index at 100 TB is stored as the (term,
     * doc_id) table itself, partitioned by term — that is exactly the
     * `tf` frame below; the head column is the bounded digest of it.) */
   def textInvertedIndex(s: SparkSession, dir: String): DataFrame = {

@@ -184,6 +184,27 @@ class DedupSimilaritySpec extends AnyFunSuite {
       f"training unbalanced an already-balanced corpus: $skewTrained%.3f vs $skewStride%.3f")
   }
 
+  test("path-based incremental dedup equals full recompute over the physical union") {
+    import org.apache.spark.sql.functions._
+    // physically split the corpus into a landing batch and an ingested
+    // corpus the way the synthetic modulo form slices one table; the
+    // path API over the split must reproduce the modulo form over the
+    // union exactly (the modulo form IS the full-recompute reference)
+    val tmp = java.nio.file.Files.createTempDirectory("landing")
+    val docs = Tables(spark, sf0001, "documents")
+    docs.filter(col("doc_id") % Dedup.batchMod === 0)
+      .write.mode("overwrite").parquet(s"$tmp/batch/documents.parquet")
+    docs.filter(col("doc_id") % Dedup.batchMod =!= 0)
+      .write.mode("overwrite").parquet(s"$tmp/corpus/documents.parquet")
+    val shape = (r: org.apache.spark.sql.Row) =>
+      (r.getLong(0), r.getBoolean(1), Option(r.get(2)), Option(r.get(3)))
+    val viaPaths = Dedup.dedupIncrementalPaths(spark, s"$tmp/batch", s"$tmp/corpus")
+      .collect().map(shape).toSeq
+    val viaModulo = Dedup.dedupIncremental(spark, sf0001).collect().map(shape).toSeq
+    assert(viaPaths.nonEmpty && viaPaths === viaModulo,
+      "landing-zone path API diverged from full recompute on the union")
+  }
+
   test("tiled auto-probe IVF equals the join-path trained IVF on a small corpus") {
     // on sf0001 ivfProbesFor floors at the pinned nProbe and the trained
     // quantizer is shared via the memo, so the ONLY difference between
@@ -246,24 +267,30 @@ class DedupSimilaritySpec extends AnyFunSuite {
     }
   }
 
-  test("multi-probe LSH ANN: recall >= 0.6 at a bounded candidate fraction") {
+  test("multi-probe LSH ANN: recall >= 0.6 at a bounded scored fraction") {
     val exact = Similarity.simTopkBruteforce(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet
     val nCorpus = Tables(spark, sf0001, "embeddings").count()
     val nQueries = exact.map(_._1).size
+    // fraction = SCORED-pair volume / (Q·N): a pair sharing several
+    // tables/probes counts once per hit — the WORK the index pays, a
+    // strictly harsher number than the old distinct-candidate fraction
+    // (0.40 vs 0.31 on this corpus/config). Sub-linearity at scale comes
+    // from auto depth; this ceiling just catches an index degenerating
+    // to brute force at the pinned small-corpus config.
     def measure(tables: Int, bits: Int, mp: Boolean): (Double, Double) = {
       val ann = Similarity.simLshAnnWith(spark, sf0001, tables, bits, mp).collect()
         .map(r => (r.getLong(0), r.getLong(2))).toSet
       val recall = (exact intersect ann).size.toDouble / exact.size
-      val candPairs = Similarity.lshCandidates(spark, sf0001, tables, bits, mp).count()
-      (recall, candPairs.toDouble / (nQueries.toDouble * nCorpus))
+      val scoredPairs = Similarity.lshScoredPairVolume(spark, sf0001, tables, bits, mp)
+      (recall, scoredPairs / (nQueries.toDouble * nCorpus))
     }
     val (recall, frac) = measure(Similarity.lshTables, Similarity.lshBits, mp = true)
     val (r0, f0) = measure(Similarity.lshTables, Similarity.lshBits, mp = false)
-    info(f"LSH ANN recall@5 — multiprobe: $recall%.3f at candidate fraction $frac%.3f; " +
+    info(f"LSH ANN recall@5 — multiprobe: $recall%.3f at scored fraction $frac%.3f; " +
       f"same tables w/o multiprobe: $r0%.3f at $f0%.3f")
     assert(recall >= 0.6, f"recall $recall%.3f below 0.6")
-    assert(frac <= 0.35, f"candidate fraction $frac%.3f above 0.35 — scoring too much of the corpus")
+    assert(frac <= 0.45, f"scored fraction $frac%.3f above 0.45 — the index degenerated to brute force")
     assert(recall > r0, "multiprobe failed to beat plain multi-table at the same index")
     // the auto-depth serving path clamps to the pinned (recall-asserted)
     // depth on a corpus this small — results must be identical
@@ -288,45 +315,43 @@ class DedupSimilaritySpec extends AnyFunSuite {
       "a top-k neighbor above the radius is missing from the range result")
   }
 
-  test("hot-bucket cap is pure headroom on the recall-pinned corpus") {
-    // the tiling exists for density-degenerate corpora (PLANS.md 100×
-    // experiment, defect 6); on every corpus the recall assertions run
-    // against, occupancy must sit far below the cap so the hot subtrees
-    // stay empty and the numbers measure the plain equi-join index. The
-    // round-4 advice asked for the AUTO-depth configuration to be held
-    // to the same bar — on this corpus the depth heuristic floors at the
-    // pinned bits, but asserting on the derived value guards the day the
-    // floor or the heuristic changes.
+  test("tiled LSH scoring equals an independent equi-join reference, byte for byte") {
+    // reference implementation, the pre-round-5 shape: expand every
+    // (q, cand) candidate pair via a bucket equi-join, re-attach the
+    // vectors, score with vec_dot, rank. The production path never
+    // builds the pair set (per-cell fused top-k) — but per-cell rank
+    // lower-bounds global rank, so the ranked result must be
+    // BYTE-identical, cosines included. Together with the DuckDB oracle
+    // this pins the tiling from two independent directions.
     import org.apache.spark.sql.functions._
-    def occupancy(bits: Int): Long = Similarity
-      .lshBuckets(spark, sf0001, Similarity.lshTables, bits)
-      .groupBy(col("tbl"), col("bucket")).agg(count(lit(1)).as("n"))
-      .agg(max(col("n"))).head().getLong(0)
-    val maxBucket = occupancy(Similarity.lshBits)
-    assert(maxBucket <= Similarity.lshMaxBucket / 2,
-      s"bucket occupancy $maxBucket within 2x of the ${Similarity.lshMaxBucket} cap — recall tests may be tiled")
-    val autoBits = Similarity.lshBitsFor(
-      Tables(spark, sf0001, "embeddings").count().toDouble)
-    val autoOcc = if (autoBits == Similarity.lshBits) maxBucket else occupancy(autoBits)
-    assert(autoOcc <= Similarity.lshMaxBucket / 2,
-      s"auto-depth ($autoBits bits) occupancy $autoOcc within 2x of the cap — auto recall asserts may be tiled")
-  }
-
-  test("tiled hot buckets reproduce the pure equi-join LSH top-k exactly") {
-    // force EVERY multi-member bucket hot (maxBucket=1): the entire
-    // candidate mass then flows through the tiled fused `cell_topk_pairs`
-    // path instead of the equi-join. Because each cell forwards its
-    // per-query top-k and per-cell rank lower-bounds global rank, the
-    // final ranked result must be BYTE-identical (cosines included) to
-    // the default run, where (headroom spec above) no bucket is hot and
-    // everything flows through the equi-join.
+    import org.apache.spark.sql.expressions.Window
+    val (tables, bits) = (Similarity.lshTables, Similarity.lshBits)
+    val buckets = Similarity.lshBuckets(spark, sf0001, tables, bits)
+    val qb = buckets.filter(col("vec_id") % Similarity.queryStride === 0)
+      .select(col("vec_id").as("q_id"), col("tbl"), col("bucket"))
+      .select(col("q_id"), col("tbl"),
+        explode(array(col("bucket") +:
+          (0 until bits).map(j => col("bucket").bitwiseXOR(lit(1L << j))): _*)).as("bucket"))
+    val cand = buckets.join(qb, Seq("tbl", "bucket"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("cand_id"))
+      .distinct()
+    val n = Similarity.normed(spark, sf0001)
+    val q = n.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+    val c = n.select(col("vec_id").as("cand_id"), col("embedding").as("c_emb"), col("nrm").as("c_nrm"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("cand_id"))
+    val reference = cand.join(q, "q_id").join(c, "cand_id")
+      .withColumn("cosine", graft.plans.VectorFunctions.vec_dot(col("q_emb"), col("c_emb"))
+        / (col("q_nrm") * col("c_nrm")))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= Similarity.topK)
+      .select(col("q_id"), col("rk"), col("cand_id"), col("cosine"))
+      .orderBy(col("q_id"), col("rk"))
     val shape = (r: org.apache.spark.sql.Row) =>
       (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
-    val tiled = Similarity.simLshAnnWith(spark, sf0001,
-      Similarity.lshTables, Similarity.lshBits, multiprobe = true, maxBucket = 1)
-      .collect().map(shape).toSeq
-    val cold = Similarity.simLshAnn(spark, sf0001).collect().map(shape).toSeq
-    assert(tiled.nonEmpty && tiled === cold,
-      "hot-tiled LSH diverged from the equi-join candidate path")
+    val tiled = Similarity.simLshAnn(spark, sf0001).collect().map(shape).toSeq
+    val ref = reference.collect().map(shape).toSeq
+    assert(tiled.nonEmpty && tiled === ref,
+      "tiled LSH scoring diverged from the equi-join reference")
   }
 }

@@ -146,13 +146,13 @@ class PlanGuardSpec extends AnyFunSuite {
       "tile cells are no longer repartitioned — a mega-block runs in one task again")
   }
 
-  test("sim_lsh_ann_auto splits hot buckets out of the equi-join and tiles them") {
+  test("sim_lsh_ann_auto scores through tiled cells, never a candidate-pair join") {
     val txt = plan("sim_lsh_ann_auto").toString
-    assert(txt.contains("LeftAnti"),
-      "hot-bucket anti-join is gone — density-degenerate corpora flood the equi-join again")
     assert(txt.contains("cell_topk_pairs"),
-      "hot buckets are no longer tiled through the fused cell_topk_pairs path — " +
-        "dense pockets are either dropped (recall hole) or single-task again")
+      "bucket scoring no longer goes through the fused cell_topk_pairs path — " +
+        "dense pockets flood a candidate-pair shuffle again (round-4 defect 6)")
+    assert(txt.contains("hashpartitioning(tbl"),
+      "tile cells are no longer repartitioned — a dense bucket runs in one task")
   }
 
   test("q_skew_join stays a sort-merge join (the shape AQE skew-split requires)") {
