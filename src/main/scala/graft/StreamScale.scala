@@ -51,10 +51,14 @@ object StreamScale {
     for (d <- 0 until nDays) {
       val base = s.range(d * perDay, (d + 1) * perDay).select(
         col("id").as("event_id"),
-        expr(s"timestamp_micros(${day0Micros + d * 86400000000L} + (pmod(hash(id), 86400) * 1000000))").as("ts"),
+        expr(s"timestamp_micros(${day0Micros + d * 86400000000L} + (cast(pmod(hash(id), 86400) as bigint) * 1000000))").as("ts"),
         pmod(col("id"), lit(10000L)).as("user_id"),
+        // type from a hash, NOT id % 5: user_id is id % 10000 and
+        // 10000 ≡ 0 (mod 5), so id % 5 would give every user a single
+        // constant type — no user ever both clicks and errors, and the
+        // stream-stream join check would pass vacuously on 0 = 0 rows
         element_at(array(lit("view"), lit("click"), lit("purchase"), lit("signup"), lit("error")),
-          (pmod(col("id"), lit(5)) + 1).cast("int")).as("event_type"),
+          (pmod(hash(col("id") * 7 + 3), lit(5)) + 1).cast("int")).as("event_type"),
         (pmod(hash(col("id")), lit(10000L)).cast("double") / 100.0).as("value"))
       writeOneFile(s, base, f"$dir/clean/day_$d%02d.parquet")
       writeOneFile(s, base.union(base), f"$dir/doubled/day_$d%02d.parquet")
@@ -156,10 +160,13 @@ object StreamScale {
     val outDedup = spark.read.parquet(s"$dir/out_dedup")
     val dedupTotal = outDedup.count()
     val dedupDistinct = outDedup.select(col("event_id")).distinct().count()
-    say(s"  dedup: emitted=$dedupTotal distinct=$dedupDistinct (expected $nEvents), " +
+    // per-day truncation: the feed holds (nEvents/nDays)*nDays events,
+    // not nEvents — compare against the actual clean feed
+    val feedEvents = clean.count()
+    say(s"  dedup: emitted=$dedupTotal distinct=$dedupDistinct (expected $feedEvents), " +
       s"maxStateRows=$ddRows maxStateMB=${ddBytes / 1024 / 1024} ckMB=${dirBytes(s"$dir/ck_dedup") / 1024 / 1024}")
-    assert(dedupTotal == nEvents && dedupDistinct == nEvents,
-      s"stream dedup of doubled feed: $dedupTotal rows / $dedupDistinct distinct, want $nEvents")
+    assert(dedupTotal == feedEvents && dedupDistinct == feedEvents,
+      s"stream dedup of doubled feed: $dedupTotal rows / $dedupDistinct distinct, want $feedEvents")
 
     // 3. stream-stream interval join → files
     val (_, jRows, jBytes) = withStateStats(spark)(time("streamStreamJoinToFiles (90 micro-batches)") {
