@@ -1,0 +1,163 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Persisted LSH ANN index — the serving-side artifact the in-session
+  * `Similarity.simLshAnn` path computes transiently.
+  *
+  * A production ANN deployment does not re-hash the corpus per query
+  * session: the bucket index is built ONCE per corpus generation,
+  * persisted, and served against — exactly the shape
+  * `Similarity.lshBuckets`'s docstring promises. This module makes that
+  * artifact real:
+  *
+  *  - `lshIndexWrite` persists `indexDir/meta` (the hyperplane config +
+  *    the corpus-mean thresholds — the learned part of the index) and
+  *    `indexDir/buckets` (narrow (vec_id, tbl, bucket) rows, the linear
+  *    O(N·tables) index itself). Embeddings are NOT duplicated into the
+  *    index: at scale a `tables`-way copy of the corpus would dominate
+  *    storage, so serving re-joins members to the corpus parquet by
+  *    vec_id (column-pruned scan) the same way the in-session path does.
+  *  - `lshIndexAppend` hashes a NEW batch of vectors with the index's
+  *    PERSISTED thresholds and appends — the landing-zone ingest form
+  *    (counterpart of `Dedup.dedupIncrementalPaths`). Thresholds stay
+  *    fixed at the generation the index was trained on, which is the
+  *    production semantic: re-centering would silently re-bucket the
+  *    existing corpus, so drift is handled by a rebuild, not an append.
+  *  - `lshIndexServe` takes an EXTERNAL query frame (q_id, embedding) —
+  *    not a stride sample of the corpus — hashes it with the persisted
+  *    thresholds, 1-flip multi-probes, and scores within probed buckets
+  *    through the same tiled `cell_topk_pairs` kernel as the in-session
+  *    path. Per-cell rank lower-bounds bucket rank, so the result is
+  *    EXACT over the probed candidate set — which is why serving a
+  *    stride sample of the index's own corpus is byte-identical to
+  *    `simLshAnn` (pinned in `AnnIndexSpec`) and why the registered
+  *    `sim_lsh_ann_served` query shares `sim_lsh_ann`'s DuckDB oracle.
+  */
+object AnnIndex {
+
+  private def proj(tables: Int, bits: Int)(c: Column): Column =
+    graft.plans.VectorFunctions.lsh_projections(
+      c, Similarity.hyperplanesFor(tables, bits), Similarity.embDims)
+
+  /** The single meta row: per-plane thresholds + the table geometry.
+    * Tiny (tables·bits doubles) — broadcast into every serving plan. */
+  private def metaRow(s: SparkSession, indexDir: String): DataFrame =
+    PlanCache.memoized(s, s"$indexDir|lsh-index-meta") {
+      s.read.parquet(s"$indexDir/meta")
+    }
+
+  /** Hash `dir`'s embeddings against an explicit meta frame (broadcast
+    * join — the thresholds are one row). Shared by build, append, and
+    * the query side of serve. */
+  private def hashWith(s: SparkSession, dir: String, meta: DataFrame): DataFrame = {
+    val geom = meta.select(col("tables"), col("bits")).head()
+    val (tables, bits) = (geom.getInt(0), geom.getInt(1))
+    Tables(s, dir, "embeddings")
+      .crossJoin(broadcast(meta.select(col("thr"))))
+      .select(col("vec_id"),
+        posexplode(graft.plans.VectorFunctions.lsh_buckets(
+          proj(tables, bits)(col("embedding")), col("thr"), tables, bits))
+          .as(Seq("tbl", "bucket")))
+  }
+
+  /** Build the index for `corpusDir`'s embeddings into `indexDir`.
+    * Thresholds are written FIRST and read back for the bucket pass, so
+    * the persisted meta is by construction the exact doubles the buckets
+    * were hashed with — no recompute drift between the two files. */
+  def lshIndexWrite(s: SparkSession, corpusDir: String, indexDir: String,
+      tables: Int = Similarity.lshTables, bits: Int = Similarity.lshBits): Unit = {
+    Tables(s, corpusDir, "embeddings")
+      .select(proj(tables, bits)(col("embedding")).as("p"))
+      .select(array((0 until tables * bits).map(i =>
+        avg(element_at(col("p"), i + 1))): _*).as("thr"))
+      .withColumn("tables", lit(tables)).withColumn("bits", lit(bits))
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/meta")
+    hashWith(s, corpusDir, s.read.parquet(s"$indexDir/meta"))
+      .write.mode("overwrite").parquet(s"$indexDir/buckets")
+  }
+
+  /** Append a landing batch's vectors to an existing index, hashed with
+    * the index's persisted thresholds. The batch pays only its own
+    * hashing — the standing corpus is untouched. */
+  def lshIndexAppend(s: SparkSession, batchDir: String, indexDir: String): Unit =
+    hashWith(s, batchDir, metaRow(s, indexDir))
+      .write.mode("append").parquet(s"$indexDir/buckets")
+
+  /** Serve top-[[Similarity.topK]] neighbors for an external query frame
+    * (q_id, embedding) from a persisted index. `corpusDirs` name the
+    * embedding tables the index covers (original corpus + any appended
+    * batches); member vectors are re-joined from them by vec_id. */
+  def lshIndexServe(s: SparkSession, indexDir: String, corpusDirs: Seq[String],
+      queries: DataFrame, multiprobe: Boolean = true): DataFrame = {
+    val meta = metaRow(s, indexDir)
+    val geom = meta.select(col("tables"), col("bits")).head()
+    val (tables, bits) = (geom.getInt(0), geom.getInt(1))
+    val buckets = PlanCache.memoized(s, s"$indexDir|lsh-index-buckets") {
+      s.read.parquet(s"$indexDir/buckets")
+    }
+    // the same zero-vector exclusion as Similarity.normed: a zero query
+    // has no direction and its cosine would be NaN on every candidate
+    val qn = queries
+      .select(col("q_id"), col("embedding"))
+      .withColumn("nrm", sqrt(graft.plans.VectorFunctions.vec_dot(
+        col("embedding"), col("embedding"))))
+      .filter(col("nrm") > 0)
+    val qbase = qn
+      .crossJoin(broadcast(meta.select(col("thr"))))
+      .select(col("q_id"),
+        posexplode(graft.plans.VectorFunctions.lsh_buckets(
+          proj(tables, bits)(col("embedding")), col("thr"), tables, bits))
+          .as(Seq("tbl", "bucket")))
+    val qb =
+      if (!multiprobe) qbase
+      else qbase.select(col("q_id"), col("tbl"),
+        explode(array(col("bucket") +:
+          (0 until bits).map(j => col("bucket").bitwiseXOR(lit(1L << j))): _*)).as("bucket"))
+    val n = corpusDirs.map(Similarity.normed(s, _)).reduce(_ unionAll _)
+    val members = buckets.join(n, "vec_id")
+      .groupBy(col("tbl"), col("bucket"))
+      .agg(sort_array(collect_list(
+        struct(col("vec_id"), col("embedding"), col("nrm")))).as("cands"))
+    val queriesByKey = qb.join(qn, "q_id")
+      .groupBy(col("tbl"), col("bucket"))
+      .agg(collect_list(struct(col("q_id"), col("embedding"), col("nrm"))).as("qs"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("cand_id"))
+    // NOTE the kernel skips id-equal (q, cand) pairs — external query ids
+    // therefore must not collide with corpus vec_ids unless the query IS
+    // that corpus vector (the stride-served and dedup use cases)
+    Similarity.tiledTopkPairs(Seq("tbl", "bucket"), queriesByKey, members)
+      .distinct()
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= Similarity.topK)
+      .select(col("q_id"), col("rk"), col("cand_id"), col("cosine"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+
+  /** One persisted index per (corpus, geometry) per JVM — the registered
+    * query builds lazily on first use, then every later call (bench
+    * reps, repeated sessions on the same corpus) measures SERVING only,
+    * which is the deployment-relevant number. */
+  private val builtIndexes = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The registered-query form: build (once) a persisted index for
+    * `dir`'s embeddings, then serve the same stride-sampled query set as
+    * `sim_lsh_ann` from it. Byte-identical to `sim_lsh_ann` (the serve
+    * path is exact over the same probed candidate set), so it shares its
+    * DuckDB oracle. */
+  def simLshAnnServed(s: SparkSession, dir: String): DataFrame = {
+    val key = s"$dir|${Similarity.lshTables}|${Similarity.lshBits}"
+    val indexDir = builtIndexes.computeIfAbsent(key, { _ =>
+      val d = java.nio.file.Files.createTempDirectory("graft-lsh-index").toString
+      lshIndexWrite(s, dir, d)
+      d
+    })
+    val queries = Similarity.normed(s, dir)
+      .filter(col("vec_id") % Similarity.queryStride === 0)
+      .select(col("vec_id").as("q_id"), col("embedding"))
+    lshIndexServe(s, indexDir, Seq(dir), queries)
+  }
+}

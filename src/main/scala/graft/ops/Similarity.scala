@@ -126,7 +126,7 @@ object Similarity {
     * `lsh_projections` expression, not as per-plane literal arrays: the
     * literal form built a ~10k-node tree whose per-action analysis +
     * codegen cost (measured 3.8 s at 10×8) dwarfed the actual data work. */
-  private def hyperplanesFor(tables: Int, bits: Int): Array[Double] = {
+  private[graft] def hyperplanesFor(tables: Int, bits: Int): Array[Double] = {
     val rnd = new scala.util.Random(42)
     Array.fill(tables * bits * embDims)(rnd.nextGaussian())
   }
@@ -193,14 +193,13 @@ object Similarity {
     * plan (same lazy pattern as the ngram max-df statistic): hashing
     * compares dot(emb, h) > dot(mean, h), which equals the sign of the
     * centered projection, and bits become ~balanced AND informative. */
-  /** The (vec_id, tbl, bucket) index frame — the unit both candidate
-    * generation and the cap-headroom spec measure occupancy on.
+  /** The (vec_id, tbl, bucket) index frame — the unit candidate
+    * generation and the candidate-fraction spec measure occupancy on.
     *
-    * Memoized + cached per (corpus, config): `lshCandidates` references
-    * this frame from FOUR subtrees (query probes, the cold equi-join
-    * side, the hot-bucket size statistic, and the hot member arrays) —
-    * uncached, each reference re-hashes the corpus (the minhash
-    * double-compute lesson). The cache is the single-session analogue of
+    * Memoized + cached per (corpus, config): `lshScoredCandidates`
+    * references this frame from two subtrees (the query probes and the
+    * bucket member arrays) — uncached, each reference re-hashes the
+    * corpus (the minhash double-compute lesson). The cache is the single-session analogue of
     * what a production ANN deployment does anyway: the bucket index is
     * THE artifact you persist and serve, not something recomputed per
     * query. Narrow rows (3 longs × tables per vector), MEMORY_AND_DISK. */
@@ -311,7 +310,7 @@ object Similarity {
     * Every (query tile × member tile) cell becomes its own row spread
     * by a hash repartition BEFORE the quadratic work runs, so one dense
     * key costs many bounded tasks, not one unbounded one. */
-  private def tiledTopkPairs(keyCols: Seq[String],
+  private[graft] def tiledTopkPairs(keyCols: Seq[String],
       queriesByKey: DataFrame, membersByKey: DataFrame): DataFrame = {
     val nq = ((size(col("qs")) + lit(lshTile - 1)) / lit(lshTile)).cast("int")
     val nc = ((size(col("cands")) + lit(lshTile - 1)) / lit(lshTile)).cast("int")
@@ -387,7 +386,7 @@ object Similarity {
     * boundaries that a small nProbe then misses. 4 takes most of the
     * balance gain without giving back recall. */
   val kmeansIters = 4
-  private val embDims = 64
+  private[graft] val embDims = 64
 
   /** TRAINED coarse-quantizer centroids — the real k-means the stride
     * sample stands in for (round-3 verdict #4). Spherical Lloyd:
@@ -568,6 +567,7 @@ object Similarity {
     "sim_topk_bruteforce" -> simTopkBruteforce _,
     "sim_range_search" -> simRangeSearch _,
     "sim_lsh_ann" -> simLshAnn _,
+    "sim_lsh_ann_served" -> AnnIndex.simLshAnnServed _,
     "sim_lsh_ann_auto" -> simLshAnnAuto _,
     "sim_ivf_topk" -> simIvfTopk _,
     "sim_ivf_topk_trained" -> simIvfTopkTrained _,
@@ -581,11 +581,11 @@ object Similarity {
     * hyperplanes are a fixed seeded array, emitted here as list
     * literals (`Double.toString` round-trips exactly, and DuckDB's
     * decimal→double conversion is correctly rounded, so every weight is
-    * the identical double); (b) the hot-bucket tiling is RESULT-exact,
+    * the identical double); (b) the per-bucket tiling is RESULT-exact,
     * so the final ranking equals a plain top-k over ALL (bucket ∪
-    * 1-flip-probe) candidate pairs regardless of how Spark splits
-    * hot/cold internally (pinned by the maxBucket=1 byte-identity
-    * spec); and (c) projections/thresholds/dots are the same
+    * 1-flip-probe) candidate pairs regardless of how Spark cells the
+    * buckets internally (pinned by the equi-join byte-identity spec in
+    * `DedupSimilaritySpec`); and (c) projections/thresholds/dots are the same
     * left-to-right double folds as every other vector oracle. The one
     * non-bit-pinned quantity is the per-plane mean threshold (summation
     * order differs across engines) — it only matters if some projection
@@ -593,7 +593,7 @@ object Similarity {
     * continuous gaussian projections. The auto-depth variant stays
     * rows-only: its depth comes from a runtime size statistic no static
     * SQL can see. */
-  private def lshAnnOracleSql: String = {
+  private lazy val lshAnnOracleSql: String = {
     val planes = hyperplanesFor(lshTables, lshBits)
     val planeRows = (0 until lshTables * lshBits).map { p =>
       (0 until embDims).map(d => planes(p * embDims + d).toString)
@@ -644,6 +644,10 @@ object Similarity {
 
   val oracles: Map[String, String] = Map(
     "sim_lsh_ann" -> lshAnnOracleSql,
+    // the persisted-index serve path is exact over the same probed
+    // candidate set (byte-identity pinned in AnnIndexSpec), so it is
+    // checked against the identical SQL
+    "sim_lsh_ann_served" -> lshAnnOracleSql,
     "sim_ivf_topk" ->
       s"""WITH n AS (
          |  SELECT * FROM (

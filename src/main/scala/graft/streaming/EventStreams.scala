@@ -26,6 +26,34 @@ object EventStreams {
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
+  /** State partitions for the memory-sink oracle-harness queries.
+    *
+    * A stateful micro-batch pays one state-store commit (delta write +
+    * fsync into the checkpoint) PER PARTITION PER STORE, and an interval
+    * join runs FOUR stores per partition — at the session's 32 shuffle
+    * partitions that is 128 fsync'd commits per micro-batch to hold
+    * ~40k state rows, and the commit overhead dominates the data work
+    * (measured on sf0.1: the join harness spent 81 s of summed commit
+    * time per batch at 32 partitions vs 5 s at 8; wall clock 13.9 s →
+    * 7.5 s). State partitioning is LOCKED at the first micro-batch by
+    * `spark.sql.shuffle.partitions` (AQE never re-plans stateful
+    * streams), so it must be sized to peak STATE volume up front — tiny
+    * here, hence 8. The production `*ToFiles` paths deliberately leave
+    * the session setting in place: their operators own their checkpoint
+    * lifecycle and a 100 TB deployment sizes partitions to ITS state
+    * (StreamScale drives them at 32 with 5M-event feeds). */
+  private val harnessStatePartitions = 8
+
+  /** Pin `spark.sql.shuffle.partitions` for the duration of a streaming
+    * query's lifetime (planning happens on the stream thread after
+    * `start()`, so the conf must hold through `processAllAvailable`). */
+  private def withStatePartitions[T](s: SparkSession, n: Int)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val old = s.conf.get(key)
+    s.conf.set(key, n.toString)
+    try body finally s.conf.set(key, old)
+  }
+
   /** Streaming tumbling-window counts per (hour, event_type). */
   def streamHourCounts(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -38,13 +66,15 @@ object EventStreams {
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n_events"))
-    val q = stream.writeStream
-      .outputMode("complete")
-      .format("memory")
-      .queryName(name)
-      .start()
-    try q.processAllAvailable()
-    finally q.stop()
+    withStatePartitions(s, harnessStatePartitions) {
+      val q = stream.writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
     materializeAndDrop(s, name,
       s.table(name)
         .select(col("window.start").as("hour"), col("event_type"), col("n_events"))
@@ -92,13 +122,15 @@ object EventStreams {
           Iterator((key, n))
         })
       .toDF("event_type", "n_events")
-    val q = updates.writeStream
-      .outputMode("update")
-      .format("memory")
-      .queryName(name)
-      .start()
-    try q.processAllAvailable()
-    finally q.stop()
+    withStatePartitions(s, harnessStatePartitions) {
+      val q = updates.writeStream
+        .outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
     // the last update per key IS the final count
     materializeAndDrop(s, name,
       s.table(name)
@@ -125,13 +157,15 @@ object EventStreams {
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
       .select(col("event_id"), col("event_type"))
-    val q = deduped.writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(name)
-      .start()
-    try q.processAllAvailable()
-    finally q.stop()
+    withStatePartitions(s, harnessStatePartitions) {
+      val q = deduped.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
     materializeAndDrop(s, name,
       s.table(name)
         .groupBy(col("event_type")).agg(count(lit(1)).as("n_events"))
@@ -164,13 +198,15 @@ object EventStreams {
       expr("c_user = e_user AND e_ts >= c_ts AND e_ts <= c_ts + interval 5 minutes"))
       .select(col("c_user").as("user_id"), col("click_id"), col("err_id"),
         (unix_micros(col("e_ts")) - unix_micros(col("c_ts"))).as("gap_us"))
-    val q = joined.writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(name)
-      .start()
-    try q.processAllAvailable()
-    finally q.stop()
+    withStatePartitions(s, harnessStatePartitions) {
+      val q = joined.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
     materializeAndDrop(s, name,
       s.table(name).orderBy(col("click_id"), col("err_id")))
   }

@@ -1,0 +1,94 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops.{AnnIndex, Similarity}
+
+/** The persisted LSH index: build → serve parity with the in-session
+  * path, external-query serving, and landing-zone append semantics. */
+class AnnIndexSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import TestSpark.sf0001
+
+  private def shape(r: org.apache.spark.sql.Row) =
+    (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+
+  test("persisted index serves the stride query set byte-identically to sim_lsh_ann") {
+    // the registered query: write-once to a temp index dir, serve from it
+    val served = AnnIndex.simLshAnnServed(spark, sf0001).collect().map(shape).toSeq
+    val inSession = Similarity.simLshAnn(spark, sf0001).collect().map(shape).toSeq
+    assert(served.nonEmpty && served === inSession,
+      "persisted-index serving diverged from the in-session ANN")
+  }
+
+  test("append hashes a landing batch with the INDEX's thresholds, and serving sees it") {
+    val tmp = java.nio.file.Files.createTempDirectory("ann-append")
+    val emb = Tables(spark, sf0001, "embeddings")
+    // physically split the corpus: ~90% standing corpus, ~10% landing batch
+    emb.filter(col("vec_id") % 10 =!= 0)
+      .write.mode("overwrite").parquet(s"$tmp/corpus/embeddings.parquet")
+    emb.filter(col("vec_id") % 10 === 0)
+      .write.mode("overwrite").parquet(s"$tmp/batch/embeddings.parquet")
+    AnnIndex.lshIndexWrite(spark, s"$tmp/corpus", s"$tmp/index")
+    AnnIndex.lshIndexAppend(spark, s"$tmp/batch", s"$tmp/index")
+
+    // 1. the appended bucket table holds exactly corpus ∪ batch vectors,
+    //    each hashed with the index's persisted thresholds
+    val bucketRows = spark.read.parquet(s"$tmp/index/buckets")
+    val ids = bucketRows.select(col("vec_id")).distinct().collect().map(_.getLong(0)).toSet
+    val allIds = emb.select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    assert(ids === allIds, "appended index does not cover corpus ∪ batch")
+    val perVec = bucketRows.groupBy(col("vec_id")).count()
+      .select(col("count")).distinct().collect().map(_.getLong(0)).toSeq
+    assert(perVec === Seq(Similarity.lshTables.toLong),
+      s"every vector must land in exactly one bucket per table, got $perVec")
+
+    // 2. a batch vector queried against the appended index finds ITSELF
+    //    excluded but its corpus neighbors served: recall vs brute force
+    //    over the union stays at the in-session path's level
+    val queries = Similarity.normed(spark, sf0001)
+      .filter(col("vec_id") % Similarity.queryStride === 0)
+      .select(col("vec_id").as("q_id"), col("embedding"))
+    val served = AnnIndex.lshIndexServe(spark, s"$tmp/index",
+      Seq(s"$tmp/corpus", s"$tmp/batch"), queries).collect().map(shape)
+    assert(served.nonEmpty, "appended index served nothing")
+    val got = served.map(t => (t._1, t._3)).toSet
+    val exact = Similarity.simTopkBruteforce(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (exact intersect got).size.toDouble / exact.size
+    assert(recall >= 0.6, f"appended-index recall $recall%.3f below the 0.6 floor")
+    // self-pairs never serve
+    assert(served.forall(t => t._1 != t._3), "served a query to itself")
+  }
+
+  test("external queries with fresh ids serve exact cosines from the index") {
+    // queries NOT in the corpus (ids offset far past the id space, vectors
+    // perturbed): every served cosine must bit-equal a driver recompute
+    val tmp = java.nio.file.Files.createTempDirectory("ann-external")
+    AnnIndex.lshIndexWrite(spark, sf0001, s"$tmp/index")
+    val queries = Similarity.normed(spark, sf0001)
+      .filter(col("vec_id") % 97 === 0)
+      .select((col("vec_id") + lit(1000000L)).as("q_id"),
+        // shift one coordinate so the query is genuinely external
+        transform(col("embedding"), (x, i) =>
+          when(i === 0, x + lit(0.25f)).otherwise(x)).as("embedding"))
+    val served = AnnIndex.lshIndexServe(spark, s"$tmp/index", Seq(sf0001), queries)
+      .collect().map(shape)
+    assert(served.nonEmpty, "external queries served nothing")
+    val vecs = Similarity.normed(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> (r.getSeq[Float](1).toArray, r.getDouble(2))).toMap
+    val qvecs = queries.withColumn("nrm",
+        sqrt(graft.plans.VectorFunctions.vec_dot(col("embedding"), col("embedding"))))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getSeq[Float](1).toArray, r.getDouble(2))).toMap
+    val bad = served.count { case (q, _, c, cos) =>
+      val (qv, qn) = qvecs(q)
+      val (cv, cn) = vecs(c)
+      var acc = 0.0
+      var d = 0
+      while (d < qv.length) { acc += qv(d).toDouble * cv(d).toDouble; d += 1 }
+      acc / (qn * cn) != cos
+    }
+    assert(bad == 0, s"$bad served cosines differ from driver recompute")
+  }
+}
