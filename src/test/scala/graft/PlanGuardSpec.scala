@@ -155,6 +155,20 @@ class PlanGuardSpec extends AnyFunSuite {
       "tile cells are no longer repartitioned — a dense bucket runs in one task")
   }
 
+  test("sim_lsh_ann_served hashes ONLY the query side; members come from the persisted index") {
+    // the point of the persisted index: the corpus is never re-hashed at
+    // serve time. The serve plan must hash the (tiny) query frame once —
+    // exactly ONE lsh_projections subtree — and read bucket membership
+    // from the index parquet. An in-session shape leaking in would show a
+    // second projection subtree feeding the member side.
+    val txt = plan("sim_lsh_ann_served").toString
+    val hashes = "lsh_projections".r.findAllIn(txt).length
+    assert(hashes == 1,
+      s"$hashes lsh_projections subtrees in the serve plan — corpus re-hashed at serve time")
+    assert(txt.contains("cell_topk_pairs"),
+      "serving no longer scores through the tiled fused kernel")
+  }
+
   test("q_skew_join stays a sort-merge join (the shape AQE skew-split requires)") {
     val p = plan("q_skew_join")
     assert(p.collect { case j: SortMergeJoinExec => j }.nonEmpty,
