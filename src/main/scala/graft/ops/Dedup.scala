@@ -528,6 +528,59 @@ object Dedup {
       simBandedCached(s, corpusDir))
   }
 
+  /** Persist the corpus's simhash signature table (doc_id, simhash) —
+    * the standing dedup artifact of a 100 TB deployment: ~12 bytes/doc
+    * instead of the documents themselves, so the nightly incremental
+    * check never re-reads (or re-hashes) corpus TEXT at all. SimHash has
+    * no corpus-dependent parameters (unlike the LSH index's mean
+    * thresholds), so append is exact by construction and the index never
+    * drifts from a rebuild. */
+  def dedupIndexWrite(s: SparkSession, corpusDir: String, indexDir: String): Unit =
+    simSigOf(Tables(s, corpusDir, "documents"))
+      .write.mode("overwrite").parquet(s"$indexDir/simhash")
+
+  /** Fold a newly-ingested batch's signatures into the standing index
+    * (call AFTER the batch passed [[dedupIncrementalIndexed]] and was
+    * admitted to the corpus). */
+  def dedupIndexAppend(s: SparkSession, batchDir: String, indexDir: String): Unit =
+    simSigOf(Tables(s, batchDir, "documents"))
+      .write.mode("append").parquet(s"$indexDir/simhash")
+
+  /** Landing-zone near-dup check against a PERSISTED signature index:
+    * the batch is hashed fresh; the corpus side is the signature parquet
+    * only. Same asymmetric (band, byte) equi-join as the path form —
+    * signatures are deterministic, so the result is byte-identical to
+    * recomputing from corpus text (pinned in `DedupSimilaritySpec`). */
+  def dedupIncrementalIndexed(s: SparkSession, batchDir: String, indexDir: String): DataFrame = {
+    val batchDocs = Tables(s, batchDir, "documents")
+    incrementalAgainst(batchDocs, simBandsOf(simSigOf(batchDocs)),
+      simBandsOf(s.read.parquet(s"$indexDir/simhash")))
+  }
+
+  /** One (landing split + signature index) per corpus per JVM for the
+    * registered-query form of the indexed incremental check. */
+  private val builtDedupIndexes = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Registered-query form: split the corpus into the modulo landing
+    * batch and standing corpus ONCE (temp dirs), persist the standing
+    * side's signature index, and run the indexed check — byte-identical
+    * to [[dedupIncremental]], so it shares its DuckDB oracle. Bench reps
+    * measure the true incremental cost: batch hashing + one equi-join
+    * against the signature parquet. */
+  def dedupIncrementalIndexedQuery(s: SparkSession, dir: String): DataFrame = {
+    val root = builtDedupIndexes.computeIfAbsent(dir, { _ =>
+      val d = java.nio.file.Files.createTempDirectory("graft-dedup-index").toString
+      val docs = Tables(s, dir, "documents")
+      docs.filter(col("doc_id") % batchMod === 0)
+        .write.mode("overwrite").parquet(s"$d/batch/documents.parquet")
+      docs.filter(col("doc_id") % batchMod =!= 0)
+        .write.mode("overwrite").parquet(s"$d/corpus/documents.parquet")
+      dedupIndexWrite(s, s"$d/corpus", s"$d/index")
+      d
+    })
+    dedupIncrementalIndexed(s, s"$root/batch", s"$root/index")
+  }
+
   /** The asymmetric near-dup join shared by both incremental forms: flag
     * each batch doc whose signature lands within [[hammingThreshold]] of
     * any corpus signature; every batch doc is returned (is_dup=false for
@@ -715,6 +768,7 @@ object Dedup {
     "dedup_minhash_lsh" -> dedupMinhashLsh _,
     "dedup_simhash" -> dedupSimhash _,
     "dedup_incremental" -> dedupIncremental _,
+    "dedup_incremental_indexed" -> dedupIncrementalIndexedQuery _,
     "dedup_clusters" -> dedupClusters _,
     "dedup_embedding_cosine" -> dedupEmbeddingCosine _,
     "dedup_embedding_blocked" -> dedupEmbeddingBlocked _,
@@ -727,6 +781,32 @@ object Dedup {
     (0 until 32).map(b => s"($b, ${1L << b})").mkString(", ")
   private val bandValuesSql =
     Seq(0, 1, 2, 3).map(k => s"($k, ${1L << (8 * k)})").mkString(", ")
+
+  private lazy val incrementalOracleSql =
+    s"""WITH tok AS (
+       |  SELECT doc_id, CAST(('0x' || substr(md5(token), 1, 8)) AS BIGINT) AS h
+       |  FROM (SELECT doc_id, unnest($tokSql) AS token FROM documents)),
+       |bits AS (SELECT * FROM (VALUES $bitValuesSql) AS t(bit, pow)),
+       |sig AS (
+       |  SELECT doc_id, CAST(sum(CASE WHEN w > 0 THEN pow ELSE 0 END) AS BIGINT) AS simhash
+       |  FROM (
+       |    SELECT doc_id, bit, pow, sum(CASE WHEN (h // pow) % 2 = 1 THEN 1 ELSE -1 END) AS w
+       |    FROM tok, bits GROUP BY doc_id, bit, pow)
+       |  GROUP BY doc_id),
+       |bp AS (SELECT * FROM (VALUES $bandValuesSql) AS t(band, bpow)),
+       |banded AS (SELECT doc_id, simhash, band, (simhash // bpow) % 256 AS bval FROM sig, bp),
+       |near AS (
+       |  SELECT x.doc_id AS doc_id, min(y.doc_id) AS dup_of,
+       |    min(CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT)) AS min_hamming
+       |  FROM banded x JOIN banded y
+       |    ON x.band = y.band AND x.bval = y.bval
+       |    AND x.doc_id % $batchMod = 0 AND y.doc_id % $batchMod <> 0
+       |  WHERE bit_count(xor(x.simhash, y.simhash)) <= $hammingThreshold
+       |  GROUP BY x.doc_id)
+       |SELECT d.doc_id, near.dup_of IS NOT NULL AS is_dup, near.dup_of, near.min_hamming
+       |FROM (SELECT doc_id FROM documents WHERE doc_id % $batchMod = 0) d
+       |LEFT JOIN near ON d.doc_id = near.doc_id
+       |ORDER BY d.doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "dedup_exact" ->
@@ -799,31 +879,11 @@ object Dedup {
          |SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming
          |FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= $hammingThreshold
          |ORDER BY id_a, id_b""".stripMargin,
-    "dedup_incremental" ->
-      s"""WITH tok AS (
-         |  SELECT doc_id, CAST(('0x' || substr(md5(token), 1, 8)) AS BIGINT) AS h
-         |  FROM (SELECT doc_id, unnest($tokSql) AS token FROM documents)),
-         |bits AS (SELECT * FROM (VALUES $bitValuesSql) AS t(bit, pow)),
-         |sig AS (
-         |  SELECT doc_id, CAST(sum(CASE WHEN w > 0 THEN pow ELSE 0 END) AS BIGINT) AS simhash
-         |  FROM (
-         |    SELECT doc_id, bit, pow, sum(CASE WHEN (h // pow) % 2 = 1 THEN 1 ELSE -1 END) AS w
-         |    FROM tok, bits GROUP BY doc_id, bit, pow)
-         |  GROUP BY doc_id),
-         |bp AS (SELECT * FROM (VALUES $bandValuesSql) AS t(band, bpow)),
-         |banded AS (SELECT doc_id, simhash, band, (simhash // bpow) % 256 AS bval FROM sig, bp),
-         |near AS (
-         |  SELECT x.doc_id AS doc_id, min(y.doc_id) AS dup_of,
-         |    min(CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT)) AS min_hamming
-         |  FROM banded x JOIN banded y
-         |    ON x.band = y.band AND x.bval = y.bval
-         |    AND x.doc_id % $batchMod = 0 AND y.doc_id % $batchMod <> 0
-         |  WHERE bit_count(xor(x.simhash, y.simhash)) <= $hammingThreshold
-         |  GROUP BY x.doc_id)
-         |SELECT d.doc_id, near.dup_of IS NOT NULL AS is_dup, near.dup_of, near.min_hamming
-         |FROM (SELECT doc_id FROM documents WHERE doc_id % $batchMod = 0) d
-         |LEFT JOIN near ON d.doc_id = near.doc_id
-         |ORDER BY d.doc_id""".stripMargin,
+    "dedup_incremental" -> incrementalOracleSql,
+    // the indexed form reads persisted signatures instead of re-hashing
+    // corpus text, but signatures are deterministic — byte-identical
+    // result, identical oracle (equivalence pinned in DedupSimilaritySpec)
+    "dedup_incremental_indexed" -> incrementalOracleSql,
     "dedup_embedding_blocked" ->
       s"""WITH n AS (
          |  SELECT * FROM (

@@ -203,6 +203,29 @@ class DedupSimilaritySpec extends AnyFunSuite {
     val viaModulo = Dedup.dedupIncremental(spark, sf0001).collect().map(shape).toSeq
     assert(viaPaths.nonEmpty && viaPaths === viaModulo,
       "landing-zone path API diverged from full recompute on the union")
+
+    // the PERSISTED-signature form: corpus text never re-read — the
+    // standing side is the (doc_id, simhash) parquet only. Signatures
+    // are deterministic, so the result must stay byte-identical. Also
+    // exercises append: index built from a half-corpus then appended
+    // with the rest must serve the same answer as built whole.
+    Dedup.dedupIndexWrite(spark, s"$tmp/corpus", s"$tmp/index")
+    val viaIndex = Dedup.dedupIncrementalIndexed(spark, s"$tmp/batch", s"$tmp/index")
+      .collect().map(shape).toSeq
+    assert(viaIndex === viaModulo,
+      "persisted-signature check diverged from recomputing corpus signatures")
+    docs.filter(col("doc_id") % Dedup.batchMod =!= 0)
+      .filter(col("doc_id") % 2 === 0)
+      .write.mode("overwrite").parquet(s"$tmp/corpusA/documents.parquet")
+    docs.filter(col("doc_id") % Dedup.batchMod =!= 0)
+      .filter(col("doc_id") % 2 =!= 0)
+      .write.mode("overwrite").parquet(s"$tmp/corpusB/documents.parquet")
+    Dedup.dedupIndexWrite(spark, s"$tmp/corpusA", s"$tmp/index2")
+    Dedup.dedupIndexAppend(spark, s"$tmp/corpusB", s"$tmp/index2")
+    val viaAppended = Dedup.dedupIncrementalIndexed(spark, s"$tmp/batch", s"$tmp/index2")
+      .collect().map(shape).toSeq
+    assert(viaAppended === viaModulo,
+      "appended signature index diverged from an index built whole")
   }
 
   test("tiled auto-probe IVF equals the join-path trained IVF on a small corpus") {
