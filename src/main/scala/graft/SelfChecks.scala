@@ -146,6 +146,8 @@ object SelfChecks {
       "k-means training sums floats in partition order; centroids are not bit-reproducible in SQL"),
     "sim_ivf_topk_auto" -> annCheck(ops.Similarity.simIvfTopkAuto,
       "trained centroids + statistic-derived probe count; not reproducible in static SQL"),
+    "sim_ivf_topk_served" -> annCheck(ops.AnnIndex.simIvfTopkServed,
+      "serves a persisted TRAINED index; k-means centroids are not bit-reproducible in SQL"),
     "dedup_embedding_blocked_trained" -> pairsCheck(ops.Dedup.dedupEmbeddingBlockedTrained,
       "k-means training sums floats in partition order; centroids are not bit-reproducible in SQL"),
     "q_approx_distinct" -> (approxDistinctCheck _),

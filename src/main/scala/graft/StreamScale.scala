@@ -122,7 +122,8 @@ object StreamScale {
         generateFeed(spark, dir))
     // fresh sinks/checkpoints every run — a stale checkpoint would turn
     // the replay into a no-op and "pass" on the previous run's output
-    for (p <- Seq("out_hour", "ck_hour", "out_dedup", "ck_dedup", "out_join", "ck_join"))
+    for (p <- Seq("out_hour", "ck_hour", "out_dedup", "ck_dedup", "out_join", "ck_join",
+        "out_state", "ck_state"))
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$dir/$p"))
     say(s"feed: $nEvents events over $nDays day-files, 1-hour watermark")
 
@@ -186,6 +187,29 @@ object StreamScale {
     say(s"  join: emitted=${outJoin.count()} (batch=${batchJoin.count()}), symmetricDiff=$joinDiff, " +
       s"maxStateRows=$jRows maxStateMB=${jBytes / 1024 / 1024} ckMB=${dirBytes(s"$dir/ck_join") / 1024 / 1024}")
     assert(joinDiff == 0, "stream-stream join diverged from the batch interval join")
+
+    // 4. changelog stateful counts → files (foreachBatch idempotent
+    //    per-batch dynamic-partition overwrite), served back as the
+    //    latest update per key — the fourth production path. State here
+    //    is O(keys) (5 event types), NOT watermark-bounded: the check is
+    //    that 90 update batches land, the serving view reconstructs the
+    //    exact batch counts, and state/changelog stay O(keys·batches).
+    val (_, scRows, scBytes) = withStateStats(spark)(time("streamStatefulCountsToFiles (90 micro-batches)") {
+      graft.streaming.EventStreams.streamStatefulCountsToFiles(
+        spark, s"$dir/clean", s"$dir/out_state", s"$dir/ck_state")
+    })
+    val servedCounts = graft.streaming.EventStreams
+      .statefulCountsFromChangelog(spark, s"$dir/out_state")
+    val batchCounts = clean.groupBy(col("event_type")).agg(count(lit(1)).as("n_events"))
+    val countsDiff = servedCounts.select(col("event_type"), col("n_events"))
+      .except(batchCounts).count() +
+      batchCounts.except(servedCounts.select(col("event_type"), col("n_events"))).count()
+    val changelogRows = spark.read.parquet(s"$dir/out_state").count()
+    say(s"  stateful: servedKeys=${servedCounts.count()} changelogRows=$changelogRows " +
+      s"diff-vs-batch=$countsDiff maxStateRows=$scRows maxStateMB=${scBytes / 1024 / 1024} " +
+      s"ckMB=${dirBytes(s"$dir/ck_state") / 1024 / 1024}")
+    assert(countsDiff == 0, "changelog serving view diverged from batch counts")
+    assert(scRows <= 16, s"stateful-counts state ($scRows rows) exceeds O(keys)")
 
     // boundedness: steady-state is O(events within ~2 watermark spans),
     // i.e. ~2 hours of a 2160-hour replay — assert state never grew to

@@ -160,4 +160,90 @@ object AnnIndex {
       .select(col("vec_id").as("q_id"), col("embedding"))
     lshIndexServe(s, indexDir, Seq(dir), queries)
   }
+
+  // ---------------------------------------------------------------- IVF
+
+  /** Build and persist the IVF index: the TRAINED k-means centroids
+    * (the learned quantizer — `centroids`: c_id, c_emb array<double>,
+    * c_nrm; doubles round-trip parquet exactly, so serving reproduces
+    * the in-session assignment bit-for-bit) and the keep=1 inverted-list
+    * assignment (`lists`: vec_id, c_id — narrow rows, like the LSH
+    * bucket table). Embeddings are again NOT copied in; serving re-joins
+    * them by vec_id. Training pays its usual driver-side Lloyd cost
+    * once, here — which is the entire point of persisting its output. */
+  def ivfIndexWrite(s: SparkSession, corpusDir: String, indexDir: String): Unit = {
+    val cent = Similarity.trainedCentroidsOf(s, corpusDir)
+    cent.coalesce(1).write.mode("overwrite").parquet(s"$indexDir/centroids")
+    val persisted = s.read.parquet(s"$indexDir/centroids")
+    Similarity.nearestCentroids(persisted)(
+        Similarity.normed(s, corpusDir), "vec_id", "embedding", "nrm", 1)
+      .write.mode("overwrite").parquet(s"$indexDir/lists")
+  }
+
+  /** Append a landing batch: assign its vectors to the PERSISTED
+    * centroids (the quantizer stays fixed — re-training would re-assign
+    * the standing corpus, so drift means rebuild, exactly as with the
+    * LSH thresholds). */
+  def ivfIndexAppend(s: SparkSession, batchDir: String, indexDir: String): Unit = {
+    val cent = s.read.parquet(s"$indexDir/centroids")
+    Similarity.nearestCentroids(cent)(
+        Similarity.normed(s, batchDir), "vec_id", "embedding", "nrm", 1)
+      .write.mode("append").parquet(s"$indexDir/lists")
+  }
+
+  /** Serve top-k for an external (q_id, embedding) frame from a
+    * persisted IVF index: queries probe their `ivfProbesFor(k)` nearest
+    * persisted centroids (constant-fraction rule — the probe count
+    * derives from the index's OWN list count, no corpus statistic
+    * needed), and scoring runs inside per-list tile cells via the same
+    * fused kernel as every other ANN path. */
+  def ivfIndexServe(s: SparkSession, indexDir: String, corpusDirs: Seq[String],
+      queries: DataFrame): DataFrame = {
+    val cent = PlanCache.memoized(s, s"$indexDir|ivf-index-centroids") {
+      s.read.parquet(s"$indexDir/centroids")
+    }
+    val probes = Similarity.ivfProbesFor(cent.count().toDouble)
+    val assign = PlanCache.memoized(s, s"$indexDir|ivf-index-lists") {
+      s.read.parquet(s"$indexDir/lists")
+    }
+    val n = corpusDirs.map(Similarity.normed(s, _)).reduce(_ unionAll _)
+    val lists = assign.join(n, "vec_id")
+      .groupBy(col("c_id"))
+      .agg(sort_array(collect_list(
+        struct(col("vec_id"), col("embedding"), col("nrm")))).as("cands"))
+    val qn = queries
+      .select(col("q_id").as("vec_id"), col("embedding"))
+      .withColumn("nrm", sqrt(graft.plans.VectorFunctions.vec_dot(
+        col("embedding"), col("embedding"))))
+      .filter(col("nrm") > 0)
+    val qlists = Similarity.nearestCentroids(cent)(
+        qn, "vec_id", "embedding", "nrm", probes, carry = Seq("embedding", "nrm"))
+      .groupBy(col("c_id"))
+      .agg(collect_list(struct(col("vec_id"), col("embedding"), col("nrm"))).as("qs"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("cand_id"))
+    Similarity.tiledTopkPairs(Seq("c_id"), qlists, lists)
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= Similarity.topK)
+      .select(col("q_id"), col("rk"), col("cand_id"), col("cosine"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+
+  /** Registered-query form: persist the trained IVF index once for
+    * `dir`, serve the stride query set from it. Rows-only like every
+    * trained-quantizer variant (k-means float-summation order), but
+    * byte-identical to `sim_ivf_topk_auto` on corpora where the
+    * statistic-derived and list-count-derived probe counts agree
+    * (pinned in `AnnIndexSpec` at sf0.001) and self-checked per Verify
+    * run (cosine recompute + recall vs brute force). */
+  def simIvfTopkServed(s: SparkSession, dir: String): DataFrame = {
+    val indexDir = builtIndexes.computeIfAbsent(s"$dir|ivf", { _ =>
+      val d = java.nio.file.Files.createTempDirectory("graft-ivf-index").toString
+      ivfIndexWrite(s, dir, d)
+      d
+    })
+    val queries = Similarity.normed(s, dir)
+      .filter(col("vec_id") % Similarity.queryStride === 0)
+      .select(col("vec_id").as("q_id"), col("embedding"))
+    ivfIndexServe(s, indexDir, Seq(dir), queries)
+  }
 }

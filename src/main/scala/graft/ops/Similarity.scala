@@ -572,6 +572,7 @@ object Similarity {
     "sim_ivf_topk" -> simIvfTopk _,
     "sim_ivf_topk_trained" -> simIvfTopkTrained _,
     "sim_ivf_topk_auto" -> simIvfTopkAuto _,
+    "sim_ivf_topk_served" -> AnnIndex.simIvfTopkServed _,
   )
 
   private def dotSql(a: String, b: String): String =

@@ -61,6 +61,42 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(served.forall(t => t._1 != t._3), "served a query to itself")
   }
 
+  test("persisted IVF index serves byte-identically to the in-session auto path") {
+    // on sf0001 the statistic-derived probe count and the persisted
+    // list-count-derived one both floor at the pinned nProbe, the
+    // centroids round-trip parquet exactly, and the scoring kernel is
+    // shared — so the served frame must be byte-identical
+    val served = AnnIndex.simIvfTopkServed(spark, sf0001).collect().map(shape).toSeq
+    val inSession = Similarity.simIvfTopkAuto(spark, sf0001).collect().map(shape).toSeq
+    assert(served.nonEmpty && served === inSession,
+      "persisted-IVF serving diverged from the in-session auto path")
+  }
+
+  test("IVF append assigns a landing batch with the persisted quantizer") {
+    val tmp = java.nio.file.Files.createTempDirectory("ivf-append")
+    val emb = Tables(spark, sf0001, "embeddings")
+    emb.filter(col("vec_id") % 10 =!= 0)
+      .write.mode("overwrite").parquet(s"$tmp/corpus/embeddings.parquet")
+    emb.filter(col("vec_id") % 10 === 0)
+      .write.mode("overwrite").parquet(s"$tmp/batch/embeddings.parquet")
+    AnnIndex.ivfIndexWrite(spark, s"$tmp/corpus", s"$tmp/index")
+    AnnIndex.ivfIndexAppend(spark, s"$tmp/batch", s"$tmp/index")
+    val lists = spark.read.parquet(s"$tmp/index/lists")
+    val ids = lists.select(col("vec_id")).distinct().count()
+    val all = Similarity.normed(spark, s"$tmp/corpus").count() +
+      Similarity.normed(spark, s"$tmp/batch").count()
+    assert(ids == all, s"appended IVF lists cover $ids of $all vectors")
+    assert(lists.count() == all, "a vector must live in exactly ONE inverted list")
+    // serving over the appended index still finds real neighbors
+    val queries = Similarity.normed(spark, sf0001)
+      .filter(col("vec_id") % Similarity.queryStride === 0)
+      .select(col("vec_id").as("q_id"), col("embedding"))
+    val served = AnnIndex.ivfIndexServe(spark, s"$tmp/index",
+      Seq(s"$tmp/corpus", s"$tmp/batch"), queries).collect().map(shape)
+    assert(served.nonEmpty && served.forall(t => t._1 != t._3),
+      "appended-IVF serving empty or served a self-pair")
+  }
+
   test("external queries with fresh ids serve exact cosines from the index") {
     // queries NOT in the corpus (ids offset far past the id space, vectors
     // perturbed): every served cosine must bit-equal a driver recompute
