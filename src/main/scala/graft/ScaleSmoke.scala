@@ -144,6 +144,18 @@ object ScaleSmoke {
         .select(col("vec_id").as("q_id"), col("embedding"))
       topkPairs(ops.AnnIndex.lshIndexServe(spark, idxDir, Seq(dir), queries))
     }
+    // the IVF sibling: persist the trained quantizer + lists, serve from
+    // the artifact (probe count derived from the index's own list count)
+    val ivfIdxDir = s"$dir/ivf_index"
+    time("ivf_index_write (trained quantizer, 250k vectors)") {
+      ops.AnnIndex.ivfIndexWrite(spark, dir, ivfIdxDir)
+    }
+    val ivfServed = time("ivf_index_serve (5k queries from persisted index)") {
+      val queries = ops.Similarity.normed(spark, dir)
+        .filter(col("vec_id") % ops.Similarity.queryStride === 0)
+        .select(col("vec_id").as("q_id"), col("embedding"))
+      topkPairs(ops.AnnIndex.ivfIndexServe(spark, ivfIdxDir, Seq(dir), queries))
+    }
     val exact = time("sim_topk_bruteforce (ground truth, 5k queries x 250k)") {
       topkPairs(ops.Similarity.simTopkBruteforce(spark, dir))
     }
@@ -154,6 +166,7 @@ object ScaleSmoke {
     recallOf("ivf auto", ivfAuto)
     recallOf("lsh auto", lshAuto)
     recallOf("lsh served (persisted index)", served)
+    recallOf("ivf served (persisted index)", ivfServed)
 
     // 6. text dedup + sketch heavy hitters on 100k docs
     val mh = time("dedup_minhash_lsh (100k docs)") {

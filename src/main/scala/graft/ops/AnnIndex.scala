@@ -5,8 +5,8 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
-/** Persisted LSH ANN index — the serving-side artifact the in-session
-  * `Similarity.simLshAnn` path computes transiently.
+/** Persisted ANN indexes (LSH and IVF) — the serving-side artifacts the
+  * in-session `Similarity` paths compute transiently.
   *
   * A production ANN deployment does not re-hash the corpus per query
   * session: the bucket index is built ONCE per corpus generation,
