@@ -442,6 +442,16 @@ object TextAnalysis {
         bm25Query.indices.map(i => sum(when(col(s"tf_$i") > 0, 1L).otherwise(0L)).as(s"df_$i"))
     val stats = withTf.agg(statAggs.head, statAggs.tail: _*)
     val scored = withTf.crossJoin(broadcast(stats))
+    bm25Rank(scored)
+  }
+
+  /** The shared BM25 scoring tail: expects tf_i / df_i / dl / n_docs /
+    * avgdl columns and produces the ranked top-k. ONE definition serves
+    * the linear-scan path and the persisted-index path, so the double
+    * arithmetic (and its 6-decimal quantization — Java's ln() is not
+    * correctly rounded, so BOTH engines sort on the rounded value) is
+    * identical by construction. */
+  private def bm25Rank(scored: DataFrame): DataFrame = {
     val contrib = bm25Query.indices.map { i =>
       val idf = log(lit(1.0) +
         (col("n_docs").cast("double") - col(s"df_$i").cast("double") + 0.5) /
@@ -451,10 +461,6 @@ object TextAnalysis {
         (tf + lit(bm25K1) * (lit(1.0 - bm25B) + lit(bm25B) * col("dl").cast("double") / col("avgdl")))
     }
     scored
-      // the two engines' ln() may differ in the last ulp (Java Math.log
-      // is not correctly-rounded) — the score is quantized to 6 decimals
-      // in BOTH engines and the top-k sorts on the QUANTIZED value, so
-      // ordering, cutoff, and hash all compare the identical number
       .withColumn("score", round(contrib.reduce(_ + _), 6))
       .filter(bm25Query.indices.map(i => col(s"tf_$i") > 0).reduce(_ || _))
       .select(col("doc_id") +: col("dl") +:
@@ -463,9 +469,75 @@ object TextAnalysis {
       .limit(bm25TopK)
   }
 
+  /** Persist the text-search index: the (term, doc_id, tf) posting
+    * table, the (doc_id, dl) doc-length table, and the 1-row corpus
+    * stats (n_docs, avgdl) — the artifacts every lexical search engine
+    * stores. At 100 TB the posting table is additionally partitioned or
+    * bucketed by term; plain parquet + predicate pushdown already gives
+    * the serving read its shape (only the QUERY TERMS' postings are
+    * scanned — pinned by the `PlanGuardSpec` pushdown guard). */
+  def textIndexWrite(s: SparkSession, corpusDir: String, indexDir: String): Unit = {
+    val base = Tables(s, corpusDir, "documents")
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 1)
+      .withColumn("dl", size(col("toks")).cast("long"))
+    base.select(col("doc_id"), col("dl"))
+      .write.mode("overwrite").parquet(s"$indexDir/doclen")
+    base.select(col("doc_id"), explode(col("toks")).as("term"))
+      .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
+      .write.mode("overwrite").parquet(s"$indexDir/postings")
+    base.agg(count(lit(1)).as("n_docs"),
+        (sum(col("dl")).cast("double") / count(lit(1)).cast("double")).as("avgdl"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/stats")
+  }
+
+  /** BM25 over a PERSISTED index: the corpus is never re-tokenized —
+    * the serving plan reads the query terms' posting rows (predicate
+    * pushed into the parquet scan), pivots them to per-doc tf columns,
+    * derives per-term df from the same filtered postings, and scores
+    * through the shared [[bm25Rank]] tail. Where the linear-scan path
+    * touches every document at query time, this touches
+    * O(Σ posting-list length of the query terms) — the inverted-index
+    * read shape that makes lexical search serve at 100 TB. Byte-
+    * identical to `textBm25Search` (same integers in, same expression
+    * tree), so it shares its DuckDB oracle. */
+  def textBm25Served(s: SparkSession, indexDir: String): DataFrame = {
+    val hits = s.read.parquet(s"$indexDir/postings")
+      .filter(col("term").isin(bm25Query: _*))
+    val perDocAggs = bm25Query.zipWithIndex.map { case (t, i) =>
+      sum(when(col("term") === t, col("tf")).otherwise(0L)).as(s"tf_$i")
+    }
+    val perDoc = hits.groupBy(col("doc_id")).agg(perDocAggs.head, perDocAggs.tail: _*)
+    val dfAggs = bm25Query.zipWithIndex.map { case (t, i) =>
+      sum(when(col("term") === t, 1L).otherwise(0L)).as(s"df_$i")
+    }
+    val dfs = hits.agg(dfAggs.head, dfAggs.tail: _*)
+    val stats = s.read.parquet(s"$indexDir/stats")
+    val doclen = s.read.parquet(s"$indexDir/doclen")
+    bm25Rank(perDoc
+      .join(doclen, "doc_id")
+      .crossJoin(broadcast(stats))
+      .crossJoin(broadcast(dfs)))
+  }
+
+  /** One persisted text index per corpus per JVM for the registered
+    * query (build lazily once; bench reps measure SERVING only). */
+  private val builtTextIndexes = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Registered-query form of [[textBm25Served]]. */
+  def textBm25ServedQuery(s: SparkSession, dir: String): DataFrame = {
+    val indexDir = builtTextIndexes.computeIfAbsent(dir, { _ =>
+      val d = java.nio.file.Files.createTempDirectory("graft-text-index").toString
+      textIndexWrite(s, dir, d)
+      d
+    })
+    textBm25Served(s, indexDir)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_inverted_index" -> textInvertedIndex _,
     "text_bm25_search" -> textBm25Search _,
+    "text_bm25_served" -> textBm25ServedQuery _,
     "text_tfidf_topterms" -> textTfidfTopTerms _,
     "text_vocab_coverage" -> textVocabCoverage _,
     "text_heavy_hitters" -> textHeavyHitters _,
@@ -499,6 +571,23 @@ object TextAnalysis {
     bm25Query.zipWithIndex.map { case (t, i) =>
       s"CAST(len(list_filter(toks, x -> x = '$t')) AS BIGINT) AS tf_$i"
     }
+
+  private lazy val bm25OracleSql: String =
+    s"""WITH base AS (SELECT doc_id, $tokSql AS toks FROM documents),
+       |d AS (
+       |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+       |    ${bm25TfSql.mkString(",\n    ")}
+       |  FROM base WHERE len(toks) >= 1),
+       |cs AS (
+       |  SELECT count(*) AS n_docs,
+       |    CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl,
+       |    ${bm25Query.indices.map(i => s"CAST(sum(CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_$i").mkString(",\n    ")}
+       |  FROM d)
+       |SELECT doc_id, dl, ${bm25Query.indices.map(i => s"tf_$i").mkString(", ")},
+       |  round(${bm25Query.indices.map(bm25ContribSql).mkString("\n  + ")}, 6) AS score
+       |FROM d, cs
+       |WHERE ${bm25Query.indices.map(i => s"tf_$i > 0").mkString(" OR ")}
+       |ORDER BY score DESC, doc_id LIMIT $bm25TopK""".stripMargin
 
   private def bm25ContribSql(i: Int): String =
     s"""ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df_$i AS DOUBLE) + 0.5) / (CAST(df_$i AS DOUBLE) + 0.5))
@@ -535,22 +624,12 @@ object TextAnalysis {
          |  FROM scored)
          |SELECT doc_id, rk, term, tf, df, score
          |FROM ranked WHERE rk <= $tfidfTopTerms ORDER BY doc_id, rk""".stripMargin,
-    "text_bm25_search" ->
-      s"""WITH base AS (SELECT doc_id, $tokSql AS toks FROM documents),
-         |d AS (
-         |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
-         |    ${bm25TfSql.mkString(",\n    ")}
-         |  FROM base WHERE len(toks) >= 1),
-         |cs AS (
-         |  SELECT count(*) AS n_docs,
-         |    CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl,
-         |    ${bm25Query.indices.map(i => s"CAST(sum(CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_$i").mkString(",\n    ")}
-         |  FROM d)
-         |SELECT doc_id, dl, ${bm25Query.indices.map(i => s"tf_$i").mkString(", ")},
-         |  round(${bm25Query.indices.map(bm25ContribSql).mkString("\n  + ")}, 6) AS score
-         |FROM d, cs
-         |WHERE ${bm25Query.indices.map(i => s"tf_$i > 0").mkString(" OR ")}
-         |ORDER BY score DESC, doc_id LIMIT $bm25TopK""".stripMargin,
+    "text_bm25_search" -> bm25OracleSql,
+    // the persisted-index serving path reads postings instead of
+    // re-tokenizing, but tf/df/dl/stats are the same integers and the
+    // scoring tail is the shared bm25Rank — identical result, identical
+    // oracle (byte-identity pinned in OperatorSpec)
+    "text_bm25_served" -> bm25OracleSql,
     "text_vocab_coverage" ->
       s"""WITH counts AS (
          |  SELECT word, count(*) AS cnt

@@ -9,6 +9,20 @@ import graft.functions.TextFns
 class OperatorSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
+  test("text_bm25_served equals the linear-scan BM25 byte for byte") {
+    // the persisted-index path reads postings + doclen + stats parquet
+    // instead of re-tokenizing; tf/df/dl are the same integers and the
+    // scoring tail is shared, so the ranked frame must be identical
+    import TestSpark.sf0001
+    val shape = (r: org.apache.spark.sql.Row) => r.toSeq
+    val served = graft.ops.TextAnalysis.textBm25ServedQuery(spark, sf0001)
+      .collect().map(shape).toSeq
+    val scan = graft.ops.TextAnalysis.textBm25Search(spark, sf0001)
+      .collect().map(shape).toSeq
+    assert(served.nonEmpty && served === scan,
+      "persisted-index BM25 diverged from the linear scan")
+  }
+
   test("tokens splits on whitespace runs and drops empties") {
     import spark.implicits._
     val r = Seq("  a  bb\tc ", "", "x").toDF("text")

@@ -169,6 +169,17 @@ class PlanGuardSpec extends AnyFunSuite {
       "serving no longer scores through the tiled fused kernel")
   }
 
+  test("text_bm25_served reads ONLY the query terms' postings (pushed filter, no tokenize)") {
+    // the point of the persisted text index: serving never re-tokenizes
+    // the corpus — the term IN (...) predicate reaches the postings
+    // parquet scan, and no tokenizer appears anywhere in the plan
+    val txt = q("text_bm25_served").queryExecution.executedPlan.toString
+    assert(txt.contains("PushedFilters") && txt.contains("In(term"),
+      "query-term filter not pushed into the postings scan")
+    assert(!txt.contains("split("),
+      "serving plan tokenizes text — the corpus is being re-scanned at query time")
+  }
+
   test("q_skew_join stays a sort-merge join (the shape AQE skew-split requires)") {
     val p = plan("q_skew_join")
     assert(p.collect { case j: SortMergeJoinExec => j }.nonEmpty,
