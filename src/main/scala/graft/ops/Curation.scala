@@ -184,6 +184,27 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  /** Corpus-composition "dataset card": per (source, lang) document and
+    * token counts, each cell's share of all corpus tokens — the first
+    * table a data-mixture decision reads. Shape: one map-side-combined
+    * aggregate over (source, lang); the grand total is a 1-row aggregate
+    * of the GROUPED frame (group count, not corpus rows) broadcast into
+    * the plan — never a partition-less window, which would funnel every
+    * group through a single task. */
+  def curateSourceMix(s: SparkSession, dir: String): DataFrame = {
+    val per = Tables(s, dir, "documents")
+      .select(col("source"), col("lang"),
+        size(TextFns.tokens(col("text"))).cast("long").as("n_toks"))
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
+    val total = per.agg(sum(col("n_tokens")).as("total_tokens"))
+    per.crossJoin(broadcast(total))
+      .select(col("source"), col("lang"), col("n_docs"), col("n_tokens"),
+        round(col("n_tokens").cast("double") / col("total_tokens").cast("double"), 6)
+          .as("token_share"))
+      .orderBy(col("source"), col("lang"))
+  }
+
   /** Materialize the stratified corpus as a lang-partitioned parquet
     * dataset — the write-side half of the 100 TB story: `partitionBy`
     * turns every language-filtered read into directory pruning
@@ -207,6 +228,7 @@ object Curation {
     "curate_pack_sequences" -> curatePackSequences _,
     "curate_mix_epochs" -> curateMixEpochs _,
     "decontaminate_ngram" -> decontaminateNgram _,
+    "curate_source_mix" -> curateSourceMix _,
   )
 
   private val tokSql =
@@ -272,5 +294,14 @@ object Curation {
          |FROM (SELECT doc_id FROM documents WHERE doc_id % $evalStride <> 0) d
          |LEFT JOIN hits ON d.doc_id = hits.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+    "curate_source_mix" ->
+      s"""WITH per AS (
+         |  SELECT source, lang, count(*) AS n_docs,
+         |    CAST(sum(len($tokSql)) AS BIGINT) AS n_tokens
+         |  FROM documents GROUP BY source, lang),
+         |t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens FROM per)
+         |SELECT source, lang, n_docs, n_tokens,
+         |  round(CAST(n_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE), 6) AS token_share
+         |FROM per, t ORDER BY source, lang""".stripMargin,
   )
 }

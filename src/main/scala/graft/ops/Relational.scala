@@ -475,6 +475,26 @@ object Relational {
       .agg(count(lit(1)).as("n_rows"), count(col("grp")).as("n_nonnull"))
       .orderBy(asc_nulls_first("grp"))
 
+  /** Second-moment aggregate family (correlation / covariance / stddev)
+    * per group — the statistics pass a feature-engineering pipeline runs
+    * over numeric columns. One hash aggregate: Spark's central-moment
+    * aggregates merge associatively, so this is map-side-combined like
+    * any sum. Float parity: the moment sums accumulate in
+    * engine-specific orders, so outputs are quantized (6 decimals for
+    * the dimensionless ratios, 3 for the covariance whose magnitude is
+    * ~1e4) — the accumulated rounding error at these group sizes is
+    * orders of magnitude inside that tolerance. */
+  def qCorrStats(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qty_price"),
+        round(covar_pop(col("l_quantity"), col("l_extendedprice")), 3).as("covar_qty_price"),
+        round(stddev_pop(col("l_quantity")), 6).as("stddev_qty"),
+        round(avg(col("l_quantity")), 6).as("avg_qty"))
+      .orderBy(col("l_returnflag"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_unpivot" -> qUnpivot _,
     "q_null_semantics" -> qNullSemantics _,
@@ -492,6 +512,7 @@ object Relational {
     "q_string_funcs" -> qStringFuncs _,
     "q_math_funcs" -> qMathFuncs _,
     "q_salted_agg" -> qSaltedAgg _,
+    "q_corr_stats" -> qCorrStats _,
     "q_skew_join" -> qSkewJoin _,
     "q_merge_upsert" -> qMergeUpsert _,
     "q_approx_distinct" -> qApproxDistinct _,
@@ -634,6 +655,13 @@ object Relational {
       """SELECT l_returnflag,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
         |  count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_corr_stats" ->
+      """SELECT l_returnflag, count(*) AS n_rows,
+        |  round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+        |  round(covar_pop(l_quantity, l_extendedprice), 3) AS covar_qty_price,
+        |  round(stddev_pop(l_quantity), 6) AS stddev_qty,
+        |  round(avg(l_quantity), 6) AS avg_qty
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,

@@ -201,9 +201,15 @@ object TextAnalysis {
       // re-split the text once per gram (the HOF per-element re-eval trap)
       .select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= 2)
+      // total expression for the same reason as textBoilerplate's grams:
+      // inferred generate filters + subexpression elimination can
+      // evaluate this before the size >= 2 guard — clamp the sequence
+      // bound (descending below 1 emits invalid index 0) and use
+      // try_element_at (ANSI element_at throws out-of-range); surviving
+      // rows index in range either way
       .select(col("doc_id"), explode(transform(
-        sequence(lit(1), size(col("toks")) - 1),
-        i => concat_ws(" ", element_at(col("toks"), i), element_at(col("toks"), i + 1)))).as("gram"))
+        sequence(lit(1), greatest(size(col("toks")) - 1, lit(1))),
+        i => concat_ws(" ", try_element_at(col("toks"), i), try_element_at(col("toks"), i + 1)))).as("gram"))
     grams.groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("c"))
       .groupBy(col("doc_id"))
       .agg(sum(col("c")).as("n2_total"),
@@ -214,6 +220,86 @@ object TextAnalysis {
         (col("top_c").cast("double") / col("n2_total").cast("double")).as("top2_share"))
       .withColumn("is_repetitive",
         col("dup2_frac") > dupFracMax || col("top2_share") > topShareMax)
+      .orderBy(col("doc_id"))
+  }
+
+  /** PII patterns, shared verbatim with the oracle SQL: dialect-neutral
+    * regexes (character classes and bounded repeats only — no lookaround,
+    * so Java regex and RE2 agree) applied in a FIXED order, each stage
+    * counting and replacing on the previous stage's output, so the two
+    * engines see the identical occurrences (an email's digits are already
+    * `<EMAIL>` by the time the digit-run pass scans). */
+  val piiEmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val piiIpRe = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+  val piiNumRe = "[0-9]{7,}"
+
+  /** PII scrubbing: redact emails, IPv4 literals, and long digit runs
+    * (phone/SSN-shaped), reporting per-document hit counts — the
+    * compliance pass every pretraining pipeline runs before anything
+    * else sees the text. Pure codegen column work (three regexp stages
+    * fused into one whole-stage-codegen projection), no shuffle at all:
+    * scales linearly and is bounded by the scan. The synthetic corpus is
+    * PII-free by construction (all counts 0, scrubbed = text — itself a
+    * meaningful no-false-positives check); the hit paths are exercised
+    * by `OperatorSpec` on a purpose-built corpus and by the adversarial
+    * fuzz harness. */
+  def textPiiScrub(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir, "documents")
+      .withColumn("n_emails", regexp_count(col("text"), lit(piiEmailRe)).cast("long"))
+      .withColumn("t1", regexp_replace(col("text"), piiEmailRe, "<EMAIL>"))
+      .withColumn("n_ips", regexp_count(col("t1"), lit(piiIpRe)).cast("long"))
+      .withColumn("t2", regexp_replace(col("t1"), piiIpRe, "<IP>"))
+      .withColumn("n_nums", regexp_count(col("t2"), lit(piiNumRe)).cast("long"))
+    d.select(col("doc_id"), col("n_emails"), col("n_ips"), col("n_nums"),
+        (col("n_emails") + col("n_ips") + col("n_nums") > 0).as("has_pii"),
+        regexp_replace(col("t2"), piiNumRe, "<NUM>").as("scrubbed"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** A word 3-gram is a source's boilerplate when it appears in at least
+    * this many distinct documents of that source. */
+  val boilMinDocs = 3
+
+  /** Per-source template/boilerplate profile: distinct word 3-grams that
+    * recur across [[boilMinDocs]]+ documents of one source are that
+    * source's boilerplate (crawl headers, license footers, nav chrome);
+    * each document reports what fraction of its distinct 3-grams is
+    * boilerplate. ONE tokenize pass: per-row `array_distinct` replaces a
+    * DISTINCT shuffle, the document frequency comes from a count window
+    * over (source, gram) — partitions are bounded by docs-per-source, so
+    * no mega-task — and the same rows then aggregate per document. The
+    * alternative (aggregate df, join the boilerplate set back) would
+    * re-tokenize the corpus in a second subtree — the minhash
+    * double-compute lesson. */
+  def textBoilerplate(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = Tables(s, dir, "documents")
+      .select(col("doc_id"), col("source"), TextFns.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 3)
+      // This expression must be TOTAL: the optimizer infers a
+      // size(grams) > 0 filter from the explode below and common-subexpr
+      // elimination evaluates the gram array BEFORE the size >= 3 guard
+      // can short-circuit (caught by the fuzz corpus). Two traps on
+      // sub-3-token docs: sequence(1, n) runs DESCENDING for n < 1
+      // (emitting index 0, invalid even for try_element_at), so the
+      // bound is clamped to 1; and ANSI element_at throws out-of-range,
+      // so try_element_at returns null instead (concat_ws skips nulls).
+      // Such rows build one garbage gram the guard then drops; surviving
+      // rows index in range, so results are identical.
+      .select(col("doc_id"), col("source"),
+        array_distinct(transform(sequence(lit(1), greatest(size(col("toks")) - 2, lit(1))),
+          i => concat_ws(" ", try_element_at(col("toks"), i),
+            try_element_at(col("toks"), i + 1), try_element_at(col("toks"), i + 2)))).as("grams"))
+    val g = base.select(col("doc_id"), col("source"), explode(col("grams")).as("gram"))
+    g.withColumn("df", count(lit(1)).over(Window.partitionBy(col("source"), col("gram"))))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("df") >= boilMinDocs, 1L).otherwise(0L)).as("n_boiler"))
+      .withColumn("boiler_frac",
+        round(col("n_boiler").cast("double") / col("n_grams").cast("double"), 6))
+      .withColumn("is_template", col("boiler_frac") >= 0.5)
+      .select(col("doc_id"), col("source"), col("n_grams"), col("n_boiler"),
+        col("boiler_frac"), col("is_template"))
       .orderBy(col("doc_id"))
   }
 
@@ -551,6 +637,8 @@ object TextAnalysis {
     "text_lang_id" -> textLangId _,
     "text_fingerprint" -> textFingerprint _,
     "text_repetition" -> textRepetition _,
+    "text_pii_scrub" -> textPiiScrub _,
+    "text_boilerplate" -> textBoilerplate _,
   )
 
   private val tokSql =
@@ -743,6 +831,40 @@ object TextAnalysis {
          |    CAST(top_c AS DOUBLE) / CAST(n2_total AS DOUBLE) AS top2_share
          |  FROM a)
          |ORDER BY doc_id""".stripMargin,
+    // same constants, same stage order: counts taken on the PREVIOUS
+    // stage's output in both engines; DuckDB regexp_replace needs the
+    // explicit 'g' flag to match Spark's always-global semantics
+    "text_pii_scrub" ->
+      s"""WITH s1 AS (
+         |  SELECT doc_id,
+         |    CAST(len(regexp_extract_all(text, '$piiEmailRe')) AS BIGINT) AS n_emails,
+         |    regexp_replace(text, '$piiEmailRe', '<EMAIL>', 'g') AS t1
+         |  FROM documents),
+         |s2 AS (
+         |  SELECT doc_id, n_emails,
+         |    CAST(len(regexp_extract_all(t1, '$piiIpRe')) AS BIGINT) AS n_ips,
+         |    regexp_replace(t1, '$piiIpRe', '<IP>', 'g') AS t2
+         |  FROM s1)
+         |SELECT doc_id, n_emails, n_ips,
+         |  CAST(len(regexp_extract_all(t2, '$piiNumRe')) AS BIGINT) AS n_nums,
+         |  n_emails + n_ips + CAST(len(regexp_extract_all(t2, '$piiNumRe')) AS BIGINT) > 0 AS has_pii,
+         |  regexp_replace(t2, '$piiNumRe', '<NUM>', 'g') AS scrubbed
+         |FROM s2 ORDER BY doc_id""".stripMargin,
+    "text_boilerplate" ->
+      s"""WITH base AS (SELECT doc_id, source, $tokSql AS toks FROM documents),
+         |g0 AS (SELECT doc_id, source,
+         |         unnest(list_transform(range(1, len(toks) - 1),
+         |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS gram
+         |       FROM base WHERE len(toks) >= 3),
+         |g AS (SELECT DISTINCT doc_id, source, gram FROM g0),
+         |c AS (SELECT source, gram, count(*) AS df FROM g GROUP BY source, gram),
+         |a AS (SELECT g.doc_id, g.source, count(*) AS n_grams,
+         |        CAST(sum(CASE WHEN c.df >= $boilMinDocs THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler
+         |      FROM g JOIN c USING (source, gram) GROUP BY g.doc_id, g.source)
+         |SELECT doc_id, source, n_grams, n_boiler,
+         |  round(CAST(n_boiler AS DOUBLE) / CAST(n_grams AS DOUBLE), 6) AS boiler_frac,
+         |  round(CAST(n_boiler AS DOUBLE) / CAST(n_grams AS DOUBLE), 6) >= 0.5 AS is_template
+         |FROM a ORDER BY doc_id""".stripMargin,
     "text_fingerprint" ->
       """SELECT doc_id,
         |  list_reduce(list_prepend(CAST(0 AS BIGINT),

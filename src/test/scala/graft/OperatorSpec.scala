@@ -23,6 +23,67 @@ class OperatorSpec extends AnyFunSuite {
       "persisted-index BM25 diverged from the linear scan")
   }
 
+  test("text_pii_scrub redacts emails, IPs, and digit runs; no double counting") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("pii-corpus")
+    Seq(
+      (1L, "contact bob.smith+x@mail-host.org now", "en", "srcA", 0L),
+      (2L, "server at 10.0.255.7 port open", "en", "srcA", 0L),
+      (3L, "call 5551234567 or 123456 only", "en", "srcA", 0L),
+      (4L, "mail 99bob@x.io from 192.168.0.1 id 98765432109", "en", "srcB", 0L),
+      (5L, "clean text no identifiers here", "en", "srcB", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val r = graft.ops.TextAnalysis.textPiiScrub(spark, tmp.toString)
+      .collect().map(x => x.getLong(0) -> x).toMap
+    assert(r(1).getLong(1) == 1 && r(1).getString(5) == "contact <EMAIL> now")
+    assert(r(2).getLong(2) == 1 && r(2).getString(5) == "server at <IP> port open")
+    // 123456 is six digits — below the 7-digit floor, untouched
+    assert(r(3).getLong(3) == 1 && r(3).getString(5) == "call <NUM> or 123456 only")
+    // an email's digits and an IP's octets are already replaced before
+    // the digit-run stage scans: each source of PII is counted ONCE
+    assert(r(4).getLong(1) == 1 && r(4).getLong(2) == 1 && r(4).getLong(3) == 1 &&
+      r(4).getString(5) == "mail <EMAIL> from <IP> id <NUM>")
+    assert(!r(5).getBoolean(4) && r(5).getString(5) == "clean text no identifiers here")
+  }
+
+  test("text_boilerplate: per-source recurring 3-grams flagged, per-source df") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("boiler-corpus")
+    val header = "terms of service apply" // two shared 3-grams
+    Seq(
+      (1L, s"$header alpha beta gamma", "en", "s1", 0L),
+      (2L, s"$header delta epsilon zeta", "en", "s1", 0L),
+      (3L, s"$header eta theta iota", "en", "s1", 0L),
+      (4L, "totally original text here kappa", "en", "s1", 0L),
+      (5L, s"$header lambda mu nu", "en", "s2", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val r = graft.ops.TextAnalysis.textBoilerplate(spark, tmp.toString)
+      .collect().map(x => x.getLong(0) -> x).toMap
+    // docs 1-3 share the two header 3-grams within s1 (df = 3 = boilMinDocs)
+    assert((1L to 3L).forall(i => r(i).getLong(3) == 2 && r(i).getLong(2) == 5))
+    assert(r(4).getLong(3) == 0 && !r(4).getBoolean(5))
+    // the SAME grams in s2 appear in one doc there — df is per-source
+    assert(r(5).getLong(3) == 0)
+  }
+
+  test("curate_source_mix: token shares sum to 1, doc counts cover the corpus") {
+    import TestSpark.sf0001
+    val r = graft.ops.Curation.curateSourceMix(spark, sf0001).collect()
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet").count()
+    assert(r.map(_.getLong(2)).sum == docs)
+    assert(math.abs(r.map(_.getDouble(4)).sum - 1.0) < 1e-3)
+  }
+
+  test("q_corr_stats: correlation bounded, moments positive") {
+    import TestSpark.sf0001
+    val r = graft.ops.Relational.qCorrStats(spark, sf0001).collect()
+    assert(r.nonEmpty)
+    assert(r.forall(x => math.abs(x.getDouble(2)) <= 1.0 &&
+      x.getDouble(4) > 0 && x.getDouble(5) > 0 && x.getLong(1) > 0))
+  }
+
   test("tokens splits on whitespace runs and drops empties") {
     import spark.implicits._
     val r = Seq("  a  bb\tc ", "", "x").toDF("text")
