@@ -187,23 +187,25 @@ object Curation {
   /** Corpus-composition "dataset card": per (source, lang) document and
     * token counts, each cell's share of all corpus tokens — the first
     * table a data-mixture decision reads. Shape: one map-side-combined
-    * aggregate over (source, lang); the grand total is a 1-row aggregate
-    * of the GROUPED frame (group count, not corpus rows) broadcast into
-    * the plan — never a partition-less window, which would funnel every
-    * group through a single task. */
-  def curateSourceMix(s: SparkSession, dir: String): DataFrame = {
-    val per = Tables(s, dir, "documents")
+    * aggregate over (source, lang), then the grand total as a
+    * partition-less window over the GROUPED frame. The empty window is
+    * deliberate here and wrong almost everywhere else: it funnels its
+    * input through one task, but that input is the aggregate's output —
+    * group count many rows (thousands at most), not corpus rows. The
+    * alternative (a 1-row total aggregate joined back) re-expands the
+    * aggregation subtree and scans the corpus twice — measured, and
+    * exactly the minhash double-compute lesson. */
+  def curateSourceMix(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
       .select(col("source"), col("lang"),
         size(TextFns.tokens(col("text"))).cast("long").as("n_toks"))
       .groupBy(col("source"), col("lang"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
-    val total = per.agg(sum(col("n_tokens")).as("total_tokens"))
-    per.crossJoin(broadcast(total))
+      .withColumn("total_tokens", sum(col("n_tokens")).over(Window.partitionBy()))
       .select(col("source"), col("lang"), col("n_docs"), col("n_tokens"),
         round(col("n_tokens").cast("double") / col("total_tokens").cast("double"), 6)
           .as("token_share"))
       .orderBy(col("source"), col("lang"))
-  }
 
   /** Materialize the stratified corpus as a lang-partitioned parquet
     * dataset — the write-side half of the 100 TB story: `partitionBy`

@@ -180,6 +180,33 @@ class PlanGuardSpec extends AnyFunSuite {
       "serving plan tokenizes text — the corpus is being re-scanned at query time")
   }
 
+  test("text_pii_scrub is shuffle-free codegen: one scan, no hash exchange") {
+    val txt = plan("text_pii_scrub").toString
+    assert("Exchange hashpartitioning".r.findAllIn(txt).isEmpty,
+      "PII scrub grew a shuffle — it must stay a pure projection")
+    assert("FileScan".r.findAllIn(txt).length == 1, "documents scanned more than once")
+  }
+
+  test("text_boilerplate tokenizes the corpus exactly once (df via window, no re-scan)") {
+    // the df-aggregate-then-join-back alternative re-expands the
+    // tokenize+explode subtree — this pins the single-pass shape
+    val txt = plan("text_boilerplate").toString
+    assert("FileScan".r.findAllIn(txt).length == 1,
+      "documents scanned more than once — the gram subtree is duplicated")
+  }
+
+  test("curate_source_mix: grand total over the grouped frame, corpus scanned once") {
+    val txt = plan("curate_source_mix").toString
+    assert("FileScan".r.findAllIn(txt).length == 1,
+      "documents scanned more than once — the total re-expanded the aggregate subtree")
+  }
+
+  test("q_corr_stats moments combine map-side (partial_corr before the exchange)") {
+    val txt = plan("q_corr_stats").toString
+    assert(txt.contains("partial_corr"),
+      "corr is not map-side combined — moments shuffled as raw rows")
+  }
+
   test("q_skew_join stays a sort-merge join (the shape AQE skew-split requires)") {
     val p = plan("q_skew_join")
     assert(p.collect { case j: SortMergeJoinExec => j }.nonEmpty,
