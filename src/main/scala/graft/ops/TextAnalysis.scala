@@ -273,24 +273,21 @@ object TextAnalysis {
     * double-compute lesson. */
   def textBoilerplate(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val base = Tables(s, dir, "documents")
-      .select(col("doc_id"), col("source"), TextFns.tokens(col("text")).as("toks"))
-      .filter(size(col("toks")) >= 3)
-      // This expression must be TOTAL: the optimizer infers a
-      // size(grams) > 0 filter from the explode below and common-subexpr
-      // elimination evaluates the gram array BEFORE the size >= 3 guard
-      // can short-circuit (caught by the fuzz corpus). Two traps on
-      // sub-3-token docs: sequence(1, n) runs DESCENDING for n < 1
-      // (emitting index 0, invalid even for try_element_at), so the
-      // bound is clamped to 1; and ANSI element_at throws out-of-range,
-      // so try_element_at returns null instead (concat_ws skips nulls).
-      // Such rows build one garbage gram the guard then drops; surviving
-      // rows index in range, so results are identical.
+    // word_shingles: the fused codegen expression (same whitespace
+    // tokenizer, distinct space-joined n-grams via LinkedHashSet — i.e.
+    // array_distinct of the 3-grams in document order). The composed
+    // HOF form (transform + element_at over sequence) was ~10x slower
+    // here: the optimizer infers a size(grams) > 0 filter from the
+    // explode and re-evaluates the whole interpreted gram build per
+    // row in the filter AND the projection — and ANSI element_at made
+    // it throw on sub-3-token docs on top (fuzz-caught). The fused
+    // expression is total (short docs yield an empty array) and one
+    // compiled call, so the duplicate reference costs nothing.
+    val g = Tables(s, dir, "documents")
       .select(col("doc_id"), col("source"),
-        array_distinct(transform(sequence(lit(1), greatest(size(col("toks")) - 2, lit(1))),
-          i => concat_ws(" ", try_element_at(col("toks"), i),
-            try_element_at(col("toks"), i + 1), try_element_at(col("toks"), i + 2)))).as("grams"))
-    val g = base.select(col("doc_id"), col("source"), explode(col("grams")).as("gram"))
+        graft.plans.VectorFunctions.word_shingles(col("text"), 3).as("grams"))
+      .filter(size(col("grams")) >= 1)
+      .select(col("doc_id"), col("source"), explode(col("grams")).as("gram"))
     g.withColumn("df", count(lit(1)).over(Window.partitionBy(col("source"), col("gram"))))
       .groupBy(col("doc_id"), col("source"))
       .agg(count(lit(1)).as("n_grams"),
