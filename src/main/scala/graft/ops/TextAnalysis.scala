@@ -223,6 +223,69 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-document token Shannon entropy (nats) and entropy efficiency
+    * (H / ln(n_uniq) — 1.0 means uniform over the observed vocabulary).
+    * A low-entropy document is boilerplate/spam even when the repetition
+    * filter's fixed 2-gram window misses it. Shape: the same two-level
+    * (doc, token) aggregate as textRepetition — one linear map-side-
+    * combined shuffle whose key space is doc × distinct tokens, never a
+    * per-doc sort. The entropy itself uses the single-aggregate identity
+    * H = ln(n) − (Σ c·ln c)/n, so no second pass for the normalizer and
+    * no per-token p=c/n division. Zero-token docs simply produce no
+    * (doc, token) rows; single-term docs have H = 0 and an undefined
+    * efficiency (ln(1) = 0) — NULL in both engines. Scores quantized to
+    * 6 decimals against Σ-order float divergence vs the oracle. */
+  def textEntropy(s: SparkSession, dir: String): DataFrame = {
+    val ent = log(col("n_tokens").cast("double")) -
+      col("clnc") / col("n_tokens").cast("double")
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).cast("long").as("n_tokens"),
+        count(lit(1)).cast("long").as("n_uniq"),
+        sum(col("c").cast("double") * log(col("c").cast("double"))).as("clnc"))
+      .select(col("doc_id"), col("n_tokens"), col("n_uniq"),
+        round(ent, 6).as("entropy"),
+        when(col("n_uniq") > 1,
+          round(ent / log(col("n_uniq").cast("double")), 6)).as("efficiency"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Per-document cross-entropy under the corpus's own unigram LM
+    * (nats/token, plus perplexity) — the CCNet-style "how surprising is
+    * this document" quality signal, here with the MLE model trained on
+    * the scored corpus itself so every token is in-vocabulary and no
+    * smoothing constant leaks into the oracle contract. (A deployment
+    * trains the LM on a held-out reference corpus and adds smoothing;
+    * the plan shape is identical — only the `cf` side changes.) Shape:
+    * ONE tokenize into per-(doc, term) counts; the term frequencies `cf`
+    * aggregate from that GROUPED frame (group-count rows, not corpus
+    * tokens — the curate_source_mix lesson); the corpus total is a 1-row
+    * broadcast like BM25's stats; and `cf` joins back on term with the
+    * join strategy left to stats — broadcast while the vocabulary fits
+    * the threshold, shuffle join once it is corpus-sized (the TF-IDF df
+    * shape). AQE reuses the shared tfc subtree's exchange instead of
+    * re-tokenizing (pinned in PlanGuardSpec). */
+  def textUnigramLm(s: SparkSession, dir: String): DataFrame = {
+    val tfc = Tables(s, dir, "documents")
+      .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("c"))
+    val cf = tfc.groupBy(col("term")).agg(sum(col("c")).as("cf"))
+    val tot = cf.agg(sum(col("cf")).cast("double").as("total"))
+    tfc.join(cf, "term")
+      .crossJoin(broadcast(tot))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).cast("long").as("n_tokens"),
+        (-sum(col("c").cast("double") *
+            (log(col("cf").cast("double")) - log(col("total")))) /
+          sum(col("c")).cast("double")).as("xent_raw"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("xent_raw"), 6).as("xent_nats"),
+        round(exp(col("xent_raw")), 4).as("ppl"))
+      .orderBy(col("doc_id"))
+  }
+
   /** PII patterns, shared verbatim with the oracle SQL: dialect-neutral
     * regexes (character classes and bounded repeats only — no lookaround,
     * so Java regex and RE2 agree) applied in a FIXED order, each stage
@@ -634,6 +697,8 @@ object TextAnalysis {
     "text_lang_id" -> textLangId _,
     "text_fingerprint" -> textFingerprint _,
     "text_repetition" -> textRepetition _,
+    "text_entropy" -> textEntropy _,
+    "text_unigram_lm" -> textUnigramLm _,
     "text_pii_scrub" -> textPiiScrub _,
     "text_boilerplate" -> textBoilerplate _,
   )
@@ -828,6 +893,33 @@ object TextAnalysis {
          |    CAST(top_c AS DOUBLE) / CAST(n2_total AS DOUBLE) AS top2_share
          |  FROM a)
          |ORDER BY doc_id""".stripMargin,
+    // H = ln(n) − (Σ c·ln c)/n — the same single-aggregate identity as
+    // the Spark side, so both engines sum the identical c·ln(c) terms
+    "text_entropy" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($tokSql) AS term FROM documents),
+         |c AS (SELECT doc_id, term, count(*) AS c FROM tok GROUP BY doc_id, term),
+         |a AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+         |        CAST(count(*) AS BIGINT) AS n_uniq,
+         |        sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) AS clnc
+         |      FROM c GROUP BY doc_id)
+         |SELECT doc_id, n_tokens, n_uniq,
+         |  round(ln(CAST(n_tokens AS DOUBLE)) - clnc / CAST(n_tokens AS DOUBLE), 6) AS entropy,
+         |  CASE WHEN n_uniq > 1 THEN
+         |    round((ln(CAST(n_tokens AS DOUBLE)) - clnc / CAST(n_tokens AS DOUBLE))
+         |          / ln(CAST(n_uniq AS DOUBLE)), 6) END AS efficiency
+         |FROM a ORDER BY doc_id""".stripMargin,
+    "text_unigram_lm" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($tokSql) AS term FROM documents),
+         |tfc AS (SELECT doc_id, term, count(*) AS c FROM tok GROUP BY doc_id, term),
+         |cf AS (SELECT term, sum(c) AS cf FROM tfc GROUP BY term),
+         |tot AS (SELECT CAST(sum(cf) AS DOUBLE) AS total FROM cf),
+         |a AS (SELECT t.doc_id, CAST(sum(t.c) AS BIGINT) AS n_tokens,
+         |        -sum(CAST(t.c AS DOUBLE) * (ln(CAST(f.cf AS DOUBLE)) - ln(tot.total)))
+         |          / CAST(sum(t.c) AS DOUBLE) AS xent
+         |      FROM tfc t JOIN cf f ON t.term = f.term, tot
+         |      GROUP BY t.doc_id)
+         |SELECT doc_id, n_tokens, round(xent, 6) AS xent_nats, round(exp(xent), 4) AS ppl
+         |FROM a ORDER BY doc_id""".stripMargin,
     // same constants, same stage order: counts taken on the PREVIOUS
     // stage's output in both engines; DuckDB regexp_replace needs the
     // explicit 'g' flag to match Spark's always-global semantics

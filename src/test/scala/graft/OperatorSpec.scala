@@ -68,6 +68,45 @@ class OperatorSpec extends AnyFunSuite {
     assert(r(5).getLong(3) == 0)
   }
 
+  test("text_entropy: degenerate 0, uniform ln(n), mixed matches hand-computed") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("ent-corpus")
+    Seq(
+      (1L, "a a a a", "en", "s", 0L),          // one term: H = 0, efficiency undefined
+      (2L, "a b c d", "en", "s", 0L),          // uniform: H = ln(4), efficiency = 1
+      (3L, "a a b b b c c c", "en", "s", 0L),  // counts 2,3,3 over n=8
+      (4L, "", "en", "s", 0L))                 // no tokens: excluded
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val r = graft.ops.TextAnalysis.textEntropy(spark, tmp.toString)
+      .collect().map(x => x.getLong(0) -> x).toMap
+    assert(r.size == 3 && !r.contains(4L))
+    assert(r(1).getDouble(3) == 0.0 && r(1).isNullAt(4))
+    assert(math.abs(r(2).getDouble(3) - math.log(4)) < 1e-5 &&
+      math.abs(r(2).getDouble(4) - 1.0) < 1e-9)
+    val h3 = math.log(8) - (2 * math.log(2) + 6 * math.log(3)) / 8.0
+    assert(math.abs(r(3).getDouble(3) - h3) < 1e-5 &&
+      math.abs(r(3).getDouble(4) - h3 / math.log(3)) < 1e-5)
+  }
+
+  test("text_unigram_lm: cross-entropy under corpus MLE matches hand-computed") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("lm-corpus")
+    // corpus counts: a=2, b=4, total 6 -> p(a)=1/3, p(b)=2/3
+    Seq(
+      (1L, "a a b", "en", "s", 0L),
+      (2L, "b b b", "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val r = graft.ops.TextAnalysis.textUnigramLm(spark, tmp.toString)
+      .collect().map(x => x.getLong(0) -> x).toMap
+    val x1 = -(2 * math.log(1.0 / 3) + math.log(2.0 / 3)) / 3.0
+    val x2 = -math.log(2.0 / 3)
+    assert(math.abs(r(1).getDouble(2) - x1) < 1e-5)
+    assert(math.abs(r(2).getDouble(2) - x2) < 1e-5)
+    assert(math.abs(r(2).getDouble(3) - 1.5) < 1e-3) // ppl = 1/p(b)
+  }
+
   test("curate_source_mix: token shares sum to 1, doc counts cover the corpus") {
     import TestSpark.sf0001
     val r = graft.ops.Curation.curateSourceMix(spark, sf0001).collect()

@@ -195,6 +195,25 @@ class PlanGuardSpec extends AnyFunSuite {
       "documents scanned more than once — the gram subtree is duplicated")
   }
 
+  test("text_entropy is one two-level aggregate chain: corpus scanned once") {
+    val txt = plan("text_entropy").toString
+    assert("FileScan".r.findAllIn(txt).length == 1,
+      "documents scanned more than once — the entropy normalizer re-expanded the subtree")
+  }
+
+  test("text_unigram_lm tokenizes once at runtime (AQE reuses the tfc exchange)") {
+    // pre-AQE the shared (doc, term)-count subtree appears under all
+    // three consumers (join input, cf, total); at runtime AQE must
+    // collapse them onto one exchange or the corpus is tokenized 3x
+    val df = q("text_unigram_lm")
+    df.collect()
+    val txt = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert("ReusedExchange".r.findAllIn(txt).length >= 2,
+      "tfc exchange not reused — corpus tokenized more than once at runtime")
+    assert("Scan parquet".r.findAllIn(txt).length == 1,
+      "final plan scans documents more than once")
+  }
+
   test("curate_source_mix: grand total over the grouped frame, corpus scanned once") {
     val txt = plan("curate_source_mix").toString
     assert("FileScan".r.findAllIn(txt).length == 1,
