@@ -27,4 +27,13 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[32] keeps 32 tasks inside JNI critical sections (parquet /
+  // snappy / unsafe shuffle I/O); under allocation pressure the JVM's
+  // GCLocker can starve a thread past its retry budget and throw a
+  // spurious "Java heap space" OOM on a 3-word allocation (seen twice
+  // in the 250k-vector ScaleSmoke run). Raising the retry count is the
+  // documented mitigation (JDK-8192647); it changes nothing unless the
+  // starvation path is hit.
+  "-XX:+UnlockDiagnosticVMOptions",
+  "-XX:GCLockerRetryAllocationCount=100",
 )

@@ -212,6 +212,38 @@ object ScaleSmoke {
     }
     say(s"  -> $spine spine rows (bound: 10k users x 90 days = 900k)")
 
+    // 10. the round-5 curation scorers at 100k docs / ~8M tokens. The
+    //     scale hazards differ per op: entropy and unigram-LM shuffle
+    //     (doc, term) count rows (~7M here — bounded by tokens, not
+    //     tokens², and map-side combined); the LM additionally joins the
+    //     10k-word vocab back on term under a 5-stopword Zipf head (the
+    //     skewed-key case the join has to survive); PII scrub must stay
+    //     a pure scan-speed projection; boilerplate's df window keys on
+    //     (source, gram) — partitions bounded by docs-per-source.
+    val entStats = time("text_entropy (100k docs, ~8M tokens)") {
+      ops.TextAnalysis.textEntropy(spark, dir)
+        .agg(count(lit(1)), sum(when(
+          col("entropy") < 0 || col("entropy") > log(col("n_uniq").cast("double")) + 1e-9 ||
+            (col("n_uniq") > 1 && (col("efficiency") < 0 || col("efficiency") > 1.0 + 1e-9)),
+          1L).otherwise(0L))).head()
+    }
+    say(s"  -> ${entStats.getLong(0)} docs scored, ${entStats.getLong(1)} out of [0, ln(n_uniq)] bounds")
+    assert(entStats.getLong(0) == nDoc && entStats.getLong(1) == 0L)
+    val lmStats = time("text_unigram_lm (100k docs, 10k-word vocab + Zipf head)") {
+      ops.TextAnalysis.textUnigramLm(spark, dir)
+        .agg(count(lit(1)), sum(when(
+          col("xent_nats") <= 0 || col("xent_nats") > math.log(nDoc * 100.0), 1L)
+          .otherwise(0L))).head()
+    }
+    say(s"  -> ${lmStats.getLong(0)} docs scored, ${lmStats.getLong(1)} outside (0, ln(corpus tokens)]")
+    assert(lmStats.getLong(0) == nDoc && lmStats.getLong(1) == 0L)
+    time("text_pii_scrub (100k docs, projection only)")(noop(ops.TextAnalysis.textPiiScrub(spark, dir)))
+    val boiler = time("text_boilerplate (100k docs, (source, gram) df window)") {
+      ops.TextAnalysis.textBoilerplate(spark, dir).count()
+    }
+    say(s"  -> $boiler docs profiled")
+    assert(boiler == nDoc)
+
     say("done")
     spark.stop()
   }
