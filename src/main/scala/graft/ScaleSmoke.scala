@@ -237,6 +237,17 @@ object ScaleSmoke {
     }
     say(s"  -> ${lmStats.getLong(0)} docs scored, ${lmStats.getLong(1)} outside (0, ln(corpus tokens)]")
     assert(lmStats.getLong(0) == nDoc && lmStats.getLong(1) == 0L)
+    // exact shared-span dedup: the planted near-dups differ only at the
+    // every-29th-word nudges, so copy+source pairs share most 8-word
+    // spans (frac ~0.55-0.75 >> the 0.2 flag threshold) while chance
+    // 8-gram collisions between unrelated docs are ~0 — expect exactly
+    // source+copy = 2 x nDocDup flagged docs
+    val spans = time("dedup_shared_spans (100k docs, reused-exchange hash join)") {
+      ops.Dedup.dedupSharedSpans(spark, dir)
+        .agg(count(lit(1)), sum(when(col("is_span_dup"), 1L).otherwise(0L))).head()
+    }
+    say(s"  -> ${spans.getLong(0)} docs, ${spans.getLong(1)} span-dup flagged (planted: ${2 * nDocDup})")
+    assert(spans.getLong(0) == nDoc && spans.getLong(1) == 2 * nDocDup)
     time("text_pii_scrub (100k docs, projection only)")(noop(ops.TextAnalysis.textPiiScrub(spark, dir)))
     val boiler = time("text_boilerplate (100k docs, (source, gram) df window)") {
       ops.TextAnalysis.textBoilerplate(spark, dir).count()

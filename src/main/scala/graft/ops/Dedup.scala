@@ -761,7 +761,73 @@ object Dedup {
       .orderBy(col("cluster_id"))
   }
 
+  /** Word length of an exact span: two documents "share a span" when an
+    * identical [[spanShingleN]]-word window occurs in both. 8 words
+    * here; the published choice (50 BPE tokens — Lee et al.,
+    * "Deduplicating Training Data Makes Language Models Better", 2022)
+    * only changes this constant, not the plan. */
+  val spanShingleN = 8
+
+  /** A document more than this fraction of whose distinct spans also
+    * occur elsewhere in the corpus is span-duplicated. */
+  val sharedSpanFracMax = 0.2
+
+  /** Intra-corpus exact shared-span profile — the signal near-dup
+    * similarity misses: a document that merely QUOTES a long passage of
+    * another shares an exact span while its Jaccard/cosine similarity
+    * stays low. Every distinct [[spanShingleN]]-word window is hashed
+    * (the fused `word_shingle_hashes` expression — set semantics per
+    * doc); a hash occurring in 2+ documents marks a shared span; each
+    * document reports its distinct-span count, how many of those are
+    * shared, and the shared fraction.
+    *
+    * Scale shape: the TEXT is scanned and hashed exactly once — the
+    * (doc_id, span_hash) rows go through a grouped frame whose exchange
+    * both consumers (the document-frequency aggregate and the join-back)
+    * share at runtime via AQE `ReusedExchange`, the `text_unigram_lm`
+    * tfc pattern; every later stage shuffles narrow 24-byte hash rows,
+    * never text. The span-vocabulary side of the join is corpus-sized,
+    * correctly left to stats (NOT broadcast at scale). The final
+    * per-doc aggregate and left join key on doc_id. No window, no
+    * collect_list — a boilerplate span occurring in a million documents
+    * costs a 1-row count, never a posting-list buffer. This is the
+    * shape exact-substring dedup keeps at 100 TB: every stage is a
+    * linear hash shuffle. */
+  def dedupSharedSpans(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    // (doc_id, h) is already distinct (set semantics in the fused
+    // expression); the groupBy's job is plan shape, not semantics — it
+    // turns the explode into ONE exchange-rooted subtree that the freq
+    // aggregate AND the join below both consume, so AQE reuses one
+    // shuffle instead of tokenizing the corpus per consumer
+    // the explicit isNotNull matches the constraint the left-outer join
+    // below infers and pushes into the join branch only — without it the
+    // two consumers' subtrees canonicalize differently and AQE cannot
+    // reuse the exchange (observed: corpus tokenized twice)
+    val sh = docs.filter(col("doc_id").isNotNull)
+      .select(col("doc_id"),
+        explode(graft.plans.VectorFunctions.word_shingle_hashes(col("text"), spanShingleN)).as("h"))
+      .groupBy(col("doc_id"), col("h")).agg(count(lit(1)).as("c")).drop("c")
+    // one row per (doc, span): count per h IS the span's document frequency
+    val freq = sh.groupBy(col("h")).agg(count(lit(1)).as("n_docs"))
+    val per = sh.join(freq, "h")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("n_docs") > 1, 1L).otherwise(0L)).as("n_shared"))
+    docs.select(col("doc_id"))
+      .join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"))
+      .withColumn("shared_frac", when(col("n_spans") > 0,
+        round(col("n_shared").cast("double") / col("n_spans").cast("double"), 6)))
+      .withColumn("is_span_dup",
+        coalesce(col("shared_frac") > sharedSpanFracMax, lit(false)))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_shared_spans" -> dedupSharedSpans _,
     "dedup_keep_best" -> dedupKeepBest _,
     "dedup_exact" -> dedupExact _,
     "dedup_ngram_jaccard" -> dedupNgramJaccard _,
@@ -812,6 +878,25 @@ object Dedup {
     "dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS copies, md5(text) AS text_md5
         |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
+    "dedup_shared_spans" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id, CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) AS h FROM (
+         |    SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(tk) - ${spanShingleN - 2}),
+         |      i -> array_to_string(tk[i:i+${spanShingleN - 1}], ' ')))) AS shingle
+         |    FROM (SELECT doc_id, $tokSql AS tk FROM documents))),
+         |freq AS (SELECT h, count(*) AS n_docs FROM sh GROUP BY h),
+         |per AS (
+         |  SELECT sh.doc_id, count(*) AS n_spans,
+         |    CAST(sum(CASE WHEN freq.n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
+         |  FROM sh JOIN freq USING (h) GROUP BY sh.doc_id)
+         |SELECT d.doc_id,
+         |  COALESCE(per.n_spans, 0) AS n_spans,
+         |  COALESCE(per.n_shared, 0) AS n_shared,
+         |  CASE WHEN per.n_spans > 0 THEN round(per.n_shared / per.n_spans, 6) END AS shared_frac,
+         |  COALESCE(round(per.n_shared / per.n_spans, 6) > $sharedSpanFracMax, false) AS is_span_dup
+         |FROM (SELECT doc_id FROM documents) d
+         |LEFT JOIN per ON d.doc_id = per.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
     "dedup_clusters" ->
       s"""WITH RECURSIVE ${allPairsSql.stripPrefix("WITH ")},
          |e AS (SELECT id_a AS src, id_b AS dst FROM jpairs

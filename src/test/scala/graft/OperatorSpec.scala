@@ -367,6 +367,35 @@ class OperatorSpec extends AnyFunSuite {
     if (zs.nonEmpty) assert(zs.exists(_ > 0) && zs.exists(_ < 0))
   }
 
+  test("dedupSharedSpans: quoting an exact span is flagged; short docs are 0-span rows") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("span-corpus")
+    val w = (1 to 12).map(i => s"w$i")
+    Seq(
+      // 12 words -> 5 distinct 8-word spans
+      (1L, w.mkString(" "), "en", "s1", 0L),
+      // quotes doc 1's first NINE words -> shares the spans starting at
+      // w1 and w2 (2 of its 5), dissimilar tail otherwise
+      (2L, (w.take(9) ++ Seq("y10", "y11", "y12")).mkString(" "), "en", "s1", 0L),
+      // 10 unique words -> 3 spans, none shared
+      (3L, (1 to 10).map(i => s"u$i").mkString(" "), "en", "s1", 0L),
+      // below the span length -> no spans at all, still reported
+      (4L, "too short for any span", "en", "s1", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val r = graft.ops.Dedup.dedupSharedSpans(spark, tmp.toString)
+      .collect().map(x => x.getLong(0) -> x).toMap
+    assert(r.size == 4)
+    for (id <- Seq(1L, 2L)) {
+      assert(r(id).getLong(1) == 5 && r(id).getLong(2) == 2, s"doc $id span counts")
+      assert(r(id).getDouble(3) == 0.4 && r(id).getBoolean(4), s"doc $id must be flagged")
+    }
+    assert(r(3L).getLong(1) == 3 && r(3L).getLong(2) == 0 &&
+      r(3L).getDouble(3) == 0.0 && !r(3L).getBoolean(4))
+    assert(r(4L).getLong(1) == 0 && r(4L).getLong(2) == 0 &&
+      r(4L).isNullAt(3) && !r(4L).getBoolean(4))
+  }
+
   test("every registered query returns rows at sf0.001 (t1 smoke)") {
     val failures = SparkEntry.queries.flatMap { case (name, fn) =>
       try {

@@ -214,6 +214,22 @@ class PlanGuardSpec extends AnyFunSuite {
       "final plan scans documents more than once")
   }
 
+  test("dedup_shared_spans hashes the corpus once (grouped-frame exchange reused)") {
+    // the (doc_id, h) grouped subtree feeds BOTH the span-frequency
+    // aggregate and the join-back; the explicit isNotNull(doc_id) in the
+    // operator keeps the two copies canonically identical so AQE
+    // collapses them onto one exchange — without it the left-outer
+    // join's inferred constraint lands in one branch only and the text
+    // is tokenized+hashed twice (observed before the fix)
+    val df = q("dedup_shared_spans")
+    df.collect()
+    val txt = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert("ReusedExchange".r.findAllIn(txt).length >= 1,
+      "grouped-frame exchange not reused — corpus hashed more than once at runtime")
+    assert("word_shingle_hashes".r.findAllIn(txt).length == 1,
+      "span hashing appears in more than one scan branch")
+  }
+
   test("curate_source_mix: grand total over the grouped frame, corpus scanned once") {
     val txt = plan("curate_source_mix").toString
     assert("FileScan".r.findAllIn(txt).length == 1,
