@@ -53,19 +53,37 @@ object Tables {
 
   private def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS), which Spark's µs TimestampType
-      // rejects by default. nanosAsLong is session-global (no per-read form);
-      // GraftSession sets it at build time so behavior is uniform rather than
-      // order-dependent — the set here only covers sessions built elsewhere.
-      // Read the raw int64 nanos and convert with integer division (`div`,
-      // not `/` — a double round-trip would lose precision on epoch-nano
-      // magnitudes). The driver's testdata is µs-aligned, so the conversion
-      // is lossless and matches DuckDB's view of the column.
+      // nanosAsLong is session-global (no per-read form); GraftSession sets
+      // it at build time so a TIMESTAMP(NANOS) file reads uniformly rather
+      // than order-dependently — the set here only covers sessions built
+      // elsewhere. The actual ts physical type has varied across driver
+      // testdata generations, so normalization is schema-adaptive (below).
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/events.parquet")
-        .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      normalizeEventTs(spark.read.parquet(s"$dir/events.parquet"))
     } else {
       spark.read.parquet(s"$dir/$name.parquet")
+    }
+  }
+
+  /** Normalize `events.ts` to µs TimestampType regardless of how the file
+    * stores it — the driver's testdata generations have shipped it as
+    * int64 TIMESTAMP(NANOS) (read as raw longs under nanosAsLong) and as
+    * TIMESTAMP(MICROS, isAdjustedToUTC=false) (read as TIMESTAMP_NTZ):
+    *  - long nanos → `timestamp_micros(ts div 1000)`; integer `div`, not
+    *    `/` — a double round-trip loses precision at epoch-nano magnitude.
+    *    The testdata is µs-aligned so the division is lossless.
+    *  - TIMESTAMP_NTZ → cast to TimestampType. The session timezone is
+    *    pinned to UTC ([[GraftSession]]), so the cast re-labels the same
+    *    µs value — identical to DuckDB's view of the column.
+    * Downstream operators and oracles always see µs TimestampType. */
+  def normalizeEventTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType =>
+        df.withColumn("ts", df.col("ts").cast(TimestampType))
+      case _ => df
     }
   }
 }

@@ -20,11 +20,21 @@ import org.apache.spark.sql.types._
   */
 object EventStreams {
 
-  /** Raw schema of events.parquet (ts = int64 nanos; see graft.Tables). */
-  private val rawSchema = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
-    StructField("user_id", LongType), StructField("event_type", StringType),
-    StructField("value", DoubleType), StructField("props", StringType)))
+  /** Streaming source over the testdata events table, normalized to µs
+    * TimestampType `ts`. The streaming file source needs an explicit
+    * schema; the ts physical type has varied across driver testdata
+    * generations (int64 nanos vs TIMESTAMP_NTZ µs), so take the schema
+    * from a batch footer read of the same file and reuse
+    * [[graft.Tables.normalizeEventTs]] — one normalization for batch and
+    * stream. The footer read is a tiny driver-side job, paid once per
+    * query construction. */
+  private def eventsStream(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val fileSchema = s.read.parquet(s"$dir/events.parquet").schema
+    graft.Tables.normalizeEventTs(
+      s.readStream.schema(fileSchema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir))
+  }
 
   /** State partitions for the memory-sink oracle-harness queries.
     *
@@ -56,13 +66,10 @@ object EventStreams {
 
   /** Streaming tumbling-window counts per (hour, event_type). */
   def streamHourCounts(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val name = "stream_hour_counts_" + java.util.UUID.randomUUID().toString.replace("-", "")
     // the streaming file source requires a directory: scan the sf dir,
     // glob-filtered to the events table
-    val stream = s.readStream.schema(rawSchema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val stream = eventsStream(s, dir)
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n_events"))
@@ -94,9 +101,6 @@ object EventStreams {
     out
   }
 
-  final case class RawEvent(event_id: Long, ts: Long, user_id: Long,
-      event_type: String, value: Double, props: String)
-
   /** Production feed row (real TimestampType ts; see feedSchema). */
   final case class FeedEvent(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double)
@@ -109,14 +113,12 @@ object EventStreams {
   def streamStatefulCounts(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val name = "stream_stateful_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val updates = s.readStream.schema(rawSchema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
-      .as[RawEvent]
-      .groupByKey(_.event_type)
+    val updates = eventsStream(s, dir)
+      .select(col("event_type")).as[String]
+      .groupByKey(identity)
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
-        (key: String, rows: Iterator[RawEvent], state: GroupState[Long]) => {
+        (key: String, rows: Iterator[String], state: GroupState[Long]) => {
           val n = state.getOption.getOrElse(0L) + rows.size
           state.update(n)
           Iterator((key, n))
@@ -148,11 +150,8 @@ object EventStreams {
     * only keys younger than the watermark — bounded, unlike a plain
     * `dropDuplicates` whose key state grows forever. */
   def streamDedupCounts(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val name = "stream_dedup_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    def src = s.readStream.schema(rawSchema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    def src = eventsStream(s, dir)
     val deduped = src.union(src)
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
@@ -183,11 +182,8 @@ object EventStreams {
     * The time arithmetic stays in native µs timestamps on both engines
     * (a ms-rounded oracle would disagree at window edges). */
   def streamStreamJoin(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val name = "stream_join_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    def src = s.readStream.schema(rawSchema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    def src = eventsStream(s, dir)
     val clicks = src.filter(col("event_type") === "click")
       .select(col("user_id").as("c_user"), col("event_id").as("click_id"), col("ts").as("c_ts"))
       .withWatermark("c_ts", "1 hour")
