@@ -156,6 +156,19 @@ object ScaleSmoke {
         .select(col("vec_id").as("q_id"), col("embedding"))
       topkPairs(ops.AnnIndex.ivfIndexServe(spark, ivfIdxDir, Seq(dir), queries))
     }
+    // the compressed-scan path: corpus ships as 8-byte PQ codes, queries
+    // as 128-entry LUTs — the shuffle narrowing (~32x vs raw vectors)
+    // is exactly what 250k rows is meant to exercise; the trained
+    // codebook pays its per-subspace Lloyd on first call (memoized)
+    val pqAdc = time("sim_pq_topk (prefix codebook, pure ADC)") {
+      topkPairs(ops.Similarity.simPqTopk(spark, dir))
+    }
+    val pqTrained = time("sim_pq_topk_trained (incl. subspace training)") {
+      topkPairs(ops.Similarity.simPqTopkTrained(spark, dir))
+    }
+    val pqRescore = time("sim_pq_rescore (ADC shortlist + exact rescore)") {
+      topkPairs(ops.Similarity.simPqRescore(spark, dir))
+    }
     val exact = time("sim_topk_bruteforce (ground truth, 5k queries x 250k)") {
       topkPairs(ops.Similarity.simTopkBruteforce(spark, dir))
     }
@@ -167,6 +180,9 @@ object ScaleSmoke {
     recallOf("lsh auto", lshAuto)
     recallOf("lsh served (persisted index)", served)
     recallOf("ivf served (persisted index)", ivfServed)
+    recallOf("pq adc (prefix)", pqAdc)
+    recallOf("pq adc (trained)", pqTrained)
+    recallOf("pq rescore", pqRescore)
 
     // 6. text dedup + sketch heavy hitters on 100k docs
     val mh = time("dedup_minhash_lsh (100k docs)") {

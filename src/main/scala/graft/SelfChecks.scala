@@ -78,6 +78,65 @@ object SelfChecks {
       s"pairs=${rows.length} bad=$bad")
   }
 
+  /** PQ ANN contract: every ADC score bit-equal to a recompute from the
+    * trained codebook (codes re-derived by the same strict-less argmin,
+    * score re-summed in the same grouped s-ascending order), rk dense
+    * and (adc DESC, cand_id) ordered, no self-pairs; recall vs the exact
+    * brute force is reported. */
+  private def pqCheck(fn: (SparkSession, String) => DataFrame,
+      cbFn: (SparkSession, String) => Array[Double], reason: String)(
+      s: SparkSession, dir: String): CheckResult = {
+    val m = ops.Similarity.pqM
+    val k = ops.Similarity.pqK
+    val dsub = ops.Similarity.pqDsub
+    val cb = cbFn(s, dir)
+    val vecs = vecsOf(s, dir)
+    def normalized(v: (Array[Float], Double)): Array[Double] =
+      v._1.map(_.toDouble / v._2)
+    def codesOf(x: Array[Double]): Array[Int] =
+      Array.tabulate(m) { sub =>
+        var best = 0; var bestDist = Double.PositiveInfinity
+        for (j <- 0 until k) {
+          val base = (sub * k + j) * dsub
+          var acc = 0.0
+          for (d <- 0 until dsub) { val diff = x(sub * dsub + d) - cb(base + d); acc += diff * diff }
+          if (acc < bestDist) { bestDist = acc; best = j }
+        }
+        best
+      }
+    def adcOf(q: Array[Double], codes: Array[Int]): Double = {
+      var total = 0.0
+      for (sub <- 0 until m) {
+        val base = (sub * k + codes(sub)) * dsub
+        var acc = 0.0
+        for (d <- 0 until dsub) acc += q(sub * dsub + d) * cb(base + d)
+        total += acc
+      }
+      total
+    }
+    val codes = vecs.map { case (id, v) => id -> codesOf(normalized(v)) }
+    val rows = fn(s, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val badAdc = rows.count { case (q, _, c, adc) =>
+      q == c || adcOf(normalized(vecs(q)), codes(c)) != adc
+    }
+    val badRank = rows.groupBy(_._1).count { case (_, rs) =>
+      val sorted = rs.sortBy(_._2)
+      sorted.map(_._2).toSeq != (1L to sorted.length.toLong) ||
+        sorted.sliding(2).exists {
+          case Array((_, _, c1, s1), (_, _, c2, s2)) => s1 < s2 || (s1 == s2 && c1 > c2)
+          case _ => false
+        }
+    }
+    val exact = ops.Similarity.simTopkBruteforce(s, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val got = rows.map(t => (t._1, t._3)).toSet
+    val recall = (exact intersect got).size.toDouble / math.max(1, exact.size)
+    CheckResult(badAdc == 0 && badRank == 0 && recall > 0.0, reason,
+      "rk dense + ADC bit-equal to codebook recompute + recall vs brute force",
+      f"rows=${rows.length} badAdc=$badAdc badRank=$badRank recall@${ops.Similarity.topK}=$recall%.3f")
+  }
+
   private def approxDistinctCheck(s: SparkSession, dir: String): CheckResult = {
     val approx = ops.Relational.qApproxDistinct(s, dir).collect()
       .map(r => r.getString(0) -> Seq(r.getLong(1), r.getLong(2), r.getLong(3))).toMap
@@ -150,6 +209,9 @@ object SelfChecks {
       "serves a persisted TRAINED index; k-means centroids are not bit-reproducible in SQL"),
     "dedup_embedding_blocked_trained" -> pairsCheck(ops.Dedup.dedupEmbeddingBlockedTrained,
       "k-means training sums floats in partition order; centroids are not bit-reproducible in SQL"),
+    "sim_pq_topk_trained" -> pqCheck(ops.Similarity.simPqTopkTrained,
+      (s, d) => ops.Similarity.pqCodebookTrained(s, d),
+      "per-subspace k-means sums floats in partition order; the codebook is not bit-reproducible in SQL"),
     "q_approx_distinct" -> (approxDistinctCheck _),
     "text_heavy_hitters" -> (heavyHittersCheck _),
     "text_heavy_hitters_sketch" -> (heavyHittersSketchCheck _),

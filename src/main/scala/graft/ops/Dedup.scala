@@ -826,8 +826,53 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Span REWRITE — the corpus-mutating counterpart of
+    * [[dedupSharedSpans]] (C4/RefinedWeb-style exact-substring removal;
+    * Lee et al. 2022 drop one occurrence, Penedo et al. 2023 rewrite —
+    * this implements the rewrite): every word covered by a
+    * [[spanShingleN]]-word window that occurs in 2+ documents is
+    * removed from BOTH, and the survivors re-join into `text_clean`.
+    *
+    * Positions matter here, so the shingle expansion is the POSITIONAL
+    * `word_shingle_hashes_pos` (one row per window start, not the
+    * set-semantics form) — a boilerplate window repeated mid-document
+    * must scrub every occurrence. Document frequency still counts
+    * DISTINCT docs per hash (the `.distinct()` before the freq
+    * aggregate), so intra-doc repetition alone never marks a span
+    * shared.
+    *
+    * Scale shape: text is tokenized+hashed once; the shared-start
+    * positions per doc come back as ONE sorted array per document
+    * (bounded by its own window count) and the interval-union + rebuild
+    * runs inside the fused `span_scrub` kernel — there is no per-WORD
+    * explode/anti-join/re-aggregate: every shuffle after the scan
+    * carries narrow (doc_id, hash/position) rows, and the rebuilt text
+    * is produced in the same task that holds the original. */
+  def dedupSpanRewrite(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    val shp = docs.filter(col("doc_id").isNotNull)
+      .select(col("doc_id"),
+        posexplode(graft.plans.VectorFunctions.word_shingle_hashes_pos(
+          col("text"), spanShingleN)).as(Seq("p0", "h")))
+    val freq = shp.select(col("doc_id"), col("h")).distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("n_docs"))
+    val starts = shp.join(freq, "h")
+      .filter(col("n_docs") > 1)
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("p0").cast("long"))).as("starts"))
+    docs.join(starts, Seq("doc_id"), "left")
+      .select(col("doc_id"), graft.plans.VectorFunctions.span_scrub(
+        col("text"),
+        coalesce(col("starts"), array().cast("array<bigint>")),
+        spanShingleN).as("r"))
+      .select(col("doc_id"), col("r.n_words").as("n_words"),
+        col("r.n_removed").as("n_removed"), col("r.text_clean").as("text_clean"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_shared_spans" -> dedupSharedSpans _,
+    "dedup_span_rewrite" -> dedupSpanRewrite _,
     "dedup_keep_best" -> dedupKeepBest _,
     "dedup_exact" -> dedupExact _,
     "dedup_ngram_jaccard" -> dedupNgramJaccard _,
@@ -897,6 +942,38 @@ object Dedup {
          |FROM (SELECT doc_id FROM documents) d
          |LEFT JOIN per ON d.doc_id = per.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+    "dedup_span_rewrite" ->
+      s"""WITH tokd AS (SELECT doc_id, $tokSql AS tk FROM documents),
+         |shp AS (
+         |  SELECT doc_id,
+         |    unnest(generate_series(1, len(tk) - ${spanShingleN - 1})) AS i, tk
+         |  FROM tokd),
+         |shh AS (
+         |  SELECT doc_id, i,
+         |    CAST(('0x' || substr(md5(array_to_string(tk[i:i+${spanShingleN - 1}], ' ')), 1, 15)) AS BIGINT) AS h
+         |  FROM shp),
+         |freq AS (SELECT h, count(*) AS n_docs
+         |         FROM (SELECT DISTINCT doc_id, h FROM shh) GROUP BY h),
+         |cov AS (
+         |  SELECT DISTINCT doc_id, unnest(generate_series(i, i + ${spanShingleN - 1})) AS w
+         |  FROM shh JOIN freq USING (h) WHERE n_docs > 1),
+         |words AS (
+         |  SELECT doc_id, unnest(generate_series(1, len(tk))) AS w, tk
+         |  FROM tokd),
+         |kept AS (
+         |  SELECT words.doc_id, words.w, words.tk[words.w] AS word
+         |  FROM words LEFT JOIN cov ON words.doc_id = cov.doc_id AND words.w = cov.w
+         |  WHERE cov.w IS NULL),
+         |agg AS (
+         |  SELECT doc_id, string_agg(word, ' ' ORDER BY w) AS text_clean,
+         |    count(*) AS n_kept
+         |  FROM kept GROUP BY doc_id)
+         |SELECT t.doc_id,
+         |  CAST(len(t.tk) AS BIGINT) AS n_words,
+         |  CAST(len(t.tk) - COALESCE(agg.n_kept, 0) AS BIGINT) AS n_removed,
+         |  COALESCE(agg.text_clean, '') AS text_clean
+         |FROM tokd t LEFT JOIN agg ON t.doc_id = agg.doc_id
+         |ORDER BY t.doc_id""".stripMargin,
     "dedup_clusters" ->
       s"""WITH RECURSIVE ${allPairsSql.stripPrefix("WITH ")},
          |e AS (SELECT id_a AS src, id_b AS dst FROM jpairs

@@ -550,6 +550,177 @@ object Similarity {
       .orderBy(col("q_id"), col("rk"))
   }
 
+  // ---------------------------------------------------------------- PQ
+
+  /** Product quantization: [[pqM]] subspaces of `embDims/pqM` dims, each
+    * quantized to one of [[pqK]] codebook entries — a corpus vector
+    * becomes pqM small ints (8 B here vs 256 B of floats), which is the
+    * 100 TB answer to vector SCAN cost: the candidate side of the ANN
+    * scan ships codes, not embeddings, so a shuffled corpus cell is
+    * ~32× narrower, and per-candidate scoring is O(pqM) lookups into a
+    * per-query table ([[plans.PqLut]]) instead of an O(dims) dot. */
+  val pqM = 8
+  val pqK = 16
+  private[graft] def pqDsub: Int = embDims / pqM
+
+  /** Deterministic codebook: the first [[pqK]] corpus vectors by vec_id,
+    * normalized, each contributing its s-th subvector as entry j of
+    * subspace s (layout `cb[(s·pqK + j)·dsub + d]`). Crude as a
+    * quantizer (see [[pqCodebookTrained]]) but fully reproducible in
+    * SQL, which buys the DuckDB oracle; the prefix rows are collected
+    * EAGERLY (one tiny TakeOrdered job over pqK rows — a documented
+    * deviation from the lazy-plan contract, like [[trainedCentroidsOf]])
+    * and memoized per (session, corpus). */
+  private[graft] def pqCodebook(s: SparkSession, dir: String): Array[Double] =
+    pqMemo.synchronized {
+      val it = pqMemo.entrySet().iterator()
+      while (it.hasNext) if (it.next().getKey.sparkContext.isStopped) it.remove()
+      pqMemo.computeIfAbsent(s, _ => scala.collection.mutable.Map.empty)
+        .getOrElseUpdate(s"$dir|prefix", {
+          val rows = normed(s, dir).orderBy(col("vec_id")).limit(pqK)
+            .select(col("embedding").cast("array<double>"), col("nrm")).collect()
+          require(rows.length == pqK, s"pq codebook: corpus has ${rows.length} < $pqK usable vectors")
+          packCodebook(rows.map(r => {
+            val e = r.getSeq[Double](0).toArray
+            val nrm = r.getDouble(1)
+            e.map(_ / nrm)
+          }))
+        })
+    }
+
+  private val pqMemo =
+    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, Array[Double]]]()
+
+  /** `entries(j)` = normalized vector j → flat `cb[(s·pqK+j)·dsub + d]`. */
+  private def packCodebook(entries: Array[Array[Double]]): Array[Double] = {
+    val dsub = pqDsub
+    val cb = new Array[Double](pqM * pqK * dsub)
+    for (s <- 0 until pqM; j <- entries.indices; d <- 0 until dsub)
+      cb((s * pqK + j) * dsub + d) = entries(j)(s * dsub + d)
+    cb
+  }
+
+  /** TRAINED per-subspace codebook — Lloyd on each subspace's
+    * subvectors, initialized from the prefix codebook. Assignment runs
+    * DISTRIBUTED through the same [[plans.PqCodes]] kernel serving uses
+    * (argmin L2² per subspace); the update step shuffles only
+    * pqM·pqK·(dsub+1) partial sums and collects that 128-row table per
+    * iteration, so training is [[kmeansIters]]+1 small jobs (eager,
+    * memoized — same contract note as [[trainedCentroidsOf]]). Entries
+    * whose cluster empties keep their previous value so k never
+    * shrinks. Not bit-reproducible in SQL (distributed float sums), so
+    * the trained variant is rows-only. */
+  private[graft] def pqCodebookTrained(s: SparkSession, dir: String,
+      iters: Int = kmeansIters): Array[Double] =
+    pqMemo.synchronized {
+      pqMemo.computeIfAbsent(s, _ => scala.collection.mutable.Map.empty)
+        .getOrElseUpdate(s"$dir|trained-$iters", {
+          val dsub = pqDsub
+          var cb = pqCodebook(s, dir).clone()
+          val n = normed(s, dir)
+          for (_ <- 1 to iters) {
+            val coded = n.select(col("embedding"), col("nrm"),
+              posexplode(graft.plans.VectorFunctions.pq_codes(
+                col("embedding"), col("nrm"), cb, pqM, pqK)).as(Seq("s", "code")))
+            val sums = (0 until dsub).map(d =>
+              sum((element_at(col("embedding"), (col("s") * dsub + d + 1).cast("int")).cast("double")
+                / col("nrm"))).as(s"d$d"))
+            val means = coded.groupBy(col("s"), col("code"))
+              .agg(count(lit(1)).as("cnt"), sums: _*)
+              .collect()
+            val next = cb.clone()
+            means.foreach { r =>
+              val sub = r.getInt(0); val j = r.getInt(1); val cnt = r.getLong(2)
+              if (cnt > 0) {
+                val base = (sub * pqK + j) * dsub
+                for (d <- 0 until dsub) next(base + d) = r.getDouble(3 + d) / cnt
+              }
+            }
+            cb = next
+          }
+          cb
+        })
+    }
+
+  /** ANN by pure asymmetric-distance (ADC) ranking over PQ codes — no
+    * exact rescoring, so the scan never touches a full embedding after
+    * encoding: corpus cells carry (vec_id, 8 codes), queries broadcast
+    * (vec_id, 128-entry LUT), and each cell runs the fused O(pqM)-per-
+    * pair loop ([[plans.CellPqTopk]]). Same tiling skeleton as
+    * [[simTopkBruteforce]]; output column is `adc` (the quantized
+    * cosine), not `cosine` — callers wanting exact scores rescore the
+    * returned ids. Prefix codebook → DuckDB-oracle-checked. */
+  def simPqTopk(s: SparkSession, dir: String): DataFrame =
+    pqTopkWith(s, dir, pqCodebook(s, dir))
+
+  /** PQ ANN with the TRAINED codebook — the serving-quality variant
+    * (lower quantization error at identical serve cost). Rows-only; its
+    * self-check recomputes every ADC score from independently re-derived
+    * codes and LUTs ([[graft.SelfChecks]]). */
+  def simPqTopkTrained(s: SparkSession, dir: String): DataFrame =
+    pqTopkWith(s, dir, pqCodebookTrained(s, dir))
+
+  /** ADC shortlist depth for the rescored variant: the compressed scan
+    * keeps this many candidates per query, then ONLY those ids fetch
+    * their full embedding for exact rescoring — the standard two-stage
+    * PQ serving shape (shortlist error is recoverable as long as true
+    * neighbors land anywhere in the shortlist, so depth buys recall at
+    * fetch cost, not scan cost). */
+  val pqRescoreDepth = 4 * topK
+
+  /** Two-stage PQ ANN: rank by ADC over codes (compressed scan), keep
+    * the top [[pqRescoreDepth]], exact-rescore just those by true
+    * cosine. Output is exact cosines, so downstream consumers see the
+    * same contract as the other ANN paths; recall is governed by
+    * whether true neighbors survive the shortlist, not by ADC's
+    * rounding. Prefix codebook + deterministic shortlist → full DuckDB
+    * oracle. */
+  def simPqRescore(s: SparkSession, dir: String): DataFrame = {
+    val n = normed(s, dir)
+    val short = pqShortlist(s, dir, pqCodebook(s, dir), pqRescoreDepth)
+      .select(col("q_id"), col("cand_id"))
+    val q = n.filter(col("vec_id") % queryStride === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+    val c = n.select(col("vec_id").as("cand_id"), col("embedding").as("c_emb"), col("nrm").as("c_nrm"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("cand_id"))
+    short.join(broadcast(q), "q_id").join(c, "cand_id")
+      .withColumn("cosine", dot(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm")))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= topK)
+      .select(col("q_id"), col("rk"), col("cand_id"), col("cosine"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+
+  private def pqTopkWith(s: SparkSession, dir: String, cb: Array[Double]): DataFrame =
+    pqShortlist(s, dir, cb, topK)
+      .select(col("q_id"), col("rk"), col("cand_id"), col("adc"))
+      .orderBy(col("q_id"), col("rk"))
+
+  /** Top-`depth` per query by (ADC DESC, cand_id) over the tiled
+    * compressed scan — the shared first stage of [[simPqTopk]] (depth =
+    * topK, served as-is) and [[simPqRescore]] (depth = rescore
+    * shortlist). */
+  private def pqShortlist(s: SparkSession, dir: String, cb: Array[Double], depth: Int): DataFrame = {
+    val n = normed(s, dir)
+    val cands = n
+      .select(col("vec_id"), graft.plans.VectorFunctions.pq_codes(
+        col("embedding"), col("nrm"), cb, pqM, pqK).as("codes"))
+      .groupBy((col("vec_id") / lshTile).cast("long").as("ccell"))
+      .agg(sort_array(collect_list(struct(col("vec_id"), col("codes")))).as("cands"))
+    val qs = n.filter(col("vec_id") % queryStride === 0)
+      .select(col("vec_id"), graft.plans.VectorFunctions.pq_lut(
+        col("embedding"), col("nrm"), cb, pqM, pqK).as("lut"))
+      .groupBy((col("vec_id") / (lshTile.toLong * queryStride)).cast("long").as("qcell"))
+      .agg(collect_list(struct(col("vec_id"), col("lut"))).as("qs"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("adc").desc, col("cand_id"))
+    cands.crossJoin(broadcast(qs))
+      .select(explode(graft.plans.VectorFunctions.cell_pq_topk(
+        col("qs"), col("cands"), pqK, depth)).as("p"))
+      .select(col("p.q_id").as("q_id"), col("p.cand_id").as("cand_id"), col("p.adc").as("adc"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= depth)
+  }
+
   /** (max block size) / (mean block size) of the keep=1 inverted-list
     * assignment under either quantizer — the hot-block statistic trained
     * centroids exist to reduce (a hot block is a straggler task at
@@ -573,7 +744,89 @@ object Similarity {
     "sim_ivf_topk_trained" -> simIvfTopkTrained _,
     "sim_ivf_topk_auto" -> simIvfTopkAuto _,
     "sim_ivf_topk_served" -> AnnIndex.simIvfTopkServed _,
+    "sim_pq_topk" -> simPqTopk _,
+    "sim_pq_topk_trained" -> simPqTopkTrained _,
+    "sim_pq_rescore" -> simPqRescore _,
   )
+
+  /** DuckDB oracle for the prefix-codebook PQ ANN: the codebook is the
+    * normalized first-[[pqK]] prefix (reproducible in SQL), codes are
+    * `row_number() OVER (ORDER BY dist, j) = 1` (the kernel's
+    * strict-less argmin), LUT entries and subspace distances are the
+    * same left-to-right folds as every vector oracle, and the ADC total
+    * is `list_sum(list(lut ORDER BY s))` — the GROUPED s-ascending sum
+    * the kernel computes, which differs in rounding from a flat 64-dim
+    * fold and so must be spelled as a sum of per-subspace sums. */
+  private lazy val pqTopkOracleSql: String =
+    s"""$pqCommonCtes,
+       |ranked AS (
+       |  SELECT q_id, cand_id, adc,
+       |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY adc DESC, cand_id) AS BIGINT) AS rk
+       |  FROM scored)
+       |SELECT q_id, rk, cand_id, adc FROM ranked WHERE rk <= $topK
+       |ORDER BY q_id, rk""".stripMargin
+
+  /** Oracle for the two-stage variant: identical compressed-scan CTEs,
+    * shortlist cut at [[pqRescoreDepth]] by the same (adc DESC, cand_id)
+    * order, then exact-cosine rescoring of only the shortlisted ids. */
+  private lazy val pqRescoreOracleSql: String =
+    s"""$pqCommonCtes,
+       |shortlist AS (
+       |  SELECT q_id, cand_id FROM (
+       |    SELECT q_id, cand_id,
+       |      row_number() OVER (PARTITION BY q_id ORDER BY adc DESC, cand_id) AS srk
+       |    FROM scored)
+       |  WHERE srk <= $pqRescoreDepth),
+       |rescored AS (
+       |  SELECT sl.q_id, sl.cand_id,
+       |    ${dotSql("q.q_emb", "c.embedding")} / (q.q_nrm * c.nrm) AS cosine
+       |  FROM shortlist sl JOIN q ON sl.q_id = q.q_id JOIN n c ON sl.cand_id = c.vec_id),
+       |ranked AS (
+       |  SELECT q_id, cand_id, cosine,
+       |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, cand_id) AS BIGINT) AS rk
+       |  FROM rescored)
+       |SELECT q_id, rk, cand_id, cosine FROM ranked WHERE rk <= $topK
+       |ORDER BY q_id, rk""".stripMargin
+
+  private lazy val pqCommonCtes: String = {
+    val dsub = pqDsub
+    s"""WITH n AS (
+       |  SELECT * FROM (
+       |    SELECT vec_id, embedding,
+       |      sqrt(${dotSql("embedding", "embedding")}) AS nrm
+       |    FROM embeddings) WHERE nrm > 0),
+       |cbsrc AS (
+       |  SELECT embedding, nrm,
+       |    CAST(row_number() OVER (ORDER BY vec_id) AS INT) - 1 AS j
+       |  FROM n ORDER BY vec_id LIMIT $pqK),
+       |cb AS (
+       |  SELECT s, j, list_transform(range(1, ${dsub + 1}), d ->
+       |    CAST(embedding[s * $dsub + d] AS DOUBLE) / nrm) AS w
+       |  FROM cbsrc CROSS JOIN (SELECT unnest(range(0, $pqM)) AS s)),
+       |codes AS (
+       |  SELECT vec_id, s, j AS code FROM (
+       |    SELECT v.vec_id, cb.s, cb.j,
+       |      row_number() OVER (PARTITION BY v.vec_id, cb.s ORDER BY
+       |        list_sum(list_transform(range(1, ${dsub + 1}), d ->
+       |          (CAST(v.embedding[cb.s * $dsub + d] AS DOUBLE) / v.nrm - cb.w[d])
+       |          * (CAST(v.embedding[cb.s * $dsub + d] AS DOUBLE) / v.nrm - cb.w[d]))),
+       |        cb.j) AS rk
+       |    FROM n v CROSS JOIN cb)
+       |  WHERE rk = 1),
+       |q AS (SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm
+       |      FROM n WHERE vec_id % $queryStride = 0),
+       |luts AS (
+       |  SELECT q.q_id, cb.s, cb.j,
+       |    list_sum(list_transform(range(1, ${dsub + 1}), d ->
+       |      CAST(q.q_emb[cb.s * $dsub + d] AS DOUBLE) / q.q_nrm * cb.w[d])) AS lut
+       |  FROM q CROSS JOIN cb),
+       |scored AS (
+       |  SELECT l.q_id, c.vec_id AS cand_id,
+       |    list_sum(list(l.lut ORDER BY l.s)) AS adc
+       |  FROM codes c JOIN luts l ON l.s = c.s AND l.j = c.code
+       |  WHERE c.vec_id <> l.q_id
+       |  GROUP BY l.q_id, c.vec_id)""".stripMargin
+  }
 
   private def dotSql(a: String, b: String): String =
     s"list_sum(list_transform(range(1, len($a) + 1), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
@@ -644,6 +897,8 @@ object Similarity {
   }
 
   val oracles: Map[String, String] = Map(
+    "sim_pq_topk" -> pqTopkOracleSql,
+    "sim_pq_rescore" -> pqRescoreOracleSql,
     "sim_lsh_ann" -> lshAnnOracleSql,
     // the persisted-index serve path is exact over the same probed
     // candidate set (byte-identity pinned in AnnIndexSpec), so it is

@@ -470,6 +470,198 @@ case class CellTopkPairs(left: Expression, right: Expression, k: Int)
     copy(left = newLeft, right = newRight)
 }
 
+/** POSITIONAL word-shingle hashes: the same 60-bit md5 hash per
+  * `n`-word window as [[WordShingleHashes]], but one entry PER START
+  * POSITION in document order, no set-dedup — the form span REWRITING
+  * needs (a rewrite must know WHERE a shared span sits, not just that
+  * it exists; and a window repeated inside one document must cover
+  * every occurrence). */
+case class WordShingleHashesPos(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "word_shingle_hashes_pos"
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    InputChecks.check(prettyName)((child, InputChecks.isString, "string"))
+
+  override def nullSafeEval(v: Any): Any =
+    HashUtil.wordShingleHashesPos(v.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.HashUtil.wordShingleHashesPos($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Rewrite a document by dropping every word covered by a shared
+  * `n`-word span: `starts` lists the 0-based word positions where a
+  * shared span begins (from the positional shingle hashes joined
+  * against the corpus span frequencies), the kernel marks positions
+  * `[p, p+n)` covered, and the surviving words re-join with single
+  * spaces. Returns struct(text_clean, n_words, n_removed). Doing the
+  * interval-union + rebuild in ONE fused kernel keeps the plan free of
+  * a per-WORD explode/anti-join/re-aggregate chain — per doc the only
+  * shuffled rows are its shared span starts, not its words. */
+case class SpanScrub(left: Expression, right: Expression, n: Int)
+    extends BinaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("text_clean", StringType, nullable = false),
+    StructField("n_words", LongType, nullable = false),
+    StructField("n_removed", LongType, nullable = false)))
+  override def prettyName: String = "span_scrub"
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    InputChecks.check(prettyName)(
+      (left, InputChecks.isString, "string"),
+      (right, InputChecks.isLongArray, "array<bigint>"))
+
+  override def nullSafeEval(t: Any, s: Any): Any =
+    HashUtil.spanScrub(t.asInstanceOf[UTF8String], s.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, s) =>
+      s"${ev.value} = graft.plans.HashUtil.spanScrub($t, $s, $n);")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Product-quantization codes: split a (normalized) embedding into `m`
+  * contiguous subvectors and emit, per subspace, the index of the
+  * nearest codebook entry by squared L2 distance (strictly-less argmin,
+  * so ties resolve to the LOWEST entry index — the order the DuckDB
+  * oracle's `row_number() OVER (ORDER BY dist, j)` defines). The
+  * codebook rides along as ONE flattened reference object (layout
+  * `cb[(s·k + j)·dsub + d]`), same plan-size rationale as
+  * [[LshProjections]]. The embedding is normalized INSIDE the kernel
+  * (`x/nrm`), so codes quantize direction only — the right space for
+  * cosine retrieval, and it spares the plan a materialized normalized
+  * copy of every vector. */
+case class PqCodes(left: Expression, right: Expression,
+    codebook: Array[Double], m: Int, k: Int) extends BinaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "pq_codes"
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    InputChecks.check(prettyName)(
+      (left, InputChecks.isNumericArray, "array<float> or array<double>"),
+      (right, { case DoubleType | NullType => true; case _ => false }, "double"))
+
+  private def isFloat: Boolean = left.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def nullSafeEval(e: Any, n: Any): Any =
+    HashUtil.pqCodes(e.asInstanceOf[ArrayData], isFloat,
+      n.asInstanceOf[Double], codebook, m, k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqCodebook", codebook, "double[]")
+    defineCodeGen(ctx, ev, (e, n) =>
+      s"graft.plans.HashUtil.pqCodes($e, $isFloat, $n, $ref, $m, $k)")
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Per-query ADC lookup table: `lut[s·k + j] = Σ_d (q_d / q_nrm) ·
+  * cb[(s·k + j)·dsub + d]` — the partial dot of the normalized query's
+  * s-th subvector with every codebook entry, computed ONCE per query
+  * (O(k·dim)) so each candidate afterwards costs O(m) table lookups
+  * instead of an O(dim) dot. Left-to-right accumulation per entry,
+  * matching the oracle's `list_sum(list_transform(...))`. */
+case class PqLut(left: Expression, right: Expression,
+    codebook: Array[Double], m: Int, k: Int) extends BinaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "pq_lut"
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    InputChecks.check(prettyName)(
+      (left, InputChecks.isNumericArray, "array<float> or array<double>"),
+      (right, { case DoubleType | NullType => true; case _ => false }, "double"))
+
+  private def isFloat: Boolean = left.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def nullSafeEval(e: Any, n: Any): Any =
+    HashUtil.pqLut(e.asInstanceOf[ArrayData], isFloat,
+      n.asInstanceOf[Double], codebook, m, k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqCodebook", codebook, "double[]")
+    defineCodeGen(ctx, ev, (e, n) =>
+      s"graft.plans.HashUtil.pqLut($e, $isFloat, $n, $ref, $m, $k)")
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Per-query top-`topk` candidates by ADC score within one (query tile ×
+  * candidate tile) cell — the PQ sibling of [[CellTopkPairs]]. Queries
+  * arrive as struct(id, lut) rows (see [[PqLut]]), candidates as
+  * struct(id, codes) rows ([[PqCodes]]): a pair costs `m` array lookups
+  * summed s-ascending (`Σ_s lut[s·k + codes[s]]` — the same grouped
+  * fold order the oracle's `list_sum(list(lut ORDER BY s))` computes),
+  * and only `topk` survivors per query per cell leave the expression.
+  * Candidate slices are id-sorted and insertion displaces on STRICTLY
+  * greater score, so equal-ADC ties (common under PQ — candidates with
+  * identical codes score identically) resolve to the lower cand_id,
+  * matching the downstream `ORDER BY adc DESC, cand_id` window.
+  * Self-pairs are skipped. */
+case class CellPqTopk(left: Expression, right: Expression, k: Int, topk: Int)
+    extends BinaryExpression {
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("q_id", LongType, nullable = false),
+    StructField("cand_id", LongType, nullable = false),
+    StructField("adc", DoubleType, nullable = false))), containsNull = false)
+  override def prettyName: String = "cell_pq_topk"
+  override def nullIntolerant: Boolean = true
+
+  private val isLutArray: DataType => Boolean = {
+    case ArrayType(st: StructType, _) if st.length == 2 =>
+      st(0).dataType == LongType && (st(1).dataType match {
+        case ArrayType(DoubleType, _) => true
+        case _ => false
+      })
+    case NullType => true
+    case _ => false
+  }
+  private val isCodesArray: DataType => Boolean = {
+    case ArrayType(st: StructType, _) if st.length == 2 =>
+      st(0).dataType == LongType && (st(1).dataType match {
+        case ArrayType(IntegerType, _) => true
+        case _ => false
+      })
+    case NullType => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    InputChecks.check(prettyName)(
+      (left, isLutArray, "array<struct<id: bigint, lut: array<double>>>"),
+      (right, isCodesArray, "array<struct<id: bigint, codes: array<int>>>"))
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    HashUtil.cellPqTopk(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], k, topk)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.plans.HashUtil.cellPqTopk($a, $b, $k, $topk);")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Static helpers callable from generated Java (Scala top-level object →
   * static forwarders). */
 object HashUtil {
@@ -800,6 +992,193 @@ object HashUtil {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
   }
 
+  /** See [[PqCodes]]: per-subspace argmin of squared L2 distance between
+    * the normalized subvector and each codebook entry; strict less-than
+    * keeps the lowest entry index on exact ties. */
+  def pqCodes(emb: ArrayData, isFloat: Boolean, nrm: Double,
+      cb: Array[Double], m: Int, k: Int): ArrayData = {
+    val dim = emb.numElements()
+    val dsub = cb.length / (m * k)
+    if (dim != m * dsub)
+      throw new IllegalArgumentException(
+        s"pq_codes: expected ${m * dsub}-dim embedding for m=$m dsub=$dsub, got $dim")
+    val x = new Array[Double](dim)
+    var d0 = 0
+    while (d0 < dim) {
+      x(d0) = (if (isFloat) emb.getFloat(d0).toDouble else emb.getDouble(d0)) / nrm
+      d0 += 1
+    }
+    val out = new Array[Any](m)
+    var s = 0
+    while (s < m) {
+      var best = 0
+      var bestDist = Double.PositiveInfinity
+      var j = 0
+      while (j < k) {
+        val base = (s * k + j) * dsub
+        var acc = 0.0
+        var d = 0
+        while (d < dsub) {
+          val diff = x(s * dsub + d) - cb(base + d)
+          acc += diff * diff
+          d += 1
+        }
+        if (acc < bestDist) { bestDist = acc; best = j }
+        j += 1
+      }
+      out(s) = best
+      s += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** See [[PqLut]]: `lut[s·k + j] = Σ_d (q_d/q_nrm) · cb[(s·k+j)·dsub + d]`,
+    * left-to-right per entry. */
+  def pqLut(emb: ArrayData, isFloat: Boolean, nrm: Double,
+      cb: Array[Double], m: Int, k: Int): ArrayData = {
+    val dim = emb.numElements()
+    val dsub = cb.length / (m * k)
+    if (dim != m * dsub)
+      throw new IllegalArgumentException(
+        s"pq_lut: expected ${m * dsub}-dim embedding for m=$m dsub=$dsub, got $dim")
+    val x = new Array[Double](dim)
+    var d0 = 0
+    while (d0 < dim) {
+      x(d0) = (if (isFloat) emb.getFloat(d0).toDouble else emb.getDouble(d0)) / nrm
+      d0 += 1
+    }
+    val out = new Array[Any](m * k)
+    var s = 0
+    while (s < m) {
+      var j = 0
+      while (j < k) {
+        val base = (s * k + j) * dsub
+        var acc = 0.0
+        var d = 0
+        while (d < dsub) { acc += x(s * dsub + d) * cb(base + d); d += 1 }
+        out(s * k + j) = acc
+        j += 1
+      }
+      s += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** See [[CellPqTopk]]: per-query top-k by (ADC DESC, cand_id ASC),
+    * self-pairs skipped, strict-greater insertion over id-sorted
+    * candidates. ADC = Σ_s lut[s·k + codes[s]], s ascending. */
+  def cellPqTopk(qs: ArrayData, cs: ArrayData, k: Int, topk: Int): ArrayData = {
+    val nq = qs.numElements()
+    val nc = cs.numElements()
+    if (nq == 0 || nc == 0 || topk <= 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    // materialize both tiles into primitive arrays once
+    val qIds = new Array[Long](nq)
+    val qLuts = new Array[Array[Double]](nq)
+    var i0 = 0
+    while (i0 < nq) {
+      val row = qs.getStruct(i0, 2)
+      qIds(i0) = row.getLong(0)
+      qLuts(i0) = row.getArray(1).toDoubleArray()
+      i0 += 1
+    }
+    val cIds = new Array[Long](nc)
+    val cCodes = new Array[Array[Int]](nc)
+    var j0 = 0
+    while (j0 < nc) {
+      val row = cs.getStruct(j0, 2)
+      cIds(j0) = row.getLong(0)
+      cCodes(j0) = row.getArray(1).toIntArray()
+      j0 += 1
+    }
+    val out = new java.util.ArrayList[Any]()
+    val topAdc = new Array[Double](topk)
+    val topId = new Array[Long](topk)
+    var i = 0
+    while (i < nq) {
+      val lut = qLuts(i)
+      java.util.Arrays.fill(topAdc, Double.NegativeInfinity)
+      var filled = 0
+      var j = 0
+      while (j < nc) {
+        if (cIds(j) != qIds(i)) {
+          val codes = cCodes(j)
+          val m = codes.length
+          if (lut.length != m * k)
+            throw new IllegalArgumentException(
+              s"cell_pq_topk: lut has ${lut.length} entries but codes need ${m * k}")
+          var adc = 0.0
+          var s = 0
+          while (s < m) { adc += lut(s * k + codes(s)); s += 1 }
+          var pos = filled
+          while (pos > 0 && adc > topAdc(pos - 1)) pos -= 1
+          if (pos < topk) {
+            var w = math.min(filled, topk - 1)
+            while (w > pos) { topAdc(w) = topAdc(w - 1); topId(w) = topId(w - 1); w -= 1 }
+            topAdc(pos) = adc
+            topId(pos) = cIds(j)
+            if (filled < topk) filled += 1
+          }
+        }
+        j += 1
+      }
+      var r = 0
+      while (r < filled) {
+        out.add(new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](qIds(i), topId(r), topAdc(r))))
+        r += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+
+  /** See [[WordShingleHashesPos]]: one hash per window start, document
+    * order, no dedup. */
+  def wordShingleHashesPos(s: UTF8String, n: Int): ArrayData = {
+    val toks = ws.split(s.toString).filterNot(_.isEmpty)
+    val m = toks.length - n + 1
+    if (m <= 0) return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](m)
+    var i = 0
+    while (i < m) {
+      val sb = new java.lang.StringBuilder(toks(i))
+      var j = 1
+      while (j < n) { sb.append(' ').append(toks(i + j)); j += 1 }
+      out(i) = md5Int60(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** See [[SpanScrub]]: mark `[p, p+n)` covered for each 0-based start,
+    * rebuild the text from uncovered words (single-space joined). */
+  def spanScrub(text: UTF8String, starts: ArrayData, n: Int): Any = {
+    val toks = ws.split(text.toString).filterNot(_.isEmpty)
+    val covered = new Array[Boolean](toks.length)
+    var i = 0
+    while (i < starts.numElements()) {
+      val p0 = starts.getLong(i).toInt
+      var w0 = math.max(0, p0)
+      val until = math.min(toks.length, p0 + n)
+      while (w0 < until) { covered(w0) = true; w0 += 1 }
+      i += 1
+    }
+    val sb = new java.lang.StringBuilder()
+    var removed = 0L
+    var w = 0
+    while (w < toks.length) {
+      if (covered(w)) removed += 1
+      else {
+        if (sb.length() > 0) sb.append(' ')
+        sb.append(toks(w))
+      }
+      w += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](
+      UTF8String.fromString(sb.toString), toks.length.toLong, removed))
+  }
+
   def wordShingles(s: UTF8String, n: Int): ArrayData = {
     val toks = ws.split(s.toString).filterNot(_.isEmpty)
     val out = new java.util.LinkedHashSet[String]()
@@ -845,4 +1224,16 @@ object VectorFunctions {
       GraftBridge.expression(ib), GraftBridge.expression(diag), threshold))
   def cell_topk_pairs(qs: Column, cs: Column, k: Int): Column =
     GraftBridge.column(CellTopkPairs(GraftBridge.expression(qs), GraftBridge.expression(cs), k))
+  def pq_codes(emb: Column, nrm: Column, codebook: Array[Double], m: Int, k: Int): Column =
+    GraftBridge.column(PqCodes(GraftBridge.expression(emb), GraftBridge.expression(nrm),
+      codebook, m, k))
+  def pq_lut(emb: Column, nrm: Column, codebook: Array[Double], m: Int, k: Int): Column =
+    GraftBridge.column(PqLut(GraftBridge.expression(emb), GraftBridge.expression(nrm),
+      codebook, m, k))
+  def cell_pq_topk(qs: Column, cs: Column, k: Int, topk: Int): Column =
+    GraftBridge.column(CellPqTopk(GraftBridge.expression(qs), GraftBridge.expression(cs), k, topk))
+  def word_shingle_hashes_pos(c: Column, n: Int): Column =
+    GraftBridge.column(WordShingleHashesPos(GraftBridge.expression(c), n))
+  def span_scrub(text: Column, starts: Column, n: Int): Column =
+    GraftBridge.column(SpanScrub(GraftBridge.expression(text), GraftBridge.expression(starts), n))
 }

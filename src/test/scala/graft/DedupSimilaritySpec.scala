@@ -377,4 +377,80 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(tiled.nonEmpty && tiled === ref,
       "tiled LSH scoring diverged from the equi-join reference")
   }
+
+  test("PQ ADC ranking equals an independent HOF-aggregate reference, byte for byte") {
+    // reference formulation: same pq_codes/pq_lut columns, but the ADC
+    // sum and ranking run through Spark builtins (crossJoin + HOF
+    // `aggregate`, a sequential left fold like the kernel's s-loop)
+    // instead of the fused cell kernel — per-cell top-k containment and
+    // the tie-break convention make the ranked results byte-identical.
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val cb = Similarity.pqCodebook(spark, sf0001)
+    val (m, k) = (Similarity.pqM, Similarity.pqK)
+    val n = Similarity.normed(spark, sf0001)
+    val coded = n.select(col("vec_id").as("cand_id"),
+      graft.plans.VectorFunctions.pq_codes(col("embedding"), col("nrm"), cb, m, k).as("codes"))
+    val qs = n.filter(col("vec_id") % Similarity.queryStride === 0)
+      .select(col("vec_id").as("q_id"),
+        graft.plans.VectorFunctions.pq_lut(col("embedding"), col("nrm"), cb, m, k).as("lut"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("adc").desc, col("cand_id"))
+    val reference = coded.crossJoin(qs)
+      .filter(col("cand_id") =!= col("q_id"))
+      .withColumn("adc", expr(
+        s"aggregate(sequence(0, ${m - 1}), 0D, (acc, s) -> acc + lut[s * $k + codes[s]])"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= Similarity.topK)
+      .select(col("q_id"), col("rk"), col("cand_id"), col("adc"))
+      .orderBy(col("q_id"), col("rk"))
+    val shape = (r: org.apache.spark.sql.Row) =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+    val fused = Similarity.simPqTopk(spark, sf0001).collect().map(shape).toSeq
+    val ref = reference.collect().map(shape).toSeq
+    assert(fused.nonEmpty && fused === ref,
+      "fused PQ ADC ranking diverged from the HOF-aggregate reference")
+  }
+
+  test("two-stage PQ rescoring lifts recall over pure ADC ranking") {
+    val exact = Similarity.simTopkBruteforce(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+      (exact intersect got).size.toDouble / exact.size
+    }
+    val adc = recallOf(Similarity.simPqTopk(spark, sf0001))
+    val res = recallOf(Similarity.simPqRescore(spark, sf0001))
+    assert(adc > 0.0, "pure ADC ranking found no true neighbors at all")
+    assert(res >= adc,
+      f"rescoring (recall $res%.3f) fell below pure ADC ranking ($adc%.3f)")
+  }
+
+  test("trained PQ codebook cuts quantization error vs the prefix codebook") {
+    val (m, k, dsub) = (Similarity.pqM, Similarity.pqK, Similarity.pqDsub)
+    val vecs = Similarity.normed(spark, sf0001)
+      .select(org.apache.spark.sql.functions.col("embedding")
+        .cast("array<double>"), org.apache.spark.sql.functions.col("nrm"))
+      .collect().map { r =>
+        val nr = r.getDouble(1)
+        r.getSeq[Double](0).toArray.map(_ / nr)
+      }
+    def sqErr(cb: Array[Double]): Double = {
+      var total = 0.0
+      for (x <- vecs; s <- 0 until m) {
+        var best = Double.PositiveInfinity
+        for (j <- 0 until k) {
+          val base = (s * k + j) * dsub
+          var acc = 0.0
+          for (d <- 0 until dsub) { val diff = x(s * dsub + d) - cb(base + d); acc += diff * diff }
+          if (acc < best) best = acc
+        }
+        total += best
+      }
+      total / vecs.length
+    }
+    val prefix = sqErr(Similarity.pqCodebook(spark, sf0001))
+    val trained = sqErr(Similarity.pqCodebookTrained(spark, sf0001))
+    assert(trained <= prefix,
+      f"Lloyd training RAISED quantization error: $trained%.6f vs prefix $prefix%.6f")
+  }
 }

@@ -396,6 +396,59 @@ class OperatorSpec extends AnyFunSuite {
       r(4L).isNullAt(3) && !r(4L).getBoolean(4))
   }
 
+  test("dedupSpanRewrite: shared spans scrubbed from BOTH docs, clean docs intact") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("span-rewrite")
+    val w = (1 to 12).map(i => s"w$i")
+    Seq(
+      // doc 1: 12 words; doc 2 quotes its first NINE -> the shared
+      // 8-word windows start at w1 and w2, covering w1..w9 in both
+      (1L, w.mkString(" "), "en", "s1", 0L),
+      (2L, (w.take(9) ++ Seq("y10", "y11", "y12")).mkString(" "), "en", "s1", 0L),
+      // no shared spans: survives verbatim (single-space normalized)
+      (3L, (1 to 10).map(i => s"u$i").mkString("  "), "en", "s1", 0L),
+      // below span length: nothing to share, kept whole
+      (4L, "too short for any span", "en", "s1", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val r = graft.ops.Dedup.dedupSpanRewrite(spark, tmp.toString)
+      .collect().map(x => x.getLong(0) -> x).toMap
+    assert(r.size == 4)
+    // both sharers lose exactly w1..w9 (9 words)
+    assert(r(1L).getLong(1) == 12 && r(1L).getLong(2) == 9 &&
+      r(1L).getString(3) == "w10 w11 w12")
+    assert(r(2L).getLong(1) == 12 && r(2L).getLong(2) == 9 &&
+      r(2L).getString(3) == "y10 y11 y12")
+    // untouched docs come back single-space normalized, zero removed
+    assert(r(3L).getLong(2) == 0 && r(3L).getString(3) == (1 to 10).map(i => s"u$i").mkString(" "))
+    assert(r(4L).getLong(2) == 0 && r(4L).getString(3) == "too short for any span")
+  }
+
+  test("dedupSpanRewrite agrees with dedupSharedSpans flags on the real corpus") {
+    import org.apache.spark.sql.functions._
+    import TestSpark.sf0001
+    val rewrite = graft.ops.Dedup.dedupSpanRewrite(spark, sf0001)
+    // conservation: the clean text re-tokenizes to exactly n_words - n_removed
+    val broken = rewrite.withColumn("clean_words",
+        size(graft.functions.TextFns.tokens(col("text_clean"))).cast("long"))
+      .filter(greatest(col("clean_words"), lit(0L)) =!= col("n_words") - col("n_removed"))
+      .count()
+    assert(broken == 0, s"$broken docs where clean-text word count != n_words - n_removed")
+    // a doc loses words iff dedupSharedSpans saw a shared span in it,
+    // and any removal covers at least one full span window
+    val flags = graft.ops.Dedup.dedupSharedSpans(spark, sf0001)
+      .select(col("doc_id"), col("n_shared")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rw = rewrite.select(col("doc_id"), col("n_removed")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val n = graft.ops.Dedup.spanShingleN
+    val disagree = rw.count { case (id, removed) =>
+      val shared = flags(id) > 0
+      (shared && removed < n) || (!shared && removed != 0)
+    }
+    assert(disagree == 0, s"$disagree docs where rewrite and shared-span flags disagree")
+  }
+
   test("every registered query returns rows at sf0.001 (t1 smoke)") {
     val failures = SparkEntry.queries.flatMap { case (name, fn) =>
       try {

@@ -94,6 +94,20 @@ class PlanGuardSpec extends AnyFunSuite {
     assert(dots <= 20, s"$dots vec_dot nodes in sim_lsh_ann — per-plane literal hashing is back")
   }
 
+  test("sim_pq_topk scans compressed: fused encode/LUT/cell kernels in-plan") {
+    // the compressed-scan contract: corpus vectors are encoded to codes
+    // by the fused pq_codes projection, queries carry pq_lut tables, and
+    // scoring runs through cell_pq_topk — if any of the three fall out
+    // (e.g. a rewrite to a join on raw embeddings), the scan stops being
+    // ~32x narrower than the vector corpus and this trips.
+    val txt = plan("sim_pq_topk").toString
+    assert(txt.contains("pq_codes") && txt.contains("pq_lut") && txt.contains("cell_pq_topk"),
+      "PQ ANN no longer runs through the fused compressed-scan kernels")
+    // vec_dot survives only inside the two norm computations
+    val dots = "vec_dot".r.findAllIn(txt).length
+    assert(dots <= 6, s"$dots vec_dot nodes in sim_pq_topk — full-vector scoring is back")
+  }
+
   test("text_inverted_index builds from ONE token subtree (no stats/heads split)") {
     // the first draft computed the scan→explode→tf aggregate twice (once
     // for df/cf, once for the posting heads) — the minhash double-compute
