@@ -169,6 +169,9 @@ object ScaleSmoke {
     val pqRescore = time("sim_pq_rescore (ADC shortlist + exact rescore)") {
       topkPairs(ops.Similarity.simPqRescore(spark, dir))
     }
+    val pqRescoreAuto = time("sim_pq_rescore_auto (constant-fraction shortlist)") {
+      topkPairs(ops.Similarity.simPqRescoreAuto(spark, dir))
+    }
     val exact = time("sim_topk_bruteforce (ground truth, 5k queries x 250k)") {
       topkPairs(ops.Similarity.simTopkBruteforce(spark, dir))
     }
@@ -183,6 +186,7 @@ object ScaleSmoke {
     recallOf("pq adc (prefix)", pqAdc)
     recallOf("pq adc (trained)", pqTrained)
     recallOf("pq rescore", pqRescore)
+    recallOf("pq rescore auto", pqRescoreAuto)
 
     // 6. text dedup + sketch heavy hitters on 100k docs
     val mh = time("dedup_minhash_lsh (100k docs)") {

@@ -87,9 +87,9 @@ object SelfChecks {
       cbFn: (SparkSession, String) => Array[Double], reason: String)(
       s: SparkSession, dir: String): CheckResult = {
     val m = ops.Similarity.pqM
-    val k = ops.Similarity.pqK
     val dsub = ops.Similarity.pqDsub
     val cb = cbFn(s, dir)
+    val k = cb.length / (m * dsub)
     val vecs = vecsOf(s, dir)
     def normalized(v: (Array[Float], Double)): Array[Double] =
       v._1.map(_.toDouble / v._2)
@@ -212,6 +212,8 @@ object SelfChecks {
     "sim_pq_topk_trained" -> pqCheck(ops.Similarity.simPqTopkTrained,
       (s, d) => ops.Similarity.pqCodebookTrained(s, d),
       "per-subspace k-means sums floats in partition order; the codebook is not bit-reproducible in SQL"),
+    "sim_pq_rescore_auto" -> annCheck(ops.Similarity.simPqRescoreAuto,
+      "shortlist depth derives from a runtime size statistic; static SQL cannot reproduce it"),
     "q_approx_distinct" -> (approxDistinctCheck _),
     "text_heavy_hitters" -> (heavyHittersCheck _),
     "text_heavy_hitters_sketch" -> (heavyHittersSketchCheck _),

@@ -560,8 +560,16 @@ object Similarity {
     * ~32× narrower, and per-candidate scoring is O(pqM) lookups into a
     * per-query table ([[plans.PqLut]]) instead of an O(dims) dot. */
   val pqM = 8
-  val pqK = 16
+  val pqK = 256 // 8 bits/subspace, the standard PQ operating point: the
+                // first 250k-row scale run at K=16 measured recall@5
+                // 0.003 — 4-bit sub-codebooks quantize far more coarsely
+                // than the top-5 cosine margins on a near-uniform corpus
   private[graft] def pqDsub: Int = embDims / pqM
+
+  /** Entry count actually packed into a codebook (min(pqK, corpus) —
+    * tiny corpora, e.g. the fuzz tables, yield fewer entries and every
+    * kernel derives its stride from this). */
+  private[graft] def pqKOf(cb: Array[Double]): Int = cb.length / (pqM * pqDsub)
 
   /** Deterministic codebook: the first [[pqK]] corpus vectors by vec_id,
     * normalized, each contributing its s-th subvector as entry j of
@@ -579,7 +587,7 @@ object Similarity {
         .getOrElseUpdate(s"$dir|prefix", {
           val rows = normed(s, dir).orderBy(col("vec_id")).limit(pqK)
             .select(col("embedding").cast("array<double>"), col("nrm")).collect()
-          require(rows.length == pqK, s"pq codebook: corpus has ${rows.length} < $pqK usable vectors")
+          require(rows.nonEmpty, "pq codebook: corpus has no usable vectors")
           packCodebook(rows.map(r => {
             val e = r.getSeq[Double](0).toArray
             val nrm = r.getDouble(1)
@@ -591,12 +599,14 @@ object Similarity {
   private val pqMemo =
     new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, Array[Double]]]()
 
-  /** `entries(j)` = normalized vector j → flat `cb[(s·pqK+j)·dsub + d]`. */
+  /** `entries(j)` = normalized vector j → flat `cb[(s·k+j)·dsub + d]`
+    * with k = entries.length (≤ [[pqK]]; [[pqKOf]] recovers it). */
   private def packCodebook(entries: Array[Array[Double]]): Array[Double] = {
     val dsub = pqDsub
-    val cb = new Array[Double](pqM * pqK * dsub)
+    val k = entries.length
+    val cb = new Array[Double](pqM * k * dsub)
     for (s <- 0 until pqM; j <- entries.indices; d <- 0 until dsub)
-      cb((s * pqK + j) * dsub + d) = entries(j)(s * dsub + d)
+      cb((s * k + j) * dsub + d) = entries(j)(s * dsub + d)
     cb
   }
 
@@ -617,11 +627,12 @@ object Similarity {
         .getOrElseUpdate(s"$dir|trained-$iters", {
           val dsub = pqDsub
           var cb = pqCodebook(s, dir).clone()
+          val kEff = pqKOf(cb)
           val n = normed(s, dir)
           for (_ <- 1 to iters) {
             val coded = n.select(col("embedding"), col("nrm"),
               posexplode(graft.plans.VectorFunctions.pq_codes(
-                col("embedding"), col("nrm"), cb, pqM, pqK)).as(Seq("s", "code")))
+                col("embedding"), col("nrm"), cb, pqM, kEff)).as(Seq("s", "code")))
             val sums = (0 until dsub).map(d =>
               sum((element_at(col("embedding"), (col("s") * dsub + d + 1).cast("int")).cast("double")
                 / col("nrm"))).as(s"d$d"))
@@ -632,7 +643,7 @@ object Similarity {
             means.foreach { r =>
               val sub = r.getInt(0); val j = r.getInt(1); val cnt = r.getLong(2)
               if (cnt > 0) {
-                val base = (sub * pqK + j) * dsub
+                val base = (sub * kEff + j) * dsub
                 for (d <- 0 until dsub) next(base + d) = r.getDouble(3 + d) / cnt
               }
             }
@@ -675,10 +686,54 @@ object Similarity {
     * whether true neighbors survive the shortlist, not by ADC's
     * rounding. Prefix codebook + deterministic shortlist → full DuckDB
     * oracle. */
-  def simPqRescore(s: SparkSession, dir: String): DataFrame = {
-    val n = normed(s, dir)
-    val short = pqShortlist(s, dir, pqCodebook(s, dir), pqRescoreDepth)
+  def simPqRescore(s: SparkSession, dir: String): DataFrame =
+    pqRescoreWith(s, dir, pqRescoreDepth)
+
+  /** Fraction of each code CELL the AUTO rescore path shortlists. A
+    * FIXED depth shrinks to nothing as the corpus grows (20 of 250k =
+    * 0.008%; with ADC noise comparable to the top-5 cosine margins the
+    * true neighbors land anywhere in the ADC order's upper reaches —
+    * measured recall@5 0.011 at 250k on the near-uniform scale corpus),
+    * and a GLOBAL constant-fraction shortlist needs a corpus-wide
+    * (adc, rank ≤ N·frac) sort whose input is queries × cells × depth
+    * rows — measured 293 s at 250k, all of it in that window. Taking
+    * the fraction PER CELL instead keeps the union at the same
+    * N·fraction candidates per query with NO intermediate global sort
+    * at all: each cell independently forwards its own top slice and
+    * exact rescoring ranks the union (the final window prunes map-side
+    * to topK via WindowGroupLimit). The union is not bit-identical to
+    * the global top-(N·frac) shortlist — it is the per-cell stratified
+    * version of it, deterministic given the cell layout, which is what
+    * a rows-only serving path needs. */
+  val pqRescoreFraction = 1.0 / 64
+
+  /** The PQ SCALE serving path: per-cell fractional ADC shortlist
+    * (depth = [[pqCellRows]]·[[pqRescoreFraction]], a CONSTANT — no
+    * size statistic needed, cost scales with the corpus by cell count
+    * alone), exact rescoring of the union. On a ≤[[pqCellRows]]-row
+    * corpus the single cell's shortlist covers everything and this
+    * degrades gracefully to exact search. Rows-only — output cosines
+    * are exact, so the self-check is the same cosine recompute the
+    * other ANN paths use. */
+  def simPqRescoreAuto(s: SparkSession, dir: String): DataFrame = {
+    val depthCell = math.max(pqRescoreDepth, (pqCellRows * pqRescoreFraction).toInt)
+    pqRescoreOver(s, dir,
+      pqShortlist(s, dir, pqCodebook(s, dir), depthCell).select(col("q_id"), col("cand_id")))
+  }
+
+  private def pqRescoreWith(s: SparkSession, dir: String, depth: Int): DataFrame = {
+    val w = Window.partitionBy(col("q_id")).orderBy(col("adc").desc, col("cand_id"))
+    val short = pqShortlist(s, dir, pqCodebook(s, dir), depth)
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= depth)
       .select(col("q_id"), col("cand_id"))
+    pqRescoreOver(s, dir, short)
+  }
+
+  /** Exact-cosine rescoring + final top-[[topK]] over a (q_id, cand_id)
+    * shortlist frame. */
+  private def pqRescoreOver(s: SparkSession, dir: String, short: DataFrame): DataFrame = {
+    val n = normed(s, dir)
     val q = n.filter(col("vec_id") % queryStride === 0)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
     val c = n.select(col("vec_id").as("cand_id"), col("embedding").as("c_emb"), col("nrm").as("c_nrm"))
@@ -691,34 +746,76 @@ object Similarity {
       .orderBy(col("q_id"), col("rk"))
   }
 
-  private def pqTopkWith(s: SparkSession, dir: String, cb: Array[Double]): DataFrame =
+  private def pqTopkWith(s: SparkSession, dir: String, cb: Array[Double]): DataFrame = {
+    val w = Window.partitionBy(col("q_id")).orderBy(col("adc").desc, col("cand_id"))
     pqShortlist(s, dir, cb, topK)
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= topK)
       .select(col("q_id"), col("rk"), col("cand_id"), col("adc"))
       .orderBy(col("q_id"), col("rk"))
+  }
 
-  /** Top-`depth` per query by (ADC DESC, cand_id) over the tiled
-    * compressed scan — the shared first stage of [[simPqTopk]] (depth =
-    * topK, served as-is) and [[simPqRescore]] (depth = rescore
-    * shortlist). */
+  /** Rows per code cell. Codes are ~60 B/row (vs ~350 B for vectors),
+    * so cells can be ~64× wider than the vector tiles: fewer cells ⇒
+    * fewer per-cell survivors feeding any downstream ranking (the
+    * first cut used the 1024-row vector tile and the global-shortlist
+    * window saw 245 cells × depth rows per query — 1.2 B rows at 250k,
+    * 293 s of sort; at 64k-row cells the same window input shrinks
+    * 64×). A cell row is ~4 MB — well inside task memory. */
+  val pqCellRows = 65536
+
+  /** Per-query top-`depth` by (ADC DESC, cand_id) WITHIN each code
+    * cell, returned raw (no global ranking) — the shared compressed
+    * scan of [[simPqTopk]] / [[simPqRescore]] (which re-rank globally;
+    * per-cell top-depth contains the global top-depth) and
+    * [[simPqRescoreAuto]] (which rescores the per-cell union as-is). */
   private def pqShortlist(s: SparkSession, dir: String, cb: Array[Double], depth: Int): DataFrame = {
+    val kEff = pqKOf(cb)
     val n = normed(s, dir)
     val cands = n
       .select(col("vec_id"), graft.plans.VectorFunctions.pq_codes(
-        col("embedding"), col("nrm"), cb, pqM, pqK).as("codes"))
-      .groupBy((col("vec_id") / lshTile).cast("long").as("ccell"))
+        col("embedding"), col("nrm"), cb, pqM, kEff).as("codes"))
+      .groupBy((col("vec_id") / pqCellRows).cast("long").as("ccell"))
       .agg(sort_array(collect_list(struct(col("vec_id"), col("codes")))).as("cands"))
     val qs = n.filter(col("vec_id") % queryStride === 0)
       .select(col("vec_id"), graft.plans.VectorFunctions.pq_lut(
-        col("embedding"), col("nrm"), cb, pqM, pqK).as("lut"))
+        col("embedding"), col("nrm"), cb, pqM, kEff).as("lut"))
       .groupBy((col("vec_id") / (lshTile.toLong * queryStride)).cast("long").as("qcell"))
       .agg(collect_list(struct(col("vec_id"), col("lut"))).as("qs"))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("adc").desc, col("cand_id"))
     cands.crossJoin(broadcast(qs))
       .select(explode(graft.plans.VectorFunctions.cell_pq_topk(
-        col("qs"), col("cands"), pqK, depth)).as("p"))
+        col("qs"), col("cands"), kEff, depth)).as("p"))
       .select(col("p.q_id").as("q_id"), col("p.cand_id").as("cand_id"), col("p.adc").as("adc"))
-      .withColumn("rk", row_number().over(w).cast("long"))
-      .filter(col("rk") <= depth)
+  }
+
+  /** kNN label prediction — the downstream consumer the ANN stack
+    * exists for: each query's label is predicted by majority vote among
+    * its exact top-[[topK]] cosine neighbors (ties broken by the tied
+    * label holding the best-ranked neighbor, which is unique because
+    * rank sets are disjoint — fully deterministic, hence
+    * DuckDB-oracle-checkable). Output reports the true label alongside,
+    * so `avg(correct)` over the result IS the leave-one-out eval a
+    * labeling-quality pipeline would run.
+    *
+    * Scale shape: the vote table is (queries × k) rows — tiny next to
+    * the corpus — so both label joins key a small frame against the
+    * column-pruned (vec_id, label) scan; stats pick the broadcast side
+    * (at testdata scale the label scan broadcasts; at 100 TB the
+    * queries×k frame is the broadcast side instead, same plan family
+    * either way). */
+  def simKnnLabel(s: SparkSession, dir: String): DataFrame = {
+    val labels = Tables(s, dir, "embeddings")
+      .select(col("vec_id"), col("label").cast("long").as("label"))
+    val votes = simTopkBruteforce(s, dir)
+      .join(labels.select(col("vec_id").as("cand_id"), col("label").as("cand_label")), "cand_id")
+      .groupBy(col("q_id"), col("cand_label"))
+      .agg(count(lit(1)).as("n_votes"), min(col("rk")).as("best_rk"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("n_votes").desc, col("best_rk").asc)
+    votes.withColumn("vr", row_number().over(w)).filter(col("vr") === 1)
+      .join(labels.select(col("vec_id").as("q_id"), col("label").as("true_label")), "q_id")
+      .select(col("q_id"), col("true_label"), col("cand_label").as("pred_label"),
+        col("n_votes"), (col("cand_label") === col("true_label")).as("correct"))
+      .orderBy(col("q_id"))
   }
 
   /** (max block size) / (mean block size) of the keep=1 inverted-list
@@ -747,7 +844,45 @@ object Similarity {
     "sim_pq_topk" -> simPqTopk _,
     "sim_pq_topk_trained" -> simPqTopkTrained _,
     "sim_pq_rescore" -> simPqRescore _,
+    "sim_pq_rescore_auto" -> simPqRescoreAuto _,
+    "sim_knn_label" -> simKnnLabel _,
   )
+
+  /** Oracle for the kNN label vote: the exact-top-k CTEs, then the
+    * (votes DESC, best_rk) pick — best_rk makes the pick unique because
+    * per-label rank sets are disjoint. */
+  private lazy val knnLabelOracleSql: String =
+    s"""WITH n AS (
+       |  SELECT * FROM (
+       |    SELECT vec_id, embedding,
+       |      sqrt(${dotSql("embedding", "embedding")}) AS nrm
+       |    FROM embeddings) WHERE nrm > 0),
+       |scored AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
+       |    ${dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cosine
+       |  FROM n q JOIN n c ON q.vec_id % $queryStride = 0 AND c.vec_id <> q.vec_id),
+       |ranked AS (
+       |  SELECT q_id, cand_id, cosine,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, cand_id) AS rk
+       |  FROM scored),
+       |votes AS (
+       |  SELECT r.q_id, e.label AS cand_label,
+       |    count(*) AS n_votes, min(r.rk) AS best_rk
+       |  FROM ranked r JOIN embeddings e ON r.cand_id = e.vec_id
+       |  WHERE r.rk <= $topK
+       |  GROUP BY r.q_id, e.label),
+       |pick AS (
+       |  SELECT q_id, cand_label, n_votes FROM (
+       |    SELECT q_id, cand_label, n_votes,
+       |      row_number() OVER (PARTITION BY q_id ORDER BY n_votes DESC, best_rk) AS vr
+       |    FROM votes)
+       |  WHERE vr = 1)
+       |SELECT p.q_id, CAST(eq.label AS BIGINT) AS true_label,
+       |  CAST(p.cand_label AS BIGINT) AS pred_label,
+       |  CAST(p.n_votes AS BIGINT) AS n_votes,
+       |  p.cand_label = eq.label AS correct
+       |FROM pick p JOIN embeddings eq ON p.q_id = eq.vec_id
+       |ORDER BY p.q_id""".stripMargin
 
   /** DuckDB oracle for the prefix-codebook PQ ANN: the codebook is the
     * normalized first-[[pqK]] prefix (reproducible in SQL), codes are
@@ -899,6 +1034,7 @@ object Similarity {
   val oracles: Map[String, String] = Map(
     "sim_pq_topk" -> pqTopkOracleSql,
     "sim_pq_rescore" -> pqRescoreOracleSql,
+    "sim_knn_label" -> knnLabelOracleSql,
     "sim_lsh_ann" -> lshAnnOracleSql,
     // the persisted-index serve path is exact over the same probed
     // candidate set (byte-identity pinned in AnnIndexSpec), so it is

@@ -1092,13 +1092,20 @@ object HashUtil {
       j0 += 1
     }
     val out = new java.util.ArrayList[Any]()
+    // two selection strategies with IDENTICAL semantics — top-topk by
+    // (adc DESC, cand_id ASC): a shifted insertion array for small topk
+    // (the oracle-pinned serving depths), a bounded min-heap for large
+    // shortlist depths where O(depth) shifts per insert would dominate
+    // (a 1024-deep shortlist over a 64k cell pays ~4k O(log depth)
+    // heap replacements instead of ~2M element shifts per query)
+    val useHeap = topk > 64
     val topAdc = new Array[Double](topk)
     val topId = new Array[Long](topk)
     var i = 0
     while (i < nq) {
       val lut = qLuts(i)
-      java.util.Arrays.fill(topAdc, Double.NegativeInfinity)
       var filled = 0
+      if (!useHeap) java.util.Arrays.fill(topAdc, Double.NegativeInfinity)
       var j = 0
       while (j < nc) {
         if (cIds(j) != qIds(i)) {
@@ -1110,17 +1117,63 @@ object HashUtil {
           var adc = 0.0
           var s = 0
           while (s < m) { adc += lut(s * k + codes(s)); s += 1 }
-          var pos = filled
-          while (pos > 0 && adc > topAdc(pos - 1)) pos -= 1
-          if (pos < topk) {
-            var w = math.min(filled, topk - 1)
-            while (w > pos) { topAdc(w) = topAdc(w - 1); topId(w) = topId(w - 1); w -= 1 }
-            topAdc(pos) = adc
-            topId(pos) = cIds(j)
-            if (filled < topk) filled += 1
+          if (!useHeap) {
+            var pos = filled
+            while (pos > 0 && adc > topAdc(pos - 1)) pos -= 1
+            if (pos < topk) {
+              var w = math.min(filled, topk - 1)
+              while (w > pos) { topAdc(w) = topAdc(w - 1); topId(w) = topId(w - 1); w -= 1 }
+              topAdc(pos) = adc
+              topId(pos) = cIds(j)
+              if (filled < topk) filled += 1
+            }
+          } else {
+            // min-heap keyed (adc ASC, cand_id DESC): root = current worst
+            def worseAt(a: Int, adcB: Double, idB: Long): Boolean =
+              topAdc(a) < adcB || (topAdc(a) == adcB && topId(a) > idB)
+            if (filled < topk) {
+              // sift-up insert
+              var c = filled
+              topAdc(c) = adc; topId(c) = cIds(j)
+              filled += 1
+              while (c > 0 && worseAt(c, topAdc((c - 1) / 2), topId((c - 1) / 2))) {
+                val p = (c - 1) / 2
+                val ta = topAdc(c); val ti = topId(c)
+                topAdc(c) = topAdc(p); topId(c) = topId(p)
+                topAdc(p) = ta; topId(p) = ti
+                c = p
+              }
+            } else if (worseAt(0, adc, cIds(j))) {
+              // replace root, sift down
+              topAdc(0) = adc; topId(0) = cIds(j)
+              var c = 0
+              var done = false
+              while (!done) {
+                val l = 2 * c + 1; val r = 2 * c + 2
+                var worst = c
+                if (l < topk && worseAt(l, topAdc(worst), topId(worst))) worst = l
+                if (r < topk && worseAt(r, topAdc(worst), topId(worst))) worst = r
+                if (worst == c) done = true
+                else {
+                  val ta = topAdc(c); val ti = topId(c)
+                  topAdc(c) = topAdc(worst); topId(c) = topId(worst)
+                  topAdc(worst) = ta; topId(worst) = ti
+                  c = worst
+                }
+              }
+            }
           }
         }
         j += 1
+      }
+      if (useHeap && filled > 1) {
+        // emit in (adc DESC, cand_id ASC) order like the insertion path
+        val idx = Array.range(0, filled).sortWith { (a, b) =>
+          topAdc(a) > topAdc(b) || (topAdc(a) == topAdc(b) && topId(a) < topId(b))
+        }
+        val sa = idx.map(topAdc); val si = idx.map(topId)
+        System.arraycopy(sa, 0, topAdc, 0, filled)
+        System.arraycopy(si, 0, topId, 0, filled)
       }
       var r = 0
       while (r < filled) {

@@ -387,7 +387,7 @@ class DedupSimilaritySpec extends AnyFunSuite {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.expressions.Window
     val cb = Similarity.pqCodebook(spark, sf0001)
-    val (m, k) = (Similarity.pqM, Similarity.pqK)
+    val (m, k) = (Similarity.pqM, Similarity.pqKOf(cb))
     val n = Similarity.normed(spark, sf0001)
     val coded = n.select(col("vec_id").as("cand_id"),
       graft.plans.VectorFunctions.pq_codes(col("embedding"), col("nrm"), cb, m, k).as("codes"))
@@ -425,8 +425,32 @@ class DedupSimilaritySpec extends AnyFunSuite {
       f"rescoring (recall $res%.3f) fell below pure ADC ranking ($adc%.3f)")
   }
 
+  test("kNN label vote: one pick per query, drawn from its neighbors, flags consistent") {
+    import org.apache.spark.sql.functions._
+    val nn = Similarity.simTopkBruteforce(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val labels = Tables(spark, sf0001, "embeddings")
+      .select(col("vec_id"), col("label").cast("long")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rows = Similarity.simKnnLabel(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+    assert(rows.map(_._1).toSeq == nn.keySet.toSeq.sorted, "one pick per query, q_id-ordered")
+    for ((q, truth, pred, votes, correct) <- rows) {
+      assert(truth == labels(q), s"query $q true_label mismatch")
+      assert(correct == (pred == truth), s"query $q correct flag inconsistent")
+      val neighborLabels = nn(q).toSeq.map(labels)
+      assert(neighborLabels.contains(pred), s"query $q predicted a label none of its neighbors has")
+      assert(votes >= 1 && votes <= Similarity.topK, s"query $q vote count $votes out of range")
+      assert(votes == neighborLabels.count(_ == pred), s"query $q vote count wrong")
+      // majority property: no other label out-votes the pick
+      assert(votes == neighborLabels.groupBy(identity).values.map(_.size).max,
+        s"query $q pick is not a max-vote label")
+    }
+  }
+
   test("trained PQ codebook cuts quantization error vs the prefix codebook") {
-    val (m, k, dsub) = (Similarity.pqM, Similarity.pqK, Similarity.pqDsub)
+    val (m, dsub) = (Similarity.pqM, Similarity.pqDsub)
+    val k = Similarity.pqKOf(Similarity.pqCodebook(spark, sf0001))
     val vecs = Similarity.normed(spark, sf0001)
       .select(org.apache.spark.sql.functions.col("embedding")
         .cast("array<double>"), org.apache.spark.sql.functions.col("nrm"))
