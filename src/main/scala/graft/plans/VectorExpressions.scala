@@ -1205,8 +1205,12 @@ object HashUtil {
   }
 
   /** See [[SpanScrub]]: mark `[p, p+n)` covered for each 0-based start,
-    * rebuild the text from uncovered words (single-space joined). */
-  def spanScrub(text: UTF8String, starts: ArrayData, n: Int): Any = {
+    * rebuild the text from uncovered words (single-space joined).
+    * Return type must be the concrete InternalRow (not Any/Object) —
+    * the generated code assigns straight into an InternalRow slot and
+    * janino rejects the Object-to-InternalRow assignment, which would
+    * silently drop the whole stage to interpreted eval. */
+  def spanScrub(text: UTF8String, starts: ArrayData, n: Int): org.apache.spark.sql.catalyst.InternalRow = {
     val toks = ws.split(text.toString).filterNot(_.isEmpty)
     val covered = new Array[Boolean](toks.length)
     var i = 0

@@ -94,6 +94,25 @@ class PlanGuardSpec extends AnyFunSuite {
     assert(dots <= 20, s"$dots vec_dot nodes in sim_lsh_ann — per-plane literal hashing is back")
   }
 
+  test("custom expressions COMPILE under codegen (no silent interpreted fallback)") {
+    // janino rejecting one generated assignment (e.g. an Any-returning
+    // kernel helper assigned into an InternalRow slot — the span_scrub
+    // round-5 bug) doesn't fail the query: Spark logs and falls back to
+    // interpreted eval, silently costing the codegen speedup. With
+    // fallback disabled the same defect throws. One query per custom
+    // expression family.
+    val key = "spark.sql.codegen.fallback"
+    val old = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try {
+      for (name <- Seq("dedup_span_rewrite", "sim_pq_topk", "sim_pq_rescore",
+          "dedup_shared_spans", "sim_lsh_ann", "dedup_embedding_blocked",
+          "text_fingerprint", "dedup_minhash_lsh", "sim_topk_bruteforce")) {
+        assert(q(name).count() > 0, s"$name returned no rows under codegen-only eval")
+      }
+    } finally spark.conf.set(key, old)
+  }
+
   test("sim_pq_topk scans compressed: fused encode/LUT/cell kernels in-plan") {
     // the compressed-scan contract: corpus vectors are encoded to codes
     // by the fused pq_codes projection, queries carry pq_lut tables, and
