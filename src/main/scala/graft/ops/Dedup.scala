@@ -850,16 +850,31 @@ object Dedup {
     * is produced in the same task that holds the original. */
   def dedupSpanRewrite(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables(s, dir, "documents")
-    val shp = docs.filter(col("doc_id").isNotNull)
+    // ONE grouped (doc_id, span-hash → position list) frame, then the
+    // document frequency as a COUNT WINDOW over h on that same frame —
+    // a row per (doc, h) means the window count IS the distinct-doc
+    // frequency, so there is no frequency aggregate and no join-back at
+    // all: the corpus is tokenized+hashed exactly once in a single
+    // pipeline. (The dedupSharedSpans join-back shape relies on AQE
+    // exchange reuse, which breaks HERE because column pruning
+    // specializes the two copies — the frequency branch drops the
+    // position lists, the join branch keeps them, and the canonical
+    // forms no longer match. The window shape has nothing to reuse.)
+    // The window partitions by h: rows per partition = docs sharing
+    // that span, bounded by corpus df like the boilerplate window.
+    val sh = docs.filter(col("doc_id").isNotNull)
       .select(col("doc_id"),
         posexplode(graft.plans.VectorFunctions.word_shingle_hashes_pos(
           col("text"), spanShingleN)).as(Seq("p0", "h")))
-    val freq = shp.select(col("doc_id"), col("h")).distinct()
-      .groupBy(col("h")).agg(count(lit(1)).as("n_docs"))
-    val starts = shp.join(freq, "h")
+      .groupBy(col("doc_id"), col("h"))
+      .agg(collect_list(col("p0").cast("long")).as("ps"))
+    val starts = sh
+      .withColumn("n_docs", count(lit(1))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy(col("h"))))
       .filter(col("n_docs") > 1)
+      .select(col("doc_id"), explode(col("ps")).as("p0"))
       .groupBy(col("doc_id"))
-      .agg(sort_array(collect_list(col("p0").cast("long"))).as("starts"))
+      .agg(sort_array(collect_list(col("p0"))).as("starts"))
     docs.join(starts, Seq("doc_id"), "left")
       .select(col("doc_id"), graft.plans.VectorFunctions.span_scrub(
         col("text"),

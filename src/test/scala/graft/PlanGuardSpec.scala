@@ -263,6 +263,20 @@ class PlanGuardSpec extends AnyFunSuite {
       "span hashing appears in more than one scan branch")
   }
 
+  test("dedup_span_rewrite tokenizes once (window df, no frequency join-back)") {
+    // the REWRITE's document frequency is a count WINDOW over h on the
+    // single grouped positional frame — no second aggregate, no
+    // join-back, so the positional hashing expression must appear in
+    // exactly one branch of the runtime plan (the shared-spans reuse
+    // trick does not survive column pruning here; the window shape
+    // needs no reuse at all)
+    val df = q("dedup_span_rewrite")
+    df.collect()
+    val txt = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert("word_shingle_hashes_pos".r.findAllIn(txt).length == 1,
+      "positional span hashing appears in more than one scan branch")
+  }
+
   test("curate_source_mix: grand total over the grouped frame, corpus scanned once") {
     val txt = plan("curate_source_mix").toString
     assert("FileScan".r.findAllIn(txt).length == 1,
