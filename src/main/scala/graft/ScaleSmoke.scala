@@ -268,6 +268,18 @@ object ScaleSmoke {
     }
     say(s"  -> ${spans.getLong(0)} docs, ${spans.getLong(1)} span-dup flagged (planted: ${2 * nDocDup})")
     assert(spans.getLong(0) == nDoc && spans.getLong(1) == 2 * nDocDup)
+    // the REWRITE at 100k docs: every flagged doc must lose whole
+    // span windows (>= spanShingleN words) and ONLY flagged docs may
+    // lose anything — agreement with the profile above, at scale
+    val rw = time("dedup_span_rewrite (100k docs, window df, fused scrub)") {
+      ops.Dedup.dedupSpanRewrite(spark, dir)
+        .agg(count(lit(1)),
+          sum(when(col("n_removed") > 0, 1L).otherwise(0L)),
+          sum(when(col("n_removed") > 0 && col("n_removed") < ops.Dedup.spanShingleN, 1L)
+            .otherwise(0L))).head()
+    }
+    say(s"  -> ${rw.getLong(0)} docs rewritten, ${rw.getLong(1)} scrubbed (= flagged?), ${rw.getLong(2)} below a whole span")
+    assert(rw.getLong(0) == nDoc && rw.getLong(1) == spans.getLong(1) && rw.getLong(2) == 0)
     time("text_pii_scrub (100k docs, projection only)")(noop(ops.TextAnalysis.textPiiScrub(spark, dir)))
     val boiler = time("text_boilerplate (100k docs, (source, gram) df window)") {
       ops.TextAnalysis.textBoilerplate(spark, dir).count()
