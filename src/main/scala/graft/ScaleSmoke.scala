@@ -281,6 +281,12 @@ object ScaleSmoke {
     say(s"  -> ${rw.getLong(0)} docs rewritten, ${rw.getLong(1)} scrubbed (= flagged?), ${rw.getLong(2)} below a whole span")
     assert(rw.getLong(0) == nDoc && rw.getLong(1) == spans.getLong(1) && rw.getLong(2) == 0)
     time("text_pii_scrub (100k docs, projection only)")(noop(ops.TextAnalysis.textPiiScrub(spark, dir)))
+    val cr = time("text_compress_ratio (100k docs, in-codegen deflate)") {
+      ops.TextAnalysis.textCompressRatio(spark, dir)
+        .agg(count(lit(1)), sum(when(col("is_repetitive") || col("is_junk"), 1L).otherwise(0L))).head()
+    }
+    say(s"  -> ${cr.getLong(0)} docs deflated, ${cr.getLong(1)} tail-flagged")
+    assert(cr.getLong(0) == nDoc)
     val boiler = time("text_boilerplate (100k docs, (source, gram) df window)") {
       ops.TextAnalysis.textBoilerplate(spark, dir).count()
     }

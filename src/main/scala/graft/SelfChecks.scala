@@ -196,6 +196,40 @@ object SelfChecks {
       s"served=${out.length} trueHeavy=${trueHeavy.size} missed=${missed.size} underestimates=$under")
   }
 
+  /** Compression-ratio contract: every row's deflate_bytes bit-equal
+    * to a driver-side recompute with the same JVM zlib at the same
+    * level, ratio re-derived, both tail flags consistent. */
+  private def compressRatioCheck(s: SparkSession, dir: String): CheckResult = {
+    val texts = Tables(s, dir, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val out = ops.TextAnalysis.textCompressRatio(s, dir).collect()
+    var bad = 0
+    for (r <- out) {
+      val id = r.getLong(0)
+      val nBytes = r.getLong(1)
+      val defl = r.getLong(2)
+      val text = texts(id)
+      val raw = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val want = graft.plans.HashUtil.deflateLength(
+        org.apache.spark.unsafe.types.UTF8String.fromString(text), ops.TextAnalysis.deflateLevel)
+      val ratioOk =
+        if (nBytes == 0) r.isNullAt(3)
+        // Spark's round() is HALF_UP through BigDecimal — replicate it
+        else r.getDouble(3) == BigDecimal(defl.toDouble / nBytes)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val flagsOk = (!r.isNullAt(3) || (!r.getBoolean(4) && !r.getBoolean(5))) &&
+        (r.isNullAt(3) || (r.getBoolean(4) == (r.getDouble(3) < ops.TextAnalysis.compressRatioMin) &&
+          r.getBoolean(5) == (r.getDouble(3) > ops.TextAnalysis.compressRatioMax &&
+            nBytes >= ops.TextAnalysis.compressMinBytes)))
+      if (nBytes != raw.length || defl != want || !ratioOk || !flagsOk) bad += 1
+    }
+    CheckResult(out.length == texts.size && bad == 0,
+      "DuckDB has no deflate; determinism is JVM-zlib-wide, not SQL-expressible",
+      "deflate_bytes bit-equal to driver recompute; ratio and tail flags re-derived",
+      s"rows=${out.length} bad=$bad")
+  }
+
   /** One entry per rows-only query — keep in lockstep with the set
     * `SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet`. */
   val checks: Map[String, (SparkSession, String) => CheckResult] = Map(
@@ -215,6 +249,7 @@ object SelfChecks {
     "sim_pq_rescore_auto" -> annCheck(ops.Similarity.simPqRescoreAuto,
       "shortlist depth derives from a runtime size statistic; static SQL cannot reproduce it"),
     "q_approx_distinct" -> (approxDistinctCheck _),
+    "text_compress_ratio" -> (compressRatioCheck _),
     "text_heavy_hitters" -> (heavyHittersCheck _),
     "text_heavy_hitters_sketch" -> (heavyHittersSketchCheck _),
   )

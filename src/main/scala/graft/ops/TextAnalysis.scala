@@ -67,6 +67,45 @@ object TextAnalysis {
         col("n_punct"), col("score"), (col("score") >= 0.5).as("is_quality"))
       .orderBy(col("doc_id"))
 
+  /** zlib level for the compression-ratio signal: 6 is the zlib
+    * default — the published filters (Gopher's repetition heuristics,
+    * CCNet's LM-free pre-filters) care about the RATIO's ordering, not
+    * the absolute bytes, and any fixed level preserves it. */
+  val deflateLevel = 6
+
+  /** A doc whose deflate ratio falls below this compresses far beyond
+    * typical prose — boilerplate/repetition (near-constant text
+    * deflates to ~1-5%; the synthetic corpus floor measures 0.391);
+    * above [[compressRatioMax]] it barely compresses — high-entropy
+    * junk for natural text (random printable chars measure ~0.92,
+    * base64 blobs ~0.85, long prose ~0.4-0.6). The junk tail only
+    * applies at ≥ [[compressMinBytes]]: deflate's fixed overhead makes
+    * ratio length-confounded below that (a 78-byte prose sentence
+    * measures 0.92 — indistinguishable from junk by ratio alone). */
+  val compressRatioMin = 0.2
+  val compressRatioMax = 0.8
+  val compressMinBytes = 256L
+
+  /** Compression-ratio quality signal (the Gopher-style "too
+    * compressible = repetitive, incompressible = junk" filter):
+    * deflate each document at a pinned zlib level INSIDE codegen (the
+    * fused `deflate_length` expression — no UDF, no intermediate
+    * binary column) and flag both tails. Pure projection — no shuffle
+    * at any corpus size; cost is the deflate itself, linear in corpus
+    * bytes. Rows-only: DuckDB has no deflate, so the self-check
+    * recomputes every row's compressed length with the same JVM zlib
+    * (bit-exact) and re-derives the flags. */
+  def textCompressRatio(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), octet_length(col("text")).cast("long").as("n_bytes"),
+        graft.plans.VectorFunctions.deflate_length(col("text"), deflateLevel).as("deflate_bytes"))
+      .withColumn("ratio", when(col("n_bytes") > 0,
+        round(col("deflate_bytes").cast("double") / col("n_bytes").cast("double"), 6)))
+      .withColumn("is_repetitive", coalesce(col("ratio") < compressRatioMin, lit(false)))
+      .withColumn("is_junk", coalesce(
+        col("ratio") > compressRatioMax && col("n_bytes") >= compressMinBytes, lit(false)))
+      .orderBy(col("doc_id"))
+
   /** Stopword-overlap language ID (n-gram-free heuristic): score each
     * candidate language by stopword hits, argmax with a fixed tie order. */
   def textLangId(s: SparkSession, dir: String): DataFrame =
@@ -701,6 +740,7 @@ object TextAnalysis {
     "text_unigram_lm" -> textUnigramLm _,
     "text_pii_scrub" -> textPiiScrub _,
     "text_boilerplate" -> textBoilerplate _,
+    "text_compress_ratio" -> textCompressRatio _,
   )
 
   private val tokSql =

@@ -528,6 +528,33 @@ case class SpanScrub(left: Expression, right: Expression, n: Int)
     copy(left = newLeft, right = newRight)
 }
 
+/** DEFLATE-compressed byte length of a string (zlib level fixed at
+  * construction) — the primitive behind the compression-ratio quality
+  * signal (a document that compresses far below typical prose is
+  * boilerplate/repetition; one that refuses to compress is noise or
+  * binary junk). Runs the deflate INSIDE codegen per row — no UDF
+  * serialization, no intermediate byte-array column. Deterministic:
+  * java.util.zip.Deflater with a pinned level and strategy produces
+  * identical bytes on every JVM that ships the same zlib, which the
+  * self-check relies on (driver recompute == task output). */
+case class DeflateLength(child: Expression, level: Int) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "deflate_length"
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    InputChecks.check(prettyName)((child, InputChecks.isString, "string"))
+
+  override def nullSafeEval(v: Any): Any =
+    HashUtil.deflateLength(v.asInstanceOf[UTF8String], level)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.HashUtil.deflateLength($c, $level)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Product-quantization codes: split a (normalized) embedding into `m`
   * contiguous subvectors and emit, per subspace, the index of the
   * nearest codebook entry by squared L2 distance (strictly-less argmin,
@@ -1186,6 +1213,23 @@ object HashUtil {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
   }
 
+  /** See [[DeflateLength]]: deflate byte count at a pinned level. A
+    * fresh Deflater per call (not thread-local reuse): `end()` frees
+    * the native zlib state eagerly, and the per-row allocation is noise
+    * next to the compression itself. */
+  def deflateLength(s: UTF8String, level: Int): Long = {
+    val input = s.getBytes
+    val d = new java.util.zip.Deflater(level)
+    try {
+      d.setInput(input)
+      d.finish()
+      val buf = new Array[Byte](8192)
+      var total = 0L
+      while (!d.finished()) total += d.deflate(buf)
+      total
+    } finally d.end()
+  }
+
   /** See [[WordShingleHashesPos]]: one hash per window start, document
     * order, no dedup. */
   def wordShingleHashesPos(s: UTF8String, n: Int): ArrayData = {
@@ -1291,6 +1335,8 @@ object VectorFunctions {
     GraftBridge.column(CellPqTopk(GraftBridge.expression(qs), GraftBridge.expression(cs), k, topk))
   def word_shingle_hashes_pos(c: Column, n: Int): Column =
     GraftBridge.column(WordShingleHashesPos(GraftBridge.expression(c), n))
+  def deflate_length(c: Column, level: Int): Column =
+    GraftBridge.column(DeflateLength(GraftBridge.expression(c), level))
   def span_scrub(text: Column, starts: Column, n: Int): Column =
     GraftBridge.column(SpanScrub(GraftBridge.expression(text), GraftBridge.expression(starts), n))
 }

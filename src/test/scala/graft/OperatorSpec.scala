@@ -449,6 +449,35 @@ class OperatorSpec extends AnyFunSuite {
     assert(disagree == 0, s"$disagree docs where rewrite and shared-span flags disagree")
   }
 
+  test("textCompressRatio: repetition flags low tail, junk flags high tail, empty is null") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("compress-corpus")
+    val rnd = new scala.util.Random(7)
+    Seq(
+      // near-constant text deflates to a few percent -> is_repetitive
+      (1L, "spam " * 400, "en", "s1", 0L),
+      // random printable chars (~6.6 bits/char) barely compress -> is_junk
+      (2L, Seq.fill(400)(rnd.nextPrintableChar).mkString(""), "en", "s1", 0L),
+      // SHORT prose measures a junk-like ratio (deflate overhead) but the
+      // length gate exempts it — the length-confounding case
+      (3L, "the quick brown fox jumps over the lazy dog and keeps going through the field", "en", "s1", 0L),
+      // empty doc: no bytes, ratio null, neither flag
+      (4L, "", "en", "s1", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val r = graft.ops.TextAnalysis.textCompressRatio(spark, tmp.toString)
+      .collect().map(x => x.getLong(0) -> x).toMap
+    assert(r.size == 4)
+    assert(r(1L).getBoolean(4) && !r(1L).getBoolean(5), "constant text must flag repetitive")
+    assert(r(2L).getBoolean(5) && !r(2L).getBoolean(4), "random hex must flag junk")
+    assert(!r(3L).getBoolean(4) && !r(3L).getBoolean(5), "prose must pass both tails")
+    assert(r(4L).getLong(1) == 0 && r(4L).isNullAt(3) &&
+      !r(4L).getBoolean(4) && !r(4L).getBoolean(5), "empty doc: null ratio, no flags")
+    // the self-check passes on the real corpus (bit-exact recompute)
+    val chk = SelfChecks.checks("text_compress_ratio")(spark, TestSpark.sf0001)
+    assert(chk.pass, chk.detail)
+  }
+
   test("every registered query returns rows at sf0.001 (t1 smoke)") {
     val failures = SparkEntry.queries.flatMap { case (name, fn) =>
       try {

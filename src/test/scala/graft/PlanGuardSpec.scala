@@ -107,7 +107,8 @@ class PlanGuardSpec extends AnyFunSuite {
     try {
       for (name <- Seq("dedup_span_rewrite", "sim_pq_topk", "sim_pq_rescore",
           "dedup_shared_spans", "sim_lsh_ann", "dedup_embedding_blocked",
-          "text_fingerprint", "dedup_minhash_lsh", "sim_topk_bruteforce")) {
+          "text_fingerprint", "dedup_minhash_lsh", "sim_topk_bruteforce",
+          "text_compress_ratio")) {
         assert(q(name).count() > 0, s"$name returned no rows under codegen-only eval")
       }
     } finally spark.conf.set(key, old)
