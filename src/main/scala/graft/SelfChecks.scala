@@ -230,6 +230,29 @@ object SelfChecks {
       s"rows=${out.length} bad=$bad")
   }
 
+  /** Bloom-served decontamination contract: one-sided error. Every doc
+    * the exact shingle join finds contaminated MUST be flagged (a bloom
+    * has no false negatives) with n_maybe_shared ≥ the exact shared
+    * count; false positives are counted and bounded generously above
+    * the construction fpp's doc-level amplification. */
+  private def bloomDecontamCheck(s: SparkSession, dir: String): CheckResult = {
+    val exact = ops.Curation.decontaminateNgram(s, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val served = ops.Curation.decontaminateBloomServed(s, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val missedOrUnder = served.count { case (id, maybe, flagged) =>
+      val truth = exact.getOrElse(id, 0L)
+      (truth > 0 && !flagged) || maybe < truth
+    }
+    val clean = served.count { case (id, _, _) => exact.getOrElse(id, 0L) == 0L }
+    val fps = served.count { case (id, _, flagged) => flagged && exact.getOrElse(id, 0L) == 0L }
+    val fpFrac = if (clean == 0) 0.0 else fps.toDouble / clean
+    CheckResult(served.length == exact.size && missedOrUnder == 0 && fpFrac <= 0.05,
+      "bloom bit layout is Spark's sketch implementation, not SQL-expressible",
+      "no false negatives, n_maybe >= exact shared count, observed FP fraction <= 0.05",
+      f"rows=${served.length} missedOrUnder=$missedOrUnder fps=$fps fpFrac=$fpFrac%.4f")
+  }
+
   /** One entry per rows-only query — keep in lockstep with the set
     * `SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet`. */
   val checks: Map[String, (SparkSession, String) => CheckResult] = Map(
@@ -250,6 +273,7 @@ object SelfChecks {
       "shortlist depth derives from a runtime size statistic; static SQL cannot reproduce it"),
     "q_approx_distinct" -> (approxDistinctCheck _),
     "text_compress_ratio" -> (compressRatioCheck _),
+    "decontaminate_bloom_served" -> (bloomDecontamCheck _),
     "text_heavy_hitters" -> (heavyHittersCheck _),
     "text_heavy_hitters_sketch" -> (heavyHittersSketchCheck _),
   )

@@ -184,6 +184,108 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  /** False-positive rate the eval-shingle Bloom filter is sized for. A
+    * doc-level flag fires on ANY of its ~tens of shingles hitting, so
+    * the doc-level FP rate amplifies ≈ spans·fpp — 1e-4 keeps it well
+    * under 1% at typical span counts. */
+  val contamBloomFpp = 1e-4
+
+  /** Distinct shingle hashes of the eval slice (the benchmark side). */
+  private def evalShingleHashes(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .filter(col("doc_id") % evalStride === 0)
+      .select(explode(graft.plans.VectorFunctions.word_shingle_hashes(
+        col("text"), contamShingleN)).as("h"))
+      .distinct()
+
+  /** Session memo of built eval blooms (eager small build, like the PQ
+    * codebooks — the eval set is benchmark-sized by construction). */
+  private val bloomMemo = new java.util.WeakHashMap[
+    SparkSession, scala.collection.mutable.Map[String, org.apache.spark.util.sketch.BloomFilter]]()
+
+  private[graft] def evalBloom(s: SparkSession, dir: String): org.apache.spark.util.sketch.BloomFilter =
+    bloomMemo.synchronized {
+      val it = bloomMemo.entrySet().iterator()
+      while (it.hasNext) if (it.next().getKey.sparkContext.isStopped) it.remove()
+      bloomMemo.computeIfAbsent(s, _ => scala.collection.mutable.Map.empty)
+        .getOrElseUpdate(dir, {
+          val evalH = evalShingleHashes(s, dir)
+          val n = math.max(1024L, evalH.count())
+          evalH.stat.bloomFilter("h", n, contamBloomFpp)
+        })
+    }
+
+  /** PERSIST the eval-set Bloom index: one parquet row carrying the
+    * serialized filter plus the sizing it was built with (append needs
+    * the identical geometry to OR-merge). Build is eager — two small
+    * jobs over the eval slice only; the 100 TB corpus is never read. */
+  def decontamBloomWrite(s: SparkSession, evalDir: String, indexDir: String): Unit = {
+    import s.implicits._
+    val evalH = evalShingleHashes(s, evalDir)
+    val n = math.max(1024L, evalH.count())
+    val bloom = evalH.stat.bloomFilter("h", n, contamBloomFpp)
+    val bos = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(bos)
+    Seq((bos.toByteArray, n, contamBloomFpp)).toDF("bloom", "n_items", "fpp")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/bloom")
+  }
+
+  /** Landing-zone append: OR-merge a new eval batch into the persisted
+    * filter. The batch bloom is built at the INDEX's recorded geometry
+    * (same expectedNumItems/fpp ⇒ same bit count and hash count —
+    * `mergeInPlace`'s compatibility requirement), so merging equals
+    * having built from the union. */
+  def decontamBloomAppend(s: SparkSession, evalDir: String, indexDir: String): Unit = {
+    import s.implicits._
+    val meta = s.read.parquet(s"$indexDir/bloom").head()
+    val existing = org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(meta.getAs[Array[Byte]]("bloom")))
+    val n = meta.getAs[Long]("n_items")
+    val fpp = meta.getAs[Double]("fpp")
+    val batch = evalShingleHashes(s, evalDir).stat.bloomFilter("h", n, fpp)
+    existing.mergeInPlace(batch)
+    val bos = new java.io.ByteArrayOutputStream()
+    existing.writeTo(bos)
+    Seq((bos.toByteArray, n, fpp)).toDF("bloom", "n_items", "fpp")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/bloom")
+  }
+
+  /** Serve contamination checks for train corpora from a PERSISTED
+    * bloom index — see [[decontaminateBloomServed]] for the shape. */
+  def decontamBloomServe(s: SparkSession, indexDir: String, corpusDirs: Seq[String]): DataFrame = {
+    val bytes = s.read.parquet(s"$indexDir/bloom").head().getAs[Array[Byte]]("bloom")
+    val bloom = org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(bytes))
+    val docs = corpusDirs.map(Tables(s, _, "documents")).reduce(_ unionByName _)
+    serveBloom(docs, bloom)
+  }
+
+  /** Bloom-served decontamination — the SERVING shape of
+    * [[decontaminateNgram]]: the eval set compresses into a
+    * few-hundred-KB Bloom filter that rides with the plan, and the
+    * corpus-side check is `size(filter(shingles, bloom))` — a pure
+    * scan-local projection. NO join, NO shuffle, the eval set is never
+    * re-read: at 100 TB the contamination pass is a map-only scan,
+    * where the exact equi-join shuffles every corpus shingle. One-sided
+    * error: a clean verdict is definite (no false negatives — every
+    * truly contaminated doc is flagged); flags carry the construction
+    * fpp, to be exact-checked downstream on the tiny flagged slice if
+    * needed. Rows-only; the self-check asserts the containment against
+    * the exact join and bounds observed false positives. */
+  def decontaminateBloomServed(s: SparkSession, dir: String): DataFrame =
+    serveBloom(Tables(s, dir, "documents"), evalBloom(s, dir))
+
+  private def serveBloom(docs: DataFrame,
+      bloom: org.apache.spark.util.sketch.BloomFilter): DataFrame =
+    docs.filter(col("doc_id") % evalStride =!= 0)
+      .select(col("doc_id"),
+        size(filter(
+          graft.plans.VectorFunctions.word_shingle_hashes(col("text"), contamShingleN),
+          h => graft.plans.VectorFunctions.bloom_might_contain(h, bloom)))
+          .cast("long").as("n_maybe_shared"))
+      .withColumn("is_contaminated", col("n_maybe_shared") > 0)
+      .orderBy(col("doc_id"))
+
   /** Corpus-composition "dataset card": per (source, lang) document and
     * token counts, each cell's share of all corpus tokens — the first
     * table a data-mixture decision reads. Shape: one map-side-combined
@@ -230,6 +332,7 @@ object Curation {
     "curate_pack_sequences" -> curatePackSequences _,
     "curate_mix_epochs" -> curateMixEpochs _,
     "decontaminate_ngram" -> decontaminateNgram _,
+    "decontaminate_bloom_served" -> decontaminateBloomServed _,
     "curate_source_mix" -> curateSourceMix _,
   )
 

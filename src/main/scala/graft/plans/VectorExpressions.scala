@@ -528,6 +528,36 @@ case class SpanScrub(left: Expression, right: Expression, n: Int)
     copy(left = newLeft, right = newRight)
 }
 
+/** Membership probe against a pre-built Bloom filter riding along as a
+  * reference object — the serving half of bloom-indexed
+  * decontamination: the (tiny) eval-set filter broadcasts with the
+  * plan and the corpus-side check is a pure scan-local boolean, no
+  * join, no shuffle. `org.apache.spark.util.sketch.BloomFilter` is
+  * Spark's own sketch (the `df.stat.bloomFilter` builder), so bit
+  * layout and hashing stay engine-canonical. One-sided error only:
+  * `false` is definite, `true` may be a false positive at the
+  * construction fpp. */
+case class BloomMightContain(child: Expression,
+    bloom: org.apache.spark.util.sketch.BloomFilter) extends UnaryExpression {
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "bloom_might_contain"
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    InputChecks.check(prettyName)(
+      (child, { case LongType | NullType => true; case _ => false }, "bigint"))
+
+  override def nullSafeEval(v: Any): Any = bloom.mightContainLong(v.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bloom", bloom, "org.apache.spark.util.sketch.BloomFilter")
+    defineCodeGen(ctx, ev, c => s"$ref.mightContainLong($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** DEFLATE-compressed byte length of a string (zlib level fixed at
   * construction) — the primitive behind the compression-ratio quality
   * signal (a document that compresses far below typical prose is
@@ -1337,6 +1367,8 @@ object VectorFunctions {
     GraftBridge.column(WordShingleHashesPos(GraftBridge.expression(c), n))
   def deflate_length(c: Column, level: Int): Column =
     GraftBridge.column(DeflateLength(GraftBridge.expression(c), level))
+  def bloom_might_contain(c: Column, bloom: org.apache.spark.util.sketch.BloomFilter): Column =
+    GraftBridge.column(BloomMightContain(GraftBridge.expression(c), bloom))
   def span_scrub(text: Column, starts: Column, n: Int): Column =
     GraftBridge.column(SpanScrub(GraftBridge.expression(text), GraftBridge.expression(starts), n))
 }

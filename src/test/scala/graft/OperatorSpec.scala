@@ -478,6 +478,26 @@ class OperatorSpec extends AnyFunSuite {
     assert(chk.pass, chk.detail)
   }
 
+  test("bloom decontamination: disk-served == in-session; append is idempotent; self-check holds") {
+    import TestSpark.sf0001
+    val idx = java.nio.file.Files.createTempDirectory("bloom-idx").toString
+    graft.ops.Curation.decontamBloomWrite(spark, sf0001, idx)
+    val shape = (r: org.apache.spark.sql.Row) => (r.getLong(0), r.getLong(1), r.getBoolean(2))
+    val inSession = graft.ops.Curation.decontaminateBloomServed(spark, sf0001)
+      .collect().map(shape).toSeq
+    val fromDisk = graft.ops.Curation.decontamBloomServe(spark, idx, Seq(sf0001))
+      .collect().map(shape).toSeq
+    assert(inSession.nonEmpty && fromDisk === inSession,
+      "persisted-bloom serving diverged from the in-session filter")
+    // merging the same eval set back in flips no additional bits
+    graft.ops.Curation.decontamBloomAppend(spark, sf0001, idx)
+    val afterAppend = graft.ops.Curation.decontamBloomServe(spark, idx, Seq(sf0001))
+      .collect().map(shape).toSeq
+    assert(afterAppend === inSession, "idempotent append changed the served result")
+    val chk = SelfChecks.checks("decontaminate_bloom_served")(spark, sf0001)
+    assert(chk.pass, chk.detail)
+  }
+
   test("every registered query returns rows at sf0.001 (t1 smoke)") {
     val failures = SparkEntry.queries.flatMap { case (name, fn) =>
       try {

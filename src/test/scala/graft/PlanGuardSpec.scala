@@ -108,7 +108,7 @@ class PlanGuardSpec extends AnyFunSuite {
       for (name <- Seq("dedup_span_rewrite", "sim_pq_topk", "sim_pq_rescore",
           "dedup_shared_spans", "sim_lsh_ann", "dedup_embedding_blocked",
           "text_fingerprint", "dedup_minhash_lsh", "sim_topk_bruteforce",
-          "text_compress_ratio")) {
+          "text_compress_ratio", "decontaminate_bloom_served")) {
         assert(q(name).count() > 0, s"$name returned no rows under codegen-only eval")
       }
     } finally spark.conf.set(key, old)
