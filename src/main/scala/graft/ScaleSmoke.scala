@@ -281,6 +281,18 @@ object ScaleSmoke {
     say(s"  -> ${rw.getLong(0)} docs rewritten, ${rw.getLong(1)} scrubbed (= flagged?), ${rw.getLong(2)} below a whole span")
     assert(rw.getLong(0) == nDoc && rw.getLong(1) == spans.getLong(1) && rw.getLong(2) == 0)
     time("text_pii_scrub (100k docs, projection only)")(noop(ops.TextAnalysis.textPiiScrub(spark, dir)))
+    // decontamination both ways at 100k docs: the exact join shuffles
+    // every corpus shingle; the bloom serve is a map-only scan against
+    // the broadcast eval filter. Bloom has no false negatives, so its
+    // flag count must dominate the exact one.
+    val exactDecon = time("decontaminate_ngram (exact shingle join)") {
+      ops.Curation.decontaminateNgram(spark, dir).filter(col("n_shared") > 0).count()
+    }
+    val bloomDecon = time("decontaminate_bloom_served (map-only bloom scan)") {
+      ops.Curation.decontaminateBloomServed(spark, dir).filter(col("is_contaminated")).count()
+    }
+    say(s"  -> exact contaminated=$exactDecon, bloom flagged=$bloomDecon (one-sided: bloom >= exact)")
+    assert(bloomDecon >= exactDecon)
     val cr = time("text_compress_ratio (100k docs, in-codegen deflate)") {
       ops.TextAnalysis.textCompressRatio(spark, dir)
         .agg(count(lit(1)), sum(when(col("is_repetitive") || col("is_junk"), 1L).otherwise(0L))).head()
