@@ -160,14 +160,17 @@ object ScaleSmoke {
     // as 128-entry LUTs — the shuffle narrowing (~32x vs raw vectors)
     // is exactly what 250k rows is meant to exercise; the trained
     // codebook pays its per-subspace Lloyd on first call (memoized)
-    val pqAdc = time("sim_pq_topk (prefix codebook, pure ADC)") {
-      topkPairs(ops.Similarity.simPqTopk(spark, dir))
+    // the public pinned variants REFUSE 250k rows (pqPinnedMaxRows guard,
+    // round 6) — the experiment deliberately lifts the bound to keep
+    // measuring the recall collapse the guard exists to prevent
+    val pqAdc = time("sim_pq_topk (prefix codebook, pure ADC; guard lifted)") {
+      topkPairs(ops.Similarity.simPqTopkBounded(spark, dir, Long.MaxValue))
     }
-    val pqTrained = time("sim_pq_topk_trained (incl. subspace training)") {
-      topkPairs(ops.Similarity.simPqTopkTrained(spark, dir))
+    val pqTrained = time("sim_pq_topk_trained (incl. subspace training; guard lifted)") {
+      topkPairs(ops.Similarity.simPqTopkTrainedBounded(spark, dir, Long.MaxValue))
     }
-    val pqRescore = time("sim_pq_rescore (ADC shortlist + exact rescore)") {
-      topkPairs(ops.Similarity.simPqRescore(spark, dir))
+    val pqRescore = time("sim_pq_rescore (ADC shortlist + exact rescore; guard lifted)") {
+      topkPairs(ops.Similarity.simPqRescoreBounded(spark, dir, Long.MaxValue))
     }
     val pqRescoreAuto = time("sim_pq_rescore_auto (constant-fraction shortlist)") {
       topkPairs(ops.Similarity.simPqRescoreAuto(spark, dir))

@@ -220,14 +220,33 @@ object Curation {
     * the identical geometry to OR-merge). Build is eager — two small
     * jobs over the eval slice only; the 100 TB corpus is never read. */
   def decontamBloomWrite(s: SparkSession, evalDir: String, indexDir: String): Unit = {
-    import s.implicits._
     val evalH = evalShingleHashes(s, evalDir)
     val n = math.max(1024L, evalH.count())
     val bloom = evalH.stat.bloomFilter("h", n, contamBloomFpp)
+    writeBloomRow(s, indexDir, bloom, n, contamBloomFpp, totalItems = n)
+  }
+
+  /** Publish the bloom row via write-to-temp + rename: the read-modify-
+    * overwrite cycle in [[decontamBloomAppend]] must never leave a
+    * half-written index visible to a concurrent reader (parquet
+    * `overwrite` deletes the destination before the new files land). The
+    * rename is atomic on HDFS/posix per directory entry; readers see
+    * either the old or the new index, never neither. */
+  private def writeBloomRow(s: SparkSession, indexDir: String,
+      bloom: org.apache.spark.util.sketch.BloomFilter,
+      nItems: Long, fpp: Double, totalItems: Long): Unit = {
+    import s.implicits._
     val bos = new java.io.ByteArrayOutputStream()
     bloom.writeTo(bos)
-    Seq((bos.toByteArray, n, contamBloomFpp)).toDF("bloom", "n_items", "fpp")
-      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/bloom")
+    val dest = new org.apache.hadoop.fs.Path(s"$indexDir/bloom")
+    val tmp = new org.apache.hadoop.fs.Path(s"$indexDir/.bloom.tmp")
+    val fs = dest.getFileSystem(s.sparkContext.hadoopConfiguration)
+    Seq((bos.toByteArray, nItems, fpp, totalItems))
+      .toDF("bloom", "n_items", "fpp", "total_items")
+      .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    if (fs.exists(dest)) fs.delete(dest, true)
+    if (!fs.rename(tmp, dest))
+      throw new java.io.IOException(s"rename $tmp -> $dest failed")
   }
 
   /** Landing-zone append: OR-merge a new eval batch into the persisted
@@ -236,28 +255,50 @@ object Curation {
     * `mergeInPlace`'s compatibility requirement), so merging equals
     * having built from the union. */
   def decontamBloomAppend(s: SparkSession, evalDir: String, indexDir: String): Unit = {
-    import s.implicits._
     val meta = s.read.parquet(s"$indexDir/bloom").head()
     val existing = org.apache.spark.util.sketch.BloomFilter.readFrom(
       new java.io.ByteArrayInputStream(meta.getAs[Array[Byte]]("bloom")))
     val n = meta.getAs[Long]("n_items")
     val fpp = meta.getAs[Double]("fpp")
-    val batch = evalShingleHashes(s, evalDir).stat.bloomFilter("h", n, fpp)
+    val priorTotal = if (meta.schema.fieldNames.contains("total_items"))
+      meta.getAs[Long]("total_items") else n
+    val batchH = evalShingleHashes(s, evalDir)
+    val batchN = batchH.count()
+    val batch = batchH.stat.bloomFilter("h", n, fpp)
     existing.mergeInPlace(batch)
-    val bos = new java.io.ByteArrayOutputStream()
-    existing.writeTo(bos)
-    Seq((bos.toByteArray, n, fpp)).toDF("bloom", "n_items", "fpp")
-      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/bloom")
+    // cumulative inserts vs the sized capacity: OR-merging beyond the
+    // geometry's n_items silently lifts the actual FP rate above the
+    // recorded fpp, so track it and warn — serve re-checks it too.
+    val total = priorTotal + batchN
+    if (total > n)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"decontamBloomAppend: cumulative $total items exceed the sized capacity $n " +
+        s"at $indexDir — actual FP rate now exceeds fpp=$fpp; rebuild via " +
+        "decontamBloomWrite over the full eval union (see *IndexCompact)")
+    writeBloomRow(s, indexDir, existing, n, fpp, total)
   }
 
   /** Serve contamination checks for train corpora from a PERSISTED
-    * bloom index — see [[decontaminateBloomServed]] for the shape. */
+    * bloom index — see [[decontaminateBloomServed]] for the shape.
+    * External corpora are served UNFILTERED: the eval-stride exclusion
+    * only makes sense when the corpus dir IS the dir the eval slice was
+    * carved from (the in-session shape below); an external train corpus
+    * has no eval docs to exclude, and skipping `doc_id % 50 == 0` there
+    * would silently leave 1-in-50 train docs without a verdict. */
   def decontamBloomServe(s: SparkSession, indexDir: String, corpusDirs: Seq[String]): DataFrame = {
-    val bytes = s.read.parquet(s"$indexDir/bloom").head().getAs[Array[Byte]]("bloom")
+    val meta = s.read.parquet(s"$indexDir/bloom").head()
     val bloom = org.apache.spark.util.sketch.BloomFilter.readFrom(
-      new java.io.ByteArrayInputStream(bytes))
+      new java.io.ByteArrayInputStream(meta.getAs[Array[Byte]]("bloom")))
+    val sized = meta.getAs[Long]("n_items")
+    val total = if (meta.schema.fieldNames.contains("total_items"))
+      meta.getAs[Long]("total_items") else sized
+    if (total > sized)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"decontamBloomServe: index at $indexDir holds $total inserted items but was " +
+        s"sized for $sized — actual FP rate exceeds the recorded fpp; rebuild with " +
+        "decontamBloomWrite over the full eval union")
     val docs = corpusDirs.map(Tables(s, _, "documents")).reduce(_ unionByName _)
-    serveBloom(docs, bloom)
+    serveBloom(docs, bloom, excludeEvalDocs = false)
   }
 
   /** Bloom-served decontamination — the SERVING shape of
@@ -273,11 +314,15 @@ object Curation {
     * needed. Rows-only; the self-check asserts the containment against
     * the exact join and bounds observed false positives. */
   def decontaminateBloomServed(s: SparkSession, dir: String): DataFrame =
-    serveBloom(Tables(s, dir, "documents"), evalBloom(s, dir))
+    serveBloom(Tables(s, dir, "documents"), evalBloom(s, dir), excludeEvalDocs = true)
 
+  /** `excludeEvalDocs` drops the `doc_id % evalStride == 0` rows — ONLY
+    * correct when `docs` is the same dir the eval slice was carved from
+    * (checking eval docs against their own shingles is vacuous). */
   private def serveBloom(docs: DataFrame,
-      bloom: org.apache.spark.util.sketch.BloomFilter): DataFrame =
-    docs.filter(col("doc_id") % evalStride =!= 0)
+      bloom: org.apache.spark.util.sketch.BloomFilter,
+      excludeEvalDocs: Boolean): DataFrame =
+    (if (excludeEvalDocs) docs.filter(col("doc_id") % evalStride =!= 0) else docs)
       .select(col("doc_id"),
         size(filter(
           graft.plans.VectorFunctions.word_shingle_hashes(col("text"), contamShingleN),

@@ -664,6 +664,36 @@ object Similarity {
   def simPqTopk(s: SparkSession, dir: String): DataFrame =
     pqTopkWith(s, dir, pqCodebook(s, dir))
 
+  /** The oracle-pinned PQ variants keep FIXED shortlist depths for
+    * DuckDB-oracle determinism; a fixed depth shrinks to a vanishing
+    * fraction of the corpus as it grows, and measured recall@5
+    * collapses to 0.03–0.09 at 250k vectors (PLANS.md). Nothing in the
+    * API used to stop a user from running them there — now the plan
+    * itself refuses (same unprunable raise_error shape as
+    * `Dedup.dedupEmbeddingCosine`). The scale paths are
+    * [[simPqRescoreAuto]] and [[simIvfTopkAuto]]. */
+  val pqPinnedMaxRows = 100000L
+
+  private def pqPinnedGuard(s: SparkSession, dir: String, maxRows: Long): DataFrame =
+    Tables(s, dir, "embeddings")
+      .agg(count(lit(1)).as("n_emb"))
+      .select(when(col("n_emb") <= maxRows, lit(1L))
+        .otherwise(raise_error(concat(
+          lit("oracle-pinned PQ variant refuses "),
+          col("n_emb").cast("string"),
+          lit(s" > $maxRows rows — its fixed shortlist depth collapses recall at scale; " +
+            "use simPqRescoreAuto or simIvfTopkAuto"))))
+        .as("guard_ok"))
+
+  /** Bound-injectable variants so the over-limit refusal is testable
+    * without a 100k-row corpus (mirrors `dedupEmbeddingCosineBounded`). */
+  private[graft] def simPqTopkBounded(s: SparkSession, dir: String, maxRows: Long): DataFrame =
+    pqTopkWith(s, dir, pqCodebook(s, dir), maxRows)
+  private[graft] def simPqTopkTrainedBounded(s: SparkSession, dir: String, maxRows: Long): DataFrame =
+    pqTopkWith(s, dir, pqCodebookTrained(s, dir), maxRows)
+  private[graft] def simPqRescoreBounded(s: SparkSession, dir: String, maxRows: Long): DataFrame =
+    pqRescoreWith(s, dir, pqRescoreDepth, maxRows)
+
   /** PQ ANN with the TRAINED codebook — the serving-quality variant
     * (lower quantization error at identical serve cost). Rows-only; its
     * self-check recomputes every ADC score from independently re-derived
@@ -710,20 +740,26 @@ object Similarity {
   /** The PQ SCALE serving path: per-cell fractional ADC shortlist
     * (depth = [[pqCellRows]]·[[pqRescoreFraction]], a CONSTANT — no
     * size statistic needed, cost scales with the corpus by cell count
-    * alone), exact rescoring of the union. On a ≤[[pqCellRows]]-row
-    * corpus the single cell's shortlist covers everything and this
-    * degrades gracefully to exact search. Rows-only — output cosines
-    * are exact, so the self-check is the same cosine recompute the
-    * other ANN paths use. */
+    * alone), exact rescoring of the union. Degrades to EXACT search
+    * only when the corpus fits within one cell's shortlist depth
+    * (≤ depthCell = 1024 rows); a single-cell corpus between that and
+    * [[pqCellRows]] rows still gets a top-depthCell ADC shortlist per
+    * query — approximate, with recall governed by the 1/64 fraction
+    * like every larger corpus. Rows-only — output cosines are exact,
+    * so the self-check is the same cosine recompute the other ANN
+    * paths use. */
   def simPqRescoreAuto(s: SparkSession, dir: String): DataFrame = {
     val depthCell = math.max(pqRescoreDepth, (pqCellRows * pqRescoreFraction).toInt)
     pqRescoreOver(s, dir,
       pqShortlist(s, dir, pqCodebook(s, dir), depthCell).select(col("q_id"), col("cand_id")))
   }
 
-  private def pqRescoreWith(s: SparkSession, dir: String, depth: Int): DataFrame = {
+  private def pqRescoreWith(s: SparkSession, dir: String, depth: Int,
+      maxRows: Long = pqPinnedMaxRows): DataFrame = {
     val w = Window.partitionBy(col("q_id")).orderBy(col("adc").desc, col("cand_id"))
     val short = pqShortlist(s, dir, pqCodebook(s, dir), depth)
+      .crossJoin(broadcast(pqPinnedGuard(s, dir, maxRows)))
+      .filter(col("guard_ok") === 1L).drop("guard_ok")
       .withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= depth)
       .select(col("q_id"), col("cand_id"))
@@ -731,14 +767,19 @@ object Similarity {
   }
 
   /** Exact-cosine rescoring + final top-[[topK]] over a (q_id, cand_id)
-    * shortlist frame. */
+    * shortlist frame. No broadcast hint on the query side: the frame
+    * carries raw embeddings (~350 B/row), and at the 100 TB /
+    * [[queryStride]] shape a forced hint bypasses size stats and OOMs
+    * the driver — let AQE/statistics pick the build side (at test scale
+    * they still choose broadcast; at scale they fall back to a shuffle
+    * join, which is the correct answer there). */
   private def pqRescoreOver(s: SparkSession, dir: String, short: DataFrame): DataFrame = {
     val n = normed(s, dir)
     val q = n.filter(col("vec_id") % queryStride === 0)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
     val c = n.select(col("vec_id").as("cand_id"), col("embedding").as("c_emb"), col("nrm").as("c_nrm"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("cand_id"))
-    short.join(broadcast(q), "q_id").join(c, "cand_id")
+    short.join(q, "q_id").join(c, "cand_id")
       .withColumn("cosine", dot(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm")))
       .withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= topK)
@@ -746,9 +787,12 @@ object Similarity {
       .orderBy(col("q_id"), col("rk"))
   }
 
-  private def pqTopkWith(s: SparkSession, dir: String, cb: Array[Double]): DataFrame = {
+  private def pqTopkWith(s: SparkSession, dir: String, cb: Array[Double],
+      maxRows: Long = pqPinnedMaxRows): DataFrame = {
     val w = Window.partitionBy(col("q_id")).orderBy(col("adc").desc, col("cand_id"))
     pqShortlist(s, dir, cb, topK)
+      .crossJoin(broadcast(pqPinnedGuard(s, dir, maxRows)))
+      .filter(col("guard_ok") === 1L).drop("guard_ok")
       .withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= topK)
       .select(col("q_id"), col("rk"), col("cand_id"), col("adc"))

@@ -100,6 +100,27 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(Dedup.dedupEmbeddingCosine(spark, sf0001).count() >= 0)
   }
 
+  test("oracle-pinned PQ variants REFUSE an over-limit corpus (round-6 guard)") {
+    // their fixed shortlist depths collapse recall at scale (0.03-0.09
+    // recall@5 at 250k, PLANS.md) — the plan itself must refuse, same
+    // unprunable raise_error shape as the exact-cosine guard above
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    for (mk <- Seq(
+        () => Similarity.simPqTopkBounded(spark, sf0001, maxRows = 10L),
+        () => Similarity.simPqTopkTrainedBounded(spark, sf0001, maxRows = 10L),
+        () => Similarity.simPqRescoreBounded(spark, sf0001, maxRows = 10L))) {
+      val ex = intercept[Exception] { mk().collect() }
+      assert(messages(ex).exists(_.contains("refuses")),
+        s"expected the guard's refusal message, got: ${ex.getMessage}")
+      assert(mk().queryExecution.optimizedPlan.toString.contains("raise_error"),
+        "PQ guard pruned from optimized plan")
+    }
+    // in-limit paths unchanged (the oracled sf0.001 shape)
+    assert(Similarity.simPqTopk(spark, sf0001).count() > 0)
+    assert(Similarity.simPqRescore(spark, sf0001).count() > 0)
+  }
+
   test("distributed label propagation resolves a long path graph (diameter >> checkpoint interval)") {
     import spark.implicits._
     // path 0-1-2-...-40: min-label propagation needs ~40 iterations, i.e.

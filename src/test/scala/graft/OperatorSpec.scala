@@ -487,13 +487,26 @@ class OperatorSpec extends AnyFunSuite {
       .collect().map(shape).toSeq
     val fromDisk = graft.ops.Curation.decontamBloomServe(spark, idx, Seq(sf0001))
       .collect().map(shape).toSeq
-    assert(inSession.nonEmpty && fromDisk === inSession,
-      "persisted-bloom serving diverged from the in-session filter")
+    // external corpora are served UNFILTERED (round-6 advice: the
+    // eval-stride exclusion only applies to the same-dir in-session
+    // shape) — the train rows must match in-session exactly, and the
+    // eval rows are present too, mostly self-flagging (their own
+    // shingles are in the filter; only sub-shingle-length docs don't)
+    val (evalRows, trainRows) =
+      fromDisk.partition(_._1 % graft.ops.Curation.evalStride == 0)
+    assert(inSession.nonEmpty && trainRows === inSession,
+      "persisted-bloom serving diverged from the in-session filter on train docs")
+    assert(evalRows.nonEmpty && evalRows.count(_._3) > evalRows.size / 2,
+      "eval docs served from an external-corpus read must self-flag")
     // merging the same eval set back in flips no additional bits
     graft.ops.Curation.decontamBloomAppend(spark, sf0001, idx)
     val afterAppend = graft.ops.Curation.decontamBloomServe(spark, idx, Seq(sf0001))
       .collect().map(shape).toSeq
-    assert(afterAppend === inSession, "idempotent append changed the served result")
+    assert(afterAppend === fromDisk, "idempotent append changed the served result")
+    // the append tracked its cumulative inserts past the sized capacity
+    val meta = spark.read.parquet(s"$idx/bloom").head()
+    assert(meta.getAs[Long]("total_items") > meta.getAs[Long]("n_items"),
+      "append did not accumulate total_items")
     val chk = SelfChecks.checks("decontaminate_bloom_served")(spark, sf0001)
     assert(chk.pass, chk.detail)
   }
