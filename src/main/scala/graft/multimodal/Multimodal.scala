@@ -24,22 +24,51 @@ object Multimodal {
 
   final case class MediaRecord(doc_id: Long, kind: String, payload: Array[Byte])
   final case class MediaMeta(doc_id: Long, kind: String, byte_len: Long,
-      sha16: String, width: Long, height: Long, n_frames: Long)
+      sha16: String, width: Long, height: Long, n_frames: Long,
+      sample_rate: Long, duration_ms: Long)
 
   /** Bytes a PNG wrapper adds around the content: 8 signature + 25 IHDR
     * chunk (4 length + 4 type + 13 data + 4 crc). */
   val pngHeaderLen = 33
   /** Bytes a JPEG wrapper adds: 2 SOI + 19 SOF0 segment (2 marker + 17). */
   val jpegHeaderLen = 21
+  /** Bytes a canonical RIFF/WAVE PCM wrapper adds: 12 RIFF + 24 fmt + 8
+    * data chunk header. */
+  val wavHeaderLen = 44
+  /** Bytes the MP4 wrapper adds: 16 ftyp + 116 moov (8 + 108 mvhd) + 8
+    * mdat box header. */
+  val mp4HeaderLen = 140
+  /** mvhd movie timescale (ticks per second) the generator writes. */
+  val mp4Timescale = 1000L
+
+  /** Little-endian hex of the low `nBytes` bytes of `c` — RIFF/WAVE
+    * fields are LE, and `hex()` is BE-by-digit, so spell the bytes out. */
+  private def leHex(c: org.apache.spark.sql.Column, nBytes: Int): org.apache.spark.sql.Column =
+    concat((0 until nBytes).map(i =>
+      lpad(hex(shiftright(c.cast("long"), 8 * i) % 256), 2, "0")): _*)
+
+  /** Unity transformation matrix + predefined zeros + next_track_id —
+    * the fixed tail of a version-0 mvhd box (shared with the oracle). */
+  private[graft] val mvhdTailHex =
+    "00010000" + "01000000" + "0000000000000000" + // rate 1.0, volume 1.0+reserved, reserved2
+    "000100000000000000000000000000000001000000000000000000000000000040000000" + // matrix
+    "000000000000000000000000000000000000000000000000" + // pre_defined[6]
+    "00000002" // next_track_ID
 
   /** The media table: binary payload + modality tag (deterministic by
-    * id). Image payloads are wrapped in a REAL container header — PNG
-    * for doc_id ≡ 0 (mod 6), JPEG otherwise — whose declared dimensions
-    * are (len%640+1, len%480+1) of the content bytes; the decoder must
-    * parse them back out, and the DuckDB oracle recomputes them
-    * arithmetically, so a broken parser is a hash mismatch. Headers are
-    * built in-plan from codegen'd string/binary builtins (hex/lpad/
-    * unhex/concat) — no UDF. */
+    * id). Every payload is now a REAL container format:
+    *  - image: PNG (signature + IHDR) for doc_id ≡ 0 (mod 6), JPEG
+    *    (SOI + SOF0) otherwise, declaring (len%640+1, len%480+1);
+    *  - audio: canonical 44-byte RIFF/WAVE PCM header — channels
+    *    len%2+1, sample rate 8000+(len%8)·1000 Hz, 16-bit;
+    *  - video: MP4 box structure ftyp + moov(mvhd) + mdat, timescale
+    *    1000, duration len%90000+1000 ticks (= ms).
+    * The decoder must parse the metadata back out of the headers, and
+    * the DuckDB oracle recomputes both the exact payload bytes and the
+    * metadata arithmetically, so a broken parser OR a malformed header
+    * is a hash mismatch. Headers are built in-plan from codegen'd
+    * string/binary builtins (hex/lpad/unhex/shiftright/concat) — no
+    * UDF. */
   def mediaTable(s: SparkSession, dir: String): DataFrame = {
     val textBin = col("text").cast("binary")
     val len = length(textBin) // bytes (UTF-8), = DuckDB octet_length(encode(text))
@@ -58,6 +87,29 @@ object Multimodal {
       unhex(lit("FFD8FFC0001108")),
       unhex(lpad(hex(h), 4, "0")), unhex(lpad(hex(w), 4, "0")),
       unhex(lit("03011100021101031101")), textBin)
+    // WAV: RIFF(size=36+len) WAVE, fmt (PCM, ch, sr, byteRate,
+    // blockAlign, 16 bit), data(len) — all multi-byte fields LE
+    val ch = len % 2 + 1
+    val sr = (len % 8) * 1000 + 8000
+    val wav = concat(
+      unhex(concat(
+        lit("52494646"), leHex(len + 36, 4), lit("57415645"),
+        lit("666D7420"), lit("10000000"), lit("0100"),
+        leHex(ch, 2), leHex(sr, 4), leHex(sr * ch * 2, 4), leHex(ch * 2, 2),
+        lit("1000"), lit("64617461"), leHex(len, 4))),
+      textBin)
+    // MP4: ftyp(isom), moov > mvhd(v0, timescale 1000, duration), mdat
+    val dur = len % 90000 + 1000
+    val mp4 = concat(
+      unhex(concat(
+        lit("000000106674797069736F6D00000200"), // ftyp
+        lit("000000746D6F6F76"),                 // moov, size 116
+        lit("0000006C6D76686400000000"),         // mvhd, size 108, v0+flags
+        lit("0000000000000000"),                 // creation/modification
+        lit("000003E8"), lpad(hex(dur), 8, "0"), // timescale 1000, duration
+        lit(mvhdTailHex),
+        lpad(hex(len + 8), 8, "0"), lit("6D646174"))), // mdat header
+      textBin)
     Tables(s, dir, "documents")
       .select(
         col("doc_id"),
@@ -66,7 +118,8 @@ object Multimodal {
           .otherwise("video").as("kind"),
         when(col("doc_id") % 6 === 0, png)
           .when(col("doc_id") % 3 === 0, jpeg)
-          .otherwise(textBin).as("payload"))
+          .when(col("doc_id") % 3 === 1, wav)
+          .otherwise(mp4).as("payload"))
   }
 
   private def be(p: Array[Byte], i: Int, n: Int): Long = {
@@ -105,6 +158,70 @@ object Multimodal {
     None
   }
 
+  private val ascii = java.nio.charset.StandardCharsets.ISO_8859_1
+
+  private def le(p: Array[Byte], i: Int, n: Int): Long = {
+    var v = 0L
+    var j = n - 1
+    while (j >= 0) { v = (v << 8) | (p(i + j) & 0xffL); j -= 1 }
+    v
+  }
+
+  /** (sample_rate, duration_ms) from a RIFF/WAVE header: verify the
+    * RIFF/WAVE signature, then walk the chunk list (each chunk declares
+    * its own size, word-aligned) for `fmt ` (sample rate + byte rate)
+    * and `data` (payload size) — fixed offsets would break on any file
+    * with a LIST/INFO chunk before `fmt `, so walk like a real reader.
+    * duration = data bytes over byte rate. */
+  private[graft] def wavMeta(p: Array[Byte]): Option[(Long, Long)] = {
+    if (p.length < 12 || new String(p, 0, 4, ascii) != "RIFF" ||
+        new String(p, 8, 4, ascii) != "WAVE") return None
+    var i = 12
+    var sr = -1L; var byteRate = -1L; var dataLen = -1L
+    while (i + 8 <= p.length) {
+      val id = new String(p, i, 4, ascii)
+      val sz = le(p, i + 4, 4)
+      if (id == "fmt " && sz >= 16 && i + 20 <= p.length) {
+        sr = le(p, i + 12, 4)
+        byteRate = le(p, i + 16, 4)
+      } else if (id == "data") dataLen = sz
+      i += 8 + sz.toInt + (sz.toInt & 1) // chunks are word-aligned
+      if (sz < 0) return None
+    }
+    if (sr > 0 && byteRate > 0 && dataLen >= 0) Some((sr, dataLen * 1000L / byteRate))
+    else None
+  }
+
+  /** First box named `name` in p[from, to): boxes are (size:int32be,
+    * type:4cc, body…); returns the body span. */
+  private def findBox(p: Array[Byte], from: Int, to: Int, name: String): Option[(Int, Int)] = {
+    var i = from
+    while (i + 8 <= to) {
+      val sz = be(p, i, 4).toInt
+      if (sz < 8) return None // size-0/size-1 (to-EOF / 64-bit) boxes unsupported
+      if (new String(p, i + 4, 4, ascii) == name) return Some((i + 8, math.min(i.toLong + sz, to.toLong).toInt))
+      i += sz
+    }
+    None
+  }
+
+  /** duration in ms from an MP4's moov/mvhd box: walk the top-level box
+    * list to `moov`, its children to `mvhd`, read (timescale, duration)
+    * at the version-dependent offsets (v1 widens creation/modification
+    * and duration to 64-bit). Pure byte inspection, works on any
+    * isom-brand file whose mvhd precedes the media data. */
+  private[graft] def mp4DurationMs(p: Array[Byte]): Option[Long] = {
+    if (p.length < 12 || new String(p, 4, 4, ascii) != "ftyp") return None
+    for {
+      (ms, me) <- findBox(p, 0, p.length, "moov")
+      (vs, ve) <- findBox(p, ms, me, "mvhd")
+      if ve - vs >= (if ((p(vs) & 0xff) == 1) 32 else 20)
+    } yield {
+      if ((p(vs) & 0xff) == 1) be(p, vs + 24, 8) * 1000L / be(p, vs + 20, 4)
+      else be(p, vs + 16, 4) * 1000L / be(p, vs + 12, 4)
+    }
+  }
+
   private val hexDigits = "0123456789ABCDEF".toCharArray
   private def hexUpper(p: Array[Byte]): Array[Byte] = {
     val out = new Array[Byte](p.length * 2)
@@ -117,22 +234,31 @@ object Multimodal {
     out
   }
 
-  /** Decoder — image dimensions are REAL (PNG/JPEG header parse, pure
-    * JVM); audio/video metadata stays deterministic arithmetic standing
-    * in for codecs the container doesn't have. A real deployment swaps
-    * only the arithmetic branch for a codec call. The fingerprint is
-    * md5 of the payload's uppercase-hex encoding (not the raw bytes):
-    * DuckDB's md5 is VARCHAR-only, and `hex(payload)` is the identical
-    * string in both engines, so the oracle can recompute it. */
-  private def stubDecode(r: MediaRecord): MediaMeta = {
+  /** Decoder — ALL metadata is now a REAL header parse in pure JVM:
+    * PNG IHDR / JPEG SOF dimensions for images, RIFF/WAVE sample rate
+    * and duration for audio, MP4 mvhd duration for video (frame count
+    * at a nominal 10 fps). A real deployment swaps the header parse
+    * for a full codec decode; the plumbing around it — binary column,
+    * typed schema, partition-local batched iterator — is unchanged.
+    * The fingerprint is md5 of the payload's uppercase-hex encoding
+    * (not the raw bytes): DuckDB's md5 is VARCHAR-only, and
+    * `hex(payload)` is the identical string in both engines, so the
+    * oracle can recompute it. */
+  private def decode(r: MediaRecord): MediaMeta = {
     val len = r.payload.length.toLong
     // thread-local digest: per-partition amortization, not per-record
     val sha16 = graft.plans.HashUtil.md5Hex(hexUpper(r.payload)).substring(0, 16)
     val (w, h) =
       (if (r.kind == "image") pngDims(r.payload).orElse(jpegDims(r.payload)) else None)
-        .getOrElse((len % 640, len % 480))
+        .getOrElse((0L, 0L))
+    val (sr, audioMs) =
+      (if (r.kind == "audio") wavMeta(r.payload) else None).getOrElse((0L, 0L))
+    val videoMs =
+      (if (r.kind == "video") mp4DurationMs(r.payload) else None).getOrElse(0L)
     MediaMeta(r.doc_id, r.kind, len, sha16, width = w, height = h,
-      n_frames = if (r.kind == "video") len % 100 else 0L)
+      n_frames = videoMs / 100, // 10 fps nominal frame grid
+      sample_rate = sr,
+      duration_ms = if (r.kind == "video") videoMs else audioMs)
   }
 
   /** Decode metadata for every payload: partition-local batched map. */
@@ -141,7 +267,7 @@ object Multimodal {
     mediaTable(s, dir).as[MediaRecord]
       .mapPartitions { it =>
         // one decoder context per partition (amortized in a real codec)
-        it.map(stubDecode)
+        it.map(decode)
       }
       .toDF()
   }
@@ -150,7 +276,8 @@ object Multimodal {
   def mmPayloadMeta(s: SparkSession, dir: String): DataFrame =
     decodeMeta(s, dir)
       .select(col("doc_id"), col("kind"), col("byte_len"), col("sha16"),
-        col("width"), col("height"), col("n_frames"))
+        col("width"), col("height"), col("n_frames"),
+        col("sample_rate"), col("duration_ms"))
       .orderBy(col("doc_id"))
 
   /** Frame sampling: every 10th frame index of each video payload —
@@ -240,10 +367,17 @@ object Multimodal {
   private val kindSql =
     """CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END"""
 
-  /** Shared oracle CTE: reconstruct the exact payload blob (PNG/JPEG
-    * wrapper for images, raw text bytes otherwise) and its length, so
-    * the oracle checks the Spark side's header PARSE against an
-    * arithmetic recomputation — a broken parser mismatches.
+  /** Little-endian hex of the low `nBytes` bytes of SQL expression `e`
+    * — the DuckDB mirror of [[leHex]]. */
+  private def leSql(e: String, nBytes: Int): String =
+    (0 until nBytes).map(i => s"lpad(to_hex(($e >> ${8 * i}) & 255), 2, '0')")
+      .mkString(" || ")
+
+  /** Shared oracle CTE: reconstruct the exact payload blob (PNG/JPEG/
+    * WAV/MP4 wrapper around the text bytes) and its length, so the
+    * oracle checks the Spark side's header PARSE against an arithmetic
+    * recomputation — a broken parser OR a malformed synthesized header
+    * mismatches.
     *
     * This CTE is re-embedded inside outer stripMargin'd strings, so no
     * line may start with whitespace-then-`|`: the second stripMargin
@@ -252,11 +386,16 @@ object Multimodal {
   private val payloadCte =
     s"""WITH t AS (
        |  SELECT doc_id, text, octet_length(encode(text)) AS tlen FROM documents),
+       |a AS (
+       |  SELECT doc_id, text, tlen, tlen % 2 + 1 AS ch,
+       |    8000 + (tlen % 8) * 1000 AS sr, tlen % 90000 + 1000 AS dur
+       |  FROM t),
        |p AS (
-       |  SELECT doc_id, text, tlen,
+       |  SELECT doc_id, text, tlen, ch, sr, dur, sr * ch * 2 AS br,
        |    CASE WHEN doc_id % 6 = 0 THEN tlen + $pngHeaderLen
        |         WHEN doc_id % 3 = 0 THEN tlen + $jpegHeaderLen
-       |         ELSE tlen END AS plen,
+       |         WHEN doc_id % 3 = 1 THEN tlen + $wavHeaderLen
+       |         ELSE tlen + $mp4HeaderLen END AS plen,
        |    CASE WHEN doc_id % 6 = 0 THEN
        |        from_hex('89504E470D0A1A0A0000000D49484452') ||
        |        from_hex(lpad(to_hex(tlen % 640 + 1), 8, '0')) ||
@@ -267,8 +406,20 @@ object Multimodal {
        |        from_hex(lpad(to_hex(tlen % 480 + 1), 4, '0')) ||
        |        from_hex(lpad(to_hex(tlen % 640 + 1), 4, '0')) ||
        |        from_hex('03011100021101031101') || encode(text)
-       |      ELSE encode(text) END AS payload
-       |  FROM t)""".stripMargin
+       |      WHEN doc_id % 3 = 1 THEN
+       |        from_hex('52494646' || ${leSql("tlen + 36", 4)} || '57415645' ||
+       |          '666D7420' || '10000000' || '0100' ||
+       |          ${leSql("ch", 2)} || ${leSql("sr", 4)} ||
+       |          ${leSql("sr * ch * 2", 4)} || ${leSql("ch * 2", 2)} ||
+       |          '1000' || '64617461' || ${leSql("tlen", 4)}) || encode(text)
+       |      ELSE
+       |        from_hex('000000106674797069736F6D00000200' ||
+       |          '000000746D6F6F76' || '0000006C6D76686400000000' ||
+       |          '0000000000000000' || '000003E8' || lpad(to_hex(dur), 8, '0') ||
+       |          '$mvhdTailHex' ||
+       |          lpad(to_hex(tlen + 8), 8, '0') || '6D646174') || encode(text)
+       |      END AS payload
+       |  FROM a)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "mm_payload_meta" ->
@@ -276,14 +427,19 @@ object Multimodal {
          |SELECT doc_id, $kindSql AS kind,
          |  CAST(plen AS BIGINT) AS byte_len,
          |  substr(md5(hex(payload)), 1, 16) AS sha16,
-         |  CAST(CASE WHEN doc_id % 3 = 0 THEN tlen % 640 + 1 ELSE plen % 640 END AS BIGINT) AS width,
-         |  CAST(CASE WHEN doc_id % 3 = 0 THEN tlen % 480 + 1 ELSE plen % 480 END AS BIGINT) AS height,
-         |  CAST(CASE WHEN doc_id % 3 = 2 THEN plen % 100 ELSE 0 END AS BIGINT) AS n_frames
+         |  CAST(CASE WHEN doc_id % 3 = 0 THEN tlen % 640 + 1 ELSE 0 END AS BIGINT) AS width,
+         |  CAST(CASE WHEN doc_id % 3 = 0 THEN tlen % 480 + 1 ELSE 0 END AS BIGINT) AS height,
+         |  CAST(CASE WHEN doc_id % 3 = 2 THEN floor(dur / 100.0) ELSE 0 END AS BIGINT) AS n_frames,
+         |  CAST(CASE WHEN doc_id % 3 = 1 THEN sr ELSE 0 END AS BIGINT) AS sample_rate,
+         |  CAST(CASE WHEN doc_id % 3 = 2 THEN dur
+         |       WHEN doc_id % 3 = 1 THEN floor(tlen * 1000.0 / br)
+         |       ELSE 0 END AS BIGINT) AS duration_ms
          |FROM p ORDER BY doc_id""".stripMargin,
     "mm_frame_sample" ->
-      s"""SELECT doc_id, unnest(range(0, octet_length(encode(text)) % 100, 10)) AS frame_idx
+      s"""SELECT doc_id,
+         |  unnest(range(0, CAST(floor((octet_length(encode(text)) % 90000 + 1000) / 100.0) AS BIGINT), 10)) AS frame_idx
          |FROM documents
-         |WHERE doc_id % 3 = 2 AND octet_length(encode(text)) % 100 >= 1
+         |WHERE doc_id % 3 = 2
          |ORDER BY doc_id, frame_idx""".stripMargin,
     "mm_feature_extract" ->
       s"""$payloadCte

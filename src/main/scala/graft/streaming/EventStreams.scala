@@ -207,6 +207,38 @@ object EventStreams {
       s.table(name).orderBy(col("click_id"), col("err_id")))
   }
 
+  /** Run `body` (a production `*ToFiles` query lifetime) on the RocksDB
+    * state store provider with changelog checkpointing.
+    *
+    * The default HDFS-backed provider is the wrong engine for
+    * production state twice over: state lives ON-HEAP (a hard wall once
+    * join/dedup state exceeds executor memory — exactly what a 100 TB
+    * ingest's watermark-window of state does), and every micro-batch
+    * commit writes + fsyncs a full delta file per store per partition —
+    * the measured floor that put the round-5 interval-join replay at
+    * 357 s on trivial data volume (PLANS.md). RocksDB moves state
+    * off-heap onto local SSD (bounded only by disk), and changelog
+    * checkpointing ships just the per-batch change set to the
+    * checkpoint instead of snapshotting sst files on the commit path —
+    * snapshot upload happens async in the background maintenance task.
+    *
+    * Conf-scoped rather than session-global: the memory-sink oracle
+    * harness above deliberately stays on the default provider (its
+    * determinism story is pinned and its state is trivial), and the
+    * provider is locked into a checkpoint at first start anyway — a
+    * restart of an existing checkpoint keeps whatever provider created
+    * it. */
+  private def withRocksDbState[T](s: SparkSession)(body: => T): T = {
+    val pairs = Seq(
+      "spark.sql.streaming.stateStore.providerClass" ->
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" -> "true")
+    val olds = pairs.map { case (k, _) => k -> s.conf.getOption(k) }
+    pairs.foreach { case (k, v) => s.conf.set(k, v) }
+    try body
+    finally olds.foreach { case (k, o) => o.fold(s.conf.unset(k))(s.conf.set(k, _)) }
+  }
+
   /** Schema of a production events feed (real TimestampType ts — the
     * int64-nanos quirk is testdata-specific; a data lake lands proper
     * timestamps). */
@@ -235,14 +267,16 @@ object EventStreams {
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n_events"))
       .select(col("window.start").as("hour"), col("event_type"), col("n_events"))
-    val q = agg.writeStream
-      .outputMode("append")
-      .format("parquet")
-      .option("path", outDir)
-      .option("checkpointLocation", checkpointDir)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withRocksDbState(s) {
+      val q = agg.writeStream
+        .outputMode("append")
+        .format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", checkpointDir)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
   }
 
   /** PRODUCTION landing-zone ingest-dedup: the deduped APPEND stream
@@ -259,14 +293,16 @@ object EventStreams {
       .parquet(srcDir)
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
-    val q = deduped.writeStream
-      .outputMode("append")
-      .format("parquet")
-      .option("path", outDir)
-      .option("checkpointLocation", checkpointDir)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withRocksDbState(s) {
+      val q = deduped.writeStream
+        .outputMode("append")
+        .format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", checkpointDir)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
   }
 
   /** PRODUCTION stream-stream interval join: click→error matches land
@@ -290,14 +326,16 @@ object EventStreams {
       expr("c_user = e_user AND e_ts >= c_ts AND e_ts <= c_ts + interval 5 minutes"))
       .select(col("c_user").as("user_id"), col("click_id"), col("err_id"),
         (unix_micros(col("e_ts")) - unix_micros(col("c_ts"))).as("gap_us"))
-    val q = joined.writeStream
-      .outputMode("append")
-      .format("parquet")
-      .option("path", outDir)
-      .option("checkpointLocation", checkpointDir)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withRocksDbState(s) {
+      val q = joined.writeStream
+        .outputMode("append")
+        .format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", checkpointDir)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
   }
 
   /** PRODUCTION stateful counts: `flatMapGroupsWithState` emits keyed
@@ -326,19 +364,21 @@ object EventStreams {
           Iterator((key, n))
         })
       .toDF("event_type", "n_events")
-    val q = updates.writeStream
-      .outputMode("update")
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        batch.withColumn("batch_id", lit(batchId))
-          .write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("batch_id")
-          .parquet(outDir)
-      }
-      .option("checkpointLocation", checkpointDir)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withRocksDbState(s) {
+      val q = updates.writeStream
+        .outputMode("update")
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          batch.withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(outDir)
+        }
+        .option("checkpointLocation", checkpointDir)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
   }
 
   /** Serving view over the changelog `streamStatefulCountsToFiles`

@@ -47,6 +47,66 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.jpegDims(hexBytes("FFD8FFE0")) === None)
   }
 
+  private def le32(v: Long): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+
+  test("wavMeta walks RIFF chunks (LIST before fmt), reads rate and duration") {
+    // layout the synthesized table never emits: a LIST chunk precedes
+    // fmt — a fixed-offset reader returns garbage, a chunk walker works
+    val list = "LIST".getBytes ++ le32(6) ++ "INFOab".getBytes
+    val fmt = "fmt ".getBytes ++ le32(16) ++
+      Array[Byte](1, 0, 2, 0) ++ le32(44100) ++ le32(44100 * 4) ++ Array[Byte](4, 0, 16, 0)
+    val data = "data".getBytes ++ le32(88200) // 0.5 s at 44.1kHz stereo 16-bit
+    val wav = "RIFF".getBytes ++ le32(1000) ++ "WAVE".getBytes ++ list ++ fmt ++ data
+    assert(Multimodal.wavMeta(wav) === Some((44100L, 500L)))
+    assert(Multimodal.wavMeta("RIFFxxxxNOPE".getBytes) === None)
+    assert(Multimodal.wavMeta("plain text".getBytes) === None)
+    assert(Multimodal.wavMeta(Array.empty[Byte]) === None)
+  }
+
+  test("mp4DurationMs walks boxes (free before moov), handles v0 and v1 mvhd") {
+    def box(name: String, body: Array[Byte]): Array[Byte] =
+      be32(8 + body.length) ++ name.getBytes ++ body
+    val ftyp = box("ftyp", "isom".getBytes ++ be32(0x200))
+    val free = box("free", new Array[Byte](5))
+    // v0: ver/flags, creation, modification, timescale 600, duration 1500 (= 2500 ms)
+    val mvhd0 = box("mvhd", be32(0) ++ be32(0) ++ be32(0) ++ be32(600) ++ be32(1500))
+    val mp40 = ftyp ++ free ++ box("moov", mvhd0)
+    assert(Multimodal.mp4DurationMs(mp40) === Some(2500L))
+    // v1: 64-bit creation/modification/duration, timescale 90000, duration 180000 (= 2000 ms)
+    val mvhd1 = box("mvhd", Array[Byte](1, 0, 0, 0) ++ new Array[Byte](16) ++
+      be32(90000) ++ be32(0) ++ be32(180000))
+    assert(Multimodal.mp4DurationMs(ftyp ++ box("moov", mvhd1)) === Some(2000L))
+    assert(Multimodal.mp4DurationMs("not an mp4".getBytes) === None)
+    assert(Multimodal.mp4DurationMs(ftyp) === None) // no moov at all
+  }
+
+  test("decoded audio/video metadata equals the values the headers declare") {
+    val docs = Tables(spark, sf0001, "documents")
+      .select(col("doc_id"), length(col("text").cast("binary")).cast("long").as("tlen"))
+    val rows = Multimodal.mmPayloadMeta(spark, sf0001)
+      .filter(col("kind") =!= "image")
+      .join(docs, "doc_id")
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id"); val tlen = r.getAs[Long]("tlen")
+      if (r.getAs[String]("kind") == "audio") {
+        val sr = 8000 + (tlen % 8) * 1000
+        val br = sr * (tlen % 2 + 1) * 2
+        assert(r.getAs[Long]("sample_rate") === sr, s"doc $id sample_rate")
+        assert(r.getAs[Long]("duration_ms") === tlen * 1000 / br, s"doc $id audio duration")
+        assert(r.getAs[Long]("byte_len") === tlen + Multimodal.wavHeaderLen, s"doc $id byte_len")
+      } else {
+        val dur = tlen % 90000 + 1000
+        assert(r.getAs[Long]("duration_ms") === dur, s"doc $id video duration")
+        assert(r.getAs[Long]("n_frames") === dur / 100, s"doc $id n_frames")
+        assert(r.getAs[Long]("byte_len") === tlen + Multimodal.mp4HeaderLen, s"doc $id byte_len")
+      }
+    }
+  }
+
   test("decoded image dimensions equal the values the headers declare") {
     val docs = Tables(spark, sf0001, "documents")
       .select(col("doc_id"), length(col("text").cast("binary")).cast("long").as("tlen"))
