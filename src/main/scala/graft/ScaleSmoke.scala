@@ -175,6 +175,12 @@ object ScaleSmoke {
     val pqRescoreAuto = time("sim_pq_rescore_auto (constant-fraction shortlist)") {
       topkPairs(ops.Similarity.simPqRescoreAuto(spark, dir))
     }
+    // the composed index: IVF pruning over PQ codes + exact rescore —
+    // scans ~1/16 of code rows, rescores ~1/128 of the corpus (half of
+    // pq_rescore_auto's budget on an already-pruned scan)
+    val ivfPq = time("sim_ivfpq_topk (IVF pruning over PQ codes + rescore)") {
+      topkPairs(ops.Similarity.simIvfPqTopk(spark, dir))
+    }
     val exact = time("sim_topk_bruteforce (ground truth, 5k queries x 250k)") {
       topkPairs(ops.Similarity.simTopkBruteforce(spark, dir))
     }
@@ -190,6 +196,7 @@ object ScaleSmoke {
     recallOf("pq adc (trained)", pqTrained)
     recallOf("pq rescore", pqRescore)
     recallOf("pq rescore auto", pqRescoreAuto)
+    recallOf("ivf-pq composed", ivfPq)
 
     // 6. text dedup + sketch heavy hitters on 100k docs
     val mh = time("dedup_minhash_lsh (100k docs)") {

@@ -253,6 +253,29 @@ object SelfChecks {
       f"rows=${served.length} missedOrUnder=$missedOrUnder fps=$fps fpFrac=$fpFrac%.4f")
   }
 
+  /** IVF-PQ composition contract: the usual exact-cosine/dense-rank ANN
+    * contract, plus recall parity with the pure-IVF auto path on the
+    * same corpus (the PQ shortlist inside each probed list must not
+    * cost recall beyond a small ADC margin — at test scale the binding
+    * constraint is the IVF pruning both paths share, so parity is the
+    * right assertion; the ≥-PQ-auto-at-lower-budget claim only holds at
+    * scale and is measured in the 250k ScaleSmoke run instead). */
+  private def ivfPqCheck(s: SparkSession, dir: String): CheckResult = {
+    val base = annCheck(ops.Similarity.simIvfPqTopk,
+      "trained quantizer + statistic-derived probe count; not reproducible in static SQL")(s, dir)
+    val exact = ops.Similarity.simTopkBruteforce(s, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+      (exact intersect got).size.toDouble / math.max(1, exact.size)
+    }
+    val rIvfPq = recallOf(ops.Similarity.simIvfPqTopk(s, dir))
+    val rIvfAuto = recallOf(ops.Similarity.simIvfTopkAuto(s, dir))
+    CheckResult(base.pass && rIvfPq >= rIvfAuto - 0.1, base.reason,
+      base.check + " + recall within 0.1 of the pure-IVF auto path",
+      base.detail + f" ivfAutoRecall=$rIvfAuto%.3f")
+  }
+
   /** One entry per rows-only query — keep in lockstep with the set
     * `SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet`. */
   val checks: Map[String, (SparkSession, String) => CheckResult] = Map(
@@ -271,6 +294,9 @@ object SelfChecks {
       "per-subspace k-means sums floats in partition order; the codebook is not bit-reproducible in SQL"),
     "sim_pq_rescore_auto" -> annCheck(ops.Similarity.simPqRescoreAuto,
       "shortlist depth derives from a runtime size statistic; static SQL cannot reproduce it"),
+    "sim_ivfpq_topk" -> (ivfPqCheck _),
+    "sim_ivfpq_topk_served" -> annCheck(ops.AnnIndex.simIvfPqTopkServed,
+      "serves a persisted trained-quantizer index; not reproducible in static SQL"),
     "q_approx_distinct" -> (approxDistinctCheck _),
     "text_compress_ratio" -> (compressRatioCheck _),
     "decontaminate_bloom_served" -> (bloomDecontamCheck _),

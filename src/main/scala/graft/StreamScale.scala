@@ -37,6 +37,17 @@ object StreamScale {
 
   val nEvents = 5000000L
   val nDays = 90
+
+  /** State partitions for the replay, sized to its measured peak state
+    * (≤~60k rows / ~160 MB across stores): a stateful micro-batch pays
+    * one store commit per partition per store regardless of data volume
+    * — at the session's 32 scan partitions the interval join (4 stores)
+    * paid 4·32·90 = 11,520 commits and sat at ~357 s on BOTH the HDFS
+    * and RocksDB providers. 8 partitions carry ~7.5k state rows each —
+    * far under any memory bound — and cut the commit count 4×. A
+    * deployment with GB-scale state raises this; the knob is the
+    * `statePartitions` parameter on every `*ToFiles` path. */
+  val replayStatePartitions = 8
   private val day0Micros = 1704067200L * 1000000L // 2024-01-01 UTC
 
   /** One parquet FILE per day, written in day order (so modification
@@ -132,7 +143,8 @@ object StreamScale {
     // 1. watermarked append hourly histogram → files
     val (_, aggRows, aggBytes) = withStateStats(spark)(time("streamHourCountsToFiles (90 micro-batches)") {
       graft.streaming.EventStreams.streamHourCountsToFiles(
-        spark, s"$dir/clean", s"$dir/out_hour", s"$dir/ck_hour")
+        spark, s"$dir/clean", s"$dir/out_hour", s"$dir/ck_hour",
+        statePartitions = Some(replayStatePartitions))
     })
     val outHour = spark.read.parquet(s"$dir/out_hour")
     val batchHour = clean
@@ -156,7 +168,8 @@ object StreamScale {
     // 2. watermark-bounded ingest dedup of the DOUBLED feed → files
     val (_, ddRows, ddBytes) = withStateStats(spark)(time("streamDedupToFiles (doubled feed, 90 micro-batches)") {
       graft.streaming.EventStreams.streamDedupToFiles(
-        spark, s"$dir/doubled", s"$dir/out_dedup", s"$dir/ck_dedup")
+        spark, s"$dir/doubled", s"$dir/out_dedup", s"$dir/ck_dedup",
+        statePartitions = Some(replayStatePartitions))
     })
     val outDedup = spark.read.parquet(s"$dir/out_dedup")
     val dedupTotal = outDedup.count()
@@ -172,7 +185,8 @@ object StreamScale {
     // 3. stream-stream interval join → files
     val (_, jRows, jBytes) = withStateStats(spark)(time("streamStreamJoinToFiles (90 micro-batches)") {
       graft.streaming.EventStreams.streamStreamJoinToFiles(
-        spark, s"$dir/clean", s"$dir/out_join", s"$dir/ck_join")
+        spark, s"$dir/clean", s"$dir/out_join", s"$dir/ck_join",
+        statePartitions = Some(replayStatePartitions))
     })
     val outJoin = spark.read.parquet(s"$dir/out_join")
     val batchJoin = clean.filter(col("event_type") === "click")
@@ -196,7 +210,8 @@ object StreamScale {
     //    exact batch counts, and state/changelog stay O(keys·batches).
     val (_, scRows, scBytes) = withStateStats(spark)(time("streamStatefulCountsToFiles (90 micro-batches)") {
       graft.streaming.EventStreams.streamStatefulCountsToFiles(
-        spark, s"$dir/clean", s"$dir/out_state", s"$dir/ck_state")
+        spark, s"$dir/clean", s"$dir/out_state", s"$dir/ck_state",
+        statePartitions = Some(replayStatePartitions))
     })
     val servedCounts = graft.streaming.EventStreams
       .statefulCountsFromChangelog(spark, s"$dir/out_state")

@@ -246,4 +246,80 @@ object AnnIndex {
       .select(col("vec_id").as("q_id"), col("embedding"))
     ivfIndexServe(s, indexDir, Seq(dir), queries)
   }
+
+  // ------------------------------------------------------------- IVF-PQ
+
+  /** Build and persist the composed IVF-PQ index: the trained centroids
+    * (as in [[ivfIndexWrite]]), the PQ codebook (one row of doubles —
+    * parquet round-trips them exactly, so served ADC scores reproduce
+    * the in-session ones bit-for-bit), and the inverted lists WITH the
+    * 8-byte codes inline — (c_id, vec_id, codes) rows, ~60 B each. This
+    * is the index layout where serving never touches a raw embedding
+    * until exact rescore: the compressed scan reads only the persisted
+    * code rows of the probed lists. Embeddings are still NOT duplicated
+    * (the rescore step re-joins the corpus parquet by vec_id). */
+  def ivfPqIndexWrite(s: SparkSession, corpusDir: String, indexDir: String): Unit = {
+    import s.implicits._
+    Similarity.trainedCentroidsOf(s, corpusDir)
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/centroids")
+    val cb = Similarity.pqCodebook(s, corpusDir)
+    Seq((cb.toSeq, Similarity.pqM)).toDF("cb", "m")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/codebook")
+    val cent = s.read.parquet(s"$indexDir/centroids")
+    Similarity.ivfPqAssign(cent, cb, Similarity.normed(s, corpusDir))
+      .write.mode("overwrite").parquet(s"$indexDir/lists")
+  }
+
+  /** Append a landing batch: assign + encode with the PERSISTED
+    * quantizer and codebook, both frozen at build time (the same
+    * no-retrain-on-append semantic as the other indexes — re-training
+    * either would invalidate every standing code row). */
+  def ivfPqIndexAppend(s: SparkSession, batchDir: String, indexDir: String): Unit = {
+    val cent = s.read.parquet(s"$indexDir/centroids")
+    Similarity.ivfPqAssign(cent, readCodebook(s, indexDir),
+        Similarity.normed(s, batchDir))
+      .write.mode("append").parquet(s"$indexDir/lists")
+  }
+
+  private def readCodebook(s: SparkSession, indexDir: String): Array[Double] =
+    s.read.parquet(s"$indexDir/codebook").head().getSeq[Double](0).toArray
+
+  /** Serve top-k for an external (q_id, embedding) frame from a
+    * persisted IVF-PQ index: probe count from the index's own list
+    * count, compressed ADC scan over the probed lists' persisted code
+    * rows, exact rescore against the corpus union. Identical plan
+    * family to the in-session [[Similarity.simIvfPqTopk]] — byte-
+    * identity pinned in `AnnIndexSpec`. */
+  def ivfPqIndexServe(s: SparkSession, indexDir: String, corpusDirs: Seq[String],
+      queries: DataFrame): DataFrame = {
+    val cent = PlanCache.memoized(s, s"$indexDir|ivfpq-centroids") {
+      s.read.parquet(s"$indexDir/centroids")
+    }
+    val assigned = PlanCache.memoized(s, s"$indexDir|ivfpq-lists") {
+      s.read.parquet(s"$indexDir/lists")
+    }
+    val n = corpusDirs.map(Similarity.normed(s, _)).reduce(_ unionAll _)
+    val qn = queries
+      .select(col("q_id").as("vec_id"), col("embedding"))
+      .withColumn("nrm", sqrt(graft.plans.VectorFunctions.vec_dot(
+        col("embedding"), col("embedding"))))
+      .filter(col("nrm") > 0)
+    Similarity.ivfPqOver(cent, readCodebook(s, indexDir), assigned, qn, n,
+      cent.count().toDouble)
+  }
+
+  /** Registered-query form: persist the IVF-PQ index once for `dir`,
+    * serve the stride query set from it. Rows-only (trained quantizer);
+    * self-checked per Verify run like the other served paths. */
+  def simIvfPqTopkServed(s: SparkSession, dir: String): DataFrame = {
+    val indexDir = builtIndexes.computeIfAbsent(s"$dir|ivfpq", { _ =>
+      val d = java.nio.file.Files.createTempDirectory("graft-ivfpq-index").toString
+      ivfPqIndexWrite(s, dir, d)
+      d
+    })
+    val queries = Similarity.normed(s, dir)
+      .filter(col("vec_id") % Similarity.queryStride === 0)
+      .select(col("vec_id").as("q_id"), col("embedding"))
+    ivfPqIndexServe(s, indexDir, Seq(dir), queries)
+  }
 }

@@ -767,17 +767,20 @@ object Similarity {
   }
 
   /** Exact-cosine rescoring + final top-[[topK]] over a (q_id, cand_id)
-    * shortlist frame. No broadcast hint on the query side: the frame
-    * carries raw embeddings (~350 B/row), and at the 100 TB /
-    * [[queryStride]] shape a forced hint bypasses size stats and OOMs
-    * the driver — let AQE/statistics pick the build side (at test scale
-    * they still choose broadcast; at scale they fall back to a shuffle
-    * join, which is the correct answer there). */
-  private def pqRescoreOver(s: SparkSession, dir: String, short: DataFrame): DataFrame = {
-    val n = normed(s, dir)
-    val q = n.filter(col("vec_id") % queryStride === 0)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
-    val c = n.select(col("vec_id").as("cand_id"), col("embedding").as("c_emb"), col("nrm").as("c_nrm"))
+    * shortlist frame; full embeddings are fetched from `pool` (the
+    * corpus, or the corpus-dirs union for served indexes). No broadcast
+    * hint on the query side: the frame carries raw embeddings
+    * (~350 B/row), and at the 100 TB / [[queryStride]] shape a forced
+    * hint bypasses size stats and OOMs the driver — let AQE/statistics
+    * pick the build side (at test scale they still choose broadcast; at
+    * scale they fall back to a shuffle join, which is the correct
+    * answer there). */
+  private[graft] def rescoreOver(queries: DataFrame, pool: DataFrame,
+      short: DataFrame): DataFrame = {
+    val q = queries.select(col("vec_id").as("q_id"),
+      col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+    val c = pool.select(col("vec_id").as("cand_id"),
+      col("embedding").as("c_emb"), col("nrm").as("c_nrm"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("cand_id"))
     short.join(q, "q_id").join(c, "cand_id")
       .withColumn("cosine", dot(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm")))
@@ -785,6 +788,11 @@ object Similarity {
       .filter(col("rk") <= topK)
       .select(col("q_id"), col("rk"), col("cand_id"), col("cosine"))
       .orderBy(col("q_id"), col("rk"))
+  }
+
+  private def pqRescoreOver(s: SparkSession, dir: String, short: DataFrame): DataFrame = {
+    val n = normed(s, dir)
+    rescoreOver(n.filter(col("vec_id") % queryStride === 0), n, short)
   }
 
   private def pqTopkWith(s: SparkSession, dir: String, cb: Array[Double],
@@ -830,6 +838,88 @@ object Similarity {
       .select(explode(graft.plans.VectorFunctions.cell_pq_topk(
         col("qs"), col("cands"), kEff, depth)).as("p"))
       .select(col("p.q_id").as("q_id"), col("p.cand_id").as("cand_id"), col("p.adc").as("adc"))
+  }
+
+  // ------------------------------------------------------------ IVF-PQ
+
+  /** Fraction of each probed inverted list the IVF-PQ path keeps as its
+    * ADC shortlist for exact rescoring. Lists average [[centroidStride]]
+    * rows by construction (the quantizer keeps k ∝ N/stride), so the
+    * per-list depth max([[pqRescoreDepth]], stride·fraction) is a
+    * CONSTANT — no size statistic — and the per-query exact-rescore
+    * budget is probes·depth ≈ N·[[ivfProbeFraction]]·[[ivfPqListFraction]]
+    * = 1/128 of the corpus, half of [[simPqRescoreAuto]]'s 1/64 — on
+    * top of only the probed ~1/16 of code rows entering a kernel at
+    * all. */
+  val ivfPqListFraction = 1.0 / 8
+
+  /** Corpus side of the IVF-PQ index: keep=1 inverted-list assignment
+    * carrying 8-byte PQ codes instead of embeddings — (c_id, vec_id,
+    * codes), the rows [[AnnIndex.ivfPqIndexWrite]] persists. */
+  private[graft] def ivfPqAssign(cent: DataFrame, cb: Array[Double],
+      corpus: DataFrame): DataFrame =
+    nearestCentroids(cent)(corpus, "vec_id", "embedding", "nrm", 1,
+        carry = Seq("embedding", "nrm"))
+      .select(col("c_id"), col("vec_id"),
+        graft.plans.VectorFunctions.pq_codes(
+          col("embedding"), col("nrm"), cb, pqM, pqKOf(cb)).as("codes"))
+
+  /** The composed IVF-PQ plan over explicit (centroids, codebook,
+    * assigned codes, queries, rescore pool) — shared by the in-session
+    * form and the persisted-index serve path
+    * ([[AnnIndex.ivfPqIndexServe]]), which is what makes the two
+    * byte-identical. Unprobed lists never reach a kernel (the inner
+    * join on c_id IS the pruning); each vector lives in exactly one
+    * list, so no pair surfaces twice and no distinct is needed. */
+  private[graft] def ivfPqOver(cent: DataFrame, cb: Array[Double],
+      assignedCodes: DataFrame, queries: DataFrame, rescorePool: DataFrame,
+      nLists: Double): DataFrame = {
+    val kEff = pqKOf(cb)
+    val probes = ivfProbesFor(nLists)
+    val depthCell = math.max(pqRescoreDepth, (centroidStride * ivfPqListFraction).toInt)
+    val lists = assignedCodes
+      .groupBy(col("c_id"))
+      .agg(sort_array(collect_list(struct(col("vec_id"), col("codes")))).as("cands"))
+    val qlists = nearestCentroids(cent)(queries, "vec_id", "embedding", "nrm", probes,
+        carry = Seq("embedding", "nrm"))
+      .select(col("c_id"), col("vec_id"),
+        graft.plans.VectorFunctions.pq_lut(
+          col("embedding"), col("nrm"), cb, pqM, kEff).as("lut"))
+      .groupBy(col("c_id"))
+      .agg(collect_list(struct(col("vec_id"), col("lut"))).as("qs"))
+    val short = lists.join(qlists, "c_id")
+      .select(explode(graft.plans.VectorFunctions.cell_pq_topk(
+        col("qs"), col("cands"), kEff, depthCell)).as("p"))
+      .select(col("p.q_id").as("q_id"), col("p.cand_id").as("cand_id"))
+    rescoreOver(queries, rescorePool, short)
+  }
+
+  /** IVF-PQ composed ANN — the standard 100 TB serving layout, both
+    * halves of which already exist separately:
+    *  1. IVF PRUNING ([[simIvfTopkAuto]]'s constant-fraction probe over
+    *     the trained quantizer): unprobed inverted lists are never
+    *     scanned — ~[[ivfProbeFraction]] of the corpus enters a kernel.
+    *  2. PQ COMPRESSION ([[simPqRescoreAuto]]'s compressed scan): the
+    *     probed lists ship as 8-byte code rows through the fused
+    *     [[graft.plans.CellPqTopk]] loop, ~32× narrower than vectors.
+    *  3. EXACT RESCORE: the per-list ADC shortlist fetches full
+    *     embeddings for true-cosine ranking — the output contract is
+    *     exact cosines, like every other serving ANN path.
+    * Rows-only (trained quantizer + statistic-derived probes); the
+    * self-check asserts the usual exact-cosine/dense-rank contract,
+    * recall parity with [[simIvfTopkAuto]] at test scale, and the
+    * 250k ScaleSmoke row measures the ≥-PQ-auto-at-lower-budget claim
+    * where it actually holds (at toy scale the flat PQ scan is
+    * near-exhaustive, so pruning necessarily costs recall there). */
+  def simIvfPqTopk(s: SparkSession, dir: String): DataFrame = {
+    val bytes = Tables(s, dir, "embeddings")
+      .queryExecution.optimizedPlan.stats.sizeInBytes.toDouble
+    val n = normed(s, dir)
+    val cent = trainedCentroidsOf(s, dir)
+    val cb = pqCodebook(s, dir)
+    val q = n.filter(col("vec_id") % queryStride === 0)
+    ivfPqOver(cent, cb, ivfPqAssign(cent, cb, n), q, n,
+      bytes / lshBytesPerRow / centroidStride)
   }
 
   /** kNN label prediction — the downstream consumer the ANN stack
@@ -889,6 +979,8 @@ object Similarity {
     "sim_pq_topk_trained" -> simPqTopkTrained _,
     "sim_pq_rescore" -> simPqRescore _,
     "sim_pq_rescore_auto" -> simPqRescoreAuto _,
+    "sim_ivfpq_topk" -> simIvfPqTopk _,
+    "sim_ivfpq_topk_served" -> AnnIndex.simIvfPqTopkServed _,
     "sim_knn_label" -> simKnnLabel _,
   )
 

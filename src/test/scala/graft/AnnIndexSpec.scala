@@ -97,6 +97,46 @@ class AnnIndexSpec extends AnyFunSuite {
       "appended-IVF serving empty or served a self-pair")
   }
 
+  test("persisted IVF-PQ index serves byte-identically to the in-session composed path") {
+    // centroids AND the codebook round-trip parquet exactly (doubles),
+    // the persisted code rows equal the in-session pq_codes projection,
+    // probe counts agree at sf0001 (both floor at nProbe), and the ADC
+    // kernel + exact rescore are shared — so served == in-session
+    val served = AnnIndex.simIvfPqTopkServed(spark, sf0001).collect().map(shape).toSeq
+    val inSession = Similarity.simIvfPqTopk(spark, sf0001).collect().map(shape).toSeq
+    assert(served.nonEmpty && served === inSession,
+      "persisted IVF-PQ serving diverged from the in-session composed path")
+  }
+
+  test("IVF-PQ append encodes a landing batch with the FROZEN quantizer and codebook") {
+    val tmp = java.nio.file.Files.createTempDirectory("ivfpq-append")
+    val emb = Tables(spark, sf0001, "embeddings")
+    emb.filter(col("vec_id") % 10 =!= 0)
+      .write.mode("overwrite").parquet(s"$tmp/corpus/embeddings.parquet")
+    emb.filter(col("vec_id") % 10 === 0)
+      .write.mode("overwrite").parquet(s"$tmp/batch/embeddings.parquet")
+    AnnIndex.ivfPqIndexWrite(spark, s"$tmp/corpus", s"$tmp/index")
+    val cbBefore = spark.read.parquet(s"$tmp/index/codebook").head().getSeq[Double](0)
+    AnnIndex.ivfPqIndexAppend(spark, s"$tmp/batch", s"$tmp/index")
+    assert(spark.read.parquet(s"$tmp/index/codebook").head().getSeq[Double](0) === cbBefore,
+      "append must not retrain the codebook")
+    val lists = spark.read.parquet(s"$tmp/index/lists")
+    val all = Similarity.normed(spark, s"$tmp/corpus").count() +
+      Similarity.normed(spark, s"$tmp/batch").count()
+    assert(lists.count() == all && lists.select(col("vec_id")).distinct().count() == all,
+      "a vector must live in exactly ONE inverted list after append")
+    // code rows are 8 small ints, never embeddings
+    val firstCodes = lists.select(col("codes")).head().getSeq[Int](0)
+    assert(firstCodes.length == Similarity.pqM, "persisted codes are not pqM-wide")
+    val served = AnnIndex.ivfPqIndexServe(spark, s"$tmp/index",
+      Seq(s"$tmp/corpus", s"$tmp/batch"),
+      Similarity.normed(spark, sf0001)
+        .filter(col("vec_id") % Similarity.queryStride === 0)
+        .select(col("vec_id").as("q_id"), col("embedding"))).collect().map(shape)
+    assert(served.nonEmpty && served.forall(t => t._1 != t._3),
+      "appended IVF-PQ serving empty or served a self-pair")
+  }
+
   test("external queries with fresh ids serve exact cosines from the index") {
     // queries NOT in the corpus (ids offset far past the id space, vectors
     // perturbed): every served cosine must bit-equal a driver recompute
