@@ -308,6 +308,30 @@ object AnnIndex {
       cent.count().toDouble)
   }
 
+  /** Compact the LSH bucket table: few files, sorted on the serve key
+    * (tbl, bucket) so probed buckets cluster into prunable row groups.
+    * Meta (1 row) is left alone. The serve memo of the old file set is
+    * invalidated. See [[IndexMaintenance]]. */
+  def lshIndexCompact(s: SparkSession, indexDir: String): (Int, Int) = {
+    val r = IndexMaintenance.compactTable(s, s"$indexDir/buckets", Seq("tbl", "bucket"))
+    PlanCache.invalidate(s, s"$indexDir|")
+    r
+  }
+
+  /** Compact the IVF inverted-list table on c_id (the probe key). */
+  def ivfIndexCompact(s: SparkSession, indexDir: String): (Int, Int) = {
+    val r = IndexMaintenance.compactTable(s, s"$indexDir/lists", Seq("c_id", "vec_id"))
+    PlanCache.invalidate(s, s"$indexDir|")
+    r
+  }
+
+  /** Compact the IVF-PQ code-carrying list table on c_id. */
+  def ivfPqIndexCompact(s: SparkSession, indexDir: String): (Int, Int) = {
+    val r = IndexMaintenance.compactTable(s, s"$indexDir/lists", Seq("c_id", "vec_id"))
+    PlanCache.invalidate(s, s"$indexDir|")
+    r
+  }
+
   /** Registered-query form: persist the IVF-PQ index once for `dir`,
     * serve the stride query set from it. Rows-only (trained quantizer);
     * self-checked per Verify run like the other served paths. */

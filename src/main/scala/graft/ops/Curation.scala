@@ -278,6 +278,35 @@ object Curation {
     writeBloomRow(s, indexDir, existing, n, fpp, total)
   }
 
+  /** Maintenance audit for the bloom index — its file is one row, so
+    * there are no small files to merge; "compaction" here is the
+    * saturation re-check the append path's warning defers: recompute
+    * the filter's CURRENT expected FP probability from its actual bit
+    * saturation (`BloomFilter.expectedFpp`, which reflects every
+    * insert ever OR-merged in) and audit it against the recorded
+    * construction fpp and the cumulative [[decontamBloomAppend]]
+    * insert count. Returns the observed expectedFpp; throws past
+    * `maxFpp` — a saturated bloom cannot be compacted in place (bits
+    * cannot be unset), the remedy is a [[decontamBloomWrite]] rebuild
+    * over the full eval union, and silently serving a saturated
+    * filter would quietly flag everything as contaminated. */
+  def decontamBloomCompact(s: SparkSession, indexDir: String,
+      maxFpp: Double = 100 * contamBloomFpp): Double = {
+    val meta = s.read.parquet(s"$indexDir/bloom").head()
+    val bloom = org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(meta.getAs[Array[Byte]]("bloom")))
+    val observed = bloom.expectedFpp()
+    val sized = meta.getAs[Long]("n_items")
+    val total = if (meta.schema.fieldNames.contains("total_items"))
+      meta.getAs[Long]("total_items") else sized
+    if (observed > maxFpp)
+      throw new IllegalStateException(
+        f"bloom index at $indexDir is saturated: expectedFpp=$observed%.2e > " +
+        f"$maxFpp%.2e after $total inserts into capacity $sized — rebuild with " +
+        "decontamBloomWrite over the full eval union")
+    observed
+  }
+
   /** Serve contamination checks for train corpora from a PERSISTED
     * bloom index — see [[decontaminateBloomServed]] for the shape.
     * External corpora are served UNFILTERED: the eval-stride exclusion

@@ -546,6 +546,12 @@ object Dedup {
     simSigOf(Tables(s, batchDir, "documents"))
       .write.mode("append").parquet(s"$indexDir/simhash")
 
+  /** Compact the signature table after a run of landing appends: few
+    * files, doc_id-sorted. Signatures are content, not layout — the
+    * indexed check is identical before/after. See [[IndexMaintenance]]. */
+  def dedupIndexCompact(s: SparkSession, indexDir: String): (Int, Int) =
+    IndexMaintenance.compactTable(s, s"$indexDir/simhash", Seq("doc_id"))
+
   /** Landing-zone near-dup check against a PERSISTED signature index:
     * the batch is hashed fresh; the corpus side is the signature parquet
     * only. Same asymmetric (band, byte) equi-join as the path form —

@@ -39,4 +39,17 @@ private[graft] object PlanCache {
     memo.values.forEach(_.values.foreach(df => scala.util.Try(df.unpersist())))
     memo.clear()
   }
+
+  /** Drop (and unpersist) this session's memoized plans whose key
+    * starts with `prefix` — the targeted form of [[clear]] for index
+    * maintenance: compaction swaps an index's files out from under any
+    * memoized read of them. */
+  def invalidate(s: SparkSession, prefix: String): Unit = memo.synchronized {
+    Option(memo.get(s)).foreach { perKey =>
+      perKey.keys.filter(_.startsWith(prefix)).toSeq.foreach { k =>
+        scala.util.Try(perKey(k).unpersist())
+        perKey -= k
+      }
+    }
+  }
 }

@@ -137,6 +137,48 @@ class AnnIndexSpec extends AnyFunSuite {
       "appended IVF-PQ serving empty or served a self-pair")
   }
 
+  test("compaction merges landing-zone small files; serving is identical before/after") {
+    val tmp = java.nio.file.Files.createTempDirectory("ann-compact")
+    val emb = Tables(spark, sf0001, "embeddings")
+    // standing corpus (3/4 of ids — must include vec_id ≡ 1 (mod 100),
+    // the stride quantizer's centroid seeds) + three landing batches
+    emb.filter(col("vec_id") % 4 =!= 0)
+      .write.mode("overwrite").parquet(s"$tmp/corpus/embeddings.parquet")
+    for (b <- 1 to 3)
+      emb.filter(col("vec_id") % 4 === 0 && (col("vec_id") / 4) % 3 === b - 1)
+        .write.mode("overwrite").parquet(s"$tmp/b$b/embeddings.parquet")
+    AnnIndex.lshIndexWrite(spark, s"$tmp/corpus", s"$tmp/index")
+    for (b <- 1 to 3) AnnIndex.lshIndexAppend(spark, s"$tmp/b$b", s"$tmp/index")
+    val corpusDirs = Seq(s"$tmp/corpus", s"$tmp/b1", s"$tmp/b2", s"$tmp/b3")
+    val queries = Similarity.normed(spark, sf0001)
+      .filter(col("vec_id") % Similarity.queryStride === 0)
+      .select(col("vec_id").as("q_id"), col("embedding"))
+    val before = AnnIndex.lshIndexServe(spark, s"$tmp/index", corpusDirs, queries)
+      .collect().map(shape).toSeq
+    val (nBefore, nAfter) = AnnIndex.lshIndexCompact(spark, s"$tmp/index")
+    assert(nBefore > nAfter && nAfter >= 1,
+      s"compaction did not reduce the file count ($nBefore -> $nAfter)")
+    val after = AnnIndex.lshIndexServe(spark, s"$tmp/index", corpusDirs, queries)
+      .collect().map(shape).toSeq
+    assert(before.nonEmpty && after === before,
+      "serving changed across compaction — content was not preserved")
+    assert(spark.read.parquet(s"$tmp/index/buckets").count() ==
+      emb.count() * Similarity.lshTables,
+      "compaction changed the bucket row count")
+
+    // same contract for the IVF-PQ code lists
+    AnnIndex.ivfPqIndexWrite(spark, s"$tmp/corpus", s"$tmp/pqindex")
+    for (b <- 1 to 3) AnnIndex.ivfPqIndexAppend(spark, s"$tmp/b$b", s"$tmp/pqindex")
+    val pqBefore = AnnIndex.ivfPqIndexServe(spark, s"$tmp/pqindex", corpusDirs, queries)
+      .collect().map(shape).toSeq
+    val (pb, pa) = AnnIndex.ivfPqIndexCompact(spark, s"$tmp/pqindex")
+    assert(pb > pa, s"IVF-PQ compaction did not reduce files ($pb -> $pa)")
+    val pqAfter = AnnIndex.ivfPqIndexServe(spark, s"$tmp/pqindex", corpusDirs, queries)
+      .collect().map(shape).toSeq
+    assert(pqBefore.nonEmpty && pqAfter === pqBefore,
+      "IVF-PQ serving changed across compaction")
+  }
+
   test("external queries with fresh ids serve exact cosines from the index") {
     // queries NOT in the corpus (ids offset far past the id space, vectors
     // perturbed): every served cosine must bit-equal a driver recompute
