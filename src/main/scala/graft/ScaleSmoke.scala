@@ -53,7 +53,10 @@ object ScaleSmoke {
         val src = when(col("id") >= nVec - nVecDup, col("id") - nVecDup).otherwise(col("id"))
         (noise(src, d) + when(col("id") >= nVec - nVecDup, noise(col("id"), d) * 0.02)
           .otherwise(lit(0.0))).cast("float")
-      }).as("embedding"))
+      }).as("embedding"),
+      // same label layout as the driver testdata (10 roughly-uniform
+      // classes) — exercises the filtered-ANN member predicate at 250k
+      pmod(col("id"), lit(10)).cast("int").as("label"))
     emb.repartition(32).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
     // 10k-word Zipf-ish vocabulary: a tiny vocab makes every shingle
     // corpus-common, which turns ANY prefix-filtered similarity join
@@ -144,6 +147,17 @@ object ScaleSmoke {
         .select(col("vec_id").as("q_id"), col("embedding"))
       topkPairs(ops.AnnIndex.lshIndexServe(spark, idxDir, Seq(dir), queries))
     }
+    // filtered ANN from the SAME persisted index: members restricted to
+    // one label slice (~10% of the corpus) at the parquet scan — pays
+    // the same probe structure over ~1/10 the member rows; recall is
+    // measured against an exact IN-SLICE top-k below, not `exact`
+    val servedFiltered = time("lsh_index_serve FILTERED (label slice, same index)") {
+      val queries = ops.Similarity.normed(spark, dir)
+        .filter(col("vec_id") % ops.Similarity.queryStride === 0)
+        .select(col("vec_id").as("q_id"), col("embedding"))
+      topkPairs(ops.AnnIndex.lshIndexServe(spark, idxDir, Seq(dir), queries,
+        memberPred = Some(col("label") === ops.Similarity.annFilterLabel)))
+    }
     // the IVF sibling: persist the trained quantizer + lists, serve from
     // the artifact (probe count derived from the index's own list count)
     val ivfIdxDir = s"$dir/ivf_index"
@@ -197,6 +211,17 @@ object ScaleSmoke {
     recallOf("pq rescore", pqRescore)
     recallOf("pq rescore auto", pqRescoreAuto)
     recallOf("ivf-pq composed", ivfPq)
+    // filtered ANN is judged against the exact IN-SLICE top-k — the
+    // unfiltered ground truth legitimately lacks most slice neighbors
+    val exactSlice = time("in-slice brute force (filtered ground truth, ~25k members)") {
+      topkPairs(ops.Similarity.simTopkBruteforceOver(spark, dir,
+        ops.Similarity.normed(spark, dir)
+          .join(Tables(spark, dir, "embeddings")
+            .filter(col("label") === ops.Similarity.annFilterLabel)
+            .select(col("vec_id")), "vec_id")))
+    }
+    say(f"  recall@5 lsh served FILTERED (vs in-slice exact): " +
+      f"${(exactSlice intersect servedFiltered).size.toDouble / exactSlice.size}%.3f")
 
     // 6. text dedup + sketch heavy hitters on 100k docs
     val mh = time("dedup_minhash_lsh (100k docs)") {

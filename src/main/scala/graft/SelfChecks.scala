@@ -63,6 +63,36 @@ object SelfChecks {
       f"rows=${rows.length} badCosine=$badCos badRank=$badRank recall@${ops.Similarity.topK}=$recall%.3f")
   }
 
+  /** Filtered-ANN contract ([[ops.AnnIndex.simIvfTopkFiltered]]): the
+    * generic ANN invariants (dense rk, bit-equal cosines, no self-
+    * pairs), PLUS every served candidate lies in the label slice, with
+    * recall measured against an exact driver-side top-k restricted to
+    * the SAME slice — unfiltered brute force is the wrong yardstick
+    * here (in-slice neighbors are legitimately absent from it). */
+  private def filteredAnnCheck(fn: (SparkSession, String) => DataFrame, reason: String)(
+      s: SparkSession, dir: String): CheckResult = {
+    val vecs = vecsOf(s, dir)
+    val labels = Tables(s, dir, "embeddings").select(col("vec_id"), col("label"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val slice = ops.Similarity.annFilterLabel
+    val rows = fn(s, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val bad = rows.count { case (q, _, c, cos) =>
+      q == c || labels(c) != slice || cosOf(vecs(q), vecs(c)) != cos
+    }
+    val exact = vecs.keys.filter(_ % ops.Similarity.queryStride == 0).flatMap { q =>
+      vecs.keys.toSeq.filter(c => c != q && labels(c) == slice)
+        .map(c => (c, cosOf(vecs(q), vecs(c))))
+        .sortBy { case (c, cos) => (-cos, c) }
+        .take(ops.Similarity.topK).map { case (c, _) => (q, c) }
+    }.toSet
+    val got = rows.map(t => (t._1, t._3)).toSet
+    val recall = (exact intersect got).size.toDouble / math.max(1, exact.size)
+    CheckResult(bad == 0 && recall > 0.0, reason,
+      "in-slice candidates only + cosine bit-equal + recall vs exact in-slice top-k",
+      f"rows=${rows.length} bad=$bad recall@${ops.Similarity.topK}=$recall%.3f")
+  }
+
   /** Near-dup pair contract: id_a < id_b, cosine ≥ threshold, and
     * bit-equal to recomputation — the "never invents pairs" invariant. */
   private def pairsCheck(fn: (SparkSession, String) => DataFrame, reason: String)(
@@ -286,6 +316,8 @@ object SelfChecks {
     "sim_ivf_topk_auto" -> annCheck(ops.Similarity.simIvfTopkAuto,
       "trained centroids + statistic-derived probe count; not reproducible in static SQL"),
     "sim_ivf_topk_served" -> annCheck(ops.AnnIndex.simIvfTopkServed,
+      "serves a persisted TRAINED index; k-means centroids are not bit-reproducible in SQL"),
+    "sim_ivf_topk_filtered" -> filteredAnnCheck(ops.AnnIndex.simIvfTopkFiltered,
       "serves a persisted TRAINED index; k-means centroids are not bit-reproducible in SQL"),
     "dedup_embedding_blocked_trained" -> pairsCheck(ops.Dedup.dedupEmbeddingBlockedTrained,
       "k-means training sums floats in partition order; centroids are not bit-reproducible in SQL"),

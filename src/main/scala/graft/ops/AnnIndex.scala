@@ -87,12 +87,37 @@ object AnnIndex {
     hashWith(s, batchDir, metaRow(s, indexDir))
       .write.mode("append").parquet(s"$indexDir/buckets")
 
+  /** The corpus member side of a serving plan, with an optional
+    * serve-time predicate. FILTERED ANN ("nearest neighbors WHERE
+    * lang='en'") must prune at the SCAN, not post-top-k: filtering a
+    * finished top-k list both under-fills k and misses true in-slice
+    * neighbors that lost the unfiltered ranking. Applying the predicate
+    * to the raw table read — BEFORE the norm projection — lets Catalyst
+    * push it into the parquet scan (`PushedFilters`, pinned in
+    * `AnnIndexSpec`), so non-matching members never enter the
+    * member-join, the bucket arrays, or a scoring cell. The INDEX
+    * itself stays whole-corpus: one index serves every slice, the
+    * production shape (a per-slice index would multiply storage by the
+    * predicate vocabulary). */
+  private def memberPool(s: SparkSession, corpusDirs: Seq[String],
+      pred: Option[Column]): DataFrame =
+    corpusDirs.map { d =>
+      pred.fold(Tables(s, d, "embeddings"))(Tables(s, d, "embeddings").filter(_))
+        .select(col("vec_id"), col("embedding"))
+        .withColumn("nrm", sqrt(graft.plans.VectorFunctions.vec_dot(
+          col("embedding"), col("embedding"))))
+        .filter(col("nrm") > 0)
+    }.reduce(_ unionAll _)
+
   /** Serve top-[[Similarity.topK]] neighbors for an external query frame
     * (q_id, embedding) from a persisted index. `corpusDirs` name the
     * embedding tables the index covers (original corpus + any appended
-    * batches); member vectors are re-joined from them by vec_id. */
+    * batches); member vectors are re-joined from them by vec_id.
+    * `memberPred` optionally restricts the CANDIDATE side (filtered
+    * ANN — see [[memberPool]]); queries are never filtered by it. */
   def lshIndexServe(s: SparkSession, indexDir: String, corpusDirs: Seq[String],
-      queries: DataFrame, multiprobe: Boolean = true): DataFrame = {
+      queries: DataFrame, multiprobe: Boolean = true,
+      memberPred: Option[Column] = None): DataFrame = {
     val meta = metaRow(s, indexDir)
     val geom = meta.select(col("tables"), col("bits")).head()
     val (tables, bits) = (geom.getInt(0), geom.getInt(1))
@@ -117,7 +142,7 @@ object AnnIndex {
       else qbase.select(col("q_id"), col("tbl"),
         explode(array(col("bucket") +:
           (0 until bits).map(j => col("bucket").bitwiseXOR(lit(1L << j))): _*)).as("bucket"))
-    val n = corpusDirs.map(Similarity.normed(s, _)).reduce(_ unionAll _)
+    val n = memberPool(s, corpusDirs, memberPred)
     val members = buckets.join(n, "vec_id")
       .groupBy(col("tbl"), col("bucket"))
       .agg(sort_array(collect_list(
@@ -161,6 +186,29 @@ object AnnIndex {
     lshIndexServe(s, indexDir, Seq(dir), queries)
   }
 
+  /** FILTERED ANN, the curation-pipeline shape ("top-k within
+    * lang='en'"): the SAME persisted LSH index as [[simLshAnnServed]]
+    * (reused via the build memo — filtering is a serve-time choice, not
+    * an index property), members restricted to label =
+    * [[Similarity.annFilterLabel]] at the parquet scan. Exact over the
+    * probed ∩ filtered candidate set, so it carries its own full DuckDB
+    * oracle ([[Similarity.lshAnnFilteredOracleSql]]) — NOT a post-hoc
+    * filter of the unfiltered top-k, which would under-fill k and drop
+    * in-slice neighbors (asserted distinct in `AnnIndexSpec`). */
+  def simLshAnnFiltered(s: SparkSession, dir: String): DataFrame = {
+    val key = s"$dir|${Similarity.lshTables}|${Similarity.lshBits}"
+    val indexDir = builtIndexes.computeIfAbsent(key, { _ =>
+      val d = java.nio.file.Files.createTempDirectory("graft-lsh-index").toString
+      lshIndexWrite(s, dir, d)
+      d
+    })
+    val queries = Similarity.normed(s, dir)
+      .filter(col("vec_id") % Similarity.queryStride === 0)
+      .select(col("vec_id").as("q_id"), col("embedding"))
+    lshIndexServe(s, indexDir, Seq(dir), queries,
+      memberPred = Some(col("label") === lit(Similarity.annFilterLabel)))
+  }
+
   // ---------------------------------------------------------------- IVF
 
   /** Build and persist the IVF index: the TRAINED k-means centroids
@@ -198,7 +246,7 @@ object AnnIndex {
     * needed), and scoring runs inside per-list tile cells via the same
     * fused kernel as every other ANN path. */
   def ivfIndexServe(s: SparkSession, indexDir: String, corpusDirs: Seq[String],
-      queries: DataFrame): DataFrame = {
+      queries: DataFrame, memberPred: Option[Column] = None): DataFrame = {
     val cent = PlanCache.memoized(s, s"$indexDir|ivf-index-centroids") {
       s.read.parquet(s"$indexDir/centroids")
     }
@@ -206,7 +254,7 @@ object AnnIndex {
     val assign = PlanCache.memoized(s, s"$indexDir|ivf-index-lists") {
       s.read.parquet(s"$indexDir/lists")
     }
-    val n = corpusDirs.map(Similarity.normed(s, _)).reduce(_ unionAll _)
+    val n = memberPool(s, corpusDirs, memberPred)
     val lists = assign.join(n, "vec_id")
       .groupBy(col("c_id"))
       .agg(sort_array(collect_list(
@@ -245,6 +293,23 @@ object AnnIndex {
       .filter(col("vec_id") % Similarity.queryStride === 0)
       .select(col("vec_id").as("q_id"), col("embedding"))
     ivfIndexServe(s, indexDir, Seq(dir), queries)
+  }
+
+  /** Filtered ANN over the persisted IVF index — same serve-time member
+    * predicate as [[simLshAnnFiltered]], same reused whole-corpus index
+    * as [[simIvfTopkServed]]. Rows-only (trained quantizer), with the
+    * per-Verify self-check recomputing cosines and in-slice recall. */
+  def simIvfTopkFiltered(s: SparkSession, dir: String): DataFrame = {
+    val indexDir = builtIndexes.computeIfAbsent(s"$dir|ivf", { _ =>
+      val d = java.nio.file.Files.createTempDirectory("graft-ivf-index").toString
+      ivfIndexWrite(s, dir, d)
+      d
+    })
+    val queries = Similarity.normed(s, dir)
+      .filter(col("vec_id") % Similarity.queryStride === 0)
+      .select(col("vec_id").as("q_id"), col("embedding"))
+    ivfIndexServe(s, indexDir, Seq(dir), queries,
+      memberPred = Some(col("label") === lit(Similarity.annFilterLabel)))
   }
 
   // ------------------------------------------------------------- IVF-PQ

@@ -86,9 +86,16 @@ object Similarity {
     * (cell rank lower-bounds global rank), and the kernel's left-fold
     * arithmetic is `vec_dot`'s, so results are bit-identical — the
     * DuckDB oracle and every recall baseline is unchanged. */
-  def simTopkBruteforce(s: SparkSession, dir: String): DataFrame = {
+  def simTopkBruteforce(s: SparkSession, dir: String): DataFrame =
+    simTopkBruteforceOver(s, dir, normed(s, dir))
+
+  /** Brute force with an explicit member pool — the exact ground truth
+    * for FILTERED ANN is "exhaustive over the slice", which is this
+    * with the filtered pool (ScaleSmoke's in-slice recall yardstick). */
+  private[graft] def simTopkBruteforceOver(s: SparkSession, dir: String,
+      pool: DataFrame): DataFrame = {
     val n = normed(s, dir)
-    val cands = n
+    val cands = pool
       .groupBy((col("vec_id") / lshTile).cast("long").as("ccell"))
       .agg(sort_array(collect_list(
         struct(col("vec_id"), col("embedding"), col("nrm")))).as("cands"))
@@ -970,11 +977,13 @@ object Similarity {
     "sim_range_search" -> simRangeSearch _,
     "sim_lsh_ann" -> simLshAnn _,
     "sim_lsh_ann_served" -> AnnIndex.simLshAnnServed _,
+    "sim_lsh_ann_filtered" -> AnnIndex.simLshAnnFiltered _,
     "sim_lsh_ann_auto" -> simLshAnnAuto _,
     "sim_ivf_topk" -> simIvfTopk _,
     "sim_ivf_topk_trained" -> simIvfTopkTrained _,
     "sim_ivf_topk_auto" -> simIvfTopkAuto _,
     "sim_ivf_topk_served" -> AnnIndex.simIvfTopkServed _,
+    "sim_ivf_topk_filtered" -> AnnIndex.simIvfTopkFiltered _,
     "sim_pq_topk" -> simPqTopk _,
     "sim_pq_topk_trained" -> simPqTopkTrained _,
     "sim_pq_rescore" -> simPqRescore _,
@@ -1118,7 +1127,22 @@ object Similarity {
     * continuous gaussian projections. The auto-depth variant stays
     * rows-only: its depth comes from a runtime size statistic no static
     * SQL can see. */
-  private lazy val lshAnnOracleSql: String = {
+  /** Label slice the registered FILTERED ANN variants search within —
+    * a ~10%-selectivity attribute predicate on the embeddings table,
+    * the "nearest neighbors WHERE lang='en'" shape. The value is
+    * arbitrary; what matters is that it is pushed to the member scan
+    * (pinned in `AnnIndexSpec`), not applied to a finished top-k. */
+  val annFilterLabel = 3
+
+  private lazy val lshAnnOracleSql: String = lshAnnOracleSqlWhere("TRUE")
+
+  /** The filtered variant restricts the CANDIDATE side to the label
+    * slice; queries, buckets, and probes are the unfiltered index's. */
+  private[graft] lazy val lshAnnFilteredOracleSql: String =
+    lshAnnOracleSqlWhere(
+      s"b.vec_id IN (SELECT vec_id FROM embeddings WHERE label = $annFilterLabel)")
+
+  private def lshAnnOracleSqlWhere(memberCond: String): String = {
     val planes = hyperplanesFor(lshTables, lshBits)
     val planeRows = (0 until lshTables * lshBits).map { p =>
       (0 until embDims).map(d => planes(p * embDims + d).toString)
@@ -1147,7 +1171,7 @@ object Similarity {
        |cand AS (
        |  SELECT DISTINCT qb.q_id, b.vec_id AS cand_id
        |  FROM qb JOIN buckets b ON qb.tbl = b.tbl AND qb.bucket = b.bucket
-       |  WHERE b.vec_id <> qb.q_id),
+       |  WHERE b.vec_id <> qb.q_id AND $memberCond),
        |n AS (
        |  SELECT * FROM (
        |    SELECT vec_id, embedding,
@@ -1176,6 +1200,9 @@ object Similarity {
     // candidate set (byte-identity pinned in AnnIndexSpec), so it is
     // checked against the identical SQL
     "sim_lsh_ann_served" -> lshAnnOracleSql,
+    // filtered ANN is exact over probed ∩ label-slice candidates, so it
+    // oracles as the same SQL with the member restriction added
+    "sim_lsh_ann_filtered" -> lshAnnFilteredOracleSql,
     "sim_ivf_topk" ->
       s"""WITH n AS (
          |  SELECT * FROM (

@@ -179,6 +179,59 @@ class AnnIndexSpec extends AnyFunSuite {
       "IVF-PQ serving changed across compaction")
   }
 
+  test("filtered ANN equals an equi-join reference over the label slice, byte for byte") {
+    // reference: expand candidate pairs via the bucket equi-join (as in
+    // DedupSimilaritySpec's tiled-scoring reference), restrict MEMBERS
+    // to the label slice, score, rank — filtered serving must match
+    // exactly, because tiling is rank-exact over whatever candidate set
+    // enters the cells
+    import org.apache.spark.sql.expressions.Window
+    val (tables, bits) = (Similarity.lshTables, Similarity.lshBits)
+    val buckets = Similarity.lshBuckets(spark, sf0001, tables, bits)
+    val qb = buckets.filter(col("vec_id") % Similarity.queryStride === 0)
+      .select(col("vec_id").as("q_id"), col("tbl"), col("bucket"))
+      .select(col("q_id"), col("tbl"),
+        explode(array(col("bucket") +:
+          (0 until bits).map(j => col("bucket").bitwiseXOR(lit(1L << j))): _*)).as("bucket"))
+    val sliceIds = Tables(spark, sf0001, "embeddings")
+      .filter(col("label") === Similarity.annFilterLabel).select(col("vec_id"))
+    val cand = buckets.join(qb, Seq("tbl", "bucket"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .join(sliceIds, "vec_id")
+      .select(col("q_id"), col("vec_id").as("cand_id"))
+      .distinct()
+    val n = Similarity.normed(spark, sf0001)
+    val q = n.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+    val c = n.select(col("vec_id").as("cand_id"), col("embedding").as("c_emb"), col("nrm").as("c_nrm"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("cand_id"))
+    val reference = cand.join(q, "q_id").join(c, "cand_id")
+      .withColumn("cosine", graft.plans.VectorFunctions.vec_dot(col("q_emb"), col("c_emb"))
+        / (col("q_nrm") * col("c_nrm")))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= Similarity.topK)
+      .select(col("q_id"), col("rk"), col("cand_id"), col("cosine"))
+      .orderBy(col("q_id"), col("rk"))
+      .collect().map(shape).toSeq
+    val filtered = AnnIndex.simLshAnnFiltered(spark, sf0001).collect().map(shape).toSeq
+    assert(filtered.nonEmpty && filtered === reference,
+      "filtered serving diverged from the label-sliced equi-join reference")
+
+    // NOT a post-hoc filter of the unfiltered top-k: the slice ranking
+    // digs past it, so some served pair must be absent from it
+    val unfiltered = AnnIndex.simLshAnnServed(spark, sf0001).collect().map(shape)
+      .map(t => (t._1, t._3)).toSet
+    assert(filtered.exists(t => !unfiltered.contains((t._1, t._3))),
+      "filtered result is a subset of the unfiltered top-k — post-filter semantics")
+  }
+
+  test("the filtered member predicate is pushed into the parquet scan") {
+    val plan = AnnIndex.simLshAnnFiltered(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains(s"EqualTo(label,${Similarity.annFilterLabel})"),
+      "label predicate not pushed to the embeddings member scan:\n" +
+        plan.linesIterator.filter(_.contains("PushedFilters")).mkString("\n"))
+  }
+
   test("external queries with fresh ids serve exact cosines from the index") {
     // queries NOT in the corpus (ids offset far past the id space, vectors
     // perturbed): every served cosine must bit-equal a driver recompute
