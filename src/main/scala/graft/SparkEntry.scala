@@ -26,6 +26,7 @@ object SparkEntry {
       ops.Curation.queries ++
       ops.Dedup.queries ++
       ops.Similarity.queries ++
+      ops.Retrieval.queries ++
       ops.Compat.queries ++
       multimodal.Multimodal.queries ++
       streaming.EventStreams.queries
@@ -40,6 +41,7 @@ object SparkEntry {
       ops.Curation.oracles ++
       ops.Dedup.oracles ++
       ops.Similarity.oracles ++
+      ops.Retrieval.oracles ++
       ops.Compat.oracles ++
       multimodal.Multimodal.oracles ++
       streaming.EventStreams.oracles

@@ -173,13 +173,17 @@ object AnnIndex {
     * `sim_lsh_ann` from it. Byte-identical to `sim_lsh_ann` (the serve
     * path is exact over the same probed candidate set), so it shares its
     * DuckDB oracle. */
-  def simLshAnnServed(s: SparkSession, dir: String): DataFrame = {
-    val key = s"$dir|${Similarity.lshTables}|${Similarity.lshBits}"
-    val indexDir = builtIndexes.computeIfAbsent(key, { _ =>
+  /** Build-once memo accessor: the persisted LSH index dir for `dir`
+    * at the pinned geometry — shared by every serving-form query. */
+  private[graft] def lshIndexFor(s: SparkSession, dir: String): String =
+    builtIndexes.computeIfAbsent(s"$dir|${Similarity.lshTables}|${Similarity.lshBits}", { _ =>
       val d = java.nio.file.Files.createTempDirectory("graft-lsh-index").toString
       lshIndexWrite(s, dir, d)
       d
     })
+
+  def simLshAnnServed(s: SparkSession, dir: String): DataFrame = {
+    val indexDir = lshIndexFor(s, dir)
     val queries = Similarity.normed(s, dir)
       .filter(col("vec_id") % Similarity.queryStride === 0)
       .select(col("vec_id").as("q_id"), col("embedding"))
@@ -196,12 +200,7 @@ object AnnIndex {
     * filter of the unfiltered top-k, which would under-fill k and drop
     * in-slice neighbors (asserted distinct in `AnnIndexSpec`). */
   def simLshAnnFiltered(s: SparkSession, dir: String): DataFrame = {
-    val key = s"$dir|${Similarity.lshTables}|${Similarity.lshBits}"
-    val indexDir = builtIndexes.computeIfAbsent(key, { _ =>
-      val d = java.nio.file.Files.createTempDirectory("graft-lsh-index").toString
-      lshIndexWrite(s, dir, d)
-      d
-    })
+    val indexDir = lshIndexFor(s, dir)
     val queries = Similarity.normed(s, dir)
       .filter(col("vec_id") % Similarity.queryStride === 0)
       .select(col("vec_id").as("q_id"), col("embedding"))

@@ -1142,7 +1142,15 @@ object Similarity {
     lshAnnOracleSqlWhere(
       s"b.vec_id IN (SELECT vec_id FROM embeddings WHERE label = $annFilterLabel)")
 
-  private def lshAnnOracleSqlWhere(memberCond: String): String = {
+  private def lshAnnOracleSqlWhere(memberCond: String): String =
+    s"""WITH ${lshAnnOracleCtes(memberCond)}
+       |SELECT q_id, rk, cand_id, cosine FROM ranked WHERE rk <= $topK
+       |ORDER BY q_id, rk""".stripMargin
+
+  /** The LSH oracle's CTE chain (planes → ranked), WITHOUT the `WITH`
+    * keyword or final select — composable into larger oracles (the
+    * hybrid-retrieval fusion reuses `ranked` as its semantic side). */
+  private[graft] def lshAnnOracleCtes(memberCond: String): String = {
     val planes = hyperplanesFor(lshTables, lshBits)
     val planeRows = (0 until lshTables * lshBits).map { p =>
       (0 until embDims).map(d => planes(p * embDims + d).toString)
@@ -1150,7 +1158,7 @@ object Similarity {
     }.mkString(",\n")
     val probeList = ("bucket" +: (0 until lshBits).map(j => s"xor(bucket, ${1L << j})"))
       .mkString(", ")
-    s"""WITH planes AS (SELECT * FROM (VALUES
+    s"""planes AS (SELECT * FROM (VALUES
        |$planeRows) AS t(p, w)),
        |proj AS (
        |  SELECT e.vec_id, pl.p,
@@ -1186,9 +1194,7 @@ object Similarity {
        |ranked AS (
        |  SELECT q_id, cand_id, cosine,
        |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, cand_id) AS BIGINT) AS rk
-       |  FROM scored)
-       |SELECT q_id, rk, cand_id, cosine FROM ranked WHERE rk <= $topK
-       |ORDER BY q_id, rk""".stripMargin
+       |  FROM scored)""".stripMargin
   }
 
   val oracles: Map[String, String] = Map(

@@ -603,6 +603,15 @@ object TextAnalysis {
   val bm25Query = Seq("spark", "join", "vector")
   val bm25TopK = 25
 
+  /** Language slice the FILTERED lexical search serves within — the
+    * same serve-time-predicate semantics as the filtered ANN paths:
+    * ranking is restricted to slice documents, but the BM25 corpus
+    * statistics (n_docs, avgdl, per-term df) stay WHOLE-CORPUS — the
+    * index's frozen statistics, the production serving semantic (a
+    * per-slice re-estimate would re-score every standing document and
+    * make scores incomparable across slices). */
+  val bm25FilterLang = "en"
+
   /** BM25 ranked retrieval for a fixed conjunctive-OR query — the
     * classic lexical search scorer. Shuffle-free scoring: term
     * frequencies come from `size(filter(toks, ...))` per document (no
@@ -613,9 +622,18 @@ object TextAnalysis {
     * shape as `sim_topk_bruteforce`, for the lexical side of retrieval.
     * The per-term score sum is written in fixed query order in BOTH
     * engines, so the double arithmetic is bit-identical. */
-  def textBm25Search(s: SparkSession, dir: String): DataFrame = {
+  def textBm25Search(s: SparkSession, dir: String): DataFrame =
+    textBm25SearchWhere(s, dir, None)
+
+  /** Linear-scan BM25 with an optional ranking restriction — the
+    * spec-facing reference for the filtered served path. Statistics are
+    * aggregated over the WHOLE corpus BEFORE the predicate applies
+    * (frozen-stats semantics, see [[bm25FilterLang]]); only the ranked
+    * candidate set is sliced. */
+  private[graft] def textBm25SearchWhere(s: SparkSession, dir: String,
+      pred: Option[org.apache.spark.sql.Column]): DataFrame = {
     val base = Tables(s, dir, "documents")
-      .select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("lang"), TextFns.tokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= 1)
       .withColumn("dl", size(col("toks")).cast("long"))
     val withTf = bm25Query.zipWithIndex.foldLeft(base) { case (df, (t, i)) =>
@@ -626,8 +644,8 @@ object TextAnalysis {
         (sum(col("dl")).cast("double") / count(lit(1)).cast("double")).as("avgdl")) ++
         bm25Query.indices.map(i => sum(when(col(s"tf_$i") > 0, 1L).otherwise(0L)).as(s"df_$i"))
     val stats = withTf.agg(statAggs.head, statAggs.tail: _*)
-    val scored = withTf.crossJoin(broadcast(stats))
-    bm25Rank(scored)
+    val ranked = pred.fold(withTf)(withTf.filter(_))
+    bm25Rank(ranked.crossJoin(broadcast(stats)))
   }
 
   /** The shared BM25 scoring tail: expects tf_i / df_i / dl / n_docs /
@@ -663,10 +681,15 @@ object TextAnalysis {
     * scanned — pinned by the `PlanGuardSpec` pushdown guard). */
   def textIndexWrite(s: SparkSession, corpusDir: String, indexDir: String): Unit = {
     val base = Tables(s, corpusDir, "documents")
-      .select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("lang"), col("source"),
+        TextFns.tokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= 1)
       .withColumn("dl", size(col("toks")).cast("long"))
-    base.select(col("doc_id"), col("dl"))
+    // doclen doubles as the DOC-VALUES table (lang, source alongside
+    // dl): filtered serving prunes on these at the parquet scan without
+    // ever touching the corpus — the stored-fields shape every lexical
+    // engine persists next to its postings
+    base.select(col("doc_id"), col("dl"), col("lang"), col("source"))
       .write.mode("overwrite").parquet(s"$indexDir/doclen")
     base.select(col("doc_id"), explode(col("toks")).as("term"))
       .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
@@ -686,7 +709,8 @@ object TextAnalysis {
     * read shape that makes lexical search serve at 100 TB. Byte-
     * identical to `textBm25Search` (same integers in, same expression
     * tree), so it shares its DuckDB oracle. */
-  def textBm25Served(s: SparkSession, indexDir: String): DataFrame = {
+  def textBm25Served(s: SparkSession, indexDir: String,
+      memberPred: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     val hits = s.read.parquet(s"$indexDir/postings")
       .filter(col("term").isin(bm25Query: _*))
     val perDocAggs = bm25Query.zipWithIndex.map { case (t, i) =>
@@ -696,9 +720,14 @@ object TextAnalysis {
     val dfAggs = bm25Query.zipWithIndex.map { case (t, i) =>
       sum(when(col("term") === t, 1L).otherwise(0L)).as(s"df_$i")
     }
+    // df stays whole-corpus even when serving a slice — frozen index
+    // statistics (see [[bm25FilterLang]])
     val dfs = hits.agg(dfAggs.head, dfAggs.tail: _*)
     val stats = s.read.parquet(s"$indexDir/stats")
-    val doclen = s.read.parquet(s"$indexDir/doclen")
+    // the slice predicate prunes on the doc-values scan; the inner join
+    // then drops out-of-slice posting hits before scoring
+    val doclenAll = s.read.parquet(s"$indexDir/doclen")
+    val doclen = memberPred.fold(doclenAll)(doclenAll.filter(_))
     bm25Rank(perDoc
       .join(doclen, "doc_id")
       .crossJoin(broadcast(stats))
@@ -729,10 +758,26 @@ object TextAnalysis {
     textBm25Served(s, indexDir)
   }
 
+  /** FILTERED lexical search: the SAME persisted index as
+    * [[textBm25ServedQuery]] (build memo shared), ranking restricted to
+    * lang = [[bm25FilterLang]] via the doc-values scan, statistics
+    * frozen whole-corpus. The lexical sibling of `sim_lsh_ann_filtered`
+    * — full DuckDB oracle, byte-identity with the filtered linear scan
+    * pinned in `OperatorSpec`. */
+  def textBm25FilteredQuery(s: SparkSession, dir: String): DataFrame = {
+    val indexDir = builtTextIndexes.computeIfAbsent(dir, { _ =>
+      val d = java.nio.file.Files.createTempDirectory("graft-text-index").toString
+      textIndexWrite(s, dir, d)
+      d
+    })
+    textBm25Served(s, indexDir, Some(col("lang") === bm25FilterLang))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_inverted_index" -> textInvertedIndex _,
     "text_bm25_search" -> textBm25Search _,
     "text_bm25_served" -> textBm25ServedQuery _,
+    "text_bm25_filtered" -> textBm25FilteredQuery _,
     "text_tfidf_topterms" -> textTfidfTopTerms _,
     "text_vocab_coverage" -> textVocabCoverage _,
     "text_heavy_hitters" -> textHeavyHitters _,
@@ -772,21 +817,37 @@ object TextAnalysis {
       s"CAST(len(list_filter(toks, x -> x = '$t')) AS BIGINT) AS tf_$i"
     }
 
-  private lazy val bm25OracleSql: String =
-    s"""WITH base AS (SELECT doc_id, $tokSql AS toks FROM documents),
+  private lazy val bm25OracleSql: String = bm25OracleSqlWhere("TRUE")
+
+  /** Filtered variant: the ranked set is sliced; `cs` (the statistics)
+    * still aggregates over the whole corpus — frozen-stats serving. */
+  private[graft] lazy val bm25FilteredOracleSql: String =
+    bm25OracleSqlWhere(s"lang = '$bm25FilterLang'")
+
+  private def bm25OracleSqlWhere(rankCond: String): String =
+    s"""WITH $bm25OracleCtes
+       |${bm25RankedSelectSql(rankCond)}""".stripMargin
+
+  /** The BM25 oracle's CTE chain (base → d → cs), WITHOUT the `WITH`
+    * keyword or final select — composable (hybrid retrieval). */
+  private[graft] lazy val bm25OracleCtes: String =
+    s"""base AS (SELECT doc_id, lang, $tokSql AS toks FROM documents),
        |d AS (
-       |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+       |  SELECT doc_id, lang, CAST(len(toks) AS BIGINT) AS dl,
        |    ${bm25TfSql.mkString(",\n    ")}
        |  FROM base WHERE len(toks) >= 1),
        |cs AS (
        |  SELECT count(*) AS n_docs,
        |    CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl,
        |    ${bm25Query.indices.map(i => s"CAST(sum(CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_$i").mkString(",\n    ")}
-       |  FROM d)
-       |SELECT doc_id, dl, ${bm25Query.indices.map(i => s"tf_$i").mkString(", ")},
+       |  FROM d)""".stripMargin
+
+  /** The ranked top-[[bm25TopK]] select over the CTEs above. */
+  private[graft] def bm25RankedSelectSql(rankCond: String): String =
+    s"""SELECT doc_id, dl, ${bm25Query.indices.map(i => s"tf_$i").mkString(", ")},
        |  round(${bm25Query.indices.map(bm25ContribSql).mkString("\n  + ")}, 6) AS score
        |FROM d, cs
-       |WHERE ${bm25Query.indices.map(i => s"tf_$i > 0").mkString(" OR ")}
+       |WHERE (${bm25Query.indices.map(i => s"tf_$i > 0").mkString(" OR ")}) AND $rankCond
        |ORDER BY score DESC, doc_id LIMIT $bm25TopK""".stripMargin
 
   private def bm25ContribSql(i: Int): String =
@@ -830,6 +891,8 @@ object TextAnalysis {
     // scoring tail is the shared bm25Rank — identical result, identical
     // oracle (byte-identity pinned in OperatorSpec)
     "text_bm25_served" -> bm25OracleSql,
+    // filtered serving slices the ranked set only; stats stay global
+    "text_bm25_filtered" -> bm25FilteredOracleSql,
     "text_vocab_coverage" ->
       s"""WITH counts AS (
          |  SELECT word, count(*) AS cnt

@@ -23,6 +23,70 @@ class OperatorSpec extends AnyFunSuite {
       "persisted-index BM25 diverged from the linear scan")
   }
 
+  test("search_hybrid_rrf equals a driver-side fusion of its two source rankings") {
+    import TestSpark.sf0001
+    import org.apache.spark.sql.functions.col
+    // the two source lists, ranked exactly as the operator defines them
+    val lex = graft.ops.TextAnalysis.textBm25Search(spark, sf0001)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("score"))
+      .sortBy { case (id, sc) => (-sc, id) }
+      .zipWithIndex.map { case ((id, _), i) => id -> (i + 1).toLong }.toMap
+    val sem = graft.ops.Similarity.simLshAnn(spark, sf0001)
+      .filter(col("q_id") === graft.ops.Retrieval.hybridQueryId)
+      .collect().map(r => r.getLong(2) -> r.getLong(1)).toMap
+    assert(lex.nonEmpty && sem.nonEmpty, "a source ranking is empty — fusion untestable")
+    val expected = (lex.keySet ++ sem.keySet).toSeq.map { id =>
+      val rrf = lex.get(id).map(r => 1.0 / (graft.ops.Retrieval.rrfK + r)).getOrElse(0.0) +
+        sem.get(id).map(r => 1.0 / (graft.ops.Retrieval.rrfK + r)).getOrElse(0.0)
+      (id, lex.get(id), sem.get(id), rrf)
+    }.sortBy { case (id, _, _, rrf) => (-rrf, id) }.take(graft.ops.Retrieval.hybridTopK)
+    val got = graft.ops.Retrieval.searchHybridRrf(spark, sf0001).collect().map { r =>
+      (r.getLong(0), Option(r.get(1)).map(_.asInstanceOf[Long]),
+        Option(r.get(2)).map(_.asInstanceOf[Long]), r.getDouble(3))
+    }.toSeq
+    assert(got === expected, "hybrid fusion diverged from the driver-side recompute")
+    // fusion must actually mix: the top list cannot be a pure copy of
+    // either source's head (RRF rewards presence in both)
+    assert(got.exists(_._2.isEmpty) || got.exists(_._3.isEmpty) ||
+      got.exists(t => t._2.nonEmpty && t._3.nonEmpty))
+  }
+
+  test("text_bm25_filtered slices ranking only — statistics stay whole-corpus") {
+    import TestSpark.sf0001
+    import org.apache.spark.sql.functions.col
+    val shape = (r: org.apache.spark.sql.Row) => r.toSeq
+    val filtered = graft.ops.TextAnalysis.textBm25FilteredQuery(spark, sf0001)
+      .collect().map(shape).toSeq
+    // reference: the linear scan with the SAME predicate applied after
+    // whole-corpus stats — byte-identical (shared scoring tail; the
+    // served side additionally proves the doc-values join semantics)
+    val scan = graft.ops.TextAnalysis.textBm25SearchWhere(spark, sf0001,
+      Some(col("lang") === graft.ops.TextAnalysis.bm25FilterLang))
+      .collect().map(shape).toSeq
+    assert(filtered.nonEmpty && filtered === scan,
+      "filtered served BM25 diverged from the filtered linear scan")
+    // every ranked doc is in the slice
+    val langOf = Tables(spark, sf0001, "documents")
+      .select(col("doc_id"), col("lang")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(filtered.forall(r => langOf(r.head.asInstanceOf[Long]) ==
+      graft.ops.TextAnalysis.bm25FilterLang), "served an out-of-slice doc")
+    // frozen stats: scores must EQUAL the unfiltered run's for shared
+    // docs (a per-slice df/avgdl re-estimate would change them)
+    val unfScore = graft.ops.TextAnalysis.textBm25ServedQuery(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> r.getDouble(r.length - 1)).toMap
+    val drifted = filtered.count { r =>
+      val id = r.head.asInstanceOf[Long]
+      unfScore.get(id).exists(_ != r.last.asInstanceOf[Double])
+    }
+    assert(drifted == 0, s"$drifted shared docs changed score under the slice")
+    // the lang predicate reaches the doc-values parquet scan
+    val plan = graft.ops.TextAnalysis.textBm25FilteredQuery(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains(s"EqualTo(lang,${graft.ops.TextAnalysis.bm25FilterLang})"),
+      "lang predicate not pushed into the doclen scan")
+  }
+
   test("text_pii_scrub redacts emails, IPs, and digit runs; no double counting") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("pii-corpus")
