@@ -877,7 +877,18 @@ object Similarity {
     * ([[AnnIndex.ivfPqIndexServe]]), which is what makes the two
     * byte-identical. Unprobed lists never reach a kernel (the inner
     * join on c_id IS the pruning); each vector lives in exactly one
-    * list, so no pair surfaces twice and no distinct is needed. */
+    * list, so no pair surfaces twice and no distinct is needed.
+    *
+    * LUTs are built AFTER the per-list group-join, not before: a query
+    * probing P lists would otherwise materialize P copies of its
+    * pqM·k-double LUT (~8 KB — ~23× the raw vector) inside ONE
+    * collect_list aggregation, and at 250k rows that is queries ×
+    * (nLists/16) × 8 KB ≈ 6 GB of aggregation state — the measured
+    * heap-exhaustion OOM of the first 250k run. Collecting the raw
+    * (embedding, nrm) instead keeps the buffer at vector width (~273 MB
+    * there), and the `transform` below rebuilds each list-row's LUTs
+    * transiently (~MBs per row, freed with the row; ~8k multiplies per
+    * query×list, trivial beside the ADC scan it feeds). */
   private[graft] def ivfPqOver(cent: DataFrame, cb: Array[Double],
       assignedCodes: DataFrame, queries: DataFrame, rescorePool: DataFrame,
       nLists: Double): DataFrame = {
@@ -889,14 +900,15 @@ object Similarity {
       .agg(sort_array(collect_list(struct(col("vec_id"), col("codes")))).as("cands"))
     val qlists = nearestCentroids(cent)(queries, "vec_id", "embedding", "nrm", probes,
         carry = Seq("embedding", "nrm"))
-      .select(col("c_id"), col("vec_id"),
-        graft.plans.VectorFunctions.pq_lut(
-          col("embedding"), col("nrm"), cb, pqM, kEff).as("lut"))
       .groupBy(col("c_id"))
-      .agg(collect_list(struct(col("vec_id"), col("lut"))).as("qs"))
+      .agg(collect_list(struct(col("vec_id"), col("embedding"), col("nrm"))).as("qraw"))
     val short = lists.join(qlists, "c_id")
       .select(explode(graft.plans.VectorFunctions.cell_pq_topk(
-        col("qs"), col("cands"), kEff, depthCell)).as("p"))
+        transform(col("qraw"), q => struct(
+          q.getField("vec_id"),
+          graft.plans.VectorFunctions.pq_lut(
+            q.getField("embedding"), q.getField("nrm"), cb, pqM, kEff))),
+        col("cands"), kEff, depthCell)).as("p"))
       .select(col("p.q_id").as("q_id"), col("p.cand_id").as("cand_id"))
     rescoreOver(queries, rescorePool, short)
   }
