@@ -5,12 +5,16 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val (sfDir, outDir) = (args(0), args(1))
+    // optional extra args: restrict to these query names (dev iteration;
+    // the driver always passes exactly two args → full run)
+    val only = args.drop(2).toSet
+    def selected(name: String): Boolean = only.isEmpty || only(name)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.builder(s"local[$cpus]", cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries.filter(q => selected(q._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -29,7 +33,7 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    val json = SparkEntry.oracleSql.filter(o => selected(o._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     // rows-only manifest: for every query with no DuckDB oracle, run its
@@ -37,7 +41,8 @@ object Verify {
     // the correctness artifact distinguishes "rows-only by design,
     // invariant verified" from breakage. Failures of the check runner
     // itself are recorded as pass=false, never swallowed.
-    val rowsOnly = (SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet).toSeq.sorted
+    val rowsOnly = (SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet)
+      .filter(selected).toSeq.sorted
     val manifest = rowsOnly.map { name =>
       val r = SelfChecks.checks.get(name) match {
         case None => SelfChecks.CheckResult(pass = false,

@@ -383,6 +383,34 @@ object Curation {
           .as("token_share"))
       .orderBy(col("source"), col("lang"))
 
+  /** Held-out fraction (percent) for the leakage-safe split. */
+  val heldoutPct = 10
+
+  /** Leakage-safe train/heldout split: assign each document to a split
+    * by hashing its NEAR-DUP CLUSTER representative, not its own id —
+    * so a near-duplicate of a held-out document can never land in
+    * train (the classic eval-leakage failure of naive per-doc
+    * splitting). Docs in no cluster are their own representative;
+    * clustered docs inherit the cluster's min doc_id (the
+    * [[Dedup.dedupClusters]] label). The split decision is the same
+    * md5-bucket determinism as the stratified sampler: reproducible on
+    * any cluster, any partitioning, any rerun.
+    *
+    * Scale shape: the cluster frame is pairs-sized (vanishing vs the
+    * corpus — only near-dup members appear), so the left join
+    * broadcasts; everything else is a map-only projection over a
+    * 1-column scan. Eager at call time like its input `dedupClusters`
+    * (the hybrid CC decision). */
+  def curateSplitLeakage(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents").select(col("doc_id"))
+      .join(Dedup.dedupClusters(s, dir), Seq("doc_id"), "left")
+      .withColumn("rep_id", coalesce(col("cluster_id"), col("doc_id")))
+      .withColumn("split",
+        when(pmod(TextFns.md5Int(col("rep_id").cast("string")), lit(100L)) <
+          lit(100L - heldoutPct), lit("train")).otherwise(lit("heldout")))
+      .select(col("doc_id"), col("rep_id"), col("split"))
+      .orderBy(col("doc_id"))
+
   /** Materialize the stratified corpus as a lang-partitioned parquet
     * dataset — the write-side half of the 100 TB story: `partitionBy`
     * turns every language-filtered read into directory pruning
@@ -408,6 +436,7 @@ object Curation {
     "decontaminate_ngram" -> decontaminateNgram _,
     "decontaminate_bloom_served" -> decontaminateBloomServed _,
     "curate_source_mix" -> curateSourceMix _,
+    "curate_split_leakage" -> curateSplitLeakage _,
   )
 
   private val tokSql =
@@ -482,5 +511,21 @@ object Curation {
          |SELECT source, lang, n_docs, n_tokens,
          |  round(CAST(n_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE), 6) AS token_share
          |FROM per, t ORDER BY source, lang""".stripMargin,
+    "curate_split_leakage" ->
+      s"""WITH RECURSIVE ${Dedup.allPairsSql.stripPrefix("WITH ")},
+         |e AS (SELECT id_a AS src, id_b AS dst FROM jpairs
+         |      UNION ALL SELECT id_b, id_a FROM jpairs),
+         |r AS (
+         |  SELECT src AS doc, src AS lab FROM e
+         |  UNION
+         |  SELECT e.dst AS doc, r.lab FROM r JOIN e ON r.doc = e.src),
+         |cl AS (SELECT doc AS doc_id, min(lab) AS cluster_id FROM r GROUP BY doc),
+         |base AS (
+         |  SELECT d.doc_id, COALESCE(cl.cluster_id, d.doc_id) AS rep_id
+         |  FROM documents d LEFT JOIN cl USING (doc_id))
+         |SELECT doc_id, rep_id,
+         |  CASE WHEN CAST(('0x' || substr(md5(CAST(rep_id AS VARCHAR)), 1, 8)) AS BIGINT)
+         |    % 100 < ${100 - heldoutPct} THEN 'train' ELSE 'heldout' END AS split
+         |FROM base ORDER BY doc_id""".stripMargin,
   )
 }

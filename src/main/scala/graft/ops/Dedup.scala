@@ -701,6 +701,17 @@ object Dedup {
     // codegen with no join and no materialization.
     val asg = Similarity.nearestCentroids(centFn(n))(
       n, "vec_id", "embedding", "nrm", blockProbes, carry = Seq("embedding", "nrm"))
+    // a pair sharing two probe blocks appears twice with the identical
+    // cosine — dedupe AFTER the threshold filter, when few rows remain
+    tiledBlockPairs(asg).distinct().orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Within-block threshold-pair enumeration over an assignment frame
+    * `(c_id, vec_id, embedding, nrm)` — the shared quadratic kernel of
+    * the blocked embedding dedups and [[dedupSemantic]]. Emits every
+    * `(id_a < id_b, cosine ≥ cosineThreshold)` pair that co-occurs in a
+    * block; callers dedupe across probe blocks if probes > 1. */
+  private def tiledBlockPairs(asg: DataFrame): DataFrame = {
     // TRIANGLE TILING (found by the round-4 100× experiment, second
     // pass): expanding a whole block's pairs from its single array row
     // pins Σ m² work to ONE task — a skewed quantizer's mega-block
@@ -732,14 +743,44 @@ object Dedup {
     // Σ block² candidates, which the 100× experiment measured as 250+
     // CPU-minutes on this corpus. The fused loop pays ~ns per candidate
     // and only allocates rows for pairs that pass the threshold.
-    val pairs = cells
+    cells
       .select(explode(graft.plans.VectorFunctions.cell_pairs_cosine(
         col("cell.ia"), col("cell.ib"),
         col("cell.ta") === col("cell.tb"), cosineThreshold)).as("p"))
       .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"), col("p.cosine").as("cosine"))
-    // a pair sharing two probe blocks appears twice with the identical
-    // cosine — dedupe AFTER the threshold filter, when few rows remain
-    pairs.distinct().orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    * coarse-cluster the embeddings, then WITHIN each cluster drop every
+    * vector that has cosine ≥ [[cosineThreshold]] with a lower-id member
+    * of the same cluster — the paper's upper-triangular masking, with
+    * vec_id as the deterministic ordering. Differs from the pair-emitting
+    * blocked dedup above in contract: the output is a per-vector KEEP
+    * DECISION `(vec_id, c_id, kept)` over the whole corpus, the thing a
+    * curation pipeline actually filters by.
+    *
+    * Scale shape: 1-probe assignment (the paper's — each vector is
+    * deduped only against its own cluster), and the quadratic step runs
+    * through the same triangle-tiled [[tiledBlockPairs]] kernel as the
+    * blocked dedup, so per-task work is bounded by blockTile² regardless
+    * of cluster skew. The decision join keys on vec_id (dropped ids are
+    * ≤ pairs, few past the threshold) — broadcast-able at any corpus
+    * size where dups are rare. Deterministic stride quantizer ⇒ full
+    * DuckDB oracle; the trained-quantizer variant would be rows-only
+    * like the other `_trained` paths. */
+  def dedupSemantic(s: SparkSession, dir: String): DataFrame = {
+    val n = Similarity.normed(s, dir)
+    val asg = Similarity.nearestCentroids(Similarity.centroidsOf(n))(
+      n, "vec_id", "embedding", "nrm", 1, carry = Seq("embedding", "nrm"))
+    // probes = 1 ⇒ each pair appears in exactly one block: no distinct
+    val dropped = tiledBlockPairs(asg)
+      .select(col("id_b").as("vec_id")).distinct()
+      .withColumn("dup", lit(1L))
+    asg.select(col("vec_id"), col("c_id"))
+      .join(dropped, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("c_id"),
+        (lit(1L) - coalesce(col("dup"), lit(0L))).as("kept"))
+      .orderBy(col("vec_id"))
   }
 
   /** Cluster representative selection — the step AFTER clustering in a
@@ -905,6 +946,7 @@ object Dedup {
     "dedup_embedding_cosine" -> dedupEmbeddingCosine _,
     "dedup_embedding_blocked" -> dedupEmbeddingBlocked _,
     "dedup_embedding_blocked_trained" -> dedupEmbeddingBlockedTrained _,
+    "dedup_semantic" -> dedupSemantic _,
   )
 
   private val mhValuesSql =
@@ -1095,6 +1137,34 @@ object Dedup {
          |WHERE list_sum(list_transform(range(1, len(a.embedding) + 1),
          |    i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) / (a.nrm * b.nrm) >= $cosineThreshold
          |ORDER BY id_a, id_b""".stripMargin,
+    "dedup_semantic" ->
+      s"""WITH n AS (
+         |  SELECT * FROM (
+         |    SELECT vec_id, embedding,
+         |      sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
+         |        i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS nrm
+         |    FROM embeddings) WHERE nrm > 0),
+         |cent AS (SELECT vec_id AS c_id, embedding AS c_emb, nrm AS c_nrm
+         |         FROM n WHERE vec_id % ${Similarity.centroidStride} = 1),
+         |asgn AS (
+         |  SELECT vec_id, c_id FROM (
+         |    SELECT v.vec_id, c.c_id,
+         |      row_number() OVER (PARTITION BY v.vec_id
+         |        ORDER BY list_sum(list_transform(range(1, len(v.embedding) + 1),
+         |          i -> CAST(v.embedding[i] AS DOUBLE) * CAST(c.c_emb[i] AS DOUBLE))) / (v.nrm * c.c_nrm) DESC,
+         |          c.c_id) AS c_rk
+         |    FROM n v, cent c)
+         |  WHERE c_rk = 1),
+         |dropped AS (
+         |  SELECT DISTINCT y.vec_id
+         |  FROM asgn x JOIN asgn y ON x.c_id = y.c_id AND x.vec_id < y.vec_id
+         |  JOIN n a ON x.vec_id = a.vec_id JOIN n b ON y.vec_id = b.vec_id
+         |  WHERE list_sum(list_transform(range(1, len(a.embedding) + 1),
+         |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) / (a.nrm * b.nrm) >= $cosineThreshold)
+         |SELECT asgn.vec_id, c_id,
+         |  CAST(CASE WHEN dropped.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
+         |FROM asgn LEFT JOIN dropped ON asgn.vec_id = dropped.vec_id
+         |ORDER BY asgn.vec_id""".stripMargin,
     "dedup_embedding_cosine" ->
       s"""WITH n AS (
          |  SELECT * FROM (

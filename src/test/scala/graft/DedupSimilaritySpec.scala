@@ -311,6 +311,38 @@ class DedupSimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("dedup_semantic: keep decision matches a brute-force within-cluster recompute") {
+    val rows = Dedup.dedupSemantic(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // every nonzero-norm vector appears exactly once with kept in {0,1}
+    val n = graft.Tables(spark, sf0001, "embeddings").collect()
+      .map { r =>
+        val e = r.getSeq[Float](r.fieldIndex("embedding")).toArray.map(_.toDouble)
+        (r.getLong(0), e, math.sqrt(e.map(x => x * x).sum))
+      }
+      .filter(_._3 > 0)
+    assert(rows.map(_._1).toSeq.sorted === n.map(_._1).toSeq.sorted)
+    assert(rows.forall(r => r._3 == 0L || r._3 == 1L))
+    // independent recompute: nearest stride centroid, then upper-triangular
+    // τ-masking within each cluster (SemDeDup's rule, vec_id order)
+    val cents = n.filter(_._1 % Similarity.centroidStride == 1)
+    def cos(a: (Long, Array[Double], Double), b: (Long, Array[Double], Double)): Double =
+      a._2.zip(b._2).map { case (x, y) => x * y }.sum / (a._3 * b._3)
+    val asg = n.map { v =>
+      val best = cents.map(c => (cos(v, c), c._1)).maxBy { case (s, id) => (s, -id) }
+      (v._1, best._2)
+    }.toMap
+    val byCluster = n.groupBy(v => asg(v._1))
+    val expect = n.map { v =>
+      val peers = byCluster(asg(v._1)).filter(p => p._1 < v._1)
+      val dropped = peers.exists(p => cos(p, v) >= Dedup.cosineThreshold)
+      (v._1, asg(v._1), if (dropped) 0L else 1L)
+    }.sortBy(_._1)
+    assert(rows.sortBy(_._1).toSeq === expect.toSeq)
+    val nDropped = rows.count(_._3 == 0L)
+    info(s"semantic dedup dropped $nDropped of ${rows.length} vectors")
+  }
+
   test("multi-probe LSH ANN: recall >= 0.6 at a bounded scored fraction") {
     val exact = Similarity.simTopkBruteforce(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet

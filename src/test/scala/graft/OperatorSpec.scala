@@ -179,6 +179,29 @@ class OperatorSpec extends AnyFunSuite {
     assert(math.abs(r.map(_.getDouble(4)).sum - 1.0) < 1e-3)
   }
 
+  test("curate_split_leakage: no near-dup cluster straddles the train/heldout cut") {
+    import TestSpark.sf0001
+    val rows = graft.ops.Curation.curateSplitLeakage(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet").count()
+    assert(rows.length.toLong == docs) // every doc assigned exactly once
+    assert(rows.map(_._1).distinct.length == rows.length)
+    // the leakage guarantee: one split per representative ⇒ near-dup
+    // clusters (which share a rep) can never straddle the cut
+    rows.groupBy(_._2).foreach { case (rep, g) =>
+      assert(g.map(_._3).distinct.length == 1, s"rep $rep split across ${g.map(_._3).toSet}")
+    }
+    // clustered docs really do inherit the cluster label as their rep
+    val clusters = graft.ops.Dedup.dedupClusters(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    rows.foreach { case (doc, rep, _) =>
+      assert(rep == clusters.getOrElse(doc, doc), s"doc $doc rep $rep")
+    }
+    val heldout = rows.count(_._3 == "heldout").toDouble / rows.length
+    info(f"heldout fraction: $heldout%.3f (target ${graft.ops.Curation.heldoutPct}%%)")
+    assert(heldout > 0.02 && heldout < 0.30, f"heldout fraction $heldout%.3f implausible")
+  }
+
   test("q_corr_stats: correlation bounded, moments positive") {
     import TestSpark.sf0001
     val r = graft.ops.Relational.qCorrStats(spark, sf0001).collect()
