@@ -114,6 +114,14 @@ object ScaleSmoke {
       ops.Dedup.dedupEmbeddingBlockedTrained(spark, dir).count()
     }
     say(s"  -> $blockedT verified pairs")
+    // SemDeDup keep-decision: 1-probe assignment + the same tiled pair
+    // kernel, then a corpus-wide left join on the (few) dropped ids
+    val sem = time("dedup_semantic (SemDeDup keep decision, 250k)") {
+      val r = ops.Dedup.dedupSemantic(spark, dir)
+        .agg(count(lit(1)), sum(lit(1L) - col("kept"))).collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
+    say(s"  -> ${sem._1} decisions, ${sem._2} dropped (planted: $nVecDup)")
 
     // 3-5. ANN paths timed ONCE each (collect top-k pairs in the timed
     //      pass and reuse them for recall — a noop-then-rerun shape would

@@ -29,7 +29,8 @@ object SparkEntry {
       ops.Retrieval.queries ++
       ops.Compat.queries ++
       multimodal.Multimodal.queries ++
-      streaming.EventStreams.queries
+      streaming.EventStreams.queries ++
+      streaming.IngestDedup.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -44,5 +45,6 @@ object SparkEntry {
       ops.Retrieval.oracles ++
       ops.Compat.oracles ++
       multimodal.Multimodal.oracles ++
-      streaming.EventStreams.oracles
+      streaming.EventStreams.oracles ++
+      streaming.IngestDedup.oracles
 }

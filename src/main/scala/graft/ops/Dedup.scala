@@ -492,6 +492,11 @@ object Dedup {
     * reproduces the split). */
   val batchMod = 10L
 
+  /** Batches the streaming ingest replay splits the corpus into
+    * (doc_id % ingestBatches, processed in order). Lives here so the
+    * oracle generator and [[graft.streaming.IngestDedup]] share it. */
+  val ingestBatches = 3
+
   /** Incremental (landing-zone) dedup: flag each NEW-batch doc that
     * near-duplicates any doc already in the corpus — the nightly-crawl
     * shape, asymmetric where `dedupSimhash` is a self-join. Exact dups
@@ -562,6 +567,67 @@ object Dedup {
     incrementalAgainst(batchDocs, simBandsOf(simSigOf(batchDocs)),
       simBandsOf(s.read.parquet(s"$indexDir/simhash")))
   }
+
+  /** Per-micro-batch verdict + admission for the STREAMING ingest path
+    * ([[graft.streaming.IngestDedup]]): flag each batch doc whose
+    * signature lands within [[hammingThreshold]] of any ALREADY-ADMITTED
+    * corpus signature (the persisted index) OR of any LOWER-ID member of
+    * the same batch — C4-style keep-first masking. A doc is flagged even
+    * when its lower-id match was itself flagged; that convention (drop
+    * all-but-first of a dup group) is what makes the rule DISTRIBUTIVE
+    * inside a batch: verdicts are one banded self-join plus one banded
+    * index join, no sequential fold over the batch. Appends the verdicts
+    * to `outDir` and the ADMITTED (is_dup = false) signatures to the
+    * index, so the next micro-batch dedupes against everything admitted
+    * so far. Returns (n_docs, n_admitted) for progress reporting.
+    *
+    * Scale shape: the batch side is one landing file (small by
+    * construction — AQE broadcasts it); the index side reads the
+    * ~12 B/doc signature parquet, never corpus text. Index growth is
+    * append-only; [[dedupIndexCompact]] is the maintenance op. */
+  private[graft] def ingestBatch(s: SparkSession, batchDocs: DataFrame,
+      indexDir: String, outDir: String, batchId: Long): (Long, Long) = {
+    val docs = batchDocs.persist()
+    try {
+      val sig = simSigOf(docs).persist()
+      try {
+        val batchBands = simBandsOf(sig)
+        val idxBands = simBandsOf(s.read.parquet(s"$indexDir/simhash"))
+        def near(y: DataFrame, cond: Column) =
+          batchBands.as("x").join(y.as("y"),
+              col("x.band") === col("y.band") && col("x.bval") === col("y.bval") && cond)
+            .withColumn("hamming",
+              bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).cast("long"))
+            .filter(col("hamming") <= hammingThreshold)
+            .select(col("x.doc_id").as("doc_id"),
+              col("y.doc_id").as("cand"), col("hamming"))
+        val hits = near(idxBands, lit(true))
+          .unionByName(near(batchBands, col("y.doc_id") < col("x.doc_id")))
+          .groupBy(col("doc_id"))
+          .agg(min(col("cand")).as("dup_of"), min(col("hamming")).as("min_hamming"))
+        val verdicts = docs.select(col("doc_id"))
+          .join(hits, Seq("doc_id"), "left")
+          .select(col("doc_id"), lit(batchId).as("batch"),
+            col("dup_of").isNotNull.as("is_dup"), col("dup_of"), col("min_hamming"))
+          .persist()
+        try {
+          verdicts.write.mode("append").parquet(outDir)
+          sig.join(verdicts.filter(!col("is_dup")).select(col("doc_id")), "doc_id")
+            .write.mode("append").parquet(s"$indexDir/simhash")
+          (verdicts.count(), verdicts.filter(!col("is_dup")).count())
+        } finally verdicts.unpersist()
+      } finally sig.unpersist()
+    } finally docs.unpersist()
+  }
+
+  /** Seed an EMPTY signature index (stream-from-scratch ingest; the
+    * batch form seeds from a standing corpus via [[dedupIndexWrite]]). */
+  private[graft] def ingestIndexInit(s: SparkSession, indexDir: String): Unit =
+    simSigOf(s.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))))
+      .write.mode("overwrite").parquet(s"$indexDir/simhash")
 
   /** One (landing split + signature index) per corpus per JVM for the
     * registered-query form of the indexed incremental check. */
@@ -956,8 +1022,12 @@ object Dedup {
   private val bandValuesSql =
     Seq(0, 1, 2, 3).map(k => s"($k, ${1L << (8 * k)})").mkString(", ")
 
-  private lazy val incrementalOracleSql =
-    s"""WITH tok AS (
+  /** The SQL simhash pipeline shared by the incremental and streaming
+    * ingest oracles: documents → token hashes → 32-bit signatures →
+    * 4 byte-bands. Generated from the same Scala constants the Spark
+    * expressions use. */
+  private lazy val sigBandedCteSql =
+    s"""tok AS (
        |  SELECT doc_id, CAST(('0x' || substr(md5(token), 1, 8)) AS BIGINT) AS h
        |  FROM (SELECT doc_id, unnest($tokSql) AS token FROM documents)),
        |bits AS (SELECT * FROM (VALUES $bitValuesSql) AS t(bit, pow)),
@@ -968,7 +1038,47 @@ object Dedup {
        |    FROM tok, bits GROUP BY doc_id, bit, pow)
        |  GROUP BY doc_id),
        |bp AS (SELECT * FROM (VALUES $bandValuesSql) AS t(band, bpow)),
-       |banded AS (SELECT doc_id, simhash, band, (simhash // bpow) % 256 AS bval FROM sig, bp),
+       |banded AS (SELECT doc_id, simhash, band, (simhash // bpow) % 256 AS bval FROM sig, bp)""".stripMargin
+
+  /** Oracle for the streaming ingest replay: [[ingestBatches]] admission
+    * rounds unrolled as chained CTEs. Round k's hit set is (admitted in
+    * rounds < k) ∪ (same batch, lower id); admitted = not flagged. The
+    * batch column doubles as a replay-order check — the Spark side
+    * records the ACTUAL foreachBatch id. */
+  private[graft] lazy val ingestOracleSql: String = {
+    val nb = ingestBatches
+    val rounds = (0 until nb).map { k =>
+      val admitted =
+        if (k == 0) ""
+        else {
+          val u = (0 until k).map(j => s"SELECT doc_id FROM a$j").mkString(" UNION ALL ")
+          s"y.doc_id IN ($u) OR "
+        }
+      s"""i$k AS (
+         |  SELECT x.doc_id, y.doc_id AS cand,
+         |    CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
+         |  FROM banded x JOIN banded y ON x.band = y.band AND x.bval = y.bval
+         |  WHERE x.doc_id % $nb = $k
+         |    AND bit_count(xor(x.simhash, y.simhash)) <= $hammingThreshold
+         |    AND ($admitted(y.doc_id % $nb = $k AND y.doc_id < x.doc_id))),
+         |h$k AS (SELECT doc_id, min(cand) AS dup_of, min(hamming) AS min_hamming
+         |        FROM i$k GROUP BY doc_id),
+         |v$k AS (
+         |  SELECT d.doc_id, CAST($k AS BIGINT) AS batch,
+         |    h$k.dup_of IS NOT NULL AS is_dup, h$k.dup_of, h$k.min_hamming
+         |  FROM (SELECT doc_id FROM documents WHERE doc_id % $nb = $k) d
+         |  LEFT JOIN h$k ON d.doc_id = h$k.doc_id),
+         |a$k AS (SELECT doc_id FROM v$k WHERE NOT is_dup)""".stripMargin
+    }.mkString(",\n")
+    val unioned = (0 until nb).map(k => s"SELECT * FROM v$k").mkString(" UNION ALL ")
+    s"""WITH $sigBandedCteSql,
+       |$rounds
+       |SELECT doc_id, batch, is_dup, dup_of, min_hamming FROM ($unioned)
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  private lazy val incrementalOracleSql =
+    s"""WITH $sigBandedCteSql,
        |near AS (
        |  SELECT x.doc_id AS doc_id, min(y.doc_id) AS dup_of,
        |    min(CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT)) AS min_hamming

@@ -1,0 +1,104 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.ops.Dedup
+
+/** Streaming ingest-with-dedup: the operational form of the landing-zone
+  * near-dup check. Crawl batches LAND AS FILES in a directory; a file
+  * stream picks each up as its own micro-batch, checks it against the
+  * persisted simhash signature index (everything admitted so far) plus
+  * C4-style lower-id masking within the batch, appends per-doc verdicts
+  * to the output sink, and folds the admitted signatures back into the
+  * index — so the corpus dedupes itself continuously as it is ingested,
+  * and corpus TEXT is never re-read (the index is ~12 B/doc).
+  *
+  * The reference harness is strictly batch (SURVEY.md §2 — no streaming);
+  * this is north-star surface composing the Dedup index API with
+  * Structured Streaming's file source. The per-batch rule is
+  * deterministic and non-iterative (see [[Dedup.ingestBatch]]), which is
+  * what makes the whole replay DuckDB-oracle-able: with batches defined
+  * by doc_id % n and processed in order, the oracle unrolls the n
+  * admission rounds as chained CTEs.
+  *
+  * State lives in the INDEX, not the state store: the query itself is
+  * stateless (foreachBatch over an append-only file source), so there is
+  * no watermark, no state-store commit cost, and restart recovery is the
+  * checkpoint's file-source log plus the index parquet — both append-only.
+  */
+object IngestDedup {
+
+  /** Batches the registered-query replay splits the corpus into
+    * (shared with the oracle generator in [[Dedup.ingestBatches]]). */
+  val ingestBatches: Int = Dedup.ingestBatches
+
+  /** Drive the ingest-dedup stream over `landingDir` until no files
+    * remain (AvailableNow), one landing FILE per micro-batch, oldest
+    * first. `indexDir` must hold a seeded signature index
+    * ([[Dedup.ingestIndexInit]] from scratch, or `dedupIndexWrite` from
+    * a standing corpus); verdicts append to `outDir`. */
+  def streamIngestDedupToFiles(s: SparkSession, landingDir: String, indexDir: String,
+      outDir: String, checkpointDir: String): Unit = {
+    // the streaming file source requires an explicit schema: footer-read
+    // one landed file (same move as EventStreams.eventsStream)
+    val schema = s.read.parquet(landingDir).schema
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(landingDir)
+    val q = stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val (n, admitted) = Dedup.ingestBatch(s, batch, indexDir, outDir, batchId)
+        (): Unit
+      }
+      .start()
+    try q.awaitTermination()
+    finally if (q.isActive) q.stop()
+  }
+
+  /** Registered-query form: split the sf documents table into
+    * [[ingestBatches]] modulo slices, land them as one file each (mod
+    * times forced ascending so the file source replays them in batch
+    * order), seed an empty index, run the stream to completion, and
+    * return the accumulated verdicts. Fresh temp dirs per invocation —
+    * the sink and index are append-only, so a rerun must not see a
+    * previous run's state. The recorded `batch` column is the actual
+    * foreachBatch id, so the oracle ALSO verifies the replay processed
+    * files in landing order. */
+  def streamIngestDedup(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft-ingest-dedup").toString
+    val docs = graft.Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+    (0 until ingestBatches).foreach { b =>
+      val d = s"$root/landing/batch_$b"
+      docs.filter(pmod(col("doc_id"), lit(ingestBatches)) === b)
+        .coalesce(1).write.mode("overwrite").parquet(d)
+      val dirF = new java.io.File(d)
+      dirF.listFiles().filter(_.getName.endsWith(".parquet")).foreach { f =>
+        val t = 1600000000000L + b * 60000L
+        f.setLastModified(t)
+        // move landed files into ONE flat landing dir (the file source
+        // watches a directory, not a tree of batch subdirs)
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$root/landing/flat"))
+        java.nio.file.Files.move(f.toPath,
+          java.nio.file.Paths.get(s"$root/landing/flat/batch_$b.parquet"))
+        new java.io.File(s"$root/landing/flat/batch_$b.parquet").setLastModified(t)
+      }
+    }
+    Dedup.ingestIndexInit(s, s"$root/index")
+    streamIngestDedupToFiles(s, s"$root/landing/flat", s"$root/index",
+      s"$root/out", s"$root/checkpoint")
+    s.read.parquet(s"$root/out")
+      .select(col("doc_id"), col("batch"), col("is_dup"), col("dup_of"), col("min_hamming"))
+      .orderBy(col("doc_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_ingest_dedup" -> streamIngestDedup _
+  )
+
+  val oracles: Map[String, String] = Map(
+    "stream_ingest_dedup" -> Dedup.ingestOracleSql
+  )
+}

@@ -172,6 +172,68 @@ class StreamingSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("streaming ingest dedup: planted dups flagged; restart resumes index + checkpoint") {
+    import org.apache.spark.sql.functions._
+    import graft.streaming.IngestDedup
+    // 9 docs, ingestBatches=3 (batch = doc_id % 3): 4 copies 1 (same
+    // batch — intra-batch mask), 5 copies 0 (cross-batch vs admitted
+    // index), 8 copies 4 (its match was itself flagged — must still be
+    // caught via admitted doc 1's signature)
+    def text(i: Long): String = i match {
+      case 4 | 8 => text(1)
+      case 5 => text(0)
+      case _ => (0 until 12).map(w => s"w${i}x$w unique$i token$w").mkString(" ")
+    }
+    val root = java.nio.file.Files.createTempDirectory("graft-ingest-spec").toString
+    import spark.implicits._
+    (0L until 9L).map(i => (i, text(i))).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$root/documents.parquet")
+    val verdicts = IngestDedup.streamIngestDedup(spark, root)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3)))
+    assert(verdicts.map(_._1).toSeq == (0L until 9L).toSeq)
+    verdicts.foreach { case (doc, batch, _, _) => assert(batch == doc % 3) }
+    val dupOf = verdicts.map(v => v._1 -> (v._3, v._4)).toMap
+    assert(dupOf(4) == (true, 1L), s"intra-batch dup: ${dupOf(4)}")
+    assert(dupOf(5) == (true, 0L), s"cross-batch dup vs index: ${dupOf(5)}")
+    assert(dupOf(8) == (true, 1L), s"dup of a flagged doc resolves to its admitted twin: ${dupOf(8)}")
+    Seq(0L, 1L, 2L, 3L, 6L, 7L).foreach(d => assert(!dupOf(d)._1, s"doc $d wrongly flagged"))
+
+    // restart-resume: land batches 0-1, run to completion, then land
+    // batch 2 and run AGAIN with the same checkpoint/index/out — the
+    // file-source log skips processed files, the index carries the
+    // admitted signatures, and the combined verdicts match the one-shot
+    val r2 = java.nio.file.Files.createTempDirectory("graft-ingest-resume").toString
+    val docs = spark.read.parquet(s"$root/documents.parquet")
+    def land(b: Int): Unit = {
+      val tmp = s"$r2/stage_$b"
+      docs.filter(pmod(col("doc_id"), lit(3)) === b).coalesce(1)
+        .write.mode("overwrite").parquet(tmp)
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$r2/landing"))
+      new java.io.File(tmp).listFiles().filter(_.getName.endsWith(".parquet")).foreach { f =>
+        java.nio.file.Files.move(f.toPath,
+          java.nio.file.Paths.get(s"$r2/landing/batch_$b.parquet"))
+        new java.io.File(s"$r2/landing/batch_$b.parquet")
+          .setLastModified(1600000000000L + b * 60000L)
+      }
+    }
+    land(0); land(1)
+    graft.ops.Dedup.ingestIndexInit(spark, s"$r2/index")
+    IngestDedup.streamIngestDedupToFiles(spark, s"$r2/landing", s"$r2/index",
+      s"$r2/out", s"$r2/checkpoint")
+    val afterTwo = spark.read.parquet(s"$r2/out").count()
+    assert(afterTwo == 6L, s"expected 6 verdicts after two batches, got $afterTwo")
+    land(2)
+    IngestDedup.streamIngestDedupToFiles(spark, s"$r2/landing", s"$r2/index",
+      s"$r2/out", s"$r2/checkpoint")
+    val resumed = spark.read.parquet(s"$r2/out")
+      .select("doc_id", "batch", "is_dup", "dup_of").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).sortBy(_._1)
+    assert(resumed.toSeq == verdicts.map(v => (v._1, v._2, v._3, v._4)).toSeq,
+      "resumed two-phase replay diverged from the one-shot replay")
+  }
+
   test("stateful flatMapGroupsWithState final counts equal batch counts") {
     import org.apache.spark.sql.functions._
     val streamed = EventStreams.streamStatefulCounts(spark, TestSpark.sf0001)
