@@ -383,6 +383,23 @@ object Curation {
           .as("token_share"))
       .orderBy(col("source"), col("lang"))
 
+  /** Semantic composition "dataset card": per embedding-space cluster
+    * (the SemDeDup coarse quantizer), how many vectors land there, how
+    * many survive semantic dedup, and the cluster's corpus share — the
+    * topic-balance view a curation pipeline reads next to the
+    * source×lang card. Composes [[Dedup.dedupSemantic]]; the aggregate
+    * and grand-total window run over CLUSTER-count rows, not corpus
+    * rows (same shape as [[curateSourceMix]]). */
+  def curateTopicMix(s: SparkSession, dir: String): DataFrame =
+    Dedup.dedupSemantic(s, dir)
+      .groupBy(col("c_id"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("kept")).as("n_kept"))
+      .withColumn("total", sum(col("n_vecs")).over(Window.partitionBy()))
+      .select(col("c_id"), col("n_vecs"), col("n_kept"),
+        round(col("n_vecs").cast("double") / col("total").cast("double"), 6)
+          .as("vec_share"))
+      .orderBy(col("c_id"))
+
   /** Held-out fraction (percent) for the leakage-safe split. */
   val heldoutPct = 10
 
@@ -437,6 +454,7 @@ object Curation {
     "decontaminate_bloom_served" -> decontaminateBloomServed _,
     "curate_source_mix" -> curateSourceMix _,
     "curate_split_leakage" -> curateSplitLeakage _,
+    "curate_topic_mix" -> curateTopicMix _,
   )
 
   private val tokSql =
@@ -527,5 +545,14 @@ object Curation {
          |  CASE WHEN CAST(('0x' || substr(md5(CAST(rep_id AS VARCHAR)), 1, 8)) AS BIGINT)
          |    % 100 < ${100 - heldoutPct} THEN 'train' ELSE 'heldout' END AS split
          |FROM base ORDER BY doc_id""".stripMargin,
+    "curate_topic_mix" ->
+      s"""WITH ${Dedup.semanticCteSql},
+         |per AS (
+         |  SELECT c_id, count(*) AS n_vecs, CAST(sum(kept) AS BIGINT) AS n_kept
+         |  FROM sem GROUP BY c_id),
+         |t AS (SELECT CAST(sum(n_vecs) AS BIGINT) AS total FROM per)
+         |SELECT c_id, CAST(n_vecs AS BIGINT) AS n_vecs, n_kept,
+         |  round(CAST(n_vecs AS DOUBLE) / CAST(total AS DOUBLE), 6) AS vec_share
+         |FROM per, t ORDER BY c_id""".stripMargin,
   )
 }

@@ -1022,6 +1022,37 @@ object Dedup {
   private val bandValuesSql =
     Seq(0, 1, 2, 3).map(k => s"($k, ${1L << (8 * k)})").mkString(", ")
 
+  /** SQL form of the SemDeDup keep decision (`sem(vec_id, c_id, kept)`),
+    * shared by the dedup_semantic oracle and Curation's topic-mix card. */
+  private[ops] lazy val semanticCteSql: String =
+    s"""n AS (
+       |  SELECT * FROM (
+       |    SELECT vec_id, embedding,
+       |      sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
+       |        i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS nrm
+       |    FROM embeddings) WHERE nrm > 0),
+       |cent AS (SELECT vec_id AS c_id, embedding AS c_emb, nrm AS c_nrm
+       |         FROM n WHERE vec_id % ${Similarity.centroidStride} = 1),
+       |asgn AS (
+       |  SELECT vec_id, c_id FROM (
+       |    SELECT v.vec_id, c.c_id,
+       |      row_number() OVER (PARTITION BY v.vec_id
+       |        ORDER BY list_sum(list_transform(range(1, len(v.embedding) + 1),
+       |          i -> CAST(v.embedding[i] AS DOUBLE) * CAST(c.c_emb[i] AS DOUBLE))) / (v.nrm * c.c_nrm) DESC,
+       |          c.c_id) AS c_rk
+       |    FROM n v, cent c)
+       |  WHERE c_rk = 1),
+       |dropped AS (
+       |  SELECT DISTINCT y.vec_id
+       |  FROM asgn x JOIN asgn y ON x.c_id = y.c_id AND x.vec_id < y.vec_id
+       |  JOIN n a ON x.vec_id = a.vec_id JOIN n b ON y.vec_id = b.vec_id
+       |  WHERE list_sum(list_transform(range(1, len(a.embedding) + 1),
+       |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) / (a.nrm * b.nrm) >= $cosineThreshold),
+       |sem AS (
+       |  SELECT asgn.vec_id, c_id,
+       |    CAST(CASE WHEN dropped.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
+       |  FROM asgn LEFT JOIN dropped ON asgn.vec_id = dropped.vec_id)""".stripMargin
+
   /** The SQL simhash pipeline shared by the incremental and streaming
     * ingest oracles: documents → token hashes → 32-bit signatures →
     * 4 byte-bands. Generated from the same Scala constants the Spark
@@ -1248,33 +1279,8 @@ object Dedup {
          |    i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) / (a.nrm * b.nrm) >= $cosineThreshold
          |ORDER BY id_a, id_b""".stripMargin,
     "dedup_semantic" ->
-      s"""WITH n AS (
-         |  SELECT * FROM (
-         |    SELECT vec_id, embedding,
-         |      sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
-         |        i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS nrm
-         |    FROM embeddings) WHERE nrm > 0),
-         |cent AS (SELECT vec_id AS c_id, embedding AS c_emb, nrm AS c_nrm
-         |         FROM n WHERE vec_id % ${Similarity.centroidStride} = 1),
-         |asgn AS (
-         |  SELECT vec_id, c_id FROM (
-         |    SELECT v.vec_id, c.c_id,
-         |      row_number() OVER (PARTITION BY v.vec_id
-         |        ORDER BY list_sum(list_transform(range(1, len(v.embedding) + 1),
-         |          i -> CAST(v.embedding[i] AS DOUBLE) * CAST(c.c_emb[i] AS DOUBLE))) / (v.nrm * c.c_nrm) DESC,
-         |          c.c_id) AS c_rk
-         |    FROM n v, cent c)
-         |  WHERE c_rk = 1),
-         |dropped AS (
-         |  SELECT DISTINCT y.vec_id
-         |  FROM asgn x JOIN asgn y ON x.c_id = y.c_id AND x.vec_id < y.vec_id
-         |  JOIN n a ON x.vec_id = a.vec_id JOIN n b ON y.vec_id = b.vec_id
-         |  WHERE list_sum(list_transform(range(1, len(a.embedding) + 1),
-         |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) / (a.nrm * b.nrm) >= $cosineThreshold)
-         |SELECT asgn.vec_id, c_id,
-         |  CAST(CASE WHEN dropped.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
-         |FROM asgn LEFT JOIN dropped ON asgn.vec_id = dropped.vec_id
-         |ORDER BY asgn.vec_id""".stripMargin,
+      s"""WITH $semanticCteSql
+         |SELECT vec_id, c_id, kept FROM sem ORDER BY vec_id""".stripMargin,
     "dedup_embedding_cosine" ->
       s"""WITH n AS (
          |  SELECT * FROM (

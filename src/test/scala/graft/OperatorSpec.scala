@@ -202,6 +202,17 @@ class OperatorSpec extends AnyFunSuite {
     assert(heldout > 0.02 && heldout < 0.30, f"heldout fraction $heldout%.3f implausible")
   }
 
+  test("curate_topic_mix: shares sum to 1, kept bounded, covers the corpus") {
+    import TestSpark.sf0001
+    val r = graft.ops.Curation.curateTopicMix(spark, sf0001).collect()
+    assert(r.nonEmpty)
+    r.foreach(row => assert(row.getLong(2) >= 1 && row.getLong(2) <= row.getLong(1),
+      s"cluster ${row.getLong(0)}: kept ${row.getLong(2)} outside [1, ${row.getLong(1)}]"))
+    assert(math.abs(r.map(_.getDouble(3)).sum - 1.0) < 1e-3)
+    val decisions = graft.ops.Dedup.dedupSemantic(spark, sf0001).count()
+    assert(r.map(_.getLong(1)).sum == decisions)
+  }
+
   test("q_corr_stats: correlation bounded, moments positive") {
     import TestSpark.sf0001
     val r = graft.ops.Relational.qCorrStats(spark, sf0001).collect()
