@@ -579,14 +579,17 @@ object Dedup {
     * index join, no sequential fold over the batch. Appends the verdicts
     * to `outDir` and the ADMITTED (is_dup = false) signatures to the
     * index, so the next micro-batch dedupes against everything admitted
-    * so far. Returns (n_docs, n_admitted) for progress reporting.
+    * so far. Deliberately returns nothing: a verdict/admission count
+    * would cost two extra Spark jobs per micro-batch (the sink parquet
+    * is the record), and micro-batch fixed overhead is exactly what an
+    * ingest path must keep low.
     *
     * Scale shape: the batch side is one landing file (small by
     * construction — AQE broadcasts it); the index side reads the
     * ~12 B/doc signature parquet, never corpus text. Index growth is
     * append-only; [[dedupIndexCompact]] is the maintenance op. */
   private[graft] def ingestBatch(s: SparkSession, batchDocs: DataFrame,
-      indexDir: String, outDir: String, batchId: Long): (Long, Long) = {
+      indexDir: String, outDir: String, batchId: Long): Unit = {
     val docs = batchDocs.persist()
     try {
       val sig = simSigOf(docs).persist()
@@ -614,7 +617,6 @@ object Dedup {
           verdicts.write.mode("append").parquet(outDir)
           sig.join(verdicts.filter(!col("is_dup")).select(col("doc_id")), "doc_id")
             .write.mode("append").parquet(s"$indexDir/simhash")
-          (verdicts.count(), verdicts.filter(!col("is_dup")).count())
         } finally verdicts.unpersist()
       } finally sig.unpersist()
     } finally docs.unpersist()

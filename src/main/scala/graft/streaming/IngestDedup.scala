@@ -50,8 +50,7 @@ object IngestDedup {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val (n, admitted) = Dedup.ingestBatch(s, batch, indexDir, outDir, batchId)
-        (): Unit
+        Dedup.ingestBatch(s, batch, indexDir, outDir, batchId)
       }
       .start()
     try q.awaitTermination()
