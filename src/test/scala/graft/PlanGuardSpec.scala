@@ -180,6 +180,39 @@ class PlanGuardSpec extends AnyFunSuite {
       "tile cells are no longer repartitioned — a mega-block runs in one task again")
   }
 
+  test("dedup_semantic keeps the tiled kernel; the decision join is keyed, never cartesian") {
+    // same tiling contract as the blocked dedup (one mega-cluster must
+    // never run its quadratic step in a single task). The keep-decision
+    // join is left to AQE on purpose — dropped ids are usually tiny but
+    // are corpus-scale under a loose τ, so a forced broadcast hint would
+    // be the pqRescoreOver mistake (round-5 advice) — but it must stay
+    // an equi-join on vec_id.
+    val p = plan("dedup_semantic")
+    val txt = p.toString
+    assert(txt.contains("cell_pairs_cosine"),
+      "within-cluster pair test no longer goes through the fused kernel")
+    assert(txt.contains("hashpartitioning(c_id"),
+      "tile cells are no longer repartitioned — a mega-cluster runs in one task")
+    // (the 1-row centroid-array broadcast is a deliberate nested-loop
+    // cross join; what must never appear is a shuffled cartesian)
+    assert(p.collect {
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+    }.isEmpty, "the keep-decision join degenerated to a cartesian product")
+  }
+
+  test("curate_split_leakage joins pairs-sized clusters broadcast-side onto a 1-column scan") {
+    val p = plan("curate_split_leakage")
+    assert(p.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
+    }.nonEmpty, "the cluster join lost its broadcast shape — a corpus shuffle at scale")
+    val scans = p.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.toString.contains("documents") => f
+    }
+    assert(scans.nonEmpty && scans.exists(_.schema.fieldNames.sameElements(Array("doc_id"))),
+      "the documents scan reads more than doc_id — column pruning lost")
+  }
+
   test("sim_lsh_ann_auto scores through tiled cells, never a candidate-pair join") {
     val txt = plan("sim_lsh_ann_auto").toString
     assert(txt.contains("cell_topk_pairs"),
