@@ -400,42 +400,6 @@ object Curation {
           .as("vec_share"))
       .orderBy(col("c_id"))
 
-  /** Exact per-source token-length quantiles (p50/p95/p99) + mean —
-    * the length-distribution half of a dataset card. EXACT quantiles at
-    * corpus scale without the per-source sort trap: token counts have
-    * small cardinality, so the corpus collapses to a (source, n_tokens)
-    * VALUE HISTOGRAM first (one map-side-combined aggregate), the
-    * running count runs over histogram rows (bounded by distinct
-    * lengths per source, thousands not billions), and the quantile is
-    * the first length whose cumulative count reaches ceil(q·n) — all
-    * integer arithmetic, so the DuckDB oracle states the same positions
-    * rather than trusting two engines' quantile conventions to agree.
-    * (`approx_percentile` would be the one-pass alternative; it is not
-    * deterministic across partitionings, which a card should be.) */
-  def curateLengthQuantiles(s: SparkSession, dir: String): DataFrame = {
-    val base = Tables(s, dir, "documents")
-      .select(col("source"), size(TextFns.tokens(col("text"))).cast("long").as("n_tokens"))
-    val hist = base.groupBy(col("source"), col("n_tokens"))
-      .agg(count(lit(1)).as("cnt"))
-    val wcum = Window.partitionBy(col("source")).orderBy(col("n_tokens"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val h = hist.withColumn("cum", sum(col("cnt")).over(wcum))
-    val stats = base.groupBy(col("source"))
-      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tot_tokens"))
-    def pos(p: Int): Column = expr(s"(n_docs * $p + 99) div 100")
-    h.join(stats, "source")
-      .groupBy(col("source"), col("n_docs"), col("tot_tokens"))
-      .agg(
-        min(when(col("cum") >= pos(50), col("n_tokens"))).as("p50"),
-        min(when(col("cum") >= pos(95), col("n_tokens"))).as("p95"),
-        min(when(col("cum") >= pos(99), col("n_tokens"))).as("p99"))
-      .select(col("source"), col("n_docs"),
-        round(col("tot_tokens").cast("double") / col("n_docs").cast("double"), 6)
-          .as("mean_tokens"),
-        col("p50"), col("p95"), col("p99"))
-      .orderBy(col("source"))
-  }
-
   /** Held-out fraction (percent) for the leakage-safe split. */
   val heldoutPct = 10
 
@@ -491,7 +455,6 @@ object Curation {
     "curate_source_mix" -> curateSourceMix _,
     "curate_split_leakage" -> curateSplitLeakage _,
     "curate_topic_mix" -> curateTopicMix _,
-    "curate_length_quantiles" -> curateLengthQuantiles _,
   )
 
   private val tokSql =
@@ -591,25 +554,5 @@ object Curation {
          |SELECT c_id, CAST(n_vecs AS BIGINT) AS n_vecs, n_kept,
          |  round(CAST(n_vecs AS DOUBLE) / CAST(total AS DOUBLE), 6) AS vec_share
          |FROM per, t ORDER BY c_id""".stripMargin,
-    "curate_length_quantiles" ->
-      s"""WITH base AS (
-         |  SELECT source, CAST(len($tokSql) AS BIGINT) AS n_tokens FROM documents),
-         |hist AS (
-         |  SELECT source, n_tokens, count(*) AS cnt FROM base GROUP BY source, n_tokens),
-         |h AS (
-         |  SELECT source, n_tokens, CAST(sum(cnt) OVER (PARTITION BY source
-         |    ORDER BY n_tokens ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
-         |  FROM hist),
-         |stats AS (
-         |  SELECT source, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS tot_tokens
-         |  FROM base GROUP BY source)
-         |SELECT h.source, n_docs,
-         |  round(CAST(tot_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) AS mean_tokens,
-         |  min(CASE WHEN cum >= (n_docs * 50 + 99) // 100 THEN n_tokens END) AS p50,
-         |  min(CASE WHEN cum >= (n_docs * 95 + 99) // 100 THEN n_tokens END) AS p95,
-         |  min(CASE WHEN cum >= (n_docs * 99 + 99) // 100 THEN n_tokens END) AS p99
-         |FROM h JOIN stats ON h.source = stats.source
-         |GROUP BY h.source, n_docs, tot_tokens
-         |ORDER BY h.source""".stripMargin,
   )
 }

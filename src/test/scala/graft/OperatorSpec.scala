@@ -213,27 +213,6 @@ class OperatorSpec extends AnyFunSuite {
     assert(r.map(_.getLong(1)).sum == decisions)
   }
 
-  test("curate_length_quantiles: histogram quantiles equal a sort-based recompute") {
-    import TestSpark.sf0001
-    val r = graft.ops.Curation.curateLengthQuantiles(spark, sf0001).collect()
-      .map(row => (row.getString(0), row.getLong(1), row.getDouble(2),
-        row.getLong(3), row.getLong(4), row.getLong(5))).sortBy(_._1)
-    val docs = Tables(spark, sf0001, "documents").select("source", "text").collect()
-      .map(row => (row.getString(0),
-        row.getString(1).split("[ \t\n\f\r]+").count(_.nonEmpty).toLong))
-    val expect = docs.groupBy(_._1).map { case (src, g) =>
-      val lens = g.map(_._2).sorted
-      val n = lens.length
-      def q(p: Int): Long = lens((n * p + 99) / 100 - 1) // ceil position, 1-indexed
-      (src, n.toLong, lens.sum.toDouble / n, q(50), q(95), q(99))
-    }.toArray.sortBy(_._1)
-    assert(r.map(t => (t._1, t._2, t._4, t._5, t._6)).toSeq ===
-      expect.map(t => (t._1, t._2, t._4, t._5, t._6)).toSeq)
-    r.zip(expect).foreach { case (a, e) =>
-      assert(math.abs(a._3 - e._3) < 1e-5, s"mean mismatch for ${a._1}: ${a._3} vs ${e._3}")
-    }
-  }
-
   test("q_corr_stats: correlation bounded, moments positive") {
     import TestSpark.sf0001
     val r = graft.ops.Relational.qCorrStats(spark, sf0001).collect()
