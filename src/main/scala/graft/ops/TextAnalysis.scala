@@ -564,6 +564,43 @@ object TextAnalysis {
       .orderBy(col("term"))
   }
 
+  /** Fixed demo phrase for positional retrieval (chosen to occur in the
+    * synthetic corpus at every SF, like [[bm25Query]]). */
+  val phraseQuery = Seq("window", "join")
+
+  /** Exact-phrase retrieval — the positional-postings operator BM25's
+    * bag-of-words scoring cannot express: a doc matches only where the
+    * query terms occur CONSECUTIVELY. Postings shape, not a substring
+    * scan: tokens explode WITH positions, non-query terms are dropped
+    * before anything shuffles (at 100 TB only the query terms' postings
+    * move — the same read-only-what-the-query-touches discipline as the
+    * served BM25 index), per-(doc, term) position arrays aggregate
+    * bounded by per-doc occurrence counts, and adjacency is an array
+    * intersection per doc (`filter` + `array_contains` over
+    * occurrence-sized arrays). Chains to any phrase length: term i must
+    * sit at p+i for a term-0 position p. Output (doc_id, n_matches,
+    * first_pos) is integer-exact ⇒ full DuckDB oracle. */
+  def textPhraseSearch(s: SparkSession, dir: String): DataFrame = {
+    val pos = Tables(s, dir, "documents")
+      .select(col("doc_id"), posexplode(TextFns.tokens(col("text"))).as(Seq("pos", "term")))
+      .filter(col("term").isin(phraseQuery: _*))
+    val byTerm = phraseQuery.zipWithIndex.map { case (t, i) =>
+      pos.filter(col("term") === t)
+        .groupBy(col("doc_id"))
+        .agg(sort_array(collect_list(col("pos").cast("long"))).as(s"pos_$i"))
+    }
+    val joined = byTerm.reduce((a, b) => a.join(b, "doc_id"))
+    val hits = phraseQuery.indices.tail.foldLeft(col("pos_0")) { (acc, i) =>
+      filter(acc, p => array_contains(col(s"pos_$i"), p + i))
+    }
+    joined
+      .withColumn("hit_pos", hits)
+      .filter(size(col("hit_pos")) >= 1)
+      .select(col("doc_id"), size(col("hit_pos")).cast("long").as("n_matches"),
+        element_at(col("hit_pos"), 1).as("first_pos"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Keywords kept per document in the TF-IDF extraction. */
   val tfidfTopTerms = 5
 
@@ -776,6 +813,7 @@ object TextAnalysis {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_inverted_index" -> textInvertedIndex _,
     "text_bm25_search" -> textBm25Search _,
+    "text_phrase_search" -> textPhraseSearch _,
     "text_bm25_served" -> textBm25ServedQuery _,
     "text_bm25_filtered" -> textBm25FilteredQuery _,
     "text_tfidf_topterms" -> textTfidfTopTerms _,
@@ -886,6 +924,22 @@ object TextAnalysis {
          |SELECT doc_id, rk, term, tf, df, score
          |FROM ranked WHERE rk <= $tfidfTopTerms ORDER BY doc_id, rk""".stripMargin,
     "text_bm25_search" -> bm25OracleSql,
+    "text_phrase_search" -> {
+      val pCtes = phraseQuery.zipWithIndex.map { case (t, i) =>
+        s"""p$i AS (
+           |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos
+           |  FROM tk, unnest(range(1, len(toks) + 1)) AS u(i)
+           |  WHERE toks[i] = '$t')""".stripMargin
+      }.mkString(",\n")
+      val joins = phraseQuery.indices.tail.map(i =>
+        s"JOIN p$i ON p0.doc_id = p$i.doc_id AND p$i.pos = p0.pos + $i").mkString("\n")
+      s"""WITH tk AS (SELECT doc_id, $tokSql AS toks FROM documents),
+         |$pCtes,
+         |m AS (SELECT p0.doc_id, p0.pos FROM p0
+         |$joins)
+         |SELECT doc_id, count(*) AS n_matches, min(pos) AS first_pos
+         |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
     // the persisted-index serving path reads postings instead of
     // re-tokenizing, but tf/df/dl/stats are the same integers and the
     // scoring tail is the shared bm25Rank — identical result, identical

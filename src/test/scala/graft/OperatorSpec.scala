@@ -213,6 +213,33 @@ class OperatorSpec extends AnyFunSuite {
     assert(r.map(_.getLong(1)).sum == decisions)
   }
 
+  test("text_phrase_search: matches a sliding-window recompute, incl. overlap semantics") {
+    import TestSpark.sf0001
+    val phrase = graft.ops.TextAnalysis.phraseQuery
+    val got = graft.ops.TextAnalysis.textPhraseSearch(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val expect = Tables(spark, sf0001, "documents").select("doc_id", "text").collect()
+      .flatMap { r =>
+        val toks = r.getString(1).split("\\s+").filter(_.nonEmpty)
+        val hits = toks.sliding(phrase.length).zipWithIndex
+          .collect { case (w, i) if w.sameElements(phrase) => i.toLong }.toSeq
+        if (hits.isEmpty) None else Some((r.getLong(0), hits.length.toLong, hits.head))
+      }.sortBy(_._1).toSeq
+    assert(got.nonEmpty, "demo phrase absent from the corpus — t1 smoke would fail")
+    assert(got === expect)
+    // overlap semantics on a constructed doc: 'a a a' matches 'a a' twice
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("phrase-corpus")
+    Seq((1L, s"${phrase.head} ${phrase.head} ${phrase.last} x", "en", "s", 0L),
+        (2L, s"${phrase.last} ${phrase.head} x", "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val small = graft.ops.TextAnalysis.textPhraseSearch(spark, tmp.toString).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // doc 1: term0 at 0 misses (next is term0), at 1 hits; doc 2: reversed order, no match
+    assert(small === Seq((1L, 1L, 1L)), s"got $small")
+  }
+
   test("q_corr_stats: correlation bounded, moments positive") {
     import TestSpark.sf0001
     val r = graft.ops.Relational.qCorrStats(spark, sf0001).collect()
