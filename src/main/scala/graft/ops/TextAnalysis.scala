@@ -584,11 +584,19 @@ object TextAnalysis {
     val pos = Tables(s, dir, "documents")
       .select(col("doc_id"), posexplode(TextFns.tokens(col("text"))).as(Seq("pos", "term")))
       .filter(col("term").isin(phraseQuery: _*))
-    val byTerm = phraseQuery.zipWithIndex.map { case (t, i) =>
+    phraseHits(phraseQuery.zipWithIndex.map { case (t, i) =>
       pos.filter(col("term") === t)
         .groupBy(col("doc_id"))
         .agg(sort_array(collect_list(col("pos").cast("long"))).as(s"pos_$i"))
-    }
+    })
+  }
+
+  /** The adjacency tail shared by the in-session and served phrase
+    * paths: expects one frame per query term carrying (doc_id, pos_i)
+    * sorted position arrays; chains term i to position p+i. ONE
+    * definition ⇒ the served path is byte-identical by construction and
+    * shares the oracle. */
+  private def phraseHits(byTerm: Seq[DataFrame]): DataFrame = {
     val joined = byTerm.reduce((a, b) => a.join(b, "doc_id"))
     val hits = phraseQuery.indices.tail.foldLeft(col("pos_0")) { (acc, i) =>
       filter(acc, p => array_contains(col(s"pos_$i"), p + i))
@@ -599,6 +607,20 @@ object TextAnalysis {
       .select(col("doc_id"), size(col("hit_pos")).cast("long").as("n_matches"),
         element_at(col("hit_pos"), 1).as("first_pos"))
       .orderBy(col("doc_id"))
+  }
+
+  /** Exact-phrase retrieval over the PERSISTED index: the corpus is
+    * never re-tokenized — the plan reads ONLY the query terms' posting
+    * rows (pushed `In(term)`) and their stored position arrays. Query
+    * cost is O(Σ query-term posting length), the read shape positional
+    * retrieval needs at 100 TB; same tail as the scan path ⇒ shared
+    * oracle. */
+  def textPhraseServed(s: SparkSession, indexDir: String): DataFrame = {
+    val hits = s.read.parquet(s"$indexDir/postings")
+      .filter(col("term").isin(phraseQuery: _*))
+    phraseHits(phraseQuery.zipWithIndex.map { case (t, i) =>
+      hits.filter(col("term") === t).select(col("doc_id"), col("positions").as(s"pos_$i"))
+    })
   }
 
   /** Keywords kept per document in the TF-IDF extraction. */
@@ -728,8 +750,14 @@ object TextAnalysis {
     // engine persists next to its postings
     base.select(col("doc_id"), col("dl"), col("lang"), col("source"))
       .write.mode("overwrite").parquet(s"$indexDir/doclen")
-    base.select(col("doc_id"), explode(col("toks")).as("term"))
-      .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
+    // positions ride in the postings rows (the Lucene-standard layout):
+    // tf-only consumers ignore the column, phrase serving reads it —
+    // the honest storage cost of positional retrieval, ~the token
+    // stream itself, paid once at index time
+    base.select(col("doc_id"), posexplode(col("toks")).as(Seq("pos", "term")))
+      .groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"),
+        sort_array(collect_list(col("pos").cast("long"))).as("positions"))
       .write.mode("overwrite").parquet(s"$indexDir/postings")
     base.agg(count(lit(1)).as("n_docs"),
         (sum(col("dl")).cast("double") / count(lit(1)).cast("double")).as("avgdl"))
@@ -795,6 +823,17 @@ object TextAnalysis {
     textBm25Served(s, indexDir)
   }
 
+  /** Registered-query form of [[textPhraseServed]] — shares the ONE
+    * persisted index (build memo) with the BM25 serving family. */
+  def textPhraseServedQuery(s: SparkSession, dir: String): DataFrame = {
+    val indexDir = builtTextIndexes.computeIfAbsent(dir, { _ =>
+      val d = java.nio.file.Files.createTempDirectory("graft-text-index").toString
+      textIndexWrite(s, dir, d)
+      d
+    })
+    textPhraseServed(s, indexDir)
+  }
+
   /** FILTERED lexical search: the SAME persisted index as
     * [[textBm25ServedQuery]] (build memo shared), ranking restricted to
     * lang = [[bm25FilterLang]] via the doc-values scan, statistics
@@ -814,6 +853,7 @@ object TextAnalysis {
     "text_inverted_index" -> textInvertedIndex _,
     "text_bm25_search" -> textBm25Search _,
     "text_phrase_search" -> textPhraseSearch _,
+    "text_phrase_served" -> textPhraseServedQuery _,
     "text_bm25_served" -> textBm25ServedQuery _,
     "text_bm25_filtered" -> textBm25FilteredQuery _,
     "text_tfidf_topterms" -> textTfidfTopTerms _,
@@ -835,6 +875,23 @@ object TextAnalysis {
     "text_boilerplate" -> textBoilerplate _,
     "text_compress_ratio" -> textCompressRatio _,
   )
+
+  private lazy val phraseOracleSql: String = {
+    val pCtes = phraseQuery.zipWithIndex.map { case (t, i) =>
+      s"""p$i AS (
+         |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos
+         |  FROM tk, unnest(range(1, len(toks) + 1)) AS u(i)
+         |  WHERE toks[i] = '$t')""".stripMargin
+    }.mkString(",\n")
+    val joins = phraseQuery.indices.tail.map(i =>
+      s"JOIN p$i ON p0.doc_id = p$i.doc_id AND p$i.pos = p0.pos + $i").mkString("\n")
+    s"""WITH tk AS (SELECT doc_id, $tokSql AS toks FROM documents),
+       |$pCtes,
+       |m AS (SELECT p0.doc_id, p0.pos FROM p0
+       |$joins)
+       |SELECT doc_id, count(*) AS n_matches, min(pos) AS first_pos
+       |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
 
   private val tokSql =
     """list_filter(string_split_regex(text, '[ \t\n\x0B\f\r]+'), x -> x <> '')"""
@@ -924,22 +981,10 @@ object TextAnalysis {
          |SELECT doc_id, rk, term, tf, df, score
          |FROM ranked WHERE rk <= $tfidfTopTerms ORDER BY doc_id, rk""".stripMargin,
     "text_bm25_search" -> bm25OracleSql,
-    "text_phrase_search" -> {
-      val pCtes = phraseQuery.zipWithIndex.map { case (t, i) =>
-        s"""p$i AS (
-           |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos
-           |  FROM tk, unnest(range(1, len(toks) + 1)) AS u(i)
-           |  WHERE toks[i] = '$t')""".stripMargin
-      }.mkString(",\n")
-      val joins = phraseQuery.indices.tail.map(i =>
-        s"JOIN p$i ON p0.doc_id = p$i.doc_id AND p$i.pos = p0.pos + $i").mkString("\n")
-      s"""WITH tk AS (SELECT doc_id, $tokSql AS toks FROM documents),
-         |$pCtes,
-         |m AS (SELECT p0.doc_id, p0.pos FROM p0
-         |$joins)
-         |SELECT doc_id, count(*) AS n_matches, min(pos) AS first_pos
-         |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin
-    },
+    "text_phrase_search" -> phraseOracleSql,
+    // byte-identical by construction (shared adjacency tail; stored
+    // positions are the same integers the scan path derives)
+    "text_phrase_served" -> phraseOracleSql,
     // the persisted-index serving path reads postings instead of
     // re-tokenizing, but tf/df/dl/stats are the same integers and the
     // scoring tail is the shared bm25Rank — identical result, identical

@@ -238,6 +238,10 @@ class OperatorSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     // doc 1: term0 at 0 misses (next is term0), at 1 hits; doc 2: reversed order, no match
     assert(small === Seq((1L, 1L, 1L)), s"got $small")
+    // the persisted-index path serves the same integers byte for byte
+    val served = graft.ops.TextAnalysis.textPhraseServedQuery(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(served === got, "persisted-index phrase serving diverged from the scan path")
   }
 
   test("q_corr_stats: correlation bounded, moments positive") {

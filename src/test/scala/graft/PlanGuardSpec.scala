@@ -247,6 +247,16 @@ class PlanGuardSpec extends AnyFunSuite {
       "serving plan tokenizes text — the corpus is being re-scanned at query time")
   }
 
+  test("text_phrase_served reads ONLY the query terms' positional postings") {
+    // same serving contract as BM25: the In(term) predicate reaches the
+    // postings scan; the corpus is never re-tokenized at query time
+    val txt = q("text_phrase_served").queryExecution.executedPlan.toString
+    assert(txt.contains("PushedFilters") && txt.contains("In(term"),
+      "query-term filter not pushed into the positional postings scan")
+    assert(!txt.contains("split("),
+      "phrase serving tokenizes text — the corpus is being re-scanned at query time")
+  }
+
   test("text_pii_scrub is shuffle-free codegen: one scan, no hash exchange") {
     val txt = plan("text_pii_scrub").toString
     assert("Exchange hashpartitioning".r.findAllIn(txt).isEmpty,
