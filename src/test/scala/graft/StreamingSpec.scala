@@ -232,6 +232,30 @@ class StreamingSpec extends AnyFunSuite {
         if (r.isNullAt(3)) -1L else r.getLong(3))).sortBy(_._1)
     assert(resumed.toSeq == verdicts.map(v => (v._1, v._2, v._3, v._4)).toSeq,
       "resumed two-phase replay diverged from the one-shot replay")
+
+    // maintenance mid-stream: compact the landing appends (3 batches →
+    // small-file pileup), then land a 4th batch against the compacted
+    // index — a copy of admitted doc 0 must flag, a fresh doc must not
+    val (before, after) = graft.ops.Dedup.dedupIndexCompact(spark, s"$r2/index")
+    assert(after <= before, s"compaction grew files: $before -> $after")
+    val extra = Seq((9L, text(0)), (10L, (0 until 12).map(w => s"w10x$w unique10 tok$w").mkString(" ")))
+    extra.toDF("doc_id", "text").coalesce(1)
+      .write.mode("overwrite").parquet(s"$r2/stage_3")
+    new java.io.File(s"$r2/stage_3").listFiles().filter(_.getName.endsWith(".parquet"))
+      .foreach { f =>
+        java.nio.file.Files.move(f.toPath,
+          java.nio.file.Paths.get(s"$r2/landing/batch_3.parquet"))
+        new java.io.File(s"$r2/landing/batch_3.parquet")
+          .setLastModified(1600000000000L + 3 * 60000L)
+      }
+    IngestDedup.streamIngestDedupToFiles(spark, s"$r2/landing", s"$r2/index",
+      s"$r2/out", s"$r2/checkpoint")
+    val last = spark.read.parquet(s"$r2/out").filter(col("batch") === 3)
+      .select("doc_id", "is_dup", "dup_of").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).sortBy(_._1)
+    assert(last.toSeq == Seq((9L, true, 0L), (10L, false, -1L)),
+      s"post-compaction batch verdicts wrong: ${last.toSeq}")
   }
 
   test("stateful flatMapGroupsWithState final counts equal batch counts") {
