@@ -588,28 +588,34 @@ object Dedup {
     * construction — AQE broadcasts it); the index side reads the
     * ~12 B/doc signature parquet, never corpus text. Index growth is
     * append-only; [[dedupIndexCompact]] is the maintenance op. */
+  /** (doc_id, dup_of, min_hamming) for every batch signature within
+    * [[hammingThreshold]] of the standing index OR a lower-id batch
+    * member — the hit set both ingest forms share. */
+  private def ingestHits(s: SparkSession, sig: DataFrame, indexDir: String): DataFrame = {
+    val batchBands = simBandsOf(sig)
+    val idxBands = simBandsOf(s.read.parquet(s"$indexDir/simhash"))
+    def near(y: DataFrame, cond: Column) =
+      batchBands.as("x").join(y.as("y"),
+          col("x.band") === col("y.band") && col("x.bval") === col("y.bval") && cond)
+        .withColumn("hamming",
+          bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).cast("long"))
+        .filter(col("hamming") <= hammingThreshold)
+        .select(col("x.doc_id").as("doc_id"),
+          col("y.doc_id").as("cand"), col("hamming"))
+    near(idxBands, lit(true))
+      .unionByName(near(batchBands, col("y.doc_id") < col("x.doc_id")))
+      .groupBy(col("doc_id"))
+      .agg(min(col("cand")).as("dup_of"), min(col("hamming")).as("min_hamming"))
+  }
+
   private[graft] def ingestBatch(s: SparkSession, batchDocs: DataFrame,
       indexDir: String, outDir: String, batchId: Long): Unit = {
     val docs = batchDocs.persist()
     try {
       val sig = simSigOf(docs).persist()
       try {
-        val batchBands = simBandsOf(sig)
-        val idxBands = simBandsOf(s.read.parquet(s"$indexDir/simhash"))
-        def near(y: DataFrame, cond: Column) =
-          batchBands.as("x").join(y.as("y"),
-              col("x.band") === col("y.band") && col("x.bval") === col("y.bval") && cond)
-            .withColumn("hamming",
-              bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).cast("long"))
-            .filter(col("hamming") <= hammingThreshold)
-            .select(col("x.doc_id").as("doc_id"),
-              col("y.doc_id").as("cand"), col("hamming"))
-        val hits = near(idxBands, lit(true))
-          .unionByName(near(batchBands, col("y.doc_id") < col("x.doc_id")))
-          .groupBy(col("doc_id"))
-          .agg(min(col("cand")).as("dup_of"), min(col("hamming")).as("min_hamming"))
         val verdicts = docs.select(col("doc_id"))
-          .join(hits, Seq("doc_id"), "left")
+          .join(ingestHits(s, sig, indexDir), Seq("doc_id"), "left")
           .select(col("doc_id"), lit(batchId).as("batch"),
             col("dup_of").isNotNull.as("is_dup"), col("dup_of"), col("min_hamming"))
           .persist()
@@ -620,6 +626,61 @@ object Dedup {
         } finally verdicts.unpersist()
       } finally sig.unpersist()
     } finally docs.unpersist()
+  }
+
+  /** Quality floor for the curation-at-ingest pipeline — the
+    * [[TextAnalysis.qualityScore]] threshold `is_quality` uses. */
+  val ingestQualityMin = 0.5
+
+  /** Full curation-at-ingest: PII-scrub the batch, reject docs below
+    * the quality floor (or with no tokens after scrubbing), near-dup
+    * check the SURVIVORS against the admitted index plus lower-id
+    * qualifying batch members (signatures over CLEAN text — the corpus
+    * being built is the scrubbed one), then append admitted signatures
+    * AND admitted clean text. Verdict per doc: 'rejected' (score
+    * carried, dup_of null) / 'dup' (dup_of carried) / 'admitted'. One
+    * foreachBatch body = the whole crawl-to-corpus hop; every stage is
+    * a deterministic per-doc function or the distributive masking rule,
+    * so the replay remains DuckDB-oracle-able end to end. */
+  private[graft] def ingestCurateBatch(s: SparkSession, batchDocs: DataFrame,
+      indexDir: String, outDir: String, batchId: Long): Unit = {
+    val toks = TextFns.tokens(col("text"))
+    val scored = batchDocs
+      .select(col("doc_id"), TextAnalysis.scrubCol(col("text")).as("text"))
+      .withColumn("score",
+        when(size(toks) >= 1, TextAnalysis.qualityScore(toks)))
+      .withColumn("ok", coalesce(col("score") >= ingestQualityMin, lit(false)))
+      .persist()
+    try {
+      val qualified = scored.filter(col("ok"))
+      val sig = simSigOf(qualified).persist()
+      try {
+        val verdicts = scored.select(col("doc_id"), col("score"), col("ok"))
+          .join(ingestHits(s, sig, indexDir), Seq("doc_id"), "left")
+          .select(col("doc_id"), lit(batchId).as("batch"),
+            when(!col("ok"), lit("rejected"))
+              .when(col("dup_of").isNotNull, lit("dup"))
+              .otherwise(lit("admitted")).as("verdict"),
+            col("dup_of"), col("score"))
+          .persist()
+        try {
+          verdicts.write.mode("append").parquet(outDir)
+          // derive the admitted set from the SINK, not the live verdict
+          // lineage: verdicts' plan reads the signature index, and the
+          // simhash append below recaches-by-path — a lineage-derived
+          // `admitted` would re-evaluate against the just-appended index,
+          // every admitted doc would match its own signature, and the
+          // clean append would quietly write nothing (found by the spec)
+          val admitted = s.read.parquet(outDir)
+            .filter(col("batch") === batchId && col("verdict") === "admitted")
+            .select(col("doc_id"))
+          sig.join(admitted, "doc_id")
+            .write.mode("append").parquet(s"$indexDir/simhash")
+          qualified.select(col("doc_id"), col("text")).join(admitted, "doc_id")
+            .write.mode("append").parquet(s"$indexDir/clean")
+        } finally verdicts.unpersist()
+      } finally sig.unpersist()
+    } finally scored.unpersist()
   }
 
   /** Seed an EMPTY signature index (stream-from-scratch ingest; the
@@ -1059,10 +1120,11 @@ object Dedup {
     * ingest oracles: documents → token hashes → 32-bit signatures →
     * 4 byte-bands. Generated from the same Scala constants the Spark
     * expressions use. */
-  private lazy val sigBandedCteSql =
+  /** Same pipeline over an arbitrary (doc_id, text) relation name. */
+  private def sigBandedCteSqlFrom(rel: String): String =
     s"""tok AS (
        |  SELECT doc_id, CAST(('0x' || substr(md5(token), 1, 8)) AS BIGINT) AS h
-       |  FROM (SELECT doc_id, unnest($tokSql) AS token FROM documents)),
+       |  FROM (SELECT doc_id, unnest($tokSql) AS token FROM $rel)),
        |bits AS (SELECT * FROM (VALUES $bitValuesSql) AS t(bit, pow)),
        |sig AS (
        |  SELECT doc_id, CAST(sum(CASE WHEN w > 0 THEN pow ELSE 0 END) AS BIGINT) AS simhash
@@ -1073,14 +1135,14 @@ object Dedup {
        |bp AS (SELECT * FROM (VALUES $bandValuesSql) AS t(band, bpow)),
        |banded AS (SELECT doc_id, simhash, band, (simhash // bpow) % 256 AS bval FROM sig, bp)""".stripMargin
 
-  /** Oracle for the streaming ingest replay: [[ingestBatches]] admission
-    * rounds unrolled as chained CTEs. Round k's hit set is (admitted in
-    * rounds < k) ∪ (same batch, lower id); admitted = not flagged. The
-    * batch column doubles as a replay-order check — the Spark side
-    * records the ACTUAL foreachBatch id. */
-  private[graft] lazy val ingestOracleSql: String = {
+  private lazy val sigBandedCteSql = sigBandedCteSqlFrom("documents")
+
+  /** The unrolled admission rounds over a (doc_id, …) relation whose
+    * banded signatures are already in scope — shared by the plain and
+    * curated ingest oracles. Produces i/h/v/a CTEs for each round. */
+  private def ingestRoundsSql(docRel: String): String = {
     val nb = ingestBatches
-    val rounds = (0 until nb).map { k =>
+    (0 until nb).map { k =>
       val admitted =
         if (k == 0) ""
         else {
@@ -1099,15 +1161,61 @@ object Dedup {
          |v$k AS (
          |  SELECT d.doc_id, CAST($k AS BIGINT) AS batch,
          |    h$k.dup_of IS NOT NULL AS is_dup, h$k.dup_of, h$k.min_hamming
-         |  FROM (SELECT doc_id FROM documents WHERE doc_id % $nb = $k) d
+         |  FROM (SELECT doc_id FROM $docRel WHERE doc_id % $nb = $k) d
          |  LEFT JOIN h$k ON d.doc_id = h$k.doc_id),
          |a$k AS (SELECT doc_id FROM v$k WHERE NOT is_dup)""".stripMargin
     }.mkString(",\n")
-    val unioned = (0 until nb).map(k => s"SELECT * FROM v$k").mkString(" UNION ALL ")
+  }
+
+  private def ingestVerdictUnionSql: String =
+    (0 until ingestBatches).map(k => s"SELECT * FROM v$k").mkString(" UNION ALL ")
+
+  /** Oracle for the streaming ingest replay: [[ingestBatches]] admission
+    * rounds unrolled as chained CTEs. Round k's hit set is (admitted in
+    * rounds < k) ∪ (same batch, lower id); admitted = not flagged. The
+    * batch column doubles as a replay-order check — the Spark side
+    * records the ACTUAL foreachBatch id. */
+  private[graft] lazy val ingestOracleSql: String =
     s"""WITH $sigBandedCteSql,
-       |$rounds
-       |SELECT doc_id, batch, is_dup, dup_of, min_hamming FROM ($unioned)
+       |${ingestRoundsSql("documents")}
+       |SELECT doc_id, batch, is_dup, dup_of, min_hamming FROM ($ingestVerdictUnionSql)
        |ORDER BY doc_id""".stripMargin
+
+  /** Oracle for the CURATED ingest replay: scrub → score → qualifying
+    * docs feed the same admission rounds (signatures over CLEAN text);
+    * rejected docs re-enter at the verdict union. Score arithmetic is
+    * restated in the exact [[TextAnalysis.qualityScore]] expression
+    * order, so the doubles hash-match. */
+  private[graft] lazy val ingestCurateOracleSql: String = {
+    val e = TextAnalysis.piiEmailRe
+    val ip = TextAnalysis.piiIpRe
+    val num = TextAnalysis.piiNumRe
+    val stopList = TextAnalysis.stopEn.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH scrub AS (
+       |  SELECT doc_id,
+       |    regexp_replace(regexp_replace(regexp_replace(
+       |      text, '$e', '<EMAIL>', 'g'), '$ip', '<IP>', 'g'), '$num', '<NUM>', 'g') AS text
+       |  FROM documents),
+       |q AS (
+       |  SELECT doc_id, text,
+       |    CASE WHEN len(toks) >= 1 THEN
+       |      (CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE)) * 0.4
+       |      + least(CAST(len(toks) AS DOUBLE) / 50.0, 1.0) * 0.4
+       |      + (CAST(len(list_filter(toks, t -> list_contains($stopList, t))) AS DOUBLE)
+       |         / CAST(len(toks) AS DOUBLE)) * 0.2
+       |    END AS score
+       |  FROM (SELECT doc_id, text, $tokSql AS toks FROM scrub)),
+       |cdocs AS (SELECT doc_id, text, score FROM q WHERE score >= $ingestQualityMin),
+       |${sigBandedCteSqlFrom("cdocs")},
+       |${ingestRoundsSql("cdocs")},
+       |vall AS ($ingestVerdictUnionSql)
+       |SELECT q.doc_id, CAST(q.doc_id % $ingestBatches AS BIGINT) AS batch,
+       |  CASE WHEN q.score IS NULL OR q.score < $ingestQualityMin THEN 'rejected'
+       |       WHEN vall.dup_of IS NOT NULL THEN 'dup'
+       |       ELSE 'admitted' END AS verdict,
+       |  vall.dup_of, q.score
+       |FROM q LEFT JOIN vall ON q.doc_id = vall.doc_id
+       |ORDER BY q.doc_id""".stripMargin
   }
 
   private lazy val incrementalOracleSql =

@@ -49,6 +49,22 @@ object TextAnalysis {
   /** Heuristic quality score: lexical diversity + length + stopword
     * density, plus punctuation/space counts. The kind of cheap filter a
     * 100 TB pretraining pipeline runs before anything expensive. */
+  /** The full 3-stage scrub as ONE column expression (email → IP →
+    * digit-run, same order as [[textPiiScrub]]) — for pipelines that
+    * need the clean text without the count columns. */
+  private[ops] def scrubCol(text: Column): Column =
+    regexp_replace(regexp_replace(regexp_replace(
+      text, piiEmailRe, "<EMAIL>"), piiIpRe, "<IP>"), piiNumRe, "<NUM>")
+
+  /** The [[textQuality]] score over a token array — shared with the
+    * ingest-curation pipeline so both paths score identically (same
+    * expression order ⇒ bit-identical doubles). Caller guards
+    * size(toks) >= 1. */
+  private[ops] def qualityScore(toks: Column): Column =
+    (size(array_distinct(toks)).cast("double") / size(toks).cast("double")) * 0.4 +
+      least(size(toks).cast("double") / 50.0, lit(1.0)) * 0.4 +
+      (stopCount(toks, stopEn).cast("double") / size(toks).cast("double")) * 0.2
+
   def textQuality(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents")
       .withColumn("toks", TextFns.tokens(col("text")))

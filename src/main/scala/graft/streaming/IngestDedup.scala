@@ -33,15 +33,13 @@ object IngestDedup {
     * (shared with the oracle generator in [[Dedup.ingestBatches]]). */
   val ingestBatches: Int = Dedup.ingestBatches
 
-  /** Drive the ingest-dedup stream over `landingDir` until no files
-    * remain (AvailableNow), one landing FILE per micro-batch, oldest
-    * first. `indexDir` must hold a seeded signature index
-    * ([[Dedup.ingestIndexInit]] from scratch, or `dedupIndexWrite` from
-    * a standing corpus); verdicts append to `outDir`. */
-  def streamIngestDedupToFiles(s: SparkSession, landingDir: String, indexDir: String,
-      outDir: String, checkpointDir: String): Unit = {
-    // the streaming file source requires an explicit schema: footer-read
-    // one landed file (same move as EventStreams.eventsStream)
+  /** Drive a per-landed-file ingest stream over `landingDir` until no
+    * files remain (AvailableNow), one FILE per micro-batch, oldest
+    * first; `process` is the foreachBatch body. The streaming file
+    * source requires an explicit schema: footer-read one landed file
+    * (same move as EventStreams.eventsStream). */
+  private def runLandingStream(s: SparkSession, landingDir: String, checkpointDir: String)(
+      process: (DataFrame, Long) => Unit): Unit = {
     val schema = s.read.parquet(landingDir).schema
     val stream = s.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1)
@@ -49,13 +47,30 @@ object IngestDedup {
     val q = stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        Dedup.ingestBatch(s, batch, indexDir, outDir, batchId)
-      }
+      .foreachBatch(process)
       .start()
     try q.awaitTermination()
     finally if (q.isActive) q.stop()
   }
+
+  /** Ingest-with-dedup production path: see [[Dedup.ingestBatch]].
+    * `indexDir` must hold a seeded signature index
+    * ([[Dedup.ingestIndexInit]] from scratch, or `dedupIndexWrite` from
+    * a standing corpus); verdicts append to `outDir`. */
+  def streamIngestDedupToFiles(s: SparkSession, landingDir: String, indexDir: String,
+      outDir: String, checkpointDir: String): Unit =
+    runLandingStream(s, landingDir, checkpointDir) { (batch, batchId) =>
+      Dedup.ingestBatch(s, batch, indexDir, outDir, batchId)
+    }
+
+  /** Curation-at-ingest production path: scrub -> quality gate -> dedup
+    * per landed file, admitted CLEAN text + signatures folded into the
+    * index (see [[Dedup.ingestCurateBatch]]). */
+  def streamIngestCurateToFiles(s: SparkSession, landingDir: String, indexDir: String,
+      outDir: String, checkpointDir: String): Unit =
+    runLandingStream(s, landingDir, checkpointDir) { (batch, batchId) =>
+      Dedup.ingestCurateBatch(s, batch, indexDir, outDir, batchId)
+    }
 
   /** Registered-query form: split the sf documents table into
     * [[ingestBatches]] modulo slices, land them as one file each (mod
@@ -67,7 +82,32 @@ object IngestDedup {
     * foreachBatch id, so the oracle ALSO verifies the replay processed
     * files in landing order. */
   def streamIngestDedup(s: SparkSession, dir: String): DataFrame = {
-    val root = java.nio.file.Files.createTempDirectory("graft-ingest-dedup").toString
+    val root = replayRoot(s, dir)
+    streamIngestDedupToFiles(s, s"$root/landing/flat", s"$root/index",
+      s"$root/out", s"$root/checkpoint")
+    s.read.parquet(s"$root/out")
+      .select(col("doc_id"), col("batch"), col("is_dup"), col("dup_of"), col("min_hamming"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Registered-query form of the curation-at-ingest path — same replay
+    * machinery, curated foreachBatch body, verdict column instead of
+    * the boolean flag. */
+  def streamIngestCurate(s: SparkSession, dir: String): DataFrame = {
+    val root = replayRoot(s, dir)
+    streamIngestCurateToFiles(s, s"$root/landing/flat", s"$root/index",
+      s"$root/out", s"$root/checkpoint")
+    s.read.parquet(s"$root/out")
+      .select(col("doc_id"), col("batch"), col("verdict"), col("dup_of"), col("score"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Stage the modulo-split landing files (mod times forced ascending
+    * so the file source replays them in batch order) and seed an empty
+    * index. Fresh temp dirs per invocation — the sink and index are
+    * append-only, so a rerun must not see a previous run's state. */
+  private def replayRoot(s: SparkSession, dir: String): String = {
+    val root = java.nio.file.Files.createTempDirectory("graft-ingest-replay").toString
     val docs = graft.Tables(s, dir, "documents").select(col("doc_id"), col("text"))
     (0 until ingestBatches).foreach { b =>
       val d = s"$root/landing/batch_$b"
@@ -86,18 +126,16 @@ object IngestDedup {
       }
     }
     Dedup.ingestIndexInit(s, s"$root/index")
-    streamIngestDedupToFiles(s, s"$root/landing/flat", s"$root/index",
-      s"$root/out", s"$root/checkpoint")
-    s.read.parquet(s"$root/out")
-      .select(col("doc_id"), col("batch"), col("is_dup"), col("dup_of"), col("min_hamming"))
-      .orderBy(col("doc_id"))
+    root
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "stream_ingest_dedup" -> streamIngestDedup _
+    "stream_ingest_dedup" -> streamIngestDedup _,
+    "stream_ingest_curate" -> streamIngestCurate _
   )
 
   val oracles: Map[String, String] = Map(
-    "stream_ingest_dedup" -> Dedup.ingestOracleSql
+    "stream_ingest_dedup" -> Dedup.ingestOracleSql,
+    "stream_ingest_curate" -> Dedup.ingestCurateOracleSql
   )
 }

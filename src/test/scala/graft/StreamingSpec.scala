@@ -258,6 +258,50 @@ class StreamingSpec extends AnyFunSuite {
       s"post-compaction batch verdicts wrong: ${last.toSeq}")
   }
 
+  test("streaming ingest curate: scrub before hashing, quality gate, clean store") {
+    import org.apache.spark.sql.functions._
+    import graft.streaming.IngestDedup
+    import spark.implicits._
+    // 70 unique words: uniq 0.4 + length 0.4 = 0.8 >= the floor
+    val base = (0 until 70).map(w => s"base$w").mkString(" ")
+    def doc(i: Long): String = i match {
+      case 1 => s"mail alice@x.io $base"   // batch 1, admitted (scrubbed)
+      case 5 => s"mail bob@y.org $base"    // batch 2: IDENTICAL after scrub -> dup of 1
+      case 8 => s"mail c@z.net $base"      // batch 2: also dup of 1 via the index
+      case 2 => "a a a"                    // low quality -> rejected
+      case i => (0 until 70).map(w => s"u${i}w$w").mkString(" ")
+    }
+    val r = java.nio.file.Files.createTempDirectory("graft-curate-spec").toString
+    (0 until 3).foreach { b =>
+      val tmp = s"$r/stage_$b"
+      (0L until 9L).filter(_ % 3 == b).map(i => (i, doc(i))).toDF("doc_id", "text")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$r/landing"))
+      new java.io.File(tmp).listFiles().filter(_.getName.endsWith(".parquet")).foreach { f =>
+        java.nio.file.Files.move(f.toPath,
+          java.nio.file.Paths.get(s"$r/landing/batch_$b.parquet"))
+        new java.io.File(s"$r/landing/batch_$b.parquet")
+          .setLastModified(1600000000000L + b * 60000L)
+      }
+    }
+    graft.ops.Dedup.ingestIndexInit(spark, s"$r/index")
+    IngestDedup.streamIngestCurateToFiles(spark, s"$r/landing", s"$r/index",
+      s"$r/out", s"$r/checkpoint")
+    val v = spark.read.parquet(s"$r/out").collect()
+      .map(row => row.getLong(0) -> (row.getString(2),
+        if (row.isNullAt(3)) -1L else row.getLong(3))).toMap
+    assert(v(1) == ("admitted", -1L), s"doc 1: ${v(1)}")
+    assert(v(5) == ("dup", 1L), s"post-scrub twin not deduped: ${v(5)}")
+    assert(v(8) == ("dup", 1L), s"index dup missed: ${v(8)}")
+    assert(v(2)._1 == "rejected", s"low-quality doc not rejected: ${v(2)}")
+    Seq(0L, 3L, 4L, 6L, 7L).foreach(i => assert(v(i)._1 == "admitted", s"doc $i: ${v(i)}"))
+    // the clean store holds ONLY admitted docs, with PII already scrubbed
+    val clean = spark.read.parquet(s"$r/index/clean").collect()
+      .map(row => row.getLong(0) -> row.getString(1)).toMap
+    assert(clean.keySet == Set(0L, 1L, 3L, 4L, 6L, 7L), s"clean store: ${clean.keySet}")
+    assert(clean(1L) == s"mail <EMAIL> $base", "clean store carries unscrubbed text")
+  }
+
   test("stateful flatMapGroupsWithState final counts equal batch counts") {
     import org.apache.spark.sql.functions._
     val streamed = EventStreams.streamStatefulCounts(spark, TestSpark.sf0001)
