@@ -255,6 +255,54 @@ object ScaleSmoke {
     }
     say(s"  -> $terms indexed terms")
     time("text_bm25_search (100k docs)")(noop(ops.TextAnalysis.textBm25Search(spark, dir)))
+    val phrased = time("text_phrase_search (100k docs, positional scan)") {
+      ops.TextAnalysis.textPhraseSearch(spark, dir).count()
+    }
+    val textIdxDir = s"$dir-textindex"
+    time("text_index_write (positional postings, 100k docs)") {
+      ops.TextAnalysis.textIndexWrite(spark, dir, textIdxDir)
+    }
+    val phrasedServed = time("text_phrase_served (persisted positional postings)") {
+      ops.TextAnalysis.textPhraseServed(spark, textIdxDir).count()
+    }
+    say(s"  -> $phrased phrase-matching docs (scan) = $phrasedServed (served)")
+
+    // curation-at-ingest replay: the 100k docs land as 10 files of 10k,
+    // each micro-batch scrubs, scores, and dedups against the growing
+    // index — the whole crawl-to-corpus hop, timed end to end
+    val ingestRoot = s"$dir-ingest"
+    val nLand = 10
+    time(s"ingest landing prep (100k docs -> $nLand files)") {
+      val docs = graft.Tables(spark, dir, "documents").select(col("doc_id"), col("text"))
+      (0 until nLand).foreach { b =>
+        val d = s"$ingestRoot/stage_$b"
+        docs.filter(pmod(col("doc_id"), lit(nLand)) === b)
+          .coalesce(1).write.mode("overwrite").parquet(d)
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$ingestRoot/landing"))
+        new java.io.File(d).listFiles().filter(_.getName.endsWith(".parquet")).foreach { f =>
+          java.nio.file.Files.move(f.toPath,
+            java.nio.file.Paths.get(s"$ingestRoot/landing/batch_$b.parquet"),
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          new java.io.File(s"$ingestRoot/landing/batch_$b.parquet")
+            .setLastModified(1600000000000L + b * 60000L)
+        }
+      }
+      ops.Dedup.ingestIndexInit(spark, s"$ingestRoot/index")
+    }
+    time(s"stream_ingest_curate (100k docs, $nLand micro-batches, scrub+quality+dedup)") {
+      streaming.IngestDedup.streamIngestCurateToFiles(spark, s"$ingestRoot/landing",
+        s"$ingestRoot/index", s"$ingestRoot/out", s"$ingestRoot/checkpoint")
+    }
+    val iv = spark.read.parquet(s"$ingestRoot/out")
+      .groupBy(col("verdict")).agg(count(lit(1)).as("n")).collect()
+      .map(r => s"${r.getString(0)}=${r.getLong(1)}").sorted.mkString(" ")
+    def dirMb(p: String): Double = {
+      def sz(f: java.io.File): Long =
+        if (f.isDirectory) f.listFiles().map(sz).sum else f.length()
+      sz(new java.io.File(p)) / 1e6
+    }
+    say(f"  -> verdicts: $iv; index simhash ${dirMb(s"$ingestRoot/index/simhash")}%.1f MB, " +
+      f"clean ${dirMb(s"$ingestRoot/index/clean")}%.1f MB")
 
     // 8. cluster + representative selection over the 100k-doc near-dup
     //    graph (keep-best adds quality scoring + per-cluster windows on
