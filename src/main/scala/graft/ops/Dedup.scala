@@ -439,7 +439,7 @@ object Dedup {
   /** SimHash signatures, banded into 4 byte-bands — the blocked signature
     * table shared by the self-join dedup and the incremental batch dedup.
     *
-    * The fused SimHash32 expression does tokenize + md5 + bit-majority in
+    * The fused SimHash60 expression does tokenize + md5 + bit-majority in
     * one linear pass per row — signatures need no shuffle at all.
     * Token-less docs have no signature (all-zero would spuriously pair
     * them all): excluded here exactly as the oracle's token explode drops
@@ -455,12 +455,12 @@ object Dedup {
     * (see [[simBandedCached]]). */
   private def simSigOf(docs: DataFrame): DataFrame =
     docs.filter(size(TextFns.tokens(col("text"))) >= 1)
-      .select(col("doc_id"), graft.plans.VectorFunctions.simhash32(col("text")).as("simhash"))
+      .select(col("doc_id"), graft.plans.VectorFunctions.simhash60(col("text")).as("simhash"))
 
   /** Explode a signature frame into its 4 byte-bands. */
   private def simBandsOf(sig: DataFrame): DataFrame = {
     val bandStructs = (0 until 4).map { k =>
-      struct(lit(k).as("band"), expr(s"(simhash div ${1L << (8 * k)}) % 256").as("bval"))
+      struct(lit(k).as("band"), expr(s"(simhash div ${1L << (15 * k)}) % 32768").as("bval"))
     }
     sig
       .select(col("doc_id"), col("simhash"), explode(array(bandStructs: _*)).as("bs"))
@@ -1081,9 +1081,9 @@ object Dedup {
   private val mhValuesSql =
     mhParams.map { case (j, a, b) => s"($j, $a, $b)" }.mkString(", ")
   private val bitValuesSql =
-    (0 until 32).map(b => s"($b, ${1L << b})").mkString(", ")
+    (0 until 60).map(b => s"($b, ${1L << b})").mkString(", ")
   private val bandValuesSql =
-    Seq(0, 1, 2, 3).map(k => s"($k, ${1L << (8 * k)})").mkString(", ")
+    Seq(0, 1, 2, 3).map(k => s"($k, ${1L << (15 * k)})").mkString(", ")
 
   /** SQL form of the SemDeDup keep decision (`sem(vec_id, c_id, kept)`),
     * shared by the dedup_semantic oracle and Curation's topic-mix card. */
@@ -1123,7 +1123,7 @@ object Dedup {
   /** Same pipeline over an arbitrary (doc_id, text) relation name. */
   private def sigBandedCteSqlFrom(rel: String): String =
     s"""tok AS (
-       |  SELECT doc_id, CAST(('0x' || substr(md5(token), 1, 8)) AS BIGINT) AS h
+       |  SELECT doc_id, CAST(('0x' || substr(md5(token), 1, 15)) AS BIGINT) AS h
        |  FROM (SELECT doc_id, unnest($tokSql) AS token FROM $rel)),
        |bits AS (SELECT * FROM (VALUES $bitValuesSql) AS t(bit, pow)),
        |sig AS (
@@ -1133,7 +1133,7 @@ object Dedup {
        |    FROM tok, bits GROUP BY doc_id, bit, pow)
        |  GROUP BY doc_id),
        |bp AS (SELECT * FROM (VALUES $bandValuesSql) AS t(band, bpow)),
-       |banded AS (SELECT doc_id, simhash, band, (simhash // bpow) % 256 AS bval FROM sig, bp)""".stripMargin
+       |banded AS (SELECT doc_id, simhash, band, (simhash // bpow) % 32768 AS bval FROM sig, bp)""".stripMargin
 
   private lazy val sigBandedCteSql = sigBandedCteSqlFrom("documents")
 
@@ -1336,7 +1336,7 @@ object Dedup {
          |${jaccardVerifySql("cand")}""".stripMargin,
     "dedup_simhash" ->
       s"""WITH tok AS (
-         |  SELECT doc_id, CAST(('0x' || substr(md5(token), 1, 8)) AS BIGINT) AS h
+         |  SELECT doc_id, CAST(('0x' || substr(md5(token), 1, 15)) AS BIGINT) AS h
          |  FROM (SELECT doc_id, unnest($tokSql) AS token FROM documents)),
          |bits AS (SELECT * FROM (VALUES $bitValuesSql) AS t(bit, pow)),
          |sig AS (
@@ -1346,7 +1346,7 @@ object Dedup {
          |    FROM tok, bits GROUP BY doc_id, bit, pow)
          |  GROUP BY doc_id),
          |bp AS (SELECT * FROM (VALUES $bandValuesSql) AS t(band, bpow)),
-         |banded AS (SELECT doc_id, simhash, band, (simhash // bpow) % 256 AS bval FROM sig, bp),
+         |banded AS (SELECT doc_id, simhash, band, (simhash // bpow) % 32768 AS bval FROM sig, bp),
          |cand AS (
          |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
          |    x.simhash AS sh_a, y.simhash AS sh_b

@@ -44,8 +44,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("sorted_intersect_count"),
       new ExpressionInfo(classOf[SortedIntersectCount].getName, "sorted_intersect_count"),
       (exprs: Seq[Expression]) => SortedIntersectCount(exprs(0), exprs(1))))
-    e.injectFunction((FunctionIdentifier("simhash32"),
-      new ExpressionInfo(classOf[SimHash32].getName, "simhash32"),
-      (exprs: Seq[Expression]) => SimHash32(exprs.head)))
+    e.injectFunction((FunctionIdentifier("simhash60"),
+      new ExpressionInfo(classOf[SimHash60].getName, "simhash60"),
+      (exprs: Seq[Expression]) => SimHash60(exprs.head)))
   }
 }

@@ -227,24 +227,30 @@ case class SortedIntersectCount(left: Expression, right: Expression) extends Bin
     copy(left = newLeft, right = newRight)
 }
 
-/** 32-bit SimHash of a document in one fused pass: tokenize (with
-  * multiplicity), md5-hash each token exactly like `md5Int` (first 4
-  * md5 bytes, unsigned), per-bit majority vote. Replaces an
-  * explode(tokens) → 32-column aggregation → reassembly pipeline with a
-  * single linear scan per row — no shuffle at all for signatures. */
-case class SimHash32(child: Expression) extends UnaryExpression {
+/** 60-bit SimHash of a document in one fused pass: tokenize (with
+  * multiplicity), md5-hash each token to its first 60 bits (same
+  * convention as the shingle hashes — 15 md5 hex digits, BIGINT-safe
+  * in the oracle), per-bit majority vote. Replaces an explode(tokens)
+  * → 60-column aggregation → reassembly pipeline with a single linear
+  * scan per row — no shuffle at all for signatures. 60 bits because
+  * the round-6 scale run measured the original 32-bit signature
+  * SATURATING at 100k docs (49% of the corpus within hamming 3 of
+  * something — birthday collisions, not redundancy); at 60 bits the
+  * same banding has 2^-15 per-band collision odds and the candidate
+  * stream stays linear far past 100k. */
+case class SimHash60(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
-  override def prettyName: String = "simhash32"
+  override def prettyName: String = "simhash60"
   override def nullIntolerant: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult =
     InputChecks.check(prettyName)((child, InputChecks.isString, "string"))
 
   override def nullSafeEval(v: Any): Any =
-    HashUtil.simHash32(v.asInstanceOf[UTF8String])
+    HashUtil.simHash60(v.asInstanceOf[UTF8String])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.plans.HashUtil.simHash32($c)")
+    defineCodeGen(ctx, ev, c => s"graft.plans.HashUtil.simHash60($c)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -801,15 +807,15 @@ object HashUtil {
     c
   }
 
-  def simHash32(s: UTF8String): Long = {
+  def simHash60(s: UTF8String): Long = {
     val toks = ws.split(s.toString)
-    val w = new Array[Int](32)
+    val w = new Array[Int](60)
     var i = 0
     while (i < toks.length) {
       if (!toks(i).isEmpty) {
-        val h = md5Int32(toks(i).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        val h = md5Int60(toks(i).getBytes(java.nio.charset.StandardCharsets.UTF_8))
         var b = 0
-        while (b < 32) {
+        while (b < 60) {
           if (((h >>> b) & 1L) == 1L) w(b) += 1 else w(b) -= 1
           b += 1
         }
@@ -818,7 +824,7 @@ object HashUtil {
     }
     var sig = 0L
     var b = 0
-    while (b < 32) {
+    while (b < 60) {
       if (w(b) > 0) sig |= (1L << b)
       b += 1
     }
@@ -1341,8 +1347,8 @@ object VectorFunctions {
     GraftBridge.column(WordShingleHashes(GraftBridge.expression(c), n))
   def sorted_intersect_count(a: Column, b: Column): Column =
     GraftBridge.column(SortedIntersectCount(GraftBridge.expression(a), GraftBridge.expression(b)))
-  def simhash32(c: Column): Column =
-    GraftBridge.column(SimHash32(GraftBridge.expression(c)))
+  def simhash60(c: Column): Column =
+    GraftBridge.column(SimHash60(GraftBridge.expression(c)))
   def lsh_projections(c: Column, planes: Array[Double], dim: Int): Column =
     GraftBridge.column(LshProjections(GraftBridge.expression(c), planes, dim))
   def lsh_buckets(proj: Column, thr: Column, tables: Int, bits: Int): Column =

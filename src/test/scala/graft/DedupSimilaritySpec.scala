@@ -27,6 +27,13 @@ class DedupSimilaritySpec extends AnyFunSuite {
     val pairs = rows.map(r => (r.getLong(0), r.getLong(1)))
     assert(pairs.distinct.length === pairs.length)
     assert(pairs.forall(p => p._1 < p._2))
+    // anti-saturation guard (round-6 fix): the 32-bit signature emitted
+    // ~29x the exact Jaccard pair count at sf0.01 — birthday collisions,
+    // not near-dups. At 60 bits the pair stream must stay comparable to
+    // the exact near-dup population, not a multiple of it.
+    val exact = Dedup.dedupNgramJaccard(spark, sf0001).count()
+    assert(exact == 0 || pairs.length <= 4 * exact,
+      s"simhash emitted ${pairs.length} pairs vs $exact exact near-dup pairs — signature saturating")
   }
 
   test("exact dedup keeps one representative per distinct text") {

@@ -304,12 +304,12 @@ class OperatorSpec extends AnyFunSuite {
         |  size(word_shingles('a b c d', 3)) AS nsh,
         |  size(word_shingle_hashes('a b c d', 3)) AS nh,
         |  sorted_intersect_count(array(1L, 2L, 3L), array(2L, 3L, 9L)) AS ic,
-        |  simhash32('hello world') AS sh""".stripMargin).head()
+        |  simhash60('hello world') AS sh""".stripMargin).head()
     assert(r.getDouble(0) === 11.0)
     assert(r.getLong(1) === 96354L)
     assert(r.getInt(2) === 2 && r.getInt(3) === 2)
     assert(r.getLong(4) === 2L)
-    assert(r.getLong(5) >= 0L && r.getLong(5) <= 0xFFFFFFFFL)
+    assert(r.getLong(5) >= 0L && r.getLong(5) <= (1L << 60) - 1)
   }
 
   test("textRepetition flags looping/boilerplate docs and passes varied ones") {
