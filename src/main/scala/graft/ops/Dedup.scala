@@ -534,7 +534,7 @@ object Dedup {
   }
 
   /** Persist the corpus's simhash signature table (doc_id, simhash) —
-    * the standing dedup artifact of a 100 TB deployment: ~12 bytes/doc
+    * the standing dedup artifact of a 100 TB deployment: ~14 bytes/doc
     * instead of the documents themselves, so the nightly incremental
     * check never re-reads (or re-hashes) corpus TEXT at all. SimHash has
     * no corpus-dependent parameters (unlike the LSH index's mean
@@ -586,7 +586,7 @@ object Dedup {
     *
     * Scale shape: the batch side is one landing file (small by
     * construction — AQE broadcasts it); the index side reads the
-    * ~12 B/doc signature parquet, never corpus text. Index growth is
+    * ~14 B/doc signature parquet, never corpus text. Index growth is
     * append-only; [[dedupIndexCompact]] is the maintenance op. */
   /** (doc_id, dup_of, min_hamming) for every batch signature within
     * [[hammingThreshold]] of the standing index OR a lower-id batch

@@ -12,7 +12,7 @@ import graft.ops.Dedup
   * C4-style lower-id masking within the batch, appends per-doc verdicts
   * to the output sink, and folds the admitted signatures back into the
   * index — so the corpus dedupes itself continuously as it is ingested,
-  * and corpus TEXT is never re-read (the index is ~12 B/doc).
+  * and corpus TEXT is never re-read (the index is ~14 B/doc).
   *
   * The reference harness is strictly batch (SURVEY.md §2 — no streaming);
   * this is north-star surface composing the Dedup index API with
