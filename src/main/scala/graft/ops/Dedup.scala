@@ -602,7 +602,15 @@ object Dedup {
         .filter(col("hamming") <= hammingThreshold)
         .select(col("x.doc_id").as("doc_id"),
           col("y.doc_id").as("cand"), col("hamming"))
-    near(idxBands, lit(true))
+    // the index join EXCLUDES self-matches: semantically a doc is never
+    // its own duplicate, and operationally this is what makes an
+    // at-least-once RETRY value-idempotent — a retried batch sees its
+    // own first-attempt signatures in the index and would otherwise
+    // flag every admitted doc as a dup of itself (caught by the retry
+    // spec). For clean runs the predicate is vacuous (batch doc_ids
+    // are disjoint from the standing corpus), so the oracle — whose
+    // round structure makes self-matches impossible — is unaffected.
+    near(idxBands, col("y.doc_id") =!= col("x.doc_id"))
       .unionByName(near(batchBands, col("y.doc_id") < col("x.doc_id")))
       .groupBy(col("doc_id"))
       .agg(min(col("cand")).as("dup_of"), min(col("hamming")).as("min_hamming"))

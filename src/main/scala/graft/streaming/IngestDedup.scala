@@ -44,6 +44,15 @@ object IngestDedup {
     val stream = s.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(landingDir)
+    // foreachBatch is AT-LEAST-ONCE: a batch retried after its writes
+    // but before the checkpoint commit re-appends IDENTICAL rows. The
+    // retry is value-idempotent because (a) the index join excludes
+    // self-matches, so a retried doc does not flag against its own
+    // first-attempt signature, and (b) every consumer is
+    // duplicate-safe — the hit aggregation takes mins, the compaction
+    // rewrite sorts, and the replay read-backs distinct(). No
+    // partition-overwrite machinery needed; pinned by the retry spec
+    // in StreamingSpec.
     val q = stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
@@ -87,6 +96,7 @@ object IngestDedup {
       s"$root/out", s"$root/checkpoint")
     s.read.parquet(s"$root/out")
       .select(col("doc_id"), col("batch"), col("is_dup"), col("dup_of"), col("min_hamming"))
+      .distinct() // retried micro-batches re-append identical rows
       .orderBy(col("doc_id"))
   }
 
@@ -99,6 +109,7 @@ object IngestDedup {
       s"$root/out", s"$root/checkpoint")
     s.read.parquet(s"$root/out")
       .select(col("doc_id"), col("batch"), col("verdict"), col("dup_of"), col("score"))
+      .distinct() // retried micro-batches re-append identical rows
       .orderBy(col("doc_id"))
   }
 

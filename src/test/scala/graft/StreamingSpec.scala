@@ -258,6 +258,28 @@ class StreamingSpec extends AnyFunSuite {
       s"post-compaction batch verdicts wrong: ${last.toSeq}")
   }
 
+  test("ingest batch retry is value-idempotent: duplicate appends change no verdict") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val mk = (i: Long) => (i, (0 until 20).map(w => s"r${i}w$w").mkString(" "))
+    val r = java.nio.file.Files.createTempDirectory("graft-retry-spec").toString
+    graft.ops.Dedup.ingestIndexInit(spark, s"$r/index")
+    val b0 = Seq(mk(0), mk(3)).toDF("doc_id", "text")
+    graft.ops.Dedup.ingestBatch(spark, b0, s"$r/index", s"$r/out", 0L)
+    // simulate an at-least-once retry: the SAME batch processed again
+    graft.ops.Dedup.ingestBatch(spark, b0, s"$r/index", s"$r/out", 0L)
+    // a later batch containing a copy of doc 0 must still resolve the
+    // same way against the doubled index (min-aggregation absorbs dups)
+    graft.ops.Dedup.ingestBatch(spark,
+      Seq((1L, mk(0)._2), mk(4)).toDF("doc_id", "text"), s"$r/index", s"$r/out", 1L)
+    val v = spark.read.parquet(s"$r/out")
+      .select("doc_id", "batch", "is_dup", "dup_of").distinct().collect()
+      .map(row => (row.getLong(0), row.getLong(1), row.getBoolean(2),
+        if (row.isNullAt(3)) -1L else row.getLong(3))).sortBy(_._1)
+    assert(v.toSeq == Seq((0L, 0L, false, -1L), (1L, 1L, true, 0L),
+      (3L, 0L, false, -1L), (4L, 1L, false, -1L)), s"got ${v.toSeq}")
+  }
+
   test("streaming ingest curate: scrub before hashing, quality gate, clean store") {
     import org.apache.spark.sql.functions._
     import graft.streaming.IngestDedup
