@@ -308,6 +308,40 @@ object SelfChecks {
 
   /** One entry per rows-only query — keep in lockstep with the set
     * `SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet`. */
+  /** Trained-SemDeDup contract: every (vec_id, c_id, kept) decision
+    * equals a brute-force recompute from the COLLECTED trained centroid
+    * table — nearest centroid by (cosine desc, c_id), then the
+    * upper-triangular τ-mask within each cluster. */
+  private def semanticTrainedCheck(s: SparkSession, dir: String): CheckResult = {
+    val vecs = vecsOf(s, dir)
+    val cents = ops.Similarity.trainedCentroidsOf(s, dir).collect().map { r =>
+      val emb = r.getSeq[Any](1).map(_.asInstanceOf[Number].doubleValue()).toArray
+      (r.getLong(0), emb, r.getDouble(2))
+    }
+    def cosC(v: (Array[Float], Double), c: (Long, Array[Double], Double)): Double = {
+      var acc = 0.0
+      var d = 0
+      while (d < v._1.length) { acc += v._1(d).toDouble * c._2(d); d += 1 }
+      acc / (v._2 * c._3)
+    }
+    val asg = vecs.map { case (id, v) =>
+      id -> cents.map(c => (cosC(v, c), c._1)).maxBy { case (sc, cid) => (sc, -cid) }._2
+    }
+    val byCluster = vecs.keys.groupBy(asg)
+    val expect = vecs.keys.map { id =>
+      val peers = byCluster(asg(id)).filter(_ < id)
+      val dropped = peers.exists(p => cosOf(vecs(p), vecs(id)) >= ops.Dedup.cosineThreshold)
+      id -> ((asg(id), if (dropped) 0L else 1L))
+    }.toMap
+    val rows = ops.Dedup.dedupSemanticTrained(s, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val bad = rows.count { case (id, c, k) => !expect.get(id).contains((c, k)) }
+    CheckResult(bad == 0 && rows.length == vecs.size,
+      "k-means training sums floats in partition order; centroids are not bit-reproducible in SQL",
+      "keep decision == brute-force recompute from the collected trained centroids",
+      s"rows=${rows.length} bad=$bad dropped=${rows.count(_._3 == 0L)}")
+  }
+
   val checks: Map[String, (SparkSession, String) => CheckResult] = Map(
     "sim_lsh_ann_auto" -> annCheck(ops.Similarity.simLshAnnAuto,
       "index depth derives from a runtime size statistic; static SQL cannot reproduce it"),
@@ -321,6 +355,7 @@ object SelfChecks {
       "serves a persisted TRAINED index; k-means centroids are not bit-reproducible in SQL"),
     "dedup_embedding_blocked_trained" -> pairsCheck(ops.Dedup.dedupEmbeddingBlockedTrained,
       "k-means training sums floats in partition order; centroids are not bit-reproducible in SQL"),
+    "dedup_semantic_trained" -> (semanticTrainedCheck _),
     "sim_pq_topk_trained" -> pqCheck(ops.Similarity.simPqTopkTrained,
       (s, d) => ops.Similarity.pqCodebookTrained(s, d),
       "per-subspace k-means sums floats in partition order; the codebook is not bit-reproducible in SQL"),

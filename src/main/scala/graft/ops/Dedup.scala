@@ -905,9 +905,23 @@ object Dedup {
     * size where dups are rare. Deterministic stride quantizer ⇒ full
     * DuckDB oracle; the trained-quantizer variant would be rows-only
     * like the other `_trained` paths. */
-  def dedupSemantic(s: SparkSession, dir: String): DataFrame = {
+  def dedupSemantic(s: SparkSession, dir: String): DataFrame =
+    dedupSemanticWith(s, dir, Similarity.centroidsOf)
+
+  /** SemDeDup with the TRAINED quantizer — the paper's actual recipe
+    * (real k-means, better-balanced clusters ⇒ lower Σ cluster² for the
+    * quadratic step); shares the ONE memoized training with the IVF
+    * search and blocked-dedup paths. Rows-only like every `_trained`
+    * variant (float-summation order); its self-check recomputes every
+    * keep decision brute-force from the collected trained centroid
+    * table ([[graft.SelfChecks]]). */
+  def dedupSemanticTrained(s: SparkSession, dir: String): DataFrame =
+    dedupSemanticWith(s, dir, _ => Similarity.trainedCentroidsOf(s, dir))
+
+  private def dedupSemanticWith(s: SparkSession, dir: String,
+      centFn: DataFrame => DataFrame): DataFrame = {
     val n = Similarity.normed(s, dir)
-    val asg = Similarity.nearestCentroids(Similarity.centroidsOf(n))(
+    val asg = Similarity.nearestCentroids(centFn(n))(
       n, "vec_id", "embedding", "nrm", 1, carry = Seq("embedding", "nrm"))
     // probes = 1 ⇒ each pair appears in exactly one block: no distinct
     val dropped = tiledBlockPairs(asg)
@@ -1084,6 +1098,7 @@ object Dedup {
     "dedup_embedding_blocked" -> dedupEmbeddingBlocked _,
     "dedup_embedding_blocked_trained" -> dedupEmbeddingBlockedTrained _,
     "dedup_semantic" -> dedupSemantic _,
+    "dedup_semantic_trained" -> dedupSemanticTrained _,
   )
 
   private val mhValuesSql =

@@ -419,7 +419,7 @@ object Similarity {
     * first call — a documented deviation from the lazy-plan contract,
     * like dedupClusters); the memo makes ONE training pay for both the
     * IVF search probes and the blocked dedup. */
-  private[ops] def trainedCentroidsOf(s: SparkSession, dir: String,
+  private[graft] def trainedCentroidsOf(s: SparkSession, dir: String,
       iters: Int = kmeansIters): DataFrame =
     PlanCache.memoized(s, s"$dir|ivf-kmeans-$iters") {
       import s.implicits._

@@ -350,6 +350,18 @@ class DedupSimilaritySpec extends AnyFunSuite {
     info(s"semantic dedup dropped $nDropped of ${rows.length} vectors")
   }
 
+  test("trained semantic dedup covers the corpus; every cluster keeps its first member") {
+    val rows = Dedup.dedupSemanticTrained(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val n = graft.ops.Similarity.normed(spark, sf0001).count()
+    assert(rows.length.toLong == n, s"${rows.length} decisions for $n vectors")
+    assert(rows.forall(r => r._3 == 0L || r._3 == 1L))
+    // the lowest-id member of a cluster has no lower-id peer to mask it
+    rows.groupBy(_._2).foreach { case (c, g) =>
+      assert(g.minBy(_._1)._3 == 1L, s"cluster $c dropped its first member")
+    }
+  }
+
   test("multi-probe LSH ANN: recall >= 0.6 at a bounded scored fraction") {
     val exact = Similarity.simTopkBruteforce(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet
