@@ -122,6 +122,12 @@ object ScaleSmoke {
       (r.getLong(0), r.getLong(1))
     }
     say(s"  -> ${sem._1} decisions, ${sem._2} dropped (planted: $nVecDup)")
+    val semT = time("dedup_semantic_trained (shared k-means, 250k)") {
+      val r = ops.Dedup.dedupSemanticTrained(spark, dir)
+        .agg(count(lit(1)), sum(lit(1L) - col("kept"))).collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
+    say(s"  -> ${semT._1} decisions, ${semT._2} dropped")
 
     // 3-5. ANN paths timed ONCE each (collect top-k pairs in the timed
     //      pass and reuse them for recall — a noop-then-rerun shape would
