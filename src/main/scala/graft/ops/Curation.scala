@@ -428,6 +428,54 @@ object Curation {
       .select(col("doc_id"), col("rep_id"), col("split"))
       .orderBy(col("doc_id"))
 
+  /** THE final training-set manifest — the batch capstone that composes
+    * the pipeline's signals into one per-document decision, the artifact
+    * a training run actually consumes. For every train-side doc (eval
+    * slice excluded): its exact-dup canonical id, its near-dup cluster
+    * representative, its eval-contamination overlap, its quality score,
+    * its leakage-safe split — and ONE `reason` column resolving them in
+    * fixed precedence (dup_exact → near_dup → contaminated →
+    * low_quality → heldout → train), so `include = (reason = 'train')`
+    * and every exclusion is attributable.
+    *
+    * Scale shape: every input is an already-scale-shaped operator
+    * (md5-window canonical groups bounded by copy count, pairs-sized
+    * cluster frame broadcast, shingle equi-join, shuffle-free quality
+    * columns) and the composition joins on doc_id only. Fully
+    * DuckDB-oracled — the oracle restates each signal's SQL and the
+    * same CASE precedence. */
+  def curateManifest(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    val wCanon = Window.partitionBy(md5(col("text")))
+    val base = docs
+      .withColumn("canon_id", min(col("doc_id")).over(wCanon))
+      .select(col("doc_id"), col("canon_id"))
+      .filter(col("doc_id") % evalStride =!= 0)
+    val joined = base
+      .join(Dedup.dedupClusters(s, dir), Seq("doc_id"), "left")
+      .withColumn("rep_id", coalesce(col("cluster_id"), col("doc_id")))
+      .join(decontaminateNgram(s, dir).select(col("doc_id"), col("n_shared")),
+        Seq("doc_id"), "left")
+      .join(TextAnalysis.textQuality(s, dir).select(col("doc_id"), col("score")),
+        Seq("doc_id"), "left")
+      .withColumn("split",
+        when(pmod(TextFns.md5Int(col("rep_id").cast("string")), lit(100L)) <
+          lit(100L - heldoutPct), lit("train")).otherwise(lit("heldout")))
+    joined
+      .withColumn("reason",
+        when(col("doc_id") =!= col("canon_id"), lit("dup_exact"))
+          .when(col("doc_id") =!= col("rep_id"), lit("near_dup"))
+          .when(col("n_shared") > 0, lit("contaminated"))
+          .when(!coalesce(col("score") >= Dedup.ingestQualityMin, lit(false)),
+            lit("low_quality"))
+          .when(col("split") === "heldout", lit("heldout"))
+          .otherwise(lit("train")))
+      .select(col("doc_id"), col("canon_id"), col("rep_id"), col("n_shared"),
+        col("score"), col("split"), col("reason"),
+        (col("reason") === "train").cast("long").as("include"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Materialize the stratified corpus as a lang-partitioned parquet
     * dataset — the write-side half of the 100 TB story: `partitionBy`
     * turns every language-filtered read into directory pruning
@@ -455,6 +503,7 @@ object Curation {
     "curate_source_mix" -> curateSourceMix _,
     "curate_split_leakage" -> curateSplitLeakage _,
     "curate_topic_mix" -> curateTopicMix _,
+    "curate_manifest" -> curateManifest _,
   )
 
   private val tokSql =
@@ -554,5 +603,61 @@ object Curation {
          |SELECT c_id, CAST(n_vecs AS BIGINT) AS n_vecs, n_kept,
          |  round(CAST(n_vecs AS DOUBLE) / CAST(total AS DOUBLE), 6) AS vec_share
          |FROM per, t ORDER BY c_id""".stripMargin,
+    "curate_manifest" -> {
+      val stopList = TextAnalysis.stopEn.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"""WITH RECURSIVE ${Dedup.allPairsSql.stripPrefix("WITH ")},
+         |e AS (SELECT id_a AS src, id_b AS dst FROM jpairs
+         |      UNION ALL SELECT id_b, id_a FROM jpairs),
+         |r AS (
+         |  SELECT src AS doc, src AS lab FROM e
+         |  UNION
+         |  SELECT e.dst AS doc, r.lab FROM r JOIN e ON r.doc = e.src),
+         |clm AS (SELECT doc AS doc_id, min(lab) AS cluster_id FROM r GROUP BY doc),
+         |canon AS (
+         |  SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS canon_id
+         |  FROM documents),
+         |csh AS (
+         |  SELECT doc_id, CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) AS h FROM (
+         |    SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(tk) - ${contamShingleN - 2}),
+         |      i -> array_to_string(tk[i:i+${contamShingleN - 1}], ' ')))) AS shingle
+         |    FROM (SELECT doc_id, $tokSql AS tk FROM documents))),
+         |cev AS (SELECT doc_id AS eval_id, h FROM csh WHERE doc_id % $evalStride = 0),
+         |chit AS (
+         |  SELECT csh.doc_id, count(DISTINCT csh.h) AS n_shared
+         |  FROM csh JOIN cev ON csh.h = cev.h WHERE csh.doc_id % $evalStride <> 0
+         |  GROUP BY csh.doc_id),
+         |q AS (
+         |  SELECT doc_id,
+         |    (CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE)) * 0.4
+         |    + least(CAST(len(toks) AS DOUBLE) / 50.0, 1.0) * 0.4
+         |    + (CAST(len(list_filter(toks, t -> list_contains($stopList, t))) AS DOUBLE)
+         |       / CAST(len(toks) AS DOUBLE)) * 0.2 AS score
+         |  FROM (SELECT doc_id, $tokSql AS toks FROM documents) WHERE len(toks) >= 1),
+         |j AS (
+         |  SELECT c.doc_id, c.canon_id,
+         |    COALESCE(clm.cluster_id, c.doc_id) AS rep_id,
+         |    COALESCE(chit.n_shared, 0) AS n_shared, q.score
+         |  FROM canon c
+         |  LEFT JOIN clm ON c.doc_id = clm.doc_id
+         |  LEFT JOIN chit ON c.doc_id = chit.doc_id
+         |  LEFT JOIN q ON c.doc_id = q.doc_id
+         |  WHERE c.doc_id % $evalStride <> 0),
+         |j2 AS (
+         |  SELECT *, CASE WHEN CAST(('0x' || substr(md5(CAST(rep_id AS VARCHAR)), 1, 8)) AS BIGINT)
+         |      % 100 < ${100 - heldoutPct} THEN 'train' ELSE 'heldout' END AS split
+         |  FROM j),
+         |j3 AS (
+         |  SELECT *, CASE WHEN doc_id <> canon_id THEN 'dup_exact'
+         |    WHEN doc_id <> rep_id THEN 'near_dup'
+         |    WHEN n_shared > 0 THEN 'contaminated'
+         |    WHEN score IS NULL OR score < ${Dedup.ingestQualityMin} THEN 'low_quality'
+         |    WHEN split = 'heldout' THEN 'heldout'
+         |    ELSE 'train' END AS reason
+         |  FROM j2)
+         |SELECT doc_id, canon_id, rep_id, CAST(n_shared AS BIGINT) AS n_shared,
+         |  score, split, reason,
+         |  CAST(CASE WHEN reason = 'train' THEN 1 ELSE 0 END AS BIGINT) AS include
+         |FROM j3 ORDER BY doc_id""".stripMargin
+    },
   )
 }

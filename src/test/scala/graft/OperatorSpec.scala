@@ -244,6 +244,39 @@ class OperatorSpec extends AnyFunSuite {
     assert(served === got, "persisted-index phrase serving diverged from the scan path")
   }
 
+  test("curate_manifest: every exclusion reason fires on its constructed doc, in precedence order") {
+    import spark.implicits._
+    val words = (0 until 70).map(w => s"m${w}q").mkString(" ")
+    val evalText = (0 until 70).map(w => s"ev${w}z").mkString(" ")
+    val leak = (10 until 18).map(w => s"ev${w}z").mkString(" ") // 8 tokens of the eval doc
+    val docs = Seq(
+      (0L, evalText),                                    // eval slice: excluded from output
+      (1L, words),                                       // clean: train or heldout by md5
+      (2L, words),                                       // exact copy -> dup_exact
+      (3L, words.replace("m5q", "changed")),             // near-dup -> near_dup
+      (4L, s"${(0 until 62).map(w => s"c${w}x").mkString(" ")} $leak"), // -> contaminated
+      (5L, "a a a"))                                     // -> low_quality
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val tmp = java.nio.file.Files.createTempDirectory("manifest-corpus").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    graft.ops.Dedup.clearShingleCache()
+    try {
+      val m = graft.ops.Curation.curateManifest(spark, tmp).collect()
+        .map(r => r.getLong(0) -> r).toMap
+      assert(m.keySet == Set(1L, 2L, 3L, 4L, 5L), s"rows: ${m.keySet}") // eval doc 0 excluded
+      def reason(i: Long) = m(i).getString(6)
+      // doc 1 is the canonical rep: its reason is purely its split
+      assert(reason(1) == m(1).getString(5), s"doc 1: ${reason(1)} vs split ${m(1).getString(5)}")
+      assert(reason(2) == "dup_exact" && m(2).getLong(1) == 1L, s"doc 2: ${reason(2)}")
+      assert(reason(3) == "near_dup" && m(3).getLong(2) == 1L, s"doc 3: ${reason(3)}")
+      assert(reason(4) == "contaminated" && m(4).getLong(3) >= 1L, s"doc 4: ${reason(4)}")
+      assert(reason(5) == "low_quality", s"doc 5: ${reason(5)}")
+      m.values.foreach(r => assert(r.getLong(7) == (if (r.getString(6) == "train") 1L else 0L)))
+    } finally graft.ops.Dedup.clearShingleCache()
+  }
+
   test("q_corr_stats: correlation bounded, moments positive") {
     import TestSpark.sf0001
     val r = graft.ops.Relational.qCorrStats(spark, sf0001).collect()
