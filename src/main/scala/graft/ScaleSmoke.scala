@@ -310,6 +310,16 @@ object ScaleSmoke {
     say(f"  -> verdicts: $iv; index simhash ${dirMb(s"$ingestRoot/index/simhash")}%.1f MB, " +
       f"clean ${dirMb(s"$ingestRoot/index/clean")}%.1f MB")
 
+    // the batch capstone: all five curation signals joined into the
+    // per-doc manifest (cluster CTE + canon window + contamination join
+    // + quality columns + split) — the full batch pipeline in one plan
+    val mf = time("curate_manifest (100k docs, all signals composed)") {
+      ops.Curation.curateManifest(spark, dir)
+        .groupBy(col("reason")).agg(count(lit(1)).as("n")).collect()
+        .map(r => s"${r.getString(0)}=${r.getLong(1)}").sorted.mkString(" ")
+    }
+    say(s"  -> $mf")
+
     // 8. cluster + representative selection over the 100k-doc near-dup
     //    graph (keep-best adds quality scoring + per-cluster windows on
     //    top of the connected-components labels)
