@@ -277,6 +277,15 @@ object ScaleSmoke {
     // each micro-batch scrubs, scores, and dedups against the growing
     // index — the whole crawl-to-corpus hop, timed end to end
     val ingestRoot = s"$dir-ingest"
+    // a RERUN against an existing corpus dir would otherwise find the
+    // prior run's checkpoint (identical landing file names → stream
+    // processes zero files over a just-emptied index) and a stale
+    // append-only out dir — wipe the whole replay root first
+    def rmTree(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmTree)
+      f.delete(); ()
+    }
+    rmTree(new java.io.File(ingestRoot))
     val nLand = 10
     time(s"ingest landing prep (100k docs -> $nLand files)") {
       val docs = graft.Tables(spark, dir, "documents").select(col("doc_id"), col("text"))

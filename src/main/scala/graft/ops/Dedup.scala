@@ -678,14 +678,36 @@ object Dedup {
           // simhash append below recaches-by-path — a lineage-derived
           // `admitted` would re-evaluate against the just-appended index,
           // every admitted doc would match its own signature, and the
-          // clean append would quietly write nothing (found by the spec)
-          val admitted = s.read.parquet(outDir)
+          // clean append would quietly write nothing (found by the spec).
+          // The sink is append-only, so after an at-least-once RETRY it
+          // holds one verdict row per attempt — and the clean store is
+          // the corpus artifact itself, where a doubled row is NOT
+          // consumer-absorbable (unlike the verdict sink's
+          // min/distinct-safe rows). Detect the retry from the sink (any
+          // doc with >1 verdict row for this batch) and only then pay
+          // the anti-join scans against what each store already holds;
+          // a first attempt keeps the current single-append hot path.
+          val sunk = s.read.parquet(outDir)
             .filter(col("batch") === batchId && col("verdict") === "admitted")
-            .select(col("doc_id"))
-          sig.join(admitted, "doc_id")
-            .write.mode("append").parquet(s"$indexDir/simhash")
-          qualified.select(col("doc_id"), col("text")).join(admitted, "doc_id")
-            .write.mode("append").parquet(s"$indexDir/clean")
+            .select(col("doc_id")).persist()
+          try {
+            val Array(total, unique) = sunk.agg(
+              count(lit(1)), count_distinct(col("doc_id"))).head()
+              .toSeq.map(_.asInstanceOf[Long]).toArray
+            val isRetry = total != unique
+            val admitted = sunk.distinct()
+            val cleanDir = s"$indexDir/clean"
+            def dedupAgainst(df: DataFrame, storeDir: String): DataFrame =
+              if (isRetry && new java.io.File(storeDir).exists())
+                df.join(s.read.parquet(storeDir).select(col("doc_id")),
+                  Seq("doc_id"), "left_anti")
+              else df
+            dedupAgainst(sig.join(admitted, "doc_id"), s"$indexDir/simhash")
+              .write.mode("append").parquet(s"$indexDir/simhash")
+            dedupAgainst(qualified.select(col("doc_id"), col("text"))
+                .join(admitted, "doc_id"), cleanDir)
+              .write.mode("append").parquet(cleanDir)
+          } finally sunk.unpersist()
         } finally verdicts.unpersist()
       } finally sig.unpersist()
     } finally scored.unpersist()

@@ -80,7 +80,10 @@ object TextAnalysis {
           least(col("n_tokens").cast("double") / 50.0, lit(1.0)) * 0.4 +
           col("stop_ratio") * 0.2)
       .select(col("doc_id"), col("n_tokens"), col("uniq_ratio"), col("stop_ratio"),
-        col("n_punct"), col("score"), (col("score") >= 0.5).as("is_quality"))
+        col("n_punct"), col("score"),
+        // same floor as the ingest gate and curate_manifest's low_quality
+        // reason — one constant, so the three can never silently diverge
+        (col("score") >= Dedup.ingestQualityMin).as("is_quality"))
       .orderBy(col("doc_id"))
 
   /** zlib level for the compression-ratio signal: 6 is the zlib
@@ -1075,7 +1078,7 @@ object TextAnalysis {
          |ORDER BY doc_id""".stripMargin,
     "text_quality" ->
       s"""SELECT doc_id, n_tokens, uniq_ratio, stop_ratio, n_punct, score,
-         |  score >= 0.5 AS is_quality
+         |  score >= ${Dedup.ingestQualityMin} AS is_quality
          |FROM (
          |  SELECT doc_id, n_tokens, uniq_ratio, stop_ratio, n_punct,
          |    uniq_ratio * 0.4 + least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0) * 0.4 + stop_ratio * 0.2 AS score

@@ -280,6 +280,38 @@ class StreamingSpec extends AnyFunSuite {
       (3L, 0L, false, -1L), (4L, 1L, false, -1L)), s"got ${v.toSeq}")
   }
 
+  test("ingest curate retry: clean store and signature index stay single-copy") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val mk = (i: Long) => (i, (0 until 70).map(w => s"c${i}w$w").mkString(" "))
+    val r = java.nio.file.Files.createTempDirectory("graft-curetry-spec").toString
+    graft.ops.Dedup.ingestIndexInit(spark, s"$r/index")
+    val b0 = Seq(mk(0), mk(3), (6L, "a a a")).toDF("doc_id", "text")
+    graft.ops.Dedup.ingestCurateBatch(spark, b0, s"$r/index", s"$r/out", 0L)
+    // at-least-once retry: the SAME curated batch processed again. The
+    // clean store is the corpus artifact — a doubled row there is real
+    // data corruption, not consumer-absorbable like a verdict row.
+    graft.ops.Dedup.ingestCurateBatch(spark, b0, s"$r/index", s"$r/out", 0L)
+    val clean = spark.read.parquet(s"$r/index/clean")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n")).collect()
+      .map(row => row.getLong(0) -> row.getLong(1)).toMap
+    assert(clean == Map(0L -> 1L, 3L -> 1L), s"clean store after retry: $clean")
+    val sigs = spark.read.parquet(s"$r/index/simhash")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n")).collect()
+      .map(row => row.getLong(0) -> row.getLong(1)).toMap
+    assert(sigs == Map(0L -> 1L, 3L -> 1L), s"signature index after retry: $sigs")
+    // a later batch carrying a copy of doc 0's text still dedupes
+    graft.ops.Dedup.ingestCurateBatch(spark,
+      Seq((1L, mk(0)._2), mk(4)).toDF("doc_id", "text"), s"$r/index", s"$r/out", 1L)
+    val v = spark.read.parquet(s"$r/out")
+      .select("doc_id", "batch", "verdict", "dup_of").distinct().collect()
+      .map(row => (row.getLong(0), row.getLong(1), row.getString(2),
+        if (row.isNullAt(3)) -1L else row.getLong(3))).sortBy(_._1)
+    assert(v.toSeq == Seq((0L, 0L, "admitted", -1L), (1L, 1L, "dup", 0L),
+      (3L, 0L, "admitted", -1L), (4L, 1L, "admitted", -1L),
+      (6L, 0L, "rejected", -1L)), s"got ${v.toSeq}")
+  }
+
   test("streaming ingest curate: scrub before hashing, quality gate, clean store") {
     import org.apache.spark.sql.functions._
     import graft.streaming.IngestDedup
