@@ -249,6 +249,27 @@ object Curation {
       throw new java.io.IOException(s"rename $tmp -> $dest failed")
   }
 
+  /** PERSIST the eval slice's distinct shingle hashes alongside the
+    * bloom — the EXACT side of the two-tier contamination probe the
+    * ingest-time manifest runs: the bloom screens every doc map-only
+    * (no false negatives), and only the tiny flagged slice equi-joins
+    * this table to confirm and count true shared shingles, which is
+    * what makes the streamed n_shared bit-identical to the exact
+    * [[decontaminateNgram]] join (and hence DuckDB-oracle-able —
+    * bloom false positives never reach the output). The table is
+    * eval-sized by construction, never corpus-sized. */
+  def decontamShingleWrite(s: SparkSession, evalDir: String, indexDir: String): Unit =
+    evalShingleHashes(s, evalDir)
+      .write.mode("overwrite").parquet(s"$indexDir/eval_shingles")
+
+  /** Deserialize the persisted bloom row (shared by serve/append and
+    * the ingest-time manifest probe). */
+  private[graft] def loadBloom(s: SparkSession, indexDir: String): org.apache.spark.util.sketch.BloomFilter = {
+    val meta = s.read.parquet(s"$indexDir/bloom").head()
+    org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(meta.getAs[Array[Byte]]("bloom")))
+  }
+
   /** Landing-zone append: OR-merge a new eval batch into the persisted
     * filter. The batch bloom is built at the INDEX's recorded geometry
     * (same expectedNumItems/fpp ⇒ same bit count and hash count —

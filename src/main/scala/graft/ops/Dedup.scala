@@ -713,6 +713,149 @@ object Dedup {
     } finally scored.unpersist()
   }
 
+  /** INGEST-TIME MANIFEST — the streaming form of the batch capstone
+    * [[Curation.curateManifest]]: every curation signal resolved into
+    * ONE attributable decision per landed doc, at admission time, so a
+    * continuously-ingesting pipeline never has to re-run the batch
+    * manifest over the whole corpus to learn why a new doc was kept or
+    * dropped. Per landed file: scrub → quality score → exact-dup check
+    * (md5 of clean text vs the admitted index + lower-id batch members)
+    * → near-dup check (simhash bands, same masking rule) → eval-set
+    * contamination (bloom screen map-only, exact confirm on the flagged
+    * slice — no false negatives, so the streamed n_shared equals the
+    * exact shingle join's) → leakage-safe split (md5 bucket of the
+    * near-dup representative) — resolved in the SAME fixed precedence
+    * as the batch capstone: dup_exact → near_dup → contaminated →
+    * low_quality → heldout → train.
+    *
+    * Unlike [[ingestCurateBatch]] (quality gate FIRST — the operational
+    * corpus builder never hashes rejected docs), the manifest hashes
+    * every doc so dup status outranks quality exactly as the capstone's
+    * CASE does; the index therefore admits every NON-DUP doc (any
+    * quality/split), mirroring the capstone's cluster structure over
+    * the full corpus. The clean store admits only reason='train' docs —
+    * the training set itself.
+    *
+    * Scale shape per micro-batch: batch-side hashing + two equi-joins
+    * against the ~30 B/doc signature index (batch side broadcast), one
+    * map-only bloom scan, one flagged-slice join against the eval-sized
+    * shingle table, zero corpus-text re-reads. */
+  private[graft] def ingestManifestBatch(s: SparkSession, batchDocs: DataFrame,
+      indexDir: String, outDir: String, batchId: Long): Unit = {
+    val toks = TextFns.tokens(col("text"))
+    val scrubbed = batchDocs
+      .select(col("doc_id"), TextAnalysis.scrubCol(col("text")).as("text"))
+      .withColumn("score", when(size(toks) >= 1, TextAnalysis.qualityScore(toks)))
+      .withColumn("tmd5", md5(col("text")))
+      .persist()
+    try {
+      val sig = simSigOf(scrubbed).persist()
+      try {
+        // exact dups: same clean-text md5 as an admitted index doc or a
+        // lower-id batch member (self excluded for retry idempotence,
+        // like ingestHits)
+        val idxMd = s.read.parquet(s"$indexDir/simhash")
+          .select(col("doc_id"), col("tmd5"))
+        val batchMd = scrubbed.select(col("doc_id"), col("tmd5"))
+        def exact(y: DataFrame, cond: Column) =
+          batchMd.as("x").join(y.as("y"),
+              col("x.tmd5") === col("y.tmd5") && cond)
+            .select(col("x.doc_id").as("doc_id"), col("y.doc_id").as("cand"))
+        val exHits = exact(idxMd, col("y.doc_id") =!= col("x.doc_id"))
+          .unionByName(exact(batchMd, col("y.doc_id") < col("x.doc_id")))
+          .groupBy(col("doc_id")).agg(min(col("cand")).as("exact_of"))
+        val neHits = ingestHits(s, sig, indexDir)
+          .select(col("doc_id"), col("dup_of").as("near_of"))
+        // contamination: bloom screen (map-only, no false negatives),
+        // exact confirm + count on the flagged slice only
+        val bloom = Curation.loadBloom(s, indexDir)
+        val flagged = scrubbed.select(col("doc_id"),
+            filter(graft.plans.VectorFunctions.word_shingle_hashes(
+                col("text"), Curation.contamShingleN),
+              h => graft.plans.VectorFunctions.bloom_might_contain(h, bloom)).as("maybe"))
+          .filter(size(col("maybe")) > 0)
+          .select(col("doc_id"), explode(col("maybe")).as("h"))
+          .join(s.read.parquet(s"$indexDir/eval_shingles"), "h")
+          .groupBy(col("doc_id")).agg(countDistinct(col("h")).as("n_shared"))
+        val verdicts = scrubbed.select(col("doc_id"), col("score"))
+          .join(exHits, Seq("doc_id"), "left")
+          .join(neHits, Seq("doc_id"), "left")
+          .join(flagged, Seq("doc_id"), "left")
+          .withColumn("n_shared", coalesce(col("n_shared"), lit(0L)))
+          .withColumn("canon_id", coalesce(col("exact_of"), col("doc_id")))
+          .withColumn("rep_id",
+            coalesce(least(col("exact_of"), col("near_of")), col("doc_id")))
+          .withColumn("split",
+            when(pmod(TextFns.md5Int(col("rep_id").cast("string")), lit(100L)) <
+              lit(100L - Curation.heldoutPct), lit("train")).otherwise(lit("heldout")))
+          .withColumn("reason",
+            when(col("doc_id") =!= col("canon_id"), lit("dup_exact"))
+              .when(col("doc_id") =!= col("rep_id"), lit("near_dup"))
+              .when(col("n_shared") > 0, lit("contaminated"))
+              .when(!coalesce(col("score") >= ingestQualityMin, lit(false)),
+                lit("low_quality"))
+              .when(col("split") === "heldout", lit("heldout"))
+              .otherwise(lit("train")))
+          .select(col("doc_id"), lit(batchId).as("batch"), col("canon_id"),
+            col("rep_id"), col("n_shared"), col("score"), col("split"),
+            col("reason"),
+            (col("reason") === "train").cast("long").as("include"))
+          .persist()
+        try {
+          verdicts.write.mode("append").parquet(outDir)
+          // sink-derived admission + retry detection: see ingestCurateBatch
+          val sunk = s.read.parquet(outDir)
+            .filter(col("batch") === batchId)
+            .select(col("doc_id"), col("reason")).persist()
+          try {
+            val Array(total, unique) = sunk.agg(
+              count(lit(1)), count_distinct(col("doc_id"))).head()
+              .toSeq.map(_.asInstanceOf[Long]).toArray
+            val isRetry = total != unique
+            def dedupAgainst(df: DataFrame, storeDir: String): DataFrame =
+              if (isRetry && new java.io.File(storeDir).exists())
+                df.join(s.read.parquet(storeDir).select(col("doc_id")),
+                  Seq("doc_id"), "left_anti")
+              else df
+            // the index admits every NON-DUP doc (signature null for
+            // token-less ones — their banded rows never match, but the
+            // md5 side still guards their exact twins)
+            val nonDup = sunk
+              .filter(!col("reason").isin("dup_exact", "near_dup"))
+              .select(col("doc_id")).distinct()
+            dedupAgainst(scrubbed.select(col("doc_id"), col("tmd5"))
+                .join(nonDup, "doc_id")
+                .join(sig, Seq("doc_id"), "left")
+                .select(col("doc_id"), col("simhash"), col("tmd5")),
+              s"$indexDir/simhash")
+              .write.mode("append").parquet(s"$indexDir/simhash")
+            val train = sunk.filter(col("reason") === "train")
+              .select(col("doc_id")).distinct()
+            dedupAgainst(scrubbed.select(col("doc_id"), col("text"))
+                .join(train, "doc_id"), s"$indexDir/clean")
+              .write.mode("append").parquet(s"$indexDir/clean")
+          } finally sunk.unpersist()
+        } finally verdicts.unpersist()
+      } finally sig.unpersist()
+    } finally scrubbed.unpersist()
+  }
+
+  /** Seed the manifest ingest index: an empty 3-column signature table
+    * (doc_id, simhash, tmd5 — the md5 column is what the exact-dup tier
+    * joins on) plus the eval-set contamination artifacts: the bloom
+    * screen and the exact shingle table it confirms against. */
+  private[graft] def ingestManifestIndexInit(s: SparkSession, indexDir: String,
+      evalDir: String): Unit = {
+    s.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("simhash", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("tmd5", org.apache.spark.sql.types.StringType))))
+      .write.mode("overwrite").parquet(s"$indexDir/simhash")
+    Curation.decontamBloomWrite(s, evalDir, indexDir)
+    Curation.decontamShingleWrite(s, evalDir, indexDir)
+  }
+
   /** Seed an EMPTY signature index (stream-from-scratch ingest; the
     * batch form seeds from a standing corpus via [[dedupIndexWrite]]). */
   private[graft] def ingestIndexInit(s: SparkSession, indexDir: String): Unit =
@@ -1261,6 +1404,112 @@ object Dedup {
        |  vall.dup_of, q.score
        |FROM q LEFT JOIN vall ON q.doc_id = vall.doc_id
        |ORDER BY q.doc_id""".stripMargin
+  }
+
+  /** Admission rounds for the MANIFEST ingest oracle: each round runs
+    * an exact tier (clean-text md5 equality) and a near tier (banded
+    * simhash) against (admitted in rounds < k) ∪ (same round, lower
+    * id); admitted = neither tier hit (dup status outranks every other
+    * signal, so quality/contamination/split never gate admission —
+    * exactly the index rule [[ingestManifestBatch]] applies). */
+  private def manifestRoundsSql: String = {
+    val nb = ingestBatches
+    (0 until nb).map { k =>
+      val admitted =
+        if (k == 0) ""
+        else {
+          val u = (0 until k).map(j => s"SELECT doc_id FROM a$j").mkString(" UNION ALL ")
+          s"y.doc_id IN ($u) OR "
+        }
+      s"""ex$k AS (
+         |  SELECT x.doc_id, min(y.doc_id) AS exact_of
+         |  FROM md x JOIN md y ON x.tmd5 = y.tmd5
+         |  WHERE x.doc_id % $nb = $k
+         |    AND ($admitted(y.doc_id % $nb = $k AND y.doc_id < x.doc_id))
+         |  GROUP BY x.doc_id),
+         |ne$k AS (
+         |  SELECT x.doc_id, min(y.doc_id) AS near_of
+         |  FROM banded x JOIN banded y ON x.band = y.band AND x.bval = y.bval
+         |  WHERE x.doc_id % $nb = $k
+         |    AND bit_count(xor(x.simhash, y.simhash)) <= $hammingThreshold
+         |    AND ($admitted(y.doc_id % $nb = $k AND y.doc_id < x.doc_id))
+         |  GROUP BY x.doc_id),
+         |v$k AS (
+         |  SELECT d.doc_id, CAST($k AS BIGINT) AS batch,
+         |    COALESCE(ex$k.exact_of, d.doc_id) AS canon_id,
+         |    COALESCE(least(ex$k.exact_of, ne$k.near_of), d.doc_id) AS rep_id
+         |  FROM (SELECT doc_id FROM scrub WHERE doc_id % $nb = $k) d
+         |  LEFT JOIN ex$k ON d.doc_id = ex$k.doc_id
+         |  LEFT JOIN ne$k ON d.doc_id = ne$k.doc_id),
+         |a$k AS (SELECT doc_id FROM v$k WHERE doc_id = canon_id AND doc_id = rep_id)""".stripMargin
+    }.mkString(",\n")
+  }
+
+  /** Oracle for the streaming MANIFEST replay: the landed set is the
+    * train side (eval slice excluded, as the batch capstone's base
+    * filter), scrub → score → the unrolled exact+near admission rounds
+    * over CLEAN text, the exact contamination join (the Spark side's
+    * bloom screen has no false negatives and exact-confirms flagged
+    * docs, so its n_shared is bit-identical to this join), the rep-id
+    * md5 split, and the capstone's CASE precedence. */
+  private[graft] lazy val ingestManifestOracleSql: String = {
+    val e = TextAnalysis.piiEmailRe
+    val ip = TextAnalysis.piiIpRe
+    val num = TextAnalysis.piiNumRe
+    val stopList = TextAnalysis.stopEn.map(w => s"'$w'").mkString("[", ", ", "]")
+    val csn = Curation.contamShingleN
+    def shingleCte(rel: String): String =
+      s"""SELECT doc_id, CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) AS h FROM (
+         |    SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(tk) - ${csn - 2}),
+         |      i -> array_to_string(tk[i:i+${csn - 1}], ' ')))) AS shingle
+         |    FROM (SELECT doc_id, $tokSql AS tk FROM $rel))""".stripMargin
+    s"""WITH landed AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id % ${Curation.evalStride} <> 0),
+       |scrub AS (
+       |  SELECT doc_id,
+       |    regexp_replace(regexp_replace(regexp_replace(
+       |      text, '$e', '<EMAIL>', 'g'), '$ip', '<IP>', 'g'), '$num', '<NUM>', 'g') AS text
+       |  FROM landed),
+       |q AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(toks) >= 1 THEN
+       |      (CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE)) * 0.4
+       |      + least(CAST(len(toks) AS DOUBLE) / 50.0, 1.0) * 0.4
+       |      + (CAST(len(list_filter(toks, t -> list_contains($stopList, t))) AS DOUBLE)
+       |         / CAST(len(toks) AS DOUBLE)) * 0.2
+       |    END AS score
+       |  FROM (SELECT doc_id, $tokSql AS toks FROM scrub)),
+       |md AS (SELECT doc_id, md5(text) AS tmd5 FROM scrub),
+       |${sigBandedCteSqlFrom("scrub")},
+       |$manifestRoundsSql,
+       |csh AS (
+       |  ${shingleCte("scrub")}),
+       |cev AS (
+       |  SELECT DISTINCT h FROM (${shingleCte(
+             s"(SELECT doc_id, text FROM documents WHERE doc_id % ${Curation.evalStride} = 0)")})),
+       |chit AS (
+       |  SELECT csh.doc_id, count(DISTINCT csh.h) AS n_shared
+       |  FROM csh JOIN cev ON csh.h = cev.h GROUP BY csh.doc_id),
+       |vall AS (${(0 until ingestBatches).map(k => s"SELECT * FROM v$k").mkString(" UNION ALL ")}),
+       |m AS (
+       |  SELECT v.doc_id, v.batch, v.canon_id, v.rep_id,
+       |    CAST(COALESCE(chit.n_shared, 0) AS BIGINT) AS n_shared, q.score,
+       |    CASE WHEN CAST(('0x' || substr(md5(CAST(v.rep_id AS VARCHAR)), 1, 8)) AS BIGINT)
+       |      % 100 < ${100 - Curation.heldoutPct} THEN 'train' ELSE 'heldout' END AS split
+       |  FROM vall v
+       |  LEFT JOIN chit ON v.doc_id = chit.doc_id
+       |  LEFT JOIN q ON v.doc_id = q.doc_id),
+       |r AS (
+       |  SELECT *, CASE WHEN doc_id <> canon_id THEN 'dup_exact'
+       |    WHEN doc_id <> rep_id THEN 'near_dup'
+       |    WHEN n_shared > 0 THEN 'contaminated'
+       |    WHEN score IS NULL OR score < $ingestQualityMin THEN 'low_quality'
+       |    WHEN split = 'heldout' THEN 'heldout'
+       |    ELSE 'train' END AS reason
+       |  FROM m)
+       |SELECT doc_id, batch, canon_id, rep_id, n_shared, score, split, reason,
+       |  CAST(CASE WHEN reason = 'train' THEN 1 ELSE 0 END AS BIGINT) AS include
+       |FROM r ORDER BY doc_id""".stripMargin
   }
 
   private lazy val incrementalOracleSql =

@@ -81,6 +81,18 @@ object IngestDedup {
       Dedup.ingestCurateBatch(s, batch, indexDir, outDir, batchId)
     }
 
+  /** Ingest-time manifest production path: the full attributable
+    * curation decision (dup_exact/near_dup/contaminated/low_quality/
+    * heldout/train) per landed file — the streaming form of the batch
+    * capstone (see [[Dedup.ingestManifestBatch]]). `indexDir` must be
+    * seeded by [[Dedup.ingestManifestIndexInit]] (signature+md5 index,
+    * eval bloom, eval shingle table). */
+  def streamIngestManifestToFiles(s: SparkSession, landingDir: String, indexDir: String,
+      outDir: String, checkpointDir: String): Unit =
+    runLandingStream(s, landingDir, checkpointDir) { (batch, batchId) =>
+      Dedup.ingestManifestBatch(s, batch, indexDir, outDir, batchId)
+    }
+
   /** Registered-query form: split the sf documents table into
     * [[ingestBatches]] modulo slices, land them as one file each (mod
     * times forced ascending so the file source replays them in batch
@@ -113,13 +125,44 @@ object IngestDedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Registered-query form of the ingest-time manifest: the landed set
+    * is the TRAIN side only (eval slice excluded — the batch capstone's
+    * base filter; the eval docs are what the contamination index is
+    * built FROM, not ingest input), replayed as [[ingestBatches]]
+    * modulo files against a manifest index seeded with the eval bloom
+    * and shingle table. */
+  def streamIngestManifest(s: SparkSession, dir: String): DataFrame = {
+    val root = manifestReplayRoot(s, dir)
+    streamIngestManifestToFiles(s, s"$root/landing/flat", s"$root/index",
+      s"$root/out", s"$root/checkpoint")
+    s.read.parquet(s"$root/out")
+      .select(col("doc_id"), col("batch"), col("canon_id"), col("rep_id"),
+        col("n_shared"), col("score"), col("split"), col("reason"), col("include"))
+      .distinct() // retried micro-batches re-append identical rows
+      .orderBy(col("doc_id"))
+  }
+
   /** Stage the modulo-split landing files (mod times forced ascending
     * so the file source replays them in batch order) and seed an empty
     * index. Fresh temp dirs per invocation — the sink and index are
     * append-only, so a rerun must not see a previous run's state. */
-  private def replayRoot(s: SparkSession, dir: String): String = {
+  private def replayRoot(s: SparkSession, dir: String): String =
+    stageLanding(s, graft.Tables(s, dir, "documents").select(col("doc_id"), col("text"))) {
+      root => Dedup.ingestIndexInit(s, s"$root/index")
+    }
+
+  /** Manifest variant: train-side docs only, manifest index seeded with
+    * the eval-set contamination artifacts carved from the same dir. */
+  private def manifestReplayRoot(s: SparkSession, dir: String): String =
+    stageLanding(s, graft.Tables(s, dir, "documents")
+        .filter(col("doc_id") % graft.ops.Curation.evalStride =!= 0)
+        .select(col("doc_id"), col("text"))) {
+      root => Dedup.ingestManifestIndexInit(s, s"$root/index", dir)
+    }
+
+  private def stageLanding(s: SparkSession, docs: org.apache.spark.sql.DataFrame)(
+      init: String => Unit): String = {
     val root = java.nio.file.Files.createTempDirectory("graft-ingest-replay").toString
-    val docs = graft.Tables(s, dir, "documents").select(col("doc_id"), col("text"))
     (0 until ingestBatches).foreach { b =>
       val d = s"$root/landing/batch_$b"
       docs.filter(pmod(col("doc_id"), lit(ingestBatches)) === b)
@@ -136,17 +179,19 @@ object IngestDedup {
         new java.io.File(s"$root/landing/flat/batch_$b.parquet").setLastModified(t)
       }
     }
-    Dedup.ingestIndexInit(s, s"$root/index")
+    init(root)
     root
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_ingest_dedup" -> streamIngestDedup _,
-    "stream_ingest_curate" -> streamIngestCurate _
+    "stream_ingest_curate" -> streamIngestCurate _,
+    "stream_ingest_manifest" -> streamIngestManifest _
   )
 
   val oracles: Map[String, String] = Map(
     "stream_ingest_dedup" -> Dedup.ingestOracleSql,
-    "stream_ingest_curate" -> Dedup.ingestCurateOracleSql
+    "stream_ingest_curate" -> Dedup.ingestCurateOracleSql,
+    "stream_ingest_manifest" -> Dedup.ingestManifestOracleSql
   )
 }

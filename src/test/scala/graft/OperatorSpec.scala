@@ -277,6 +277,34 @@ class OperatorSpec extends AnyFunSuite {
     } finally graft.ops.Dedup.clearShingleCache()
   }
 
+  test("ingest manifest agrees with the batch capstone on a residue-aligned corpus") {
+    // On a corpus whose dup groups are residue-aligned (streaming
+    // keep-first survivor == batch min-id canonical — see
+    // ManifestFixture), the ingest-time manifest must reproduce the
+    // batch capstone row for row: same canon/rep attribution, same
+    // n_shared, bit-identical score, same split and reason. This is
+    // the END of the "re-run the batch manifest to learn why" gap —
+    // the streamed decision IS the capstone decision.
+    val root = ManifestFixture.corpusDir(spark)
+    graft.ops.Dedup.clearShingleCache()
+    try {
+      def key(r: org.apache.spark.sql.Row, off: Int) =
+        (r.getLong(0), r.getLong(off), r.getLong(off + 1), r.getLong(off + 2),
+          if (r.isNullAt(off + 3)) Double.NaN else r.getDouble(off + 3),
+          r.getString(off + 4), r.getString(off + 5), r.getLong(off + 6))
+      val batch = graft.ops.Curation.curateManifest(spark, root)
+        .collect().map(key(_, 1)).sortBy(_._1)
+      // ingest rows carry an extra `batch` column at position 1
+      val ingest = graft.streaming.IngestDedup.streamIngestManifest(spark, root)
+        .collect().map(key(_, 2)).sortBy(_._1)
+      assert(batch.length == 14 && ingest.length == 14,
+        s"row counts: batch=${batch.length} ingest=${ingest.length}")
+      batch.zip(ingest).foreach { case (b, i) =>
+        assert(b == i, s"batch/ingest manifest rows diverged:\n  batch  $b\n  ingest $i")
+      }
+    } finally graft.ops.Dedup.clearShingleCache()
+  }
+
   test("q_corr_stats: correlation bounded, moments positive") {
     import TestSpark.sf0001
     val r = graft.ops.Relational.qCorrStats(spark, sf0001).collect()

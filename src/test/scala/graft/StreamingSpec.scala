@@ -312,6 +312,94 @@ class StreamingSpec extends AnyFunSuite {
       (6L, 0L, "rejected", -1L)), s"got ${v.toSeq}")
   }
 
+  test("streaming ingest manifest: all five signals at admission; restart resumes") {
+    import org.apache.spark.sql.functions._
+    import graft.streaming.IngestDedup
+    val root = ManifestFixture.corpusDir(spark)
+    val rows = IngestDedup.streamIngestManifest(spark, root).collect()
+    val got = rows.map(r => r.getLong(0) -> r.getString(7)).toMap
+    assert(got == ManifestFixture.expected, s"reasons diverged: $got")
+    rows.foreach { r =>
+      assert(r.getLong(1) == r.getLong(0) % 3, s"batch order broke: $r")
+      assert((r.getLong(8) == 1L) == (r.getString(7) == "train"), s"include flag: $r")
+    }
+    val byId = rows.map(r => r.getLong(0) -> r).toMap
+    assert(byId(7L).getLong(2) == 4L, "exact canon should be the admitted twin")
+    assert(byId(13L).getLong(3) == 10L, "near rep should be the admitted neighbor")
+    assert(byId(9L).getLong(4) == 3L, s"planted 10-token run = 3 shared 8-shingles")
+
+    // restart-resume with inspectable dirs: land batches 0-1, run, then
+    // land batch 2 and run again on the same checkpoint/index/out — the
+    // combined verdicts must match the one-shot replay, and the clean
+    // store must hold exactly the include=1 docs with single copies
+    val r2 = java.nio.file.Files.createTempDirectory("graft-manifest-resume").toString
+    val docs = spark.read.parquet(s"$root/documents.parquet")
+      .filter(col("doc_id") % graft.ops.Curation.evalStride =!= 0)
+    def land(b: Int): Unit = {
+      val tmp = s"$r2/stage_$b"
+      docs.filter(pmod(col("doc_id"), lit(3)) === b).coalesce(1)
+        .write.mode("overwrite").parquet(tmp)
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$r2/landing"))
+      new java.io.File(tmp).listFiles().filter(_.getName.endsWith(".parquet")).foreach { f =>
+        java.nio.file.Files.move(f.toPath,
+          java.nio.file.Paths.get(s"$r2/landing/batch_$b.parquet"))
+        new java.io.File(s"$r2/landing/batch_$b.parquet")
+          .setLastModified(1600000000000L + b * 60000L)
+      }
+    }
+    land(0); land(1)
+    graft.ops.Dedup.ingestManifestIndexInit(spark, s"$r2/index", root)
+    IngestDedup.streamIngestManifestToFiles(spark, s"$r2/landing", s"$r2/index",
+      s"$r2/out", s"$r2/checkpoint")
+    land(2)
+    IngestDedup.streamIngestManifestToFiles(spark, s"$r2/landing", s"$r2/index",
+      s"$r2/out", s"$r2/checkpoint")
+    val resumed = spark.read.parquet(s"$r2/out")
+      .select("doc_id", "reason").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(resumed == ManifestFixture.expected,
+      s"resumed two-phase replay diverged: $resumed")
+    val clean = spark.read.parquet(s"$r2/index/clean")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val wantClean = ManifestFixture.expected.filter(_._2 == "train").keySet
+    assert(clean.keySet == wantClean && clean.values.forall(_ == 1L),
+      s"clean store should hold exactly the include docs once: $clean")
+    // the index admits every non-dup doc — including the contaminated,
+    // heldout and low-quality ones (their text still guards later dups)
+    val idx = spark.read.parquet(s"$r2/index/simhash")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val wantIdx = ManifestFixture.expected
+      .filter(e => e._2 != "dup_exact" && e._2 != "near_dup").keySet
+    assert(idx == wantIdx, s"index admission: $idx != $wantIdx")
+  }
+
+  test("ingest manifest retry: clean store and signature index stay single-copy") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val root = ManifestFixture.corpusDir(spark)
+    val r = java.nio.file.Files.createTempDirectory("graft-manretry-spec").toString
+    graft.ops.Dedup.ingestManifestIndexInit(spark, s"$r/index", root)
+    val b0 = Seq(3L, 6L, 9L, 12L).map(i => (i, ManifestFixture.text(i)))
+      .toDF("doc_id", "text")
+    graft.ops.Dedup.ingestManifestBatch(spark, b0, s"$r/index", s"$r/out", 0L)
+    graft.ops.Dedup.ingestManifestBatch(spark, b0, s"$r/index", s"$r/out", 0L)
+    val idx = spark.read.parquet(s"$r/index/simhash")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n")).collect()
+      .map(r0 => r0.getLong(0) -> r0.getLong(1)).toMap
+    assert(idx == Map(3L -> 1L, 6L -> 1L, 9L -> 1L, 12L -> 1L),
+      s"index after retry: $idx")
+    val clean = spark.read.parquet(s"$r/index/clean")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n")).collect()
+      .map(r0 => r0.getLong(0) -> r0.getLong(1)).toMap
+    assert(clean == Map(3L -> 1L, 6L -> 1L, 12L -> 1L), // 9 is contaminated
+      s"clean store after retry: $clean")
+    val v = spark.read.parquet(s"$r/out").select("doc_id", "reason").distinct()
+      .collect().map(r0 => r0.getLong(0) -> r0.getString(1)).toMap
+    assert(v == Map(3L -> "train", 6L -> "train", 9L -> "contaminated", 12L -> "train"),
+      s"verdicts after retry: $v")
+  }
+
   test("streaming ingest curate: scrub before hashing, quality gate, clean store") {
     import org.apache.spark.sql.functions._
     import graft.streaming.IngestDedup
