@@ -83,9 +83,13 @@ object AnnIndex {
   /** Append a landing batch's vectors to an existing index, hashed with
     * the index's persisted thresholds. The batch pays only its own
     * hashing — the standing corpus is untouched. */
-  def lshIndexAppend(s: SparkSession, batchDir: String, indexDir: String): Unit =
+  def lshIndexAppend(s: SparkSession, batchDir: String, indexDir: String): Unit = {
     hashWith(s, batchDir, metaRow(s, indexDir))
       .write.mode("append").parquet(s"$indexDir/buckets")
+    // a serve BEFORE this append may have memoized (and cached) the old
+    // bucket file set — drop it so the next serve sees the batch
+    PlanCache.invalidate(s, s"$indexDir|lsh-index-buckets")
+  }
 
   /** The corpus member side of a serving plan, with an optional
     * serve-time predicate. FILTERED ANN ("nearest neighbors WHERE
@@ -121,9 +125,10 @@ object AnnIndex {
     val meta = metaRow(s, indexDir)
     val geom = meta.select(col("tables"), col("bits")).head()
     val (tables, bits) = (geom.getInt(0), geom.getInt(1))
-    val buckets = PlanCache.memoized(s, s"$indexDir|lsh-index-buckets") {
-      s.read.parquet(s"$indexDir/buckets")
-    }
+    val buckets = IndexMaintenance.minusTombstones(s, s"$indexDir/buckets",
+      PlanCache.memoized(s, s"$indexDir|lsh-index-buckets") {
+        s.read.parquet(s"$indexDir/buckets")
+      }, "vec_id")
     // the same zero-vector exclusion as Similarity.normed: a zero query
     // has no direction and its cosine would be NaN on every candidate
     val qn = queries
@@ -236,6 +241,7 @@ object AnnIndex {
     Similarity.nearestCentroids(cent)(
         Similarity.normed(s, batchDir), "vec_id", "embedding", "nrm", 1)
       .write.mode("append").parquet(s"$indexDir/lists")
+    PlanCache.invalidate(s, s"$indexDir|ivf-index-lists")
   }
 
   /** Serve top-k for an external (q_id, embedding) frame from a
@@ -250,9 +256,10 @@ object AnnIndex {
       s.read.parquet(s"$indexDir/centroids")
     }
     val probes = Similarity.ivfProbesFor(cent.count().toDouble)
-    val assign = PlanCache.memoized(s, s"$indexDir|ivf-index-lists") {
-      s.read.parquet(s"$indexDir/lists")
-    }
+    val assign = IndexMaintenance.minusTombstones(s, s"$indexDir/lists",
+      PlanCache.memoized(s, s"$indexDir|ivf-index-lists") {
+        s.read.parquet(s"$indexDir/lists")
+      }, "vec_id")
     val n = memberPool(s, corpusDirs, memberPred)
     val lists = assign.join(n, "vec_id")
       .groupBy(col("c_id"))
@@ -343,6 +350,7 @@ object AnnIndex {
     Similarity.ivfPqAssign(cent, readCodebook(s, indexDir),
         Similarity.normed(s, batchDir))
       .write.mode("append").parquet(s"$indexDir/lists")
+    PlanCache.invalidate(s, s"$indexDir|ivfpq-lists")
   }
 
   private def readCodebook(s: SparkSession, indexDir: String): Array[Double] =
@@ -359,9 +367,10 @@ object AnnIndex {
     val cent = PlanCache.memoized(s, s"$indexDir|ivfpq-centroids") {
       s.read.parquet(s"$indexDir/centroids")
     }
-    val assigned = PlanCache.memoized(s, s"$indexDir|ivfpq-lists") {
-      s.read.parquet(s"$indexDir/lists")
-    }
+    val assigned = IndexMaintenance.minusTombstones(s, s"$indexDir/lists",
+      PlanCache.memoized(s, s"$indexDir|ivfpq-lists") {
+        s.read.parquet(s"$indexDir/lists")
+      }, "vec_id")
     val n = corpusDirs.map(Similarity.normed(s, _)).reduce(_ unionAll _)
     val qn = queries
       .select(col("q_id").as("vec_id"), col("embedding"))
@@ -377,24 +386,44 @@ object AnnIndex {
     * Meta (1 row) is left alone. The serve memo of the old file set is
     * invalidated. See [[IndexMaintenance]]. */
   def lshIndexCompact(s: SparkSession, indexDir: String): (Int, Int) = {
-    val r = IndexMaintenance.compactTable(s, s"$indexDir/buckets", Seq("tbl", "bucket"))
+    val r = IndexMaintenance.compactTable(s, s"$indexDir/buckets", Seq("tbl", "bucket"),
+      tombstoneCol = Some("vec_id"))
     PlanCache.invalidate(s, s"$indexDir|")
     r
   }
+
+  /** Retract vectors from the LSH bucket index (takedown): tombstoned
+    * now — gone from the next serve's candidate pool — physically
+    * dropped at the next [[lshIndexCompact]]. Idempotent. */
+  def lshIndexDelete(s: SparkSession, indexDir: String, vecIds: Seq[Long]): Unit =
+    IndexMaintenance.deleteIds(s, s"$indexDir/buckets", vecIds)
 
   /** Compact the IVF inverted-list table on c_id (the probe key). */
   def ivfIndexCompact(s: SparkSession, indexDir: String): (Int, Int) = {
-    val r = IndexMaintenance.compactTable(s, s"$indexDir/lists", Seq("c_id", "vec_id"))
+    val r = IndexMaintenance.compactTable(s, s"$indexDir/lists", Seq("c_id", "vec_id"),
+      tombstoneCol = Some("vec_id"))
     PlanCache.invalidate(s, s"$indexDir|")
     r
   }
 
+  /** Retract vectors from the IVF list index. The centroids stay: the
+    * quantizer is trained structure, not per-doc content — deleting a
+    * member never re-trains (same frozen-quantizer semantic as append). */
+  def ivfIndexDelete(s: SparkSession, indexDir: String, vecIds: Seq[Long]): Unit =
+    IndexMaintenance.deleteIds(s, s"$indexDir/lists", vecIds)
+
   /** Compact the IVF-PQ code-carrying list table on c_id. */
   def ivfPqIndexCompact(s: SparkSession, indexDir: String): (Int, Int) = {
-    val r = IndexMaintenance.compactTable(s, s"$indexDir/lists", Seq("c_id", "vec_id"))
+    val r = IndexMaintenance.compactTable(s, s"$indexDir/lists", Seq("c_id", "vec_id"),
+      tombstoneCol = Some("vec_id"))
     PlanCache.invalidate(s, s"$indexDir|")
     r
   }
+
+  /** Retract vectors from the IVF-PQ index (codebook + centroids stay
+    * frozen, as with append). */
+  def ivfPqIndexDelete(s: SparkSession, indexDir: String, vecIds: Seq[Long]): Unit =
+    IndexMaintenance.deleteIds(s, s"$indexDir/lists", vecIds)
 
   /** Registered-query form: persist the IVF-PQ index once for `dir`,
     * serve the stride query set from it. Rows-only (trained quantizer);

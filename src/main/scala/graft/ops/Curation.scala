@@ -249,18 +249,65 @@ object Curation {
       throw new java.io.IOException(s"rename $tmp -> $dest failed")
   }
 
-  /** PERSIST the eval slice's distinct shingle hashes alongside the
-    * bloom — the EXACT side of the two-tier contamination probe the
-    * ingest-time manifest runs: the bloom screens every doc map-only
-    * (no false negatives), and only the tiny flagged slice equi-joins
-    * this table to confirm and count true shared shingles, which is
-    * what makes the streamed n_shared bit-identical to the exact
-    * [[decontaminateNgram]] join (and hence DuckDB-oracle-able —
-    * bloom false positives never reach the output). The table is
-    * eval-sized by construction, never corpus-sized. */
+  /** PERSIST the eval slice's shingle hashes WITH their eval doc ids
+    * alongside the bloom — the EXACT side of the two-tier contamination
+    * probe the ingest-time manifest runs: the bloom screens every doc
+    * map-only (no false negatives), and only the tiny flagged slice
+    * equi-joins this table to confirm and count true shared shingles,
+    * which is what makes the streamed n_shared bit-identical to the
+    * exact [[decontaminateNgram]] join (and hence DuckDB-oracle-able —
+    * bloom false positives never reach the output). The doc attribution
+    * is what makes RETRACTION possible: an eval benchmark retired from
+    * the contamination set deletes by eval_id ([[decontamIndexDelete]]),
+    * which the bloom alone could never honor (bits cannot be unset).
+    * The table is eval-sized by construction, never corpus-sized. */
   def decontamShingleWrite(s: SparkSession, evalDir: String, indexDir: String): Unit =
-    evalShingleHashes(s, evalDir)
+    Tables(s, evalDir, "documents")
+      .filter(col("doc_id") % evalStride === 0)
+      .select(col("doc_id").as("eval_id"),
+        explode(graft.plans.VectorFunctions.word_shingle_hashes(
+          col("text"), contamShingleN)).as("h"))
+      .distinct()
       .write.mode("overwrite").parquet(s"$indexDir/eval_shingles")
+
+  /** The eval shingle table with pending retractions filtered — the
+    * read the exact confirm tier uses, so a retracted eval doc stops
+    * flagging train docs IMMEDIATELY (the bloom may still screen a doc
+    * in on the retracted shingles' stale bits, but the exact tier
+    * refuses to confirm — one-sided error absorbs staleness). */
+  private[graft] def evalShingleIndex(s: SparkSession, indexDir: String): DataFrame =
+    IndexMaintenance.minusTombstones(s, s"$indexDir/eval_shingles",
+      s.read.parquet(s"$indexDir/eval_shingles"), "eval_id")
+
+  /** Retract eval documents from the contamination index (a retired or
+    * re-licensed benchmark): tombstone by eval_id — exact-tier-correct
+    * immediately, physically dropped and BLOOM-REBUILT at the next
+    * [[decontamIndexCompact]]. Idempotent. */
+  def decontamIndexDelete(s: SparkSession, indexDir: String, evalIds: Seq[Long]): Unit =
+    IndexMaintenance.deleteIds(s, s"$indexDir/eval_shingles", evalIds)
+
+  /** Compact the contamination index: physically drop retracted eval
+    * rows, then REBUILD the bloom from the surviving shingles — the
+    * only way to honor a delete in a bloom (bits cannot be unset), so
+    * compaction is where the screen tier catches up with the exact
+    * tier. Re-sized to the surviving distinct-hash count at the
+    * original fpp, so the rebuilt filter's FP budget is fresh. */
+  def decontamIndexCompact(s: SparkSession, indexDir: String): (Int, Int) = {
+    val r = IndexMaintenance.compactTable(s, s"$indexDir/eval_shingles",
+      Seq("eval_id", "h"), tombstoneCol = Some("eval_id"))
+    val surviving = s.read.parquet(s"$indexDir/eval_shingles")
+      .select(col("h")).distinct()
+    val cnt = surviving.count()
+    val n = math.max(1024L, cnt)
+    // stat.bloomFilter returns a null buffer on an empty frame (every
+    // eval doc retracted — legal); an explicit empty filter screens
+    // nothing, which is exactly right
+    val bloom =
+      if (cnt == 0L) org.apache.spark.util.sketch.BloomFilter.create(n, contamBloomFpp)
+      else surviving.stat.bloomFilter("h", n, contamBloomFpp)
+    writeBloomRow(s, indexDir, bloom, n, contamBloomFpp, totalItems = n)
+    r
+  }
 
   /** Deserialize the persisted bloom row (shared by serve/append and
     * the ingest-time manifest probe). */

@@ -552,10 +552,45 @@ object Dedup {
       .write.mode("append").parquet(s"$indexDir/simhash")
 
   /** Compact the signature table after a run of landing appends: few
-    * files, doc_id-sorted. Signatures are content, not layout — the
-    * indexed check is identical before/after. See [[IndexMaintenance]]. */
+    * files, doc_id-sorted, tombstoned docs physically dropped.
+    * Signatures are content, not layout — the indexed check is
+    * identical before/after. See [[IndexMaintenance]]. */
   def dedupIndexCompact(s: SparkSession, indexDir: String): (Int, Int) =
-    IndexMaintenance.compactTable(s, s"$indexDir/simhash", Seq("doc_id"))
+    IndexMaintenance.compactTable(s, s"$indexDir/simhash", Seq("doc_id"),
+      tombstoneCol = Some("doc_id"))
+
+  /** Retract documents from the signature index (takedown/opt-out):
+    * tombstone now, serve-filtered immediately — a deleted doc stops
+    * masking later near-dups at the NEXT micro-batch — physically
+    * dropped at the next [[dedupIndexCompact]]. Idempotent. */
+  def dedupIndexDelete(s: SparkSession, indexDir: String, docIds: Seq[Long]): Unit =
+    IndexMaintenance.deleteIds(s, s"$indexDir/simhash", docIds)
+
+  /** Retract documents from an INGEST index dir — the full takedown:
+    * the signature row stops guarding dedup and the clean-store text
+    * row (the corpus artifact itself) is tombstoned out of every read
+    * through [[cleanStore]], both physically dropped by
+    * [[ingestIndexCompact]]. */
+  def ingestIndexDelete(s: SparkSession, indexDir: String, docIds: Seq[Long]): Unit = {
+    dedupIndexDelete(s, indexDir, docIds)
+    if (new java.io.File(s"$indexDir/clean").exists())
+      IndexMaintenance.deleteIds(s, s"$indexDir/clean", docIds)
+  }
+
+  /** The admitted clean-text corpus with pending deletes filtered out —
+    * the read every training consumer should use instead of a raw
+    * parquet read of `clean/`. */
+  def cleanStore(s: SparkSession, indexDir: String): DataFrame =
+    IndexMaintenance.minusTombstones(s, s"$indexDir/clean",
+      s.read.parquet(s"$indexDir/clean"), "doc_id")
+
+  /** Compact signature index AND clean store, dropping tombstones. */
+  def ingestIndexCompact(s: SparkSession, indexDir: String): (Int, Int) = {
+    if (new java.io.File(s"$indexDir/clean").exists())
+      IndexMaintenance.compactTable(s, s"$indexDir/clean", Seq("doc_id"),
+        tombstoneCol = Some("doc_id"))
+    dedupIndexCompact(s, indexDir)
+  }
 
   /** Landing-zone near-dup check against a PERSISTED signature index:
     * the batch is hashed fresh; the corpus side is the signature parquet
@@ -565,8 +600,15 @@ object Dedup {
   def dedupIncrementalIndexed(s: SparkSession, batchDir: String, indexDir: String): DataFrame = {
     val batchDocs = Tables(s, batchDir, "documents")
     incrementalAgainst(batchDocs, simBandsOf(simSigOf(batchDocs)),
-      simBandsOf(s.read.parquet(s"$indexDir/simhash")))
+      simBandsOf(readSigIndex(s, indexDir)))
   }
+
+  /** The signature index with pending tombstones filtered — every
+    * index-side read goes through here so a retracted doc stops
+    * matching immediately, before any compaction. */
+  private def readSigIndex(s: SparkSession, indexDir: String): DataFrame =
+    IndexMaintenance.minusTombstones(s, s"$indexDir/simhash",
+      s.read.parquet(s"$indexDir/simhash"), "doc_id")
 
   /** Per-micro-batch verdict + admission for the STREAMING ingest path
     * ([[graft.streaming.IngestDedup]]): flag each batch doc whose
@@ -593,7 +635,7 @@ object Dedup {
     * member — the hit set both ingest forms share. */
   private def ingestHits(s: SparkSession, sig: DataFrame, indexDir: String): DataFrame = {
     val batchBands = simBandsOf(sig)
-    val idxBands = simBandsOf(s.read.parquet(s"$indexDir/simhash"))
+    val idxBands = simBandsOf(readSigIndex(s, indexDir))
     def near(y: DataFrame, cond: Column) =
       batchBands.as("x").join(y.as("y"),
           col("x.band") === col("y.band") && col("x.bval") === col("y.bval") && cond)
@@ -754,7 +796,7 @@ object Dedup {
         // exact dups: same clean-text md5 as an admitted index doc or a
         // lower-id batch member (self excluded for retry idempotence,
         // like ingestHits)
-        val idxMd = s.read.parquet(s"$indexDir/simhash")
+        val idxMd = readSigIndex(s, indexDir)
           .select(col("doc_id"), col("tmd5"))
         val batchMd = scrubbed.select(col("doc_id"), col("tmd5"))
         def exact(y: DataFrame, cond: Column) =
@@ -775,7 +817,7 @@ object Dedup {
               h => graft.plans.VectorFunctions.bloom_might_contain(h, bloom)).as("maybe"))
           .filter(size(col("maybe")) > 0)
           .select(col("doc_id"), explode(col("maybe")).as("h"))
-          .join(s.read.parquet(s"$indexDir/eval_shingles"), "h")
+          .join(Curation.evalShingleIndex(s, indexDir).select(col("h")), "h")
           .groupBy(col("doc_id")).agg(countDistinct(col("h")).as("n_shared"))
         val verdicts = scrubbed.select(col("doc_id"), col("score"))
           .join(exHits, Seq("doc_id"), "left")

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
 
 /** Compaction for the persisted-index landing zones.
@@ -48,8 +48,14 @@ object IndexMaintenance {
     * range-partitioned + sorted on `sortCols`, swap it in, and return
     * (files before, files after). A no-op single-file table still
     * rewrites (the sort may be new), which keeps the contract simple:
-    * after compact, the table IS sorted. */
-  def compactTable(s: SparkSession, path: String, sortCols: Seq[String]): (Int, Int) = {
+    * after compact, the table IS sorted. When `tombstoneCol` is given,
+    * rows whose id is tombstoned (see [[deleteIds]]) are PHYSICALLY
+    * dropped by the rewrite — and because the tombstone table lives
+    * INSIDE the table dir, the swap clears it in the same atomic
+    * rename: after compact, the table holds only surviving rows and
+    * carries no pending deletes. */
+  def compactTable(s: SparkSession, path: String, sortCols: Seq[String],
+      tombstoneCol: Option[String] = None): (Int, Int) = {
     val before = dataFiles(s, path)
     require(before.nonEmpty, s"compactTable: nothing to compact at $path")
     val totalBytes = before.map(_.getLen).sum
@@ -58,7 +64,8 @@ object IndexMaintenance {
     val dest = new org.apache.hadoop.fs.Path(path)
     val tmp = new org.apache.hadoop.fs.Path(
       dest.getParent, s".${dest.getName}.compact.tmp")
-    s.read.parquet(path)
+    val base = s.read.parquet(path)
+    tombstoneCol.fold(base)(c => minusTombstones(s, path, base, c))
       .repartitionByRange(nOut, keys: _*)
       .sortWithinPartitions(keys: _*)
       .write.mode("overwrite").parquet(tmp.toString)
@@ -68,4 +75,45 @@ object IndexMaintenance {
       throw new java.io.IOException(s"compactTable: rename $tmp -> $dest failed")
     (before.size, dataFiles(s, path).size)
   }
+
+  // ------------------------------------------------- delete / retraction
+  //
+  // Takedown (opt-out, contaminated-source retraction) is routine at
+  // training-data scale, and an append-only index family needs a
+  // defined path for it. The move is the standard LSM one: a DELETE
+  // appends the id to a tiny tombstone table stored INSIDE the index
+  // table's directory (`_tombstones` — the underscore prefix keeps
+  // every parquet read of the table itself from seeing it), serving
+  // anti-joins the tombstones out IMMEDIATELY (a deleted doc is gone
+  // from the next query, no rebuild on the critical path), and the
+  // next compaction physically drops the rows — the directory swap
+  // clears the tombstones in the same atomic rename. Deletes are
+  // idempotent by construction: a double delete appends a duplicate
+  // tombstone row, and both the serve-time anti-join and the compact
+  // rewrite are set operations.
+
+  /** Tombstone ids against the parquet table at `tablePath`. */
+  def deleteIds(s: SparkSession, tablePath: String, ids: Seq[Long]): Unit = {
+    require(ids.nonEmpty, "deleteIds: empty id list")
+    import s.implicits._
+    ids.toDF("id").coalesce(1)
+      .write.mode("append").parquet(s"$tablePath/_tombstones")
+  }
+
+  /** Pending tombstoned ids of `tablePath`, if any. */
+  def pendingTombstones(s: SparkSession, tablePath: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(s"$tablePath/_tombstones")
+    if (fs(s, p).exists(p)) Some(s.read.parquet(p.toString).select(col("id")).distinct())
+    else None
+  }
+
+  /** `df` minus rows whose `idCol` is tombstoned at `tablePath` — the
+    * serve-time filter every index read applies. Zero plan overhead
+    * when no delete is pending (the common case: no tombstone dir, no
+    * join). */
+  def minusTombstones(s: SparkSession, tablePath: String, df: DataFrame,
+      idCol: String): DataFrame =
+    pendingTombstones(s, tablePath).fold(df) { t =>
+      df.join(t.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
+    }
 }

@@ -635,7 +635,8 @@ object TextAnalysis {
     * retrieval needs at 100 TB; same tail as the scan path ⇒ shared
     * oracle. */
   def textPhraseServed(s: SparkSession, indexDir: String): DataFrame = {
-    val hits = s.read.parquet(s"$indexDir/postings")
+    val hits = IndexMaintenance.minusTombstones(s, s"$indexDir/postings",
+        s.read.parquet(s"$indexDir/postings"), "doc_id")
       .filter(col("term").isin(phraseQuery: _*))
     phraseHits(phraseQuery.zipWithIndex.map { case (t, i) =>
       hits.filter(col("term") === t).select(col("doc_id"), col("positions").as(s"pos_$i"))
@@ -795,7 +796,8 @@ object TextAnalysis {
     * tree), so it shares its DuckDB oracle. */
   def textBm25Served(s: SparkSession, indexDir: String,
       memberPred: Option[org.apache.spark.sql.Column] = None): DataFrame = {
-    val hits = s.read.parquet(s"$indexDir/postings")
+    val hits = IndexMaintenance.minusTombstones(s, s"$indexDir/postings",
+        s.read.parquet(s"$indexDir/postings"), "doc_id")
       .filter(col("term").isin(bm25Query: _*))
     val perDocAggs = bm25Query.zipWithIndex.map { case (t, i) =>
       sum(when(col("term") === t, col("tf")).otherwise(0L)).as(s"tf_$i")
@@ -810,7 +812,8 @@ object TextAnalysis {
     val stats = s.read.parquet(s"$indexDir/stats")
     // the slice predicate prunes on the doc-values scan; the inner join
     // then drops out-of-slice posting hits before scoring
-    val doclenAll = s.read.parquet(s"$indexDir/doclen")
+    val doclenAll = IndexMaintenance.minusTombstones(s, s"$indexDir/doclen",
+      s.read.parquet(s"$indexDir/doclen"), "doc_id")
     val doclen = memberPred.fold(doclenAll)(doclenAll.filter(_))
     bm25Rank(perDoc
       .join(doclen, "doc_id")
@@ -821,11 +824,38 @@ object TextAnalysis {
   /** Compact the posting table on term — the sort that puts each
     * term's posting list into contiguous, min/max-prunable row groups,
     * which is exactly what the serve path's pushed `term IN (...)`
-    * predicate skips by. Doclen compacts on doc_id; the 1-row stats
-    * table needs nothing. */
+    * predicate skips by. Doclen compacts on doc_id. Tombstoned docs
+    * ([[textIndexDelete]]) are physically dropped from both, and the
+    * 1-row stats table is RECOMPUTED from the surviving doclen rows —
+    * the Lucene semantic made explicit: n_docs/avgdl stay frozen
+    * between delete and compact (deleted docs still shape scores, but
+    * never appear), and compact is where statistics catch up. */
   def textIndexCompact(s: SparkSession, indexDir: String): (Int, Int) = {
-    IndexMaintenance.compactTable(s, s"$indexDir/doclen", Seq("doc_id"))
-    IndexMaintenance.compactTable(s, s"$indexDir/postings", Seq("term", "doc_id"))
+    IndexMaintenance.compactTable(s, s"$indexDir/doclen", Seq("doc_id"),
+      tombstoneCol = Some("doc_id"))
+    val r = IndexMaintenance.compactTable(s, s"$indexDir/postings", Seq("term", "doc_id"),
+      tombstoneCol = Some("doc_id"))
+    val dest = new org.apache.hadoop.fs.Path(s"$indexDir/stats")
+    val tmp = new org.apache.hadoop.fs.Path(s"$indexDir/.stats.tmp")
+    s.read.parquet(s"$indexDir/doclen")
+      .agg(count(lit(1)).as("n_docs"),
+        (sum(col("dl")).cast("double") / count(lit(1)).cast("double")).as("avgdl"))
+      .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val f = dest.getFileSystem(s.sparkContext.hadoopConfiguration)
+    f.delete(dest, true)
+    if (!f.rename(tmp, dest))
+      throw new java.io.IOException(s"textIndexCompact: rename $tmp -> $dest failed")
+    r
+  }
+
+  /** Retract documents from the lexical index (takedown): tombstoned
+    * across postings and doc-values now — a deleted doc is absent from
+    * the next query's ranking and term dfs immediately — physically
+    * dropped (and corpus stats recomputed) at the next
+    * [[textIndexCompact]]. Idempotent. */
+  def textIndexDelete(s: SparkSession, indexDir: String, docIds: Seq[Long]): Unit = {
+    IndexMaintenance.deleteIds(s, s"$indexDir/postings", docIds)
+    IndexMaintenance.deleteIds(s, s"$indexDir/doclen", docIds)
   }
 
   /** One persisted text index per corpus per JVM for the registered
