@@ -3,6 +3,8 @@ package graft.ops
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextFns
 
 /** Hybrid retrieval: reciprocal-rank fusion (RRF) of a lexical BM25
   * ranking and a semantic ANN ranking over the SAME document corpus —
@@ -12,17 +14,25 @@ import org.apache.spark.sql.functions._
   * `documents.doc_id` and `embeddings.vec_id` share an id space, which
   * is exactly the deployment layout (one embedding row per document).
   *
-  * RRF (Cormack et al.'s rank-fusion rule): score(d) = Σ_lists
-  * 1/(k + rank_list(d)), with k = [[rrfK]] damping the head and absent
-  * docs contributing 0. Rank-based fusion needs NO score calibration
-  * between the BM25 log-scale and the cosine scale — which is why it is
-  * the default fusion in production hybrid search.
+  * RRF (Cormack et al.'s rank-fusion rule): score(q, d) = Σ_lists
+  * 1/(k + rank_list(q, d)), with k = [[rrfK]] damping the head and
+  * absent docs contributing 0. Rank-based fusion needs NO score
+  * calibration between the BM25 log-scale and the cosine scale — which
+  * is why it is the default fusion in production hybrid search.
   *
-  * Scale shape: each side is already its own scale path — BM25 is a
-  * linear scan (or the persisted-postings serve), the semantic side
-  * serves ONE query from the persisted LSH index (only its probed
-  * buckets are scored, not the stride sample's). The fusion itself
-  * joins two ≤topK-row frames — driver-trivial at any corpus size. */
+  * The whole path is QUERY-SET shaped (round-7 generalization of the
+  * single hardcoded query): every stride doc is a hybrid query — its
+  * embedding probes the persisted LSH index, and its first
+  * [[hybridQueryTerms]] distinct tokens form its lexical query. Scale
+  * shape: the semantic side scores only the query set's probed buckets
+  * (the [[AnnIndex.lshIndexServe]] path); the lexical side is ONE
+  * (term) equi-join of the per-query term table (queries × 3 rows —
+  * broadcast) against the per-doc term frequencies (the inverted-index
+  * relation — in production the persisted postings, here built in one
+  * token-explode pass), then a per-(query, doc) pivot to FIXED term
+  * slots so the score sum has a deterministic order. Fusion joins two
+  * rank frames of ≤topK rows per query on (q_id, doc_id). No stage
+  * touches corpus × queries pairs outside the term/bucket joins. */
 object Retrieval {
 
   /** RRF damping constant (the conventional value from the TREC fusion
@@ -30,70 +40,173 @@ object Retrieval {
     * rank-1 hits). */
   val rrfK = 60
 
-  /** The demo hybrid query: terms = [[TextAnalysis.bm25Query]], vector
-    * = the embedding of this corpus vector (doc 0's embedding under the
-    * shared id space; also a member of the stride query set, so its
-    * semantic ranks equal `sim_lsh_ann`'s q_id=0 rows). */
-  val hybridQueryId = 0L
+  /** Lexical terms drawn per hybrid query: the query doc's first
+    * distinct tokens, a deterministic, oracle-able stand-in for a user
+    * query string. */
+  val hybridQueryTerms = 3
 
   val hybridTopK = 10
 
-  /** Fused ranking: doc_id, the two per-list ranks (null when the doc
-    * is absent from that list), and the RRF score. Exact over both
-    * input rankings, so it carries a full DuckDB oracle composed from
-    * the BM25 and LSH oracle CTEs. */
+  /** Per-query lexical term slots: (q_id, pos 1..[[hybridQueryTerms]],
+    * qt) — first-occurrence-distinct tokens of each stride query doc. */
+  private def hybridQueryTermsOf(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .filter(col("doc_id") % Similarity.queryStride === 0)
+      .select(col("doc_id").as("q_id"), TextFns.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 1)
+      .select(col("q_id"), posexplode(slice(
+        filter(col("toks"), (t, i) => array_position(col("toks"), t) === i + 1),
+        1, hybridQueryTerms)).as(Seq("pos0", "qt")))
+      .select(col("q_id"), (col("pos0") + 1).cast("long").as("pos"), col("qt"))
+
+  /** Per-(query, doc) BM25 over the query-set term table — the grouped
+    * generalization of [[TextAnalysis.textBm25Search]]'s fixed query:
+    * same k1/b, same 6-decimal score quantization, score summed over
+    * the FIXED pos slots so both engines evaluate the identical double
+    * expression order. Returns (q_id, doc_id, lex_rk ≤ bm25TopK). */
+  private def lexRanks(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables(s, dir, "documents")
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 1)
+      .withColumn("dl", size(col("toks")).cast("long"))
+    val postings = base
+      .select(col("doc_id"), explode(col("toks")).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfr = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val stats = base.agg(count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1)).cast("double")).as("avgdl"))
+    val slots = 1 to hybridQueryTerms
+    val pivots = slots.flatMap { i =>
+      Seq(sum(when(col("pos") === i, col("tf"))).as(s"tf_$i"),
+        max(when(col("pos") === i, col("df"))).as(s"df_$i"))
+    }
+    val piv = hybridQueryTermsOf(s, dir)
+      .join(postings, col("qt") === col("term"))
+      .join(dfr, "term")
+      .groupBy(col("q_id"), col("doc_id"))
+      .agg(pivots.head, pivots.tail: _*)
+    val contrib = slots.map { i =>
+      val idf = log(lit(1.0) +
+        (col("n_docs").cast("double") - col(s"df_$i").cast("double") + 0.5) /
+          (col(s"df_$i").cast("double") + 0.5))
+      val tf = col(s"tf_$i").cast("double")
+      coalesce(idf * (tf * lit(TextAnalysis.bm25K1 + 1.0)) /
+        (tf + lit(TextAnalysis.bm25K1) * (lit(1.0 - TextAnalysis.bm25B) +
+          lit(TextAnalysis.bm25B) * col("dl").cast("double") / col("avgdl"))),
+        lit(0.0))
+    }
+    val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("doc_id"))
+    piv
+      .join(base.select(col("doc_id"), col("dl")), "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("score", round(contrib.reduce(_ + _), 6))
+      .withColumn("lex_rk", row_number().over(w).cast("long"))
+      .filter(col("lex_rk") <= TextAnalysis.bm25TopK)
+      .select(col("q_id"), col("doc_id"), col("lex_rk"))
+  }
+
+  /** Fused ranking over the stride query set: q_id, per-query fused
+    * rank, doc_id, the two per-list ranks (null when the doc is absent
+    * from that list), and the RRF score. Exact over both input
+    * rankings, so it carries a full DuckDB oracle composed from the LSH
+    * oracle CTE chain and the grouped-BM25 restatement. */
   def searchHybridRrf(s: SparkSession, dir: String): DataFrame = {
-    // semantic side: serve ONE query from the persisted index — probes
-    // only that query's buckets (the single-query serving cost), and is
-    // byte-identical to sim_lsh_ann's q_id=hybridQueryId rows because
-    // per-query results depend only on the query's own probed buckets
     val sem = AnnIndex.lshIndexServe(s, AnnIndex.lshIndexFor(s, dir), Seq(dir),
         Similarity.normed(s, dir)
-          .filter(col("vec_id") === hybridQueryId)
+          .filter(col("vec_id") % Similarity.queryStride === 0)
           .select(col("vec_id").as("q_id"), col("embedding")))
-      .select(col("cand_id").as("doc_id"), col("rk").as("sem_rk"))
-    // lexical side: the BM25 top-k re-ranked to dense 1..k (its score
-    // order with doc_id tie-break) — a ≤bm25TopK-row window
-    val lexW = Window.orderBy(col("score").desc, col("doc_id"))
-    val lex = TextAnalysis.textBm25Search(s, dir)
-      .select(col("doc_id"), col("score"))
-      .withColumn("lex_rk", row_number().over(lexW).cast("long"))
-      .select(col("doc_id"), col("lex_rk"))
+      .select(col("q_id"), col("cand_id").as("doc_id"), col("rk").as("sem_rk"))
     // fixed-order fusion sum (lex term + sem term), absent list -> 0.0:
     // both engines evaluate the identical double expression
-    lex.join(sem, Seq("doc_id"), "full_outer")
+    val w = Window.partitionBy(col("q_id")).orderBy(col("rrf").desc, col("doc_id"))
+    lexRanks(s, dir).join(sem, Seq("q_id", "doc_id"), "full_outer")
       .withColumn("rrf",
         coalesce(lit(1.0) / (lit(rrfK) + col("lex_rk")), lit(0.0)) +
           coalesce(lit(1.0) / (lit(rrfK) + col("sem_rk")), lit(0.0)))
-      .orderBy(col("rrf").desc, col("doc_id"))
-      .limit(hybridTopK)
-      .select(col("doc_id"), col("lex_rk"), col("sem_rk"), col("rrf"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= hybridTopK)
+      .select(col("q_id"), col("rk"), col("doc_id"),
+        col("lex_rk"), col("sem_rk"), col("rrf"))
+      .orderBy(col("q_id"), col("rk"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "search_hybrid_rrf" -> searchHybridRrf _
   )
 
+  private val tokSql =
+    """list_filter(string_split_regex(text, '[ \t\n\x0B\f\r]+'), x -> x <> '')"""
+
   val oracles: Map[String, String] = Map(
-    // composed from the two sides' oracle CTE chains: the LSH chain's
-    // `ranked` (restricted to the hybrid query) fuses with the BM25
-    // ranked select re-ranked dense
-    "search_hybrid_rrf" ->
+    // semantic side: the LSH chain's `ranked` over the full stride set;
+    // lexical side: the grouped BM25 restated with the same fixed-slot
+    // pivot and 6-decimal quantization; fusion per (q_id, doc_id)
+    "search_hybrid_rrf" -> {
+      val k1 = TextAnalysis.bm25K1
+      val b = TextAnalysis.bm25B
+      val slots = 1 to hybridQueryTerms
+      val pivotCols = slots.map { i =>
+        s"""    sum(CASE WHEN pos = $i THEN tf END) AS tf_$i,
+           |    max(CASE WHEN pos = $i THEN df END) AS df_$i""".stripMargin
+      }.mkString(",\n")
+      val contribSql = slots.map { i =>
+        s"""COALESCE(ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df_$i AS DOUBLE) + 0.5)
+           |      / (CAST(df_$i AS DOUBLE) + 0.5))
+           |    * (CAST(tf_$i AS DOUBLE) * ${k1 + 1.0})
+           |    / (CAST(tf_$i AS DOUBLE) + $k1 * (${1.0 - b} + $b * CAST(dl AS DOUBLE) / avgdl)), 0.0)""".stripMargin
+      }.mkString("\n    + ")
       s"""WITH ${Similarity.lshAnnOracleCtes("TRUE")},
-         |${TextAnalysis.bm25OracleCtes},
-         |lex AS (${TextAnalysis.bm25RankedSelectSql("TRUE")}),
+         |lbase AS (
+         |  SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS dl
+         |  FROM (SELECT doc_id, $tokSql AS toks FROM documents)
+         |  WHERE len(toks) >= 1),
+         |post AS (
+         |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+         |  FROM (SELECT doc_id, unnest(toks) AS term FROM lbase)
+         |  GROUP BY doc_id, term),
+         |dfr AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM post GROUP BY term),
+         |lstats AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+         |  FROM lbase),
+         |qtl AS (
+         |  SELECT doc_id AS q_id,
+         |    list_filter(toks, (t, i) -> list_position(toks, t) = i)[1:$hybridQueryTerms] AS l
+         |  FROM lbase WHERE doc_id % ${Similarity.queryStride} = 0),
+         |qt AS (
+         |  SELECT q_id, pos, l[pos] AS qt FROM (
+         |    SELECT q_id, l, unnest(generate_series(1, len(l))) AS pos FROM qtl)),
+         |piv AS (
+         |  SELECT qt.q_id, post.doc_id,
+         |$pivotCols
+         |  FROM qt JOIN post ON post.term = qt.qt JOIN dfr ON dfr.term = qt.qt
+         |  GROUP BY qt.q_id, post.doc_id),
+         |lscored AS (
+         |  SELECT q_id, piv.doc_id,
+         |    round($contribSql, 6) AS score
+         |  FROM piv JOIN lbase ON piv.doc_id = lbase.doc_id CROSS JOIN lstats),
          |lexr AS (
-         |  SELECT doc_id,
-         |    CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS lex_rk
-         |  FROM lex),
+         |  SELECT q_id, doc_id,
+         |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS BIGINT) AS lex_rk
+         |  FROM lscored
+         |  QUALIFY lex_rk <= ${TextAnalysis.bm25TopK}),
          |sem AS (
-         |  SELECT cand_id AS doc_id, rk AS sem_rk FROM ranked
-         |  WHERE q_id = $hybridQueryId AND rk <= ${Similarity.topK})
-         |SELECT COALESCE(lexr.doc_id, sem.doc_id) AS doc_id,
-         |  lexr.lex_rk AS lex_rk, sem.sem_rk AS sem_rk,
-         |  COALESCE(1.0 / ($rrfK + lexr.lex_rk), 0.0)
-         |    + COALESCE(1.0 / ($rrfK + sem.sem_rk), 0.0) AS rrf
-         |FROM lexr FULL OUTER JOIN sem ON lexr.doc_id = sem.doc_id
-         |ORDER BY rrf DESC, COALESCE(lexr.doc_id, sem.doc_id) LIMIT $hybridTopK""".stripMargin
+         |  SELECT q_id, cand_id AS doc_id, rk AS sem_rk FROM ranked
+         |  WHERE rk <= ${Similarity.topK}),
+         |fused AS (
+         |  SELECT COALESCE(lexr.q_id, sem.q_id) AS q_id,
+         |    COALESCE(lexr.doc_id, sem.doc_id) AS doc_id,
+         |    lexr.lex_rk AS lex_rk, sem.sem_rk AS sem_rk,
+         |    COALESCE(1.0 / ($rrfK + lexr.lex_rk), 0.0)
+         |      + COALESCE(1.0 / ($rrfK + sem.sem_rk), 0.0) AS rrf
+         |  FROM lexr FULL OUTER JOIN sem
+         |    ON lexr.q_id = sem.q_id AND lexr.doc_id = sem.doc_id)
+         |SELECT q_id, rk, doc_id, lex_rk, sem_rk, rrf FROM (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY rrf DESC, doc_id) AS BIGINT) AS rk
+         |  FROM fused)
+         |WHERE rk <= $hybridTopK
+         |ORDER BY q_id, rk""".stripMargin
+    }
   )
 }

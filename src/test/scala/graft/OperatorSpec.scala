@@ -23,32 +23,66 @@ class OperatorSpec extends AnyFunSuite {
       "persisted-index BM25 diverged from the linear scan")
   }
 
-  test("search_hybrid_rrf equals a driver-side fusion of its two source rankings") {
+  test("search_hybrid_rrf equals a per-query driver-side fusion over the stride set") {
     import TestSpark.sf0001
-    import org.apache.spark.sql.functions.col
-    // the two source lists, ranked exactly as the operator defines them
-    val lex = graft.ops.TextAnalysis.textBm25Search(spark, sf0001)
-      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("score"))
-      .sortBy { case (id, sc) => (-sc, id) }
-      .zipWithIndex.map { case ((id, _), i) => id -> (i + 1).toLong }.toMap
-    val sem = graft.ops.Similarity.simLshAnn(spark, sf0001)
-      .filter(col("q_id") === graft.ops.Retrieval.hybridQueryId)
-      .collect().map(r => r.getLong(2) -> r.getLong(1)).toMap
+    import graft.ops.{Retrieval, Similarity}
+    // semantic side: the in-session stride ANN (byte-identical to the
+    // served path the operator uses, pinned in AnnIndexSpec)
+    val sem = graft.ops.Similarity.simLshAnn(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getLong(1)).toMap
+    // lexical side: full driver recompute from raw text — tokenization,
+    // per-query first-distinct-3 terms, tf/df/dl/avgdl, BM25 with the
+    // operator's constants and 6-decimal HALF_UP quantization
+    val docs = Tables(spark, sf0001, "documents")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split("[ \t\n\f\r]+").filter(_.nonEmpty).toSeq)
+      .filter(_._2.nonEmpty).sortBy(_._1)
+    val dl = docs.map { case (id, t) => id -> t.size.toLong }.toMap
+    val nDocs = docs.size.toLong
+    val avgdl = dl.values.sum.toDouble / nDocs.toDouble
+    val tf = docs.flatMap { case (id, t) =>
+      t.groupBy(identity).map { case (w, g) => (id, w) -> g.size.toLong } }.toMap
+    val df = tf.keys.toSeq.groupBy(_._2).map { case (w, ks) => w -> ks.size.toLong }
+    def round6(x: Double): Double =
+      java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    val k1 = graft.ops.TextAnalysis.bm25K1
+    val b = graft.ops.TextAnalysis.bm25B
+    val lex = docs.filter(_._1 % Similarity.queryStride == 0).flatMap { case (q, toks) =>
+      val terms = toks.distinct.take(Retrieval.hybridQueryTerms)
+      val cands = docs.filter { case (d, _) => terms.exists(t => tf.contains((d, t))) }
+      cands.map { case (d, _) =>
+        val score = round6(terms.map { t =>
+          tf.get((d, t)).fold(0.0) { f =>
+            val idf = math.log(1.0 + (nDocs.toDouble - df(t).toDouble + 0.5) / (df(t).toDouble + 0.5))
+            idf * (f.toDouble * (k1 + 1.0)) /
+              (f.toDouble + k1 * ((1.0 - b) + b * dl(d).toDouble / avgdl))
+          }
+        }.sum)
+        (q, d, score)
+      }.sortBy { case (_, d, sc) => (-sc, d) }
+        .take(graft.ops.TextAnalysis.bm25TopK)
+        .zipWithIndex.map { case ((_, d, _), i) => (q, d) -> (i + 1).toLong }
+    }.toMap
     assert(lex.nonEmpty && sem.nonEmpty, "a source ranking is empty — fusion untestable")
-    val expected = (lex.keySet ++ sem.keySet).toSeq.map { id =>
-      val rrf = lex.get(id).map(r => 1.0 / (graft.ops.Retrieval.rrfK + r)).getOrElse(0.0) +
-        sem.get(id).map(r => 1.0 / (graft.ops.Retrieval.rrfK + r)).getOrElse(0.0)
-      (id, lex.get(id), sem.get(id), rrf)
-    }.sortBy { case (id, _, _, rrf) => (-rrf, id) }.take(graft.ops.Retrieval.hybridTopK)
-    val got = graft.ops.Retrieval.searchHybridRrf(spark, sf0001).collect().map { r =>
-      (r.getLong(0), Option(r.get(1)).map(_.asInstanceOf[Long]),
-        Option(r.get(2)).map(_.asInstanceOf[Long]), r.getDouble(3))
+    val expected = (lex.keySet ++ sem.keySet).groupBy(_._1).toSeq.flatMap { case (q, keys) =>
+      keys.toSeq.map { case (_, d) =>
+        val rrf = lex.get((q, d)).map(r => 1.0 / (Retrieval.rrfK + r)).getOrElse(0.0) +
+          sem.get((q, d)).map(r => 1.0 / (Retrieval.rrfK + r)).getOrElse(0.0)
+        (q, d, lex.get((q, d)), sem.get((q, d)), rrf)
+      }.sortBy { case (_, d, _, _, rrf) => (-rrf, d) }
+        .take(Retrieval.hybridTopK)
+        .zipWithIndex.map { case ((qq, d, l, s0, rrf), i) => (qq, (i + 1).toLong, d, l, s0, rrf) }
+    }.sortBy(t => (t._1, t._2))
+    val got = Retrieval.searchHybridRrf(spark, sf0001).collect().map { r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long]),
+        Option(r.get(4)).map(_.asInstanceOf[Long]), r.getDouble(5))
     }.toSeq
-    assert(got === expected, "hybrid fusion diverged from the driver-side recompute")
-    // fusion must actually mix: the top list cannot be a pure copy of
-    // either source's head (RRF rewards presence in both)
-    assert(got.exists(_._2.isEmpty) || got.exists(_._3.isEmpty) ||
-      got.exists(t => t._2.nonEmpty && t._3.nonEmpty))
+    assert(got.map(_._1).distinct.size > 1, "hybrid must rank MULTIPLE queries")
+    assert(got === expected, "hybrid fusion diverged from the per-query driver recompute")
+    // fusion must actually mix: some fused row carries both ranks
+    assert(got.exists(t => t._4.nonEmpty && t._5.nonEmpty))
   }
 
   test("text_bm25_filtered slices ranking only — statistics stay whole-corpus") {
