@@ -584,12 +584,16 @@ object Dedup {
     IndexMaintenance.minusTombstones(s, s"$indexDir/clean",
       s.read.parquet(s"$indexDir/clean"), "doc_id")
 
-  /** Compact signature index AND clean store, dropping tombstones. */
+  /** Compact signature index AND clean store, dropping tombstones.
+    * No-data stores are skipped (a young stream may not have admitted
+    * anything yet when the compaction cadence first fires). */
   def ingestIndexCompact(s: SparkSession, indexDir: String): (Int, Int) = {
-    if (new java.io.File(s"$indexDir/clean").exists())
+    if (IndexMaintenance.dataFiles(s, s"$indexDir/clean").nonEmpty)
       IndexMaintenance.compactTable(s, s"$indexDir/clean", Seq("doc_id"),
         tombstoneCol = Some("doc_id"))
-    dedupIndexCompact(s, indexDir)
+    if (IndexMaintenance.dataFiles(s, s"$indexDir/simhash").nonEmpty)
+      dedupIndexCompact(s, indexDir)
+    else (0, 0)
   }
 
   /** Landing-zone near-dup check against a PERSISTED signature index:

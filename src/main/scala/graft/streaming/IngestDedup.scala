@@ -33,12 +33,29 @@ object IngestDedup {
     * (shared with the oracle generator in [[Dedup.ingestBatches]]). */
   val ingestBatches: Int = Dedup.ingestBatches
 
+  /** Index compaction cadence: every N micro-batches the foreachBatch
+    * loop compacts its index stores before committing the batch. Each
+    * append writes new parquet files next to the standing ones — at
+    * production trigger rates that is the classic small-file death
+    * (a day of 1-minute triggers = 1440 file groups, each a listing
+    * entry + footer read + task at serve time). With the cadence, the
+    * standing file count is bounded by N × files-per-append regardless
+    * of stream lifetime, and the compaction cost amortizes to 1/N of
+    * an index rewrite per batch. Compaction is content-preserving
+    * (pinned by the mid-stream compaction spec), so cadence choice
+    * affects only performance, never verdicts. */
+  val ingestCompactEvery = 10
+
   /** Drive a per-landed-file ingest stream over `landingDir` until no
     * files remain (AvailableNow), one FILE per micro-batch, oldest
-    * first; `process` is the foreachBatch body. The streaming file
-    * source requires an explicit schema: footer-read one landed file
-    * (same move as EventStreams.eventsStream). */
-  private def runLandingStream(s: SparkSession, landingDir: String, checkpointDir: String)(
+    * first; `process` is the foreachBatch body; `maintenance` runs
+    * after it on the SAME batch id (inside the foreachBatch, so a
+    * crash between process and maintenance just re-runs both — the
+    * compaction swap is atomic and value-idempotent). The streaming
+    * file source requires an explicit schema: footer-read one landed
+    * file (same move as EventStreams.eventsStream). */
+  private def runLandingStream(s: SparkSession, landingDir: String, checkpointDir: String,
+      maintenance: Long => Unit = _ => ())(
       process: (DataFrame, Long) => Unit): Unit = {
     val schema = s.read.parquet(landingDir).schema
     val stream = s.readStream.schema(schema)
@@ -56,7 +73,10 @@ object IngestDedup {
     val q = stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch(process)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        process(batch, batchId)
+        maintenance(batchId)
+      }
       .start()
     try q.awaitTermination()
     finally if (q.isActive) q.stop()
@@ -68,16 +88,22 @@ object IngestDedup {
     * a standing corpus); verdicts append to `outDir`. */
   def streamIngestDedupToFiles(s: SparkSession, landingDir: String, indexDir: String,
       outDir: String, checkpointDir: String): Unit =
-    runLandingStream(s, landingDir, checkpointDir) { (batch, batchId) =>
+    runLandingStream(s, landingDir, checkpointDir, compactCadence(
+      Dedup.ingestIndexCompact(s, indexDir))) { (batch, batchId) =>
       Dedup.ingestBatch(s, batch, indexDir, outDir, batchId)
     }
+
+  /** Every [[ingestCompactEvery]]-th batch runs the given compaction. */
+  private def compactCadence(compact: => Unit): Long => Unit =
+    batchId => if ((batchId + 1) % ingestCompactEvery == 0) compact
 
   /** Curation-at-ingest production path: scrub -> quality gate -> dedup
     * per landed file, admitted CLEAN text + signatures folded into the
     * index (see [[Dedup.ingestCurateBatch]]). */
   def streamIngestCurateToFiles(s: SparkSession, landingDir: String, indexDir: String,
       outDir: String, checkpointDir: String): Unit =
-    runLandingStream(s, landingDir, checkpointDir) { (batch, batchId) =>
+    runLandingStream(s, landingDir, checkpointDir, compactCadence(
+      Dedup.ingestIndexCompact(s, indexDir))) { (batch, batchId) =>
       Dedup.ingestCurateBatch(s, batch, indexDir, outDir, batchId)
     }
 
@@ -89,7 +115,8 @@ object IngestDedup {
     * eval bloom, eval shingle table). */
   def streamIngestManifestToFiles(s: SparkSession, landingDir: String, indexDir: String,
       outDir: String, checkpointDir: String): Unit =
-    runLandingStream(s, landingDir, checkpointDir) { (batch, batchId) =>
+    runLandingStream(s, landingDir, checkpointDir, compactCadence(
+      Dedup.ingestIndexCompact(s, indexDir))) { (batch, batchId) =>
       Dedup.ingestManifestBatch(s, batch, indexDir, outDir, batchId)
     }
 

@@ -258,6 +258,56 @@ class StreamingSpec extends AnyFunSuite {
       s"post-compaction batch verdicts wrong: ${last.toSeq}")
   }
 
+  test("compaction cadence inside the ingest loop bounds the index file count") {
+    import org.apache.spark.sql.functions._
+    import graft.streaming.IngestDedup
+    import spark.implicits._
+    // 30 one-file batches (the small-file pileup shape): batch b lands
+    // docs (2b: unique 70-token text, 2b+1: copy of doc 0's text). The
+    // cadence (every 10th batch) compacts mid-stream three times.
+    val uniq = (i: Long) => (0 until 70).map(w => s"cc${i}w$w").mkString(" ")
+    val r = java.nio.file.Files.createTempDirectory("graft-cadence-spec").toString
+    (0 until 30).foreach { b =>
+      val tmp = s"$r/stage_$b"
+      Seq((2L * b, uniq(2L * b)), (2L * b + 1, uniq(0L)))
+        .toDF("doc_id", "text").coalesce(1).write.mode("overwrite").parquet(tmp)
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$r/landing"))
+      new java.io.File(tmp).listFiles().filter(_.getName.endsWith(".parquet")).foreach { f =>
+        java.nio.file.Files.move(f.toPath,
+          java.nio.file.Paths.get(s"$r/landing/batch_$b.parquet"))
+        new java.io.File(s"$r/landing/batch_$b.parquet")
+          .setLastModified(1600000000000L + b * 60000L)
+      }
+    }
+    graft.ops.Dedup.ingestIndexInit(spark, s"$r/index")
+    IngestDedup.streamIngestCurateToFiles(spark, s"$r/landing", s"$r/index",
+      s"$r/out", s"$r/checkpoint")
+    // verdicts: every even doc admitted; every odd doc > 1 dups doc 0
+    // (doc 1 is the copy in doc 0's own batch, masked against it)
+    val v = spark.read.parquet(s"$r/out").select("doc_id", "verdict", "dup_of")
+      .distinct().collect()
+      .map(row => row.getLong(0) -> (row.getString(1),
+        if (row.isNullAt(2)) -1L else row.getLong(2))).toMap
+    (0 until 30).foreach { b =>
+      assert(v(2L * b) == ("admitted", -1L), s"doc ${2 * b}: ${v(2L * b)}")
+      assert(v(2L * b + 1) == ("dup", 0L), s"doc ${2 * b + 1}: ${v(2L * b + 1)}")
+    }
+    // file-count bound: 30 appends would leave ≥30 file groups per
+    // store; the cadence's last firing was batch 29, so at most the
+    // post-compaction files remain (vs 30+ uncompacted)
+    val sigFiles = graft.ops.IndexMaintenance.dataFiles(spark, s"$r/index/simhash").size
+    val cleanFiles = graft.ops.IndexMaintenance.dataFiles(spark, s"$r/index/clean").size
+    assert(sigFiles <= 4, s"simhash file pileup: $sigFiles files after 30 batches")
+    assert(cleanFiles <= 4, s"clean-store file pileup: $cleanFiles files after 30 batches")
+    // serve-identity after mid-stream compactions: the index still
+    // masks a copy of an admitted doc and passes a fresh one
+    Seq((1000L, uniq(4L)), (1001L, uniq(999L))).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$r/probe/documents.parquet")
+    val probe = graft.ops.Dedup.dedupIncrementalIndexed(spark, s"$r/probe", s"$r/index")
+      .collect().map(row => row.getLong(0) -> row.getBoolean(1)).toMap
+    assert(probe == Map(1000L -> true, 1001L -> false), s"post-cadence serve: $probe")
+  }
+
   test("ingest batch retry is value-idempotent: duplicate appends change no verdict") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
