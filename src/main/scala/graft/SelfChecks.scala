@@ -167,28 +167,6 @@ object SelfChecks {
       f"rows=${rows.length} badAdc=$badAdc badRank=$badRank recall@${ops.Similarity.topK}=$recall%.3f")
   }
 
-  private def approxDistinctCheck(s: SparkSession, dir: String): CheckResult = {
-    val approx = ops.Relational.qApproxDistinct(s, dir).collect()
-      .map(r => r.getString(0) -> Seq(r.getLong(1), r.getLong(2), r.getLong(3))).toMap
-    val exact = Tables(s, dir, "lineitem")
-      .groupBy(col("l_returnflag"))
-      .agg(countDistinct(col("l_suppkey")).as("s"),
-        countDistinct(col("l_partkey")).as("p"),
-        countDistinct(col("l_orderkey")).as("o"))
-      .collect().map(r => r.getString(0) -> Seq(r.getLong(1), r.getLong(2), r.getLong(3))).toMap
-    val errs = for {
-      (k, es) <- exact.toSeq
-      (e, a) <- es.zip(approx.getOrElse(k, Seq(0L, 0L, 0L)))
-    } yield math.abs(a - e).toDouble / math.max(1L, e)
-    val maxErr = if (errs.isEmpty) 1.0 else errs.max
-    // rsd 0.02 → 0.15 is >7 sigma: a fail means the sketch is broken,
-    // not unlucky
-    CheckResult(approx.keySet == exact.keySet && maxErr <= 0.15,
-      "HLL++ sketch estimates; DuckDB's approx_count_distinct is a different estimator",
-      "groups match exact; max relative error <= 0.15 (7+ sigma at rsd 0.02)",
-      f"maxRelErr=$maxErr%.4f groups=${approx.size}")
-  }
-
   private def wordCounts(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents")
       .select(explode(functions.TextFns.tokens(col("text"))).as("word"))
@@ -260,28 +238,10 @@ object SelfChecks {
       s"rows=${out.length} bad=$bad")
   }
 
-  /** Bloom-served decontamination contract: one-sided error. Every doc
-    * the exact shingle join finds contaminated MUST be flagged (a bloom
-    * has no false negatives) with n_maybe_shared ≥ the exact shared
-    * count; false positives are counted and bounded generously above
-    * the construction fpp's doc-level amplification. */
-  private def bloomDecontamCheck(s: SparkSession, dir: String): CheckResult = {
-    val exact = ops.Curation.decontaminateNgram(s, dir).collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val served = ops.Curation.decontaminateBloomServed(s, dir).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
-    val missedOrUnder = served.count { case (id, maybe, flagged) =>
-      val truth = exact.getOrElse(id, 0L)
-      (truth > 0 && !flagged) || maybe < truth
-    }
-    val clean = served.count { case (id, _, _) => exact.getOrElse(id, 0L) == 0L }
-    val fps = served.count { case (id, _, flagged) => flagged && exact.getOrElse(id, 0L) == 0L }
-    val fpFrac = if (clean == 0) 0.0 else fps.toDouble / clean
-    CheckResult(served.length == exact.size && missedOrUnder == 0 && fpFrac <= 0.05,
-      "bloom bit layout is Spark's sketch implementation, not SQL-expressible",
-      "no false negatives, n_maybe >= exact shared count, observed FP fraction <= 0.05",
-      f"rows=${served.length} missedOrUnder=$missedOrUnder fps=$fps fpFrac=$fpFrac%.4f")
-  }
+  // decontaminate_bloom_served and q_approx_distinct graduated from
+  // rows-only to full DuckDB oracles in round 7: the bloom path now
+  // exact-confirms its flagged slice (bit-identical to the exact
+  // join), and the HLL query emits exact counts + in-bounds flags.
 
   /** IVF-PQ composition contract: the usual exact-cosine/dense-rank ANN
     * contract, plus recall parity with the pure-IVF auto path on the
@@ -364,9 +324,7 @@ object SelfChecks {
     "sim_ivfpq_topk" -> (ivfPqCheck _),
     "sim_ivfpq_topk_served" -> annCheck(ops.AnnIndex.simIvfPqTopkServed,
       "serves a persisted trained-quantizer index; not reproducible in static SQL"),
-    "q_approx_distinct" -> (approxDistinctCheck _),
     "text_compress_ratio" -> (compressRatioCheck _),
-    "decontaminate_bloom_served" -> (bloomDecontamCheck _),
     "text_heavy_hitters" -> (heavyHittersCheck _),
     "text_heavy_hitters_sketch" -> (heavyHittersSketchCheck _),
   )

@@ -399,19 +399,40 @@ object Curation {
   }
 
   /** Bloom-served decontamination — the SERVING shape of
-    * [[decontaminateNgram]]: the eval set compresses into a
-    * few-hundred-KB Bloom filter that rides with the plan, and the
-    * corpus-side check is `size(filter(shingles, bloom))` — a pure
-    * scan-local projection. NO join, NO shuffle, the eval set is never
-    * re-read: at 100 TB the contamination pass is a map-only scan,
-    * where the exact equi-join shuffles every corpus shingle. One-sided
-    * error: a clean verdict is definite (no false negatives — every
-    * truly contaminated doc is flagged); flags carry the construction
-    * fpp, to be exact-checked downstream on the tiny flagged slice if
-    * needed. Rows-only; the self-check asserts the containment against
-    * the exact join and bounds observed false positives. */
-  def decontaminateBloomServed(s: SparkSession, dir: String): DataFrame =
-    serveBloom(Tables(s, dir, "documents"), evalBloom(s, dir), excludeEvalDocs = true)
+    * [[decontaminateNgram]], two-tier since round 7: the eval set
+    * compresses into a few-hundred-KB Bloom filter that rides with the
+    * plan, and the corpus-side SCREEN is `size(filter(shingles,
+    * bloom))` — a pure scan-local projection. NO join, NO shuffle for
+    * the overwhelmingly-clean bulk: at 100 TB the contamination pass
+    * is a map-only scan, where the exact equi-join shuffles every
+    * corpus shingle. The tiny FLAGGED slice (docs with ≥1 maybe-hit —
+    * the bloom has no false negatives) then equi-joins the eval-sized
+    * shingle set to confirm and count true overlaps, so the output is
+    * BIT-IDENTICAL to the exact join — which upgraded this query from
+    * rows-only+self-check to a full DuckDB oracle (the exact-join
+    * restatement) without touching the scale shape: screen cost is
+    * unchanged, and the confirm join's left side is the flagged slice,
+    * not the corpus. */
+  def decontaminateBloomServed(s: SparkSession, dir: String): DataFrame = {
+    val flagged = serveBloom(Tables(s, dir, "documents"), evalBloom(s, dir),
+        excludeEvalDocs = true)
+      .filter(col("n_maybe_shared") > 0)
+      .select(col("doc_id"))
+      .join(Tables(s, dir, "documents"), "doc_id")
+      .select(col("doc_id"),
+        explode(graft.plans.VectorFunctions.word_shingle_hashes(
+          col("text"), contamShingleN)).as("h"))
+      .join(evalShingleHashes(s, dir), "h")
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("h")).as("n_shared"))
+    Tables(s, dir, "documents")
+      .filter(col("doc_id") % evalStride =!= 0)
+      .select(col("doc_id"))
+      .join(flagged, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        (coalesce(col("n_shared"), lit(0L)) > 0).as("is_contaminated"))
+      .orderBy(col("doc_id"))
+  }
 
   /** `excludeEvalDocs` drops the `doc_id % evalStride == 0` rows — ONLY
     * correct when `docs` is the same dir the eval slice was carved from
@@ -634,6 +655,25 @@ object Curation {
          |  SELECT tr.doc_id, count(DISTINCT tr.h) AS n_shared, min(ev.eval_id) AS first_eval
          |  FROM tr JOIN ev ON tr.h = ev.h GROUP BY tr.doc_id)
          |SELECT d.doc_id, COALESCE(hits.n_shared, 0) AS n_shared, hits.first_eval
+         |FROM (SELECT doc_id FROM documents WHERE doc_id % $evalStride <> 0) d
+         |LEFT JOIN hits ON d.doc_id = hits.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+    // the two-tier serve (bloom screen + exact confirm on the flagged
+    // slice) is bit-identical to the exact join — same chain as the
+    // ngram oracle, with the contamination flag
+    "decontaminate_bloom_served" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id, CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) AS h FROM (
+         |    SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(tk) - ${contamShingleN - 2}),
+         |      i -> array_to_string(tk[i:i+${contamShingleN - 1}], ' ')))) AS shingle
+         |    FROM (SELECT doc_id, $tokSql AS tk FROM documents))),
+         |ev AS (SELECT DISTINCT h FROM sh WHERE doc_id % $evalStride = 0),
+         |tr AS (SELECT doc_id, h FROM sh WHERE doc_id % $evalStride <> 0),
+         |hits AS (
+         |  SELECT tr.doc_id, count(DISTINCT tr.h) AS n_shared
+         |  FROM tr JOIN ev ON tr.h = ev.h GROUP BY tr.doc_id)
+         |SELECT d.doc_id, CAST(COALESCE(hits.n_shared, 0) AS BIGINT) AS n_shared,
+         |  COALESCE(hits.n_shared, 0) > 0 AS is_contaminated
          |FROM (SELECT doc_id FROM documents WHERE doc_id % $evalStride <> 0) d
          |LEFT JOIN hits ON d.doc_id = hits.doc_id
          |ORDER BY d.doc_id""".stripMargin,

@@ -221,14 +221,32 @@ object Relational {
     * q_distinct_counts: sketches merge associatively, so no expand and a
     * bounded-memory two-phase aggregate. Rows-only (no oracle: DuckDB's
     * approx sketch differs); accuracy vs exact is asserted in tests. */
-  def qApproxDistinct(s: SparkSession, dir: String): DataFrame =
+  def qApproxDistinct(s: SparkSession, dir: String): DataFrame = {
+    // bounds-check oracle form (round 7): Spark's HLL++ values are not
+    // reproducible in another engine, but the accuracy CONTRACT is —
+    // emit the exact counts plus a per-sketch in-bounds flag (0.15
+    // relative = 7+ sigma at rsd 0.02, so a false flag means the
+    // sketch is broken, not unlucky) and let the DuckDB oracle pin
+    // exact counts and all-TRUE flags. The HLL path still runs and is
+    // now gated by the driver's compare instead of a weaker self-check.
+    def ok(approx: String, exact: String) =
+      (abs(col(approx).cast("double") - col(exact).cast("double")) /
+        greatest(col(exact), lit(1L)).cast("double") <= 0.15)
     Tables(s, dir, "lineitem")
       .groupBy(col("l_returnflag"))
       .agg(
         approx_count_distinct(col("l_suppkey"), 0.02).as("approx_supp"),
+        countDistinct(col("l_suppkey")).as("exact_supp"),
         approx_count_distinct(col("l_partkey"), 0.02).as("approx_part"),
-        approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"))
+        countDistinct(col("l_partkey")).as("exact_part"),
+        approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
+        countDistinct(col("l_orderkey")).as("exact_orders"))
+      .select(col("l_returnflag"),
+        col("exact_supp"), ok("approx_supp", "exact_supp").as("ok_supp"),
+        col("exact_part"), ok("approx_part", "exact_part").as("ok_part"),
+        col("exact_orders"), ok("approx_orders", "exact_orders").as("ok_orders"))
       .orderBy(col("l_returnflag"))
+  }
 
   /** Two-level salted aggregation — the skew-mitigation pattern for hot
     * keys at 100 TB. lineitem has only 3 return-flag values, so a naive
@@ -655,6 +673,14 @@ object Relational {
       """SELECT l_returnflag,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
         |  count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // the HLL values themselves are engine-specific; the oracle pins
+    // the exact counts and demands every in-bounds flag be TRUE
+    "q_approx_distinct" ->
+      """SELECT l_returnflag,
+        |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS exact_supp, TRUE AS ok_supp,
+        |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_part, TRUE AS ok_part,
+        |  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_orders, TRUE AS ok_orders
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_corr_stats" ->
       """SELECT l_returnflag, count(*) AS n_rows,

@@ -24,16 +24,20 @@ class SinkAndApproxSpec extends AnyFunSuite {
     assert(written === golden)
   }
 
-  test("approx_count_distinct within 5% of exact") {
-    val approx = ops.Relational.qApproxDistinct(spark, TestSpark.sf0001).collect()
-      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+  test("approx_count_distinct: exact columns match, every in-bounds flag true") {
+    // bounds-check oracle form: the query itself carries the exact
+    // counts and a per-sketch flag; the independent qDistinctCounts
+    // cross-checks the exact side
+    val rows = ops.Relational.qApproxDistinct(spark, TestSpark.sf0001).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(3), r.getLong(5)),
+          (r.getBoolean(2), r.getBoolean(4), r.getBoolean(6)))).toMap
     val exact = ops.Relational.qDistinctCounts(spark, TestSpark.sf0001).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
-    assert(approx.keySet === exact.keySet)
-    for ((k, (a1, a2, a3)) <- approx; (e1, e2, e3) = exact(k)) {
-      def close(a: Long, e: Long) = math.abs(a - e).toDouble / math.max(e, 1L) < 0.05
-      assert(close(a1, e1) && close(a2, e2) && close(a3, e3),
-        s"$k: approx ($a1,$a2,$a3) vs exact ($e1,$e2,$e3)")
+    assert(rows.keySet === exact.keySet)
+    for ((k, (es, oks)) <- rows) {
+      assert(es === exact(k), s"$k: exact columns $es vs recount ${exact(k)}")
+      assert(oks == ((true, true, true)), s"$k: HLL out of bounds: $oks")
     }
   }
 
