@@ -273,6 +273,45 @@ object ScaleSmoke {
     }
     say(s"  -> $phrased phrase-matching docs (scan) = $phrasedServed (served)")
 
+    // 7b. retrieval serving at 100k: the posting-pruning claim measured
+    //     as BYTES READ — the served paths must touch only the query
+    //     terms' posting row groups, not the corpus or the full posting
+    //     table (the linear scan reads the whole documents table)
+    def bytesRead(f: => Unit): Long = {
+      val acc = new java.util.concurrent.atomic.AtomicLong()
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (te.taskMetrics != null) acc.addAndGet(te.taskMetrics.inputMetrics.bytesRead)
+      }
+      spark.sparkContext.addSparkListener(l)
+      try { f; Thread.sleep(1000) } finally spark.sparkContext.removeSparkListener(l)
+      acc.get()
+    }
+    val scanBytes = bytesRead {
+      time("text_bm25_search AGAIN (linear scan, bytes-read baseline)")(
+        noop(ops.TextAnalysis.textBm25Search(spark, dir)))
+    }
+    val servedBytes = bytesRead {
+      time("text_bm25_served (persisted postings, 100k docs)")(
+        noop(ops.TextAnalysis.textBm25Served(spark, textIdxDir)))
+    }
+    val filteredBytes = bytesRead {
+      time("text_bm25_filtered (served, lang='en' slice, 100k docs)")(
+        noop(ops.TextAnalysis.textBm25Served(spark, textIdxDir,
+          Some(col("lang") === ops.TextAnalysis.bm25FilterLang))))
+    }
+    val phraseBytes = bytesRead {
+      time("text_phrase_served AGAIN (bytes-read)")(
+        { ops.TextAnalysis.textPhraseServed(spark, textIdxDir).count(); () })
+    }
+    say(f"  -> bytes read: linear-scan BM25 ${scanBytes / 1e6}%.1f MB, " +
+      f"served BM25 ${servedBytes / 1e6}%.1f MB, filtered ${filteredBytes / 1e6}%.1f MB, " +
+      f"phrase served ${phraseBytes / 1e6}%.1f MB")
+
+    time("search_hybrid_rrf (stride query set, 100k docs + 250k vecs)") {
+      noop(ops.Retrieval.searchHybridRrf(spark, dir))
+    }
+
     // curation-at-ingest replay: the 100k docs land as 10 files of 10k,
     // each micro-batch scrubs, scores, and dedups against the growing
     // index — the whole crawl-to-corpus hop, timed end to end
