@@ -307,6 +307,24 @@ object ScaleSmoke {
     say(f"  -> bytes read: linear-scan BM25 ${scanBytes / 1e6}%.1f MB, " +
       f"served BM25 ${servedBytes / 1e6}%.1f MB, filtered ${filteredBytes / 1e6}%.1f MB, " +
       f"phrase served ${phraseBytes / 1e6}%.1f MB")
+    // a fresh index's posting table is groupBy output — hash-scattered,
+    // so term min/max spans the vocab in every row group and the pushed
+    // `term IN (...)` prunes NOTHING. Compaction's term sort is what
+    // turns the predicate into row-group skipping; measure the delta.
+    time("text_index_compact (term-sorted row groups)") {
+      ops.TextAnalysis.textIndexCompact(spark, textIdxDir)
+    }
+    val servedBytesC = bytesRead {
+      time("text_bm25_served AFTER COMPACT")(
+        noop(ops.TextAnalysis.textBm25Served(spark, textIdxDir)))
+    }
+    val phraseBytesC = bytesRead {
+      time("text_phrase_served AFTER COMPACT")(
+        { ops.TextAnalysis.textPhraseServed(spark, textIdxDir).count(); () })
+    }
+    say(f"  -> bytes read after compact: served BM25 ${servedBytesC / 1e6}%.1f MB " +
+      f"(was ${servedBytes / 1e6}%.1f), phrase ${phraseBytesC / 1e6}%.1f MB " +
+      f"(was ${phraseBytes / 1e6}%.1f)")
 
     time("search_hybrid_rrf (stride query set, 100k docs + 250k vecs)") {
       noop(ops.Retrieval.searchHybridRrf(spark, dir))
