@@ -54,13 +54,24 @@ object Bench {
       }.toMap
     }
     val minima = names.map(n => n -> rounds.map(_(n)).min)
+    // medians ride alongside the headline minima (round-6 verdict: a
+    // median is robust to one co-loaded rep, a minimum to all-but-one —
+    // publishing both makes cross-round deltas interpretable)
+    def medianOf(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+    }
+    val medians = names.map(n => n -> medianOf(rounds.map(_(n))))
     val qs = minima.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val medJson = medians.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
     val total = minima.map(_._2).sum
+    val medTotal = medians.map(_._2).sum
     val rawTotals = rounds.map(_.values.sum)
     val rawJson = rawTotals.mkString("[", ",", "]")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"raw_totals":$rawJson,"queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"raw_totals":$rawJson,"median_total":$medTotal,"queries":$qs,"queries_median":$medJson,"failed":$failedJson,"sf":"$sfDir"}"""
     println(json)
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),

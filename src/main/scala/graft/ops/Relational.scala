@@ -229,18 +229,29 @@ object Relational {
     // sketch is broken, not unlucky) and let the DuckDB oracle pin
     // exact counts and all-TRUE flags. The HLL path still runs and is
     // now gated by the driver's compare instead of a weaker self-check.
+    //
+    // Shape note: the exact side deliberately AVOIDS multi-distinct in
+    // one aggregate — three countDistinct columns make Catalyst expand
+    // every row once per distinct set (measured 8.2 s vs 1.1 s at
+    // sf0.1). Instead each column gets its own pruned-scan
+    // distinct+count (narrow two-stage shuffles), joined back on the
+    // 3-row group key; the HLL aggregate stays a single expand-free
+    // pass — the shape that survives scale on BOTH sides.
+    val li = Tables(s, dir, "lineitem")
+    def exactOf(c: String, as: String) =
+      li.select(col("l_returnflag"), col(c)).distinct()
+        .groupBy(col("l_returnflag")).agg(count(lit(1)).as(as))
     def ok(approx: String, exact: String) =
       (abs(col(approx).cast("double") - col(exact).cast("double")) /
         greatest(col(exact), lit(1L)).cast("double") <= 0.15)
-    Tables(s, dir, "lineitem")
-      .groupBy(col("l_returnflag"))
+    li.groupBy(col("l_returnflag"))
       .agg(
         approx_count_distinct(col("l_suppkey"), 0.02).as("approx_supp"),
-        countDistinct(col("l_suppkey")).as("exact_supp"),
         approx_count_distinct(col("l_partkey"), 0.02).as("approx_part"),
-        countDistinct(col("l_partkey")).as("exact_part"),
-        approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
-        countDistinct(col("l_orderkey")).as("exact_orders"))
+        approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"))
+      .join(exactOf("l_suppkey", "exact_supp"), "l_returnflag")
+      .join(exactOf("l_partkey", "exact_part"), "l_returnflag")
+      .join(exactOf("l_orderkey", "exact_orders"), "l_returnflag")
       .select(col("l_returnflag"),
         col("exact_supp"), ok("approx_supp", "exact_supp").as("ok_supp"),
         col("exact_part"), ok("approx_part", "exact_part").as("ok_part"),
