@@ -65,16 +65,24 @@ object Retrieval {
     * the FIXED pos slots so both engines evaluate the identical double
     * expression order. Returns (q_id, doc_id, lex_rk ≤ bm25TopK). */
   private def lexRanks(s: SparkSession, dir: String): DataFrame = {
-    val base = Tables(s, dir, "documents")
-      .select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
-      .filter(size(col("toks")) >= 1)
-      .withColumn("dl", size(col("toks")).cast("long"))
-    val postings = base
-      .select(col("doc_id"), explode(col("toks")).as("term"))
+    val postings = Tables(s, dir, "documents")
+      .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("term"))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
+    lexRanksOver(s, dir, postings)
+  }
+
+  /** The lexical tail over an arbitrary (doc_id, term, tf) relation —
+    * shared by the in-session scan and the persisted-postings serve.
+    * Everything downstream derives from the posting rows alone: dl is
+    * the per-doc tf sum (≡ token count — tokenize runs ONCE, and the
+    * served form never tokenizes at all), df/n_docs/avgdl follow from
+    * the same grouped frame. */
+  private def lexRanksOver(s: SparkSession, dir: String, postings: DataFrame): DataFrame = {
+    val doclen = postings.groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("dl"))
     val dfr = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val stats = base.agg(count(lit(1)).as("n_docs"),
+    val stats = doclen.agg(count(lit(1)).as("n_docs"),
       (sum(col("dl")).cast("double") / count(lit(1)).cast("double")).as("avgdl"))
     val slots = 1 to hybridQueryTerms
     val pivots = slots.flatMap { i =>
@@ -98,7 +106,7 @@ object Retrieval {
     }
     val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("doc_id"))
     piv
-      .join(base.select(col("doc_id"), col("dl")), "doc_id")
+      .join(doclen, "doc_id")
       .crossJoin(broadcast(stats))
       .withColumn("score", round(contrib.reduce(_ + _), 6))
       .withColumn("lex_rk", row_number().over(w).cast("long"))
@@ -111,7 +119,28 @@ object Retrieval {
     * from that list), and the RRF score. Exact over both input
     * rankings, so it carries a full DuckDB oracle composed from the LSH
     * oracle CTE chain and the grouped-BM25 restatement. */
-  def searchHybridRrf(s: SparkSession, dir: String): DataFrame = {
+  def searchHybridRrf(s: SparkSession, dir: String): DataFrame =
+    fuse(s, dir, lexRanks(s, dir))
+
+  /** SERVED hybrid retrieval: the lexical side reads the PERSISTED
+    * posting table (the shared text-index memo — same artifact the
+    * BM25/phrase serving family reads) instead of re-tokenizing the
+    * corpus; tombstoned docs are filtered like every index read. The
+    * posting rows are the identical (doc_id, term, tf) integers the
+    * scan derives, so the served form shares the scan form's oracle
+    * and is byte-identical to it (pinned in `OperatorSpec`). At corpus
+    * scale this is the difference between one tokenize pass per query
+    * set and none. */
+  def searchHybridRrfServed(s: SparkSession, dir: String): DataFrame = {
+    val idxDir = TextAnalysis.textIndexFor(s, dir)
+    fuse(s, dir, lexRanksOver(s, dir,
+      IndexMaintenance.minusTombstones(s, s"$idxDir/postings",
+          s.read.parquet(s"$idxDir/postings"), "doc_id")
+        .select(col("doc_id"), col("term"), col("tf"))))
+  }
+
+  /** The fusion tail shared by the scan and served forms. */
+  private def fuse(s: SparkSession, dir: String, lex: DataFrame): DataFrame = {
     val sem = AnnIndex.lshIndexServe(s, AnnIndex.lshIndexFor(s, dir), Seq(dir),
         Similarity.normed(s, dir)
           .filter(col("vec_id") % Similarity.queryStride === 0)
@@ -120,7 +149,7 @@ object Retrieval {
     // fixed-order fusion sum (lex term + sem term), absent list -> 0.0:
     // both engines evaluate the identical double expression
     val w = Window.partitionBy(col("q_id")).orderBy(col("rrf").desc, col("doc_id"))
-    lexRanks(s, dir).join(sem, Seq("q_id", "doc_id"), "full_outer")
+    lex.join(sem, Seq("q_id", "doc_id"), "full_outer")
       .withColumn("rrf",
         coalesce(lit(1.0) / (lit(rrfK) + col("lex_rk")), lit(0.0)) +
           coalesce(lit(1.0) / (lit(rrfK) + col("sem_rk")), lit(0.0)))
@@ -132,17 +161,24 @@ object Retrieval {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "search_hybrid_rrf" -> searchHybridRrf _
+    "search_hybrid_rrf" -> searchHybridRrf _,
+    "search_hybrid_rrf_served" -> searchHybridRrfServed _
   )
 
   private val tokSql =
     """list_filter(string_split_regex(text, '[ \t\n\x0B\f\r]+'), x -> x <> '')"""
 
   val oracles: Map[String, String] = Map(
+    // the served form reads identical (doc_id, term, tf) integers from
+    // the persisted postings, so it shares the scan form's oracle
+    "search_hybrid_rrf_served" -> hybridOracleSql,
     // semantic side: the LSH chain's `ranked` over the full stride set;
     // lexical side: the grouped BM25 restated with the same fixed-slot
     // pivot and 6-decimal quantization; fusion per (q_id, doc_id)
-    "search_hybrid_rrf" -> {
+    "search_hybrid_rrf" -> hybridOracleSql
+  )
+
+  private lazy val hybridOracleSql: String = {
       val k1 = TextAnalysis.bm25K1
       val b = TextAnalysis.bm25B
       val slots = 1 to hybridQueryTerms
@@ -207,6 +243,5 @@ object Retrieval {
          |  FROM fused)
          |WHERE rk <= $hybridTopK
          |ORDER BY q_id, rk""".stripMargin
-    }
-  )
+  }
 }

@@ -862,26 +862,24 @@ object TextAnalysis {
     * query (build lazily once; bench reps measure SERVING only). */
   private val builtTextIndexes = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  /** Registered-query form of [[textBm25Served]]. */
-  def textBm25ServedQuery(s: SparkSession, dir: String): DataFrame = {
-    val indexDir = builtTextIndexes.computeIfAbsent(dir, { _ =>
+  /** The memoized persisted text index for `dir` (built on first use) —
+    * shared by the whole lexical serving family including the hybrid
+    * retrieval's served form. */
+  private[graft] def textIndexFor(s: SparkSession, dir: String): String =
+    builtTextIndexes.computeIfAbsent(dir, { _ =>
       val d = java.nio.file.Files.createTempDirectory("graft-text-index").toString
       textIndexWrite(s, dir, d)
       d
     })
-    textBm25Served(s, indexDir)
-  }
+
+  /** Registered-query form of [[textBm25Served]]. */
+  def textBm25ServedQuery(s: SparkSession, dir: String): DataFrame =
+    textBm25Served(s, textIndexFor(s, dir))
 
   /** Registered-query form of [[textPhraseServed]] — shares the ONE
     * persisted index (build memo) with the BM25 serving family. */
-  def textPhraseServedQuery(s: SparkSession, dir: String): DataFrame = {
-    val indexDir = builtTextIndexes.computeIfAbsent(dir, { _ =>
-      val d = java.nio.file.Files.createTempDirectory("graft-text-index").toString
-      textIndexWrite(s, dir, d)
-      d
-    })
-    textPhraseServed(s, indexDir)
-  }
+  def textPhraseServedQuery(s: SparkSession, dir: String): DataFrame =
+    textPhraseServed(s, textIndexFor(s, dir))
 
   /** FILTERED lexical search: the SAME persisted index as
     * [[textBm25ServedQuery]] (build memo shared), ranking restricted to
@@ -889,14 +887,8 @@ object TextAnalysis {
     * frozen whole-corpus. The lexical sibling of `sim_lsh_ann_filtered`
     * — full DuckDB oracle, byte-identity with the filtered linear scan
     * pinned in `OperatorSpec`. */
-  def textBm25FilteredQuery(s: SparkSession, dir: String): DataFrame = {
-    val indexDir = builtTextIndexes.computeIfAbsent(dir, { _ =>
-      val d = java.nio.file.Files.createTempDirectory("graft-text-index").toString
-      textIndexWrite(s, dir, d)
-      d
-    })
-    textBm25Served(s, indexDir, Some(col("lang") === bm25FilterLang))
-  }
+  def textBm25FilteredQuery(s: SparkSession, dir: String): DataFrame =
+    textBm25Served(s, textIndexFor(s, dir), Some(col("lang") === bm25FilterLang))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_inverted_index" -> textInvertedIndex _,

@@ -85,6 +85,18 @@ class OperatorSpec extends AnyFunSuite {
     assert(got.exists(t => t._4.nonEmpty && t._5.nonEmpty))
   }
 
+  test("search_hybrid_rrf_served is byte-identical to the scan form") {
+    import TestSpark.sf0001
+    // the persisted postings hold the identical (doc_id, term, tf)
+    // integers the scan derives, and both forms share the fusion tail
+    val scan = graft.ops.Retrieval.searchHybridRrf(spark, sf0001)
+      .collect().map(_.toSeq).toSeq
+    val served = graft.ops.Retrieval.searchHybridRrfServed(spark, sf0001)
+      .collect().map(_.toSeq).toSeq
+    assert(scan.nonEmpty && served === scan,
+      "served hybrid fusion diverged from the scan form")
+  }
+
   test("text_bm25_filtered slices ranking only — statistics stay whole-corpus") {
     import TestSpark.sf0001
     import org.apache.spark.sql.functions.col
