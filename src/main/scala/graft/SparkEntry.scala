@@ -30,7 +30,8 @@ object SparkEntry {
       ops.Compat.queries ++
       multimodal.Multimodal.queries ++
       streaming.EventStreams.queries ++
-      streaming.IngestDedup.queries
+      streaming.IngestDedup.queries ++
+      streaming.AnnIngest.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -46,5 +47,6 @@ object SparkEntry {
       ops.Compat.oracles ++
       multimodal.Multimodal.oracles ++
       streaming.EventStreams.oracles ++
-      streaming.IngestDedup.oracles
+      streaming.IngestDedup.oracles ++
+      streaming.AnnIngest.oracles
 }

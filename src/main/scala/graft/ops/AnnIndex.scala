@@ -53,15 +53,30 @@ object AnnIndex {
   /** Hash `dir`'s embeddings against an explicit meta frame (broadcast
     * join — the thresholds are one row). Shared by build, append, and
     * the query side of serve. */
-  private def hashWith(s: SparkSession, dir: String, meta: DataFrame): DataFrame = {
+  private def hashWith(s: SparkSession, dir: String, meta: DataFrame): DataFrame =
+    hashWithDf(Tables(s, dir, "embeddings"), meta)
+
+  /** Same over an arbitrary (vec_id, embedding) frame — the streaming
+    * ingest foreachBatch body hashes its landed batch directly. */
+  private def hashWithDf(vecs: DataFrame, meta: DataFrame): DataFrame = {
     val geom = meta.select(col("tables"), col("bits")).head()
     val (tables, bits) = (geom.getInt(0), geom.getInt(1))
-    Tables(s, dir, "embeddings")
+    vecs
       .crossJoin(broadcast(meta.select(col("thr"))))
       .select(col("vec_id"),
         posexplode(graft.plans.VectorFunctions.lsh_buckets(
           proj(tables, bits)(col("embedding")), col("thr"), tables, bits))
           .as(Seq("tbl", "bucket")))
+  }
+
+  /** Append a landed BATCH FRAME of vectors (streaming ingest form of
+    * [[lshIndexAppend]]) — hashed with the index's persisted, frozen
+    * thresholds. */
+  private[graft] def lshIndexAppendBatch(s: SparkSession, batch: DataFrame,
+      indexDir: String): Unit = {
+    hashWithDf(batch.select(col("vec_id"), col("embedding")), metaRow(s, indexDir))
+      .write.mode("append").parquet(s"$indexDir/buckets")
+    PlanCache.invalidate(s, s"$indexDir|lsh-index-buckets")
   }
 
   /** Build the index for `corpusDir`'s embeddings into `indexDir`.

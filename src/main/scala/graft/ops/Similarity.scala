@@ -1159,10 +1159,22 @@ object Similarity {
        |SELECT q_id, rk, cand_id, cosine FROM ranked WHERE rk <= $topK
        |ORDER BY q_id, rk""".stripMargin
 
+  /** The streamed-ingest oracle: identical chain, but the per-plane
+    * threshold average is computed over the SEED slice only (the
+    * corpus the persisted index trained on before the stream grew it);
+    * buckets, probes, and scoring still cover every vector. */
+  private[graft] def lshAnnOracleSqlSeedThr(thrCond: String): String =
+    s"""WITH ${lshAnnOracleCtes("TRUE", thrCond)}
+       |SELECT q_id, rk, cand_id, cosine FROM ranked WHERE rk <= $topK
+       |ORDER BY q_id, rk""".stripMargin
+
   /** The LSH oracle's CTE chain (planes → ranked), WITHOUT the `WITH`
     * keyword or final select — composable into larger oracles (the
-    * hybrid-retrieval fusion reuses `ranked` as its semantic side). */
-  private[graft] def lshAnnOracleCtes(memberCond: String): String = {
+    * hybrid-retrieval fusion reuses `ranked` as its semantic side).
+    * `thrTrainCond` restricts the threshold-training rows (the
+    * streamed-index oracle trains on the seed slice). */
+  private[graft] def lshAnnOracleCtes(memberCond: String,
+      thrTrainCond: String = "TRUE"): String = {
     val planes = hyperplanesFor(lshTables, lshBits)
     val planeRows = (0 until lshTables * lshBits).map { p =>
       (0 until embDims).map(d => planes(p * embDims + d).toString)
@@ -1177,7 +1189,7 @@ object Similarity {
        |    list_sum(list_transform(range(1, ${embDims + 1}),
        |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(pl.w[i] AS DOUBLE))) AS pr
        |  FROM embeddings e CROSS JOIN planes pl),
-       |thr AS (SELECT p, avg(pr) AS t FROM proj GROUP BY p),
+       |thr AS (SELECT p, avg(pr) AS t FROM proj WHERE $thrTrainCond GROUP BY p),
        |bits AS (
        |  SELECT vec_id, p // $lshBits AS tbl,
        |    CASE WHEN pr > t THEN 1 << (p % $lshBits) ELSE 0 END AS bit

@@ -54,8 +54,8 @@ object IngestDedup {
     * compaction swap is atomic and value-idempotent). The streaming
     * file source requires an explicit schema: footer-read one landed
     * file (same move as EventStreams.eventsStream). */
-  private def runLandingStream(s: SparkSession, landingDir: String, checkpointDir: String,
-      maintenance: Long => Unit = _ => ())(
+  private[streaming] def runLandingStream(s: SparkSession, landingDir: String,
+      checkpointDir: String, maintenance: Long => Unit = _ => ())(
       process: (DataFrame, Long) => Unit): Unit = {
     val schema = s.read.parquet(landingDir).schema
     val stream = s.readStream.schema(schema)

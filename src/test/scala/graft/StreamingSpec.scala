@@ -258,6 +258,57 @@ class StreamingSpec extends AnyFunSuite {
       s"post-compaction batch verdicts wrong: ${last.toSeq}")
   }
 
+  test("streaming ANN ingest: grown index == one-shot appends; redelivery appends nothing") {
+    import org.apache.spark.sql.functions._
+    import graft.ops.{AnnIndex, Similarity}
+    val r = java.nio.file.Files.createTempDirectory("graft-ann-ingest-spec").toString
+    val emb = Tables(spark, TestSpark.sf0001, "embeddings")
+    (0 until 3).foreach { b =>
+      emb.filter(pmod(col("vec_id"), lit(3)) === b)
+        .write.mode("overwrite").parquet(s"$r/slice_$b/embeddings.parquet")
+    }
+    def land(b: Int, name: String): Unit = {
+      val tmp = s"$r/stage_$name"
+      spark.read.parquet(s"$r/slice_$b/embeddings.parquet").coalesce(1)
+        .write.mode("overwrite").parquet(tmp)
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$r/landing"))
+      new java.io.File(tmp).listFiles().filter(_.getName.endsWith(".parquet")).foreach { f =>
+        java.nio.file.Files.move(f.toPath,
+          java.nio.file.Paths.get(s"$r/landing/$name.parquet"))
+      }
+    }
+    AnnIndex.lshIndexWrite(spark, s"$r/slice_0", s"$r/index")
+    // restart-resume: batch 1 first, then batch 2 on the same checkpoint
+    land(1, "batch_1")
+    graft.streaming.AnnIngest.streamAnnIngestToFiles(spark, s"$r/landing",
+      s"$r/index", s"$r/checkpoint")
+    land(2, "batch_2")
+    graft.streaming.AnnIngest.streamAnnIngestToFiles(spark, s"$r/landing",
+      s"$r/index", s"$r/checkpoint")
+    val q = Similarity.normed(spark, TestSpark.sf0001)
+      .filter(col("vec_id") % Similarity.queryStride === 0)
+      .select(col("vec_id").as("q_id"), col("embedding"))
+    def serveOf(idx: String) = AnnIndex.lshIndexServe(spark, idx,
+        Seq(TestSpark.sf0001), q).collect()
+      .map(row => (row.getLong(0), row.getLong(1), row.getLong(2), row.getDouble(3))).toSeq
+    val streamed = serveOf(s"$r/index")
+    // one-shot reference: same seed training, dir-based appends
+    AnnIndex.lshIndexWrite(spark, s"$r/slice_0", s"$r/oneshot")
+    AnnIndex.lshIndexAppend(spark, s"$r/slice_1", s"$r/oneshot")
+    AnnIndex.lshIndexAppend(spark, s"$r/slice_2", s"$r/oneshot")
+    assert(streamed.nonEmpty && streamed === serveOf(s"$r/oneshot"),
+      "streamed ANN index diverged from one-shot appends")
+    // redelivery: the SAME vectors land again under a new file name —
+    // the anti-join must append nothing and serving must not change
+    val before = spark.read.parquet(s"$r/index/buckets").count()
+    land(1, "batch_1_redelivered")
+    graft.streaming.AnnIngest.streamAnnIngestToFiles(spark, s"$r/landing",
+      s"$r/index", s"$r/checkpoint")
+    assert(spark.read.parquet(s"$r/index/buckets").count() == before,
+      "redelivered batch appended duplicate bucket rows")
+    assert(serveOf(s"$r/index") === streamed, "redelivery changed serving")
+  }
+
   test("compaction cadence inside the ingest loop bounds the index file count") {
     import org.apache.spark.sql.functions._
     import graft.streaming.IngestDedup
