@@ -565,6 +565,36 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  /** Epochs the deterministic training shuffle is materialized for. */
+  val shuffleEpochs = 3
+  /** Shards per epoch — the file-level read unit a data loader pulls. */
+  val shuffleShards = 64L
+
+  /** Deterministic training-data shuffle: the global reorder every
+    * training run performs per epoch, as a DATASET property instead of
+    * a loader-side RNG — each (epoch, doc) gets a salted md5 key; the
+    * epoch's read order is ORDER BY that key, and the first 8 hex
+    * digits mod [[shuffleShards]] assign the doc to a shard (the file
+    * a loader worker reads). Reproducible on any cluster, any
+    * partitioning, any rerun — the property loader RNGs lose the
+    * moment worker count changes.
+    *
+    * Scale shape: the per-epoch reorder is Spark's range-partitioned
+    * TOTAL SORT on a uniform 32-hex key — balanced by construction
+    * (the key is a hash), no skew, no window, no global row-number;
+    * shard assignment is a map-side projection of the same key. At
+    * 100 TB this is exactly one sort-shuffle per epoch, the minimum
+    * any global reshuffle costs. */
+  def curateShuffle(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents").select(col("doc_id"))
+      .crossJoin(broadcast(s.range(shuffleEpochs).select(col("id").as("epoch"))))
+      .withColumn("shuffle_key", md5(concat_ws(":", col("epoch"), col("doc_id"))))
+      .withColumn("shard",
+        pmod(conv(substring(col("shuffle_key"), 1, 8), 16, 10).cast("long"),
+          lit(shuffleShards)))
+      .select(col("epoch"), col("shuffle_key"), col("doc_id"), col("shard"))
+      .orderBy(col("epoch"), col("shuffle_key"))
+
   /** Materialize the stratified corpus as a lang-partitioned parquet
     * dataset — the write-side half of the 100 TB story: `partitionBy`
     * turns every language-filtered read into directory pruning
@@ -593,6 +623,7 @@ object Curation {
     "curate_split_leakage" -> curateSplitLeakage _,
     "curate_topic_mix" -> curateTopicMix _,
     "curate_manifest" -> curateManifest _,
+    "curate_shuffle" -> curateShuffle _,
   )
 
   private val tokSql =
@@ -677,6 +708,14 @@ object Curation {
          |FROM (SELECT doc_id FROM documents WHERE doc_id % $evalStride <> 0) d
          |LEFT JOIN hits ON d.doc_id = hits.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+    "curate_shuffle" ->
+      s"""SELECT epoch, shuffle_key, doc_id, shard FROM (
+         |  SELECT e.epoch, d.doc_id,
+         |    md5(CAST(e.epoch AS VARCHAR) || ':' || CAST(d.doc_id AS VARCHAR)) AS shuffle_key,
+         |    CAST(('0x' || substr(md5(CAST(e.epoch AS VARCHAR) || ':' || CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % $shuffleShards AS shard
+         |  FROM documents d
+         |  CROSS JOIN (SELECT unnest(range(0, $shuffleEpochs)) AS epoch) e)
+         |ORDER BY epoch, shuffle_key""".stripMargin,
     "curate_source_mix" ->
       s"""WITH per AS (
          |  SELECT source, lang, count(*) AS n_docs,

@@ -351,6 +351,29 @@ class OperatorSpec extends AnyFunSuite {
     } finally graft.ops.Dedup.clearShingleCache()
   }
 
+  test("curate_shuffle: epochs are distinct permutations, shards balanced, rerun-identical") {
+    import TestSpark.sf0001
+    import graft.ops.Curation
+    val rows = Curation.curateShuffle(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val byEpoch = rows.groupBy(_._1).map { case (e, rs) => e -> rs.map(_._3).toSeq }
+    assert(byEpoch.keySet == (0L until Curation.shuffleEpochs.toLong).toSet)
+    val docCount = byEpoch.values.head.size
+    // every epoch is a full permutation of the corpus…
+    byEpoch.values.foreach(o => assert(o.sorted == o.sorted.distinct && o.size == docCount))
+    // …and no two epochs share an order (the point of the salt)
+    assert(byEpoch.values.toSeq.distinct.size == Curation.shuffleEpochs,
+      "two epochs produced the identical read order")
+    // shard sizes stay near uniform (hash balance — the property that
+    // makes the total sort and loader reads skew-free)
+    val shardSizes = rows.groupBy(t => (t._1, t._4)).values.map(_.size)
+    assert(shardSizes.max <= 4 * math.max(1, docCount / Curation.shuffleShards.toInt),
+      s"shard skew: max ${shardSizes.max} of $docCount docs")
+    val again = Curation.curateShuffle(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rows.toSeq == again.toSeq, "shuffle is not rerun-deterministic")
+  }
+
   test("q_corr_stats: correlation bounded, moments positive") {
     import TestSpark.sf0001
     val r = graft.ops.Relational.qCorrStats(spark, sf0001).collect()
