@@ -259,6 +259,21 @@ object AnnIndex {
     PlanCache.invalidate(s, s"$indexDir|ivf-index-lists")
   }
 
+  /** Append a landed BATCH FRAME of vectors to the IVF index (streaming
+    * ingest form of [[ivfIndexAppend]]) — assigned with the persisted,
+    * frozen centroids. */
+  private[graft] def ivfIndexAppendBatch(s: SparkSession, batch: DataFrame,
+      indexDir: String): Unit = {
+    val cent = s.read.parquet(s"$indexDir/centroids")
+    val n = batch.select(col("vec_id"), col("embedding"))
+      .withColumn("nrm", sqrt(graft.plans.VectorFunctions.vec_dot(
+        col("embedding"), col("embedding"))))
+      .filter(col("nrm") > 0)
+    Similarity.nearestCentroids(cent)(n, "vec_id", "embedding", "nrm", 1)
+      .write.mode("append").parquet(s"$indexDir/lists")
+    PlanCache.invalidate(s, s"$indexDir|ivf-index-lists")
+  }
+
   /** Serve top-k for an external (q_id, embedding) frame from a
     * persisted IVF index: queries probe their `ivfProbesFor(k)` nearest
     * persisted centroids (constant-fraction rule — the probe count

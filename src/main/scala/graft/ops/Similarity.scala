@@ -427,6 +427,14 @@ object Similarity {
       var cent: Map[Long, Array[Double]] = centroidsOf(n)
         .select(col("c_id"), col("c_emb").cast("array<double>")).collect()
         .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+      // a corpus whose id space misses the stride residue would train
+      // ZERO centroids and every downstream build would silently write
+      // an EMPTY index (found by the IVF-ingest spec's first corpus
+      // split) — fail loudly instead
+      if (cent.isEmpty) throw new IllegalStateException(
+        s"trainedCentroidsOf($dir): no init centroids — corpus has no " +
+        s"vec_id % $centroidStride == 1 members (or none with nonzero norm); " +
+        "an index built from this would be empty")
       for (_ <- 1 to iters) {
         val means = lloydMeans(s, n, cent)
         cent = cent.map { case (id, old) =>

@@ -43,6 +43,22 @@ object AnnIngest {
       AnnIndex.lshIndexAppendBatch(s, fresh, indexDir)
     }
 
+  /** IVF twin: each landed batch is assigned to the persisted, frozen
+    * centroids and folded into the inverted-list table — same loop,
+    * same redelivery anti-join, same compaction cadence. Library API +
+    * spec (the trained quantizer makes a registered form rows-only;
+    * the LSH form above carries the oracle for the pattern). */
+  def streamIvfIngestToFiles(s: SparkSession, landingDir: String, indexDir: String,
+      checkpointDir: String): Unit =
+    IngestDedup.runLandingStream(s, landingDir, checkpointDir,
+      batchId => if ((batchId + 1) % IngestDedup.ingestCompactEvery == 0)
+        AnnIndex.ivfIndexCompact(s, indexDir)) { (batch, _) =>
+      val fresh = batch.join(
+        s.read.parquet(s"$indexDir/lists").select(col("vec_id")).distinct(),
+        Seq("vec_id"), "left_anti")
+      AnnIndex.ivfIndexAppendBatch(s, fresh, indexDir)
+    }
+
   /** Registered-query replay: seed the index from the modulo-0 slice
     * (the "standing corpus" the thresholds are trained on), stream the
     * remaining slices in as landing files, then serve the stride query

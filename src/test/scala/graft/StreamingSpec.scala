@@ -309,6 +309,46 @@ class StreamingSpec extends AnyFunSuite {
     assert(serveOf(s"$r/index") === streamed, "redelivery changed serving")
   }
 
+  test("streaming IVF ingest: grown lists == one-shot appends; redelivery appends nothing") {
+    import org.apache.spark.sql.functions._
+    import graft.ops.{AnnIndex, Similarity}
+    val r = java.nio.file.Files.createTempDirectory("graft-ivf-ingest-spec").toString
+    val emb = Tables(spark, TestSpark.sf0001, "embeddings")
+    // seed = the ~90% standing corpus (must contain the stride-init
+    // centroids, vec_id % 100 == 1); landing batch = the % 10 == 0 rest
+    emb.filter(col("vec_id") % 10 =!= 0)
+      .write.mode("overwrite").parquet(s"$r/slice_0/embeddings.parquet")
+    emb.filter(col("vec_id") % 10 === 0)
+      .write.mode("overwrite").parquet(s"$r/slice_1/embeddings.parquet")
+    def land(b: Int, name: String): Unit = {
+      val tmp = s"$r/stage_$name"
+      spark.read.parquet(s"$r/slice_$b/embeddings.parquet").coalesce(1)
+        .write.mode("overwrite").parquet(tmp)
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$r/landing"))
+      new java.io.File(tmp).listFiles().filter(_.getName.endsWith(".parquet")).foreach { f =>
+        java.nio.file.Files.move(f.toPath,
+          java.nio.file.Paths.get(s"$r/landing/$name.parquet"))
+      }
+    }
+    AnnIndex.ivfIndexWrite(spark, s"$r/slice_0", s"$r/index")
+    AnnIndex.ivfIndexWrite(spark, s"$r/slice_0", s"$r/oneshot")
+    land(1, "batch_1")
+    graft.streaming.AnnIngest.streamIvfIngestToFiles(spark, s"$r/landing",
+      s"$r/index", s"$r/checkpoint")
+    AnnIndex.ivfIndexAppend(spark, s"$r/slice_1", s"$r/oneshot")
+    def listsOf(idx: String) = spark.read.parquet(s"$idx/lists")
+      .select(col("vec_id"), col("c_id")).collect()
+      .map(row => (row.getLong(0), row.getLong(1))).sorted.toSeq
+    val streamed = listsOf(s"$r/index")
+    assert(streamed.nonEmpty && streamed === listsOf(s"$r/oneshot"),
+      "streamed IVF assignment diverged from the one-shot append")
+    land(1, "batch_1_redelivered")
+    graft.streaming.AnnIngest.streamIvfIngestToFiles(spark, s"$r/landing",
+      s"$r/index", s"$r/checkpoint")
+    assert(listsOf(s"$r/index") === streamed,
+      "redelivered batch changed the inverted lists")
+  }
+
   test("compaction cadence inside the ingest loop bounds the index file count") {
     import org.apache.spark.sql.functions._
     import graft.streaming.IngestDedup
