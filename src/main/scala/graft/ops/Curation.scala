@@ -184,6 +184,44 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  /** Eval-exposure REPORT — the reverse view of [[decontaminateNgram]]:
+    * per EVAL document, how exposed is it in the train corpus? Every
+    * eval doc gets a row: the number of distinct train docs sharing at
+    * least one [[contamShingleN]]-gram with it, the count of its
+    * distinct shingles that leak, and the single worst offender's
+    * overlap — the audit card a benchmark owner reads before trusting
+    * a score (a benchmark 80% of whose shingles appear in training is
+    * compromised even if every individual train doc was dropped as
+    * "contaminated"). Same shingle equi-join as the forward pass —
+    * one shuffle of narrow hash rows; per-eval aggregation is bounded
+    * by the eval set, which is benchmark-sized by construction. */
+  def decontaminateReport(s: SparkSession, dir: String): DataFrame = {
+    val sh = Tables(s, dir, "documents").select(col("doc_id"),
+      explode(graft.plans.VectorFunctions.word_shingle_hashes(col("text"), contamShingleN)).as("h"))
+    val evalSh = sh.filter(col("doc_id") % evalStride === 0)
+      .select(col("doc_id").as("eval_id"), col("h"))
+    val hits = sh.filter(col("doc_id") % evalStride =!= 0)
+      .join(evalSh, "h")
+      .groupBy(col("eval_id"), col("doc_id"))
+      .agg(countDistinct(col("h")).as("pair_shared"))
+    val per = sh.filter(col("doc_id") % evalStride =!= 0)
+      .join(evalSh, "h")
+      .groupBy(col("eval_id"))
+      .agg(countDistinct(col("doc_id")).as("n_train_docs"),
+        countDistinct(col("h")).as("n_leaked_shingles"))
+      .join(hits.groupBy(col("eval_id")).agg(max(col("pair_shared")).as("max_overlap")),
+        "eval_id")
+    Tables(s, dir, "documents")
+      .filter(col("doc_id") % evalStride === 0)
+      .select(col("doc_id").as("eval_id"))
+      .join(per, Seq("eval_id"), "left")
+      .select(col("eval_id"),
+        coalesce(col("n_train_docs"), lit(0L)).as("n_train_docs"),
+        coalesce(col("n_leaked_shingles"), lit(0L)).as("n_leaked_shingles"),
+        coalesce(col("max_overlap"), lit(0L)).as("max_overlap"))
+      .orderBy(col("eval_id"))
+  }
+
   /** False-positive rate the eval-shingle Bloom filter is sized for. A
     * doc-level flag fires on ANY of its ~tens of shingles hitting, so
     * the doc-level FP rate amplifies ≈ spans·fpp — 1e-4 keeps it well
@@ -618,6 +656,7 @@ object Curation {
     "curate_pack_sequences" -> curatePackSequences _,
     "curate_mix_epochs" -> curateMixEpochs _,
     "decontaminate_ngram" -> decontaminateNgram _,
+    "decontaminate_report" -> decontaminateReport _,
     "decontaminate_bloom_served" -> decontaminateBloomServed _,
     "curate_source_mix" -> curateSourceMix _,
     "curate_split_leakage" -> curateSplitLeakage _,
@@ -689,6 +728,30 @@ object Curation {
          |FROM (SELECT doc_id FROM documents WHERE doc_id % $evalStride <> 0) d
          |LEFT JOIN hits ON d.doc_id = hits.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+    "decontaminate_report" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id, CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) AS h FROM (
+         |    SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(tk) - ${contamShingleN - 2}),
+         |      i -> array_to_string(tk[i:i+${contamShingleN - 1}], ' ')))) AS shingle
+         |    FROM (SELECT doc_id, $tokSql AS tk FROM documents))),
+         |ev AS (SELECT doc_id AS eval_id, h FROM sh WHERE doc_id % $evalStride = 0),
+         |tr AS (SELECT doc_id, h FROM sh WHERE doc_id % $evalStride <> 0),
+         |pair AS (
+         |  SELECT ev.eval_id, tr.doc_id, count(DISTINCT tr.h) AS pair_shared
+         |  FROM tr JOIN ev ON tr.h = ev.h GROUP BY ev.eval_id, tr.doc_id),
+         |per AS (
+         |  SELECT ev.eval_id, count(DISTINCT tr.doc_id) AS n_train_docs,
+         |    count(DISTINCT tr.h) AS n_leaked_shingles
+         |  FROM tr JOIN ev ON tr.h = ev.h GROUP BY ev.eval_id),
+         |mx AS (SELECT eval_id, max(pair_shared) AS max_overlap FROM pair GROUP BY eval_id)
+         |SELECT d.doc_id AS eval_id,
+         |  CAST(COALESCE(per.n_train_docs, 0) AS BIGINT) AS n_train_docs,
+         |  CAST(COALESCE(per.n_leaked_shingles, 0) AS BIGINT) AS n_leaked_shingles,
+         |  CAST(COALESCE(mx.max_overlap, 0) AS BIGINT) AS max_overlap
+         |FROM (SELECT doc_id FROM documents WHERE doc_id % $evalStride = 0) d
+         |LEFT JOIN per ON d.doc_id = per.eval_id
+         |LEFT JOIN mx ON d.doc_id = mx.eval_id
+         |ORDER BY eval_id""".stripMargin,
     // the two-tier serve (bloom screen + exact confirm on the flagged
     // slice) is bit-identical to the exact join — same chain as the
     // ngram oracle, with the contamination flag

@@ -351,6 +351,25 @@ class OperatorSpec extends AnyFunSuite {
     } finally graft.ops.Dedup.clearShingleCache()
   }
 
+  test("decontaminate_report: planted eval exposure counted; clean eval doc zeroed") {
+    // ManifestFixture: eval doc 0 shares a 10-token run (3 8-shingles)
+    // with exactly one train doc (doc 9); no other eval docs exist, so
+    // add a clean one at id 50 to pin the zero row
+    import spark.implicits._
+    val root = ManifestFixture.corpusDir(spark)
+    val withClean = spark.read.parquet(s"$root/documents.parquet")
+      .union(Seq((50L, (0 until 70).map(w => s"clean50x$w").mkString(" ")))
+        .toDF("doc_id", "text"))
+    val r2 = java.nio.file.Files.createTempDirectory("graft-report-spec").toString
+    withClean.write.mode("overwrite").parquet(s"$r2/documents.parquet")
+    val rows = graft.ops.Curation.decontaminateReport(spark, r2).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(rows.keySet == Set(0L, 50L), s"eval rows: ${rows.keySet}")
+    assert(rows(0L) == ((1L, 3L, 3L)),
+      s"planted exposure (1 train doc, 3 shingles, max 3): ${rows(0L)}")
+    assert(rows(50L) == ((0L, 0L, 0L)), s"clean eval doc must zero: ${rows(50L)}")
+  }
+
   test("curate_shuffle: epochs are distinct permutations, shards balanced, rerun-identical") {
     import TestSpark.sf0001
     import graft.ops.Curation
