@@ -376,6 +376,73 @@ object ScaleSmoke {
     say(f"  -> verdicts: $iv; index simhash ${dirMb(s"$ingestRoot/index/simhash")}%.1f MB, " +
       f"clean ${dirMb(s"$ingestRoot/index/clean")}%.1f MB")
 
+    // ingest-time MANIFEST replay: same landing files, full capstone
+    // decision per batch (exact+near dedup, bloom+exact contamination,
+    // quality, split) against the growing manifest index
+    val mroot = s"$dir-manifest-ingest"
+    rmTree(new java.io.File(mroot))
+    time("manifest ingest prep (landing + eval bloom/shingle index)") {
+      val docs = graft.Tables(spark, dir, "documents")
+        .filter(col("doc_id") % ops.Curation.evalStride =!= 0)
+        .select(col("doc_id"), col("text"))
+      (0 until nLand).foreach { b =>
+        val d = s"$mroot/stage_$b"
+        docs.filter(pmod(col("doc_id"), lit(nLand)) === b)
+          .coalesce(1).write.mode("overwrite").parquet(d)
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$mroot/landing"))
+        new java.io.File(d).listFiles().filter(_.getName.endsWith(".parquet")).foreach { f =>
+          java.nio.file.Files.move(f.toPath,
+            java.nio.file.Paths.get(s"$mroot/landing/batch_$b.parquet"),
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          new java.io.File(s"$mroot/landing/batch_$b.parquet")
+            .setLastModified(1600000000000L + b * 60000L)
+        }
+      }
+      ops.Dedup.ingestManifestIndexInit(spark, s"$mroot/index", dir)
+    }
+    time(s"stream_ingest_manifest (98k docs, $nLand micro-batches, full decision)") {
+      streaming.IngestDedup.streamIngestManifestToFiles(spark, s"$mroot/landing",
+        s"$mroot/index", s"$mroot/out", s"$mroot/checkpoint")
+    }
+    val mv = spark.read.parquet(s"$mroot/out")
+      .groupBy(col("reason")).agg(count(lit(1)).as("n")).collect()
+      .map(r => s"${r.getString(0)}=${r.getLong(1)}").sorted.mkString(" ")
+    say(s"  -> manifest-at-ingest reasons: $mv")
+
+    // streaming ANN ingest: 250k vectors — seed index trained on the
+    // first half, the other half lands as 10 files folded in batch by
+    // batch with the frozen thresholds (cadence compaction mid-stream)
+    val aroot = s"$dir-ann-ingest"
+    rmTree(new java.io.File(aroot))
+    time("ann ingest prep (125k-vector seed index + 10 landing files)") {
+      val emb2 = graft.Tables(spark, dir, "embeddings")
+      emb2.filter(col("vec_id") < nVec / 2)
+        .write.mode("overwrite").parquet(s"$aroot/seed/embeddings.parquet")
+      (0 until nLand).foreach { b =>
+        val d = s"$aroot/stage_$b"
+        emb2.filter(col("vec_id") >= nVec / 2)
+          .filter(pmod(col("vec_id"), lit(nLand)) === b)
+          .coalesce(1).write.mode("overwrite").parquet(d)
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$aroot/landing"))
+        new java.io.File(d).listFiles().filter(_.getName.endsWith(".parquet")).foreach { f =>
+          java.nio.file.Files.move(f.toPath,
+            java.nio.file.Paths.get(s"$aroot/landing/batch_$b.parquet"),
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          new java.io.File(s"$aroot/landing/batch_$b.parquet")
+            .setLastModified(1600000000000L + b * 60000L)
+        }
+      }
+      ops.AnnIndex.lshIndexWrite(spark, s"$aroot/seed", s"$aroot/index")
+    }
+    time(s"stream_ann_ingest (125k vectors, $nLand micro-batches, frozen thresholds)") {
+      streaming.AnnIngest.streamAnnIngestToFiles(spark, s"$aroot/landing",
+        s"$aroot/index", s"$aroot/checkpoint")
+    }
+    val grownIds = spark.read.parquet(s"$aroot/index/buckets")
+      .select(col("vec_id")).distinct().count()
+    say(s"  -> grown LSH index covers $grownIds of $nVec vectors " +
+      s"(${graft.ops.IndexMaintenance.dataFiles(spark, s"$aroot/index/buckets").size} bucket files after cadence)")
+
     // the batch capstone: all five curation signals joined into the
     // per-doc manifest (cluster CTE + canon window + contamination join
     // + quality columns + split) — the full batch pipeline in one plan
