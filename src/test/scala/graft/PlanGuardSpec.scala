@@ -340,4 +340,44 @@ class PlanGuardSpec extends AnyFunSuite {
     assert(p.collect { case j: BroadcastHashJoinExec => j }.isEmpty,
       "part side broadcast — the skewed shuffle partition never forms")
   }
+
+  test("curate_shuffle is one range-sort per epoch set: no window, no global row-number") {
+    // the shuffle op's whole claim is "global reorder = ONE balanced
+    // total sort on a hash key" — a Window/row_number formulation would
+    // funnel the corpus through one task. Exchanges land in the
+    // prepared plan, so assert there.
+    val txt = q("curate_shuffle").queryExecution.executedPlan.toString
+    assert(txt.contains("rangepartitioning(epoch"),
+      "shuffle order is not a range-partitioned total sort")
+    assert(!txt.contains("Window"),
+      "a window crept into the shuffle — global row-numbering funnels one task")
+  }
+
+  test("search_hybrid_rrf_served reads corpus text exactly once (the query slice)") {
+    // the lexical candidate side must come from the persisted postings;
+    // the ONLY text-reading scan in the plan is the stride QUERY docs'
+    // term derivation (a ~2%-of-corpus row slice), never the corpus as
+    // candidates (the in-session scan form has TWO text scans)
+    def textScans(name: String): Int =
+      "ReadSchema: struct<doc_id:bigint,text:string>".r
+        .findAllIn(q(name).queryExecution.executedPlan.toString).length
+    assert(textScans("search_hybrid_rrf_served") == 1,
+      "served hybrid reads corpus text beyond the query-term slice")
+    // the scan form re-expands the posting subtree per consumer in plan
+    // TEXT (AQE stage reuse computes the shared exchange once at
+    // runtime) — the contrast pinned here is served==1 vs scan>1
+    assert(textScans("search_hybrid_rrf") > 1,
+      "scan-form shape drifted — this guard's baseline needs re-deriving")
+  }
+
+  test("decontaminate_report shuffles narrow shingle hashes, never text") {
+    // after the shingle explode, every exchange carries (id, h) rows;
+    // text reaching an exchange would ship the corpus through the join
+    val txt = q("decontaminate_report").queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning\\(([^)]*)".r
+      .findAllMatchIn(txt).map(_.group(1)).toSeq
+    assert(exchanges.nonEmpty, "report lost its equi-join shape")
+    assert(!exchanges.exists(_.contains("text")),
+      s"an exchange carries document text: $exchanges")
+  }
 }
