@@ -443,6 +443,32 @@ object ScaleSmoke {
     say(s"  -> grown LSH index covers $grownIds of $nVec vectors " +
       s"(${graft.ops.IndexMaintenance.dataFiles(spark, s"$aroot/index/buckets").size} bucket files after cadence)")
 
+    // retraction at scale: tombstone 10% of the grown index (25k
+    // vectors), measure serve latency with the anti-join pending vs
+    // after the compaction physically drops the rows — the takedown
+    // path's read cost, quantified
+    val delIds = (0L until nVec).filter(_ % 10 == 3)
+    time("lsh_index_delete (25k tombstones)") {
+      ops.AnnIndex.lshIndexDelete(spark, s"$aroot/index", delIds)
+    }
+    val queries10 = ops.Similarity.normed(spark, dir)
+      .filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding"))
+    val servedDel = time("lsh_index_serve with 25k tombstones PENDING (2.5k queries)") {
+      ops.AnnIndex.lshIndexServe(spark, s"$aroot/index", Seq(dir), queries10)
+        .filter(col("cand_id") % 10 === 3).count()
+    }
+    time("lsh_index_compact (drops tombstoned rows)") {
+      ops.AnnIndex.lshIndexCompact(spark, s"$aroot/index")
+    }
+    val servedPost = time("lsh_index_serve after compact (2.5k queries)") {
+      ops.AnnIndex.lshIndexServe(spark, s"$aroot/index", Seq(dir), queries10)
+        .filter(col("cand_id") % 10 === 3).count()
+    }
+    say(s"  -> tombstoned candidates served: pending=$servedDel post-compact=$servedPost (must both be 0)")
+    assert(servedDel == 0 && servedPost == 0,
+      s"retracted vectors served: pending=$servedDel post=$servedPost")
+
     // the batch capstone: all five curation signals joined into the
     // per-doc manifest (cluster CTE + canon window + contamination join
     // + quality columns + split) — the full batch pipeline in one plan

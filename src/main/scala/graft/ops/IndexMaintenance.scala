@@ -91,6 +91,13 @@ object IndexMaintenance {
   // idempotent by construction: a double delete appends a duplicate
   // tombstone row, and both the serve-time anti-join and the compact
   // rewrite are set operations.
+  //
+  // One deliberate simplification vs a full LSM: tombstones carry no
+  // sequence numbers, so RE-ADDING a deleted id only takes effect
+  // after a compaction has cleared the pending tombstone (a pending
+  // delete hides re-added rows too — tombstone wins). Takedown
+  // workflows never need the reverse order; a true re-admission is
+  // delete → compact → append.
 
   /** Tombstone ids against the parquet table at `tablePath`. */
   def deleteIds(s: SparkSession, tablePath: String, ids: Seq[Long]): Unit = {
