@@ -899,9 +899,9 @@ object Similarity {
     * query×list, trivial beside the ADC scan it feeds). */
   private[graft] def ivfPqOver(cent: DataFrame, cb: Array[Double],
       assignedCodes: DataFrame, queries: DataFrame, rescorePool: DataFrame,
-      nLists: Double): DataFrame = {
+      nLists: Double, probeOverride: Option[Int] = None): DataFrame = {
     val kEff = pqKOf(cb)
-    val probes = ivfProbesFor(nLists)
+    val probes = probeOverride.getOrElse(ivfProbesFor(nLists))
     val depthCell = math.max(pqRescoreDepth, (centroidStride * ivfPqListFraction).toInt)
     val lists = assignedCodes
       .groupBy(col("c_id"))
@@ -947,6 +947,27 @@ object Similarity {
     val q = n.filter(col("vec_id") % queryStride === 0)
     ivfPqOver(cent, cb, ivfPqAssign(cent, cb, n), q, n,
       bytes / lshBytesPerRow / centroidStride)
+  }
+
+  /** The fully-ORACLED member of the composed family: the SAME IVF-PQ
+    * pipeline ([[ivfPqOver]] — per-list code collection, transient
+    * LUTs, fused per-cell ADC shortlist, exact rescore) run with the
+    * two deterministic quantizers the oracled base paths use — the
+    * stride coarse quantizer (`sim_ivf_topk`'s) and the prefix PQ
+    * codebook (`sim_pq_topk`'s) — and the fixed [[nProbe]] probe
+    * count. Every stage is therefore SQL-restatable, so the COMPOSITION
+    * itself (pruning ∘ compression ∘ rescore) gets a DuckDB oracle,
+    * not just its parts: the round-6 audit item the trained variants'
+    * rows-only status left open. The production variant stays
+    * `sim_ivfpq_topk` (trained quantizer, statistic probes); this one
+    * pins the plumbing. */
+  def simIvfPqTopkStride(s: SparkSession, dir: String): DataFrame = {
+    val n = normed(s, dir)
+    val cent = centroidsOf(n)
+    val cb = pqCodebook(s, dir)
+    val q = n.filter(col("vec_id") % queryStride === 0)
+    ivfPqOver(cent, cb, ivfPqAssign(cent, cb, n), q, n,
+      nLists = 0.0, probeOverride = Some(nProbe))
   }
 
   /** kNN label prediction — the downstream consumer the ANN stack
@@ -1009,6 +1030,7 @@ object Similarity {
     "sim_pq_rescore" -> simPqRescore _,
     "sim_pq_rescore_auto" -> simPqRescoreAuto _,
     "sim_ivfpq_topk" -> simIvfPqTopk _,
+    "sim_ivfpq_topk_stride" -> simIvfPqTopkStride _,
     "sim_ivfpq_topk_served" -> AnnIndex.simIvfPqTopkServed _,
     "sim_knn_label" -> simKnnLabel _,
   )
@@ -1087,6 +1109,58 @@ object Similarity {
        |  FROM rescored)
        |SELECT q_id, rk, cand_id, cosine FROM ranked WHERE rk <= $topK
        |ORDER BY q_id, rk""".stripMargin
+
+  /** Oracle for the stride-composed IVF-PQ: the PQ chain's
+    * codes/LUTs, the stride-IVF assignment and fixed-nProbe probes,
+    * ADC grouped per (query, cand, list) with the kernel's s-ascending
+    * fold, the PER-(query, list) shortlist cut at the composed depth
+    * (the per-cell semantics of `cell_pq_topk`), and the exact-cosine
+    * rescore — the composition restated stage by stage. */
+  private lazy val ivfPqStrideOracleSql: String = {
+    val depthCell = math.max(pqRescoreDepth, (centroidStride * ivfPqListFraction).toInt)
+    s"""$pqCommonCtes,
+       |icent AS (SELECT vec_id AS c_id, embedding AS c_emb, nrm AS c_nrm
+       |          FROM n WHERE vec_id % $centroidStride = 1),
+       |iasgn AS (
+       |  SELECT vec_id, c_id FROM (
+       |    SELECT v.vec_id, c.c_id,
+       |      row_number() OVER (PARTITION BY v.vec_id
+       |        ORDER BY ${dotSql("v.embedding", "c.c_emb")} / (v.nrm * c.c_nrm) DESC, c.c_id) AS c_rk
+       |    FROM n v, icent c)
+       |  WHERE c_rk = 1),
+       |iprobes AS (
+       |  SELECT q_id, c_id FROM (
+       |    SELECT q.q_id, c.c_id,
+       |      row_number() OVER (PARTITION BY q.q_id
+       |        ORDER BY ${dotSql("q.q_emb", "c.c_emb")} / (q.q_nrm * c.c_nrm) DESC, c.c_id) AS c_rk
+       |    FROM q, icent c)
+       |  WHERE c_rk <= $nProbe),
+       |iadc AS (
+       |  SELECT p.q_id, a.vec_id AS cand_id, a.c_id,
+       |    list_sum(list(l.lut ORDER BY l.s)) AS adc
+       |  FROM iprobes p
+       |  JOIN iasgn a ON a.c_id = p.c_id
+       |  JOIN codes c ON c.vec_id = a.vec_id
+       |  JOIN luts l ON l.q_id = p.q_id AND l.s = c.s AND l.j = c.code
+       |  WHERE a.vec_id <> p.q_id
+       |  GROUP BY p.q_id, a.vec_id, a.c_id),
+       |ishort AS (
+       |  SELECT q_id, cand_id FROM (
+       |    SELECT q_id, cand_id,
+       |      row_number() OVER (PARTITION BY q_id, c_id ORDER BY adc DESC, cand_id) AS srk
+       |    FROM iadc)
+       |  WHERE srk <= $depthCell),
+       |iresc AS (
+       |  SELECT sl.q_id, sl.cand_id,
+       |    ${dotSql("q.q_emb", "c.embedding")} / (q.q_nrm * c.nrm) AS cosine
+       |  FROM ishort sl JOIN q ON sl.q_id = q.q_id JOIN n c ON sl.cand_id = c.vec_id),
+       |iranked AS (
+       |  SELECT q_id, cand_id, cosine,
+       |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, cand_id) AS BIGINT) AS rk
+       |  FROM iresc)
+       |SELECT q_id, rk, cand_id, cosine FROM iranked WHERE rk <= $topK
+       |ORDER BY q_id, rk""".stripMargin
+  }
 
   private lazy val pqCommonCtes: String = {
     val dsub = pqDsub
@@ -1230,6 +1304,7 @@ object Similarity {
   }
 
   val oracles: Map[String, String] = Map(
+    "sim_ivfpq_topk_stride" -> ivfPqStrideOracleSql,
     "sim_pq_topk" -> pqTopkOracleSql,
     "sim_pq_rescore" -> pqRescoreOracleSql,
     "sim_knn_label" -> knnLabelOracleSql,
