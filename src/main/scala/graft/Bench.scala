@@ -62,8 +62,12 @@ object Bench {
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
     }
     val medians = names.map(n => n -> medianOf(rounds.map(_(n))))
+    // locale-pinned decimal formatting: f"%.3f" uses the JVM default
+    // locale, and a comma-decimal host would emit invalid JSON
+    def num3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = minima.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val medJson = medians.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    val medJson = medians.map { case (k, v) => "\"" + k + "\":" + num3(v) }
       .mkString("{", ",", "}")
     val total = minima.map(_._2).sum
     val medTotal = medians.map(_._2).sum
@@ -85,10 +89,10 @@ object Bench {
     // unparseable truncated head. The tail line carries the headline
     // numbers plus the per-query dict ONLY if it fits the budget;
     // either way it names bench_out.json as the durable full record.
-    val compactQs = minima.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    val compactQs = minima.map { case (k, v) => "\"" + k + "\":" + num3(v) }
       .mkString("{", ",", "}")
     val head =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","reps":$reps,"raw_totals":$rawJson,"failed":$failedJson,"sf":"$sfDir","full":"bench_out.json""""
+      s"""{"metric":"total","value":${num3(total)},"unit":"sec","reps":$reps,"raw_totals":$rawJson,"failed":$failedJson,"sf":"$sfDir","full":"bench_out.json""""
     val tailLine =
       if (head.length + compactQs.length + 12 <= 1900) s"""$head,"queries":$compactQs}"""
       else s"""$head}"""

@@ -30,6 +30,13 @@ object TextFns {
     * reference's `cin >>` tokenization (word_count/mapper.cpp:23). */
   val WhitespaceRegex = "[ \\t\\n\\x0B\\f\\r]+"
 
+  /** The DuckDB restatement of [[tokens]] over a column named `text` —
+    * the ONE definition every oracle file derives its `tokSql` from
+    * (six verbatim copies previously had to stay bit-identical by
+    * hand). Must track [[WhitespaceRegex]] exactly. */
+  val duckTokSql: String =
+    """list_filter(string_split_regex(text, '[ \t\n\x0B\f\r]+'), x -> x <> '')"""
+
   /** Whitespace tokenization with empty-token removal. */
   def tokens(text: Column): Column =
     filter(split(text, WhitespaceRegex), t => t =!= lit(""))

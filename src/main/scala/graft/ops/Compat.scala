@@ -92,8 +92,8 @@ object Compat {
   )
 
   private val w1Oracle =
-    """SELECT word, count(*) AS cnt
-      |FROM (SELECT unnest(list_filter(string_split_regex(text, '[ \t\n\x0B\f\r]+'), x -> x <> '')) AS word FROM documents)
+    s"""SELECT word, count(*) AS cnt
+      |FROM (SELECT unnest(${graft.functions.TextFns.duckTokSql}) AS word FROM documents)
       |GROUP BY word ORDER BY word""".stripMargin
 
   val oracles: Map[String, String] = Map(

@@ -200,17 +200,22 @@ object Curation {
       explode(graft.plans.VectorFunctions.word_shingle_hashes(col("text"), contamShingleN)).as("h"))
     val evalSh = sh.filter(col("doc_id") % evalStride === 0)
       .select(col("doc_id").as("eval_id"), col("h"))
-    val hits = sh.filter(col("doc_id") % evalStride =!= 0)
+    // one definition of the train⋈eval shingle join feeds both
+    // aggregations — the two branches' join subtrees are identical by
+    // construction, so ReuseExchange collapses their corpus-sized
+    // input shuffles to one execution (and a future edit cannot drift
+    // the two joins apart)
+    val joined = sh.filter(col("doc_id") % evalStride =!= 0)
       .join(evalSh, "h")
+    val pairMax = joined
       .groupBy(col("eval_id"), col("doc_id"))
       .agg(countDistinct(col("h")).as("pair_shared"))
-    val per = sh.filter(col("doc_id") % evalStride =!= 0)
-      .join(evalSh, "h")
+      .groupBy(col("eval_id")).agg(max(col("pair_shared")).as("max_overlap"))
+    val per = joined
       .groupBy(col("eval_id"))
       .agg(countDistinct(col("doc_id")).as("n_train_docs"),
         countDistinct(col("h")).as("n_leaked_shingles"))
-      .join(hits.groupBy(col("eval_id")).agg(max(col("pair_shared")).as("max_overlap")),
-        "eval_id")
+      .join(pairMax, "eval_id")
     Tables(s, dir, "documents")
       .filter(col("doc_id") % evalStride === 0)
       .select(col("doc_id").as("eval_id"))
@@ -666,7 +671,7 @@ object Curation {
   )
 
   private val tokSql =
-    """list_filter(string_split_regex(text, '[ \t\n\x0B\f\r]+'), x -> x <> '')"""
+    graft.functions.TextFns.duckTokSql
 
   private val rateCaseSql =
     "CASE " + sampleRates.map { case (l, r) => s"WHEN lang = '$l' THEN $r" }.mkString(" ") +

@@ -49,7 +49,7 @@ object Dedup {
   val cosineThreshold = 0.45
 
   private val tokSql =
-    """list_filter(string_split_regex(text, '[ \t\n\x0B\f\r]+'), x -> x <> '')"""
+    graft.functions.TextFns.duckTokSql
   private val shingleSql =
     s"""SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(tk) - 1),
        |    i -> array_to_string(tk[i:i+2], ' ')))) AS shingle
@@ -573,7 +573,7 @@ object Dedup {
     * [[ingestIndexCompact]]. */
   def ingestIndexDelete(s: SparkSession, indexDir: String, docIds: Seq[Long]): Unit = {
     dedupIndexDelete(s, indexDir, docIds)
-    if (new java.io.File(s"$indexDir/clean").exists())
+    if (pathExists(s, s"$indexDir/clean"))
       IndexMaintenance.deleteIds(s, s"$indexDir/clean", docIds)
   }
 
@@ -583,6 +583,16 @@ object Dedup {
   def cleanStore(s: SparkSession, indexDir: String): DataFrame =
     IndexMaintenance.minusTombstones(s, s"$indexDir/clean",
       s.read.parquet(s"$indexDir/clean"), "doc_id")
+
+  /** Compact an ingest VERDICT sink: few files, (batch, doc_id)-sorted —
+    * the sort is what keeps the per-batch retry probe ([[retrySafeAppends]]'
+    * `sunk` read) a row-group-pruned lookup instead of an O(stream-age)
+    * scan, and the file bound is the same small-file argument as the
+    * index stores. Wired into the same ingest cadence. */
+  def ingestSinkCompact(s: SparkSession, outDir: String): (Int, Int) =
+    if (IndexMaintenance.dataFiles(s, outDir).nonEmpty)
+      IndexMaintenance.compactTable(s, outDir, Seq("batch", "doc_id"))
+    else (0, 0)
 
   /** Compact signature index AND clean store, dropping tombstones.
     * No-data stores are skipped (a young stream may not have admitted
@@ -686,6 +696,38 @@ object Dedup {
     * [[TextAnalysis.qualityScore]] threshold `is_quality` uses. */
   val ingestQualityMin = 0.5
 
+  /** Hadoop-FS existence — `java.io.File` is ALWAYS false for
+    * `hdfs://`/`s3a://` paths, which would silently disable the retry
+    * anti-joins and takedown on exactly the filesystems production
+    * runs use. */
+  private def pathExists(s: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** The shared retry-safe append tail of the curated/manifest ingest
+    * bodies: detect an at-least-once RETRY from doubled verdict rows
+    * for this batch (`sunk` = the sink's rows for the batch — the sink
+    * is append-only, so a retry holds one row per attempt) and, only
+    * then, anti-join each store append against what the store already
+    * holds. First attempts keep the single-append hot path; the clean
+    * store is the corpus artifact itself, where a doubled row is NOT
+    * consumer-absorbable. */
+  private def retrySafeAppends(s: SparkSession, sunk: DataFrame,
+      appends: Seq[(DataFrame, String)]): Unit = {
+    val Array(total, unique) = sunk.agg(
+      count(lit(1)), count_distinct(col("doc_id"))).head()
+      .toSeq.map(_.asInstanceOf[Long]).toArray
+    val isRetry = total != unique
+    appends.foreach { case (df, storeDir) =>
+      (if (isRetry && pathExists(s, storeDir))
+        df.join(s.read.parquet(storeDir).select(col("doc_id")),
+          Seq("doc_id"), "left_anti")
+      else df)
+        .write.mode("append").parquet(storeDir)
+    }
+  }
+
   /** Full curation-at-ingest: PII-scrub the batch, reject docs below
     * the quality floor (or with no tokens after scrubbing), near-dup
     * check the SURVIVORS against the admitted index plus lower-id
@@ -737,22 +779,11 @@ object Dedup {
             .filter(col("batch") === batchId && col("verdict") === "admitted")
             .select(col("doc_id")).persist()
           try {
-            val Array(total, unique) = sunk.agg(
-              count(lit(1)), count_distinct(col("doc_id"))).head()
-              .toSeq.map(_.asInstanceOf[Long]).toArray
-            val isRetry = total != unique
             val admitted = sunk.distinct()
-            val cleanDir = s"$indexDir/clean"
-            def dedupAgainst(df: DataFrame, storeDir: String): DataFrame =
-              if (isRetry && new java.io.File(storeDir).exists())
-                df.join(s.read.parquet(storeDir).select(col("doc_id")),
-                  Seq("doc_id"), "left_anti")
-              else df
-            dedupAgainst(sig.join(admitted, "doc_id"), s"$indexDir/simhash")
-              .write.mode("append").parquet(s"$indexDir/simhash")
-            dedupAgainst(qualified.select(col("doc_id"), col("text"))
-                .join(admitted, "doc_id"), cleanDir)
-              .write.mode("append").parquet(cleanDir)
+            retrySafeAppends(s, sunk, Seq(
+              sig.join(admitted, "doc_id") -> s"$indexDir/simhash",
+              qualified.select(col("doc_id"), col("text"))
+                .join(admitted, "doc_id") -> s"$indexDir/clean"))
           } finally sunk.unpersist()
         } finally verdicts.unpersist()
       } finally sig.unpersist()
@@ -854,32 +885,22 @@ object Dedup {
             .filter(col("batch") === batchId)
             .select(col("doc_id"), col("reason")).persist()
           try {
-            val Array(total, unique) = sunk.agg(
-              count(lit(1)), count_distinct(col("doc_id"))).head()
-              .toSeq.map(_.asInstanceOf[Long]).toArray
-            val isRetry = total != unique
-            def dedupAgainst(df: DataFrame, storeDir: String): DataFrame =
-              if (isRetry && new java.io.File(storeDir).exists())
-                df.join(s.read.parquet(storeDir).select(col("doc_id")),
-                  Seq("doc_id"), "left_anti")
-              else df
             // the index admits every NON-DUP doc (signature null for
             // token-less ones — their banded rows never match, but the
             // md5 side still guards their exact twins)
             val nonDup = sunk
               .filter(!col("reason").isin("dup_exact", "near_dup"))
               .select(col("doc_id")).distinct()
-            dedupAgainst(scrubbed.select(col("doc_id"), col("tmd5"))
-                .join(nonDup, "doc_id")
-                .join(sig, Seq("doc_id"), "left")
-                .select(col("doc_id"), col("simhash"), col("tmd5")),
-              s"$indexDir/simhash")
-              .write.mode("append").parquet(s"$indexDir/simhash")
             val train = sunk.filter(col("reason") === "train")
               .select(col("doc_id")).distinct()
-            dedupAgainst(scrubbed.select(col("doc_id"), col("text"))
-                .join(train, "doc_id"), s"$indexDir/clean")
-              .write.mode("append").parquet(s"$indexDir/clean")
+            retrySafeAppends(s, sunk, Seq(
+              scrubbed.select(col("doc_id"), col("tmd5"))
+                .join(nonDup, "doc_id")
+                .join(sig, Seq("doc_id"), "left")
+                .select(col("doc_id"), col("simhash"), col("tmd5"))
+                -> s"$indexDir/simhash",
+              scrubbed.select(col("doc_id"), col("text"))
+                .join(train, "doc_id") -> s"$indexDir/clean"))
           } finally sunk.unpersist()
         } finally verdicts.unpersist()
       } finally sig.unpersist()

@@ -84,8 +84,8 @@ object Reference {
 
   val oracles: Map[String, String] = Map(
     "w1_word_count" ->
-      """SELECT word, count(*) AS cnt
-        |FROM (SELECT unnest(list_filter(string_split_regex(text, '[ \t\n\x0B\f\r]+'), x -> x <> '')) AS word FROM documents)
+      s"""SELECT word, count(*) AS cnt
+        |FROM (SELECT unnest(${graft.functions.TextFns.duckTokSql}) AS word FROM documents)
         |GROUP BY word ORDER BY word""".stripMargin,
     "w2_char_count" ->
       """SELECT ch, count(*) AS cnt

@@ -166,7 +166,7 @@ object Retrieval {
   )
 
   private val tokSql =
-    """list_filter(string_split_regex(text, '[ \t\n\x0B\f\r]+'), x -> x <> '')"""
+    graft.functions.TextFns.duckTokSql
 
   val oracles: Map[String, String] = Map(
     // the served form reads identical (doc_id, term, tf) integers from

@@ -935,7 +935,7 @@ object TextAnalysis {
   }
 
   private val tokSql =
-    """list_filter(string_split_regex(text, '[ \t\n\x0B\f\r]+'), x -> x <> '')"""
+    graft.functions.TextFns.duckTokSql
 
   /** `q(doc_id, score)` CTE for oracles that join the quality score
     * (the same formula as `text_quality` / `corpus_clean`). */

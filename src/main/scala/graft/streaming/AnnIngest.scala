@@ -65,24 +65,14 @@ object AnnIngest {
     * set from the grown index — every vector is a candidate, hashed
     * with the seed-trained thresholds. Fresh temp dirs per invocation. */
   def streamAnnIngest(s: SparkSession, dir: String): DataFrame = {
-    val root = java.nio.file.Files.createTempDirectory("graft-ann-ingest").toString
     val emb = graft.Tables(s, dir, "embeddings")
-    emb.filter(pmod(col("vec_id"), lit(IngestDedup.ingestBatches.toLong)) === 0)
-      .write.mode("overwrite").parquet(s"$root/seed/embeddings.parquet")
-    (1 until IngestDedup.ingestBatches).foreach { b =>
-      val d = s"$root/stage_$b"
-      emb.filter(pmod(col("vec_id"), lit(IngestDedup.ingestBatches.toLong)) === b)
-        .coalesce(1).write.mode("overwrite").parquet(d)
-      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$root/landing"))
-      new java.io.File(d).listFiles().filter(_.getName.endsWith(".parquet")).foreach { f =>
-        val t = 1600000000000L + b * 60000L
-        java.nio.file.Files.move(f.toPath,
-          java.nio.file.Paths.get(s"$root/landing/batch_$b.parquet"))
-        new java.io.File(s"$root/landing/batch_$b.parquet").setLastModified(t)
-      }
+    val root = IngestDedup.stageLanding(s, emb,
+        batches = 1 until IngestDedup.ingestBatches, idCol = "vec_id") { root =>
+      emb.filter(pmod(col("vec_id"), lit(IngestDedup.ingestBatches.toLong)) === 0)
+        .write.mode("overwrite").parquet(s"$root/seed/embeddings.parquet")
+      AnnIndex.lshIndexWrite(s, s"$root/seed", s"$root/index")
     }
-    AnnIndex.lshIndexWrite(s, s"$root/seed", s"$root/index")
-    streamAnnIngestToFiles(s, s"$root/landing", s"$root/index", s"$root/checkpoint")
+    streamAnnIngestToFiles(s, s"$root/landing/flat", s"$root/index", s"$root/checkpoint")
     AnnIndex.lshIndexServe(s, s"$root/index", Seq(dir),
       Similarity.normed(s, dir)
         .filter(col("vec_id") % Similarity.queryStride === 0)

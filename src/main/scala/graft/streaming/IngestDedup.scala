@@ -88,8 +88,10 @@ object IngestDedup {
     * a standing corpus); verdicts append to `outDir`. */
   def streamIngestDedupToFiles(s: SparkSession, landingDir: String, indexDir: String,
       outDir: String, checkpointDir: String): Unit =
-    runLandingStream(s, landingDir, checkpointDir, compactCadence(
-      Dedup.ingestIndexCompact(s, indexDir))) { (batch, batchId) =>
+    runLandingStream(s, landingDir, checkpointDir, compactCadence {
+      Dedup.ingestIndexCompact(s, indexDir)
+      Dedup.ingestSinkCompact(s, outDir)
+    }) { (batch, batchId) =>
       Dedup.ingestBatch(s, batch, indexDir, outDir, batchId)
     }
 
@@ -102,8 +104,10 @@ object IngestDedup {
     * index (see [[Dedup.ingestCurateBatch]]). */
   def streamIngestCurateToFiles(s: SparkSession, landingDir: String, indexDir: String,
       outDir: String, checkpointDir: String): Unit =
-    runLandingStream(s, landingDir, checkpointDir, compactCadence(
-      Dedup.ingestIndexCompact(s, indexDir))) { (batch, batchId) =>
+    runLandingStream(s, landingDir, checkpointDir, compactCadence {
+      Dedup.ingestIndexCompact(s, indexDir)
+      Dedup.ingestSinkCompact(s, outDir)
+    }) { (batch, batchId) =>
       Dedup.ingestCurateBatch(s, batch, indexDir, outDir, batchId)
     }
 
@@ -115,8 +119,10 @@ object IngestDedup {
     * eval bloom, eval shingle table). */
   def streamIngestManifestToFiles(s: SparkSession, landingDir: String, indexDir: String,
       outDir: String, checkpointDir: String): Unit =
-    runLandingStream(s, landingDir, checkpointDir, compactCadence(
-      Dedup.ingestIndexCompact(s, indexDir))) { (batch, batchId) =>
+    runLandingStream(s, landingDir, checkpointDir, compactCadence {
+      Dedup.ingestIndexCompact(s, indexDir)
+      Dedup.ingestSinkCompact(s, outDir)
+    }) { (batch, batchId) =>
       Dedup.ingestManifestBatch(s, batch, indexDir, outDir, batchId)
     }
 
@@ -187,12 +193,22 @@ object IngestDedup {
       root => Dedup.ingestManifestIndexInit(s, s"$root/index", dir)
     }
 
-  private def stageLanding(s: SparkSession, docs: org.apache.spark.sql.DataFrame)(
+  /** The ONE landing-staging routine every replay shares (dedup,
+    * curate, manifest, and [[AnnIngest]]'s vector form): write each
+    * modulo slice of `docs` as one parquet file into a flat landing
+    * dir with ASCENDING mod times, so the file source replays them in
+    * batch order. `batches` selects which modulo slices land (the ANN
+    * replay keeps slice 0 as the quantizer-training seed); `idCol` is
+    * the modulo key. Fresh temp dirs per invocation — the sink and
+    * index are append-only, so a rerun must not see a previous run's
+    * state. */
+  private[streaming] def stageLanding(s: SparkSession, docs: org.apache.spark.sql.DataFrame,
+      batches: Range = 0 until ingestBatches, idCol: String = "doc_id")(
       init: String => Unit): String = {
     val root = java.nio.file.Files.createTempDirectory("graft-ingest-replay").toString
-    (0 until ingestBatches).foreach { b =>
+    batches.foreach { b =>
       val d = s"$root/landing/batch_$b"
-      docs.filter(pmod(col("doc_id"), lit(ingestBatches)) === b)
+      docs.filter(pmod(col(idCol), lit(ingestBatches)) === b)
         .coalesce(1).write.mode("overwrite").parquet(d)
       val dirF = new java.io.File(d)
       dirF.listFiles().filter(_.getName.endsWith(".parquet")).foreach { f =>
