@@ -14,9 +14,11 @@ import org.apache.spark.sql.SparkSession
   * (a single co-scheduled compile inflated round-2 totals by 50%+). Raw
   * per-round totals ship alongside so the noise itself is visible.
   *
-  * The result JSON is printed as the FIRST stdout line AND written to
-  * `bench_out.json` in the working directory, so a bounded log-tail
-  * capture can never truncate it (round 3 lost its artifact that way).
+  * The FULL result JSON (per-query minima + medians) is written to
+  * `bench_out.json` in the working directory; stdout carries exactly ONE
+  * compact JSON line sized to survive the driver's bounded (2000-char)
+  * log-tail capture (rounds 3 and 5-7 each lost their machine artifact
+  * to a truncated full JSON on stdout).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -70,33 +72,37 @@ object Bench {
     val medJson = medians.map { case (k, v) => "\"" + k + "\":" + num3(v) }
       .mkString("{", ",", "}")
     val total = minima.map(_._2).sum
-    val medTotal = medians.map(_._2).sum
     val rawTotals = rounds.map(_.values.sum)
     val rawJson = rawTotals.mkString("[", ",", "]")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // median_total is the median of the per-rep totals (comparable to
+    // raw_totals by inspection); the sum of per-query medians — a
+    // different, also-useful robustness statistic — ships under its own
+    // honest name so readers never reconcile the two
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"raw_totals":$rawJson,"median_total":$medTotal,"queries":$qs,"queries_median":$medJson,"failed":$failedJson,"sf":"$sfDir"}"""
-    println(json)
+      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"raw_totals":$rawJson,"median_total":${num3(medianOf(rawTotals))},"sum_of_query_medians":${num3(medians.map(_._2).sum)},"queries":$qs,"queries_median":$medJson,"failed":$failedJson,"sf":"$sfDir"}"""
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
         (json + "\n").getBytes("UTF-8"))
     } catch { case e: Throwable => System.err.println(s"[bench] bench_out.json write failed: ${e.getMessage}") }
     System.err.println(f"[bench] per-query minima total ${total}%.1fs over $reps rounds (raw: ${rawTotals.map(t => f"$t%.1f").mkString(", ")})")
-    // ALSO print a summary as the LAST stdout line, sized to survive a
-    // bounded (2000-char) log-tail capture: the driver's round artifact
-    // records only the tail, and the ~100-query full JSON (~3 KB of
-    // query names alone) cannot fit, so round 4's artifact carried an
-    // unparseable truncated head. The tail line carries the headline
-    // numbers plus the per-query dict ONLY if it fits the budget;
-    // either way it names bench_out.json as the durable full record.
+    // STDOUT carries ONE compact JSON line and nothing else brace-shaped.
+    // The driver's round artifact keeps only the LAST 2000 chars of
+    // stdout and parses from the first '{' it finds there — so the full
+    // ~5 KB per-query JSON must never hit stdout (its truncated tail is
+    // what made BENCH_r05..r07.json unparseable; sbt's own "[success]
+    // ..." trailer is brace-free and tolerated by a raw_decode). The
+    // full record lives in bench_out.json, which the line names. The
+    // per-query dict rides along only if the line stays under budget.
     val compactQs = minima.map { case (k, v) => "\"" + k + "\":" + num3(v) }
       .mkString("{", ",", "}")
     val head =
-      s"""{"metric":"total","value":${num3(total)},"unit":"sec","reps":$reps,"raw_totals":$rawJson,"failed":$failedJson,"sf":"$sfDir","full":"bench_out.json""""
+      s"""{"metric":"total","value":${num3(total)},"unit":"sec","reps":$reps,"raw_totals":$rawJson,"median_total":${num3(medianOf(rawTotals))},"failed":$failedJson,"sf":"$sfDir","full":"bench_out.json""""
     val tailLine =
-      if (head.length + compactQs.length + 12 <= 1900) s"""$head,"queries":$compactQs}"""
+      if (head.length + compactQs.length + 12 <= 1800) s"""$head,"queries":$compactQs}"""
       else s"""$head}"""
     println(tailLine)
+    System.out.flush()
     spark.stop()
   }
 }

@@ -71,11 +71,16 @@ object AnnIndex {
 
   /** Append a landed BATCH FRAME of vectors (streaming ingest form of
     * [[lshIndexAppend]]) — hashed with the index's persisted, frozen
-    * thresholds. */
+    * thresholds. With `tag`, the append is IDEMPOTENT under retry
+    * (deterministic file names via [[IndexMaintenance.appendBatchAs]] —
+    * the streaming loop's crash-window guard). */
   private[graft] def lshIndexAppendBatch(s: SparkSession, batch: DataFrame,
-      indexDir: String): Unit = {
-    hashWithDf(batch.select(col("vec_id"), col("embedding")), metaRow(s, indexDir))
-      .write.mode("append").parquet(s"$indexDir/buckets")
+      indexDir: String, tag: Option[String] = None): Unit = {
+    val rows = hashWithDf(batch.select(col("vec_id"), col("embedding")), metaRow(s, indexDir))
+    tag match {
+      case Some(t) => IndexMaintenance.appendBatchAs(s, rows, s"$indexDir/buckets", t)
+      case None => rows.write.mode("append").parquet(s"$indexDir/buckets")
+    }
     PlanCache.invalidate(s, s"$indexDir|lsh-index-buckets")
   }
 
@@ -247,6 +252,25 @@ object AnnIndex {
       .write.mode("overwrite").parquet(s"$indexDir/lists")
   }
 
+  /** Build and persist the STRIDE-quantizer IVF index: centroids are
+    * the deterministic stride sample ([[Similarity.centroidsOf]] —
+    * every `centroidStride`-th vector of `corpusDir`), lists the keep=1
+    * assignment. Same layout and serve path as [[ivfIndexWrite]]; the
+    * deterministic quantizer is what makes the streamed-ingest
+    * registered form (`stream_ivf_ingest`) fully DuckDB-oracle-able —
+    * the production build stays the trained [[ivfIndexWrite]]. */
+  def ivfIndexWriteStride(s: SparkSession, corpusDir: String, indexDir: String): Unit = {
+    val cent = Similarity.centroidsOf(Similarity.normed(s, corpusDir))
+    require(cent.limit(1).count() == 1L,
+      s"ivfIndexWriteStride($corpusDir): no stride centroids " +
+      s"(no vec_id % ${Similarity.centroidStride} == 1 members with nonzero norm)")
+    cent.coalesce(1).write.mode("overwrite").parquet(s"$indexDir/centroids")
+    val persisted = s.read.parquet(s"$indexDir/centroids")
+    Similarity.nearestCentroids(persisted)(
+        Similarity.normed(s, corpusDir), "vec_id", "embedding", "nrm", 1)
+      .write.mode("overwrite").parquet(s"$indexDir/lists")
+  }
+
   /** Append a landing batch: assign its vectors to the PERSISTED
     * centroids (the quantizer stays fixed — re-training would re-assign
     * the standing corpus, so drift means rebuild, exactly as with the
@@ -261,16 +285,20 @@ object AnnIndex {
 
   /** Append a landed BATCH FRAME of vectors to the IVF index (streaming
     * ingest form of [[ivfIndexAppend]]) — assigned with the persisted,
-    * frozen centroids. */
+    * frozen centroids. With `tag`, idempotent under retry (see
+    * [[lshIndexAppendBatch]]). */
   private[graft] def ivfIndexAppendBatch(s: SparkSession, batch: DataFrame,
-      indexDir: String): Unit = {
+      indexDir: String, tag: Option[String] = None): Unit = {
     val cent = s.read.parquet(s"$indexDir/centroids")
     val n = batch.select(col("vec_id"), col("embedding"))
       .withColumn("nrm", sqrt(graft.plans.VectorFunctions.vec_dot(
         col("embedding"), col("embedding"))))
       .filter(col("nrm") > 0)
-    Similarity.nearestCentroids(cent)(n, "vec_id", "embedding", "nrm", 1)
-      .write.mode("append").parquet(s"$indexDir/lists")
+    val rows = Similarity.nearestCentroids(cent)(n, "vec_id", "embedding", "nrm", 1)
+    tag match {
+      case Some(t) => IndexMaintenance.appendBatchAs(s, rows, s"$indexDir/lists", t)
+      case None => rows.write.mode("append").parquet(s"$indexDir/lists")
+    }
     PlanCache.invalidate(s, s"$indexDir|ivf-index-lists")
   }
 
@@ -281,11 +309,12 @@ object AnnIndex {
     * needed), and scoring runs inside per-list tile cells via the same
     * fused kernel as every other ANN path. */
   def ivfIndexServe(s: SparkSession, indexDir: String, corpusDirs: Seq[String],
-      queries: DataFrame, memberPred: Option[Column] = None): DataFrame = {
+      queries: DataFrame, memberPred: Option[Column] = None,
+      probeOverride: Option[Int] = None): DataFrame = {
     val cent = PlanCache.memoized(s, s"$indexDir|ivf-index-centroids") {
       s.read.parquet(s"$indexDir/centroids")
     }
-    val probes = Similarity.ivfProbesFor(cent.count().toDouble)
+    val probes = probeOverride.getOrElse(Similarity.ivfProbesFor(cent.count().toDouble))
     val assign = IndexMaintenance.minusTombstones(s, s"$indexDir/lists",
       PlanCache.memoized(s, s"$indexDir|ivf-index-lists") {
         s.read.parquet(s"$indexDir/lists")

@@ -341,14 +341,18 @@ object Curation {
     val surviving = s.read.parquet(s"$indexDir/eval_shingles")
       .select(col("h")).distinct()
     val cnt = surviving.count()
-    val n = math.max(1024L, cnt)
+    // sized with append headroom (2× the surviving count) so the next
+    // decontamBloomAppend's cumulative-capacity accounting starts from
+    // the ACTUAL item count, not at 100% of an exactly-sized filter —
+    // which would spuriously warn of fpp overrun on the first append
+    val n = math.max(1024L, cnt * 2)
     // stat.bloomFilter returns a null buffer on an empty frame (every
     // eval doc retracted — legal); an explicit empty filter screens
     // nothing, which is exactly right
     val bloom =
       if (cnt == 0L) org.apache.spark.util.sketch.BloomFilter.create(n, contamBloomFpp)
       else surviving.stat.bloomFilter("h", n, contamBloomFpp)
-    writeBloomRow(s, indexDir, bloom, n, contamBloomFpp, totalItems = n)
+    writeBloomRow(s, indexDir, bloom, n, contamBloomFpp, totalItems = cnt)
     r
   }
 

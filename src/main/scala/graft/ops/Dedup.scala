@@ -596,14 +596,20 @@ object Dedup {
 
   /** Compact signature index AND clean store, dropping tombstones.
     * No-data stores are skipped (a young stream may not have admitted
-    * anything yet when the compaction cadence first fires). */
+    * anything yet when the compaction cadence first fires). Returns the
+    * SUMMED (files before, files after) across both stores, so callers
+    * and logs see the full maintenance work done. */
   def ingestIndexCompact(s: SparkSession, indexDir: String): (Int, Int) = {
-    if (IndexMaintenance.dataFiles(s, s"$indexDir/clean").nonEmpty)
-      IndexMaintenance.compactTable(s, s"$indexDir/clean", Seq("doc_id"),
-        tombstoneCol = Some("doc_id"))
-    if (IndexMaintenance.dataFiles(s, s"$indexDir/simhash").nonEmpty)
-      dedupIndexCompact(s, indexDir)
-    else (0, 0)
+    val clean =
+      if (IndexMaintenance.dataFiles(s, s"$indexDir/clean").nonEmpty)
+        IndexMaintenance.compactTable(s, s"$indexDir/clean", Seq("doc_id"),
+          tombstoneCol = Some("doc_id"))
+      else (0, 0)
+    val sig =
+      if (IndexMaintenance.dataFiles(s, s"$indexDir/simhash").nonEmpty)
+        dedupIndexCompact(s, indexDir)
+      else (0, 0)
+    (clean._1 + sig._1, clean._2 + sig._2)
   }
 
   /** Landing-zone near-dup check against a PERSISTED signature index:

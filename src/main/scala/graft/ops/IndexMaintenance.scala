@@ -76,6 +76,103 @@ object IndexMaintenance {
     (before.size, dataFiles(s, path).size)
   }
 
+  // ------------------------------------------- idempotent batch appends
+  //
+  // foreachBatch is AT-LEAST-ONCE: a batch retried after its writes but
+  // before the checkpoint commit is re-presented with the SAME batch id.
+  // The first-cut guard anti-joined every batch against the standing
+  // index's distinct ids — an O(index) scan + shuffle per trigger that
+  // grows with stream age (and serve-key-sorted compaction makes the id
+  // read unprunable), the classic O(stream-age) failure mode. The fix is
+  // the standard idempotent-sink pattern (the shape of Delta's
+  // txnAppId/txnVersion): track WHICH batches have been folded in a
+  // per-batch marker sidecar, keyed by (checkpoint lineage, batchId) —
+  // an O(1) filesystem existence probe per trigger, zero data read —
+  // and make the data append itself self-replacing under retry via
+  // DETERMINISTIC file names, so the crash window between data append
+  // and marker append re-lands the same files instead of duplicating
+  // rows. The standing-id uniqueness the anti-join used to enforce
+  // becomes a compaction-cadence INVARIANT CHECK (amortized O(index)/N),
+  // not a per-batch cost.
+  //
+  // Markers are scoped to the checkpoint lineage: batch ids restart at 0
+  // under a NEW checkpoint, so a reprocessing run (new checkpoint dir,
+  // same index) must not be masked by a previous lineage's markers.
+
+  /** Stable tag for a checkpoint lineage (markers from different
+    * checkpoints must not collide when batch ids restart at 0). */
+  def lineageTag(checkpointDir: String): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(checkpointDir.getBytes("UTF-8"))
+    d.take(4).map("%02x".format(_)).mkString
+  }
+
+  private def markerPath(indexDir: String, lineage: String, batchId: Long) =
+    new org.apache.hadoop.fs.Path(s"$indexDir/_batches/${lineage}_b$batchId")
+
+  /** Has (lineage, batchId) already been folded into the index at
+    * `indexDir`? One filesystem existence probe — O(1) per trigger
+    * regardless of index size or stream age. */
+  def batchSeen(s: SparkSession, indexDir: String, lineage: String, batchId: Long): Boolean = {
+    val p = markerPath(indexDir, lineage, batchId)
+    fs(s, p).exists(p)
+  }
+
+  /** Record (lineage, batchId) as folded — called AFTER the batch's data
+    * append succeeds, so a crash in between leaves the marker absent and
+    * the retry re-lands (replaces) the batch's files. */
+  def recordBatch(s: SparkSession, indexDir: String, lineage: String, batchId: Long): Unit = {
+    val p = markerPath(indexDir, lineage, batchId)
+    val f = fs(s, p)
+    f.mkdirs(p.getParent)
+    val out = f.create(p, true)
+    out.close()
+  }
+
+  /** Append `df` to the parquet table at `tablePath` as batch `tag`,
+    * IDEMPOTENTLY: the batch's files land under deterministic names
+    * (`b$tag-N.parquet`) via an invisible staging dir, and any files a
+    * previous (crashed) attempt of the SAME tag left behind are swept
+    * first — so a retry replaces its own partial output instead of
+    * duplicating rows. Underscore-prefixed staging is invisible to
+    * every table read. */
+  def appendBatchAs(s: SparkSession, df: DataFrame, tablePath: String, tag: String): Unit = {
+    val dest = new org.apache.hadoop.fs.Path(tablePath)
+    val f = fs(s, dest)
+    val staging = new org.apache.hadoop.fs.Path(dest, s"_staging_$tag")
+    df.write.mode("overwrite").parquet(staging.toString)
+    // sweep a previous attempt's files for this tag (a retry may write
+    // a different part count — every b$tag-* file must go)
+    if (f.exists(dest)) f.listStatus(dest).toSeq
+      .filter(st => st.isFile && st.getPath.getName.startsWith(s"b$tag-"))
+      .foreach(st => f.delete(st.getPath, false))
+    val parts = f.listStatus(staging).toSeq
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .sortBy(_.getPath.getName)
+    parts.zipWithIndex.foreach { case (st, i) =>
+      val to = new org.apache.hadoop.fs.Path(dest, s"b$tag-$i.parquet")
+      if (!f.rename(st.getPath, to))
+        throw new java.io.IOException(s"appendBatchAs: rename ${st.getPath} -> $to failed")
+    }
+    f.delete(staging, true)
+  }
+
+  /** The compaction-cadence invariant the per-batch anti-join used to
+    * enforce inline: every servable id appears at most `maxPerKey` times
+    * under `keyCols`. Raises loudly on violation (a duplicate row would
+    * double-score its vector in every probed cell). Amortized to one
+    * index aggregation per compaction cadence, not per batch. */
+  def checkUnique(s: SparkSession, tablePath: String, keyCols: Seq[String],
+      idCol: String): Unit = {
+    import org.apache.spark.sql.functions.{count, lit}
+    val dup = minusTombstones(s, tablePath, s.read.parquet(tablePath), idCol)
+      .groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n")).filter(col("n") > 1).limit(1).count()
+    require(dup == 0L,
+      s"checkUnique($tablePath): duplicate ${keyCols.mkString("(", ",", ")")} rows — " +
+      "a batch was folded twice outside the idempotent-append path")
+  }
+
   // ------------------------------------------------- delete / retraction
   //
   // Takedown (opt-out, contaminated-source retraction) is routine at

@@ -1205,6 +1205,51 @@ object Similarity {
   private def dotSql(a: String, b: String): String =
     s"list_sum(list_transform(range(1, len($a) + 1), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
 
+  /** Oracle for the stride-quantizer IVF ANN, parameterized on an extra
+    * centroid-training restriction: `centCond = "TRUE"` is the
+    * in-session `sim_ivf_topk`; the streamed-ingest form restricts the
+    * centroids to the SEED slice the persisted index was built from
+    * (the quantizer-frozen train/serve divergence, same move as
+    * [[lshAnnOracleSqlSeedThr]]) while assignment, probes, and scoring
+    * still cover every vector. */
+  private[graft] def ivfTopkOracleSql(centCond: String = "TRUE"): String =
+    s"""WITH n AS (
+       |  SELECT * FROM (
+       |    SELECT vec_id, embedding,
+       |      sqrt(${dotSql("embedding", "embedding")}) AS nrm
+       |    FROM embeddings) WHERE nrm > 0),
+       |cent AS (SELECT vec_id AS c_id, embedding AS c_emb, nrm AS c_nrm
+       |         FROM n WHERE vec_id % $centroidStride = 1 AND ($centCond)),
+       |asgn AS (
+       |  SELECT vec_id, c_id FROM (
+       |    SELECT v.vec_id, c.c_id,
+       |      row_number() OVER (PARTITION BY v.vec_id
+       |        ORDER BY ${dotSql("v.embedding", "c.c_emb")} / (v.nrm * c.c_nrm) DESC, c.c_id) AS c_rk
+       |    FROM n v, cent c)
+       |  WHERE c_rk = 1),
+       |q AS (SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm
+       |      FROM n WHERE vec_id % $queryStride = 0),
+       |probes AS (
+       |  SELECT q_id, c_id FROM (
+       |    SELECT q.q_id, c.c_id,
+       |      row_number() OVER (PARTITION BY q.q_id
+       |        ORDER BY ${dotSql("q.q_emb", "c.c_emb")} / (q.q_nrm * c.c_nrm) DESC, c.c_id) AS c_rk
+       |    FROM q, cent c)
+       |  WHERE c_rk <= $nProbe),
+       |cand AS (
+       |  SELECT DISTINCT q_id, vec_id AS cand_id
+       |  FROM probes JOIN asgn USING (c_id) WHERE vec_id <> q_id),
+       |scored AS (
+       |  SELECT cand.q_id, cand.cand_id,
+       |    ${dotSql("q.q_emb", "c.embedding")} / (q.q_nrm * c.nrm) AS cosine
+       |  FROM cand JOIN q ON cand.q_id = q.q_id JOIN n c ON cand.cand_id = c.vec_id),
+       |ranked AS (
+       |  SELECT q_id, cand_id, cosine,
+       |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, cand_id) AS BIGINT) AS rk
+       |  FROM scored)
+       |SELECT q_id, rk, cand_id, cosine FROM ranked WHERE rk <= $topK
+       |ORDER BY q_id, rk""".stripMargin
+
   /** DuckDB oracle for the PINNED LSH ANN — possible because (a) the
     * hyperplanes are a fixed seeded array, emitted here as list
     * literals (`Double.toString` round-trips exactly, and DuckDB's
@@ -1316,43 +1361,7 @@ object Similarity {
     // filtered ANN is exact over probed ∩ label-slice candidates, so it
     // oracles as the same SQL with the member restriction added
     "sim_lsh_ann_filtered" -> lshAnnFilteredOracleSql,
-    "sim_ivf_topk" ->
-      s"""WITH n AS (
-         |  SELECT * FROM (
-         |    SELECT vec_id, embedding,
-         |      sqrt(${dotSql("embedding", "embedding")}) AS nrm
-         |    FROM embeddings) WHERE nrm > 0),
-         |cent AS (SELECT vec_id AS c_id, embedding AS c_emb, nrm AS c_nrm
-         |         FROM n WHERE vec_id % $centroidStride = 1),
-         |asgn AS (
-         |  SELECT vec_id, c_id FROM (
-         |    SELECT v.vec_id, c.c_id,
-         |      row_number() OVER (PARTITION BY v.vec_id
-         |        ORDER BY ${dotSql("v.embedding", "c.c_emb")} / (v.nrm * c.c_nrm) DESC, c.c_id) AS c_rk
-         |    FROM n v, cent c)
-         |  WHERE c_rk = 1),
-         |q AS (SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm
-         |      FROM n WHERE vec_id % $queryStride = 0),
-         |probes AS (
-         |  SELECT q_id, c_id FROM (
-         |    SELECT q.q_id, c.c_id,
-         |      row_number() OVER (PARTITION BY q.q_id
-         |        ORDER BY ${dotSql("q.q_emb", "c.c_emb")} / (q.q_nrm * c.c_nrm) DESC, c.c_id) AS c_rk
-         |    FROM q, cent c)
-         |  WHERE c_rk <= $nProbe),
-         |cand AS (
-         |  SELECT DISTINCT q_id, vec_id AS cand_id
-         |  FROM probes JOIN asgn USING (c_id) WHERE vec_id <> q_id),
-         |scored AS (
-         |  SELECT cand.q_id, cand.cand_id,
-         |    ${dotSql("q.q_emb", "c.embedding")} / (q.q_nrm * c.nrm) AS cosine
-         |  FROM cand JOIN q ON cand.q_id = q.q_id JOIN n c ON cand.cand_id = c.vec_id),
-         |ranked AS (
-         |  SELECT q_id, cand_id, cosine,
-         |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, cand_id) AS BIGINT) AS rk
-         |  FROM scored)
-         |SELECT q_id, rk, cand_id, cosine FROM ranked WHERE rk <= $topK
-         |ORDER BY q_id, rk""".stripMargin,
+    "sim_ivf_topk" -> ivfTopkOracleSql(),
     "sim_topk_bruteforce" ->
       s"""WITH n AS (
          |  SELECT * FROM (

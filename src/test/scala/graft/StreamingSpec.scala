@@ -298,15 +298,60 @@ class StreamingSpec extends AnyFunSuite {
     AnnIndex.lshIndexAppend(spark, s"$r/slice_2", s"$r/oneshot")
     assert(streamed.nonEmpty && streamed === serveOf(s"$r/oneshot"),
       "streamed ANN index diverged from one-shot appends")
-    // redelivery: the SAME vectors land again under a new file name —
-    // the anti-join must append nothing and serving must not change
+    // TRUE redelivery: foreachBatch re-presents an ALREADY-COMMITTED
+    // batch id after a crash-before-checkpoint-commit — simulated by
+    // deleting the checkpoint's last commit marker and re-running the
+    // stream. The per-batch marker must skip it: zero appended rows,
+    // and the skip must read O(1), not the standing bucket table (the
+    // round-7 anti-join's O(index)-per-trigger scan).
     val before = spark.read.parquet(s"$r/index/buckets").count()
-    land(1, "batch_1_redelivered")
-    graft.streaming.AnnIngest.streamAnnIngestToFiles(spark, s"$r/landing",
-      s"$r/index", s"$r/checkpoint")
+    val bucketsBytes = graft.ops.IndexMaintenance
+      .dataFiles(spark, s"$r/index/buckets").map(_.getLen).sum
+    def lastCommit(): java.io.File = new java.io.File(s"$r/checkpoint/commits")
+      .listFiles().filter(_.getName.forall(_.isDigit)).maxBy(_.getName.toInt)
+    // the local checksummed FS keeps a .N.crc sibling per commit file;
+    // it must go with the commit or the re-commit's rename fails
+    def uncommit(c: java.io.File): Boolean = {
+      new java.io.File(c.getParentFile, s".${c.getName}.crc").delete()
+      c.delete()
+    }
+    def bytesRead(f: => Unit): Long = {
+      val acc = new java.util.concurrent.atomic.AtomicLong()
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (te.taskMetrics != null) acc.addAndGet(te.taskMetrics.inputMetrics.bytesRead)
+      }
+      spark.sparkContext.addSparkListener(l)
+      try { f; Thread.sleep(500) } finally spark.sparkContext.removeSparkListener(l)
+      acc.get()
+    }
+    assert(uncommit(lastCommit()), "could not remove the last commit marker")
+    val redelBytes = bytesRead {
+      graft.streaming.AnnIngest.streamAnnIngestToFiles(spark, s"$r/landing",
+        s"$r/index", s"$r/checkpoint")
+    }
     assert(spark.read.parquet(s"$r/index/buckets").count() == before,
       "redelivered batch appended duplicate bucket rows")
     assert(serveOf(s"$r/index") === streamed, "redelivery changed serving")
+    assert(redelBytes < bucketsBytes / 2,
+      s"redelivery skip read $redelBytes B — O(index) ($bucketsBytes B) not O(1)")
+    // CRASH WINDOW between data append and marker append: the batch's
+    // files landed but the marker did not — the retry must REPLACE the
+    // partial attempt's deterministically-named files, not duplicate
+    // rows. Simulated by deleting the marker AND the commit.
+    val lineage = graft.ops.IndexMaintenance.lineageTag(s"$r/checkpoint")
+    val lastId = lastCommit().getName.toInt
+    val marker = new java.io.File(s"$r/index/_batches/${lineage}_b$lastId")
+    assert(marker.exists(), s"expected marker ${marker.getPath}")
+    assert(marker.delete() && uncommit(lastCommit()))
+    graft.streaming.AnnIngest.streamAnnIngestToFiles(spark, s"$r/landing",
+      s"$r/index", s"$r/checkpoint")
+    assert(spark.read.parquet(s"$r/index/buckets").count() == before,
+      "crash-window retry duplicated the batch's bucket rows")
+    assert(serveOf(s"$r/index") === streamed, "crash-window retry changed serving")
+    // the standing-id invariant the retired anti-join enforced inline
+    graft.ops.IndexMaintenance.checkUnique(spark, s"$r/index/buckets",
+      Seq("vec_id", "tbl"), "vec_id")
   }
 
   test("streaming IVF ingest: grown lists == one-shot appends; redelivery appends nothing") {
@@ -342,11 +387,17 @@ class StreamingSpec extends AnyFunSuite {
     val streamed = listsOf(s"$r/index")
     assert(streamed.nonEmpty && streamed === listsOf(s"$r/oneshot"),
       "streamed IVF assignment diverged from the one-shot append")
-    land(1, "batch_1_redelivered")
+    // true redelivery (same batch id re-presented): marker skips it
+    val commits = new java.io.File(s"$r/checkpoint/commits")
+      .listFiles().filter(_.getName.forall(_.isDigit)).maxBy(_.getName.toInt)
+    new java.io.File(commits.getParentFile, s".${commits.getName}.crc").delete()
+    assert(commits.delete(), "could not remove the last commit marker")
     graft.streaming.AnnIngest.streamIvfIngestToFiles(spark, s"$r/landing",
       s"$r/index", s"$r/checkpoint")
     assert(listsOf(s"$r/index") === streamed,
       "redelivered batch changed the inverted lists")
+    graft.ops.IndexMaintenance.checkUnique(spark, s"$r/index/lists",
+      Seq("vec_id"), "vec_id")
   }
 
   test("compaction cadence inside the ingest loop bounds the index file count") {
