@@ -303,12 +303,10 @@ object SelfChecks {
   }
 
   val checks: Map[String, (SparkSession, String) => CheckResult] = Map(
-    "sim_lsh_ann_auto" -> annCheck(ops.Similarity.simLshAnnAuto,
-      "index depth derives from a runtime size statistic; static SQL cannot reproduce it"),
     "sim_ivf_topk_trained" -> annCheck(ops.Similarity.simIvfTopkTrained,
       "k-means training sums floats in partition order; centroids are not bit-reproducible in SQL"),
     "sim_ivf_topk_auto" -> annCheck(ops.Similarity.simIvfTopkAuto,
-      "trained centroids + statistic-derived probe count; not reproducible in static SQL"),
+      "trained centroids (k-means float-summation order); not reproducible in static SQL"),
     "sim_ivf_topk_served" -> annCheck(ops.AnnIndex.simIvfTopkServed,
       "serves a persisted TRAINED index; k-means centroids are not bit-reproducible in SQL"),
     "sim_ivf_topk_filtered" -> filteredAnnCheck(ops.AnnIndex.simIvfTopkFiltered,
@@ -319,8 +317,6 @@ object SelfChecks {
     "sim_pq_topk_trained" -> pqCheck(ops.Similarity.simPqTopkTrained,
       (s, d) => ops.Similarity.pqCodebookTrained(s, d),
       "per-subspace k-means sums floats in partition order; the codebook is not bit-reproducible in SQL"),
-    "sim_pq_rescore_auto" -> annCheck(ops.Similarity.simPqRescoreAuto,
-      "shortlist depth derives from a runtime size statistic; static SQL cannot reproduce it"),
     "sim_ivfpq_topk" -> (ivfPqCheck _),
     "sim_ivfpq_topk_served" -> annCheck(ops.AnnIndex.simIvfPqTopkServed,
       "serves a persisted trained-quantizer index; not reproducible in static SQL"),

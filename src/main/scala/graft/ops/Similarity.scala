@@ -154,7 +154,6 @@ object Similarity {
   /** Tile edge for the (query × member) scoring cells: each cell scores
     * at most lshTile² candidate cosines in one fused loop. */
   val lshTile = 1024
-  private val lshBytesPerRow = 350.0 // calibrated on the parquet corpora (≈390 B/row snappy)
 
   /** Table depth for a corpus of `rows` vectors: enough bits that bucket
     * occupancy stays ≈`lshTargetBucket` — candidates/query ≈
@@ -168,15 +167,27 @@ object Similarity {
     math.max(lshBits, math.min(24,
       math.round(math.log(math.max(1.0, rows / lshTargetBucket)) / math.log(2)).toInt))
 
-  /** The SCALE serving path: depth chosen from the corpus's optimizer
-    * size statistic (file bytes — available without running a job, the
-    * same signal broadcast planning uses), so plan construction stays
-    * lazy. Identical to `simLshAnn` on recall-asserted small corpora
-    * (the bits floor); sub-linear candidates on large ones. Rows-only. */
+  /** Depth ceiling the auto oracle emits hyperplanes for: corpora up to
+    * lshTargetBucket·2^14 ≈ 65k rows are fully oracle-checkable (sf0.1
+    * = 25k → 13 bits); beyond that the oracle FAILS LOUDLY rather than
+    * silently dropping planes, and the engine-side path keeps scaling
+    * to the [[lshBitsFor]] cap of 24 unchanged. */
+  private[graft] val lshOracleMaxBits = 14
+
+  /** The SCALE serving path: depth chosen from the corpus's EXACT row
+    * count. `count()` on parquet is a footer-metadata job (the
+    * count-star optimization reads no column data), so the statistic is
+    * cheap even at 100 TB — and unlike the byte-size estimate it is
+    * DETERMINISTIC, which is what lets the auto path carry a full DuckDB
+    * oracle: the SQL recomputes count(*) in a CTE and applies the same
+    * floor formula (round 8; previously rows-only). The eager count is a
+    * documented deviation from the lazy-plan contract, like
+    * [[trainedCentroidsOf]]. Identical to `simLshAnn` on recall-asserted
+    * small corpora (the bits floor); sub-linear candidates on large
+    * ones. */
   def simLshAnnAuto(s: SparkSession, dir: String): DataFrame = {
-    val bytes = Tables(s, dir, "embeddings")
-      .queryExecution.optimizedPlan.stats.sizeInBytes.toDouble
-    simLshAnnWith(s, dir, lshTables, lshBitsFor(bytes / lshBytesPerRow), multiprobe = true)
+    val rows = Tables(s, dir, "embeddings").count().toDouble
+    simLshAnnWith(s, dir, lshTables, lshBitsFor(rows), multiprobe = true)
   }
 
   private[graft] def simLshAnnWith(s: SparkSession, dir: String,
@@ -542,9 +553,12 @@ object Similarity {
     * before the final ranking window. Rows-only (trained quantizer —
     * see [[trainedCentroidsOf]]). */
   def simIvfTopkAuto(s: SparkSession, dir: String): DataFrame = {
-    val bytes = Tables(s, dir, "embeddings")
-      .queryExecution.optimizedPlan.stats.sizeInBytes.toDouble
-    val probes = ivfProbesFor(bytes / lshBytesPerRow / centroidStride)
+    // exact row count, not the byte-size estimate (round 8): cheap
+    // (footer-only count-star) and it makes the statistic-derived probe
+    // count EQUAL the served path's list-count-derived one everywhere,
+    // not just where the ~350 B/row calibration happened to round alike
+    val rows = Tables(s, dir, "embeddings").count().toDouble
+    val probes = ivfProbesFor(rows / centroidStride)
     val n = normed(s, dir)
     val cent = trainedCentroidsOf(s, dir)
     val lists = nearestCentroids(cent)(
@@ -760,9 +774,9 @@ object Similarity {
     * (≤ depthCell = 1024 rows); a single-cell corpus between that and
     * [[pqCellRows]] rows still gets a top-depthCell ADC shortlist per
     * query — approximate, with recall governed by the 1/64 fraction
-    * like every larger corpus. Rows-only — output cosines are exact,
-    * so the self-check is the same cosine recompute the other ANN
-    * paths use. */
+    * like every larger corpus. Fully oracled (round 8,
+    * [[pqRescoreAutoOracleSql]]): the constant per-cell depth and the
+    * `vec_id // pqCellRows` cell layout are both SQL-restatable. */
   def simPqRescoreAuto(s: SparkSession, dir: String): DataFrame = {
     val depthCell = math.max(pqRescoreDepth, (pqCellRows * pqRescoreFraction).toInt)
     pqRescoreOver(s, dir,
@@ -939,14 +953,14 @@ object Similarity {
     * where it actually holds (at toy scale the flat PQ scan is
     * near-exhaustive, so pruning necessarily costs recall there). */
   def simIvfPqTopk(s: SparkSession, dir: String): DataFrame = {
-    val bytes = Tables(s, dir, "embeddings")
-      .queryExecution.optimizedPlan.stats.sizeInBytes.toDouble
+    // exact count for the probe statistic — see simIvfTopkAuto
+    val rows = Tables(s, dir, "embeddings").count().toDouble
     val n = normed(s, dir)
     val cent = trainedCentroidsOf(s, dir)
     val cb = pqCodebook(s, dir)
     val q = n.filter(col("vec_id") % queryStride === 0)
     ivfPqOver(cent, cb, ivfPqAssign(cent, cb, n), q, n,
-      bytes / lshBytesPerRow / centroidStride)
+      rows / centroidStride)
   }
 
   /** The fully-ORACLED member of the composed family: the SAME IVF-PQ
@@ -1263,9 +1277,9 @@ object Similarity {
     * non-bit-pinned quantity is the per-plane mean threshold (summation
     * order differs across engines) — it only matters if some projection
     * lands within ~1 ulp of its threshold, a measure-zero event on
-    * continuous gaussian projections. The auto-depth variant stays
-    * rows-only: its depth comes from a runtime size statistic no static
-    * SQL can see. */
+    * continuous gaussian projections. The auto-depth variant carries its
+    * own oracle ([[lshAnnAutoOracleSql]]) that re-derives the depth from
+    * count(*) inside the SQL. */
   /** Label slice the registered FILTERED ANN variants search within —
     * a ~10%-selectivity attribute predicate on the embeddings table,
     * the "nearest neighbors WHERE lang='en'" shape. The value is
@@ -1348,8 +1362,114 @@ object Similarity {
        |  FROM scored)""".stripMargin
   }
 
+  /** Oracle for the AUTO-depth LSH ANN (round 8): the depth is derived
+    * from the corpus row count INSIDE the SQL — `count(*)` in a CTE,
+    * the same floor formula as [[lshBitsFor]] (`round(x)` restated as
+    * `floor(x + 0.5)`, Scala's exact semantics; the .5 boundary cannot
+    * occur for integer n because 2^(j+0.5)·4 is irrational) — so the
+    * statistic-driven design is itself what the oracle checks, not a
+    * pinned constant. Hyperplanes are emitted for [[lshOracleMaxBits]]
+    * tables×bits; [[hyperplanesFor]] draws sequentially from one seeded
+    * stream, so the bits-plane prefix is identical for every depth ≤
+    * the ceiling, and the plane set the SQL actually uses (`p <
+    * tables·bits`) matches the engine's exactly. Beyond the ceiling the
+    * oracle raises via `error()` rather than silently dropping planes. */
+  private[graft] lazy val lshAnnAutoOracleSql: String = {
+    val planes = hyperplanesFor(lshTables, lshOracleMaxBits)
+    val planeRows = (0 until lshTables * lshOracleMaxBits).map { p =>
+      (0 until embDims).map(d => planes(p * embDims + d).toString)
+        .mkString(s"($p, [", ", ", "])")
+    }.mkString(",\n")
+    s"""WITH planes AS (SELECT * FROM (VALUES
+       |$planeRows) AS t(p, w)),
+       |nrows AS (SELECT count(*) AS n FROM embeddings),
+       |geom AS (
+       |  SELECT CASE WHEN b > $lshOracleMaxBits
+       |    THEN CAST(error('sim_lsh_ann_auto oracle: derived depth ' || b ||
+       |      ' exceeds the $lshOracleMaxBits-bit emitted plane set') AS INT)
+       |    ELSE b END AS bits
+       |  FROM (SELECT greatest($lshBits, least(24,
+       |    CAST(floor(log2(greatest(1.0, n / $lshTargetBucket.0)) + 0.5) AS INT))) AS b
+       |    FROM nrows)),
+       |proj AS (
+       |  SELECT e.vec_id, pl.p,
+       |    list_sum(list_transform(range(1, ${embDims + 1}),
+       |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(pl.w[i] AS DOUBLE))) AS pr
+       |  FROM embeddings e CROSS JOIN planes pl CROSS JOIN geom g
+       |  WHERE pl.p < $lshTables * g.bits),
+       |thr AS (SELECT p, avg(pr) AS t FROM proj GROUP BY p),
+       |sgn AS (
+       |  SELECT pj.vec_id, pj.p // g.bits AS tbl,
+       |    CASE WHEN pj.pr > thr.t THEN CAST(1 AS BIGINT) << (pj.p % g.bits)
+       |      ELSE 0 END AS bit
+       |  FROM proj pj JOIN thr USING (p) CROSS JOIN geom g),
+       |buckets AS (
+       |  SELECT vec_id, CAST(tbl AS BIGINT) AS tbl, CAST(sum(bit) AS BIGINT) AS bucket
+       |  FROM sgn GROUP BY vec_id, tbl),
+       |qb AS (
+       |  SELECT q_id, tbl, unnest(list_prepend(bucket,
+       |    list_transform(range(0, g.bits),
+       |      j -> xor(bucket, CAST(1 AS BIGINT) << CAST(j AS INT))))) AS bucket
+       |  FROM (SELECT vec_id AS q_id, tbl, bucket FROM buckets
+       |        WHERE vec_id % $queryStride = 0)
+       |  CROSS JOIN geom g),
+       |cand AS (
+       |  SELECT DISTINCT qb.q_id, b.vec_id AS cand_id
+       |  FROM qb JOIN buckets b ON qb.tbl = b.tbl AND qb.bucket = b.bucket
+       |  WHERE b.vec_id <> qb.q_id),
+       |n AS (
+       |  SELECT * FROM (
+       |    SELECT vec_id, embedding,
+       |      sqrt(${dotSql("embedding", "embedding")}) AS nrm
+       |    FROM embeddings) WHERE nrm > 0),
+       |q AS (SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm
+       |      FROM n WHERE vec_id % $queryStride = 0),
+       |scored AS (
+       |  SELECT cand.q_id, cand.cand_id,
+       |    ${dotSql("q.q_emb", "c.embedding")} / (q.q_nrm * c.nrm) AS cosine
+       |  FROM cand JOIN q ON cand.q_id = q.q_id JOIN n c ON cand.cand_id = c.vec_id),
+       |ranked AS (
+       |  SELECT q_id, cand_id, cosine,
+       |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, cand_id) AS BIGINT) AS rk
+       |  FROM scored)
+       |SELECT q_id, rk, cand_id, cosine FROM ranked WHERE rk <= $topK
+       |ORDER BY q_id, rk""".stripMargin
+  }
+
+  /** Oracle for the AUTO PQ rescore path (round 8): its per-cell
+    * fractional shortlist depth is a CONSTANT
+    * (max([[pqRescoreDepth]], [[pqCellRows]]·[[pqRescoreFraction]])) and
+    * the cell layout is `vec_id // pqCellRows` — both SQL-restatable, so
+    * the per-cell-stratified shortlist (the exact semantics of
+    * `cell_pq_topk` at that depth) oracles as a (q_id, cell)-partitioned
+    * rank cut, followed by the same exact-cosine rescore as
+    * [[pqRescoreOracleSql]]. */
+  private lazy val pqRescoreAutoOracleSql: String = {
+    val depthCell = math.max(pqRescoreDepth, (pqCellRows * pqRescoreFraction).toInt)
+    s"""$pqCommonCtes,
+       |shortlist AS (
+       |  SELECT q_id, cand_id FROM (
+       |    SELECT q_id, cand_id,
+       |      row_number() OVER (PARTITION BY q_id, cand_id // $pqCellRows
+       |        ORDER BY adc DESC, cand_id) AS srk
+       |    FROM scored)
+       |  WHERE srk <= $depthCell),
+       |rescored AS (
+       |  SELECT sl.q_id, sl.cand_id,
+       |    ${dotSql("q.q_emb", "c.embedding")} / (q.q_nrm * c.nrm) AS cosine
+       |  FROM shortlist sl JOIN q ON sl.q_id = q.q_id JOIN n c ON sl.cand_id = c.vec_id),
+       |ranked AS (
+       |  SELECT q_id, cand_id, cosine,
+       |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, cand_id) AS BIGINT) AS rk
+       |  FROM rescored)
+       |SELECT q_id, rk, cand_id, cosine FROM ranked WHERE rk <= $topK
+       |ORDER BY q_id, rk""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "sim_ivfpq_topk_stride" -> ivfPqStrideOracleSql,
+    "sim_lsh_ann_auto" -> lshAnnAutoOracleSql,
+    "sim_pq_rescore_auto" -> pqRescoreAutoOracleSql,
     "sim_pq_topk" -> pqTopkOracleSql,
     "sim_pq_rescore" -> pqRescoreOracleSql,
     "sim_knn_label" -> knnLabelOracleSql,
