@@ -19,10 +19,12 @@ import org.apache.spark.sql.functions.col
   * for IVF lists) skip row groups entirely, which an
   * append-interleaved layout defeats.
   *
-  * The swap is write-to-temp + delete + rename (same publish pattern
-  * as the bloom index): readers see the old or the new file set, never
-  * a mix. Serve results are IDENTICAL before/after — compaction
-  * changes layout, not content — pinned in `AnnIndexSpec`.
+  * The swap is write-to-temp, rename-aside, promote (see
+  * [[compactTable]] for the exact sequence, its crash recovery, and
+  * how deletes that race the rewrite are preserved): readers see the
+  * old or the new file set, never a mix. Serve results are IDENTICAL
+  * before/after — compaction changes layout, not content — pinned in
+  * `AnnIndexSpec`.
   */
 object IndexMaintenance {
 
@@ -44,18 +46,65 @@ object IndexMaintenance {
         !st.getPath.getName.startsWith("."))
   }
 
+  /** Per-table-path maintenance locks: delete, compact, and the
+    * idempotent batch append serialize in-JVM, so a deleteIds landing
+    * mid-rewrite cannot be silently discarded by the directory swap (a
+    * lost takedown) and an append cannot land between the rewrite's
+    * file listing and the swap (a lost batch). Cross-PROCESS races are
+    * covered by the post-promote tombstone re-check below — conservative
+    * but never lossy for deletes; cross-process APPENDS during a
+    * compaction are not supported (the streaming loops serialize both
+    * in one foreachBatch thread, which is the deployment shape). */
+  private val tableLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def lockFor(s: SparkSession, path: String): Object = {
+    val key = {
+      val p = new org.apache.hadoop.fs.Path(path)
+      fs(s, p).makeQualified(p).toString
+    }
+    tableLocks.computeIfAbsent(key, _ => new Object)
+  }
+
+  private def oldAside(dest: org.apache.hadoop.fs.Path) =
+    new org.apache.hadoop.fs.Path(dest.getParent, s".${dest.getName}.compact.old")
+
+  /** Crash recovery for the promote sequence: a crash between "rename
+    * dest aside" and "promote tmp" leaves the table directory absent
+    * with the data intact under `.<name>.compact.old` — restore it.
+    * Called at the head of every maintenance op on the table. */
+  private def recoverPromote(s: SparkSession, path: String): Unit = {
+    val dest = new org.apache.hadoop.fs.Path(path)
+    val f = fs(s, dest)
+    val old = oldAside(dest)
+    if (!f.exists(dest) && f.exists(old)) {
+      if (!f.rename(old, dest))
+        throw new java.io.IOException(s"recoverPromote: rename $old -> $dest failed")
+    } else if (f.exists(old)) f.delete(old, true) // finished promote's leftover
+  }
+
   /** Rewrite the parquet table at `path` as ceil(bytes/128 MB) files
     * range-partitioned + sorted on `sortCols`, swap it in, and return
     * (files before, files after). A no-op single-file table still
     * rewrites (the sort may be new), which keeps the contract simple:
     * after compact, the table IS sorted. When `tombstoneCol` is given,
-    * rows whose id is tombstoned (see [[deleteIds]]) are PHYSICALLY
-    * dropped by the rewrite — and because the tombstone table lives
-    * INSIDE the table dir, the swap clears it in the same atomic
-    * rename: after compact, the table holds only surviving rows and
-    * carries no pending deletes. */
+    * rows masked by a pending tombstone (see [[deleteIds]]) are
+    * PHYSICALLY dropped by the rewrite, and the swap retires the
+    * tombstones consumed by it.
+    *
+    * The swap is NOT one atomic rename (no filesystem gives us that for
+    * a directory replace): it is rename-dest-aside, promote-tmp, check,
+    * delete-old — with [[recoverPromote]] healing the
+    * crash-between-renames window at the next maintenance op, the
+    * in-JVM [[tableLocks]] serializing delete/append/compact, and a
+    * post-promote re-read of the OLD directory's tombstone table
+    * re-appending any delete that a concurrent PROCESS issued after the
+    * rewrite's snapshot (conservatively sequenced at +infinity: every
+    * copy of the id stays masked until the next compact — a takedown
+    * must err toward removal). Readers see the old or the new file set,
+    * never a mix. */
   def compactTable(s: SparkSession, path: String, sortCols: Seq[String],
-      tombstoneCol: Option[String] = None): (Int, Int) = {
+      tombstoneCol: Option[String] = None): (Int, Int) = lockFor(s, path).synchronized {
+    recoverPromote(s, path)
     val before = dataFiles(s, path)
     require(before.nonEmpty, s"compactTable: nothing to compact at $path")
     val totalBytes = before.map(_.getLen).sum
@@ -64,15 +113,44 @@ object IndexMaintenance {
     val dest = new org.apache.hadoop.fs.Path(path)
     val tmp = new org.apache.hadoop.fs.Path(
       dest.getParent, s".${dest.getName}.compact.tmp")
+    // snapshot the pending tombstones the rewrite consumes (tiny —
+    // takedown-sized; compare-target for the post-promote re-check)
+    val consumed: Set[(Long, Long)] = tombstoneCol.flatMap(_ =>
+      pendingTombstones(s, path).map(_.collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet)).getOrElse(Set.empty)
     val base = s.read.parquet(path)
     tombstoneCol.fold(base)(c => minusTombstones(s, path, base, c))
       .repartitionByRange(nOut, keys: _*)
       .sortWithinPartitions(keys: _*)
       .write.mode("overwrite").parquet(tmp.toString)
     val f = fs(s, dest)
-    f.delete(dest, true)
-    if (!f.rename(tmp, dest))
+    val old = oldAside(dest)
+    if (f.exists(old)) f.delete(old, true)
+    if (!f.rename(dest, old))
+      throw new java.io.IOException(s"compactTable: rename $dest -> $old failed")
+    if (!f.rename(tmp, dest)) {
+      // promote failed: put the original back before surfacing
+      f.rename(old, dest)
       throw new java.io.IOException(s"compactTable: rename $tmp -> $dest failed")
+    }
+    // late deletes: tombstones that landed in the old directory after
+    // the rewrite's snapshot (only reachable cross-process — the lock
+    // serializes in-JVM callers) must survive the swap
+    if (tombstoneCol.isDefined) {
+      val lateDir = new org.apache.hadoop.fs.Path(old, "_tombstones")
+      if (f.exists(lateDir)) {
+        val late = s.read.parquet(lateDir.toString)
+          .select(col("id"), col("del_seq")).distinct().collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet -- consumed
+        if (late.nonEmpty) {
+          import s.implicits._
+          late.toSeq.map { case (id, _) => (id, Long.MaxValue) }
+            .toDF("id", "del_seq").coalesce(1)
+            .write.mode("append").parquet(s"$path/_tombstones")
+        }
+      }
+    }
+    f.delete(old, true)
     (before.size, dataFiles(s, path).size)
   }
 
@@ -136,7 +214,9 @@ object IndexMaintenance {
     * first — so a retry replaces its own partial output instead of
     * duplicating rows. Underscore-prefixed staging is invisible to
     * every table read. */
-  def appendBatchAs(s: SparkSession, df: DataFrame, tablePath: String, tag: String): Unit = {
+  def appendBatchAs(s: SparkSession, df: DataFrame, tablePath: String,
+      tag: String): Unit = lockFor(s, tablePath).synchronized {
+    recoverPromote(s, tablePath)
     val dest = new org.apache.hadoop.fs.Path(tablePath)
     val f = fs(s, dest)
     val staging = new org.apache.hadoop.fs.Path(dest, s"_staging_$tag")
@@ -183,41 +263,67 @@ object IndexMaintenance {
   // every parquet read of the table itself from seeing it), serving
   // anti-joins the tombstones out IMMEDIATELY (a deleted doc is gone
   // from the next query, no rebuild on the critical path), and the
-  // next compaction physically drops the rows — the directory swap
-  // clears the tombstones in the same atomic rename. Deletes are
-  // idempotent by construction: a double delete appends a duplicate
-  // tombstone row, and both the serve-time anti-join and the compact
-  // rewrite are set operations.
+  // next compaction physically drops the rows and retires the
+  // tombstones it consumed (with the post-promote re-check in
+  // [[compactTable]] covering deletes that raced the rewrite). Deletes
+  // are idempotent by construction: a double delete appends a duplicate
+  // tombstone row, and both the serve-time mask and the compact rewrite
+  // are set operations.
   //
-  // One deliberate simplification vs a full LSM: tombstones carry no
-  // sequence numbers, so RE-ADDING a deleted id only takes effect
-  // after a compaction has cleared the pending tombstone (a pending
-  // delete hides re-added rows too — tombstone wins). Takedown
-  // workflows never need the reverse order; a true re-admission is
-  // delete → compact → append.
+  // Tombstones are SEQUENCED (round 8): each delete records the max
+  // data-file modification time at issue — a snapshot watermark — and
+  // masks ONLY rows from files at-or-before it. An append AFTER the
+  // delete lands in a strictly newer file and serves immediately, so
+  // takedown-then-restored-license (delete -> re-append the same id)
+  // needs no intervening compaction; the masked older copy is
+  // physically dropped at the next compact as before. The row-side
+  // sequence is the parquet `_metadata.file_modification_time`
+  // pseudo-column — derivable at scan time, no schema change to any
+  // index table. (Granularity: a file appended within the same
+  // millisecond as the delete's watermark file would be masked; deletes
+  // do a listing + a parquet write between the two, so the window is
+  // not reachable through this API's sequencing.)
 
-  /** Tombstone ids against the parquet table at `tablePath`. */
-  def deleteIds(s: SparkSession, tablePath: String, ids: Seq[Long]): Unit = {
-    require(ids.nonEmpty, "deleteIds: empty id list")
-    import s.implicits._
-    ids.toDF("id").coalesce(1)
-      .write.mode("append").parquet(s"$tablePath/_tombstones")
-  }
+  /** Tombstone ids against the parquet table at `tablePath`, sequenced
+    * at the current file-set watermark. Idempotent. */
+  def deleteIds(s: SparkSession, tablePath: String, ids: Seq[Long]): Unit =
+    lockFor(s, tablePath).synchronized {
+      require(ids.nonEmpty, "deleteIds: empty id list")
+      recoverPromote(s, tablePath)
+      import s.implicits._
+      val seq = dataFiles(s, tablePath).map(_.getModificationTime).foldLeft(0L)(math.max)
+      ids.map(i => (i, seq)).toDF("id", "del_seq").coalesce(1)
+        .write.mode("append").parquet(s"$tablePath/_tombstones")
+    }
 
-  /** Pending tombstoned ids of `tablePath`, if any. */
+  /** Pending (id, del_seq) tombstones of `tablePath`, if any. */
   def pendingTombstones(s: SparkSession, tablePath: String): Option[DataFrame] = {
     val p = new org.apache.hadoop.fs.Path(s"$tablePath/_tombstones")
-    if (fs(s, p).exists(p)) Some(s.read.parquet(p.toString).select(col("id")).distinct())
+    if (fs(s, p).exists(p))
+      Some(s.read.parquet(p.toString).select(col("id"), col("del_seq")).distinct())
     else None
   }
 
-  /** `df` minus rows whose `idCol` is tombstoned at `tablePath` — the
-    * serve-time filter every index read applies. Zero plan overhead
-    * when no delete is pending (the common case: no tombstone dir, no
-    * join). */
+  /** `df` minus rows masked by a pending tombstone — the serve-time
+    * filter every index read applies. Zero plan overhead when no delete
+    * is pending (the common case: no tombstone dir, no join). When
+    * deletes ARE pending, the table is re-read with the file-modtime
+    * pseudo-column so each row carries its sequence (`df` must be a
+    * plain read of `tablePath`, which every caller's is — possibly
+    * memoized; the re-read deliberately bypasses the memo only on this
+    * rare path), and a row survives iff its file is strictly newer than
+    * every pending delete of its id. */
   def minusTombstones(s: SparkSession, tablePath: String, df: DataFrame,
       idCol: String): DataFrame =
     pendingTombstones(s, tablePath).fold(df) { t =>
-      df.join(t.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
+      import org.apache.spark.sql.functions.{broadcast, max, unix_millis}
+      val dels = t.groupBy(col("id")).agg(max(col("del_seq")).as("_del_seq"))
+        .withColumnRenamed("id", idCol)
+      s.read.parquet(tablePath)
+        .select(col("_metadata.file_modification_time").as("_fmt") +:
+          df.columns.toSeq.map(col): _*)
+        .join(broadcast(dels), Seq(idCol), "left")
+        .filter(col("_del_seq").isNull || unix_millis(col("_fmt")) > col("_del_seq"))
+        .select(df.columns.toSeq.map(col): _*)
     }
 }

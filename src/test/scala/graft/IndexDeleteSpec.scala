@@ -148,6 +148,94 @@ class IndexDeleteSpec extends AnyFunSuite {
     assert(phraseA === phraseB, "positional serving diverged after delete+compact")
   }
 
+  test("sequenced tombstones: delete-then-re-append serves immediately, without a compact") {
+    // takedown-then-restored-license: the SAME ids retract and then
+    // re-land. The delete's file-set watermark masks only the copies
+    // folded before it — the re-appended rows serve at once, exactly
+    // one servable copy exists, and compaction preserves the result.
+    val (tmp, corpus, batchIds) = splitEmb("readd")
+    val q = queriesOf(corpus)
+    // LSH
+    AnnIndex.lshIndexWrite(spark, corpus, s"$tmp/lsh")
+    AnnIndex.lshIndexAppend(spark, s"$tmp/batch", s"$tmp/lsh")
+    def lshServe() = AnnIndex.lshIndexServe(spark, s"$tmp/lsh",
+      Seq(corpus, s"$tmp/batch"), q).collect().map(shape).toSeq
+    val lshWith = lshServe()
+    AnnIndex.lshIndexDelete(spark, s"$tmp/lsh", batchIds)
+    AnnIndex.lshIndexAppend(spark, s"$tmp/batch", s"$tmp/lsh") // re-admission
+    assert(lshServe() === lshWith, "[lsh] re-appended ids did not serve pre-compact")
+    graft.ops.IndexMaintenance.checkUnique(spark, s"$tmp/lsh/buckets",
+      Seq("vec_id", "tbl"), "vec_id") // masked original is not double-counted
+    AnnIndex.lshIndexCompact(spark, s"$tmp/lsh")
+    assert(lshServe() === lshWith, "[lsh] compaction changed the re-admitted serve")
+    assert(!new java.io.File(s"$tmp/lsh/buckets/_tombstones").exists())
+    // IVF + IVF-PQ
+    for ((name, write, append, delete, compact, serve) <- Seq(
+      ("ivf",
+        AnnIndex.ivfIndexWrite _, AnnIndex.ivfIndexAppend _,
+        AnnIndex.ivfIndexDelete _, AnnIndex.ivfIndexCompact _,
+        (i: String) => AnnIndex.ivfIndexServe(spark, i, Seq(corpus, s"$tmp/batch"), q)),
+      ("ivfpq",
+        AnnIndex.ivfPqIndexWrite _, AnnIndex.ivfPqIndexAppend _,
+        AnnIndex.ivfPqIndexDelete _, AnnIndex.ivfPqIndexCompact _,
+        (i: String) => AnnIndex.ivfPqIndexServe(spark, i, Seq(corpus, s"$tmp/batch"), q)))) {
+      val idx = s"$tmp/readd-$name"
+      write(spark, corpus, idx)
+      append(spark, s"$tmp/batch", idx)
+      val withBatch = serve(idx).collect().map(shape).toSeq
+      delete(spark, idx, batchIds)
+      append(spark, s"$tmp/batch", idx) // re-admission, no compact between
+      assert(serve(idx).collect().map(shape).toSeq === withBatch,
+        s"[$name] re-appended ids did not serve pre-compact")
+      graft.ops.IndexMaintenance.checkUnique(spark, s"$idx/lists",
+        Seq("vec_id"), "vec_id")
+      compact(spark, idx)
+      assert(serve(idx).collect().map(shape).toSeq === withBatch,
+        s"[$name] compaction changed the re-admitted serve")
+    }
+    // simhash: the retracted doc's re-admission resumes masking dups
+    import spark.implicits._
+    val mk = (i: Long) => (i, (0 until 40).map(w => s"rs${i}w$w").mkString(" "))
+    val sroot = java.nio.file.Files.createTempDirectory("sim-readd").toString
+    Seq(mk(1), mk(2), mk(3)).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$sroot/corpus/documents.parquet")
+    Seq((10L, mk(2)._2)).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$sroot/probe/documents.parquet")
+    Seq(mk(2)).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$sroot/readd/documents.parquet")
+    Dedup.dedupIndexWrite(spark, s"$sroot/corpus", s"$sroot/index")
+    def flags() = Dedup.dedupIncrementalIndexed(spark, s"$sroot/probe", s"$sroot/index")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    Dedup.dedupIndexDelete(spark, s"$sroot/index", Seq(2L))
+    assert(flags() == Map(10L -> false), "retracted doc still masks")
+    Dedup.dedupIndexAppend(spark, s"$sroot/readd", s"$sroot/index") // re-admitted
+    assert(flags() == Map(10L -> true),
+      "re-admitted doc 2 does not mask its twin before compaction")
+    Dedup.dedupIndexCompact(spark, s"$sroot/index")
+    assert(flags() == Map(10L -> true), "post-compact re-admitted masking lost")
+  }
+
+  test("compaction crash window: rename-aside state recovers at the next maintenance op") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("promote-crash").toString
+    (1L to 100L).map(i => (i, s"v$i")).toDF("id", "v")
+      .write.mode("overwrite").parquet(s"$tmp/t")
+    // simulate a crash between rename-aside and promote: the table dir
+    // is ABSENT, the data intact under the .compact.old aside name
+    assert(new java.io.File(s"$tmp/t").renameTo(new java.io.File(s"$tmp/.t.compact.old")))
+    assert(!new java.io.File(s"$tmp/t").exists())
+    // the next maintenance op must heal before doing its work
+    graft.ops.IndexMaintenance.compactTable(spark, s"$tmp/t", Seq("id"))
+    assert(spark.read.parquet(s"$tmp/t").count() == 100L, "recovered table lost rows")
+    assert(!new java.io.File(s"$tmp/.t.compact.old").exists(), "aside dir left behind")
+    // deleteIds heals too (and its watermark then masks the recovered rows)
+    assert(new java.io.File(s"$tmp/t").renameTo(new java.io.File(s"$tmp/.t.compact.old")))
+    graft.ops.IndexMaintenance.deleteIds(spark, s"$tmp/t", Seq(1L))
+    val served = graft.ops.IndexMaintenance.minusTombstones(spark, s"$tmp/t",
+      spark.read.parquet(s"$tmp/t"), "id")
+    assert(served.count() == 99L, "delete after recovery did not mask")
+  }
+
   test("decontam delete: retired eval doc stops flagging at once; compact rebuilds bloom") {
     import spark.implicits._
     val root = ManifestFixture.corpusDir(spark)
