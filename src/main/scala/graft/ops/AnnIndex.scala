@@ -440,6 +440,126 @@ object AnnIndex {
       cent.count().toDouble)
   }
 
+  // ------------------------------------------------------ drift retrain
+  //
+  // The append path freezes the quantizer (thresholds / centroids /
+  // codebook) at build time — re-centering per batch would re-bucket
+  // the standing corpus. The cost of that semantic is DRIFT: as the
+  // ingested corpus diverges from the seed distribution, frozen
+  // thresholds unbalance buckets and frozen centroids stop covering the
+  // new region, so recall decays silently (measured in ScaleSmoke's
+  // drift experiment). Production deployments (FAISS/SPANN-style)
+  // answer with an explicit OFFLINE RETRAIN on the current corpus —
+  // train fresh quantizer, rebuild the assignment tables, atomic-swap
+  // publish — which is exactly what these operators do. The retrain
+  // corpus is the index's CURRENT SERVABLE membership (standing ids
+  // minus pending tombstones, re-joined to the corpus parquet), so a
+  // retrain also physically drops retracted rows, like a compact.
+  // Contract (spec-pinned): post-retrain serving == an index built
+  // fresh from the current corpus.
+
+  /** Swap a freshly-built index dir over the live one: the fold-marker
+    * sidecar carries over FIRST (batches already folded stay folded —
+    * the rebuilt index contains their vectors), then
+    * rename-aside/promote/delete, with rollback if the promote rename
+    * fails. Retrain is an offline maintenance op; a crash mid-swap is
+    * retried (the aside dir holds the full old index until the final
+    * delete). */
+  private def publishIndexDir(s: SparkSession, tmpDir: String, indexDir: String): Unit = {
+    val dest = new org.apache.hadoop.fs.Path(indexDir)
+    val tmp = new org.apache.hadoop.fs.Path(tmpDir)
+    val f = dest.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val batches = new org.apache.hadoop.fs.Path(dest, "_batches")
+    if (f.exists(batches))
+      f.rename(batches, new org.apache.hadoop.fs.Path(tmp, "_batches"))
+    val old = new org.apache.hadoop.fs.Path(dest.getParent, s".${dest.getName}.retrain.old")
+    if (f.exists(old)) f.delete(old, true)
+    if (!f.rename(dest, old))
+      throw new java.io.IOException(s"publishIndexDir: rename $dest -> $old failed")
+    if (!f.rename(tmp, dest)) {
+      f.rename(old, dest)
+      throw new java.io.IOException(s"publishIndexDir: rename $tmp -> $dest failed")
+    }
+    f.delete(old, true)
+    PlanCache.invalidate(s, s"$indexDir|")
+  }
+
+  private def retrainTmpDir(s: SparkSession, indexDir: String): String = {
+    val dest = new org.apache.hadoop.fs.Path(indexDir)
+    val tmp = new org.apache.hadoop.fs.Path(dest.getParent, s".${dest.getName}.retrain.tmp")
+    val f = dest.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (f.exists(tmp)) f.delete(tmp, true)
+    tmp.toString
+  }
+
+  /** The index's current servable corpus: standing ids minus pending
+    * tombstones, re-joined to the corpus parquet (normed — the exact
+    * frame every build reads). */
+  private def servableCorpus(s: SparkSession, tablePath: String,
+      corpusDirs: Seq[String]): DataFrame = {
+    val ids = IndexMaintenance.minusTombstones(s, tablePath,
+        s.read.parquet(tablePath), "vec_id")
+      .select(col("vec_id")).distinct()
+    corpusDirs.map(Similarity.normed(s, _)).reduce(_ unionAll _)
+      .join(ids, "vec_id")
+  }
+
+  /** Retrain the LSH thresholds on the current corpus and re-hash it.
+    * Geometry (tables, bits) is preserved; only the learned component —
+    * the per-plane mean thresholds — refreshes, which is what drifts as
+    * the ingested distribution moves off the seed's mean. */
+  def lshIndexRetrain(s: SparkSession, indexDir: String, corpusDirs: Seq[String]): Unit = {
+    val geom = s.read.parquet(s"$indexDir/meta").select(col("tables"), col("bits")).head()
+    val (tables, bits) = (geom.getInt(0), geom.getInt(1))
+    val corpus = servableCorpus(s, s"$indexDir/buckets", corpusDirs)
+    val tmp = retrainTmpDir(s, indexDir)
+    corpus
+      .select(proj(tables, bits)(col("embedding")).as("p"))
+      .select(array((0 until tables * bits).map(i =>
+        avg(element_at(col("p"), i + 1))): _*).as("thr"))
+      .withColumn("tables", lit(tables)).withColumn("bits", lit(bits))
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/meta")
+    hashWithDf(corpus.select(col("vec_id"), col("embedding")),
+        s.read.parquet(s"$tmp/meta"))
+      .write.mode("overwrite").parquet(s"$tmp/buckets")
+    publishIndexDir(s, tmp, indexDir)
+  }
+
+  /** Retrain the IVF coarse quantizer (k-means on the current corpus)
+    * and rebuild the inverted lists. */
+  def ivfIndexRetrain(s: SparkSession, indexDir: String, corpusDirs: Seq[String]): Unit = {
+    val corpus = servableCorpus(s, s"$indexDir/lists", corpusDirs)
+    val cent = Similarity.trainKmeans(s, corpus, Similarity.kmeansIters,
+      s"ivfIndexRetrain($indexDir)")
+    val tmp = retrainTmpDir(s, indexDir)
+    cent.coalesce(1).write.mode("overwrite").parquet(s"$tmp/centroids")
+    Similarity.nearestCentroids(s.read.parquet(s"$tmp/centroids"))(
+        corpus, "vec_id", "embedding", "nrm", 1)
+      .write.mode("overwrite").parquet(s"$tmp/lists")
+    publishIndexDir(s, tmp, indexDir)
+  }
+
+  /** Retrain the composed IVF-PQ index: fresh k-means centroids AND a
+    * fresh prefix codebook from the current corpus (the same quantizer
+    * pair [[ivfPqIndexWrite]] builds with), then re-assign + re-encode
+    * every servable vector. A codebook refresh invalidates every
+    * standing code row by construction — which is why this is a rebuild
+    * operator, never an append-path option. */
+  def ivfPqIndexRetrain(s: SparkSession, indexDir: String, corpusDirs: Seq[String]): Unit = {
+    import s.implicits._
+    val corpus = servableCorpus(s, s"$indexDir/lists", corpusDirs)
+    val cent = Similarity.trainKmeans(s, corpus, Similarity.kmeansIters,
+      s"ivfPqIndexRetrain($indexDir)")
+    val cb = Similarity.pqCodebookOfFrame(corpus)
+    val tmp = retrainTmpDir(s, indexDir)
+    cent.coalesce(1).write.mode("overwrite").parquet(s"$tmp/centroids")
+    Seq((cb.toSeq, Similarity.pqM)).toDF("cb", "m")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/codebook")
+    Similarity.ivfPqAssign(s.read.parquet(s"$tmp/centroids"), cb, corpus)
+      .write.mode("overwrite").parquet(s"$tmp/lists")
+    publishIndexDir(s, tmp, indexDir)
+  }
+
   /** Compact the LSH bucket table: few files, sorted on the serve key
     * (tbl, bucket) so probed buckets cluster into prunable row groups.
     * Meta (1 row) is left alone. The serve memo of the old file set is

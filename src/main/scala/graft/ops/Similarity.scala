@@ -433,29 +433,37 @@ object Similarity {
   private[graft] def trainedCentroidsOf(s: SparkSession, dir: String,
       iters: Int = kmeansIters): DataFrame =
     PlanCache.memoized(s, s"$dir|ivf-kmeans-$iters") {
-      import s.implicits._
-      val n = normed(s, dir)
-      var cent: Map[Long, Array[Double]] = centroidsOf(n)
-        .select(col("c_id"), col("c_emb").cast("array<double>")).collect()
-        .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
-      // a corpus whose id space misses the stride residue would train
-      // ZERO centroids and every downstream build would silently write
-      // an EMPTY index (found by the IVF-ingest spec's first corpus
-      // split) — fail loudly instead
-      if (cent.isEmpty) throw new IllegalStateException(
-        s"trainedCentroidsOf($dir): no init centroids — corpus has no " +
-        s"vec_id % $centroidStride == 1 members (or none with nonzero norm); " +
-        "an index built from this would be empty")
-      for (_ <- 1 to iters) {
-        val means = lloydMeans(s, n, cent)
-        cent = cent.map { case (id, old) =>
-          id -> means.getOrElse(id, old) // empty cluster keeps its centroid
-        }
-      }
-      cent.toSeq.sortBy(_._1).toDF("c_id", "c_emb")
-        .withColumn("c_nrm", sqrt(dot(col("c_emb"), col("c_emb"))))
-        .filter(col("c_nrm") > 0)
+      trainKmeans(s, normed(s, dir), iters, dir)
     }
+
+  /** The un-memoized k-means body over an explicit normed frame — shared
+    * by the per-dir memoized form above and the index RETRAIN path
+    * (which trains on the current servable corpus, a join-filtered
+    * union no dir names). */
+  private[graft] def trainKmeans(s: SparkSession, n: DataFrame, iters: Int,
+      what: String): DataFrame = {
+    import s.implicits._
+    var cent: Map[Long, Array[Double]] = centroidsOf(n)
+      .select(col("c_id"), col("c_emb").cast("array<double>")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    // a corpus whose id space misses the stride residue would train
+    // ZERO centroids and every downstream build would silently write
+    // an EMPTY index (found by the IVF-ingest spec's first corpus
+    // split) — fail loudly instead
+    if (cent.isEmpty) throw new IllegalStateException(
+      s"trainKmeans($what): no init centroids — corpus has no " +
+      s"vec_id % $centroidStride == 1 members (or none with nonzero norm); " +
+      "an index built from this would be empty")
+    for (_ <- 1 to iters) {
+      val means = lloydMeans(s, n, cent)
+      cent = cent.map { case (id, old) =>
+        id -> means.getOrElse(id, old) // empty cluster keeps its centroid
+      }
+    }
+    cent.toSeq.sortBy(_._1).toDF("c_id", "c_emb")
+      .withColumn("c_nrm", sqrt(dot(col("c_emb"), col("c_emb"))))
+      .filter(col("c_nrm") > 0)
+  }
 
   /** One Lloyd step: per-cluster mean of the members assigned to each
     * centroid (nearest by cosine, c_id tie-break — the same
@@ -613,17 +621,21 @@ object Similarity {
       val it = pqMemo.entrySet().iterator()
       while (it.hasNext) if (it.next().getKey.sparkContext.isStopped) it.remove()
       pqMemo.computeIfAbsent(s, _ => scala.collection.mutable.Map.empty)
-        .getOrElseUpdate(s"$dir|prefix", {
-          val rows = normed(s, dir).orderBy(col("vec_id")).limit(pqK)
-            .select(col("embedding").cast("array<double>"), col("nrm")).collect()
-          require(rows.nonEmpty, "pq codebook: corpus has no usable vectors")
-          packCodebook(rows.map(r => {
-            val e = r.getSeq[Double](0).toArray
-            val nrm = r.getDouble(1)
-            e.map(_ / nrm)
-          }))
-        })
+        .getOrElseUpdate(s"$dir|prefix", pqCodebookOfFrame(normed(s, dir)))
     }
+
+  /** The un-memoized prefix-codebook body over an explicit normed frame
+    * (shared with the retrain path). */
+  private[graft] def pqCodebookOfFrame(n: DataFrame): Array[Double] = {
+    val rows = n.orderBy(col("vec_id")).limit(pqK)
+      .select(col("embedding").cast("array<double>"), col("nrm")).collect()
+    require(rows.nonEmpty, "pq codebook: corpus has no usable vectors")
+    packCodebook(rows.map(r => {
+      val e = r.getSeq[Double](0).toArray
+      val nrm = r.getDouble(1)
+      e.map(_ / nrm)
+    }))
+  }
 
   private val pqMemo =
     new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, Array[Double]]]()
@@ -653,34 +665,40 @@ object Similarity {
       iters: Int = kmeansIters): Array[Double] =
     pqMemo.synchronized {
       pqMemo.computeIfAbsent(s, _ => scala.collection.mutable.Map.empty)
-        .getOrElseUpdate(s"$dir|trained-$iters", {
-          val dsub = pqDsub
-          var cb = pqCodebook(s, dir).clone()
-          val kEff = pqKOf(cb)
-          val n = normed(s, dir)
-          for (_ <- 1 to iters) {
-            val coded = n.select(col("embedding"), col("nrm"),
-              posexplode(graft.plans.VectorFunctions.pq_codes(
-                col("embedding"), col("nrm"), cb, pqM, kEff)).as(Seq("s", "code")))
-            val sums = (0 until dsub).map(d =>
-              sum((element_at(col("embedding"), (col("s") * dsub + d + 1).cast("int")).cast("double")
-                / col("nrm"))).as(s"d$d"))
-            val means = coded.groupBy(col("s"), col("code"))
-              .agg(count(lit(1)).as("cnt"), sums: _*)
-              .collect()
-            val next = cb.clone()
-            means.foreach { r =>
-              val sub = r.getInt(0); val j = r.getInt(1); val cnt = r.getLong(2)
-              if (cnt > 0) {
-                val base = (sub * kEff + j) * dsub
-                for (d <- 0 until dsub) next(base + d) = r.getDouble(3 + d) / cnt
-              }
-            }
-            cb = next
-          }
-          cb
-        })
+        .getOrElseUpdate(s"$dir|trained-$iters",
+          pqCodebookTrainedFrom(normed(s, dir), iters))
     }
+
+  /** The un-memoized per-subspace Lloyd body over an explicit normed
+    * frame, initialized from that frame's prefix codebook (shared with
+    * the retrain path). */
+  private[graft] def pqCodebookTrainedFrom(n: DataFrame,
+      iters: Int = kmeansIters): Array[Double] = {
+    val dsub = pqDsub
+    var cb = pqCodebookOfFrame(n).clone()
+    val kEff = pqKOf(cb)
+    for (_ <- 1 to iters) {
+      val coded = n.select(col("embedding"), col("nrm"),
+        posexplode(graft.plans.VectorFunctions.pq_codes(
+          col("embedding"), col("nrm"), cb, pqM, kEff)).as(Seq("s", "code")))
+      val sums = (0 until dsub).map(d =>
+        sum((element_at(col("embedding"), (col("s") * dsub + d + 1).cast("int")).cast("double")
+          / col("nrm"))).as(s"d$d"))
+      val means = coded.groupBy(col("s"), col("code"))
+        .agg(count(lit(1)).as("cnt"), sums: _*)
+        .collect()
+      val next = cb.clone()
+      means.foreach { r =>
+        val sub = r.getInt(0); val j = r.getInt(1); val cnt = r.getLong(2)
+        if (cnt > 0) {
+          val base = (sub * kEff + j) * dsub
+          for (d <- 0 until dsub) next(base + d) = r.getDouble(3 + d) / cnt
+        }
+      }
+      cb = next
+    }
+    cb
+  }
 
   /** ANN by pure asymmetric-distance (ADC) ranking over PQ codes — no
     * exact rescoring, so the scan never touches a full embedding after

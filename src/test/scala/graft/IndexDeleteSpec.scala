@@ -31,8 +31,12 @@ class IndexDeleteSpec extends AnyFunSuite {
     (tmp, s"$tmp/corpus", batchIds)
   }
 
+  // NOT the registered queryStride: the split corpus excludes
+  // vec_id % 10 == 0 and every % 50 == 0 id is one of those — stride-50
+  // queries over it are EMPTY, which made the round-7 serve comparisons
+  // vacuous (caught round 8; the nonEmpty asserts below pin it open)
   private def queriesOf(dir: String) = Similarity.normed(spark, dir)
-    .filter(col("vec_id") % Similarity.queryStride === 0)
+    .filter(col("vec_id") % 9 === 1)
     .select(col("vec_id").as("q_id"), col("embedding"))
 
   test("LSH delete: append-then-retract round-trips to the original index") {
@@ -41,6 +45,7 @@ class IndexDeleteSpec extends AnyFunSuite {
     val q = queriesOf(corpus)
     val original = AnnIndex.lshIndexServe(spark, s"$tmp/index", Seq(corpus), q)
       .collect().map(shape).toSeq
+    assert(original.nonEmpty, "query set must not be empty (vacuous comparison)")
     AnnIndex.lshIndexAppend(spark, s"$tmp/batch", s"$tmp/index")
     AnnIndex.lshIndexDelete(spark, s"$tmp/index", batchIds)
     // corpusDirs still carries the batch dir: a tombstoned vector must
@@ -76,6 +81,7 @@ class IndexDeleteSpec extends AnyFunSuite {
       val idx = s"$tmp/index-$name"
       write(spark, corpus, idx)
       val original = serve(idx, Seq(corpus)).collect().map(shape).toSeq
+      assert(original.nonEmpty, s"[$name] query set must not be empty (vacuous comparison)")
       append(spark, s"$tmp/batch", idx)
       delete(spark, idx, batchIds)
       delete(spark, idx, batchIds) // idempotent double delete
@@ -161,6 +167,7 @@ class IndexDeleteSpec extends AnyFunSuite {
     def lshServe() = AnnIndex.lshIndexServe(spark, s"$tmp/lsh",
       Seq(corpus, s"$tmp/batch"), q).collect().map(shape).toSeq
     val lshWith = lshServe()
+    assert(lshWith.nonEmpty, "query set must not be empty (vacuous comparison)")
     AnnIndex.lshIndexDelete(spark, s"$tmp/lsh", batchIds)
     AnnIndex.lshIndexAppend(spark, s"$tmp/batch", s"$tmp/lsh") // re-admission
     assert(lshServe() === lshWith, "[lsh] re-appended ids did not serve pre-compact")
@@ -183,6 +190,7 @@ class IndexDeleteSpec extends AnyFunSuite {
       write(spark, corpus, idx)
       append(spark, s"$tmp/batch", idx)
       val withBatch = serve(idx).collect().map(shape).toSeq
+      assert(withBatch.nonEmpty, s"[$name] query set must not be empty (vacuous comparison)")
       delete(spark, idx, batchIds)
       append(spark, s"$tmp/batch", idx) // re-admission, no compact between
       assert(serve(idx).collect().map(shape).toSeq === withBatch,
