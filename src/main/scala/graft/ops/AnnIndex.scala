@@ -307,18 +307,43 @@ object AnnIndex {
     * persisted centroids (constant-fraction rule — the probe count
     * derives from the index's OWN list count, no corpus statistic
     * needed), and scoring runs inside per-list tile cells via the same
-    * fused kernel as every other ANN path. */
+    * fused kernel as every other ANN path.
+    *
+    * `pushProbedCells` is the SMALL-QUERY-BATCH serve shape: the
+    * default plan reads the whole list table (the probed-cell set is
+    * data-dependent — computed by hashing the queries — so no static
+    * predicate reaches the scan), which is right when a stride-sized
+    * query batch probes most lists anyway. A production point-lookup
+    * batch probes a small fraction of lists; with the flag, the probed
+    * c_id set is computed first and COLLECTED (bounded by the list
+    * count — the same driver-artifact size as the already-broadcast
+    * centroid array) and pushed into the list scan as `c_id IN (...)`,
+    * which row-group-skips after [[ivfIndexCompact]]'s c_id sort —
+    * unprobed lists' bytes are never read. Results are identical (the
+    * filter removes only lists the join would drop); bytes measured in
+    * ScaleSmoke, plan pinned in PlanGuardSpec. */
   def ivfIndexServe(s: SparkSession, indexDir: String, corpusDirs: Seq[String],
       queries: DataFrame, memberPred: Option[Column] = None,
-      probeOverride: Option[Int] = None): DataFrame = {
+      probeOverride: Option[Int] = None,
+      pushProbedCells: Boolean = false): DataFrame = {
     val cent = PlanCache.memoized(s, s"$indexDir|ivf-index-centroids") {
       s.read.parquet(s"$indexDir/centroids")
     }
     val probes = probeOverride.getOrElse(Similarity.ivfProbesFor(cent.count().toDouble))
-    val assign = IndexMaintenance.minusTombstones(s, s"$indexDir/lists",
-      PlanCache.memoized(s, s"$indexDir|ivf-index-lists") {
-        s.read.parquet(s"$indexDir/lists")
-      }, "vec_id")
+    // the point-lookup shape deliberately BYPASSES the memoized cache:
+    // materializing a whole-table cache to serve a handful of queries is
+    // the opposite of the goal, and only a direct parquet read lets the
+    // probed-cell predicate reach the scan (a cached InMemoryRelation
+    // absorbs the filter above the already-read batches)
+    val assign =
+      if (!pushProbedCells)
+        IndexMaintenance.minusTombstones(s, s"$indexDir/lists",
+          PlanCache.memoized(s, s"$indexDir|ivf-index-lists") {
+            s.read.parquet(s"$indexDir/lists")
+          }, "vec_id")
+      else IndexMaintenance.minusTombstones(s, s"$indexDir/lists",
+          s.read.parquet(s"$indexDir/lists"), "vec_id")
+        .filter(col("c_id").isin(probedCellsWith(cent, queries, probes): _*))
     val n = memberPool(s, corpusDirs, memberPred)
     val lists = assign.join(n, "vec_id")
       .groupBy(col("c_id"))
@@ -422,14 +447,22 @@ object AnnIndex {
     * family to the in-session [[Similarity.simIvfPqTopk]] — byte-
     * identity pinned in `AnnIndexSpec`. */
   def ivfPqIndexServe(s: SparkSession, indexDir: String, corpusDirs: Seq[String],
-      queries: DataFrame): DataFrame = {
+      queries: DataFrame, pushProbedCells: Boolean = false): DataFrame = {
     val cent = PlanCache.memoized(s, s"$indexDir|ivfpq-centroids") {
       s.read.parquet(s"$indexDir/centroids")
     }
-    val assigned = IndexMaintenance.minusTombstones(s, s"$indexDir/lists",
-      PlanCache.memoized(s, s"$indexDir|ivfpq-lists") {
-        s.read.parquet(s"$indexDir/lists")
-      }, "vec_id")
+    // small-batch probed-cell pushdown bypasses the memoized cache —
+    // see [[ivfIndexServe]]
+    val assigned =
+      if (!pushProbedCells)
+        IndexMaintenance.minusTombstones(s, s"$indexDir/lists",
+          PlanCache.memoized(s, s"$indexDir|ivfpq-lists") {
+            s.read.parquet(s"$indexDir/lists")
+          }, "vec_id")
+      else IndexMaintenance.minusTombstones(s, s"$indexDir/lists",
+          s.read.parquet(s"$indexDir/lists"), "vec_id")
+        .filter(col("c_id").isin(probedCellsWith(cent, queries,
+          Similarity.ivfProbesFor(cent.count().toDouble)): _*))
     val n = corpusDirs.map(Similarity.normed(s, _)).reduce(_ unionAll _)
     val qn = queries
       .select(col("q_id").as("vec_id"), col("embedding"))
@@ -438,6 +471,30 @@ object AnnIndex {
       .filter(col("nrm") > 0)
     Similarity.ivfPqOver(cent, readCodebook(s, indexDir), assigned, qn, n,
       cent.count().toDouble)
+  }
+
+  /** The distinct c_id set a query batch probes — the driver-side
+    * artifact behind the probed-cell pushdown (bounded by the list
+    * count, the same size class as the already-broadcast centroid
+    * array). */
+  private def probedCellsWith(cent: DataFrame, queries: DataFrame,
+      probes: Int): Array[Long] = {
+    val qn = queries
+      .select(col("q_id").as("vec_id"), col("embedding"))
+      .withColumn("nrm", sqrt(graft.plans.VectorFunctions.vec_dot(
+        col("embedding"), col("embedding"))))
+      .filter(col("nrm") > 0)
+    Similarity.nearestCentroids(cent)(qn, "vec_id", "embedding", "nrm", probes)
+      .select(col("c_id")).distinct().collect().map(_.getLong(0))
+  }
+
+  /** Measurement accessor: the probed c_id set for `queries` against
+    * the persisted index's centroids at its own derived probe count
+    * (ScaleSmoke's bytes-read isolation uses it). */
+  private[graft] def probedCellsOf(s: SparkSession, indexDir: String,
+      queries: DataFrame): Array[Long] = {
+    val cent = s.read.parquet(s"$indexDir/centroids")
+    probedCellsWith(cent, queries, Similarity.ivfProbesFor(cent.count().toDouble))
   }
 
   // ------------------------------------------------------ drift retrain

@@ -55,11 +55,12 @@ object IngestDedup {
     * file source requires an explicit schema: footer-read one landed
     * file (same move as EventStreams.eventsStream). */
   private[streaming] def runLandingStream(s: SparkSession, landingDir: String,
-      checkpointDir: String, maintenance: Long => Unit = _ => ())(
+      checkpointDir: String, maintenance: Long => Unit = _ => (),
+      filesPerTrigger: Int = 1)(
       process: (DataFrame, Long) => Unit): Unit = {
     val schema = s.read.parquet(landingDir).schema
     val stream = s.readStream.schema(schema)
-      .option("maxFilesPerTrigger", 1)
+      .option("maxFilesPerTrigger", filesPerTrigger)
       .parquet(landingDir)
     // foreachBatch is AT-LEAST-ONCE: a batch retried after its writes
     // but before the checkpoint commit re-appends IDENTICAL rows. The
@@ -118,11 +119,11 @@ object IngestDedup {
     * seeded by [[Dedup.ingestManifestIndexInit]] (signature+md5 index,
     * eval bloom, eval shingle table). */
   def streamIngestManifestToFiles(s: SparkSession, landingDir: String, indexDir: String,
-      outDir: String, checkpointDir: String): Unit =
+      outDir: String, checkpointDir: String, filesPerTrigger: Int = 1): Unit =
     runLandingStream(s, landingDir, checkpointDir, compactCadence {
       Dedup.ingestIndexCompact(s, indexDir)
       Dedup.ingestSinkCompact(s, outDir)
-    }) { (batch, batchId) =>
+    }, filesPerTrigger) { (batch, batchId) =>
       Dedup.ingestManifestBatch(s, batch, indexDir, outDir, batchId)
     }
 

@@ -236,6 +236,30 @@ class PlanGuardSpec extends AnyFunSuite {
       "serving no longer scores through the tiled fused kernel")
   }
 
+  test("ivfIndexServe pushProbedCells pushes the probed c_id set into the list scan") {
+    // the point-lookup serve shape (round 8): the probed-cell set is
+    // collected and must reach the LIST table's parquet scan as a
+    // pushed In(c_id, ...) — which row-group-skips after the compact's
+    // c_id sort. The default (big-batch) serve keeps the full scan.
+    val tmp = java.nio.file.Files.createTempDirectory("pgs-ivf-push").toString
+    graft.Tables(spark, sf0001, "embeddings")
+      .write.mode("overwrite").parquet(s"$tmp/c/embeddings.parquet")
+    graft.ops.AnnIndex.ivfIndexWrite(spark, s"$tmp/c", s"$tmp/idx")
+    val queries = graft.Tables(spark, sf0001, "embeddings")
+      .filter(org.apache.spark.sql.functions.col("vec_id") === 1)
+      .select(org.apache.spark.sql.functions.col("vec_id").as("q_id"),
+        org.apache.spark.sql.functions.col("embedding"))
+    val pushed = graft.ops.AnnIndex.ivfIndexServe(spark, s"$tmp/idx", Seq(s"$tmp/c"),
+        queries, pushProbedCells = true)
+      .queryExecution.executedPlan.toString
+    assert(pushed.contains("In(c_id") || pushed.contains("EqualTo(c_id"),
+      "probed-cell predicate did not reach the list scan's PushedFilters")
+    graft.ops.PlanCache.invalidate(spark, s"$tmp/idx|")
+    val full = graft.ops.AnnIndex.ivfIndexServe(spark, s"$tmp/idx", Seq(s"$tmp/c"), queries)
+      .queryExecution.executedPlan.toString
+    assert(!full.contains("In(c_id"), "default serve unexpectedly filters the list scan")
+  }
+
   test("text_bm25_served reads ONLY the query terms' postings (pushed filter, no tokenize)") {
     // the point of the persisted text index: serving never re-tokenizes
     // the corpus — the term IN (...) predicate reaches the postings
