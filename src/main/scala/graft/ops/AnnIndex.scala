@@ -489,12 +489,14 @@ object AnnIndex {
   }
 
   /** Measurement accessor: the probed c_id set for `queries` against
-    * the persisted index's centroids at its own derived probe count
-    * (ScaleSmoke's bytes-read isolation uses it). */
+    * the persisted index's centroids, at the index's derived probe
+    * count or an explicit override (ScaleSmoke's bytes-read isolation
+    * uses both shapes). */
   private[graft] def probedCellsOf(s: SparkSession, indexDir: String,
-      queries: DataFrame): Array[Long] = {
+      queries: DataFrame, probeOverride: Option[Int] = None): Array[Long] = {
     val cent = s.read.parquet(s"$indexDir/centroids")
-    probedCellsWith(cent, queries, Similarity.ivfProbesFor(cent.count().toDouble))
+    probedCellsWith(cent, queries,
+      probeOverride.getOrElse(Similarity.ivfProbesFor(cent.count().toDouble)))
   }
 
   // ------------------------------------------------------ drift retrain
