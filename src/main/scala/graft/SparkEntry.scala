@@ -31,7 +31,8 @@ object SparkEntry {
       multimodal.Multimodal.queries ++
       streaming.EventStreams.queries ++
       streaming.IngestDedup.queries ++
-      streaming.AnnIngest.queries
+      streaming.AnnIngest.queries ++
+      streaming.TextIngest.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -48,5 +49,6 @@ object SparkEntry {
       multimodal.Multimodal.oracles ++
       streaming.EventStreams.oracles ++
       streaming.IngestDedup.oracles ++
-      streaming.AnnIngest.oracles
+      streaming.AnnIngest.oracles ++
+      streaming.TextIngest.oracles
 }

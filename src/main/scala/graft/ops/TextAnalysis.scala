@@ -759,11 +759,7 @@ object TextAnalysis {
     * the serving read its shape (only the QUERY TERMS' postings are
     * scanned — pinned by the `PlanGuardSpec` pushdown guard). */
   def textIndexWrite(s: SparkSession, corpusDir: String, indexDir: String): Unit = {
-    val base = Tables(s, corpusDir, "documents")
-      .select(col("doc_id"), col("lang"), col("source"),
-        TextFns.tokens(col("text")).as("toks"))
-      .filter(size(col("toks")) >= 1)
-      .withColumn("dl", size(col("toks")).cast("long"))
+    val base = indexableDocs(Tables(s, corpusDir, "documents"))
     // doclen doubles as the DOC-VALUES table (lang, source alongside
     // dl): filtered serving prunes on these at the parquet scan without
     // ever touching the corpus — the stored-fields shape every lexical
@@ -782,6 +778,46 @@ object TextAnalysis {
     base.agg(count(lit(1)).as("n_docs"),
         (sum(col("dl")).cast("double") / count(lit(1)).cast("double")).as("avgdl"))
       .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/stats")
+  }
+
+  /** The tokenized per-document frame both index writers share: one
+    * tokenize, doc-values columns alongside, empty docs excluded (they
+    * can neither match nor shape dl). */
+  private def indexableDocs(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("lang"), col("source"),
+        TextFns.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 1)
+      .withColumn("dl", size(col("toks")).cast("long"))
+
+  /** Fold a landed document batch into a persisted text index: the
+    * batch is tokenized ONCE and its posting + doc-values rows appended
+    * — the standing corpus is never re-read or re-tokenized, so the
+    * batch pays only its own indexing cost at any index size. The 1-row
+    * corpus stats (n_docs, avgdl) are deliberately NOT updated: they
+    * stay frozen at their last rebuild and catch up at the next
+    * [[textIndexCompact]] — the Lucene semantic (segment commits don't
+    * re-estimate global statistics; merges do). Per-term df is immune:
+    * the serve derives it from the postings at query time, so it is
+    * always current. `tag` gives the crash-safe deterministic file
+    * names ([[IndexMaintenance.appendBatchAs]]) the streaming ingest
+    * loop's retry semantics need. */
+  def textIndexAppendBatch(s: SparkSession, batch: DataFrame, indexDir: String,
+      tag: Option[String] = None): Unit = {
+    val base = indexableDocs(batch)
+    val doclen = base.select(col("doc_id"), col("dl"), col("lang"), col("source"))
+    val postings = base
+      .select(col("doc_id"), posexplode(col("toks")).as(Seq("pos", "term")))
+      .groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"),
+        sort_array(collect_list(col("pos").cast("long"))).as("positions"))
+    tag match {
+      case Some(t) =>
+        IndexMaintenance.appendBatchAs(s, doclen, s"$indexDir/doclen", t)
+        IndexMaintenance.appendBatchAs(s, postings, s"$indexDir/postings", t)
+      case None =>
+        doclen.write.mode("append").parquet(s"$indexDir/doclen")
+        postings.write.mode("append").parquet(s"$indexDir/postings")
+    }
   }
 
   /** BM25 over a PERSISTED index: the corpus is never re-tokenized —
@@ -963,6 +999,28 @@ object TextAnalysis {
   private def bm25OracleSqlWhere(rankCond: String): String =
     s"""WITH $bm25OracleCtes
        |${bm25RankedSelectSql(rankCond)}""".stripMargin
+
+  /** BM25 oracle for an index GROWN from a seed by streaming appends
+    * without an intervening compaction: per-term df (postings-derived)
+    * and the ranked set cover the FULL corpus, but n_docs/avgdl come
+    * from the persisted 1-row stats table — frozen at the seed build
+    * until the next compact recomputes them (the Lucene semantic
+    * [[textIndexAppendBatch]] documents). `seedCond` restates the seed
+    * slice in SQL. */
+  private[graft] def bm25OracleSqlSeedStats(seedCond: String): String =
+    s"""WITH base AS (SELECT doc_id, lang, $tokSql AS toks FROM documents),
+       |d AS (
+       |  SELECT doc_id, lang, CAST(len(toks) AS BIGINT) AS dl,
+       |    ${bm25TfSql.mkString(",\n    ")}
+       |  FROM base WHERE len(toks) >= 1),
+       |cs AS (
+       |  SELECT
+       |    (SELECT count(*) FROM d WHERE $seedCond) AS n_docs,
+       |    (SELECT CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+       |       FROM d WHERE $seedCond) AS avgdl,
+       |    ${bm25Query.indices.map(i => s"CAST(sum(CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_$i").mkString(",\n    ")}
+       |  FROM d)
+       |${bm25RankedSelectSql("TRUE")}""".stripMargin
 
   /** The BM25 oracle's CTE chain (base → d → cs), WITHOUT the `WITH`
     * keyword or final select — composable (hybrid retrieval). */

@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.{IndexMaintenance, TextAnalysis}
+
+/** Streaming lexical-index ingest: the grown postings equal a one-shot
+  * full-corpus build, global stats stay frozen until compaction catches
+  * them up, and redelivery appends nothing. */
+class TextIngestSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def land(r: String, slice: Int, name: String): Unit = {
+    val tmp = s"$r/stage_$name"
+    spark.read.parquet(s"$r/slice_$slice/documents.parquet").coalesce(1)
+      .write.mode("overwrite").parquet(tmp)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$r/landing"))
+    new java.io.File(tmp).listFiles().filter(_.getName.endsWith(".parquet")).foreach { f =>
+      java.nio.file.Files.move(f.toPath,
+        java.nio.file.Paths.get(s"$r/landing/$name.parquet"))
+    }
+  }
+
+  test("streaming text ingest: grown postings == one-shot build; stats frozen until compact; redelivery appends nothing") {
+    val r = java.nio.file.Files.createTempDirectory("graft-text-ingest-spec").toString
+    val docs = Tables(spark, TestSpark.sf0001, "documents")
+    (0 until 3).foreach { b =>
+      docs.filter(pmod(col("doc_id"), lit(3)) === b)
+        .write.mode("overwrite").parquet(s"$r/slice_$b/documents.parquet")
+    }
+    docs.write.mode("overwrite").parquet(s"$r/full/documents.parquet")
+    TextAnalysis.textIndexWrite(spark, s"$r/slice_0", s"$r/index")
+    land(r, 1, "batch_1"); land(r, 2, "batch_2")
+    graft.streaming.TextIngest.streamTextIngestToFiles(spark, s"$r/landing",
+      s"$r/index", s"$r/checkpoint")
+
+    // postings + doc-values of the grown index match a one-shot build
+    // over the full corpus (append order is content-invariant)
+    TextAnalysis.textIndexWrite(spark, s"$r/full", s"$r/oneshot")
+    def postingsOf(idx: String) = spark.read.parquet(s"$idx/postings")
+      .select(col("term"), col("doc_id"), col("tf"),
+        concat_ws(",", col("positions").cast("array<string>")).as("ps"))
+      .collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getString(3)))
+      .sorted.toSeq
+    def doclenOf(idx: String) = spark.read.parquet(s"$idx/doclen")
+      .select(col("doc_id"), col("dl")).collect()
+      .map(x => (x.getLong(0), x.getLong(1))).sorted.toSeq
+    val grownPostings = postingsOf(s"$r/index")
+    assert(grownPostings.nonEmpty && grownPostings === postingsOf(s"$r/oneshot"),
+      "grown postings diverged from the one-shot full-corpus build")
+    assert(doclenOf(s"$r/index") === doclenOf(s"$r/oneshot"),
+      "grown doc-values diverged from the one-shot full-corpus build")
+
+    // n_docs/avgdl stay FROZEN at the seed build after appends...
+    val seedStats = spark.read.parquet(s"$r/index/stats").collect().head
+    val seedDocs = spark.read.parquet(s"$r/slice_0/documents.parquet")
+      .filter(size(graft.functions.TextFns.tokens(col("text"))) >= 1).count()
+    assert(seedStats.getLong(0) == seedDocs,
+      s"stats n_docs ${seedStats.getLong(0)} != seed corpus $seedDocs — " +
+        "appends must not re-estimate global stats")
+
+    // ...and the serve under frozen stats differs from fresh-stats
+    // serving only through n_docs/avgdl (df is postings-derived, so
+    // current); after compaction the stats catch up and the grown
+    // index serves byte-identically to the fresh full-corpus build
+    def serveOf(idx: String) = TextAnalysis.textBm25Served(spark, idx).collect()
+      .map(_.toSeq).toSeq
+    val frozen = serveOf(s"$r/index")
+    assert(frozen.nonEmpty)
+    TextAnalysis.textIndexCompact(spark, s"$r/index")
+    val caught = serveOf(s"$r/index")
+    assert(caught === serveOf(s"$r/oneshot"),
+      "post-compact serve diverged from the fresh full-corpus build")
+    val statsAfter = spark.read.parquet(s"$r/index/stats").collect().head
+    assert(statsAfter.getLong(0) == doclenOf(s"$r/oneshot").size,
+      "compaction did not recompute n_docs over the grown corpus")
+
+    // TRUE redelivery (same batch id re-presented after the commit
+    // marker is lost): the per-batch marker skips it — nothing appended
+    val before = spark.read.parquet(s"$r/index/postings").count()
+    val commits = new java.io.File(s"$r/checkpoint/commits")
+      .listFiles().filter(_.getName.forall(_.isDigit)).maxBy(_.getName.toInt)
+    new java.io.File(commits.getParentFile, s".${commits.getName}.crc").delete()
+    assert(commits.delete(), "could not remove the last commit marker")
+    graft.streaming.TextIngest.streamTextIngestToFiles(spark, s"$r/landing",
+      s"$r/index", s"$r/checkpoint")
+    assert(spark.read.parquet(s"$r/index/postings").count() == before,
+      "redelivered batch appended duplicate posting rows")
+    assert(serveOf(s"$r/index") === caught, "redelivery changed serving")
+    IndexMaintenance.checkUnique(spark, s"$r/index/postings",
+      Seq("term", "doc_id"), "doc_id")
+  }
+}
