@@ -64,7 +64,8 @@ def main():
     r = subprocess.run(
         ["sbt", "-batch", f"runMain graft.Verify {tmp} {out}"],
         capture_output=True, text=True, cwd="/root/repo")
-    fails = [l for l in (r.stdout + r.stderr).splitlines() if "[verify]" in l]
+    fails = [l for l in (r.stdout + r.stderr).splitlines()
+             if "[verify]" in l and ("failed" in l or "pass=false" in l)]
     for l in fails:
         print(l)
     chk = subprocess.run(
