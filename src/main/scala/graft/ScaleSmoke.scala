@@ -476,14 +476,18 @@ object ScaleSmoke {
       }
       ops.Dedup.ingestManifestIndexInit(spark, s"$mroot/index", dir)
     }
-    val mT0 = System.nanoTime()
+    // elapsed is captured INSIDE the bytesRead wrapper: its listener
+    // drain sleeps 1 s after the body, which must not count against the
+    // throughput figures (it biased the fpt=5 row ~10% low before)
+    var mSecs1 = 0.0
     val mBytes1 = bytesRead {
+      val mT0 = System.nanoTime()
       time(s"stream_ingest_manifest (98k docs, $nLand micro-batches, full decision)") {
         streaming.IngestDedup.streamIngestManifestToFiles(spark, s"$mroot/landing",
           s"$mroot/index", s"$mroot/out", s"$mroot/checkpoint")
       }
+      mSecs1 = (System.nanoTime() - mT0) / 1e9
     }
-    val mSecs1 = (System.nanoTime() - mT0) / 1e9
     val mv = spark.read.parquet(s"$mroot/out")
       .groupBy(col("reason")).agg(count(lit(1)).as("n")).collect()
       .map(r => s"${r.getString(0)}=${r.getLong(1)}").sorted.mkString(" ")
@@ -508,19 +512,72 @@ object ScaleSmoke {
         new java.io.File(s"$kroot/landing/${f.getName}").setLastModified(f.lastModified())
       }
       ops.Dedup.ingestManifestIndexInit(spark, s"$kroot/index", dir)
-      val t0 = System.nanoTime()
+      var secs = 0.0
       val kb = bytesRead {
+        val t0 = System.nanoTime()
         time(s"stream_ingest_manifest fpt=$fpt (98k docs, ${nLand / fpt} triggers)") {
           streaming.IngestDedup.streamIngestManifestToFiles(spark, s"$kroot/landing",
             s"$kroot/index", s"$kroot/out", s"$kroot/checkpoint", filesPerTrigger = fpt)
         }
+        secs = (System.nanoTime() - t0) / 1e9
       }
-      val secs = (System.nanoTime() - t0) / 1e9
       say(f"  -> knee fpt=$fpt: ${mDocs / secs}%.0f docs/s, ${kb / 1e6}%.1f MB read " +
         f"(${kb / 1e6 / (nLand / fpt)}%.1f MB/trigger)")
     }
     say(f"  -> knee fpt=1 reference: ${mDocs / mSecs1}%.0f docs/s, ${mBytes1 / 1e6}%.1f MB read " +
       f"over $nLand triggers (${mBytes1 / 1e6 / nLand}%.1f MB/trigger)")
+
+    // round 8: streaming LEXICAL-index ingest — seed the text index on
+    // the first half of the corpus, stream the other half in as 5
+    // files, then serve BM25 from the grown index. The fold tokenizes
+    // only the landed batch; stats stay frozen at the seed until the
+    // serve-side compaction catches them up.
+    val troot = s"$dir-text-ingest"
+    rmTree(new java.io.File(troot))
+    val nDocsT = graft.Tables(spark, dir, "documents").count()
+    time("text ingest prep (50k-doc seed index + 5 landing files)") {
+      val docs2 = graft.Tables(spark, dir, "documents")
+      docs2.filter(col("doc_id") < nDocsT / 2)
+        .write.mode("overwrite").parquet(s"$troot/seed/documents.parquet")
+      (0 until 5).foreach { b =>
+        val d = s"$troot/stage_$b"
+        docs2.filter(col("doc_id") >= nDocsT / 2)
+          .filter(pmod(col("doc_id"), lit(5)) === b)
+          .coalesce(1).write.mode("overwrite").parquet(d)
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$troot/landing"))
+        new java.io.File(d).listFiles().filter(_.getName.endsWith(".parquet")).foreach { f =>
+          java.nio.file.Files.move(f.toPath,
+            java.nio.file.Paths.get(s"$troot/landing/batch_$b.parquet"),
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          new java.io.File(s"$troot/landing/batch_$b.parquet")
+            .setLastModified(1600000000000L + b * 60000L)
+        }
+      }
+      ops.TextAnalysis.textIndexWrite(spark, s"$troot/seed", s"$troot/index")
+    }
+    val tT0 = System.nanoTime()
+    time(s"stream_text_ingest (50k docs, 5 micro-batches, frozen stats)") {
+      streaming.TextIngest.streamTextIngestToFiles(spark, s"$troot/landing",
+        s"$troot/index", s"$troot/checkpoint")
+    }
+    val tIngestSecs = (System.nanoTime() - tT0) / 1e9
+    val grownDocs = spark.read.parquet(s"$troot/index/doclen").count()
+    time("text_bm25_served from the grown index (frozen seed stats)") {
+      ops.TextAnalysis.textBm25Served(spark, s"$troot/index").collect()
+    }
+    time("text_index_compact (stats catch up, term-sorted row groups)") {
+      ops.TextAnalysis.textIndexCompact(spark, s"$troot/index")
+    }
+    time("text_bm25_served after compact") {
+      ops.TextAnalysis.textBm25Served(spark, s"$troot/index").collect()
+    }
+    val statsDocs = spark.read.parquet(s"$troot/index/stats")
+      .collect().head.getLong(0)
+    say(f"  -> grown lexical index: $grownDocs docs " +
+      f"(${(nDocsT / 2) / math.max(0.1, tIngestSecs)}%.0f docs/s through the fold), " +
+      s"post-compact stats n_docs=$statsDocs")
+    assert(grownDocs >= nDocsT - 10, s"grown doclen covers $grownDocs of $nDocsT docs")
+    assert(statsDocs == grownDocs, "compaction did not catch stats up to the grown corpus")
 
     // streaming ANN ingest: 250k vectors — seed index trained on the
     // first half, the other half lands as 10 files folded in batch by

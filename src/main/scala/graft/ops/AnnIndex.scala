@@ -517,32 +517,6 @@ object AnnIndex {
   // Contract (spec-pinned): post-retrain serving == an index built
   // fresh from the current corpus.
 
-  /** Swap a freshly-built index dir over the live one: the fold-marker
-    * sidecar carries over FIRST (batches already folded stay folded —
-    * the rebuilt index contains their vectors), then
-    * rename-aside/promote/delete, with rollback if the promote rename
-    * fails. Retrain is an offline maintenance op; a crash mid-swap is
-    * retried (the aside dir holds the full old index until the final
-    * delete). */
-  private def publishIndexDir(s: SparkSession, tmpDir: String, indexDir: String): Unit = {
-    val dest = new org.apache.hadoop.fs.Path(indexDir)
-    val tmp = new org.apache.hadoop.fs.Path(tmpDir)
-    val f = dest.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val batches = new org.apache.hadoop.fs.Path(dest, "_batches")
-    if (f.exists(batches))
-      f.rename(batches, new org.apache.hadoop.fs.Path(tmp, "_batches"))
-    val old = new org.apache.hadoop.fs.Path(dest.getParent, s".${dest.getName}.retrain.old")
-    if (f.exists(old)) f.delete(old, true)
-    if (!f.rename(dest, old))
-      throw new java.io.IOException(s"publishIndexDir: rename $dest -> $old failed")
-    if (!f.rename(tmp, dest)) {
-      f.rename(old, dest)
-      throw new java.io.IOException(s"publishIndexDir: rename $tmp -> $dest failed")
-    }
-    f.delete(old, true)
-    PlanCache.invalidate(s, s"$indexDir|")
-  }
-
   private def retrainTmpDir(s: SparkSession, indexDir: String): String = {
     val dest = new org.apache.hadoop.fs.Path(indexDir)
     val tmp = new org.apache.hadoop.fs.Path(dest.getParent, s".${dest.getName}.retrain.tmp")
@@ -552,50 +526,88 @@ object AnnIndex {
   }
 
   /** The index's current servable corpus: standing ids minus pending
-    * tombstones, re-joined to the corpus parquet (normed — the exact
-    * frame every build reads). */
+    * tombstones, re-joined to `corpusFrame` — the EXACT frame the
+    * family's build reads (raw embeddings for LSH, whose build hashes
+    * zero-norm vectors too; normed for IVF/PQ, whose assignment needs
+    * the norm and whose serve excludes directionless vectors). Exact
+    * only under the table lock — the retrain ops snapshot it there. */
   private def servableCorpus(s: SparkSession, tablePath: String,
-      corpusDirs: Seq[String]): DataFrame = {
+      corpusFrame: DataFrame): DataFrame = {
     val ids = IndexMaintenance.minusTombstones(s, tablePath,
         s.read.parquet(tablePath), "vec_id")
       .select(col("vec_id")).distinct()
-    corpusDirs.map(Similarity.normed(s, _)).reduce(_ unionAll _)
-      .join(ids, "vec_id")
+    corpusFrame.join(ids, "vec_id")
   }
+
+  private def rawCorpus(s: SparkSession, corpusDirs: Seq[String]): DataFrame =
+    corpusDirs.map(Tables(s, _, "embeddings")
+      .select(col("vec_id"), col("embedding"))).reduce(_ unionAll _)
+  private def normedCorpus(s: SparkSession, corpusDirs: Seq[String]): DataFrame =
+    corpusDirs.map(Similarity.normed(s, _)).reduce(_ unionAll _)
+
+  /** Pending-tombstone snapshot the rebuild honors — the publish's
+    * compare-target for deletes that race the retrain cross-process. */
+  private def tombstoneSnapshot(s: SparkSession, tablePath: String): Set[(Long, Long)] =
+    IndexMaintenance.pendingTombstones(s, tablePath).map(_.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet).getOrElse(Set.empty)
 
   /** Retrain the LSH thresholds on the current corpus and re-hash it.
     * Geometry (tables, bits) is preserved; only the learned component —
     * the per-plane mean thresholds — refreshes, which is what drifts as
-    * the ingested distribution moves off the seed's mean. */
+    * the ingested distribution moves off the seed's mean. The corpus
+    * snapshot, rebuild, and swap run under the bucket table's
+    * maintenance lock (in-JVM appends/deletes stall for the rebuild
+    * write, not the training — for LSH the two coincide, the threshold
+    * average IS the training); a delete racing from another process is
+    * preserved by the publish's late-tombstone re-apply, and every
+    * crash state heals at the next maintenance op
+    * ([[IndexMaintenance.recoverPublish]]). */
   def lshIndexRetrain(s: SparkSession, indexDir: String, corpusDirs: Seq[String]): Unit = {
-    val geom = s.read.parquet(s"$indexDir/meta").select(col("tables"), col("bits")).head()
-    val (tables, bits) = (geom.getInt(0), geom.getInt(1))
-    val corpus = servableCorpus(s, s"$indexDir/buckets", corpusDirs)
-    val tmp = retrainTmpDir(s, indexDir)
-    corpus
-      .select(proj(tables, bits)(col("embedding")).as("p"))
-      .select(array((0 until tables * bits).map(i =>
-        avg(element_at(col("p"), i + 1))): _*).as("thr"))
-      .withColumn("tables", lit(tables)).withColumn("bits", lit(bits))
-      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/meta")
-    hashWithDf(corpus.select(col("vec_id"), col("embedding")),
-        s.read.parquet(s"$tmp/meta"))
-      .write.mode("overwrite").parquet(s"$tmp/buckets")
-    publishIndexDir(s, tmp, indexDir)
+    IndexMaintenance.withTableLock(s, s"$indexDir/buckets") {
+      IndexMaintenance.recoverPublish(s, indexDir, "buckets")
+      // geometry read AFTER recovery — a crash state may have the live
+      // index under the publish aside until the heal above
+      val geom = s.read.parquet(s"$indexDir/meta").select(col("tables"), col("bits")).head()
+      val (tables, bits) = (geom.getInt(0), geom.getInt(1))
+      val corpus = servableCorpus(s, s"$indexDir/buckets", rawCorpus(s, corpusDirs))
+      val consumed = tombstoneSnapshot(s, s"$indexDir/buckets")
+      val tmp = retrainTmpDir(s, indexDir)
+      corpus
+        .select(proj(tables, bits)(col("embedding")).as("p"))
+        .select(array((0 until tables * bits).map(i =>
+          avg(element_at(col("p"), i + 1))): _*).as("thr"))
+        .withColumn("tables", lit(tables)).withColumn("bits", lit(bits))
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/meta")
+      hashWithDf(corpus.select(col("vec_id"), col("embedding")),
+          s.read.parquet(s"$tmp/meta"))
+        .write.mode("overwrite").parquet(s"$tmp/buckets")
+      IndexMaintenance.publishDir(s, tmp, indexDir, "buckets", consumed)
+    }
+    PlanCache.invalidate(s, s"$indexDir|")
   }
 
   /** Retrain the IVF coarse quantizer (k-means on the current corpus)
-    * and rebuild the inverted lists. */
+    * and rebuild the inverted lists. The long k-means runs OUTSIDE the
+    * table lock (training quality tolerates a drifting-by-one-batch
+    * corpus read); the exact corpus snapshot, list rebuild, and swap
+    * run under it — see [[lshIndexRetrain]] for the race/crash
+    * contract. */
   def ivfIndexRetrain(s: SparkSession, indexDir: String, corpusDirs: Seq[String]): Unit = {
-    val corpus = servableCorpus(s, s"$indexDir/lists", corpusDirs)
-    val cent = Similarity.trainKmeans(s, corpus, Similarity.kmeansIters,
-      s"ivfIndexRetrain($indexDir)")
-    val tmp = retrainTmpDir(s, indexDir)
-    cent.coalesce(1).write.mode("overwrite").parquet(s"$tmp/centroids")
-    Similarity.nearestCentroids(s.read.parquet(s"$tmp/centroids"))(
-        corpus, "vec_id", "embedding", "nrm", 1)
-      .write.mode("overwrite").parquet(s"$tmp/lists")
-    publishIndexDir(s, tmp, indexDir)
+    val cent = Similarity.trainKmeans(s,
+      servableCorpus(s, s"$indexDir/lists", normedCorpus(s, corpusDirs)),
+      Similarity.kmeansIters, s"ivfIndexRetrain($indexDir)")
+    IndexMaintenance.withTableLock(s, s"$indexDir/lists") {
+      IndexMaintenance.recoverPublish(s, indexDir, "lists")
+      val corpus = servableCorpus(s, s"$indexDir/lists", normedCorpus(s, corpusDirs))
+      val consumed = tombstoneSnapshot(s, s"$indexDir/lists")
+      val tmp = retrainTmpDir(s, indexDir)
+      cent.coalesce(1).write.mode("overwrite").parquet(s"$tmp/centroids")
+      Similarity.nearestCentroids(s.read.parquet(s"$tmp/centroids"))(
+          corpus, "vec_id", "embedding", "nrm", 1)
+        .write.mode("overwrite").parquet(s"$tmp/lists")
+      IndexMaintenance.publishDir(s, tmp, indexDir, "lists", consumed)
+    }
+    PlanCache.invalidate(s, s"$indexDir|")
   }
 
   /** Retrain the composed IVF-PQ index: fresh k-means centroids AND a
@@ -603,20 +615,27 @@ object AnnIndex {
     * pair [[ivfPqIndexWrite]] builds with), then re-assign + re-encode
     * every servable vector. A codebook refresh invalidates every
     * standing code row by construction — which is why this is a rebuild
-    * operator, never an append-path option. */
+    * operator, never an append-path option. Locking/crash contract as
+    * [[ivfIndexRetrain]] (both trainings outside the lock). */
   def ivfPqIndexRetrain(s: SparkSession, indexDir: String, corpusDirs: Seq[String]): Unit = {
     import s.implicits._
-    val corpus = servableCorpus(s, s"$indexDir/lists", corpusDirs)
-    val cent = Similarity.trainKmeans(s, corpus, Similarity.kmeansIters,
+    val trainCorpus = servableCorpus(s, s"$indexDir/lists", normedCorpus(s, corpusDirs))
+    val cent = Similarity.trainKmeans(s, trainCorpus, Similarity.kmeansIters,
       s"ivfPqIndexRetrain($indexDir)")
-    val cb = Similarity.pqCodebookOfFrame(corpus)
-    val tmp = retrainTmpDir(s, indexDir)
-    cent.coalesce(1).write.mode("overwrite").parquet(s"$tmp/centroids")
-    Seq((cb.toSeq, Similarity.pqM)).toDF("cb", "m")
-      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/codebook")
-    Similarity.ivfPqAssign(s.read.parquet(s"$tmp/centroids"), cb, corpus)
-      .write.mode("overwrite").parquet(s"$tmp/lists")
-    publishIndexDir(s, tmp, indexDir)
+    val cb = Similarity.pqCodebookOfFrame(trainCorpus)
+    IndexMaintenance.withTableLock(s, s"$indexDir/lists") {
+      IndexMaintenance.recoverPublish(s, indexDir, "lists")
+      val corpus = servableCorpus(s, s"$indexDir/lists", normedCorpus(s, corpusDirs))
+      val consumed = tombstoneSnapshot(s, s"$indexDir/lists")
+      val tmp = retrainTmpDir(s, indexDir)
+      cent.coalesce(1).write.mode("overwrite").parquet(s"$tmp/centroids")
+      Seq((cb.toSeq, Similarity.pqM)).toDF("cb", "m")
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/codebook")
+      Similarity.ivfPqAssign(s.read.parquet(s"$tmp/centroids"), cb, corpus)
+        .write.mode("overwrite").parquet(s"$tmp/lists")
+      IndexMaintenance.publishDir(s, tmp, indexDir, "lists", consumed)
+    }
+    PlanCache.invalidate(s, s"$indexDir|")
   }
 
   /** Compact the LSH bucket table: few files, sorted on the serve key

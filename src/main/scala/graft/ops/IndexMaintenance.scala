@@ -67,16 +67,102 @@ object IndexMaintenance {
 
   private def oldAside(dest: org.apache.hadoop.fs.Path) =
     new org.apache.hadoop.fs.Path(dest.getParent, s".${dest.getName}.compact.old")
+  private def tmpAside(dest: org.apache.hadoop.fs.Path) =
+    new org.apache.hadoop.fs.Path(dest.getParent, s".${dest.getName}.compact.tmp")
+  private def intentOf(dest: org.apache.hadoop.fs.Path) =
+    new org.apache.hadoop.fs.Path(dest.getParent, s".${dest.getName}.promote.intent")
+  // tombstones the rewrite consumed, persisted INSIDE tmp so crash
+  // recovery can finish the late-delete check without the in-memory
+  // snapshot (underscore prefix: invisible to table reads)
+  private def consumedOf(dest: org.apache.hadoop.fs.Path) =
+    new org.apache.hadoop.fs.Path(dest, "_consumed")
 
-  /** Crash recovery for the promote sequence: a crash between "rename
-    * dest aside" and "promote tmp" leaves the table directory absent
-    * with the data intact under `.<name>.compact.old` — restore it.
-    * Called at the head of every maintenance op on the table. */
-  private def recoverPromote(s: SparkSession, path: String): Unit = {
+  /** Re-append deletes that landed in the OLD directory after the
+    * rewrite's snapshot (`dest/_consumed`), conservatively sequenced at
+    * +infinity — every copy of the id stays masked until the next
+    * compact. Safe against delete-then-re-append: the consumed set
+    * excludes tombstones the rewrite already honored, and a LATE delete
+    * by definition postdates every row the rewrite kept. */
+  private def reappendLateDeletes(s: SparkSession, dest: org.apache.hadoop.fs.Path,
+      old: org.apache.hadoop.fs.Path): Unit = {
+    val f = fs(s, dest)
+    val lateDir = new org.apache.hadoop.fs.Path(old, "_tombstones")
+    if (f.exists(lateDir)) {
+      val consumedDir = consumedOf(dest)
+      val consumed: Set[(Long, Long)] =
+        if (f.exists(consumedDir)) s.read.parquet(consumedDir.toString)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        else Set.empty
+      val late = s.read.parquet(lateDir.toString)
+        .select(col("id"), col("del_seq")).distinct().collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet -- consumed
+      if (late.nonEmpty) {
+        import s.implicits._
+        late.toSeq.map { case (id, _) => (id, Long.MaxValue) }
+          .toDF("id", "del_seq").coalesce(1)
+          .write.mode("append").parquet(s"$dest/_tombstones")
+      }
+    }
+  }
+
+  /** Crash recovery for the promote sequence, discriminated by the
+    * intent marker and which renames completed (renames are atomic, so
+    * exactly one state holds). Called at the head of every maintenance
+    * op on the table.
+    *
+    *  - intent + tmp still present: the promote never happened. If a
+    *    plain `mode("append")` recreated `dest` in the meantime, its
+    *    files are REAL appended batches — fold them into the aside and
+    *    restore it (never delete the aside on this branch: it IS the
+    *    standing table). Then drop the stale rewrite; the compact is
+    *    simply lost and can re-run.
+    *  - intent + tmp gone: the promote happened; `dest` is the rewrite.
+    *    Finish the tail: late-delete re-append from the aside (the
+    *    crash may have preceded it — a lost takedown otherwise), drop
+    *    the aside, clear `_consumed`, clear the intent.
+    *  - no intent: legacy pre-intent states (aside without dest =
+    *    crash-mid-swap of the old sequence → restore; aside with dest =
+    *    finished promote's leftover → drop). */
+  private[graft] def recoverPromote(s: SparkSession, path: String): Unit = {
     val dest = new org.apache.hadoop.fs.Path(path)
     val f = fs(s, dest)
     val old = oldAside(dest)
-    if (!f.exists(dest) && f.exists(old)) {
+    val tmp = tmpAside(dest)
+    val intent = intentOf(dest)
+    if (f.exists(intent)) {
+      if (f.exists(tmp)) {
+        if (f.exists(old)) {
+          if (f.exists(dest)) {
+            // appends recreated dest after the crash: fold them in
+            // (_SUCCESS markers collide and carry no data — skipped)
+            f.listStatus(dest).toSeq
+              .filterNot(_.getPath.getName == "_SUCCESS").foreach { st =>
+              val to = new org.apache.hadoop.fs.Path(old, st.getPath.getName)
+              if (st.getPath.getName == "_tombstones" && f.exists(to)) {
+                f.listStatus(st.getPath).toSeq
+                  .filterNot(_.getPath.getName == "_SUCCESS").foreach { t =>
+                  if (!f.rename(t.getPath, new org.apache.hadoop.fs.Path(to, t.getPath.getName)))
+                    throw new java.io.IOException(s"recoverPromote: fold ${t.getPath} failed")
+                }
+              } else if (!f.rename(st.getPath, to))
+                throw new java.io.IOException(s"recoverPromote: fold ${st.getPath} -> $to failed")
+            }
+            f.delete(dest, true)
+          }
+          if (!f.rename(old, dest))
+            throw new java.io.IOException(s"recoverPromote: rename $old -> $dest failed")
+        }
+        f.delete(tmp, true)
+        f.delete(intent, false)
+      } else {
+        if (f.exists(old)) {
+          reappendLateDeletes(s, dest, old)
+          f.delete(old, true)
+        }
+        f.delete(consumedOf(dest), true)
+        f.delete(intent, false)
+      }
+    } else if (!f.exists(dest) && f.exists(old)) {
       if (!f.rename(old, dest))
         throw new java.io.IOException(s"recoverPromote: rename $old -> $dest failed")
     } else if (f.exists(old)) f.delete(old, true) // finished promote's leftover
@@ -111,8 +197,7 @@ object IndexMaintenance {
     val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
     val keys = sortCols.map(col)
     val dest = new org.apache.hadoop.fs.Path(path)
-    val tmp = new org.apache.hadoop.fs.Path(
-      dest.getParent, s".${dest.getName}.compact.tmp")
+    val tmp = tmpAside(dest)
     // snapshot the pending tombstones the rewrite consumes (tiny —
     // takedown-sized; compare-target for the post-promote re-check)
     val consumed: Set[(Long, Long)] = tombstoneCol.flatMap(_ =>
@@ -123,35 +208,143 @@ object IndexMaintenance {
       .repartitionByRange(nOut, keys: _*)
       .sortWithinPartitions(keys: _*)
       .write.mode("overwrite").parquet(tmp.toString)
+    // persist the consumed snapshot inside the rewrite so a crash after
+    // the promote can still finish the late-delete check
+    if (tombstoneCol.isDefined) {
+      import s.implicits._
+      consumed.toSeq.toDF("id", "del_seq").coalesce(1)
+        .write.mode("overwrite").parquet(new org.apache.hadoop.fs.Path(tmp, "_consumed").toString)
+    }
     val f = fs(s, dest)
     val old = oldAside(dest)
     if (f.exists(old)) f.delete(old, true)
+    // intent marker: between here and its removal, recoverPromote can
+    // reconstruct exactly which renames completed (tmp's existence is
+    // the promote discriminator) and finish or unwind accordingly —
+    // including the case where a crash-window plain append recreated
+    // dest, whose files are real batches and must fold into the aside
+    val intent = intentOf(dest)
+    f.create(intent, true).close()
     if (!f.rename(dest, old))
       throw new java.io.IOException(s"compactTable: rename $dest -> $old failed")
     if (!f.rename(tmp, dest)) {
       // promote failed: put the original back before surfacing
       f.rename(old, dest)
+      f.delete(tmp, true)
+      f.delete(intent, false)
       throw new java.io.IOException(s"compactTable: rename $tmp -> $dest failed")
     }
     // late deletes: tombstones that landed in the old directory after
     // the rewrite's snapshot (only reachable cross-process — the lock
     // serializes in-JVM callers) must survive the swap
-    if (tombstoneCol.isDefined) {
-      val lateDir = new org.apache.hadoop.fs.Path(old, "_tombstones")
-      if (f.exists(lateDir)) {
-        val late = s.read.parquet(lateDir.toString)
-          .select(col("id"), col("del_seq")).distinct().collect()
-          .map(r => (r.getLong(0), r.getLong(1))).toSet -- consumed
-        if (late.nonEmpty) {
-          import s.implicits._
-          late.toSeq.map { case (id, _) => (id, Long.MaxValue) }
-            .toDF("id", "del_seq").coalesce(1)
-            .write.mode("append").parquet(s"$path/_tombstones")
-        }
-      }
-    }
+    if (tombstoneCol.isDefined) reappendLateDeletes(s, dest, old)
     f.delete(old, true)
+    f.delete(consumedOf(dest), true)
+    f.delete(intent, false)
     (before.size, dataFiles(s, path).size)
+  }
+
+  // ------------------------------------------- index-dir publish (retrain)
+
+  /** Run `body` holding the table's maintenance lock — the retrain ops
+    * wrap their corpus snapshot + rebuild + publish in this so no
+    * in-JVM append or delete can land between the snapshot and the
+    * swap (the long quantizer TRAINING runs outside; only the rebuild
+    * write + publish stall the ingest loop). */
+  private[graft] def withTableLock[T](s: SparkSession, path: String)(body: => T): T =
+    lockFor(s, path).synchronized(body)
+
+  private def publishAside(dest: org.apache.hadoop.fs.Path) =
+    new org.apache.hadoop.fs.Path(dest.getParent, s".${dest.getName}.retrain.old")
+  private def publishIntent(dest: org.apache.hadoop.fs.Path) =
+    new org.apache.hadoop.fs.Path(dest.getParent, s".${dest.getName}.publish.intent")
+
+  /** Publish a freshly-rebuilt index DIRECTORY over the live one — the
+    * retrain swap, sharing the compaction swap's machinery: intent
+    * marker, rename-aside/promote with full rollback (including the
+    * fold-marker sidecar, which carries into the rebuild FIRST — the
+    * rebuilt index contains every folded batch's vectors — and back out
+    * on every unwind path), post-promote late-delete re-apply against
+    * the `consumed` snapshot, and [[recoverPublish]] healing every
+    * crash state. `tableName` is the index's assignment table (the one
+    * carrying tombstones); the CALLER must hold [[withTableLock]] on it
+    * and have taken `consumed` = the pending-tombstone snapshot its
+    * rebuild honored. */
+  private[graft] def publishDir(s: SparkSession, tmpDir: String, indexDir: String,
+      tableName: String, consumed: Set[(Long, Long)]): Unit = {
+    val dest = new org.apache.hadoop.fs.Path(indexDir)
+    val tmp = new org.apache.hadoop.fs.Path(tmpDir)
+    val f = fs(s, dest)
+    import s.implicits._
+    consumed.toSeq.toDF("id", "del_seq").coalesce(1)
+      .write.mode("overwrite").parquet(s"$tmpDir/$tableName/_consumed")
+    val old = publishAside(dest)
+    if (f.exists(old)) f.delete(old, true)
+    val intent = publishIntent(dest)
+    f.create(intent, true).close()
+    val batches = new org.apache.hadoop.fs.Path(dest, "_batches")
+    val tmpBatches = new org.apache.hadoop.fs.Path(tmp, "_batches")
+    def restoreBatches(to: org.apache.hadoop.fs.Path): Unit =
+      if (f.exists(tmpBatches)) f.rename(tmpBatches, new org.apache.hadoop.fs.Path(to, "_batches"))
+    if (f.exists(batches) && !f.rename(batches, tmpBatches)) {
+      f.delete(intent, false)
+      throw new java.io.IOException(s"publishDir: carrying $batches into $tmp failed")
+    }
+    if (!f.rename(dest, old)) {
+      restoreBatches(dest)
+      f.delete(intent, false)
+      throw new java.io.IOException(s"publishDir: rename $dest -> $old failed")
+    }
+    if (!f.rename(tmp, dest)) {
+      f.rename(old, dest)
+      restoreBatches(dest)
+      f.delete(intent, false)
+      throw new java.io.IOException(s"publishDir: rename $tmp -> $dest failed")
+    }
+    reappendLateDeletes(s, new org.apache.hadoop.fs.Path(s"$indexDir/$tableName"),
+      new org.apache.hadoop.fs.Path(old, tableName))
+    f.delete(old, true)
+    f.delete(consumedOf(new org.apache.hadoop.fs.Path(s"$indexDir/$tableName")), true)
+    f.delete(intent, false)
+  }
+
+  /** Crash recovery for [[publishDir]], discriminated exactly like
+    * [[recoverPromote]] (tmp's existence tells whether the promote
+    * rename happened). Called at the head of every retrain — and safe
+    * to call any time. */
+  private[graft] def recoverPublish(s: SparkSession, indexDir: String,
+      tableName: String): Unit = {
+    val dest = new org.apache.hadoop.fs.Path(indexDir)
+    val f = fs(s, dest)
+    val old = publishAside(dest)
+    val tmp = new org.apache.hadoop.fs.Path(dest.getParent, s".${dest.getName}.retrain.tmp")
+    val intent = publishIntent(dest)
+    val destTable = new org.apache.hadoop.fs.Path(s"$indexDir/$tableName")
+    if (f.exists(intent)) {
+      if (f.exists(tmp)) {
+        // promote never happened: restore the live index and the fold
+        // markers the swap had carried into the rebuild, drop the stale
+        // rebuild — the retrain is lost and can re-run
+        if (!f.exists(dest) && f.exists(old) && !f.rename(old, dest))
+          throw new java.io.IOException(s"recoverPublish: rename $old -> $dest failed")
+        val tb = new org.apache.hadoop.fs.Path(tmp, "_batches")
+        val db = new org.apache.hadoop.fs.Path(dest, "_batches")
+        if (f.exists(tb) && f.exists(dest) && !f.exists(db)) f.rename(tb, db)
+        f.delete(tmp, true)
+        f.delete(intent, false)
+      } else {
+        // promoted: finish the tail the crash skipped
+        if (f.exists(old)) {
+          reappendLateDeletes(s, destTable, new org.apache.hadoop.fs.Path(old, tableName))
+          f.delete(old, true)
+        }
+        f.delete(consumedOf(destTable), true)
+        f.delete(intent, false)
+      }
+    } else if (!f.exists(dest) && f.exists(old)) {
+      if (!f.rename(old, dest))
+        throw new java.io.IOException(s"recoverPublish: rename $old -> $dest failed")
+    } else if (f.exists(old)) f.delete(old, true)
   }
 
   // ------------------------------------------- idempotent batch appends
@@ -222,10 +415,21 @@ object IndexMaintenance {
     val staging = new org.apache.hadoop.fs.Path(dest, s"_staging_$tag")
     df.write.mode("overwrite").parquet(staging.toString)
     // sweep a previous attempt's files for this tag (a retry may write
-    // a different part count — every b$tag-* file must go)
+    // a different part count — every b$tag-* file must go), carrying
+    // the FIRST attempt's modification time onto the re-landed files:
+    // a delete issued between the first landing and the retry sequenced
+    // its tombstone against the first attempt's mtime, and files
+    // re-landed strictly newer would slip past that watermark — an
+    // acknowledged takedown silently undone
+    var firstAttemptMtime = -1L
     if (f.exists(dest)) f.listStatus(dest).toSeq
       .filter(st => st.isFile && st.getPath.getName.startsWith(s"b$tag-"))
-      .foreach(st => f.delete(st.getPath, false))
+      .foreach { st =>
+        firstAttemptMtime =
+          if (firstAttemptMtime < 0) st.getModificationTime
+          else math.min(firstAttemptMtime, st.getModificationTime)
+        f.delete(st.getPath, false)
+      }
     val parts = f.listStatus(staging).toSeq
       .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
       .sortBy(_.getPath.getName)
@@ -233,6 +437,7 @@ object IndexMaintenance {
       val to = new org.apache.hadoop.fs.Path(dest, s"b$tag-$i.parquet")
       if (!f.rename(st.getPath, to))
         throw new java.io.IOException(s"appendBatchAs: rename ${st.getPath} -> $to failed")
+      if (firstAttemptMtime >= 0) f.setTimes(to, firstAttemptMtime, -1)
     }
     f.delete(staging, true)
   }
