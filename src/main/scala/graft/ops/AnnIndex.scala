@@ -643,6 +643,7 @@ object AnnIndex {
     * Meta (1 row) is left alone. The serve memo of the old file set is
     * invalidated. See [[IndexMaintenance]]. */
   def lshIndexCompact(s: SparkSession, indexDir: String): (Int, Int) = {
+    IndexMaintenance.recoverPublish(s, indexDir, "buckets")
     val r = IndexMaintenance.compactTable(s, s"$indexDir/buckets", Seq("tbl", "bucket"),
       tombstoneCol = Some("vec_id"))
     PlanCache.invalidate(s, s"$indexDir|")
@@ -652,11 +653,14 @@ object AnnIndex {
   /** Retract vectors from the LSH bucket index (takedown): tombstoned
     * now — gone from the next serve's candidate pool — physically
     * dropped at the next [[lshIndexCompact]]. Idempotent. */
-  def lshIndexDelete(s: SparkSession, indexDir: String, vecIds: Seq[Long]): Unit =
+  def lshIndexDelete(s: SparkSession, indexDir: String, vecIds: Seq[Long]): Unit = {
+    IndexMaintenance.recoverPublish(s, indexDir, "buckets")
     IndexMaintenance.deleteIds(s, s"$indexDir/buckets", vecIds)
+  }
 
   /** Compact the IVF inverted-list table on c_id (the probe key). */
   def ivfIndexCompact(s: SparkSession, indexDir: String): (Int, Int) = {
+    IndexMaintenance.recoverPublish(s, indexDir, "lists")
     val r = IndexMaintenance.compactTable(s, s"$indexDir/lists", Seq("c_id", "vec_id"),
       tombstoneCol = Some("vec_id"))
     PlanCache.invalidate(s, s"$indexDir|")
@@ -666,11 +670,14 @@ object AnnIndex {
   /** Retract vectors from the IVF list index. The centroids stay: the
     * quantizer is trained structure, not per-doc content — deleting a
     * member never re-trains (same frozen-quantizer semantic as append). */
-  def ivfIndexDelete(s: SparkSession, indexDir: String, vecIds: Seq[Long]): Unit =
+  def ivfIndexDelete(s: SparkSession, indexDir: String, vecIds: Seq[Long]): Unit = {
+    IndexMaintenance.recoverPublish(s, indexDir, "lists")
     IndexMaintenance.deleteIds(s, s"$indexDir/lists", vecIds)
+  }
 
   /** Compact the IVF-PQ code-carrying list table on c_id. */
   def ivfPqIndexCompact(s: SparkSession, indexDir: String): (Int, Int) = {
+    IndexMaintenance.recoverPublish(s, indexDir, "lists")
     val r = IndexMaintenance.compactTable(s, s"$indexDir/lists", Seq("c_id", "vec_id"),
       tombstoneCol = Some("vec_id"))
     PlanCache.invalidate(s, s"$indexDir|")
@@ -679,8 +686,10 @@ object AnnIndex {
 
   /** Retract vectors from the IVF-PQ index (codebook + centroids stay
     * frozen, as with append). */
-  def ivfPqIndexDelete(s: SparkSession, indexDir: String, vecIds: Seq[Long]): Unit =
+  def ivfPqIndexDelete(s: SparkSession, indexDir: String, vecIds: Seq[Long]): Unit = {
+    IndexMaintenance.recoverPublish(s, indexDir, "lists")
     IndexMaintenance.deleteIds(s, s"$indexDir/lists", vecIds)
+  }
 
   /** Registered-query form: persist the IVF-PQ index once for `dir`,
     * serve the stride query set from it. Rows-only (trained quantizer);
