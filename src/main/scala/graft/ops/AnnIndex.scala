@@ -638,6 +638,73 @@ object AnnIndex {
     PlanCache.invalidate(s, s"$indexDir|")
   }
 
+  // ------------------------------------------------------- index health
+  //
+  // The drift experiment's operational lesson (PLANS.md round 8): for a
+  // frozen quantizer, RECALL is the wrong drift alarm — a drifted
+  // corpus crowds a few mega-lists near the seed centroids' edge, the
+  // probe ring pays the mega-list scan, and recall holds while task
+  // skew and candidate blowup grow unbounded. The metric a deployment
+  // must watch is the list-size distribution, so the engine exposes it
+  // as a first-class (metric, value) report — cheap (one aggregation of
+  // the assignment table), serveable on a schedule, and the trigger for
+  // [[ivfIndexRetrain]].
+
+  /** Operational health of a persisted IVF-family index (works for the
+    * IVF and IVF-PQ layouts — both carry (vec_id, c_id) lists). One row
+    * per metric: `n_lists` (trained centroids), `n_vectors` (servable
+    * assignment rows, tombstones excluded), `nonempty_lists`,
+    * `hot_list_skew` (max list size over mean nonempty list size — the
+    * drift alarm; ~1 is balanced, the drift experiment measured 39.5
+    * on a mean-shifted corpus), `top5_list_mass` (servable mass share
+    * of the 5 largest lists), `pending_tombstones` (takedown debt),
+    * `data_files` (small-file/compaction debt). All aggregation is
+    * distributed; only 1-row aggregates reach the driver. */
+  def ivfIndexHealth(s: SparkSession, indexDir: String): DataFrame = {
+    import s.implicits._
+    val lists = IndexMaintenance.minusTombstones(s, s"$indexDir/lists",
+      s.read.parquet(s"$indexDir/lists"), "vec_id")
+    val sizes = lists.groupBy(col("c_id")).agg(count(lit(1)).as("n"))
+    val agg = sizes.agg(max(col("n")).as("mx"), count(lit(1)).as("nonempty"),
+      sum(col("n")).as("total")).head()
+    val (mx, nonempty, total) =
+      if (agg.isNullAt(0)) (0L, 0L, 0L) else (agg.getLong(0), agg.getLong(1), agg.getLong(2))
+    val top5 = sizes.orderBy(col("n").desc, col("c_id")).limit(5)
+      .agg(sum(col("n"))).head() match {
+        case r if r.isNullAt(0) => 0L
+        case r => r.getLong(0)
+      }
+    val pend = IndexMaintenance.pendingTombstones(s, s"$indexDir/lists")
+      .map(_.select(col("id")).distinct().count()).getOrElse(0L)
+    val nLists = s.read.parquet(s"$indexDir/centroids").count()
+    val files = IndexMaintenance.dataFiles(s, s"$indexDir/lists").size
+    Seq(
+      ("data_files", files.toDouble),
+      ("hot_list_skew", if (nonempty == 0) 0.0 else mx / (total.toDouble / nonempty)),
+      ("n_lists", nLists.toDouble),
+      ("n_vectors", total.toDouble),
+      ("nonempty_lists", nonempty.toDouble),
+      ("pending_tombstones", pend.toDouble),
+      ("top5_list_mass", if (total == 0) 0.0 else top5.toDouble / total)
+    ).toDF("metric", "value")
+      .select(col("metric"), round(col("value"), 6).as("value"))
+      .orderBy(col("metric"))
+  }
+
+  /** Registered-query form of [[ivfIndexHealth]] over a persisted
+    * STRIDE-quantizer index (memoized per corpus): every metric is
+    * SQL-restatable — the oracle recomputes the stride assignment and
+    * the same distribution statistics — except the physical file count,
+    * which is excluded here and stays in the library report. */
+  def simIvfHealth(s: SparkSession, dir: String): DataFrame = {
+    val indexDir = builtIndexes.computeIfAbsent(s"$dir|ivf-stride", { _ =>
+      val d = java.nio.file.Files.createTempDirectory("graft-ivf-stride-index").toString
+      ivfIndexWriteStride(s, dir, d)
+      d
+    })
+    ivfIndexHealth(s, indexDir).filter(col("metric") =!= "data_files")
+  }
+
   /** Compact the LSH bucket table: few files, sorted on the serve key
     * (tbl, bucket) so probed buckets cluster into prunable row groups.
     * Meta (1 row) is left alone. The serve memo of the old file set is

@@ -1065,7 +1065,45 @@ object Similarity {
     "sim_ivfpq_topk_stride" -> simIvfPqTopkStride _,
     "sim_ivfpq_topk_served" -> AnnIndex.simIvfPqTopkServed _,
     "sim_knn_label" -> simKnnLabel _,
+    "sim_ivf_health" -> AnnIndex.simIvfHealth _,
   )
+
+  /** Oracle for the IVF index-health report over the stride index: the
+    * stride centroid pool + argmin assignment (same CTEs as the topk
+    * oracle), then the list-size distribution statistics — the drift
+    * alarms. `pending_tombstones` is 0 by construction (fresh index);
+    * the physical file count stays library-only. */
+  private lazy val ivfHealthOracleSql: String =
+    s"""WITH n AS (
+       |  SELECT * FROM (
+       |    SELECT vec_id, embedding,
+       |      sqrt(${dotSql("embedding", "embedding")}) AS nrm
+       |    FROM embeddings) WHERE nrm > 0),
+       |cent AS (SELECT vec_id AS c_id, embedding AS c_emb, nrm AS c_nrm
+       |         FROM n WHERE vec_id % $centroidStride = 1),
+       |asgn AS (
+       |  SELECT vec_id, c_id FROM (
+       |    SELECT v.vec_id, c.c_id,
+       |      row_number() OVER (PARTITION BY v.vec_id
+       |        ORDER BY ${dotSql("v.embedding", "c.c_emb")} / (v.nrm * c.c_nrm) DESC, c.c_id) AS c_rk
+       |    FROM n v, cent c)
+       |  WHERE c_rk = 1),
+       |sizes AS (SELECT c_id, CAST(count(*) AS BIGINT) AS sz FROM asgn GROUP BY c_id),
+       |tot AS (SELECT CAST(max(sz) AS BIGINT) AS mx, count(*) AS nonempty,
+       |               CAST(sum(sz) AS BIGINT) AS total FROM sizes),
+       |top5 AS (SELECT CAST(sum(sz) AS BIGINT) AS t5
+       |         FROM (SELECT sz FROM sizes ORDER BY sz DESC, c_id LIMIT 5)),
+       |m AS (
+       |  SELECT 'hot_list_skew' AS metric,
+       |    CAST(mx AS DOUBLE) / (CAST(total AS DOUBLE) / CAST(nonempty AS DOUBLE)) AS value
+       |  FROM tot
+       |  UNION ALL SELECT 'n_lists', (SELECT CAST(count(*) AS DOUBLE) FROM cent)
+       |  UNION ALL SELECT 'n_vectors', CAST(total AS DOUBLE) FROM tot
+       |  UNION ALL SELECT 'nonempty_lists', CAST(nonempty AS DOUBLE) FROM tot
+       |  UNION ALL SELECT 'pending_tombstones', 0.0
+       |  UNION ALL SELECT 'top5_list_mass',
+       |    CAST(t5 AS DOUBLE) / (SELECT CAST(total AS DOUBLE) FROM tot) FROM top5)
+       |SELECT metric, round(value, 6) AS value FROM m ORDER BY metric""".stripMargin
 
   /** Oracle for the kNN label vote: the exact-top-k CTEs, then the
     * (votes DESC, best_rk) pick — best_rk makes the pick unique because
@@ -1485,6 +1523,7 @@ object Similarity {
   }
 
   val oracles: Map[String, String] = Map(
+    "sim_ivf_health" -> ivfHealthOracleSql,
     "sim_ivfpq_topk_stride" -> ivfPqStrideOracleSql,
     "sim_lsh_ann_auto" -> lshAnnAutoOracleSql,
     "sim_pq_rescore_auto" -> pqRescoreAutoOracleSql,

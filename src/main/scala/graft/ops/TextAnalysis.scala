@@ -894,6 +894,58 @@ object TextAnalysis {
     IndexMaintenance.deleteIds(s, s"$indexDir/doclen", docIds)
   }
 
+  /** Operational health of a persisted text index — the lexical
+    * sibling of `AnnIndex.ivfIndexHealth`. One row per metric:
+    * `n_terms` (vocabulary), `n_postings` (servable posting rows),
+    * `n_docs_indexed` (servable doc-values rows), `stats_n_docs` (the
+    * persisted 1-row global stats — FROZEN between appends and
+    * compaction), `stats_staleness` (n_docs_indexed − stats_n_docs —
+    * the Lucene gap a deployment watches to schedule compaction; 0 on
+    * a fresh or just-compacted index), `max_df_share` (heaviest term's
+    * document share — the boilerplate/stopword-head alarm),
+    * `pending_tombstones`, `data_files` (compaction debt on the
+    * posting table). Distributed aggregation; 1-row collects only. */
+  def textIndexHealth(s: SparkSession, indexDir: String): DataFrame = {
+    import s.implicits._
+    val postings = IndexMaintenance.minusTombstones(s, s"$indexDir/postings",
+      s.read.parquet(s"$indexDir/postings"), "doc_id")
+    val doclen = IndexMaintenance.minusTombstones(s, s"$indexDir/doclen",
+      s.read.parquet(s"$indexDir/doclen"), "doc_id")
+    val pAgg = postings.agg(count(lit(1)).as("n_postings"),
+      countDistinct(col("term")).as("n_terms")).head()
+    val (nPostings, nTerms) = (pAgg.getLong(0), pAgg.getLong(1))
+    val nDocs = doclen.count()
+    val maxDf = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .agg(max(col("df"))).head() match {
+        case r if r.isNullAt(0) => 0L
+        case r => r.getLong(0)
+      }
+    val statsDocs = s.read.parquet(s"$indexDir/stats").head().getLong(0)
+    val pend = IndexMaintenance.pendingTombstones(s, s"$indexDir/postings")
+      .map(_.select(col("id")).distinct().count()).getOrElse(0L)
+    val files = IndexMaintenance.dataFiles(s, s"$indexDir/postings").size
+    Seq(
+      ("data_files", files.toDouble),
+      ("max_df_share", if (nDocs == 0) 0.0 else maxDf.toDouble / nDocs),
+      ("n_docs_indexed", nDocs.toDouble),
+      ("n_postings", nPostings.toDouble),
+      ("n_terms", nTerms.toDouble),
+      ("pending_tombstones", pend.toDouble),
+      ("stats_n_docs", statsDocs.toDouble),
+      ("stats_staleness", (nDocs - statsDocs).toDouble)
+    ).toDF("metric", "value")
+      .select(col("metric"), round(col("value"), 6).as("value"))
+      .orderBy(col("metric"))
+  }
+
+  /** Registered-query form of [[textIndexHealth]] over the shared
+    * per-corpus persisted index (fresh build: staleness 0, tombstones
+    * 0 — both still asserted by the oracle, which recomputes every
+    * metric from a SQL tokenize of the corpus). The physical file
+    * count stays library-only. */
+  def textIndexHealthQuery(s: SparkSession, dir: String): DataFrame =
+    textIndexHealth(s, textIndexFor(s, dir)).filter(col("metric") =!= "data_files")
+
   /** One persisted text index per corpus per JVM for the registered
     * query (build lazily once; bench reps measure SERVING only). */
   private val builtTextIndexes = new java.util.concurrent.ConcurrentHashMap[String, String]()
@@ -932,6 +984,7 @@ object TextAnalysis {
     "text_phrase_search" -> textPhraseSearch _,
     "text_phrase_served" -> textPhraseServedQuery _,
     "text_bm25_served" -> textBm25ServedQuery _,
+    "text_index_health" -> textIndexHealthQuery _,
     "text_bm25_filtered" -> textBm25FilteredQuery _,
     "text_tfidf_topterms" -> textTfidfTopTerms _,
     "text_vocab_coverage" -> textVocabCoverage _,
@@ -1089,6 +1142,30 @@ object TextAnalysis {
     // scoring tail is the shared bm25Rank — identical result, identical
     // oracle (byte-identity pinned in OperatorSpec)
     "text_bm25_served" -> bm25OracleSql,
+    // health over a fresh build: staleness and tombstone debt are 0 BY
+    // CONSTRUCTION and the oracle asserts exactly that; every content
+    // metric recomputes from a SQL tokenize of the corpus
+    "text_index_health" ->
+      s"""WITH base AS (SELECT doc_id, $tokSql AS toks FROM documents),
+         |d AS (SELECT doc_id, toks FROM base WHERE len(toks) >= 1),
+         |tf AS (SELECT term, doc_id
+         |       FROM (SELECT doc_id, unnest(toks) AS term FROM d)
+         |       GROUP BY term, doc_id),
+         |dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+         |agg AS (SELECT CAST(count(*) AS BIGINT) AS n_postings,
+         |               CAST(count(DISTINCT term) AS BIGINT) AS n_terms FROM tf),
+         |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM d),
+         |m AS (
+         |  SELECT 'max_df_share' AS metric,
+         |    CAST((SELECT max(df) FROM dfreq) AS DOUBLE) /
+         |      (SELECT CAST(n_docs AS DOUBLE) FROM nd) AS value
+         |  UNION ALL SELECT 'n_docs_indexed', (SELECT CAST(n_docs AS DOUBLE) FROM nd)
+         |  UNION ALL SELECT 'n_postings', (SELECT CAST(n_postings AS DOUBLE) FROM agg)
+         |  UNION ALL SELECT 'n_terms', (SELECT CAST(n_terms AS DOUBLE) FROM agg)
+         |  UNION ALL SELECT 'pending_tombstones', 0.0
+         |  UNION ALL SELECT 'stats_n_docs', (SELECT CAST(n_docs AS DOUBLE) FROM nd)
+         |  UNION ALL SELECT 'stats_staleness', 0.0)
+         |SELECT metric, round(value, 6) AS value FROM m ORDER BY metric""".stripMargin,
     // filtered serving slices the ranked set only; stats stay global
     "text_bm25_filtered" -> bm25FilteredOracleSql,
     "text_vocab_coverage" ->
