@@ -32,7 +32,8 @@ object SparkEntry {
       streaming.EventStreams.queries ++
       streaming.IngestDedup.queries ++
       streaming.AnnIngest.queries ++
-      streaming.TextIngest.queries
+      streaming.TextIngest.queries ++
+      streaming.DecontamIngest.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -50,5 +51,6 @@ object SparkEntry {
       streaming.EventStreams.oracles ++
       streaming.IngestDedup.oracles ++
       streaming.AnnIngest.oracles ++
-      streaming.TextIngest.oracles
+      streaming.TextIngest.oracles ++
+      streaming.DecontamIngest.oracles
 }

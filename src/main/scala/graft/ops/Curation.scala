@@ -393,6 +393,79 @@ object Curation {
     writeBloomRow(s, indexDir, existing, n, fpp, total)
   }
 
+  /** Fold a landed EVAL-document batch into the contamination index —
+    * the streaming-ingest form of [[decontamBloomAppend]] +
+    * [[decontamShingleWrite]] in one move (a benchmark suite updates
+    * over time; its new eval docs must start guarding admission without
+    * an index rebuild). The batch's shingle rows append to the exact
+    * tier (retraction-capable, `tag` gives the crash-safe deterministic
+    * file names), and its hashes OR-merge into the screen bloom at the
+    * index's recorded geometry. The cumulative-insert statistic is
+    * recomputed EXACTLY from the standing shingle table rather than
+    * accumulated blindly — a crash-window retry re-merges the same bits
+    * (harmless) and must not double-count the saturation estimate. */
+  def decontamIndexAppendBatch(s: SparkSession, batch: DataFrame, indexDir: String,
+      tag: Option[String] = None): Unit = {
+    val rows = batch
+      .select(col("doc_id").as("eval_id"),
+        explode(graft.plans.VectorFunctions.word_shingle_hashes(
+          col("text"), contamShingleN)).as("h"))
+      .distinct()
+    tag match {
+      case Some(t) => IndexMaintenance.appendBatchAs(s, rows, s"$indexDir/eval_shingles", t)
+      case None => rows.write.mode("append").parquet(s"$indexDir/eval_shingles")
+    }
+    val meta = s.read.parquet(s"$indexDir/bloom").head()
+    val existing = loadBloom(s, indexDir)
+    val n = meta.getAs[Long]("n_items")
+    val fpp = meta.getAs[Double]("fpp")
+    val batchH = rows.select(col("h")).distinct()
+    // empty-shingle batches are legal (all-short docs); stat.bloomFilter
+    // NPEs on an empty frame, and an empty merge is a no-op anyway
+    if (batchH.limit(1).count() > 0) {
+      val batchBloom = batchH.stat.bloomFilter("h", n, fpp)
+      existing.mergeInPlace(batchBloom)
+    }
+    val total = s.read.parquet(s"$indexDir/eval_shingles")
+      .select(col("h")).distinct().count()
+    if (total > n)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"decontamIndexAppendBatch: cumulative $total items exceed the sized capacity $n " +
+        s"at $indexDir — actual FP rate now exceeds fpp=$fpp (the exact-confirm tier " +
+        "absorbs the extra false positives; rebuild via decontamIndexCompact)")
+    writeBloomRow(s, indexDir, existing, n, fpp, total)
+  }
+
+  /** Two-tier contamination check served from a PERSISTED index over
+    * `dir`'s train slice: bloom screen (map-only), exact confirm on the
+    * flagged slice against the index's shingle table. Output is
+    * BIT-IDENTICAL to the in-session [[decontaminateBloomServed]]
+    * whenever the index covers `dir`'s full eval slice — the
+    * exact-confirm tier makes the result independent of the bloom's
+    * false positives, which is what lets the streamed-ingest registered
+    * form share the same DuckDB oracle. */
+  def decontamServeTwoTier(s: SparkSession, indexDir: String, dir: String): DataFrame = {
+    val evalH = evalShingleIndex(s, indexDir).select(col("h")).distinct()
+    val flagged = serveBloom(Tables(s, dir, "documents"), loadBloom(s, indexDir),
+        excludeEvalDocs = true)
+      .filter(col("n_maybe_shared") > 0)
+      .select(col("doc_id"))
+      .join(Tables(s, dir, "documents"), "doc_id")
+      .select(col("doc_id"),
+        explode(graft.plans.VectorFunctions.word_shingle_hashes(
+          col("text"), contamShingleN)).as("h"))
+      .join(evalH, "h")
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("h")).as("n_shared"))
+    Tables(s, dir, "documents")
+      .filter(col("doc_id") % evalStride =!= 0)
+      .select(col("doc_id"))
+      .join(flagged, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        (coalesce(col("n_shared"), lit(0L)) > 0).as("is_contaminated"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Maintenance audit for the bloom index — its file is one row, so
     * there are no small files to merge; "compaction" here is the
     * saturation re-check the append path's warning defers: recompute
