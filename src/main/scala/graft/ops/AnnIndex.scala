@@ -691,6 +691,53 @@ object AnnIndex {
       .orderBy(col("metric"))
   }
 
+  /** LSH sibling of [[ivfIndexHealth]]: the bucket-size distribution of
+    * a persisted LSH index. `hot_bucket_skew` is the MULTIPROBE-cost
+    * alarm (a hot bucket is scanned by every query whose probe ring
+    * touches it — the tiled kernel bounds per-task work, but total
+    * candidate volume still scales with bucket mass), `top5_bucket_mass`
+    * the concentration share, plus `n_tables`/`n_vectors`/
+    * `n_bucket_rows`/`nonempty_buckets`, tombstone debt and file debt. */
+  def lshIndexHealth(s: SparkSession, indexDir: String): DataFrame = {
+    import s.implicits._
+    val buckets = IndexMaintenance.minusTombstones(s, s"$indexDir/buckets",
+      s.read.parquet(s"$indexDir/buckets"), "vec_id")
+    val sizes = buckets.groupBy(col("tbl"), col("bucket")).agg(count(lit(1)).as("n"))
+    val agg = sizes.agg(max(col("n")).as("mx"), count(lit(1)).as("nonempty"),
+      sum(col("n")).as("total")).head()
+    val (mx, nonempty, total) =
+      if (agg.isNullAt(0)) (0L, 0L, 0L) else (agg.getLong(0), agg.getLong(1), agg.getLong(2))
+    val top5 = sizes.orderBy(col("n").desc, col("tbl"), col("bucket")).limit(5)
+      .agg(sum(col("n"))).head() match {
+        case r if r.isNullAt(0) => 0L
+        case r => r.getLong(0)
+      }
+    val nVec = buckets.select(col("vec_id")).distinct().count()
+    val tables = metaRow(s, indexDir).select(col("tables")).head().getInt(0)
+    val pend = IndexMaintenance.pendingTombstones(s, s"$indexDir/buckets")
+      .map(_.select(col("id")).distinct().count()).getOrElse(0L)
+    val files = IndexMaintenance.dataFiles(s, s"$indexDir/buckets").size
+    Seq(
+      ("data_files", files.toDouble),
+      ("hot_bucket_skew", if (nonempty == 0) 0.0 else mx / (total.toDouble / nonempty)),
+      ("n_bucket_rows", total.toDouble),
+      ("n_tables", tables.toDouble),
+      ("n_vectors", nVec.toDouble),
+      ("nonempty_buckets", nonempty.toDouble),
+      ("pending_tombstones", pend.toDouble),
+      ("top5_bucket_mass", if (total == 0) 0.0 else top5.toDouble / total)
+    ).toDF("metric", "value")
+      .select(col("metric"), round(col("value"), 6).as("value"))
+      .orderBy(col("metric"))
+  }
+
+  /** Registered-query form of [[lshIndexHealth]] over the shared
+    * per-corpus persisted LSH index; the oracle rebuilds the bucket
+    * assignment in SQL (the pinned-hyperplane chain) and recomputes
+    * the same statistics. Physical file count stays library-only. */
+  def simLshHealth(s: SparkSession, dir: String): DataFrame =
+    lshIndexHealth(s, lshIndexFor(s, dir)).filter(col("metric") =!= "data_files")
+
   /** Registered-query form of [[ivfIndexHealth]] over a persisted
     * STRIDE-quantizer index (memoized per corpus): every metric is
     * SQL-restatable — the oracle recomputes the stride assignment and

@@ -1066,7 +1066,33 @@ object Similarity {
     "sim_ivfpq_topk_served" -> AnnIndex.simIvfPqTopkServed _,
     "sim_knn_label" -> simKnnLabel _,
     "sim_ivf_health" -> AnnIndex.simIvfHealth _,
+    "sim_lsh_health" -> AnnIndex.simLshHealth _,
   )
+
+  /** Oracle for the LSH health report: the pinned-hyperplane bucket
+    * chain (unreferenced downstream CTEs of the shared chain are never
+    * evaluated), then the bucket-size distribution statistics. */
+  private lazy val lshHealthOracleSql: String =
+    s"""WITH ${lshAnnOracleCtes("TRUE")},
+       |bsz AS (SELECT tbl, bucket, CAST(count(*) AS BIGINT) AS sz
+       |        FROM buckets GROUP BY tbl, bucket),
+       |btot AS (SELECT CAST(max(sz) AS BIGINT) AS mx, count(*) AS nonempty,
+       |                CAST(sum(sz) AS BIGINT) AS total FROM bsz),
+       |btop5 AS (SELECT CAST(sum(sz) AS BIGINT) AS t5
+       |          FROM (SELECT sz FROM bsz ORDER BY sz DESC, tbl, bucket LIMIT 5)),
+       |m AS (
+       |  SELECT 'hot_bucket_skew' AS metric,
+       |    CAST(mx AS DOUBLE) / (CAST(total AS DOUBLE) / CAST(nonempty AS DOUBLE)) AS value
+       |  FROM btot
+       |  UNION ALL SELECT 'n_bucket_rows', CAST(total AS DOUBLE) FROM btot
+       |  UNION ALL SELECT 'n_tables', CAST($lshTables AS DOUBLE)
+       |  UNION ALL SELECT 'n_vectors',
+       |    (SELECT CAST(count(DISTINCT vec_id) AS DOUBLE) FROM buckets)
+       |  UNION ALL SELECT 'nonempty_buckets', CAST(nonempty AS DOUBLE) FROM btot
+       |  UNION ALL SELECT 'pending_tombstones', 0.0
+       |  UNION ALL SELECT 'top5_bucket_mass',
+       |    CAST(t5 AS DOUBLE) / (SELECT CAST(total AS DOUBLE) FROM btot) FROM btop5)
+       |SELECT metric, round(value, 6) AS value FROM m ORDER BY metric""".stripMargin
 
   /** Oracle for the IVF index-health report over the stride index: the
     * stride centroid pool + argmin assignment (same CTEs as the topk
@@ -1524,6 +1550,7 @@ object Similarity {
 
   val oracles: Map[String, String] = Map(
     "sim_ivf_health" -> ivfHealthOracleSql,
+    "sim_lsh_health" -> lshHealthOracleSql,
     "sim_ivfpq_topk_stride" -> ivfPqStrideOracleSql,
     "sim_lsh_ann_auto" -> lshAnnAutoOracleSql,
     "sim_pq_rescore_auto" -> pqRescoreAutoOracleSql,

@@ -88,4 +88,22 @@ class IndexHealthSpec extends AnyFunSuite {
     assert(hd("pending_tombstones") == victims.distinct.size.toDouble)
     assert(hd("n_vectors") == 600.0 - victims.distinct.size)
   }
+
+  test("LSH index health: bucket-row accounting and takedown debt are consistent") {
+    val tmp = java.nio.file.Files.createTempDirectory("lsh-health").toString
+    val emb = Tables(spark, sf0001, "embeddings")
+    emb.write.mode("overwrite").parquet(s"$tmp/c/embeddings.parquet")
+    AnnIndex.lshIndexWrite(spark, s"$tmp/c", s"$tmp/idx")
+    val h = metricsOf(AnnIndex.lshIndexHealth(spark, s"$tmp/idx"))
+    // every vector lands in exactly one bucket per table
+    assert(h("n_bucket_rows") == h("n_vectors") * h("n_tables"))
+    assert(h("hot_bucket_skew") >= 1.0 && h("top5_bucket_mass") <= 1.0)
+    val victims = spark.read.parquet(s"$tmp/idx/buckets")
+      .select(col("vec_id")).distinct().limit(7).collect().map(_.getLong(0)).toSeq
+    AnnIndex.lshIndexDelete(spark, s"$tmp/idx", victims)
+    val hd = metricsOf(AnnIndex.lshIndexHealth(spark, s"$tmp/idx"))
+    assert(hd("pending_tombstones") == victims.size.toDouble)
+    assert(hd("n_vectors") == h("n_vectors") - victims.size)
+    assert(hd("n_bucket_rows") == hd("n_vectors") * hd("n_tables"))
+  }
 }
