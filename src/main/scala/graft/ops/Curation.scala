@@ -264,8 +264,14 @@ object Curation {
     * jobs over the eval slice only; the 100 TB corpus is never read. */
   def decontamBloomWrite(s: SparkSession, evalDir: String, indexDir: String): Unit = {
     val evalH = evalShingleHashes(s, evalDir)
-    val n = math.max(1024L, evalH.count())
-    val bloom = evalH.stat.bloomFilter("h", n, contamBloomFpp)
+    val cnt = evalH.count()
+    val n = math.max(1024L, cnt)
+    // an eval slice of only sub-shingle-length docs is legal;
+    // stat.bloomFilter NPEs on an empty frame, and an explicit empty
+    // filter screens nothing — exactly right (same guard as compact)
+    val bloom =
+      if (cnt == 0L) org.apache.spark.util.sketch.BloomFilter.create(n, contamBloomFpp)
+      else evalH.stat.bloomFilter("h", n, contamBloomFpp)
     writeBloomRow(s, indexDir, bloom, n, contamBloomFpp, totalItems = n)
   }
 
