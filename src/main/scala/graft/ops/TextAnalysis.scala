@@ -202,6 +202,62 @@ object TextAnalysis {
         length(col("text")).cast("long").as("n_chars"))
       .orderBy(col("doc_id"))
 
+  /** Merge steps the BPE trainer learns. */
+  val bpeTrainMerges = 12
+
+  /** BPE TOKENIZER INDUCTION — learn a merge table from the corpus
+    * (Sennrich-style byte/word-level BPE, the step every LLM pipeline
+    * runs before anything tokenizes). The corpus is read ONCE: the
+    * initial word-frequency aggregation is the only corpus-sized job,
+    * and all [[bpeTrainMerges]] iterations run over the VOCABULARY
+    * (word TYPES with frequencies — millions of rows at 100 TB, not
+    * trillions of tokens), each one small pair-count shuffle plus a
+    * 1-row argmax collect. Per step: count adjacent symbol pairs
+    * weighted by word frequency (overlap-counted — the classic rule),
+    * pick the most frequent (ties: lexicographic on left, then right),
+    * and merge it everywhere via left-to-right non-overlapping string
+    * replacement. Symbol sequences are space-delimited strings so the
+    * merge is ONE `replace` call with semantics verified identical in
+    * Spark and DuckDB (both scan forward continuing past each
+    * replacement: 'a a a' -> 'aa a'), which is what lets an ITERATIVE
+    * training algorithm carry a full SQL oracle — the merge loop
+    * unrolls into [[bpeTrainMerges]] CTE triples. Output: one row per
+    * learned merge (step, lhs, rhs, merged, pair_count). */
+  def textBpeTrain(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val words = Tables(s, dir, "documents")
+      .select(explode(TextFns.tokens(col("text"))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .select(concat_ws(" ", split(col("word"), "")).as("w"), col("freq"))
+      .cache() // vocabulary-sized
+    try {
+      val merges = scala.collection.mutable.ArrayBuffer[(Long, String, String, String, Long)]()
+      var cur: DataFrame = words
+      var step = 1
+      var exhausted = false
+      while (step <= bpeTrainMerges && !exhausted) {
+        val sym = split(col("w"), " ")
+        val best = cur
+          .select(col("freq"), explode(arrays_zip(
+            slice(sym, lit(1), size(sym) - 1).as("l"),
+            slice(sym, lit(2), size(sym) - 1).as("r"))).as("p"))
+          .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+          .agg(sum(col("freq")).as("cnt"))
+          .orderBy(col("cnt").desc, col("l"), col("r")).limit(1)
+          .collect()
+        if (best.isEmpty) exhausted = true
+        else {
+          val (l, r, cnt) = (best.head.getString(0), best.head.getString(1), best.head.getLong(2))
+          merges += ((step.toLong, l, r, l + r, cnt))
+          cur = cur.withColumn("w",
+            org.apache.spark.sql.functions.replace(col("w"), lit(s"$l $r"), lit(l + r)))
+          step += 1
+        }
+      }
+      merges.toSeq.toDF("step", "lhs", "rhs", "merged", "pair_count").orderBy(col("step"))
+    } finally { words.unpersist(); () }
+  }
+
   /** Discrete quantile percentages for the corpus profile. */
   val quantilePs = Seq(50, 90, 99)
 
@@ -985,6 +1041,7 @@ object TextAnalysis {
     "text_phrase_served" -> textPhraseServedQuery _,
     "text_bm25_served" -> textBm25ServedQuery _,
     "text_index_health" -> textIndexHealthQuery _,
+    "text_bpe_train" -> textBpeTrain _,
     "text_bm25_filtered" -> textBm25FilteredQuery _,
     "text_tfidf_topterms" -> textTfidfTopTerms _,
     "text_vocab_coverage" -> textVocabCoverage _,
@@ -1041,6 +1098,44 @@ object TextAnalysis {
     bm25Query.zipWithIndex.map { case (t, i) =>
       s"CAST(len(list_filter(toks, x -> x = '$t')) AS BIGINT) AS tf_$i"
     }
+
+  /** Oracle for the BPE trainer: the merge loop unrolled into
+    * [[bpeTrainMerges]] CTE triples (pairs → best → apply-merge). The
+    * `coalesce(..., chr(1))` guards make an exhausted step (no pairs
+    * left) a no-op replace contributing zero output rows — matching
+    * the Spark loop's early stop. Every `s${t}` is MATERIALIZED:
+    * each is referenced twice (next step's pair count and next
+    * apply), and default CTE inlining would duplicate the base scan
+    * 2^K times. */
+  private lazy val bpeTrainOracleSql: String = {
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH s0 AS MATERIALIZED (
+         |  SELECT array_to_string(regexp_split_to_array(word, ''), ' ') AS w,
+         |         CAST(count(*) AS BIGINT) AS freq
+         |  FROM (SELECT unnest($tokSql) AS word FROM documents)
+         |  GROUP BY word)""".stripMargin)
+    (1 to bpeTrainMerges).foreach { t =>
+      sb.append(
+        s""",
+           |p$t AS (
+           |  SELECT sym[i] AS l, sym[i+1] AS r, CAST(sum(freq) AS BIGINT) AS cnt
+           |  FROM (SELECT string_split(w, ' ') AS sym, freq FROM s${t - 1}),
+           |       unnest(generate_series(1, len(sym) - 1)) AS u(i)
+           |  GROUP BY l, r),
+           |b$t AS (SELECT l, r, cnt FROM p$t ORDER BY cnt DESC, l, r LIMIT 1),
+           |s$t AS MATERIALIZED (
+           |  SELECT replace(w, coalesce((SELECT l || ' ' || r FROM b$t), chr(1)),
+           |                    coalesce((SELECT l || r FROM b$t), chr(1))) AS w, freq
+           |  FROM s${t - 1})""".stripMargin)
+    }
+    sb.append("\nSELECT * FROM (\n")
+    sb.append((1 to bpeTrainMerges).map { t =>
+      s"  SELECT CAST($t AS BIGINT) AS step, l AS lhs, r AS rhs, l || r AS merged, cnt AS pair_count FROM b$t"
+    }.mkString("\n  UNION ALL\n"))
+    sb.append("\n) ORDER BY step")
+    sb.toString
+  }
 
   private lazy val bm25OracleSql: String = bm25OracleSqlWhere("TRUE")
 
@@ -1133,6 +1228,7 @@ object TextAnalysis {
          |SELECT doc_id, rk, term, tf, df, score
          |FROM ranked WHERE rk <= $tfidfTopTerms ORDER BY doc_id, rk""".stripMargin,
     "text_bm25_search" -> bm25OracleSql,
+    "text_bpe_train" -> bpeTrainOracleSql,
     "text_phrase_search" -> phraseOracleSql,
     // byte-identical by construction (shared adjacency tail; stored
     // positions are the same integers the scan path derives)

@@ -1,0 +1,58 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.TextAnalysis
+
+/** BPE tokenizer induction against an independent in-memory reference
+  * implementation of the same rules (overlap-counted pair frequencies,
+  * lexicographic tie-break, left-to-right non-overlapping merge). */
+class BpeTrainSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def referenceBpe(words: Seq[String], k: Int): Seq[(Long, String, String, String, Long)] = {
+    var vocab: Map[String, Long] = words.groupBy(identity)
+      .map { case (w, g) => w.split("").mkString(" ") -> g.size.toLong }
+    val out = scala.collection.mutable.ArrayBuffer[(Long, String, String, String, Long)]()
+    var step = 1
+    var done = false
+    while (step <= k && !done) {
+      val counts = scala.collection.mutable.Map[(String, String), Long]().withDefaultValue(0L)
+      vocab.foreach { case (w, f) =>
+        w.split(" ").sliding(2).foreach {
+          case Array(l, r) => counts((l, r)) += f
+          case _ =>
+        }
+      }
+      if (counts.isEmpty) done = true
+      else {
+        val ((l, r), c) = counts.toSeq.sortBy { case ((l, r), c) => (-c, l, r) }.head
+        out += ((step.toLong, l, r, l + r, c))
+        vocab = vocab.map { case (w, f) => w.replace(s"$l $r", l + r) -> f }
+        step += 1
+      }
+    }
+    out.toSeq
+  }
+
+  test("learned merges match the reference implementation on a planted corpus") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("bpe-train").toString
+    val texts = Seq(
+      "low lower lowest low low lowest",
+      "new newer newest new wider wide wide newer",
+      "low lower newer new wide west lowest wide")
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, t, "en", "s") }
+      .toDF("doc_id", "text", "lang", "source")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = TextAnalysis.textBpeTrain(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+      .toSeq
+    val words = texts.flatMap(_.split("\\s+"))
+    val want = referenceBpe(words, TextAnalysis.bpeTrainMerges)
+    assert(got.nonEmpty && got === want,
+      s"merge tables diverged:\n got: $got\nwant: $want")
+    // the merged symbol really is the concatenation, and steps are 1..n
+    got.foreach { case (_, l, r, m, _) => assert(m == l + r) }
+    assert(got.map(_._1) == (1L to got.size))
+  }
+}
