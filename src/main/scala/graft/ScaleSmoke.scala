@@ -406,6 +406,28 @@ object ScaleSmoke {
       noop(ops.Retrieval.searchHybridRrf(spark, dir))
     }
 
+    // round 8: tokenizer induction — one corpus-sized word-freq agg,
+    // then every merge iteration runs over the VOCAB (types), so the
+    // cost is K tiny shuffles after a single corpus read
+    time(s"text_bpe_train (100k docs, ${ops.TextAnalysis.bpeTrainMerges} merges over the vocab)") {
+      val m = ops.TextAnalysis.textBpeTrain(spark, dir).collect()
+      assert(m.length == ops.TextAnalysis.bpeTrainMerges,
+        s"learned ${m.length} of ${ops.TextAnalysis.bpeTrainMerges} merges")
+    }
+    // round 8: the health reports a deployment schedules — one
+    // aggregation of the assignment/bucket/posting table each
+    time("ivf_index_health + lsh_index_health + text_index_health (250k vecs / 100k docs)") {
+      val hv = ops.AnnIndex.ivfIndexHealth(spark, ivfIdxDir).collect()
+        .map(r => r.getString(0) -> r.getDouble(1)).toMap
+      val hl = ops.AnnIndex.lshIndexHealth(spark, idxDir).collect()
+        .map(r => r.getString(0) -> r.getDouble(1)).toMap
+      val ht = ops.TextAnalysis.textIndexHealth(spark, textIdxDir).collect()
+        .map(r => r.getString(0) -> r.getDouble(1)).toMap
+      say(f"  -> health: ivf skew ${hv("hot_list_skew")}%.2f over ${hv("n_lists")}%.0f lists; " +
+        f"lsh bucket skew ${hl("hot_bucket_skew")}%.2f; " +
+        f"text staleness ${ht("stats_staleness")}%.0f docs, max df share ${ht("max_df_share")}%.3f")
+    }
+
     // curation-at-ingest replay: the 100k docs land as 10 files of 10k,
     // each micro-batch scrubs, scores, and dedups against the growing
     // index — the whole crawl-to-corpus hop, timed end to end
@@ -578,6 +600,54 @@ object ScaleSmoke {
       s"post-compact stats n_docs=$statsDocs")
     assert(grownDocs >= nDocsT - 10, s"grown doclen covers $grownDocs of $nDocsT docs")
     assert(statsDocs == grownDocs, "compaction did not catch stats up to the grown corpus")
+
+    // round 8: streaming EVAL-set ingest for the contamination index —
+    // seed from half the eval slice, stream the other half in, then the
+    // two-tier check over all 100k docs (map-only bloom screen + exact
+    // confirm on the flagged slice)
+    val droot2 = s"$dir-decontam-ingest"
+    rmTree(new java.io.File(droot2))
+    time("decontam ingest prep (eval seed index + 4 landing files)") {
+      val eval = graft.Tables(spark, dir, "documents")
+        .filter(col("doc_id") % ops.Curation.evalStride === 0)
+      // split on the eval ORDINAL (doc_id / stride), not doc_id: every
+      // eval id is a multiple of the stride, so a doc_id modulus that
+      // divides the stride would put EVERYTHING in one slice
+      val ord = pmod((col("doc_id") / ops.Curation.evalStride).cast("long"), lit(5))
+      eval.filter(ord === 0)
+        .write.mode("overwrite").parquet(s"$droot2/seed/documents.parquet")
+      ops.Curation.decontamBloomWrite(spark, s"$droot2/seed", s"$droot2/index")
+      ops.Curation.decontamShingleWrite(spark, s"$droot2/seed", s"$droot2/index")
+      (1 to 4).foreach { b =>
+        val d = s"$droot2/stage_$b"
+        eval.filter(ord === b)
+          .coalesce(1).write.mode("overwrite").parquet(d)
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$droot2/landing"))
+        new java.io.File(d).listFiles().filter(_.getName.endsWith(".parquet")).foreach { f =>
+          java.nio.file.Files.move(f.toPath,
+            java.nio.file.Paths.get(s"$droot2/landing/batch_$b.parquet"),
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          new java.io.File(s"$droot2/landing/batch_$b.parquet")
+            .setLastModified(1600000000000L + b * 60000L)
+        }
+      }
+    }
+    val seedEvalIds = spark.read.parquet(s"$droot2/index/eval_shingles")
+      .select(col("eval_id")).distinct().count()
+    time("stream_decontam_ingest (2k eval docs, 4 micro-batches)") {
+      streaming.DecontamIngest.streamDecontamIngestToFiles(spark, s"$droot2/landing",
+        s"$droot2/index", s"$droot2/checkpoint")
+    }
+    val grownEvalIds = spark.read.parquet(s"$droot2/index/eval_shingles")
+      .select(col("eval_id")).distinct().count()
+    assert(grownEvalIds > seedEvalIds * 3,
+      s"streamed eval batches were empty: $seedEvalIds seed -> $grownEvalIds grown")
+    val dverd = time("decontam two-tier serve from the grown index (100k docs)") {
+      ops.Curation.decontamServeTwoTier(spark, s"$droot2/index", dir)
+        .agg(count(lit(1)), sum(when(col("is_contaminated"), 1L).otherwise(0L))).head()
+    }
+    say(s"  -> grown eval index verdicts: ${dverd.getLong(0)} docs checked, " +
+      s"${dverd.getLong(1)} flagged contaminated")
 
     // streaming ANN ingest: 250k vectors — seed index trained on the
     // first half, the other half lands as 10 files folded in batch by

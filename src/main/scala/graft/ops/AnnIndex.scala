@@ -664,16 +664,20 @@ object AnnIndex {
     import s.implicits._
     val lists = IndexMaintenance.minusTombstones(s, s"$indexDir/lists",
       s.read.parquet(s"$indexDir/lists"), "vec_id")
-    val sizes = lists.groupBy(col("c_id")).agg(count(lit(1)).as("n"))
-    val agg = sizes.agg(max(col("n")).as("mx"), count(lit(1)).as("nonempty"),
-      sum(col("n")).as("total")).head()
-    val (mx, nonempty, total) =
-      if (agg.isNullAt(0)) (0L, 0L, 0L) else (agg.getLong(0), agg.getLong(1), agg.getLong(2))
-    val top5 = sizes.orderBy(col("n").desc, col("c_id")).limit(5)
-      .agg(sum(col("n"))).head() match {
-        case r if r.isNullAt(0) => 0L
-        case r => r.getLong(0)
-      }
+    // the size distribution is computed ONCE (cached — list-count-sized,
+    // tiny) and feeds both bounded actions; the assignment table itself
+    // is scanned a single time
+    val sizes = lists.groupBy(col("c_id")).agg(count(lit(1)).as("n")).cache()
+    val (mx, nonempty, total, top5) = try {
+      val agg = sizes.agg(max(col("n")).as("mx"), count(lit(1)).as("nonempty"),
+        sum(col("n")).as("total")).head()
+      val t5 = sizes.orderBy(col("n").desc, col("c_id")).limit(5)
+        .agg(sum(col("n"))).head() match {
+          case r if r.isNullAt(0) => 0L
+          case r => r.getLong(0)
+        }
+      if (agg.isNullAt(0)) (0L, 0L, 0L, t5) else (agg.getLong(0), agg.getLong(1), agg.getLong(2), t5)
+    } finally { sizes.unpersist(); () }
     val pend = IndexMaintenance.pendingTombstones(s, s"$indexDir/lists")
       .map(_.select(col("id")).distinct().count()).getOrElse(0L)
     val nLists = s.read.parquet(s"$indexDir/centroids").count()
@@ -702,16 +706,20 @@ object AnnIndex {
     import s.implicits._
     val buckets = IndexMaintenance.minusTombstones(s, s"$indexDir/buckets",
       s.read.parquet(s"$indexDir/buckets"), "vec_id")
-    val sizes = buckets.groupBy(col("tbl"), col("bucket")).agg(count(lit(1)).as("n"))
-    val agg = sizes.agg(max(col("n")).as("mx"), count(lit(1)).as("nonempty"),
-      sum(col("n")).as("total")).head()
-    val (mx, nonempty, total) =
-      if (agg.isNullAt(0)) (0L, 0L, 0L) else (agg.getLong(0), agg.getLong(1), agg.getLong(2))
-    val top5 = sizes.orderBy(col("n").desc, col("tbl"), col("bucket")).limit(5)
-      .agg(sum(col("n"))).head() match {
-        case r if r.isNullAt(0) => 0L
-        case r => r.getLong(0)
-      }
+    val sizes = buckets.groupBy(col("tbl"), col("bucket")).agg(count(lit(1)).as("n")).cache()
+    val (mx, nonempty, total, top5) = try {
+      val agg = sizes.agg(max(col("n")).as("mx"), count(lit(1)).as("nonempty"),
+        sum(col("n")).as("total")).head()
+      val t5 = sizes.orderBy(col("n").desc, col("tbl"), col("bucket")).limit(5)
+        .agg(sum(col("n"))).head() match {
+          case r if r.isNullAt(0) => 0L
+          case r => r.getLong(0)
+        }
+      if (agg.isNullAt(0)) (0L, 0L, 0L, t5) else (agg.getLong(0), agg.getLong(1), agg.getLong(2), t5)
+    } finally { sizes.unpersist(); () }
+    // deliberately an independent scan, NOT total/tables: n_vectors
+    // diverging from n_bucket_rows/n_tables IS the corruption signal
+    // the rows-per-table invariant check reads from this report
     val nVec = buckets.select(col("vec_id")).distinct().count()
     val tables = metaRow(s, indexDir).select(col("tables")).head().getInt(0)
     val pend = IndexMaintenance.pendingTombstones(s, s"$indexDir/buckets")

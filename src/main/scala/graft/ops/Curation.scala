@@ -272,7 +272,10 @@ object Curation {
     val bloom =
       if (cnt == 0L) org.apache.spark.util.sketch.BloomFilter.create(n, contamBloomFpp)
       else evalH.stat.bloomFilter("h", n, contamBloomFpp)
-    writeBloomRow(s, indexDir, bloom, n, contamBloomFpp, totalItems = n)
+    // totalItems records ACTUAL inserts (cnt), not the sized capacity —
+    // the floor would start small indexes' saturation accounting at
+    // 100% and make the append path's overrun warning fire spuriously
+    writeBloomRow(s, indexDir, bloom, n, contamBloomFpp, totalItems = cnt)
   }
 
   /** Publish the bloom row via write-to-temp + rename: the read-modify-
@@ -425,15 +428,23 @@ object Curation {
     val existing = loadBloom(s, indexDir)
     val n = meta.getAs[Long]("n_items")
     val fpp = meta.getAs[Double]("fpp")
+    val priorTotal = meta.getAs[Long]("total_items")
     val batchH = rows.select(col("h")).distinct()
+    // the batch pays only ITS OWN count — the saturation statistic
+    // accumulates per batch (a crash-window retry can inflate it, and
+    // hashes already standing count again: an ADVISORY over-estimate,
+    // reconciled exactly at the cadence compaction's rebuild — the same
+    // amortization the sibling loops use for checkUnique; a per-batch
+    // exact recount of the standing table would be the O(index)-per-
+    // trigger shape the marker design exists to avoid)
+    val batchCnt = batchH.count()
     // empty-shingle batches are legal (all-short docs); stat.bloomFilter
     // NPEs on an empty frame, and an empty merge is a no-op anyway
-    if (batchH.limit(1).count() > 0) {
+    if (batchCnt > 0) {
       val batchBloom = batchH.stat.bloomFilter("h", n, fpp)
       existing.mergeInPlace(batchBloom)
     }
-    val total = s.read.parquet(s"$indexDir/eval_shingles")
-      .select(col("h")).distinct().count()
+    val total = priorTotal + batchCnt
     if (total > n)
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
         s"decontamIndexAppendBatch: cumulative $total items exceed the sized capacity $n " +

@@ -1082,16 +1082,16 @@ object Similarity {
        |          FROM (SELECT sz FROM bsz ORDER BY sz DESC, tbl, bucket LIMIT 5)),
        |m AS (
        |  SELECT 'hot_bucket_skew' AS metric,
-       |    CAST(mx AS DOUBLE) / (CAST(total AS DOUBLE) / CAST(nonempty AS DOUBLE)) AS value
+       |    coalesce(CAST(mx AS DOUBLE) / (CAST(total AS DOUBLE) / CAST(nonempty AS DOUBLE)), 0.0) AS value
        |  FROM btot
-       |  UNION ALL SELECT 'n_bucket_rows', CAST(total AS DOUBLE) FROM btot
+       |  UNION ALL SELECT 'n_bucket_rows', coalesce(CAST(total AS DOUBLE), 0.0) FROM btot
        |  UNION ALL SELECT 'n_tables', CAST($lshTables AS DOUBLE)
        |  UNION ALL SELECT 'n_vectors',
        |    (SELECT CAST(count(DISTINCT vec_id) AS DOUBLE) FROM buckets)
        |  UNION ALL SELECT 'nonempty_buckets', CAST(nonempty AS DOUBLE) FROM btot
        |  UNION ALL SELECT 'pending_tombstones', 0.0
        |  UNION ALL SELECT 'top5_bucket_mass',
-       |    CAST(t5 AS DOUBLE) / (SELECT CAST(total AS DOUBLE) FROM btot) FROM btop5)
+       |    coalesce(CAST(t5 AS DOUBLE) / (SELECT CAST(total AS DOUBLE) FROM btot), 0.0) FROM btop5)
        |SELECT metric, round(value, 6) AS value FROM m ORDER BY metric""".stripMargin
 
   /** Oracle for the IVF index-health report over the stride index: the
@@ -1121,14 +1121,14 @@ object Similarity {
        |         FROM (SELECT sz FROM sizes ORDER BY sz DESC, c_id LIMIT 5)),
        |m AS (
        |  SELECT 'hot_list_skew' AS metric,
-       |    CAST(mx AS DOUBLE) / (CAST(total AS DOUBLE) / CAST(nonempty AS DOUBLE)) AS value
+       |    coalesce(CAST(mx AS DOUBLE) / (CAST(total AS DOUBLE) / CAST(nonempty AS DOUBLE)), 0.0) AS value
        |  FROM tot
        |  UNION ALL SELECT 'n_lists', (SELECT CAST(count(*) AS DOUBLE) FROM cent)
-       |  UNION ALL SELECT 'n_vectors', CAST(total AS DOUBLE) FROM tot
+       |  UNION ALL SELECT 'n_vectors', coalesce(CAST(total AS DOUBLE), 0.0) FROM tot
        |  UNION ALL SELECT 'nonempty_lists', CAST(nonempty AS DOUBLE) FROM tot
        |  UNION ALL SELECT 'pending_tombstones', 0.0
        |  UNION ALL SELECT 'top5_list_mass',
-       |    CAST(t5 AS DOUBLE) / (SELECT CAST(total AS DOUBLE) FROM tot) FROM top5)
+       |    coalesce(CAST(t5 AS DOUBLE) / (SELECT CAST(total AS DOUBLE) FROM tot), 0.0) FROM top5)
        |SELECT metric, round(value, 6) AS value FROM m ORDER BY metric""".stripMargin
 
   /** Oracle for the kNN label vote: the exact-top-k CTEs, then the

@@ -215,14 +215,21 @@ object TextAnalysis {
     * 1-row argmax collect. Per step: count adjacent symbol pairs
     * weighted by word frequency (overlap-counted — the classic rule),
     * pick the most frequent (ties: lexicographic on left, then right),
-    * and merge it everywhere via left-to-right non-overlapping string
-    * replacement. Symbol sequences are space-delimited strings so the
-    * merge is ONE `replace` call with semantics verified identical in
-    * Spark and DuckDB (both scan forward continuing past each
-    * replacement: 'a a a' -> 'aa a'), which is what lets an ITERATIVE
-    * training algorithm carry a full SQL oracle — the merge loop
-    * unrolls into [[bpeTrainMerges]] CTE triples. Output: one row per
-    * learned merge (step, lhs, rhs, merged, pair_count). */
+    * and merge it everywhere ANCHORED ON WHOLE SYMBOLS. Symbol
+    * sequences are space-delimited strings padded with one space at
+    * each end, so the pattern " l r " can only match at symbol
+    * boundaries (an unanchored replace would fuse "l ow" on the merge
+    * (l,o) — a merge that was never learned; regex lookaround is
+    * unavailable because DuckDB's RE2 lacks it). The replace runs
+    * TWICE per step: a forward scan continues past each replacement,
+    * so an alternating chain " l o l o l o " leaves every other
+    * occurrence unmerged (its leading space was consumed by the
+    * previous match); pass-1 misses are never adjacent, so the second
+    * pass reaches the fixed point — semantics verified identical in
+    * Spark and DuckDB, which is what lets an ITERATIVE training
+    * algorithm carry a full SQL oracle: the merge loop unrolls into
+    * [[bpeTrainMerges]] CTE triples. Output: one row per learned
+    * merge (step, lhs, rhs, merged, pair_count). */
   def textBpeTrain(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val words = Tables(s, dir, "documents")
@@ -249,8 +256,11 @@ object TextAnalysis {
         else {
           val (l, r, cnt) = (best.head.getString(0), best.head.getString(1), best.head.getLong(2))
           merges += ((step.toLong, l, r, l + r, cnt))
-          cur = cur.withColumn("w",
-            org.apache.spark.sql.functions.replace(col("w"), lit(s"$l $r"), lit(l + r)))
+          val (pat, rep) = (lit(s" $l $r "), lit(s" ${l + r} "))
+          val padded = concat(lit(" "), col("w"), lit(" "))
+          cur = cur.withColumn("w", trim(
+            org.apache.spark.sql.functions.replace(
+              org.apache.spark.sql.functions.replace(padded, pat, rep), pat, rep)))
           step += 1
         }
       }
@@ -1100,13 +1110,14 @@ object TextAnalysis {
     }
 
   /** Oracle for the BPE trainer: the merge loop unrolled into
-    * [[bpeTrainMerges]] CTE triples (pairs → best → apply-merge). The
-    * `coalesce(..., chr(1))` guards make an exhausted step (no pairs
-    * left) a no-op replace contributing zero output rows — matching
-    * the Spark loop's early stop. Every `s${t}` is MATERIALIZED:
-    * each is referenced twice (next step's pair count and next
-    * apply), and default CTE inlining would duplicate the base scan
-    * 2^K times. */
+    * [[bpeTrainMerges]] CTE triples (pairs → best → apply-merge, the
+    * apply being the padded boundary-anchored DOUBLE replace
+    * [[textBpeTrain]] documents). The `coalesce(..., chr(1))` guards
+    * make an exhausted step (no pairs left) a no-op replace
+    * contributing zero output rows — matching the Spark loop's early
+    * stop. Every `s${t}` is MATERIALIZED: each is referenced twice
+    * (next step's pair count and next apply), and default CTE
+    * inlining would duplicate the base scan 2^K times. */
   private lazy val bpeTrainOracleSql: String = {
     val sb = new StringBuilder
     sb.append(
@@ -1125,8 +1136,11 @@ object TextAnalysis {
            |  GROUP BY l, r),
            |b$t AS (SELECT l, r, cnt FROM p$t ORDER BY cnt DESC, l, r LIMIT 1),
            |s$t AS MATERIALIZED (
-           |  SELECT replace(w, coalesce((SELECT l || ' ' || r FROM b$t), chr(1)),
-           |                    coalesce((SELECT l || r FROM b$t), chr(1))) AS w, freq
+           |  SELECT trim(replace(replace(' ' || w || ' ',
+           |    coalesce((SELECT ' ' || l || ' ' || r || ' ' FROM b$t), chr(1)),
+           |    coalesce((SELECT ' ' || l || r || ' ' FROM b$t), chr(1))),
+           |    coalesce((SELECT ' ' || l || ' ' || r || ' ' FROM b$t), chr(1)),
+           |    coalesce((SELECT ' ' || l || r || ' ' FROM b$t), chr(1)))) AS w, freq
            |  FROM s${t - 1})""".stripMargin)
     }
     sb.append("\nSELECT * FROM (\n")

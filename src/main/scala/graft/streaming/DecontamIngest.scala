@@ -14,9 +14,11 @@ import graft.ops.{Curation, IndexMaintenance}
   * micro-batch: shingle rows append to the exact-confirm tier
   * (retraction stays possible by eval_id), the batch's hashes OR-merge
   * into the screen bloom at the index's frozen geometry, and the
-  * saturation statistic recomputes exactly from the standing shingle
-  * table (idempotent under crash-retry, unlike blind accumulation —
-  * bloom bits themselves are OR-idempotent).
+  * advisory saturation statistic accumulates per batch — O(batch) per
+  * trigger, like every sibling loop — and reconciles EXACTLY at the
+  * cadence compaction's rebuild (bloom bits are OR-idempotent under a
+  * crash-window retry; the counter can briefly over-estimate, which
+  * only makes the capacity warning conservative).
   *
   * Growth semantics mirror the family: the bloom's GEOMETRY is frozen
   * at the seed build, so a heavily-grown index exceeds its sized

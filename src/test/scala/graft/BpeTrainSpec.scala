@@ -5,7 +5,9 @@ import graft.ops.TextAnalysis
 
 /** BPE tokenizer induction against an independent in-memory reference
   * implementation of the same rules (overlap-counted pair frequencies,
-  * lexicographic tie-break, left-to-right non-overlapping merge). */
+  * lexicographic tie-break, boundary-anchored two-pass merge — see
+  * `textBpeTrain`'s scaladoc for why two passes reach the fixed
+  * point). */
 class BpeTrainSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
@@ -27,7 +29,10 @@ class BpeTrainSpec extends AnyFunSuite {
       else {
         val ((l, r), c) = counts.toSeq.sortBy { case ((l, r), c) => (-c, l, r) }.head
         out += ((step.toLong, l, r, l + r, c))
-        vocab = vocab.map { case (w, f) => w.replace(s"$l $r", l + r) -> f }
+        val (pat, rep) = (s" $l $r ", s" ${l + r} ")
+        vocab = vocab.map { case (w, f) =>
+          (" " + w + " ").replace(pat, rep).replace(pat, rep).trim -> f
+        }
         step += 1
       }
     }
