@@ -786,14 +786,17 @@ class OperatorSpec extends AnyFunSuite {
     assert(evalRows.nonEmpty && evalRows.count(_._3) > evalRows.size / 2,
       "eval docs served from an external-corpus read must self-flag")
     // merging the same eval set back in flips no additional bits
+    val seedTotal = spark.read.parquet(s"$idx/bloom").head().getAs[Long]("total_items")
     graft.ops.Curation.decontamBloomAppend(spark, sf0001, idx)
     val afterAppend = graft.ops.Curation.decontamBloomServe(spark, idx, Seq(sf0001))
       .collect().map(shape).toSeq
     assert(afterAppend === fromDisk, "idempotent append changed the served result")
-    // the append tracked its cumulative inserts past the sized capacity
+    // the counter accumulates ACTUAL inserts (round-8 review: the write
+    // path records cnt, not the 1024-floored capacity) — re-appending
+    // the same eval set exactly doubles it
     val meta = spark.read.parquet(s"$idx/bloom").head()
-    assert(meta.getAs[Long]("total_items") > meta.getAs[Long]("n_items"),
-      "append did not accumulate total_items")
+    assert(seedTotal > 0 && meta.getAs[Long]("total_items") == 2 * seedTotal,
+      s"append did not accumulate total_items: $seedTotal -> ${meta.getAs[Long]("total_items")}")
     // the saturation audit: re-appending the SAME eval set flips no new
     // bits, so the observed expectedFpp stays at the construction level
     // and well under the 100x rebuild threshold
