@@ -60,4 +60,28 @@ class BpeTrainSpec extends AnyFunSuite {
     got.foreach { case (_, l, r, m, _) => assert(m == l + r) }
     assert(got.map(_._1) == (1L to got.size))
   }
+
+  test("training reads the corpus once: merge iterations run over the cached vocabulary") {
+    val dir = TestSpark.sf0001
+    val docBytes = new java.io.File(s"$dir/documents.parquet").listFiles() match {
+      case null => new java.io.File(s"$dir/documents.parquet").length()
+      case fs => fs.filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+    }
+    val acc = new java.util.concurrent.atomic.AtomicLong()
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (te.taskMetrics != null) acc.addAndGet(te.taskMetrics.inputMetrics.bytesRead)
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      assert(TextAnalysis.textBpeTrain(spark, dir).count() > 0)
+      Thread.sleep(500)
+    } finally spark.sparkContext.removeSparkListener(l)
+    // one corpus read for the word-frequency aggregation (+ cache
+    // materialization slack); K iterations re-scanning the parquet
+    // would read >= K times the file size
+    assert(acc.get() < 3 * docBytes,
+      s"BPE training read ${acc.get()} B against a $docBytes B corpus — " +
+        "iterations are re-reading the documents parquet instead of the cached vocab")
+  }
 }
