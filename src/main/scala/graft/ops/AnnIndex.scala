@@ -79,7 +79,7 @@ object AnnIndex {
     val rows = hashWithDf(batch.select(col("vec_id"), col("embedding")), metaRow(s, indexDir))
     tag match {
       case Some(t) => IndexMaintenance.appendBatchAs(s, rows, s"$indexDir/buckets", t)
-      case None => rows.write.mode("append").parquet(s"$indexDir/buckets")
+      case None => IndexMaintenance.appendPlain(s, rows, s"$indexDir/buckets")
     }
     PlanCache.invalidate(s, s"$indexDir|lsh-index-buckets")
   }
@@ -104,8 +104,8 @@ object AnnIndex {
     * the index's persisted thresholds. The batch pays only its own
     * hashing — the standing corpus is untouched. */
   def lshIndexAppend(s: SparkSession, batchDir: String, indexDir: String): Unit = {
-    hashWith(s, batchDir, metaRow(s, indexDir))
-      .write.mode("append").parquet(s"$indexDir/buckets")
+    IndexMaintenance.appendPlain(s, hashWith(s, batchDir, metaRow(s, indexDir)),
+      s"$indexDir/buckets")
     // a serve BEFORE this append may have memoized (and cached) the old
     // bucket file set — drop it so the next serve sees the batch
     PlanCache.invalidate(s, s"$indexDir|lsh-index-buckets")
@@ -277,9 +277,9 @@ object AnnIndex {
     * LSH thresholds). */
   def ivfIndexAppend(s: SparkSession, batchDir: String, indexDir: String): Unit = {
     val cent = s.read.parquet(s"$indexDir/centroids")
-    Similarity.nearestCentroids(cent)(
-        Similarity.normed(s, batchDir), "vec_id", "embedding", "nrm", 1)
-      .write.mode("append").parquet(s"$indexDir/lists")
+    IndexMaintenance.appendPlain(s, Similarity.nearestCentroids(cent)(
+        Similarity.normed(s, batchDir), "vec_id", "embedding", "nrm", 1),
+      s"$indexDir/lists")
     PlanCache.invalidate(s, s"$indexDir|ivf-index-lists")
   }
 
@@ -297,7 +297,7 @@ object AnnIndex {
     val rows = Similarity.nearestCentroids(cent)(n, "vec_id", "embedding", "nrm", 1)
     tag match {
       case Some(t) => IndexMaintenance.appendBatchAs(s, rows, s"$indexDir/lists", t)
-      case None => rows.write.mode("append").parquet(s"$indexDir/lists")
+      case None => IndexMaintenance.appendPlain(s, rows, s"$indexDir/lists")
     }
     PlanCache.invalidate(s, s"$indexDir|ivf-index-lists")
   }
@@ -431,9 +431,9 @@ object AnnIndex {
     * either would invalidate every standing code row). */
   def ivfPqIndexAppend(s: SparkSession, batchDir: String, indexDir: String): Unit = {
     val cent = s.read.parquet(s"$indexDir/centroids")
-    Similarity.ivfPqAssign(cent, readCodebook(s, indexDir),
-        Similarity.normed(s, batchDir))
-      .write.mode("append").parquet(s"$indexDir/lists")
+    IndexMaintenance.appendPlain(s, Similarity.ivfPqAssign(cent,
+        readCodebook(s, indexDir), Similarity.normed(s, batchDir)),
+      s"$indexDir/lists")
     PlanCache.invalidate(s, s"$indexDir|ivfpq-lists")
   }
 
@@ -767,7 +767,7 @@ object AnnIndex {
   def lshIndexCompact(s: SparkSession, indexDir: String): (Int, Int) = {
     IndexMaintenance.recoverPublish(s, indexDir, "buckets")
     val r = IndexMaintenance.compactTable(s, s"$indexDir/buckets", Seq("tbl", "bucket"),
-      tombstoneCol = Some("vec_id"))
+      tombstoneCol = Some("vec_id"), markerDir = Some(s"$indexDir/_batches"))
     PlanCache.invalidate(s, s"$indexDir|")
     r
   }
@@ -784,7 +784,7 @@ object AnnIndex {
   def ivfIndexCompact(s: SparkSession, indexDir: String): (Int, Int) = {
     IndexMaintenance.recoverPublish(s, indexDir, "lists")
     val r = IndexMaintenance.compactTable(s, s"$indexDir/lists", Seq("c_id", "vec_id"),
-      tombstoneCol = Some("vec_id"))
+      tombstoneCol = Some("vec_id"), markerDir = Some(s"$indexDir/_batches"))
     PlanCache.invalidate(s, s"$indexDir|")
     r
   }
@@ -801,7 +801,7 @@ object AnnIndex {
   def ivfPqIndexCompact(s: SparkSession, indexDir: String): (Int, Int) = {
     IndexMaintenance.recoverPublish(s, indexDir, "lists")
     val r = IndexMaintenance.compactTable(s, s"$indexDir/lists", Seq("c_id", "vec_id"),
-      tombstoneCol = Some("vec_id"))
+      tombstoneCol = Some("vec_id"), markerDir = Some(s"$indexDir/_batches"))
     PlanCache.invalidate(s, s"$indexDir|")
     r
   }

@@ -265,7 +265,12 @@ object Curation {
   def decontamBloomWrite(s: SparkSession, evalDir: String, indexDir: String): Unit = {
     val evalH = evalShingleHashes(s, evalDir)
     val cnt = evalH.count()
-    val n = math.max(1024L, cnt)
+    // 2x headroom, matching the compact rebuild's sizing: a streaming
+    // contamination index seeded here starts BELOW capacity, so the
+    // append path's saturation-overrun warning doesn't fire spuriously
+    // on the very first appended batch (total = cnt + batch would
+    // exceed an exactly-sized n immediately)
+    val n = math.max(1024L, cnt * 2)
     // an eval slice of only sub-shingle-length docs is legal;
     // stat.bloomFilter NPEs on an empty frame, and an explicit empty
     // filter screens nothing — exactly right (same guard as compact)
@@ -346,7 +351,8 @@ object Curation {
     * original fpp, so the rebuilt filter's FP budget is fresh. */
   def decontamIndexCompact(s: SparkSession, indexDir: String): (Int, Int) = {
     val r = IndexMaintenance.compactTable(s, s"$indexDir/eval_shingles",
-      Seq("eval_id", "h"), tombstoneCol = Some("eval_id"))
+      Seq("eval_id", "h"), tombstoneCol = Some("eval_id"),
+      markerDir = Some(s"$indexDir/_batches"))
     val surviving = s.read.parquet(s"$indexDir/eval_shingles")
       .select(col("h")).distinct()
     val cnt = surviving.count()
@@ -422,7 +428,7 @@ object Curation {
       .distinct()
     tag match {
       case Some(t) => IndexMaintenance.appendBatchAs(s, rows, s"$indexDir/eval_shingles", t)
-      case None => rows.write.mode("append").parquet(s"$indexDir/eval_shingles")
+      case None => IndexMaintenance.appendPlain(s, rows, s"$indexDir/eval_shingles")
     }
     val meta = s.read.parquet(s"$indexDir/bloom").head()
     val existing = loadBloom(s, indexDir)

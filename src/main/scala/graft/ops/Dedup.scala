@@ -548,8 +548,8 @@ object Dedup {
     * (call AFTER the batch passed [[dedupIncrementalIndexed]] and was
     * admitted to the corpus). */
   def dedupIndexAppend(s: SparkSession, batchDir: String, indexDir: String): Unit =
-    simSigOf(Tables(s, batchDir, "documents"))
-      .write.mode("append").parquet(s"$indexDir/simhash")
+    IndexMaintenance.appendPlain(s, simSigOf(Tables(s, batchDir, "documents")),
+      s"$indexDir/simhash")
 
   /** Compact the signature table after a run of landing appends: few
     * files, doc_id-sorted, tombstoned docs physically dropped.
@@ -691,8 +691,9 @@ object Dedup {
           .persist()
         try {
           verdicts.write.mode("append").parquet(outDir)
-          sig.join(verdicts.filter(!col("is_dup")).select(col("doc_id")), "doc_id")
-            .write.mode("append").parquet(s"$indexDir/simhash")
+          IndexMaintenance.appendPlain(s,
+            sig.join(verdicts.filter(!col("is_dup")).select(col("doc_id")), "doc_id"),
+            s"$indexDir/simhash")
         } finally verdicts.unpersist()
       } finally sig.unpersist()
     } finally docs.unpersist()
@@ -726,11 +727,12 @@ object Dedup {
       .toSeq.map(_.asInstanceOf[Long]).toArray
     val isRetry = total != unique
     appends.foreach { case (df, storeDir) =>
-      (if (isRetry && pathExists(s, storeDir))
-        df.join(s.read.parquet(storeDir).select(col("doc_id")),
-          Seq("doc_id"), "left_anti")
-      else df)
-        .write.mode("append").parquet(storeDir)
+      IndexMaintenance.appendPlain(s,
+        if (isRetry && pathExists(s, storeDir))
+          df.join(s.read.parquet(storeDir).select(col("doc_id")),
+            Seq("doc_id"), "left_anti")
+        else df,
+        storeDir)
     }
   }
 

@@ -50,11 +50,13 @@ object IndexMaintenance {
     * idempotent batch append serialize in-JVM, so a deleteIds landing
     * mid-rewrite cannot be silently discarded by the directory swap (a
     * lost takedown) and an append cannot land between the rewrite's
-    * file listing and the swap (a lost batch). Cross-PROCESS races are
-    * covered by the post-promote tombstone re-check below — conservative
-    * but never lossy for deletes; cross-process APPENDS during a
-    * compaction are not supported (the streaming loops serialize both
-    * in one foreachBatch thread, which is the deployment shape). */
+    * file listing and the swap (a lost batch). Cross-PROCESS writers
+    * are excluded by the filesystem LEASE below ([[withLease]]): every
+    * maintenance op additionally acquires a sibling `.{table}.lease`
+    * file (create-if-absent, owner-stamped), so a second process's
+    * maintenance op FAILS LOUDLY instead of silently corrupting the
+    * swap — with the post-promote tombstone re-check below as a second
+    * net for deletes (conservative but never lossy). */
   private val tableLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
   private def lockFor(s: SparkSession, path: String): Object = {
@@ -63,6 +65,130 @@ object IndexMaintenance {
       fs(s, p).makeQualified(p).toString
     }
     tableLocks.computeIfAbsent(key, _ => new Object)
+  }
+
+  // ------------------------------------------------ cross-process lease
+  //
+  // The in-JVM monitors above serialize threads of ONE process; a second
+  // PROCESS (a parallel maintenance job, an operator re-running a
+  // backfill) used to be documented-unsupported and would silently
+  // corrupt a racing swap. The lease makes that loud: each maintenance
+  // op create-if-absent's a sibling `.{table}.lease` file stamped with
+  // this process's id (create(overwrite=false) is atomic on HDFS and
+  // object stores with preconditions; best-effort on raw local FS,
+  // where the in-JVM monitor already covers same-process threads). A
+  // LIVE foreign lease (younger than [[leaseStaleMs]]) aborts the op
+  // with IllegalStateException; a stale one — a crashed holder — is
+  // broken and re-taken. Reentrant per thread, so a compaction inside
+  // a retrain's table lock does not self-deadlock.
+
+  /** Identity of this process for lease ownership. */
+  private[graft] val processId: String = java.util.UUID.randomUUID().toString
+
+  /** A foreign lease younger than this is LIVE (its op fails loudly);
+    * older is a crashed holder's leftover and is broken. Generous:
+    * maintenance ops do not heartbeat, so the threshold must exceed the
+    * longest plausible compact/retrain. */
+  val leaseStaleMs: Long = 15L * 60 * 1000
+
+  private val heldLeases = new ThreadLocal[java.util.HashSet[String]] {
+    override def initialValue() = new java.util.HashSet[String]()
+  }
+
+  private[graft] def leasePath(dest: org.apache.hadoop.fs.Path) =
+    new org.apache.hadoop.fs.Path(dest.getParent, s".${dest.getName}.lease")
+
+  /** Run `body` holding the cross-process lease on `path` (reentrant
+    * per thread; callers already hold the in-JVM monitor). */
+  private def withLease[T](s: SparkSession, path: String)(body: => T): T = {
+    val dest = new org.apache.hadoop.fs.Path(path)
+    val f = fs(s, dest)
+    val key = f.makeQualified(dest).toString
+    if (heldLeases.get.contains(key)) body
+    // no parent dir = a fresh table's first write, or a fabricated/real
+    // crash state where the enclosing index dir is renamed aside — in
+    // both the dir's ABSENCE is a recovery discriminator that creating
+    // the lease file would destroy (Hadoop create() makes parents).
+    // Skip the lease: the in-JVM monitor still serializes this process,
+    // and a standing table (the only thing a foreign process can
+    // corrupt) always has its parent.
+    else if (!f.exists(dest.getParent)) body
+    else {
+      val lp = leasePath(dest)
+      def tryAcquire(): Boolean =
+        try {
+          val out = f.create(lp, false)
+          out.write(processId.getBytes("UTF-8")); out.close(); true
+        } catch { case _: java.io.IOException => false }
+      if (!tryAcquire()) {
+        val st = try Some(f.getFileStatus(lp))
+          catch { case _: java.io.FileNotFoundException => None }
+        val owner = try {
+          val in = f.open(lp)
+          try { // a lease body is one 36-byte uuid
+            val buf = new Array[Byte](64)
+            val n = in.read(buf)
+            new String(buf, 0, math.max(0, n), "UTF-8")
+          } finally in.close()
+        } catch { case _: java.io.IOException => "" }
+        val live = st.exists(x =>
+          System.currentTimeMillis() - x.getModificationTime < leaseStaleMs)
+        if (live && owner != processId)
+          throw new IllegalStateException(
+            s"maintenance lease on $path is held by process $owner — a " +
+            "concurrent maintenance writer; refusing to race the swap " +
+            s"(lease $lp, stale after ${leaseStaleMs / 1000} s)")
+        f.delete(lp, false) // crashed holder's leftover (or our own)
+        if (!tryAcquire()) throw new IllegalStateException(
+          s"maintenance lease on $path: lost the acquire race after breaking " +
+          s"a stale lease ($lp)")
+      }
+      heldLeases.get.add(key)
+      try body
+      finally { heldLeases.get.remove(key); f.delete(lp, false) }
+    }
+  }
+
+  // ------------------------------------------- per-table write sequence
+  //
+  // Every append through this API stamps its landed files with a
+  // monotonic per-table SEQUENCE NUMBER in the file NAME
+  // (`….s$seq.parquet`), derived under the table lock as
+  // 1 + max(stamp of any standing data file, any pending tombstone's
+  // del_seq) — no counter file, no clock: the names ARE the state, so
+  // the sequence is crash-safe by construction and carries zero
+  // dependence on filesystem timestamp granularity (files written by
+  // the initial build or a compaction rewrite carry no stamp and rank
+  // as sequence 0, the oldest). Tombstones sequence against this
+  // ([[deleteIds]]/[[minusTombstones]]), which is what makes
+  // delete-then-re-append serve immediately on ANY filesystem —
+  // including object stores with second-granularity (or no) mtimes,
+  // where the previous mtime-watermark scheme could silently mask and
+  // then physically drop a legitimate re-append.
+
+  private val seqRe = """\.s(\d+)\.parquet$""".r
+
+  /** Sequence stamp of a data file name (0 for unstamped files: the
+    * initial build and compaction rewrites — by construction the oldest
+    * content in the table). */
+  private[graft] def fileSeqOf(name: String): Long =
+    seqRe.findFirstMatchIn(name).map(_.group(1).toLong).getOrElse(0L)
+
+  /** Next write sequence for the table: strictly above every standing
+    * file's stamp AND every pending finite tombstone watermark (so an
+    * append issued after a delete outranks it and serves immediately).
+    * Late-delete tombstones at Long.MaxValue are excluded — they mask
+    * everything until the next compact by design. Callers hold the
+    * table lock, which is what makes the read-modify monotonic. */
+  private def nextSeq(s: SparkSession, tablePath: String): Long = {
+    val maxFile = dataFiles(s, tablePath)
+      .map(st => fileSeqOf(st.getPath.getName)).foldLeft(0L)(math.max)
+    val maxDel = pendingTombstones(s, tablePath).map { t =>
+      val r = t.filter(col("del_seq") =!= Long.MaxValue)
+        .agg(org.apache.spark.sql.functions.max(col("del_seq"))).head()
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    }.getOrElse(0L)
+    math.max(maxFile, maxDel) + 1L
   }
 
   private def oldAside(dest: org.apache.hadoop.fs.Path) =
@@ -187,9 +313,25 @@ object IndexMaintenance {
     * rewrite's snapshot (conservatively sequenced at +infinity: every
     * copy of the id stays masked until the next compact — a takedown
     * must err toward removal). Readers see the old or the new file set,
-    * never a mix. */
+    * never a mix.
+    *
+    * `markerDir` (the index's `_batches` sidecar, for tables fed by a
+    * marker-guarded streaming loop): the rewrite ABSORBS any landed
+    * `b$tag-*` batch files into anonymous part files, so before the
+    * swap their per-batch fold markers are (re)created — closing the
+    * crash window where a batch's data landed, the marker write was
+    * lost to a crash, a rewrite renamed the files away, and the retry
+    * (finding neither marker nor files) re-landed the batch as
+    * duplicate rows. Creating the marker BEFORE the promote is safe on
+    * both outcomes: if the promote never happens the batch's original
+    * files are still in the restored table, and if it does they are in
+    * the rewrite — either way "folded" is true. Afterwards, markers
+    * made unreachable by the engine's commit protocol are retired
+    * ([[retireMarkers]]). */
   def compactTable(s: SparkSession, path: String, sortCols: Seq[String],
-      tombstoneCol: Option[String] = None): (Int, Int) = lockFor(s, path).synchronized {
+      tombstoneCol: Option[String] = None,
+      markerDir: Option[String] = None): (Int, Int) =
+      lockFor(s, path).synchronized { withLease(s, path) {
     recoverPromote(s, path)
     val before = dataFiles(s, path)
     require(before.nonEmpty, s"compactTable: nothing to compact at $path")
@@ -216,6 +358,16 @@ object IndexMaintenance {
         .write.mode("overwrite").parquet(new org.apache.hadoop.fs.Path(tmp, "_consumed").toString)
     }
     val f = fs(s, dest)
+    // the rewrite read (absorbed) every landed batch file in `before`:
+    // pin their fold markers NOW, before any rename (see Scaladoc)
+    markerDir.foreach { md =>
+      val tags = before.flatMap(st => batchTagOf(st.getPath.getName)).distinct
+      tags.foreach { tag =>
+        val mp = new org.apache.hadoop.fs.Path(s"$md/$tag")
+        f.mkdirs(mp.getParent)
+        f.create(mp, true).close()
+      }
+    }
     val old = oldAside(dest)
     if (f.exists(old)) f.delete(old, true)
     // intent marker: between here and its removal, recoverPromote can
@@ -241,8 +393,9 @@ object IndexMaintenance {
     f.delete(old, true)
     f.delete(consumedOf(dest), true)
     f.delete(intent, false)
+    markerDir.foreach(retireMarkers(s, _))
     (before.size, dataFiles(s, path).size)
-  }
+  }}
 
   // ------------------------------------------- index-dir publish (retrain)
 
@@ -252,7 +405,7 @@ object IndexMaintenance {
     * swap (the long quantizer TRAINING runs outside; only the rebuild
     * write + publish stall the ingest loop). */
   private[graft] def withTableLock[T](s: SparkSession, path: String)(body: => T): T =
-    lockFor(s, path).synchronized(body)
+    lockFor(s, path).synchronized(withLease(s, path)(body))
 
   private def publishAside(dest: org.apache.hadoop.fs.Path) =
     new org.apache.hadoop.fs.Path(dest.getParent, s".${dest.getName}.retrain.old")
@@ -290,6 +443,16 @@ object IndexMaintenance {
       f.delete(intent, false)
       throw new java.io.IOException(s"publishDir: carrying $batches into $tmp failed")
     }
+    // the rebuild's corpus snapshot absorbed every landed batch file of
+    // the live table: pin their fold markers into the carried sidecar
+    // BEFORE the promote (safe on both outcomes — see compactTable's
+    // Scaladoc; on an unwind the sidecar rides back with restoreBatches)
+    dataFiles(s, s"$indexDir/$tableName")
+      .flatMap(st => batchTagOf(st.getPath.getName)).distinct.foreach { tag =>
+      val mp = new org.apache.hadoop.fs.Path(tmpBatches, tag)
+      f.mkdirs(tmpBatches)
+      f.create(mp, true).close()
+    }
     if (!f.rename(dest, old)) {
       restoreBatches(dest)
       f.delete(intent, false)
@@ -306,6 +469,7 @@ object IndexMaintenance {
     f.delete(old, true)
     f.delete(consumedOf(new org.apache.hadoop.fs.Path(s"$indexDir/$tableName")), true)
     f.delete(intent, false)
+    retireMarkers(s, s"$indexDir/_batches")
   }
 
   /** Crash recovery for [[publishDir]], discriminated exactly like
@@ -378,8 +542,49 @@ object IndexMaintenance {
     d.take(4).map("%02x".format(_)).mkString
   }
 
+  /** Canonical batch tag — used BOTH as the fold-marker file name and
+    * as the [[appendBatchAs]] tag, so a rewrite can reconstruct a
+    * batch's marker from its landed file names alone. */
+  def batchTag(lineage: String, batchId: Long): String = s"${lineage}_b$batchId"
+
+  private val tagFileRe = """^b(.+_b\d+)-\d+(?:\.s\d+)?\.parquet$""".r
+
+  /** The batch tag a landed data file belongs to, if it is a
+    * [[appendBatchAs]] batch file (`b$tag-N[.sK].parquet`). */
+  private[graft] def batchTagOf(fileName: String): Option[String] =
+    tagFileRe.findFirstMatchIn(fileName).map(_.group(1))
+
+  private val markerNameRe = """^(.+)_b(\d+)$""".r
+
+  /** Retire fold markers the engine's commit protocol makes
+    * unreachable. Structured Streaming starts micro-batch N only after
+    * batch N-1's checkpoint commit, so the EXISTENCE of a marker for
+    * batch N proves every batch below N committed and can never be
+    * re-presented — only each lineage's maximum batch id can still
+    * retry. Keeping exactly that one bounds the sidecar at one entry
+    * per checkpoint lineage regardless of stream lifetime (vs one empty
+    * file per micro-batch forever: ~0.5M namenode entries per index per
+    * year at 1-minute triggers). Runs at the compaction/publish
+    * cadence. */
+  private[graft] def retireMarkers(s: SparkSession, markerDir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(markerDir)
+    val f = fs(s, p)
+    if (f.exists(p)) {
+      val parsed = f.listStatus(p).toSeq.filter(_.isFile).flatMap { st =>
+        st.getPath.getName match {
+          case markerNameRe(lineage, b) => Some((lineage, b.toLong, st.getPath))
+          case _ => None
+        }
+      }
+      parsed.groupBy(_._1).values.foreach { group =>
+        val keep = group.maxBy(_._2)._2
+        group.filter(_._2 < keep).foreach(m => f.delete(m._3, false))
+      }
+    }
+  }
+
   private def markerPath(indexDir: String, lineage: String, batchId: Long) =
-    new org.apache.hadoop.fs.Path(s"$indexDir/_batches/${lineage}_b$batchId")
+    new org.apache.hadoop.fs.Path(s"$indexDir/_batches/${batchTag(lineage, batchId)}")
 
   /** Has (lineage, batchId) already been folded into the index at
     * `indexDir`? One filesystem existence probe — O(1) per trigger
@@ -402,42 +607,74 @@ object IndexMaintenance {
 
   /** Append `df` to the parquet table at `tablePath` as batch `tag`,
     * IDEMPOTENTLY: the batch's files land under deterministic names
-    * (`b$tag-N.parquet`) via an invisible staging dir, and any files a
-    * previous (crashed) attempt of the SAME tag left behind are swept
-    * first — so a retry replaces its own partial output instead of
-    * duplicating rows. Underscore-prefixed staging is invisible to
-    * every table read. */
+    * (`b$tag-N.s$seq.parquet`) via an invisible staging dir, and any
+    * files a previous (crashed) attempt of the SAME tag left behind are
+    * swept first — so a retry replaces its own partial output instead
+    * of duplicating rows. A retry REUSES the first attempt's sequence
+    * stamp: a delete issued between the first landing and the retry
+    * watermarked its tombstone at the first attempt's sequence, and
+    * files re-landed under a fresh (higher) sequence would slip past
+    * that watermark — an acknowledged takedown silently undone.
+    * Underscore-prefixed staging is invisible to every table read. */
   def appendBatchAs(s: SparkSession, df: DataFrame, tablePath: String,
       tag: String): Unit = lockFor(s, tablePath).synchronized {
-    recoverPromote(s, tablePath)
-    val dest = new org.apache.hadoop.fs.Path(tablePath)
-    val f = fs(s, dest)
-    val staging = new org.apache.hadoop.fs.Path(dest, s"_staging_$tag")
-    df.write.mode("overwrite").parquet(staging.toString)
-    // sweep a previous attempt's files for this tag (a retry may write
-    // a different part count — every b$tag-* file must go), carrying
-    // the FIRST attempt's modification time onto the re-landed files:
-    // a delete issued between the first landing and the retry sequenced
-    // its tombstone against the first attempt's mtime, and files
-    // re-landed strictly newer would slip past that watermark — an
-    // acknowledged takedown silently undone
-    var firstAttemptMtime = -1L
-    if (f.exists(dest)) f.listStatus(dest).toSeq
-      .filter(st => st.isFile && st.getPath.getName.startsWith(s"b$tag-"))
-      .foreach { st =>
-        firstAttemptMtime =
-          if (firstAttemptMtime < 0) st.getModificationTime
-          else math.min(firstAttemptMtime, st.getModificationTime)
-        f.delete(st.getPath, false)
+    withLease(s, tablePath) {
+      recoverPromote(s, tablePath)
+      val dest = new org.apache.hadoop.fs.Path(tablePath)
+      val f = fs(s, dest)
+      var reuseSeq = -1L
+      if (f.exists(dest)) f.listStatus(dest).toSeq
+        .filter(st => st.isFile && st.getPath.getName.startsWith(s"b$tag-"))
+        .foreach { st =>
+          val sq = fileSeqOf(st.getPath.getName)
+          reuseSeq = if (reuseSeq < 0) sq else math.min(reuseSeq, sq)
+        }
+      val seq = if (reuseSeq >= 0) reuseSeq else nextSeq(s, tablePath)
+      landAs(s, df, dest, i => s"b$tag-$i.s$seq.parquet", s"_staging_$tag",
+        sweepPrefix = Some(s"b$tag-"))
+    }
+  }
+
+  /** Plain (un-tagged) sequenced append — the batch-mode form of
+    * [[appendBatchAs]] for direct `*IndexAppend` calls outside a
+    * streaming loop. Files land as `p-N.s$seq.parquet` under a fresh
+    * sequence stamp, so a delete-then-re-append serves immediately on
+    * any filesystem (the stamp, not the file mtime, is the row's
+    * sequence). Successive appends get distinct stamps, so names never
+    * collide. NOT retry-idempotent (no tag to sweep) — callers that
+    * can be retried use the tagged form. */
+  def appendPlain(s: SparkSession, df: DataFrame, tablePath: String): Unit =
+    lockFor(s, tablePath).synchronized {
+      withLease(s, tablePath) {
+        recoverPromote(s, tablePath)
+        val dest = new org.apache.hadoop.fs.Path(tablePath)
+        val seq = nextSeq(s, tablePath)
+        landAs(s, df, dest, i => s"p-$i.s$seq.parquet", s"_staging_p$seq",
+          sweepPrefix = None)
       }
+    }
+
+  /** Write `df` through an invisible staging dir, then rename its parts
+    * into `dest` under `nameOf(i)` (sweeping `sweepPrefix`-matching
+    * leftovers first, for the idempotent tagged form). */
+  private def landAs(s: SparkSession, df: DataFrame, dest: org.apache.hadoop.fs.Path,
+      nameOf: Int => String, stagingName: String, sweepPrefix: Option[String]): Unit = {
+    val f = fs(s, dest)
+    val staging = new org.apache.hadoop.fs.Path(dest, stagingName)
+    df.write.mode("overwrite").parquet(staging.toString)
+    sweepPrefix.foreach { pre =>
+      // a retry may write a different part count — every match must go
+      if (f.exists(dest)) f.listStatus(dest).toSeq
+        .filter(st => st.isFile && st.getPath.getName.startsWith(pre))
+        .foreach(st => f.delete(st.getPath, false))
+    }
     val parts = f.listStatus(staging).toSeq
       .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
       .sortBy(_.getPath.getName)
     parts.zipWithIndex.foreach { case (st, i) =>
-      val to = new org.apache.hadoop.fs.Path(dest, s"b$tag-$i.parquet")
+      val to = new org.apache.hadoop.fs.Path(dest, nameOf(i))
       if (!f.rename(st.getPath, to))
-        throw new java.io.IOException(s"appendBatchAs: rename ${st.getPath} -> $to failed")
-      if (firstAttemptMtime >= 0) f.setTimes(to, firstAttemptMtime, -1)
+        throw new java.io.IOException(s"landAs: rename ${st.getPath} -> $to failed")
     }
     f.delete(staging, true)
   }
@@ -475,30 +712,35 @@ object IndexMaintenance {
   // tombstone row, and both the serve-time mask and the compact rewrite
   // are set operations.
   //
-  // Tombstones are SEQUENCED (round 8): each delete records the max
-  // data-file modification time at issue — a snapshot watermark — and
-  // masks ONLY rows from files at-or-before it. An append AFTER the
-  // delete lands in a strictly newer file and serves immediately, so
-  // takedown-then-restored-license (delete -> re-append the same id)
+  // Tombstones are SEQUENCED against the per-table write sequence (see
+  // the stamp machinery at the top of this file): each delete records
+  // the max file-name sequence stamp at issue — a snapshot watermark —
+  // and masks ONLY rows from files at-or-before it. An append AFTER the
+  // delete lands under a strictly higher stamp and serves immediately,
+  // so takedown-then-restored-license (delete -> re-append the same id)
   // needs no intervening compaction; the masked older copy is
   // physically dropped at the next compact as before. The row-side
-  // sequence is the parquet `_metadata.file_modification_time`
-  // pseudo-column — derivable at scan time, no schema change to any
-  // index table. (Granularity: a file appended within the same
-  // millisecond as the delete's watermark file would be masked; deletes
-  // do a listing + a parquet write between the two, so the window is
-  // not reachable through this API's sequencing.)
+  // sequence is parsed from the parquet `_metadata.file_name`
+  // pseudo-column at scan time — no schema change to any index table,
+  // and (unlike the previous file-mtime watermark) no dependence on
+  // filesystem timestamp granularity: on a second-resolution or
+  // mtime-less object store the old scheme could stamp a legitimate
+  // re-append EQUAL to the delete's watermark, silently mask it, and
+  // then physically drop it at the next compact.
 
   /** Tombstone ids against the parquet table at `tablePath`, sequenced
     * at the current file-set watermark. Idempotent. */
   def deleteIds(s: SparkSession, tablePath: String, ids: Seq[Long]): Unit =
     lockFor(s, tablePath).synchronized {
-      require(ids.nonEmpty, "deleteIds: empty id list")
-      recoverPromote(s, tablePath)
-      import s.implicits._
-      val seq = dataFiles(s, tablePath).map(_.getModificationTime).foldLeft(0L)(math.max)
-      ids.map(i => (i, seq)).toDF("id", "del_seq").coalesce(1)
-        .write.mode("append").parquet(s"$tablePath/_tombstones")
+      withLease(s, tablePath) {
+        require(ids.nonEmpty, "deleteIds: empty id list")
+        recoverPromote(s, tablePath)
+        import s.implicits._
+        val seq = dataFiles(s, tablePath)
+          .map(st => fileSeqOf(st.getPath.getName)).foldLeft(0L)(math.max)
+        ids.map(i => (i, seq)).toDF("id", "del_seq").coalesce(1)
+          .write.mode("append").parquet(s"$tablePath/_tombstones")
+      }
     }
 
   /** Pending (id, del_seq) tombstones of `tablePath`, if any. */
@@ -512,23 +754,26 @@ object IndexMaintenance {
   /** `df` minus rows masked by a pending tombstone — the serve-time
     * filter every index read applies. Zero plan overhead when no delete
     * is pending (the common case: no tombstone dir, no join). When
-    * deletes ARE pending, the table is re-read with the file-modtime
-    * pseudo-column so each row carries its sequence (`df` must be a
-    * plain read of `tablePath`, which every caller's is — possibly
+    * deletes ARE pending, the table is re-read with the file-name
+    * pseudo-column so each row carries its sequence stamp (`df` must be
+    * a plain read of `tablePath`, which every caller's is — possibly
     * memoized; the re-read deliberately bypasses the memo only on this
-    * rare path), and a row survives iff its file is strictly newer than
-    * every pending delete of its id. */
+    * rare path), and a row survives iff its file's stamp is strictly
+    * above every pending delete of its id. */
   def minusTombstones(s: SparkSession, tablePath: String, df: DataFrame,
       idCol: String): DataFrame =
     pendingTombstones(s, tablePath).fold(df) { t =>
-      import org.apache.spark.sql.functions.{broadcast, max, unix_millis}
+      import org.apache.spark.sql.functions.{broadcast, lit, max, regexp_extract, when}
       val dels = t.groupBy(col("id")).agg(max(col("del_seq")).as("_del_seq"))
         .withColumnRenamed("id", idCol)
+      val stamp = regexp_extract(col("_metadata.file_name"), "\\.s(\\d+)\\.parquet$", 1)
       s.read.parquet(tablePath)
-        .select(col("_metadata.file_modification_time").as("_fmt") +:
+        // no-match yields "" (unstamped build/compact files = seq 0);
+        // guard the cast — ANSI mode throws on "" -> long
+        .select(when(stamp === "", lit(0L)).otherwise(stamp.cast("long")).as("_fseq") +:
           df.columns.toSeq.map(col): _*)
         .join(broadcast(dels), Seq(idCol), "left")
-        .filter(col("_del_seq").isNull || unix_millis(col("_fmt")) > col("_del_seq"))
+        .filter(col("_del_seq").isNull || col("_fseq") > col("_del_seq"))
         .select(df.columns.toSeq.map(col): _*)
     }
 }

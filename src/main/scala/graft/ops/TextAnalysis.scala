@@ -881,8 +881,8 @@ object TextAnalysis {
         IndexMaintenance.appendBatchAs(s, doclen, s"$indexDir/doclen", t)
         IndexMaintenance.appendBatchAs(s, postings, s"$indexDir/postings", t)
       case None =>
-        doclen.write.mode("append").parquet(s"$indexDir/doclen")
-        postings.write.mode("append").parquet(s"$indexDir/postings")
+        IndexMaintenance.appendPlain(s, doclen, s"$indexDir/doclen")
+        IndexMaintenance.appendPlain(s, postings, s"$indexDir/postings")
     }
   }
 
@@ -934,9 +934,9 @@ object TextAnalysis {
     * never appear), and compact is where statistics catch up. */
   def textIndexCompact(s: SparkSession, indexDir: String): (Int, Int) = {
     IndexMaintenance.compactTable(s, s"$indexDir/doclen", Seq("doc_id"),
-      tombstoneCol = Some("doc_id"))
+      tombstoneCol = Some("doc_id"), markerDir = Some(s"$indexDir/_batches"))
     val r = IndexMaintenance.compactTable(s, s"$indexDir/postings", Seq("term", "doc_id"),
-      tombstoneCol = Some("doc_id"))
+      tombstoneCol = Some("doc_id"), markerDir = Some(s"$indexDir/_batches"))
     val dest = new org.apache.hadoop.fs.Path(s"$indexDir/stats")
     val tmp = new org.apache.hadoop.fs.Path(s"$indexDir/.stats.tmp")
     s.read.parquet(s"$indexDir/doclen")

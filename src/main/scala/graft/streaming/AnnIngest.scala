@@ -59,7 +59,7 @@ object AnnIngest {
       }) { (batch, batchId) =>
       if (!IndexMaintenance.batchSeen(s, indexDir, lineage, batchId)) {
         AnnIndex.lshIndexAppendBatch(s, batch, indexDir,
-          tag = Some(s"${lineage}_$batchId"))
+          tag = Some(IndexMaintenance.batchTag(lineage, batchId)))
         IndexMaintenance.recordBatch(s, indexDir, lineage, batchId)
       }
     }
@@ -80,7 +80,7 @@ object AnnIngest {
       }) { (batch, batchId) =>
       if (!IndexMaintenance.batchSeen(s, indexDir, lineage, batchId)) {
         AnnIndex.ivfIndexAppendBatch(s, batch, indexDir,
-          tag = Some(s"${lineage}_$batchId"))
+          tag = Some(IndexMaintenance.batchTag(lineage, batchId)))
         IndexMaintenance.recordBatch(s, indexDir, lineage, batchId)
       }
     }

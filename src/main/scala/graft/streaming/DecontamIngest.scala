@@ -49,7 +49,7 @@ object DecontamIngest {
       }) { (batch, batchId) =>
       if (!IndexMaintenance.batchSeen(s, indexDir, lineage, batchId)) {
         Curation.decontamIndexAppendBatch(s, batch, indexDir,
-          tag = Some(s"${lineage}_$batchId"))
+          tag = Some(IndexMaintenance.batchTag(lineage, batchId)))
         IndexMaintenance.recordBatch(s, indexDir, lineage, batchId)
       }
     }

@@ -51,7 +51,7 @@ object TextIngest {
       }) { (batch, batchId) =>
       if (!IndexMaintenance.batchSeen(s, indexDir, lineage, batchId)) {
         TextAnalysis.textIndexAppendBatch(s, batch, indexDir,
-          tag = Some(s"${lineage}_$batchId"))
+          tag = Some(IndexMaintenance.batchTag(lineage, batchId)))
         IndexMaintenance.recordBatch(s, indexDir, lineage, batchId)
       }
     }
