@@ -398,6 +398,40 @@ object ScaleSmoke {
       time("text_phrase_served AFTER COMPACT")(
         { ops.TextAnalysis.textPhraseServed(spark, textIdxDir).count(); () })
     }
+
+    // 7c. BOUNDED serving vs a planted mega-posting: every doc gets the
+    //     query term 'spark' (df-share 1.0 — the stopword case), two
+    //     query terms stay sparse. The unbounded serve must drag the
+    //     O(corpus) posting list through the scan; the bounded serve
+    //     resolves the cut from the term dictionary and the mega list
+    //     NEVER LEAVES THE SCAN (bytes-read is the proof).
+    val stopDir = s"$dir-stop"
+    val stopIdx = s"$dir-stopindex"
+    time("stopword corpus + index (mega-posting planted, 100k docs)") {
+      spark.read.parquet(s"$dir/documents.parquet")
+        .withColumn("text", concat(col("text"), lit(" spark"),
+          when(col("doc_id") % 1000 === 0, lit(" join")).otherwise(lit("")),
+          when(col("doc_id") % 997 === 0, lit(" vector")).otherwise(lit(""))))
+        .write.mode("overwrite").parquet(s"$stopDir/documents.parquet")
+      ops.TextAnalysis.textIndexWrite(spark, stopDir, stopIdx)
+      ops.TextAnalysis.textIndexCompact(spark, stopIdx) // term-sorted row groups
+    }
+    val unboundedStopBytes = bytesRead {
+      time("text_bm25_served UNBOUNDED vs mega-posting")(
+        noop(ops.TextAnalysis.textBm25Served(spark, stopIdx)))
+    }
+    val boundedStopBytes = bytesRead {
+      time("text_bm25_served BOUNDED (df-share cut, term dictionary)")(
+        noop(ops.TextAnalysis.textBm25Served(spark, stopIdx,
+          maxDfShare = Some(ops.TextAnalysis.bm25MaxDfShare))))
+    }
+    say(f"  -> mega-posting serve bytes: unbounded ${unboundedStopBytes / 1e6}%.1f MB, " +
+      f"bounded ${boundedStopBytes / 1e6}%.1f MB " +
+      f"(${unboundedStopBytes.toDouble / math.max(1L, boundedStopBytes)}%.1fx — " +
+      "the stopword's posting list never leaves the scan)")
+    assert(boundedStopBytes < unboundedStopBytes / 2,
+      s"bounded serve read $boundedStopBytes B vs $unboundedStopBytes B unbounded — " +
+      "the df-share cut did not keep the mega-posting in the scan")
     say(f"  -> bytes read after compact: served BM25 ${servedBytesC / 1e6}%.1f MB " +
       f"(was ${servedBytes / 1e6}%.1f), phrase ${phraseBytesC / 1e6}%.1f MB " +
       f"(was ${phraseBytes / 1e6}%.1f)")

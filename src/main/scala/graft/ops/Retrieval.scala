@@ -78,19 +78,28 @@ object Retrieval {
     * the per-doc tf sum (≡ token count — tokenize runs ONCE, and the
     * served form never tokenizes at all), df/n_docs/avgdl follow from
     * the same grouped frame. */
-  private def lexRanksOver(s: SparkSession, dir: String, postings: DataFrame): DataFrame = {
+  private def lexRanksOver(s: SparkSession, dir: String, postings: DataFrame,
+      bannedTerms: Seq[String] = Seq.empty): DataFrame = {
+    // dl/avgdl/df are WHOLE-CORPUS statistics and never shrink under
+    // the df-share bound — only the scoring join excludes the banned
+    // head, so a stopword slot contributes 0 without re-shaping every
+    // other term's score (frozen-statistics serving, as in the bounded
+    // BM25 form)
     val doclen = postings.groupBy(col("doc_id"))
       .agg(sum(col("tf")).as("dl"))
     val dfr = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val stats = doclen.agg(count(lit(1)).as("n_docs"),
       (sum(col("dl")).cast("double") / count(lit(1)).cast("double")).as("avgdl"))
+    val scoring =
+      if (bannedTerms.isEmpty) postings
+      else postings.filter(!col("term").isin(bannedTerms: _*))
     val slots = 1 to hybridQueryTerms
     val pivots = slots.flatMap { i =>
       Seq(sum(when(col("pos") === i, col("tf"))).as(s"tf_$i"),
         max(when(col("pos") === i, col("df"))).as(s"df_$i"))
     }
     val piv = hybridQueryTermsOf(s, dir)
-      .join(postings, col("qt") === col("term"))
+      .join(scoring, col("qt") === col("term"))
       .join(dfr, "term")
       .groupBy(col("q_id"), col("doc_id"))
       .agg(pivots.head, pivots.tail: _*)
@@ -131,12 +140,20 @@ object Retrieval {
     * and is byte-identical to it (pinned in `OperatorSpec`). At corpus
     * scale this is the difference between one tokenize pass per query
     * set and none. */
-  def searchHybridRrfServed(s: SparkSession, dir: String): DataFrame = {
+  def searchHybridRrfServed(s: SparkSession, dir: String,
+      maxDfShare: Option[Double] = None): DataFrame = {
     val idxDir = TextAnalysis.textIndexFor(s, dir)
-    fuse(s, dir, lexRanksOver(s, dir,
-      IndexMaintenance.minusTombstones(s, s"$idxDir/postings",
-          s.read.parquet(s"$idxDir/postings"), "doc_id")
-        .select(col("doc_id"), col("term"), col("tf"))))
+    // BOUNDED form: the hybrid's query terms are dynamic (per-query
+    // slots), so the mega-posting guard is an anti-filter against the
+    // term dictionary's banned head rather than a positive pushed IN —
+    // a stopword slot contributes 0 instead of dragging an O(corpus)
+    // posting list through the per-(query, doc) pivot join. Zipf keeps
+    // the banned list a broadcast-sized literal.
+    val postings = IndexMaintenance.minusTombstones(s, s"$idxDir/postings",
+        s.read.parquet(s"$idxDir/postings"), "doc_id")
+      .select(col("doc_id"), col("term"), col("tf"))
+    val banned = maxDfShare.fold(Seq.empty[String])(TextAnalysis.bannedTerms(s, idxDir, _))
+    fuse(s, dir, lexRanksOver(s, dir, postings, banned))
   }
 
   /** The fusion tail shared by the scan and served forms. */
@@ -162,7 +179,7 @@ object Retrieval {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "search_hybrid_rrf" -> searchHybridRrf _,
-    "search_hybrid_rrf_served" -> searchHybridRrfServed _
+    "search_hybrid_rrf_served" -> ((s: org.apache.spark.sql.SparkSession, d: String) => searchHybridRrfServed(s, d))
   )
 
   private val tokSql =

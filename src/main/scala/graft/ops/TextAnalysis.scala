@@ -748,6 +748,20 @@ object TextAnalysis {
   val bm25Query = Seq("spark", "join", "vector")
   val bm25TopK = 25
 
+  /** Df-share bound for the BOUNDED served forms: a query term whose
+    * document frequency exceeds this share of the corpus is dropped
+    * from scoring before its posting list is ever read — the classic
+    * stopword cut, justified by BM25 itself (idf = ln(1 + (N-df+0.5)/
+    * (df+0.5)) ≈ 0.26 at df/N = 0.9 and → ln(1+0.5/(N+0.5)) ≈ 0 as
+    * df → N, so the dropped contribution is near-noise) and by scale
+    * (at 10B docs a df-share-0.9 term is a 9B-row posting list through
+    * the serve join). The default sits above this synthetic demo
+    * corpus's dense head (max term share ≈ 0.83, query terms ≈ 0.78)
+    * so the registered bounded query is pass-through here; real web
+    * corpora put stopwords at 0.3–0.6 and deployments tune the cut
+    * down accordingly. */
+  val bm25MaxDfShare = 0.9
+
   /** Language slice the FILTERED lexical search serves within — the
     * same serve-time-predicate semantics as the filtered ANN paths:
     * ranking is restricted to slice documents, but the BM25 corpus
@@ -844,6 +858,29 @@ object TextAnalysis {
     base.agg(count(lit(1)).as("n_docs"),
         (sum(col("dl")).cast("double") / count(lit(1)).cast("double")).as("avgdl"))
       .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/stats")
+    writeTermStats(s, indexDir)
+  }
+
+  /** (Re)build the TERM DICTIONARY sidecar: one (term, df) row per
+    * vocabulary term, term-sorted so a query-term lookup prunes to a
+    * few row groups. This is what lets the bounded serve decide "is
+    * this query term a mega-posting stopword?" from an O(|query|) read
+    * instead of scanning the posting list it is trying to avoid. Like
+    * the 1-row stats table, it is FROZEN between compactions — appends
+    * and deletes leave it stale until [[textIndexCompact]] recomputes
+    * it (Lucene's semantic: the term dictionary is per-segment state
+    * that merges refresh). */
+  private def writeTermStats(s: SparkSession, indexDir: String): Unit = {
+    val dest = new org.apache.hadoop.fs.Path(s"$indexDir/termstats")
+    val tmp = new org.apache.hadoop.fs.Path(s"$indexDir/.termstats.tmp")
+    s.read.parquet(s"$indexDir/postings")
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .repartitionByRange(1, col("term")).sortWithinPartitions(col("term"))
+      .write.mode("overwrite").parquet(tmp.toString)
+    val f = dest.getFileSystem(s.sparkContext.hadoopConfiguration)
+    f.delete(dest, true)
+    if (!f.rename(tmp, dest))
+      throw new java.io.IOException(s"writeTermStats: rename $tmp -> $dest failed")
   }
 
   /** The tokenized per-document frame both index writers share: one
@@ -897,10 +934,20 @@ object TextAnalysis {
     * identical to `textBm25Search` (same integers in, same expression
     * tree), so it shares its DuckDB oracle. */
   def textBm25Served(s: SparkSession, indexDir: String,
-      memberPred: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+      memberPred: Option[org.apache.spark.sql.Column] = None,
+      maxDfShare: Option[Double] = None): DataFrame = {
+    // BOUNDED serving: resolve the query terms against the term
+    // dictionary FIRST (an O(|query|) pruned read of termstats) and
+    // drop any whose df-share exceeds the bound — the pushed
+    // `term IN (...)` below then never includes the mega-posting term,
+    // so its O(corpus) posting list never leaves the parquet scan. A
+    // dropped term's tf_i/df_i aggregate to 0 from the surviving hits,
+    // which zeroes its score contribution and its candidate-membership
+    // test — the semantics the bounded oracle restates in SQL.
+    val activeTerms = maxDfShare.fold(bm25Query)(boundedQueryTerms(s, indexDir, bm25Query, _))
     val hits = IndexMaintenance.minusTombstones(s, s"$indexDir/postings",
         s.read.parquet(s"$indexDir/postings"), "doc_id")
-      .filter(col("term").isin(bm25Query: _*))
+      .filter(col("term").isin(activeTerms: _*))
     val perDocAggs = bm25Query.zipWithIndex.map { case (t, i) =>
       sum(when(col("term") === t, col("tf")).otherwise(0L)).as(s"tf_$i")
     }
@@ -921,6 +968,40 @@ object TextAnalysis {
       .join(doclen, "doc_id")
       .crossJoin(broadcast(stats))
       .crossJoin(broadcast(dfs)))
+  }
+
+  /** The subset of `terms` whose df-share is within `maxDfShare`,
+    * resolved from the persisted term dictionary (`termstats`) — an
+    * O(|terms|)-row pruned read plus the 1-row stats, never the posting
+    * lists themselves. Terms ABSENT from the dictionary are kept: they
+    * were not in the vocabulary at the last rebuild, so they cannot be
+    * a standing mega-posting (frozen-statistics semantics, like
+    * n_docs/avgdl). */
+  private[graft] def boundedQueryTerms(s: SparkSession, indexDir: String,
+      terms: Seq[String], maxDfShare: Double): Seq[String] = {
+    val nDocs = s.read.parquet(s"$indexDir/stats").head().getLong(0)
+    val dfOf = s.read.parquet(s"$indexDir/termstats")
+      .filter(col("term").isin(terms: _*))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    terms.filter(t => dfOf.getOrElse(t, 0L).toDouble <= maxDfShare * nDocs)
+  }
+
+  /** All dictionary terms ABOVE the df-share bound — the banned list
+    * for serve paths whose query terms are dynamic (the hybrid
+    * retrieval's per-query slots), where a positive pushed `IN` is not
+    * available and the mega-postings are excluded by an anti-filter
+    * instead. Zipf makes this list tiny (the stopword head), so the
+    * collect is bounded in practice; the guard caps it loudly. */
+  private[graft] def bannedTerms(s: SparkSession, indexDir: String,
+      maxDfShare: Double, cap: Int = 10000): Seq[String] = {
+    val nDocs = s.read.parquet(s"$indexDir/stats").head().getLong(0)
+    val b = s.read.parquet(s"$indexDir/termstats")
+      .filter(col("df").cast("double") > lit(maxDfShare) * lit(nDocs.toDouble))
+      .select(col("term")).limit(cap + 1).collect().map(_.getString(0)).toSeq
+    require(b.size <= cap,
+      s"bannedTerms($indexDir): more than $cap terms above df-share $maxDfShare — " +
+      "the bound is set below the distribution's body, not its stopword head")
+    b
   }
 
   /** Compact the posting table on term — the sort that puts each
@@ -947,6 +1028,7 @@ object TextAnalysis {
     f.delete(dest, true)
     if (!f.rename(tmp, dest))
       throw new java.io.IOException(s"textIndexCompact: rename $tmp -> $dest failed")
+    writeTermStats(s, indexDir) // term dictionary catches up with stats
     r
   }
 
@@ -1030,6 +1112,16 @@ object TextAnalysis {
   def textBm25ServedQuery(s: SparkSession, dir: String): DataFrame =
     textBm25Served(s, textIndexFor(s, dir))
 
+  /** Registered-query form of the BOUNDED serve ([[bm25MaxDfShare]]):
+    * query terms above the df-share cut are dropped via the term
+    * dictionary before their posting lists are read. On this corpus no
+    * query term crosses the default cut, so the result equals
+    * [[textBm25ServedQuery]] — pinned by a spec — while the oracle
+    * restates the cut in SQL (act_i flags), so the CONTRACT is
+    * verified, not just the pass-through. */
+  def textBm25ServedBoundedQuery(s: SparkSession, dir: String): DataFrame =
+    textBm25Served(s, textIndexFor(s, dir), maxDfShare = Some(bm25MaxDfShare))
+
   /** Registered-query form of [[textPhraseServed]] — shares the ONE
     * persisted index (build memo) with the BM25 serving family. */
   def textPhraseServedQuery(s: SparkSession, dir: String): DataFrame =
@@ -1050,6 +1142,7 @@ object TextAnalysis {
     "text_phrase_search" -> textPhraseSearch _,
     "text_phrase_served" -> textPhraseServedQuery _,
     "text_bm25_served" -> textBm25ServedQuery _,
+    "text_bm25_served_bounded" -> textBm25ServedBoundedQuery _,
     "text_index_health" -> textIndexHealthQuery _,
     "text_bpe_train" -> textBpeTrain _,
     "text_bm25_filtered" -> textBm25FilteredQuery _,
@@ -1158,6 +1251,27 @@ object TextAnalysis {
   private[graft] lazy val bm25FilteredOracleSql: String =
     bm25OracleSqlWhere(s"lang = '$bm25FilterLang'")
 
+  /** BOUNDED variant: restates the df-share cut in SQL — per-term
+    * `act_i` flags from the same corpus statistics (df_i ≤ share ×
+    * n_docs), a dropped term's tf reported as 0, its score contribution
+    * and candidate-membership test zeroed. Adding an exact 0.0 keeps
+    * the surviving terms' double arithmetic bit-identical to the
+    * unbounded serve. */
+  private[graft] lazy val bm25BoundedOracleSql: String =
+    s"""WITH $bm25OracleCtes,
+       |act AS (
+       |  SELECT ${bm25Query.indices.map(i =>
+             s"CASE WHEN CAST(df_$i AS DOUBLE) <= $bm25MaxDfShare * CAST(n_docs AS DOUBLE) THEN 1 ELSE 0 END AS act_$i")
+             .mkString(",\n    ")}
+       |  FROM cs)
+       |SELECT doc_id, dl, ${bm25Query.indices.map(i =>
+           s"CAST(tf_$i * act_$i AS BIGINT) AS tf_$i").mkString(", ")},
+       |  round(${bm25Query.indices.map(i =>
+           s"CAST(act_$i AS DOUBLE) * (${bm25ContribSql(i)})").mkString("\n  + ")}, 6) AS score
+       |FROM d, cs, act
+       |WHERE (${bm25Query.indices.map(i => s"tf_$i * act_$i > 0").mkString(" OR ")})
+       |ORDER BY score DESC, doc_id LIMIT $bm25TopK""".stripMargin
+
   private def bm25OracleSqlWhere(rankCond: String): String =
     s"""WITH $bm25OracleCtes
        |${bm25RankedSelectSql(rankCond)}""".stripMargin
@@ -1252,6 +1366,7 @@ object TextAnalysis {
     // scoring tail is the shared bm25Rank — identical result, identical
     // oracle (byte-identity pinned in OperatorSpec)
     "text_bm25_served" -> bm25OracleSql,
+    "text_bm25_served_bounded" -> bm25BoundedOracleSql,
     // health over a fresh build: staleness and tombstone debt are 0 BY
     // CONSTRUCTION and the oracle asserts exactly that; every content
     // metric recomputes from a SQL tokenize of the corpus

@@ -1,0 +1,103 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops.{Retrieval, TextAnalysis}
+
+/** Bounded-term lexical serving (round 9): query terms whose df-share
+  * exceeds [[TextAnalysis.bm25MaxDfShare]] are dropped via the term
+  * DICTIONARY (`termstats`) before their posting lists are read — the
+  * serve-path mitigation for the one remaining lexical scale-killer (a
+  * stopword query term at 10B docs is an O(corpus) posting list through
+  * the serve join). Pins:
+  *  - pass-through: on the shared corpus no query term crosses the
+  *    default cut, so bounded == unbounded exactly (BM25 and hybrid)
+  *  - pruning: on a crafted stopword-heavy corpus the mega term IS
+  *    dropped, and the bounded result equals — double for double — an
+  *    unbounded serve over a rewrite of the corpus with the stopword
+  *    replaced by filler (same dl, same n_docs/avgdl, tf=0: the exact
+  *    semantics the act_i oracle flags restate)
+  *  - the dictionary itself: boundedQueryTerms / bannedTerms resolve
+  *    the cut from O(|query|)-row reads, not posting scans
+  */
+class BoundedServeSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import TestSpark.sf0001
+
+  test("pass-through: bounded == unbounded when no query term crosses the cut") {
+    val a = TextAnalysis.textBm25ServedQuery(spark, sf0001).collect().map(_.toSeq).toSeq
+    val b = TextAnalysis.textBm25ServedBoundedQuery(spark, sf0001).collect().map(_.toSeq).toSeq
+    assert(a.nonEmpty, "vacuous comparison")
+    assert(a === b, "bounded serve diverged though no term crosses the cut")
+    val h0 = Retrieval.searchHybridRrfServed(spark, sf0001).collect().map(_.toSeq).toSeq
+    val h1 = Retrieval.searchHybridRrfServed(spark, sf0001,
+      Some(TextAnalysis.bm25MaxDfShare)).collect().map(_.toSeq).toSeq
+    assert(h0.nonEmpty && h0 === h1,
+      "bounded hybrid serve diverged though the banned head is empty")
+  }
+
+  test("stopword corpus: the mega term is dropped; result equals the stopword-less rewrite") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("bounded-serve").toString
+    // 60 docs; 'spark' in 58 of them (share 0.967 > 0.9 — a stopword);
+    // 'join' / 'vector' sparse; per-doc filler varies dl
+    def tokensOf(i: Long, spk: String): Seq[String] = {
+      val base = Seq.newBuilder[String]
+      if (i <= 58) base += spk
+      if (i % 7 == 0) base += "join"
+      if (i % 11 == 0) base += "vector"
+      (0 until (3 + (i % 5)).toInt).foreach(w => base += s"f${i}w$w")
+      if (i % 3 == 0 && i <= 58) base += spk // tf 2 for some docs
+      base.result()
+    }
+    def writeCorpus(dir: String, spk: String): Unit =
+      (1L to 60L).map(i => (i, tokensOf(i, spk).mkString(" "), "en", "s"))
+        .toDF("doc_id", "text", "lang", "source")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    writeCorpus(s"$tmp/orig", "spark")
+    writeCorpus(s"$tmp/nospk", "qqfiller") // same positions -> same dl
+    TextAnalysis.textIndexWrite(spark, s"$tmp/orig", s"$tmp/idx")
+    TextAnalysis.textIndexWrite(spark, s"$tmp/nospk", s"$tmp/idxv")
+    // the dictionary resolves the cut without touching postings
+    assert(TextAnalysis.boundedQueryTerms(spark, s"$tmp/idx",
+      TextAnalysis.bm25Query, TextAnalysis.bm25MaxDfShare) === Seq("join", "vector"),
+      "df-share cut did not drop exactly the stopword")
+    val banned = TextAnalysis.bannedTerms(spark, s"$tmp/idx", TextAnalysis.bm25MaxDfShare)
+    assert(banned === Seq("spark"), s"banned head was $banned — want exactly the stopword")
+    val bounded = TextAnalysis.textBm25Served(spark, s"$tmp/idx",
+      maxDfShare = Some(TextAnalysis.bm25MaxDfShare)).collect().map(_.toSeq).toSeq
+    val reference = TextAnalysis.textBm25Served(spark, s"$tmp/idxv")
+      .collect().map(_.toSeq).toSeq
+    assert(bounded.nonEmpty, "vacuous comparison")
+    assert(bounded === reference,
+      "bounded serve != unbounded serve over the stopword-less rewrite")
+    // the dropped term's slot reports tf 0 everywhere, and a doc whose
+    // only query-term match is the stopword is not a candidate
+    assert(bounded.forall(_(2) == 0L), "dropped term's tf slot must be 0")
+    val onlySparkDocs = (1L to 58L).filter(i => i % 7 != 0 && i % 11 != 0)
+    assert(bounded.map(_(0).asInstanceOf[Long]).toSet
+      .intersect(onlySparkDocs.toSet).isEmpty,
+      "a stopword-only doc survived as a candidate")
+  }
+
+  test("term dictionary: frozen between compacts, recomputed at compact") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("termstats").toString
+    (1L to 10L).map(i => (i, s"alpha beta g$i", "en", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+      .write.mode("overwrite").parquet(s"$tmp/c/documents.parquet")
+    TextAnalysis.textIndexWrite(spark, s"$tmp/c", s"$tmp/idx")
+    def dfOf(term: String): Long = spark.read.parquet(s"$tmp/idx/termstats")
+      .filter(col("term") === term).collect().headOption.map(_.getLong(1)).getOrElse(0L)
+    assert(dfOf("alpha") == 10L)
+    // an append leaves the dictionary FROZEN (the Lucene semantic)...
+    val batch = Seq((11L, "alpha beta extra", "en", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+    TextAnalysis.textIndexAppendBatch(spark, batch, s"$tmp/idx")
+    assert(dfOf("alpha") == 10L, "append must not re-estimate the dictionary")
+    // ...and compact is where it catches up
+    TextAnalysis.textIndexCompact(spark, s"$tmp/idx")
+    assert(dfOf("alpha") == 11L, "compact must recompute the dictionary")
+    assert(dfOf("extra") == 1L)
+  }
+}

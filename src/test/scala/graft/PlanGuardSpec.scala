@@ -394,6 +394,28 @@ class PlanGuardSpec extends AnyFunSuite {
       "scan-form shape drifted — this guard's baseline needs re-deriving")
   }
 
+  test("bounded BM25 serve: the banned term is absent from the pushed postings filter") {
+    // the df-share cut's whole point: the mega-posting term must not
+    // appear in the scan predicate at all — its posting list is pruned
+    // at the row-group level, not read-then-filtered
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("guard-bounded").toString
+    (1L to 40L).map(i => (i,
+        "spark " + (if (i % 5 == 0) "join " else "") + s"w$i", "en", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+      .write.mode("overwrite").parquet(s"$tmp/c/documents.parquet")
+    graft.ops.TextAnalysis.textIndexWrite(spark, s"$tmp/c", s"$tmp/idx")
+    val txt = graft.ops.TextAnalysis.textBm25Served(spark, s"$tmp/idx",
+        maxDfShare = Some(graft.ops.TextAnalysis.bm25MaxDfShare))
+      .queryExecution.executedPlan.toString
+    val pushed = txt.linesIterator.filter(_.contains("PushedFilters")).mkString("\n")
+    assert(pushed.contains("In(term"), "bounded serve lost the pushed term filter")
+    assert(!pushed.contains("spark"),
+      "the banned mega-posting term reached the postings scan predicate")
+    assert(pushed.contains("join"),
+      "a surviving sparse term is missing from the pushed filter")
+  }
+
   test("decontaminate_report shuffles narrow shingle hashes, never text") {
     // after the shingle explode, every exchange carries (id, h) rows;
     // text reaching an exchange would ship the corpus through the join
