@@ -988,8 +988,102 @@ object ScaleSmoke {
     say(s"  -> $boiler docs profiled")
     assert(boiler == nDoc)
 
+    // 10. CLUSTERED embedding geometry (round 9): the main corpus's
+    //     pseudo-noise vectors are near-orthogonal — LSH hot-bucket
+    //     skew 649 was measured against geometry real embeddings don't
+    //     have. This family is a seeded mixture of 50 Gaussians with a
+    //     linear cluster-size skew (the shape sentence embeddings of a
+    //     topical corpus actually take), re-measuring recall, candidate
+    //     mass, and index skew so the auto-tuned constants (lshBitsFor
+    //     floor, IVF probe fraction) are validated on BOTH geometries.
+    val cdir = s"$dir-clustered"
+    if (!new java.io.File(s"$cdir/embeddings.parquet").exists())
+      time("generate clustered corpus (mixture of 50 Gaussians, linear size skew)") {
+        generateClustered(spark, cdir)
+      }
+    val cExact = time("CLUSTERED sim_topk_bruteforce (ground truth)") {
+      topkPairs(ops.Similarity.simTopkBruteforce(spark, cdir))
+    }
+    val cLshAuto = time("CLUSTERED sim_lsh_ann_auto") {
+      topkPairs(ops.Similarity.simLshAnnAuto(spark, cdir))
+    }
+    val cIvfAuto = time("CLUSTERED sim_ivf_topk_auto") {
+      topkPairs(ops.Similarity.simIvfTopkAuto(spark, cdir))
+    }
+    val cIvfTrained = time("CLUSTERED sim_ivf_topk_trained (k-means on clustered)") {
+      topkPairs(ops.Similarity.simIvfTopkTrained(spark, cdir))
+    }
+    def cRecall(got: Set[(Long, Long)]): Double =
+      (cExact intersect got).size.toDouble / cExact.size
+    say(f"  recall@5 CLUSTERED: lsh auto ${cRecall(cLshAuto)}%.3f, " +
+      f"ivf auto ${cRecall(cIvfAuto)}%.3f, ivf trained ${cRecall(cIvfTrained)}%.3f")
+    // index skew + candidate mass on the clustered family, via the same
+    // health reports a deployment schedules
+    val cLshIdx = s"$cdir/lsh_index"
+    val cIvfIdx = s"$cdir/ivf_index"
+    time("CLUSTERED lsh_index_write + ivf_index_write") {
+      ops.AnnIndex.lshIndexWrite(spark, cdir, cLshIdx,
+        ops.Similarity.lshTables, ops.Similarity.lshBitsFor(nVec.toDouble))
+      ops.AnnIndex.ivfIndexWrite(spark, cdir, cIvfIdx)
+    }
+    val chl = ops.AnnIndex.lshIndexHealth(spark, cLshIdx).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val chv = ops.AnnIndex.ivfIndexHealth(spark, cIvfIdx).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // banded-join candidate mass: sum nb*(nb-1)/2 over buckets as a
+    // fraction of all pairs — the all-pairs-collapse alarm
+    val cCandFrac = {
+      val pairs = spark.read.parquet(s"$cLshIdx/buckets")
+        .groupBy(col("tbl"), col("bucket")).agg(count(lit(1)).as("nb"))
+        .agg(sum(col("nb") * (col("nb") - 1) / 2)).head().getDouble(0)
+      pairs / (nVec.toDouble * (nVec - 1) / 2)
+    }
+    say(f"  CLUSTERED index shape: lsh hot_bucket_skew ${chl("hot_bucket_skew")}%.2f, " +
+      f"candidate mass ${cCandFrac * 100}%.3f%% of all pairs; " +
+      f"ivf hot_list_skew ${chv("hot_list_skew")}%.2f over ${chv("n_lists")}%.0f lists")
+    // SemDeDup keep decisions on clustered geometry (stride + trained)
+    val cSem = time("CLUSTERED dedup_semantic (SemDeDup keep decision)") {
+      val r = ops.Dedup.dedupSemantic(spark, cdir)
+        .agg(count(lit(1)), sum(lit(1L) - col("kept"))).collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
+    val cSemT = time("CLUSTERED dedup_semantic_trained") {
+      val r = ops.Dedup.dedupSemanticTrained(spark, cdir)
+        .agg(count(lit(1)), sum(lit(1L) - col("kept"))).collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
+    say(s"  CLUSTERED semdedup: stride dropped ${cSem._2}/${cSem._1}, " +
+      s"trained dropped ${cSemT._2}/${cSemT._1} (planted dups: $nVecDup)")
+    // the auto-tuned constants must hold on BOTH geometries: loose
+    // floors here — the PLANS.md table carries the exact numbers
+    assert(cRecall(cLshAuto) > 0.5 && cRecall(cIvfAuto) > 0.5,
+      "auto-tuned ANN collapsed on clustered geometry — re-derive the constants")
+
     say("done")
     spark.stop()
+  }
+
+  /** Seeded mixture-of-Gaussians embedding corpus: 50 centers from the
+    * same pseudo-noise hash, linear cluster-size skew (c = floor(sqrt
+    * (h)) over h uniform in [0, C²) makes P(c) ∝ 2c+1 — sizes span
+    * ~1:100), within-cluster spread 0.35 per dim (≈0.8 within-cluster
+    * cosine — topical-corpus shape), planted near-dups as in the main
+    * family. Deterministic: every coordinate is a pure function of
+    * (vec_id, dim). */
+  def generateClustered(s: SparkSession, dir: String): Unit = {
+    val noise = (idc: org.apache.spark.sql.Column, d: org.apache.spark.sql.Column) =>
+      sin(idc * 12.9898 + d * 78.233) * lit(43758.5453) % 1.0
+    val nClusters = 50
+    val emb = s.range(nVec).select(col("id").as("vec_id"),
+      transform(sequence(lit(1), lit(dim)), d => {
+        val src = when(col("id") >= nVec - nVecDup, col("id") - nVecDup).otherwise(col("id"))
+        val c = floor(sqrt(pmod(hash(src), lit(nClusters * nClusters)).cast("double"))).cast("long")
+        (noise(c * 7919L + 13L, d) + noise(src + 31337L, d) * lit(0.35) +
+          when(col("id") >= nVec - nVecDup, noise(col("id"), d) * 0.02).otherwise(lit(0.0)))
+          .cast("float")
+      }).as("embedding"),
+      pmod(col("id"), lit(10)).cast("int").as("label"))
+    emb.repartition(32).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
   }
 
   /** Synthetic event stream in the driver testdata's physical layout

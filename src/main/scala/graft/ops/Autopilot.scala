@@ -1,0 +1,135 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Index AUTOPILOT — the round-8 health findings as an executable
+  * policy. The health reports ([[AnnIndex.ivfIndexHealth]],
+  * [[AnnIndex.lshIndexHealth]], [[TextAnalysis.textIndexHealth]]) give
+  * a deployment the numbers to watch; this is the one entry point that
+  * watches them: read the family's report, COMPACT when maintenance
+  * debt (small files, pending tombstones, frozen-statistics staleness)
+  * crosses its threshold, RETRAIN when quantizer drift does
+  * (`hot_list_skew` / `hot_bucket_skew` — the drift experiment's
+  * production lesson was that recall holds while list skew explodes,
+  * so skew, not recall, is the alarm; 39.55 → 2.18 measured across one
+  * retrain at recall 1.000).
+  *
+  * Thresholds are arguments with documented defaults, evaluated
+  * against EXACTLY the metrics the oracled health queries emit — the
+  * policy and the report can never disagree about a value. Every
+  * trigger is returned as a decision row whether or not it fired, so
+  * the autopilot's run log is itself the health audit trail.
+  *
+  * Retrain supersedes compact within one pass: the rebuild publishes a
+  * fresh, few-file, tombstone-honoring table, so compacting first
+  * would do the same file rewrite twice. Retrain needs the index's
+  * corpus definition (`corpusDirs`); when drift fires without one, the
+  * decision row reports the unperformed action loudly rather than
+  * guessing.
+  */
+object Autopilot {
+
+  /** Quantizer-drift alarm for IVF list skew (max/mean nonempty list).
+    * A balanced index sits near 1–3; the drift experiment measured
+    * 39.55 on a mean-shifted corpus and 2.18 after retrain. */
+  val maxHotListSkew = 8.0
+
+  /** LSH bucket-skew alarm. Bucket-size baselines are GEOMETRY
+    * dependent (the near-orthogonal synthetic corpus measures ~650
+    * hot-bucket skew while serving fine; clustered corpora sit far
+    * lower), so this default is deliberately high — calibrate from a
+    * healthy baseline per corpus family, as with any alarm. */
+  val maxHotBucketSkew = 1000.0
+
+  /** Small-file (compaction) debt: landing appends accumulate one file
+    * group per batch; past this many files a serve pays more in
+    * listings/footers than in data. ~N files also bounds what a single
+    * compact rewrites. */
+  val maxDataFiles = 12
+
+  /** Frozen-statistics staleness share for the text index:
+    * |n_docs_indexed − stats_n_docs| / stats_n_docs. Lucene's gap
+    * between commits and merges — past 20% the BM25 idf/avgdl are
+    * estimated on a corpus fifth different from the one being served. */
+  val maxStalenessShare = 0.2
+
+  private def exists(s: SparkSession, p: String): Boolean = {
+    val path = new org.apache.hadoop.fs.Path(p)
+    path.getFileSystem(s.sparkContext.hadoopConfiguration).exists(path)
+  }
+
+  private def healthMap(df: DataFrame): Map[String, Double] =
+    df.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+
+  /** Run the autopilot pass on the index at `indexDir` (family detected
+    * from the on-disk layout: buckets+meta = LSH, lists+codebook =
+    * IVF-PQ, lists+centroids = IVF, postings+doclen = text). Returns
+    * the decision log: one row per evaluated trigger —
+    * (family, trigger, value, threshold, action, performed). */
+  def indexAutopilot(s: SparkSession, indexDir: String,
+      corpusDirs: Seq[String] = Seq.empty,
+      hotListSkewMax: Double = maxHotListSkew,
+      hotBucketSkewMax: Double = maxHotBucketSkew,
+      dataFilesMax: Int = maxDataFiles,
+      stalenessShareMax: Double = maxStalenessShare): DataFrame = {
+    import s.implicits._
+    val rows = scala.collection.mutable.ArrayBuffer[(String, String, Double, Double, String, Boolean)]()
+
+    def vectorFamily(family: String, skewMetric: String, skewMax: Double,
+        health: => Map[String, Double],
+        retrain: () => Unit, compact: () => Unit): Unit = {
+      val h = health
+      val skew = h.getOrElse(skewMetric, 0.0)
+      val files = h.getOrElse("data_files", 0.0)
+      val pend = h.getOrElse("pending_tombstones", 0.0)
+      val wantRetrain = skew > skewMax
+      val canRetrain = wantRetrain && corpusDirs.nonEmpty
+      if (canRetrain) retrain()
+      rows += ((family, skewMetric, skew, skewMax,
+        if (wantRetrain && !canRetrain) "retrain_needs_corpus" else "retrain", canRetrain))
+      val wantCompact = !canRetrain && (files > dataFilesMax || pend > 0)
+      if (wantCompact) compact()
+      rows += ((family, "data_files", files, dataFilesMax.toDouble,
+        if (canRetrain) "compact_superseded_by_retrain" else "compact",
+        wantCompact && files > dataFilesMax))
+      rows += ((family, "pending_tombstones", pend, 0.0,
+        if (canRetrain) "compact_superseded_by_retrain" else "compact",
+        wantCompact && pend > 0))
+    }
+
+    if (exists(s, s"$indexDir/buckets") && exists(s, s"$indexDir/meta"))
+      vectorFamily("lsh", "hot_bucket_skew", hotBucketSkewMax,
+        healthMap(AnnIndex.lshIndexHealth(s, indexDir)),
+        () => AnnIndex.lshIndexRetrain(s, indexDir, corpusDirs),
+        () => { AnnIndex.lshIndexCompact(s, indexDir); () })
+    else if (exists(s, s"$indexDir/lists") && exists(s, s"$indexDir/codebook"))
+      vectorFamily("ivfpq", "hot_list_skew", hotListSkewMax,
+        healthMap(AnnIndex.ivfIndexHealth(s, indexDir)),
+        () => AnnIndex.ivfPqIndexRetrain(s, indexDir, corpusDirs),
+        () => { AnnIndex.ivfPqIndexCompact(s, indexDir); () })
+    else if (exists(s, s"$indexDir/lists") && exists(s, s"$indexDir/centroids"))
+      vectorFamily("ivf", "hot_list_skew", hotListSkewMax,
+        healthMap(AnnIndex.ivfIndexHealth(s, indexDir)),
+        () => AnnIndex.ivfIndexRetrain(s, indexDir, corpusDirs),
+        () => { AnnIndex.ivfIndexCompact(s, indexDir); () })
+    else if (exists(s, s"$indexDir/postings") && exists(s, s"$indexDir/doclen")) {
+      val h = healthMap(TextAnalysis.textIndexHealth(s, indexDir))
+      val statsDocs = math.max(1.0, h.getOrElse("stats_n_docs", 0.0))
+      val stale = math.abs(h.getOrElse("stats_staleness", 0.0)) / statsDocs
+      val files = h.getOrElse("data_files", 0.0)
+      val pend = h.getOrElse("pending_tombstones", 0.0)
+      val wantCompact = stale > stalenessShareMax || files > dataFilesMax || pend > 0
+      if (wantCompact) TextAnalysis.textIndexCompact(s, indexDir)
+      rows += (("text", "stats_staleness_share", stale, stalenessShareMax,
+        "compact", wantCompact && stale > stalenessShareMax))
+      rows += (("text", "data_files", files, dataFilesMax.toDouble,
+        "compact", wantCompact && files > dataFilesMax))
+      rows += (("text", "pending_tombstones", pend, 0.0,
+        "compact", wantCompact && pend > 0))
+    } else throw new IllegalArgumentException(
+      s"indexAutopilot: no known index family at $indexDir " +
+      "(want buckets+meta, lists+centroids[+codebook], or postings+doclen)")
+
+    rows.toSeq.toDF("family", "trigger", "value", "threshold", "action", "performed")
+  }
+}
