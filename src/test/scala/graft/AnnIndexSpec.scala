@@ -262,4 +262,23 @@ class AnnIndexSpec extends AnyFunSuite {
     }
     assert(bad == 0, s"$bad served cosines differ from driver recompute")
   }
+
+  test("stride twins: persisted-index serve == the oracled scan form; filter restricts members") {
+    // the round-9 oracle pin made executable at spec scale: the serve
+    // composition (persisted stride index, fixed probes) is value-equal
+    // to sim_ivf_topk, and the filtered twin's candidates all come from
+    // the label slice while its queries stay unrestricted
+    val servedStride = AnnIndex.simIvfTopkServedStride(spark, sf0001)
+      .collect().map(shape).toSeq
+    val scan = Similarity.simIvfTopk(spark, sf0001).collect().map(shape).toSeq
+    assert(servedStride.nonEmpty && servedStride === scan,
+      "stride serve twin diverged from the oracled scan form")
+    val filtered = AnnIndex.simIvfTopkFilteredStride(spark, sf0001).collect()
+    assert(filtered.nonEmpty, "filtered stride twin returned nothing (vacuous)")
+    val slice = Tables(spark, sf0001, "embeddings")
+      .filter(org.apache.spark.sql.functions.col("label") === Similarity.annFilterLabel)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(filtered.forall(r => slice.contains(r.getLong(2))),
+      "filtered stride twin served an out-of-slice candidate")
+  }
 }
