@@ -406,6 +406,22 @@ object AnnIndex {
       memberPred = Some(col("label") === lit(Similarity.annFilterLabel)),
       probeOverride = Some(Similarity.nProbe))
 
+  /** Registered-query form of the AUTOPILOT decision log
+    * ([[Autopilot.indexAutopilot]]) over the shared stride IVF index:
+    * the policy's trigger evaluation — health metric, threshold,
+    * chosen action, performed flag — restated in SQL (the skew value
+    * is the `sim_ivf_health` oracle's own expression; thresholds are
+    * the documented constants). `corpusDirs` is deliberately empty so
+    * a drifted corpus can never retrain (= mutate the quantizer of)
+    * the SHARED stride index mid-verify; a compact, should file debt
+    * ever trigger one, is value-preserving by contract. The physical
+    * `data_files` trigger stays library-only, as in the health
+    * queries. */
+  def simAutopilotReport(s: SparkSession, dir: String): DataFrame =
+    Autopilot.indexAutopilot(s, strideIndexFor(s, dir))
+      .filter(col("trigger") =!= "data_files")
+      .orderBy(col("trigger"))
+
   /** The shared per-corpus persisted STRIDE-quantizer index (also the
     * artifact `sim_ivf_health` reports on). */
   private def strideIndexFor(s: SparkSession, dir: String): String =

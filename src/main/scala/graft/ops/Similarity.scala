@@ -1069,6 +1069,7 @@ object Similarity {
     "sim_knn_label" -> simKnnLabel _,
     "sim_ivf_health" -> AnnIndex.simIvfHealth _,
     "sim_lsh_health" -> AnnIndex.simLshHealth _,
+    "sim_autopilot_report" -> AnnIndex.simAutopilotReport _,
   )
 
   /** Oracle for the LSH health report: the pinned-hyperplane bucket
@@ -1132,6 +1133,43 @@ object Similarity {
        |  UNION ALL SELECT 'top5_list_mass',
        |    coalesce(CAST(t5 AS DOUBLE) / (SELECT CAST(total AS DOUBLE) FROM tot), 0.0) FROM top5)
        |SELECT metric, round(value, 6) AS value FROM m ORDER BY metric""".stripMargin
+
+  /** Oracle for the autopilot decision log over the stride IVF index:
+    * the skew value is the health oracle's own expression, thresholds
+    * are the documented `Autopilot` constants, actions/performed follow
+    * the policy with no corpus dirs (retrain can never fire on the
+    * shared index) and a fresh build's zero tombstone debt. */
+  private lazy val autopilotReportOracleSql: String = {
+    val skewMax = graft.ops.Autopilot.maxHotListSkew
+    s"""WITH n AS (
+       |  SELECT * FROM (
+       |    SELECT vec_id, embedding,
+       |      sqrt(${dotSql("embedding", "embedding")}) AS nrm
+       |    FROM embeddings) WHERE nrm > 0),
+       |cent AS (SELECT vec_id AS c_id, embedding AS c_emb, nrm AS c_nrm
+       |         FROM n WHERE vec_id % $centroidStride = 1),
+       |asgn AS (
+       |  SELECT vec_id, c_id FROM (
+       |    SELECT v.vec_id, c.c_id,
+       |      row_number() OVER (PARTITION BY v.vec_id
+       |        ORDER BY ${dotSql("v.embedding", "c.c_emb")} / (v.nrm * c.c_nrm) DESC, c.c_id) AS c_rk
+       |    FROM n v, cent c)
+       |  WHERE c_rk = 1),
+       |sizes AS (SELECT c_id, CAST(count(*) AS BIGINT) AS sz FROM asgn GROUP BY c_id),
+       |tot AS (SELECT CAST(max(sz) AS BIGINT) AS mx, count(*) AS nonempty,
+       |               CAST(sum(sz) AS BIGINT) AS total FROM sizes),
+       |skew AS (SELECT round(coalesce(CAST(mx AS DOUBLE) /
+       |    (CAST(total AS DOUBLE) / CAST(nonempty AS DOUBLE)), 0.0), 6) AS v FROM tot)
+       |SELECT * FROM (
+       |  SELECT 'ivf' AS "family", 'hot_list_skew' AS "trigger", v AS "value",
+       |    CAST($skewMax AS DOUBLE) AS "threshold",
+       |    CASE WHEN v > $skewMax THEN 'retrain_needs_corpus' ELSE 'retrain' END AS "action",
+       |    false AS "performed"
+       |  FROM skew
+       |  UNION ALL
+       |  SELECT 'ivf', 'pending_tombstones', CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE), 'compact', false)
+       |ORDER BY "trigger"""".stripMargin
+  }
 
   /** Oracle for the kNN label vote: the exact-top-k CTEs, then the
     * (votes DESC, best_rk) pick — best_rk makes the pick unique because
@@ -1554,6 +1592,7 @@ object Similarity {
 
   val oracles: Map[String, String] = Map(
     "sim_ivf_health" -> ivfHealthOracleSql,
+    "sim_autopilot_report" -> autopilotReportOracleSql,
     "sim_lsh_health" -> lshHealthOracleSql,
     "sim_ivfpq_topk_stride" -> ivfPqStrideOracleSql,
     "sim_lsh_ann_auto" -> lshAnnAutoOracleSql,
