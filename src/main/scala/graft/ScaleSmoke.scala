@@ -466,13 +466,22 @@ object ScaleSmoke {
         .filter(col("term").isin(survivors: _*))
         .select(col("term"), col("doc_id"), col("tf")))
     }
+    // the claim is ABSOLUTE, not a ratio: the planted 'spark' posting is
+    // one row per doc (df = nDocs). Vectorized parquet decodes whole
+    // pages, so the sparse survivors still drag their page-neighbours
+    // through the scan (~tens of k rows at this corpus size — a fixed
+    // page-granularity tax that shrinks relatively as postings grow);
+    // what the cut must prove is that the O(corpus) mega list itself
+    // was skipped. Require >=90% of its rows gone from the scan.
+    val megaPostingRows = nDoc // df('spark') = every doc in the corpus
     say(s"  -> mega-posting scan rows: unbounded $unboundedScanRows, " +
       s"bounded $boundedScanRows " +
-      f"(${unboundedScanRows.toDouble / math.max(1L, boundedScanRows)}%.0fx — " +
+      f"(${(unboundedScanRows - boundedScanRows) / 1e3}%.0fk skipped — " +
       "the stopword's 100k-row posting list never leaves the scan)")
-    assert(boundedScanRows < unboundedScanRows / 10,
+    assert(unboundedScanRows - boundedScanRows >= (megaPostingRows * 9) / 10,
       s"bounded postings scan produced $boundedScanRows rows vs $unboundedScanRows " +
-      "unbounded — the df-share cut did not keep the mega-posting in the scan")
+      s"unbounded — fewer than 90% of the $megaPostingRows-row mega posting " +
+      "was skipped; the df-share cut did not keep it in the scan")
 
     // 7d. BPE training at production merge counts: the scale mode's K
     //     axis must be FLAT per merge — batched selection divides the
