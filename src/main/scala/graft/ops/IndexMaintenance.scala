@@ -51,9 +51,9 @@ object IndexMaintenance {
     * mid-rewrite cannot be silently discarded by the directory swap (a
     * lost takedown) and an append cannot land between the rewrite's
     * file listing and the swap (a lost batch). Cross-PROCESS writers
-    * are excluded by the filesystem LEASE below ([[withLease]]): every
-    * maintenance op additionally acquires a sibling `.{table}.lease`
-    * file (create-if-absent, owner-stamped), so a second process's
+    * are excluded by the filesystem LEASE below ([[withLeaseScope]]):
+    * every maintenance op additionally acquires the lease of the
+    * table's enclosing INDEX directory, so a second process's
     * maintenance op FAILS LOUDLY instead of silently corrupting the
     * swap — with the post-promote tombstone re-check below as a second
     * net for deletes (conservative but never lossy). */
@@ -73,48 +73,89 @@ object IndexMaintenance {
   // PROCESS (a parallel maintenance job, an operator re-running a
   // backfill) used to be documented-unsupported and would silently
   // corrupt a racing swap. The lease makes that loud: each maintenance
-  // op create-if-absent's a sibling `.{table}.lease` file stamped with
-  // this process's id (create(overwrite=false) is atomic on HDFS and
-  // object stores with preconditions; best-effort on raw local FS,
-  // where the in-JVM monitor already covers same-process threads). A
-  // LIVE foreign lease (younger than [[leaseStaleMs]]) aborts the op
-  // with IllegalStateException; a stale one — a crashed holder — is
-  // broken and re-taken. Reentrant per thread, so a compaction inside
-  // a retrain's table lock does not self-deadlock.
+  // op create-if-absent's a lease file stamped with this process's id
+  // (create(overwrite=false) is atomic on HDFS and object stores with
+  // preconditions; best-effort on raw local FS, where the in-JVM
+  // monitor already covers same-process threads). A LIVE foreign lease
+  // (younger than [[leaseStaleMs]]) aborts the op with
+  // IllegalStateException; a stale one — a crashed holder — is broken
+  // and re-taken. Reentrant per thread, so a compaction inside a
+  // retrain's table lock does not self-deadlock.
+  //
+  // SCOPE AND PLACEMENT (round 10): the lease is scoped to the table's
+  // PARENT directory — the index dir — and its file lives OUTSIDE the
+  // swapped directories, as a SIBLING of the index dir
+  // (`parent(indexDir)/.{indexDir}.lease`). Two properties the old
+  // per-table sibling placement lacked:
+  //  - a retrain's [[publishDir]] renames the whole index dir aside; a
+  //    lease INSIDE it rode into `.retrain.old` and was deleted with
+  //    it, leaving the post-promote tail (late-delete re-apply)
+  //    unprotected. The sibling placement survives every swap state.
+  //  - the old code SKIPPED the lease when the table's parent dir was
+  //    absent — which is exactly the mid-publish crash state, so lease
+  //    protection lapsed precisely in the windows it existed for.
+  //    The sibling placement never needs the skip: creating the lease
+  //    file cannot resurrect a swap discriminator (it creates only its
+  //    own parent, never the index dir).
+  // Scoping to the index dir also means ALL tables of one index share
+  // one lease — a multi-table batch or compact takes it once
+  // ([[withIndexMaintenance]]), and inner per-table ops reenter.
 
   /** Identity of this process for lease ownership. */
   private[graft] val processId: String = java.util.UUID.randomUUID().toString
 
   /** A foreign lease younger than this is LIVE (its op fails loudly);
-    * older is a crashed holder's leftover and is broken. Generous:
-    * maintenance ops do not heartbeat, so the threshold must exceed the
-    * longest plausible compact/retrain. */
+    * older is a crashed holder's leftover and is broken. Long ops keep
+    * ownership past this by heartbeating ([[touchLease]] after each
+    * expensive phase) and every promote re-verifies ownership
+    * immediately before its renames ([[verifyHeldLease]]) — so a
+    * stolen lease aborts the op LOUDLY instead of racing the thief's
+    * swap. */
   val leaseStaleMs: Long = 15L * 60 * 1000
 
   private val heldLeases = new ThreadLocal[java.util.HashSet[String]] {
     override def initialValue() = new java.util.HashSet[String]()
   }
 
-  private[graft] def leasePath(dest: org.apache.hadoop.fs.Path) =
-    new org.apache.hadoop.fs.Path(dest.getParent, s".${dest.getName}.lease")
+  /** The lease scope of a table path: its parent (the index dir). A
+    * parentless path scopes to itself (degenerate — test tables at a
+    * filesystem root). */
+  private def leaseScopeOf(path: org.apache.hadoop.fs.Path): org.apache.hadoop.fs.Path =
+    Option(path.getParent).getOrElse(path)
 
-  /** Run `body` holding the cross-process lease on `path` (reentrant
-    * per thread; callers already hold the in-JVM monitor). */
-  private def withLease[T](s: SparkSession, path: String)(body: => T): T = {
-    val dest = new org.apache.hadoop.fs.Path(path)
-    val f = fs(s, dest)
-    val key = f.makeQualified(dest).toString
+  /** The lease FILE of a scope: a sibling of the scope directory, so it
+    * survives every rename-aside/promote of the scope or its tables. */
+  private[graft] def leasePath(scope: org.apache.hadoop.fs.Path): org.apache.hadoop.fs.Path = {
+    val parent = Option(scope.getParent).getOrElse(scope)
+    new org.apache.hadoop.fs.Path(parent, s".${scope.getName}.lease")
+  }
+
+  private def readLeaseOwner(f: org.apache.hadoop.fs.FileSystem,
+      lp: org.apache.hadoop.fs.Path): Option[String] =
+    try {
+      val in = f.open(lp)
+      try { // a lease body is one 36-byte uuid
+        val buf = new Array[Byte](64)
+        val n = in.read(buf)
+        Some(new String(buf, 0, math.max(0, n), "UTF-8"))
+      } finally in.close()
+    } catch { case _: java.io.IOException => None }
+
+  /** Run `body` holding the cross-process lease on the table at `path`
+    * (scoped to its parent index dir; reentrant per thread — callers
+    * already hold the in-JVM monitor). */
+  private def withLease[T](s: SparkSession, path: String)(body: => T): T =
+    withLeaseScope(s, leaseScopeOf(new org.apache.hadoop.fs.Path(path)))(body)
+
+  /** Run `body` holding the cross-process lease on `scope` directly —
+    * the whole-index form ([[withIndexMaintenance]]): one acquisition
+    * covers every table op under the scope. */
+  private def withLeaseScope[T](s: SparkSession, scope: org.apache.hadoop.fs.Path)(body: => T): T = {
+    val f = fs(s, scope)
+    val key = f.makeQualified(scope).toString
     if (heldLeases.get.contains(key)) body
-    // no parent dir = a fresh table's first write, or a fabricated/real
-    // crash state where the enclosing index dir is renamed aside — in
-    // both the dir's ABSENCE is a recovery discriminator that creating
-    // the lease file would destroy (Hadoop create() makes parents).
-    // Skip the lease: the in-JVM monitor still serializes this process,
-    // and a standing table (the only thing a foreign process can
-    // corrupt) always has its parent.
-    else if (!f.exists(dest.getParent)) body
     else {
-      val lp = leasePath(dest)
+      val lp = leasePath(scope)
       def tryAcquire(): Boolean =
         try {
           val out = f.create(lp, false)
@@ -123,31 +164,80 @@ object IndexMaintenance {
       if (!tryAcquire()) {
         val st = try Some(f.getFileStatus(lp))
           catch { case _: java.io.FileNotFoundException => None }
-        val owner = try {
-          val in = f.open(lp)
-          try { // a lease body is one 36-byte uuid
-            val buf = new Array[Byte](64)
-            val n = in.read(buf)
-            new String(buf, 0, math.max(0, n), "UTF-8")
-          } finally in.close()
-        } catch { case _: java.io.IOException => "" }
+        val owner = readLeaseOwner(f, lp).getOrElse("")
         val live = st.exists(x =>
           System.currentTimeMillis() - x.getModificationTime < leaseStaleMs)
         if (live && owner != processId)
           throw new IllegalStateException(
-            s"maintenance lease on $path is held by process $owner — a " +
+            s"maintenance lease on $scope is held by process $owner — a " +
             "concurrent maintenance writer; refusing to race the swap " +
             s"(lease $lp, stale after ${leaseStaleMs / 1000} s)")
         f.delete(lp, false) // crashed holder's leftover (or our own)
         if (!tryAcquire()) throw new IllegalStateException(
-          s"maintenance lease on $path: lost the acquire race after breaking " +
+          s"maintenance lease on $scope: lost the acquire race after breaking " +
           s"a stale lease ($lp)")
       }
       heldLeases.get.add(key)
       try body
-      finally { heldLeases.get.remove(key); f.delete(lp, false) }
+      finally {
+        heldLeases.get.remove(key)
+        // release ONLY our own lease: a thief that judged us stale and
+        // re-took it owns the file now — deleting it would re-open the
+        // very race the steal detection exists to close
+        if (readLeaseOwner(f, lp).forall(_ == processId)) f.delete(lp, false)
+      }
     }
   }
+
+  /** Heartbeat: refresh the held lease's mtime so a legitimately-long
+    * op (a 100 TB rewrite can exceed [[leaseStaleMs]]) is not judged a
+    * crashed holder by a second process. Called between expensive
+    * phases; cheap (one setTimes). No-op if the lease was already
+    * stolen — the pre-promote [[verifyHeldLease]] is the loud stop. */
+  private[graft] def touchLease(s: SparkSession, path: String): Unit = {
+    val scope = leaseScopeOf(new org.apache.hadoop.fs.Path(path))
+    val f = fs(s, scope)
+    val lp = leasePath(scope)
+    if (readLeaseOwner(f, lp).contains(processId))
+      try f.setTimes(lp, System.currentTimeMillis(), -1)
+      catch { case _: java.io.IOException => () }
+  }
+
+  /** Assert this process still owns the lease covering `path` — called
+    * immediately before every promote rename. If a second process
+    * judged our lease stale (we ran past [[leaseStaleMs]] without a
+    * heartbeat) and broke it, the swap MUST NOT proceed: the thief may
+    * be mid-rewrite of the same table, and two interleaved promotes
+    * corrupt the directory state the intent machinery cannot heal.
+    * Aborting here loses only our rewrite work; the table stands. */
+  private[graft] def verifyHeldLease(s: SparkSession, path: String): Unit = {
+    val scope = leaseScopeOf(new org.apache.hadoop.fs.Path(path))
+    val f = fs(s, scope)
+    val owner = readLeaseOwner(f, leasePath(scope))
+    if (!owner.contains(processId))
+      throw new IllegalStateException(
+        s"maintenance lease on $scope was ${owner.fold("broken (missing)")(o =>
+          s"stolen by process $o")} mid-operation — this op outlived " +
+        s"leaseStaleMs (${leaseStaleMs / 1000} s) and a second maintenance " +
+        "writer re-took the lease; aborting before the promote to avoid " +
+        "racing its swap (the standing table is untouched)")
+  }
+
+  /** Serialize a multi-op maintenance SEQUENCE — one streaming
+    * trigger's appends + fold marker, or a multi-table compact —
+    * against every other maintenance writer of the index: the in-JVM
+    * index monitor plus ONE cross-process lease acquisition for the
+    * whole scope. Inner per-table ops reenter both (their lease scope
+    * is this directory), so the per-trigger cost drops from one lease
+    * create/probe/delete PER TABLE OP to one per trigger — and a
+    * multi-table batch (text: doclen then postings) is atomic against
+    * a concurrent compact, which otherwise could absorb its first
+    * table's files mid-batch. */
+  def withIndexMaintenance[T](s: SparkSession, indexDir: String)(body: => T): T =
+    lockFor(s, indexDir).synchronized {
+      val p = new org.apache.hadoop.fs.Path(indexDir)
+      withLeaseScope(s, fs(s, p).makeQualified(p))(body)
+    }
 
   // ------------------------------------------- per-table write sequence
   //
@@ -165,30 +255,69 @@ object IndexMaintenance {
   // including object stores with second-granularity (or no) mtimes,
   // where the previous mtime-watermark scheme could silently mask and
   // then physically drop a legitimate re-append.
+  //
+  // The listing-derived value is CARRIED IN-MEMORY between calls
+  // ([[seqCache]]): a streaming loop pays the directory listing (and
+  // the 1-row pending-tombstone agg) once at its first trigger, then
+  // increments — the listing is only the cold-start/restart fallback.
+  // Safe under the single-maintenance-writer model the lease enforces:
+  // every in-process writer funnels through this API (monotonic by the
+  // table lock), and a cross-process writer CONCURRENT with us fails
+  // loudly on the lease. A foreign append strictly BETWEEN our ops is
+  // outside the model (same as round 9), and stamps only ever being
+  // bumped — never lowered — keeps any such interleaving ordered-after
+  // rather than colliding.
 
   private val seqRe = """\.s(\d+)\.parquet$""".r
 
   /** Sequence stamp of a data file name (0 for unstamped files: the
     * initial build and compaction rewrites — by construction the oldest
-    * content in the table). */
+    * content in the table). A pre-round-9 unstamped `b$tag-*` batch
+    * file retried today therefore reuses sequence 0 — consistent with
+    * "oldest content", and the tagged sweep makes the retry
+    * byte-identical. */
   private[graft] def fileSeqOf(name: String): Long =
     seqRe.findFirstMatchIn(name).map(_.group(1).toLong).getOrElse(0L)
+
+  /** Last sequence stamp handed out (or observed) per qualified table
+    * path — the in-memory carry that makes [[nextSeq]] O(1) after the
+    * first call. Monotonic: entries are only ever raised. */
+  private val seqCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  private def qualifiedOf(s: SparkSession, path: String): String = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    fs(s, p).makeQualified(p).toString
+  }
+
+  /** Raise (never lower) the carried sequence for `path` to `seq`. */
+  private def noteSeq(s: SparkSession, path: String, seq: Long): Unit =
+    seqCache.merge(qualifiedOf(s, path), Long.box(seq),
+      (a, b) => if (a >= b) a else b)
 
   /** Next write sequence for the table: strictly above every standing
     * file's stamp AND every pending finite tombstone watermark (so an
     * append issued after a delete outranks it and serves immediately).
     * Late-delete tombstones at Long.MaxValue are excluded — they mask
     * everything until the next compact by design. Callers hold the
-    * table lock, which is what makes the read-modify monotonic. */
+    * table lock, which is what makes the read-modify monotonic. The
+    * listing runs only on a cold cache (process start); afterwards the
+    * carried value increments in memory. */
   private def nextSeq(s: SparkSession, tablePath: String): Long = {
-    val maxFile = dataFiles(s, tablePath)
-      .map(st => fileSeqOf(st.getPath.getName)).foldLeft(0L)(math.max)
-    val maxDel = pendingTombstones(s, tablePath).map { t =>
-      val r = t.filter(col("del_seq") =!= Long.MaxValue)
-        .agg(org.apache.spark.sql.functions.max(col("del_seq"))).head()
-      if (r.isNullAt(0)) 0L else r.getLong(0)
-    }.getOrElse(0L)
-    math.max(maxFile, maxDel) + 1L
+    val key = qualifiedOf(s, tablePath)
+    val last = Option(seqCache.get(key)).map(_.longValue).getOrElse {
+      val maxFile = dataFiles(s, tablePath)
+        .map(st => fileSeqOf(st.getPath.getName)).foldLeft(0L)(math.max)
+      val maxDel = pendingTombstones(s, tablePath).map { t =>
+        val r = t.filter(col("del_seq") =!= Long.MaxValue)
+          .agg(org.apache.spark.sql.functions.max(col("del_seq"))).head()
+        if (r.isNullAt(0)) 0L else r.getLong(0)
+      }.getOrElse(0L)
+      math.max(maxFile, maxDel)
+    }
+    val next = last + 1L
+    noteSeq(s, tablePath, next)
+    next
   }
 
   private def oldAside(dest: org.apache.hadoop.fs.Path) =
@@ -313,7 +442,10 @@ object IndexMaintenance {
     * rewrite's snapshot (conservatively sequenced at +infinity: every
     * copy of the id stays masked until the next compact — a takedown
     * must err toward removal). Readers see the old or the new file set,
-    * never a mix.
+    * never a mix. The lease is heartbeaten after the rewrite write and
+    * ownership is re-verified immediately before the promote renames —
+    * a rewrite that outlived [[leaseStaleMs]] and lost its lease to a
+    * second process aborts LOUDLY with the standing table untouched.
     *
     * `markerDir` (the index's `_batches` sidecar, for tables fed by a
     * marker-guarded streaming loop): the rewrite ABSORBS any landed
@@ -325,14 +457,21 @@ object IndexMaintenance {
     * duplicate rows. Creating the marker BEFORE the promote is safe on
     * both outcomes: if the promote never happens the batch's original
     * files are still in the restored table, and if it does they are in
-    * the rewrite — either way "folded" is true. Afterwards, markers
-    * made unreachable by the engine's commit protocol are retired
+    * the rewrite — either way "folded" is true. Markers are pinned ONLY
+    * for COMPLETE markerless batches ([[sweepIncompleteBatches]] runs
+    * first): an INCOMPLETE file set — a crash mid-[[landAs]] — is
+    * uncommitted partial output whose absorption-plus-marker would be
+    * silent data loss (the retry would skip, the missing part files'
+    * rows gone); it is swept instead, and the retry re-lands the whole
+    * batch under its persisted sequence stamp. Afterwards, markers made
+    * unreachable by the engine's commit protocol are retired
     * ([[retireMarkers]]). */
   def compactTable(s: SparkSession, path: String, sortCols: Seq[String],
       tombstoneCol: Option[String] = None,
       markerDir: Option[String] = None): (Int, Int) =
       lockFor(s, path).synchronized { withLease(s, path) {
     recoverPromote(s, path)
+    markerDir.foreach(md => sweepIncompleteBatches(s, Seq(path), md))
     val before = dataFiles(s, path)
     require(before.nonEmpty, s"compactTable: nothing to compact at $path")
     val totalBytes = before.map(_.getLen).sum
@@ -350,6 +489,9 @@ object IndexMaintenance {
       .repartitionByRange(nOut, keys: _*)
       .sortWithinPartitions(keys: _*)
       .write.mode("overwrite").parquet(tmp.toString)
+    // the rewrite was the long phase: heartbeat so a second process
+    // does not judge this op crashed during the swap tail
+    touchLease(s, path)
     // persist the consumed snapshot inside the rewrite so a crash after
     // the promote can still finish the late-delete check
     if (tombstoneCol.isDefined) {
@@ -358,18 +500,23 @@ object IndexMaintenance {
         .write.mode("overwrite").parquet(new org.apache.hadoop.fs.Path(tmp, "_consumed").toString)
     }
     val f = fs(s, dest)
-    // the rewrite read (absorbed) every landed batch file in `before`:
-    // pin their fold markers NOW, before any rename (see Scaladoc)
-    markerDir.foreach { md =>
+    // the rewrite read (absorbed) every landed batch file in `before` —
+    // all complete, the incomplete ones were swept above: pin their
+    // fold markers NOW, before any rename (see Scaladoc)
+    val absorbedTags = markerDir.map { md =>
       val tags = before.flatMap(st => batchTagOf(st.getPath.getName)).distinct
       tags.foreach { tag =>
         val mp = new org.apache.hadoop.fs.Path(s"$md/$tag")
         f.mkdirs(mp.getParent)
         f.create(mp, true).close()
       }
-    }
+      tags
+    }.getOrElse(Seq.empty)
     val old = oldAside(dest)
     if (f.exists(old)) f.delete(old, true)
+    // a stolen lease means a second maintenance writer may be mid-swap
+    // on this table: abort before the renames, standing table untouched
+    verifyHeldLease(s, path)
     // intent marker: between here and its removal, recoverPromote can
     // reconstruct exactly which renames completed (tmp's existence is
     // the promote discriminator) and finish or unwind accordingly —
@@ -393,7 +540,10 @@ object IndexMaintenance {
     f.delete(old, true)
     f.delete(consumedOf(dest), true)
     f.delete(intent, false)
-    markerDir.foreach(retireMarkers(s, _))
+    markerDir.foreach { md =>
+      retireSeqSentinels(s, path, md, absorbedTags)
+      retireMarkers(s, md)
+    }
     (before.size, dataFiles(s, path).size)
   }}
 
@@ -422,7 +572,13 @@ object IndexMaintenance {
     * crash state. `tableName` is the index's assignment table (the one
     * carrying tombstones); the CALLER must hold [[withTableLock]] on it
     * and have taken `consumed` = the pending-tombstone snapshot its
-    * rebuild honored. */
+    * rebuild honored. Markers are pinned for EVERY standing tag here —
+    * including an incomplete one — because the rebuild's content comes
+    * from the caller's corpus directories (which include the batch's
+    * fully-landed source file), not from the landed table files; the
+    * caller's corpus-coverage contract is what makes the pin correct.
+    * The lease (a sibling of `indexDir`, outside the swap) is
+    * re-verified immediately before the promote renames. */
   private[graft] def publishDir(s: SparkSession, tmpDir: String, indexDir: String,
       tableName: String, consumed: Set[(Long, Long)]): Unit = {
     val dest = new org.apache.hadoop.fs.Path(indexDir)
@@ -433,6 +589,7 @@ object IndexMaintenance {
       .write.mode("overwrite").parquet(s"$tmpDir/$tableName/_consumed")
     val old = publishAside(dest)
     if (f.exists(old)) f.delete(old, true)
+    verifyHeldLease(s, s"$indexDir/$tableName")
     val intent = publishIntent(dest)
     f.create(intent, true).close()
     val batches = new org.apache.hadoop.fs.Path(dest, "_batches")
@@ -547,14 +704,71 @@ object IndexMaintenance {
     * batch's marker from its landed file names alone. */
   def batchTag(lineage: String, batchId: Long): String = s"${lineage}_b$batchId"
 
-  private val tagFileRe = """^b(.+_b\d+)-\d+(?:\.s\d+)?\.parquet$""".r
+  private val tagFileRe = """^b(.+_b\d+)-\d+(?:\.c\d+)?(?:\.s\d+)?\.parquet$""".r
+  private val countRe = """\.c(\d+)\.""".r
 
   /** The batch tag a landed data file belongs to, if it is a
-    * [[appendBatchAs]] batch file (`b$tag-N[.sK].parquet`). */
+    * [[appendBatchAs]] batch file (`b$tag-N[.cM][.sK].parquet`). */
   private[graft] def batchTagOf(fileName: String): Option[String] =
     tagFileRe.findFirstMatchIn(fileName).map(_.group(1))
 
+  /** The batch's total part count a landed file advertises (`.cM.`
+    * segment) — what makes a PARTIAL landing (crash mid-[[landAs]]
+    * renames) detectable from the names alone. Absent on pre-round-10
+    * files (treated as complete: their landing predates the check). */
+  private[graft] def partCountOf(fileName: String): Option[Int] =
+    countRe.findFirstMatchIn(fileName).map(_.group(1).toInt)
+
+  /** Is this tag's landed file set COMPLETE — every part the landing
+    * attempted is present? Complete iff all files carry the same `.cM.`
+    * advertised count and exactly M files stand. A mixed or stampless
+    * modern set is incomplete; an all-legacy (no `.c`) set is complete
+    * by grandfathering. */
+  private def tagComplete(files: Seq[org.apache.hadoop.fs.FileStatus]): Boolean = {
+    val counts = files.map(st => partCountOf(st.getPath.getName))
+    if (counts.forall(_.isEmpty)) true // pre-round-10 landing
+    else counts.flatten.distinct match {
+      case Seq(n) => counts.forall(_.isDefined) && files.size == n
+      case _ => false
+    }
+  }
+
+  /** Sweep the table files of INCOMPLETE markerless batches before a
+    * rewrite can absorb them. A markerless tag must have a complete
+    * file set in EVERY table of `tables` (a multi-table index — text:
+    * doclen then postings — appends all its tables under one tag, in
+    * order): a tag complete in doclen but absent from postings is a
+    * crash BETWEEN the two appends, and compacting it away with a
+    * pinned marker would silently lose the batch's postings rows
+    * forever (the retry would skip). Swept batches are uncommitted by
+    * construction — the marker is written only after every table's
+    * append — so the stream re-presents them, and the retry re-lands
+    * the whole batch under its persisted sequence stamp
+    * ([[appendBatchAs]]'s `.seq_` sentinel survives the sweep). Tags
+    * that already HAVE a marker are never swept: their partial presence
+    * is a previous compact having absorbed the other tables' files. */
+  private[graft] def sweepIncompleteBatches(s: SparkSession, tables: Seq[String],
+      markerDir: String): Unit = {
+    val mp = new org.apache.hadoop.fs.Path(markerDir)
+    val f = fs(s, mp)
+    val markers: Set[String] =
+      if (f.exists(mp)) f.listStatus(mp).toSeq.filter(_.isFile).map(_.getPath.getName).toSet
+      else Set.empty
+    val perTable: Seq[Map[String, Seq[org.apache.hadoop.fs.FileStatus]]] =
+      tables.map(t => dataFiles(s, t)
+        .flatMap(st => batchTagOf(st.getPath.getName).map(_ -> st))
+        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2) })
+    val candidates = perTable.flatMap(_.keys).toSet -- markers
+    candidates.foreach { tag =>
+      val committed = perTable.forall(m => m.get(tag).exists(tagComplete))
+      if (!committed) perTable.foreach(_.get(tag).foreach(_.foreach { st =>
+        f.delete(st.getPath, false)
+      }))
+    }
+  }
+
   private val markerNameRe = """^(.+)_b(\d+)$""".r
+  private val sentinelRe = """^(.+_b\d+)\.s(\d+)$""".r
 
   /** Retire fold markers the engine's commit protocol makes
     * unreachable. Structured Streaming starts micro-batch N only after
@@ -583,6 +797,35 @@ object IndexMaintenance {
     }
   }
 
+  /** Retire `.seq_` reuse-stamp sentinels whose batch can no longer
+    * retry: the tag was absorbed with its marker pinned this compact
+    * (the retry will skip on the marker), or a HIGHER batch id of the
+    * same lineage has a marker (the commit protocol proves this batch
+    * committed). Sentinels of swept incomplete batches stay — their
+    * retry needs the stamp. */
+  private def retireSeqSentinels(s: SparkSession, tablePath: String,
+      markerDir: String, pinnedTags: Seq[String]): Unit = {
+    val dest = new org.apache.hadoop.fs.Path(tablePath)
+    val f = fs(s, dest)
+    val mp = new org.apache.hadoop.fs.Path(markerDir)
+    val maxMarked: Map[String, Long] =
+      if (f.exists(mp)) f.listStatus(mp).toSeq.filter(_.isFile).flatMap {
+        _.getPath.getName match {
+          case markerNameRe(lineage, b) => Some(lineage -> b.toLong)
+          case _ => None
+        }
+      }.groupBy(_._1).map { case (l, v) => l -> v.map(_._2).max }
+      else Map.empty
+    val pinned = pinnedTags.toSet
+    tagSentinels(f, dest).foreach { case (tag, _, p) =>
+      val retired = pinned.contains(tag) || (tag match {
+        case markerNameRe(lineage, b) => maxMarked.get(lineage).exists(_ > b.toLong)
+        case _ => false
+      })
+      if (retired) f.delete(p, false)
+    }
+  }
+
   private def markerPath(indexDir: String, lineage: String, batchId: Long) =
     new org.apache.hadoop.fs.Path(s"$indexDir/_batches/${batchTag(lineage, batchId)}")
 
@@ -596,7 +839,10 @@ object IndexMaintenance {
 
   /** Record (lineage, batchId) as folded — called AFTER the batch's data
     * append succeeds, so a crash in between leaves the marker absent and
-    * the retry re-lands (replaces) the batch's files. */
+    * the retry re-lands (replaces) the batch's files. For a MULTI-TABLE
+    * index this is what defines batch commit: the marker is written only
+    * after EVERY table's append, and [[sweepIncompleteBatches]] treats a
+    * markerless tag missing from any table as uncommitted. */
   def recordBatch(s: SparkSession, indexDir: String, lineage: String, batchId: Long): Unit = {
     val p = markerPath(indexDir, lineage, batchId)
     val f = fs(s, p)
@@ -605,16 +851,55 @@ object IndexMaintenance {
     out.close()
   }
 
+  /** Reuse-stamp sentinels live as SIBLINGS of the table directory
+    * (`parent/.seq_{table}.{tag}.s{seq}`), so the compaction swap —
+    * which replaces the table dir wholesale — cannot delete the stamp a
+    * swept incomplete batch's retry still needs. A retrain's indexDir
+    * swap does drop them, but it pins every standing tag's marker, so
+    * no retry that needed a stamp survives it. */
+  private def sentinelName(dest: org.apache.hadoop.fs.Path, tag: String, seq: Long) =
+    s".seq_${dest.getName}.$tag.s$seq"
+
+  private def tagSentinels(f: org.apache.hadoop.fs.FileSystem,
+      dest: org.apache.hadoop.fs.Path): Seq[(String, Long, org.apache.hadoop.fs.Path)] = {
+    val parent = dest.getParent
+    val prefix = s".seq_${dest.getName}."
+    if (parent == null || !f.exists(parent)) Seq.empty
+    else f.listStatus(parent).toSeq.filter(st => st.isFile &&
+        st.getPath.getName.startsWith(prefix)).flatMap { st =>
+      st.getPath.getName.substring(prefix.length) match {
+        case sentinelRe(tag, sq) => Some((tag, sq.toLong, st.getPath))
+        case _ => None
+      }
+    }
+  }
+
+  /** The persisted reuse-stamp sentinel of a tag, if present. */
+  private def sentinelSeqOf(f: org.apache.hadoop.fs.FileSystem,
+      dest: org.apache.hadoop.fs.Path, tag: String): Option[Long] =
+    tagSentinels(f, dest).collectFirst { case (t, sq, _) if t == tag => sq }
+
   /** Append `df` to the parquet table at `tablePath` as batch `tag`,
     * IDEMPOTENTLY: the batch's files land under deterministic names
-    * (`b$tag-N.s$seq.parquet`) via an invisible staging dir, and any
-    * files a previous (crashed) attempt of the SAME tag left behind are
-    * swept first — so a retry replaces its own partial output instead
-    * of duplicating rows. A retry REUSES the first attempt's sequence
-    * stamp: a delete issued between the first landing and the retry
-    * watermarked its tombstone at the first attempt's sequence, and
-    * files re-landed under a fresh (higher) sequence would slip past
-    * that watermark — an acknowledged takedown silently undone.
+    * (`b$tag-N.c$parts.s$seq.parquet`) via an invisible staging dir, and
+    * any files a previous (crashed) attempt of the SAME tag left behind
+    * are swept first — so a retry replaces its own partial output
+    * instead of duplicating rows. The `.c$parts` segment advertises the
+    * landing's total part count, which is what lets a compaction detect
+    * (and refuse to absorb) a partial landing.
+    *
+    * A retry REUSES the first attempt's sequence stamp: a delete issued
+    * between the first landing and the retry watermarked its tombstone
+    * at the first attempt's sequence, and files re-landed under a fresh
+    * (higher) sequence would slip past that watermark — an acknowledged
+    * takedown silently undone. The stamp is PERSISTED in a hidden
+    * `.seq_{table}.{tag}.s{seq}` sentinel (a sibling of the table dir)
+    * BEFORE the first landing, so it
+    * survives every crash shape — including the window where the
+    * retry's sweep removed the first attempt's files but its renames
+    * never ran (zero `b$tag` files standing), which under the
+    * names-only scheme silently minted a fresh stamp. Sentinels retire
+    * at the compaction cadence once their batch is provably committed.
     * Underscore-prefixed staging is invisible to every table read. */
   def appendBatchAs(s: SparkSession, df: DataFrame, tablePath: String,
       tag: String): Unit = lockFor(s, tablePath).synchronized {
@@ -622,15 +907,24 @@ object IndexMaintenance {
       recoverPromote(s, tablePath)
       val dest = new org.apache.hadoop.fs.Path(tablePath)
       val f = fs(s, dest)
-      var reuseSeq = -1L
-      if (f.exists(dest)) f.listStatus(dest).toSeq
-        .filter(st => st.isFile && st.getPath.getName.startsWith(s"b$tag-"))
-        .foreach { st =>
-          val sq = fileSeqOf(st.getPath.getName)
-          reuseSeq = if (reuseSeq < 0) sq else math.min(reuseSeq, sq)
-        }
-      val seq = if (reuseSeq >= 0) reuseSeq else nextSeq(s, tablePath)
-      landAs(s, df, dest, i => s"b$tag-$i.s$seq.parquet", s"_staging_$tag",
+      val fromFiles: Option[Long] =
+        if (!f.exists(dest)) None
+        else f.listStatus(dest).toSeq
+          .filter(st => st.isFile && st.getPath.getName.startsWith(s"b$tag-"))
+          .map(st => fileSeqOf(st.getPath.getName))
+          .reduceOption((a, b) => math.min(a, b))
+      val seq = sentinelSeqOf(f, dest, tag)
+        .orElse(fromFiles)
+        .getOrElse(nextSeq(s, tablePath))
+      noteSeq(s, tablePath, seq)
+      // persist the stamp before anything can remove the files carrying
+      // it (this landing's own sweep on retry, or a maintenance sweep of
+      // an incomplete landing); sibling placement survives the compact
+      // swap of the table dir
+      if (sentinelSeqOf(f, dest, tag).isEmpty)
+        f.create(new org.apache.hadoop.fs.Path(
+          Option(dest.getParent).getOrElse(dest), sentinelName(dest, tag, seq)), true).close()
+      landAs(s, df, dest, (i, n) => s"b$tag-$i.c$n.s$seq.parquet", s"_staging_$tag",
         sweepPrefix = Some(s"b$tag-"))
     }
   }
@@ -649,16 +943,16 @@ object IndexMaintenance {
         recoverPromote(s, tablePath)
         val dest = new org.apache.hadoop.fs.Path(tablePath)
         val seq = nextSeq(s, tablePath)
-        landAs(s, df, dest, i => s"p-$i.s$seq.parquet", s"_staging_p$seq",
+        landAs(s, df, dest, (i, _) => s"p-$i.s$seq.parquet", s"_staging_p$seq",
           sweepPrefix = None)
       }
     }
 
   /** Write `df` through an invisible staging dir, then rename its parts
-    * into `dest` under `nameOf(i)` (sweeping `sweepPrefix`-matching
-    * leftovers first, for the idempotent tagged form). */
+    * into `dest` under `nameOf(i, parts)` (sweeping `sweepPrefix`-
+    * matching leftovers first, for the idempotent tagged form). */
   private def landAs(s: SparkSession, df: DataFrame, dest: org.apache.hadoop.fs.Path,
-      nameOf: Int => String, stagingName: String, sweepPrefix: Option[String]): Unit = {
+      nameOf: (Int, Int) => String, stagingName: String, sweepPrefix: Option[String]): Unit = {
     val f = fs(s, dest)
     val staging = new org.apache.hadoop.fs.Path(dest, stagingName)
     df.write.mode("overwrite").parquet(staging.toString)
@@ -672,7 +966,7 @@ object IndexMaintenance {
       .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
       .sortBy(_.getPath.getName)
     parts.zipWithIndex.foreach { case (st, i) =>
-      val to = new org.apache.hadoop.fs.Path(dest, nameOf(i))
+      val to = new org.apache.hadoop.fs.Path(dest, nameOf(i, parts.size))
       if (!f.rename(st.getPath, to))
         throw new java.io.IOException(s"landAs: rename ${st.getPath} -> $to failed")
     }
@@ -738,6 +1032,7 @@ object IndexMaintenance {
         import s.implicits._
         val seq = dataFiles(s, tablePath)
           .map(st => fileSeqOf(st.getPath.getName)).foldLeft(0L)(math.max)
+        noteSeq(s, tablePath, seq)
         ids.map(i => (i, seq)).toDF("id", "del_seq").coalesce(1)
           .write.mode("append").parquet(s"$tablePath/_tombstones")
       }

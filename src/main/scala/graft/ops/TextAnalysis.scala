@@ -1024,9 +1024,15 @@ object TextAnalysis {
     * the serve derives it from the postings at query time, so it is
     * always current. `tag` gives the crash-safe deterministic file
     * names ([[IndexMaintenance.appendBatchAs]]) the streaming ingest
-    * loop's retry semantics need. */
+    * loop's retry semantics need. Both table appends run under ONE
+    * index-scoped maintenance acquisition, so a concurrent compaction
+    * cannot absorb the doclen files of a batch whose postings append is
+    * still in flight — the batch is atomic against maintenance, and the
+    * fold marker (written by the caller after this returns) is the
+    * commit point the sweep in [[IndexMaintenance.sweepIncompleteBatches]]
+    * discriminates on. */
   def textIndexAppendBatch(s: SparkSession, batch: DataFrame, indexDir: String,
-      tag: Option[String] = None): Unit = {
+      tag: Option[String] = None): Unit = IndexMaintenance.withIndexMaintenance(s, indexDir) {
     val base = indexableDocs(batch)
     val doclen = base.select(col("doc_id"), col("dl"), col("lang"), col("source"))
     val postings = base
@@ -1133,8 +1139,21 @@ object TextAnalysis {
     * 1-row stats table is RECOMPUTED from the surviving doclen rows —
     * the Lucene semantic made explicit: n_docs/avgdl stay frozen
     * between delete and compact (deleted docs still shape scores, but
-    * never appear), and compact is where statistics catch up. */
-  def textIndexCompact(s: SparkSession, indexDir: String): (Int, Int) = {
+    * never appear), and compact is where statistics catch up.
+    *
+    * The whole two-table sequence runs under ONE index-scoped
+    * maintenance acquisition, and the CROSS-TABLE incomplete-batch
+    * sweep runs FIRST: a markerless tag whose files stand in doclen but
+    * not postings is a crash between the batch's two appends
+    * ([[textIndexAppendBatch]] lands doclen first) — compacting doclen
+    * alone used to pin that tag's fold marker from the doclen files,
+    * making the stream's retry skip and silently losing the batch's
+    * postings rows forever. The sweep removes the uncommitted partial
+    * batch instead, and the retry re-lands both tables. */
+  def textIndexCompact(s: SparkSession, indexDir: String): (Int, Int) =
+      IndexMaintenance.withIndexMaintenance(s, indexDir) {
+    IndexMaintenance.sweepIncompleteBatches(s,
+      Seq(s"$indexDir/doclen", s"$indexDir/postings"), s"$indexDir/_batches")
     IndexMaintenance.compactTable(s, s"$indexDir/doclen", Seq("doc_id"),
       tombstoneCol = Some("doc_id"), markerDir = Some(s"$indexDir/_batches"))
     val r = IndexMaintenance.compactTable(s, s"$indexDir/postings", Seq("term", "doc_id"),

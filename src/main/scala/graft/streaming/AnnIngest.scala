@@ -57,10 +57,14 @@ object AnnIngest {
           Seq("vec_id", "tbl"), "vec_id")
         AnnIndex.lshIndexCompact(s, indexDir)
       }) { (batch, batchId) =>
-      if (!IndexMaintenance.batchSeen(s, indexDir, lineage, batchId)) {
-        AnnIndex.lshIndexAppendBatch(s, batch, indexDir,
-          tag = Some(IndexMaintenance.batchTag(lineage, batchId)))
-        IndexMaintenance.recordBatch(s, indexDir, lineage, batchId)
+      // one lease + lock acquisition for the whole trigger (probe,
+      // append, marker) — inner per-table ops reenter
+      IndexMaintenance.withIndexMaintenance(s, indexDir) {
+        if (!IndexMaintenance.batchSeen(s, indexDir, lineage, batchId)) {
+          AnnIndex.lshIndexAppendBatch(s, batch, indexDir,
+            tag = Some(IndexMaintenance.batchTag(lineage, batchId)))
+          IndexMaintenance.recordBatch(s, indexDir, lineage, batchId)
+        }
       }
     }
   }
@@ -78,10 +82,12 @@ object AnnIngest {
         IndexMaintenance.checkUnique(s, s"$indexDir/lists", Seq("vec_id"), "vec_id")
         AnnIndex.ivfIndexCompact(s, indexDir)
       }) { (batch, batchId) =>
-      if (!IndexMaintenance.batchSeen(s, indexDir, lineage, batchId)) {
-        AnnIndex.ivfIndexAppendBatch(s, batch, indexDir,
-          tag = Some(IndexMaintenance.batchTag(lineage, batchId)))
-        IndexMaintenance.recordBatch(s, indexDir, lineage, batchId)
+      IndexMaintenance.withIndexMaintenance(s, indexDir) {
+        if (!IndexMaintenance.batchSeen(s, indexDir, lineage, batchId)) {
+          AnnIndex.ivfIndexAppendBatch(s, batch, indexDir,
+            tag = Some(IndexMaintenance.batchTag(lineage, batchId)))
+          IndexMaintenance.recordBatch(s, indexDir, lineage, batchId)
+        }
       }
     }
   }

@@ -47,10 +47,13 @@ object DecontamIngest {
           Seq("eval_id", "h"), "eval_id")
         Curation.decontamIndexCompact(s, indexDir)
       }) { (batch, batchId) =>
-      if (!IndexMaintenance.batchSeen(s, indexDir, lineage, batchId)) {
-        Curation.decontamIndexAppendBatch(s, batch, indexDir,
-          tag = Some(IndexMaintenance.batchTag(lineage, batchId)))
-        IndexMaintenance.recordBatch(s, indexDir, lineage, batchId)
+      // one lease + lock acquisition for the whole trigger
+      IndexMaintenance.withIndexMaintenance(s, indexDir) {
+        if (!IndexMaintenance.batchSeen(s, indexDir, lineage, batchId)) {
+          Curation.decontamIndexAppendBatch(s, batch, indexDir,
+            tag = Some(IndexMaintenance.batchTag(lineage, batchId)))
+          IndexMaintenance.recordBatch(s, indexDir, lineage, batchId)
+        }
       }
     }
   }

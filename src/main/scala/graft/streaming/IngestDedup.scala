@@ -124,7 +124,10 @@ object IngestDedup {
       Dedup.ingestIndexCompact(s, indexDir)
       Dedup.ingestSinkCompact(s, outDir)
     }, filesPerTrigger) { (batch, batchId) =>
-      Dedup.ingestManifestBatch(s, batch, indexDir, outDir, batchId)
+      // one lease + lock acquisition per trigger for the index tables
+      graft.ops.IndexMaintenance.withIndexMaintenance(s, indexDir) {
+        Dedup.ingestManifestBatch(s, batch, indexDir, outDir, batchId)
+      }
     }
 
   /** Registered-query form: split the sf documents table into

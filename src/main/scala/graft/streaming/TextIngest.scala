@@ -49,10 +49,15 @@ object TextIngest {
           Seq("term", "doc_id"), "doc_id")
         TextAnalysis.textIndexCompact(s, indexDir)
       }) { (batch, batchId) =>
-      if (!IndexMaintenance.batchSeen(s, indexDir, lineage, batchId)) {
-        TextAnalysis.textIndexAppendBatch(s, batch, indexDir,
-          tag = Some(IndexMaintenance.batchTag(lineage, batchId)))
-        IndexMaintenance.recordBatch(s, indexDir, lineage, batchId)
+      // one lease + lock acquisition for the whole trigger: the probe,
+      // BOTH table appends, and the fold marker are atomic against a
+      // concurrent compaction (see textIndexAppendBatch's contract)
+      IndexMaintenance.withIndexMaintenance(s, indexDir) {
+        if (!IndexMaintenance.batchSeen(s, indexDir, lineage, batchId)) {
+          TextAnalysis.textIndexAppendBatch(s, batch, indexDir,
+            tag = Some(IndexMaintenance.batchTag(lineage, batchId)))
+          IndexMaintenance.recordBatch(s, indexDir, lineage, batchId)
+        }
       }
     }
   }

@@ -33,8 +33,10 @@ class MaintenanceSpec extends AnyFunSuite {
     val tmp = tmpDir("lease")
     (1L to 50L).map(i => (i, s"v$i")).toDF("id", "v")
       .write.mode("overwrite").parquet(s"$tmp/t")
-    // fabricate a concurrent writer: a foreign-owned lease, fresh mtime
-    val lease = file(s"$tmp/.t.lease")
+    // fabricate a concurrent writer: a foreign-owned lease, fresh
+    // mtime — the lease is scoped to the table's parent (index) dir and
+    // lives as a SIBLING of it, outside every swapped directory
+    val lease = file(s"${file(tmp).getParent}/.${file(tmp).getName}.lease")
     val out = new java.io.FileOutputStream(lease)
     out.write("00000000-dead-beef-0000-000000000000".getBytes("UTF-8")); out.close()
     val e1 = intercept[IllegalStateException](
@@ -61,7 +63,7 @@ class MaintenanceSpec extends AnyFunSuite {
     // and the lease is released afterwards: a second op proceeds
     IndexMaintenance.compactTable(spark, s"$tmp/t", Seq("id"), tombstoneCol = Some("id"))
     assert(spark.read.parquet(s"$tmp/t").count() == 49L)
-    assert(!file(s"$tmp/.t.lease").exists(), "lease leaked after release")
+    assert(!lease.exists(), "lease leaked after release")
   }
 
   test("sequence stamps: delete-then-re-append serves under a coarse-granularity clock") {
@@ -136,6 +138,129 @@ class MaintenanceSpec extends AnyFunSuite {
       "absorbed batch lost its fold marker — the retry would duplicate rows")
     assert(spark.read.parquet(s"$tmp/idx/t").count() == 15L)
     IndexMaintenance.checkUnique(spark, s"$tmp/idx/t", Seq("id"), "id")
+  }
+
+  test("stolen lease: an op that lost its lease aborts LOUDLY before its promote") {
+    import spark.implicits._
+    val tmp = tmpDir("steal")
+    (1L to 50L).map(i => (i, s"v$i")).toDF("id", "v")
+      .write.mode("overwrite").parquet(s"$tmp/t")
+    val lease = file(s"${file(tmp).getParent}/.${file(tmp).getName}.lease")
+    // fabricate the expired-then-stolen shape: this process holds the
+    // scope lease (as a long-running compact would), a second process
+    // judges it stale and re-takes it — then OUR op reaches its promote
+    val e = intercept[IllegalStateException] {
+      IndexMaintenance.withIndexMaintenance(spark, tmp) {
+        val out = new java.io.FileOutputStream(lease)
+        out.write("00000000-dead-beef-0000-000000000000".getBytes("UTF-8")); out.close()
+        IndexMaintenance.compactTable(spark, s"$tmp/t", Seq("id"))
+      }
+    }
+    assert(e.getMessage.contains("stolen") || e.getMessage.contains("broken"),
+      s"wrong abort reason: ${e.getMessage}")
+    // aborted BEFORE the promote: the standing table is untouched and
+    // no intent/aside state was created (nothing for recovery to heal)
+    assert(spark.read.parquet(s"$tmp/t").count() == 50L)
+    assert(!file(s"$tmp/.t.promote.intent").exists(), "promote intent created after a stolen lease")
+    assert(!file(s"$tmp/.t.compact.old").exists(), "table renamed aside after a stolen lease")
+    lease.delete() // the thief's lease, not ours to release
+  }
+
+  test("text index: a batch crashed between doclen and postings appends is swept, not marker-pinned") {
+    import spark.implicits._
+    val r = tmpDir("text-orphan")
+    val docs = Tables(spark, TestSpark.sf0001, "documents")
+    docs.filter(org.apache.spark.sql.functions.pmod(col("doc_id"), lit(3)) === 0)
+      .write.mode("overwrite").parquet(s"$r/seed/documents.parquet")
+    graft.ops.TextAnalysis.textIndexWrite(spark, s"$r/seed", s"$r/index")
+    val doclenBefore = spark.read.parquet(s"$r/index/doclen").count()
+    val postingsBefore = spark.read.parquet(s"$r/index/postings").count()
+    // the crash: textIndexAppendBatch lands doclen FIRST; the process
+    // dies before the postings append and before recordBatch
+    val lineage = "eeee5555"
+    val tag = IndexMaintenance.batchTag(lineage, 7L)
+    IndexMaintenance.appendBatchAs(spark,
+      Seq((900001L, 3L, "en", "web")).toDF("doc_id", "dl", "lang", "source"),
+      s"$r/index/doclen", tag)
+    assert(!IndexMaintenance.batchSeen(spark, s"$r/index", lineage, 7L))
+    // a compaction before the stream's retry: the old code pinned the
+    // fold marker from the doclen files alone — the retry then skipped
+    // and the batch's postings rows were silently lost forever
+    graft.ops.TextAnalysis.textIndexCompact(spark, s"$r/index")
+    assert(!IndexMaintenance.batchSeen(spark, s"$r/index", lineage, 7L),
+      "marker pinned from a doclen-only partial batch — the retry would skip " +
+      "and the batch's postings rows would be silently lost")
+    assert(spark.read.parquet(s"$r/index/doclen")
+      .filter(col("doc_id") === 900001L).count() == 0L,
+      "compaction absorbed the uncommitted partial batch's doclen rows")
+    // the retry re-lands the WHOLE batch and commits it
+    graft.ops.TextAnalysis.textIndexAppendBatch(spark,
+      Seq((900001L, "en", "web", "alpha beta alpha")).toDF("doc_id", "lang", "source", "text"),
+      s"$r/index", tag = Some(tag))
+    IndexMaintenance.recordBatch(spark, s"$r/index", lineage, 7L)
+    assert(spark.read.parquet(s"$r/index/doclen")
+      .filter(col("doc_id") === 900001L).count() == 1L)
+    assert(spark.read.parquet(s"$r/index/postings")
+      .filter(col("doc_id") === 900001L).count() == 2L, "alpha + beta posting rows")
+    assert(spark.read.parquet(s"$r/index/doclen").count() == doclenBefore + 1)
+    assert(spark.read.parquet(s"$r/index/postings").count() == postingsBefore + 2)
+    IndexMaintenance.checkUnique(spark, s"$r/index/postings", Seq("term", "doc_id"), "doc_id")
+  }
+
+  test("incomplete landing: a partial b$tag file set (crash mid-renames) is swept, not pinned") {
+    import spark.implicits._
+    val tmp = tmpDir("partial")
+    val lineage = "ffff6666"
+    (1L to 10L).map(i => (i, i * 2)).toDF("id", "v")
+      .write.mode("overwrite").parquet(s"$tmp/idx/t")
+    val tag = IndexMaintenance.batchTag(lineage, 0L)
+    IndexMaintenance.appendBatchAs(spark,
+      (11L to 40L).map(i => (i, i * 2)).toDF("id", "v").repartition(3), s"$tmp/idx/t", tag)
+    val landed = file(s"$tmp/idx/t").listFiles().filter(_.getName.startsWith(s"b$tag-"))
+    assert(landed.length == 3, s"expected 3 advertised parts, got ${landed.length}")
+    assert(landed.forall(_.getName.contains(".c3.")), "part files must advertise the part count")
+    // crash mid-landAs: one part never got renamed in
+    assert(landed.head.delete())
+    new java.io.File(landed.head.getParentFile, s".${landed.head.getName}.crc").delete()
+    IndexMaintenance.compactTable(spark, s"$tmp/idx/t", Seq("id"),
+      markerDir = Some(s"$tmp/idx/_batches"))
+    assert(!IndexMaintenance.batchSeen(spark, s"$tmp/idx", lineage, 0L),
+      "marker pinned from a partial file set — the missing part's rows would be lost")
+    assert(spark.read.parquet(s"$tmp/idx/t").count() == 10L,
+      "compaction absorbed the uncommitted partial landing")
+    // retry re-lands the full batch
+    IndexMaintenance.appendBatchAs(spark,
+      (11L to 40L).map(i => (i, i * 2)).toDF("id", "v").repartition(3), s"$tmp/idx/t", tag)
+    IndexMaintenance.recordBatch(spark, s"$tmp/idx", lineage, 0L)
+    assert(spark.read.parquet(s"$tmp/idx/t").count() == 40L)
+    IndexMaintenance.checkUnique(spark, s"$tmp/idx/t", Seq("id"), "id")
+  }
+
+  test("reuse stamp survives the zero-file crash window (takedown not resurrected)") {
+    import spark.implicits._
+    val tmp = tmpDir("reuse")
+    val lineage = "aaaa7777"
+    (1L to 10L).map(i => (i, s"v$i")).toDF("id", "v")
+      .write.mode("overwrite").parquet(s"$tmp/idx/t")
+    val tag = IndexMaintenance.batchTag(lineage, 0L)
+    IndexMaintenance.appendBatchAs(spark,
+      Seq((11L, "x"), (12L, "y")).toDF("id", "v"), s"$tmp/idx/t", tag)
+    // a takedown lands between the first landing and the retry: its
+    // tombstone watermarks at the first attempt's sequence stamp
+    IndexMaintenance.deleteIds(spark, s"$tmp/idx/t", Seq(11L))
+    // the crash window ADVICE flagged: the retry's sweep removed the
+    // first attempt's files, then the process died before any rename —
+    // zero b$tag files stand, only the persisted stamp sentinel remains
+    file(s"$tmp/idx/t").listFiles()
+      .filter(_.getName.startsWith(s"b$tag-")).foreach(f => assert(f.delete()))
+    IndexMaintenance.appendBatchAs(spark,
+      Seq((11L, "x"), (12L, "y")).toDF("id", "v"), s"$tmp/idx/t", tag)
+    val served = IndexMaintenance.minusTombstones(spark, s"$tmp/idx/t",
+      spark.read.parquet(s"$tmp/idx/t"), "id")
+      .filter(col("id") >= 11L).collect().map(_.getLong(0)).toSeq.sorted
+    assert(served === Seq(12L),
+      s"served $served — the retry minted a fresh sequence stamp and slipped past " +
+      "the tombstone watermark: an acknowledged takedown silently undone")
   }
 
   test("absorbed batch: a retrain publish pins the un-markered batch's fold marker") {
