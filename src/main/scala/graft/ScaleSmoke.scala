@@ -28,11 +28,17 @@ import org.apache.spark.sql.functions._
 object ScaleSmoke {
   private def say(msg: String): Unit = { println(s"SCALE $msg"); Console.flush() }
 
-  private def time[A](tag: String)(f: => A): A = {
+  private def time[A](tag: String)(f: => A): A = timed(tag)(f)._1
+
+  /** As [[time]], but returns the elapsed seconds alongside — for rows
+    * whose ASSERTION is about the time itself (the clustered auto-IVF
+    * vs brute-force race). */
+  private def timed[A](tag: String)(f: => A): (A, Double) = {
     val t0 = System.nanoTime()
     val r = f
-    say(f"$tag%-52s ${(System.nanoTime() - t0) / 1e9}%8.1f s")
-    r
+    val sec = (System.nanoTime() - t0) / 1e9
+    say(f"$tag%-52s $sec%8.1f s")
+    (r, sec)
   }
 
   private def noop(df: DataFrame): Unit =
@@ -1051,17 +1057,29 @@ object ScaleSmoke {
       time("generate clustered corpus (mixture of 50 Gaussians, linear size skew)") {
         generateClustered(spark, cdir)
       }
-    val cExact = time("CLUSTERED sim_topk_bruteforce (ground truth)") {
+    val (cExact, _) = timed("CLUSTERED sim_topk_bruteforce (ground truth, cold)") {
       topkPairs(ops.Similarity.simTopkBruteforce(spark, cdir))
+    }
+    val (_, cExactSec) = timed("CLUSTERED sim_topk_bruteforce (steady-state)") {
+      noop(ops.Similarity.simTopkBruteforce(spark, cdir))
     }
     val cLshAuto = time("CLUSTERED sim_lsh_ann_auto") {
       topkPairs(ops.Similarity.simLshAnnAuto(spark, cdir))
     }
-    val cIvfAuto = time("CLUSTERED sim_ivf_topk_auto") {
-      topkPairs(ops.Similarity.simIvfTopkAuto(spark, cdir))
-    }
+    // trained runs FIRST so the one-time k-means cost lands on its row
+    // (the memo shares it), as in the main-corpus section — round 9
+    // timed auto first and its row carried the training
     val cIvfTrained = time("CLUSTERED sim_ivf_topk_trained (k-means on clustered)") {
       topkPairs(ops.Similarity.simIvfTopkTrained(spark, cdir))
+    }
+    val (cIvfAuto, _) = timed("CLUSTERED sim_ivf_topk_auto (mass probes, build+serve)") {
+      topkPairs(ops.Similarity.simIvfTopkAuto(spark, cdir))
+    }
+    // steady-state serve: the built lists are memoized (build once,
+    // serve many — the IVF deployment shape); this is the row the
+    // beats-brute-force assertion grades
+    val (_, cIvfAutoSec) = timed("CLUSTERED sim_ivf_topk_auto (steady-state serve)") {
+      noop(ops.Similarity.simIvfTopkAuto(spark, cdir))
     }
     def cRecall(got: Set[(Long, Long)]): Double =
       (cExact intersect got).size.toDouble / cExact.size
@@ -1104,13 +1122,70 @@ object ScaleSmoke {
     }
     say(s"  CLUSTERED semdedup: stride dropped ${cSem._2}/${cSem._1}, " +
       s"trained dropped ${cSemT._2}/${cSemT._1} (planted dups: $nVecDup)")
+    // round-10 τ calibration: the drop-rate-vs-τ curve per geometry
+    // (the PLANS.md table), plus the budgeted percentile form. The
+    // clustered-sane default must catch the planted near-dups without
+    // flushing the clusters (the round-9 product-breaking finding).
+    time("SemDeDup tau sweep (clustered)")(semSweep(spark, cdir, "clustered"))
+    time("SemDeDup tau sweep (near-orthogonal)")(semSweep(spark, dir, "near-orth"))
+    val cal = ops.Dedup.dedupSemantic(spark, cdir, ops.Dedup.semanticTauClustered)
+      .agg(sum(lit(1L) - col("kept")),
+        sum(when(col("vec_id") >= lit(nVec - nVecDup), lit(1L) - col("kept"))
+          .otherwise(lit(0L)))).collect()(0)
+    val calRecall = cal.getLong(1).toDouble / nVecDup
+    val calFalse = (cal.getLong(0) - cal.getLong(1)).toDouble / (nVec - nVecDup)
+    say(f"  CLUSTERED semdedup at tauClustered=${ops.Dedup.semanticTauClustered}: " +
+      f"dropped=${cal.getLong(0)} recall=$calRecall%.3f false-drop=$calFalse%.4f")
+    assert(calRecall >= 0.9 && calFalse <= 0.01,
+      f"clustered tau default mis-calibrated: recall=$calRecall%.3f false-drop=$calFalse%.4f")
+    val pc = ops.Dedup.dedupSemanticPercentile(spark, cdir)
+      .agg(sum(lit(1L) - col("kept")),
+        sum(when(col("vec_id") >= lit(nVec - nVecDup), lit(1L) - col("kept"))
+          .otherwise(lit(0L)))).collect()(0)
+    say(f"  CLUSTERED semdedup PCTL(${ops.Dedup.semanticDropFrac}): " +
+      f"dropped=${pc.getLong(0)} recall=${pc.getLong(1).toDouble / nVecDup}%.3f")
+    assert(pc.getLong(0) == math.floor(ops.Dedup.semanticDropFrac * nVec).toLong &&
+      pc.getLong(1).toDouble / nVecDup >= 0.9,
+      "percentile semdedup missed its budget or the planted dups on clustered geometry")
     // the auto-tuned constants must hold on BOTH geometries: loose
     // floors here — the PLANS.md table carries the exact numbers
     assert(cRecall(cLshAuto) > 0.5 && cRecall(cIvfAuto) > 0.5,
       "auto-tuned ANN collapsed on clustered geometry — re-derive the constants")
+    // round-10 probe policy: auto-IVF must BEAT brute force on the
+    // clustered corpus (round 9 measured it 10x SLOWER under
+    // list-count probing) at recall >= 0.9
+    say(f"  CLUSTERED ivf auto (mass-budgeted probes): ${cIvfAutoSec}%.1f s " +
+      f"vs brute ${cExactSec}%.1f s, recall ${cRecall(cIvfAuto)}%.3f")
+    assert(cIvfAutoSec < cExactSec && cRecall(cIvfAuto) >= 0.9,
+      f"mass-budgeted auto-IVF lost to brute force (${cIvfAutoSec}%.1f s vs " +
+      f"${cExactSec}%.1f s) or recall ${cRecall(cIvfAuto)}%.3f < 0.9 on clustered geometry")
 
     say("done")
     spark.stop()
+  }
+
+  /** Drop-rate-vs-τ sweep + the budgeted percentile form over one
+    * corpus family — the PLANS.md calibration table's source. Each row:
+    * total dropped, planted-dup recall (the last nVecDup ids duplicate
+    * id−nVecDup at ~0.999 cosine), false-drop rate over the non-planted
+    * rest. */
+  private def semSweep(spark: SparkSession, d: String, tag: String): Unit = {
+    Seq(0.45, 0.6, 0.8, 0.9, 0.95, 0.99).foreach { tau =>
+      val r = ops.Dedup.dedupSemantic(spark, d, tau)
+        .agg(sum(lit(1L) - col("kept")),
+          sum(when(col("vec_id") >= lit(nVec - nVecDup), lit(1L) - col("kept"))
+            .otherwise(lit(0L)))).collect()(0)
+      val dropped = r.getLong(0); val planted = r.getLong(1)
+      say(f"  SEMSWEEP $tag tau=$tau%.2f dropped=$dropped%7d (${dropped * 100.0 / nVec}%5.1f%%) " +
+        f"planted-recall=${planted.toDouble / nVecDup}%.3f " +
+        f"false-drop=${(dropped - planted).toDouble / (nVec - nVecDup)}%.4f")
+    }
+    val p = ops.Dedup.dedupSemanticPercentile(spark, d)
+      .agg(sum(lit(1L) - col("kept")),
+        sum(when(col("vec_id") >= lit(nVec - nVecDup), lit(1L) - col("kept"))
+          .otherwise(lit(0L)))).collect()(0)
+    say(f"  SEMSWEEP $tag PCTL(${ops.Dedup.semanticDropFrac}) dropped=${p.getLong(0)} " +
+      f"planted-recall=${p.getLong(1).toDouble / nVecDup}%.3f")
   }
 
   /** Seeded mixture-of-Gaussians embedding corpus: 50 centers from the

@@ -1088,7 +1088,8 @@ object Dedup {
     * the blocked embedding dedups and [[dedupSemantic]]. Emits every
     * `(id_a < id_b, cosine ≥ cosineThreshold)` pair that co-occurs in a
     * block; callers dedupe across probe blocks if probes > 1. */
-  private def tiledBlockPairs(asg: DataFrame): DataFrame = {
+  private def tiledBlockPairs(asg: DataFrame,
+      threshold: Double = cosineThreshold): DataFrame = {
     // TRIANGLE TILING (found by the round-4 100× experiment, second
     // pass): expanding a whole block's pairs from its single array row
     // pins Σ m² work to ONE task — a skewed quantizer's mega-block
@@ -1123,7 +1124,7 @@ object Dedup {
     cells
       .select(explode(graft.plans.VectorFunctions.cell_pairs_cosine(
         col("cell.ia"), col("cell.ib"),
-        col("cell.ta") === col("cell.tb"), cosineThreshold)).as("p"))
+        col("cell.ta") === col("cell.tb"), threshold)).as("p"))
       .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"), col("p.cosine").as("cosine"))
   }
 
@@ -1144,9 +1145,23 @@ object Dedup {
     * ≤ pairs, few past the threshold) — broadcast-able at any corpus
     * size where dups are rare. Deterministic stride quantizer ⇒ full
     * DuckDB oracle; the trained-quantizer variant would be rows-only
-    * like the other `_trained` paths. */
-  def dedupSemantic(s: SparkSession, dir: String): DataFrame =
-    dedupSemanticWith(s, dir, Similarity.centroidsOf)
+    * like the other `_trained` paths.
+    *
+    * τ IS A CORPUS-GEOMETRY POLICY, NOT A UNIVERSAL CONSTANT — the
+    * round-9 clustered-geometry experiment measured the default
+    * dropping 247,500 of 250,000 vectors (2,500 planted dups) on a
+    * 50-Gaussian mixture: when embeddings cluster (the geometry real
+    * sentence embeddings have), within-cluster cosine sits far above a
+    * threshold calibrated on scattered corpora, and the keep rule
+    * degenerates to one representative per cluster. The round-10 τ
+    * sweep (PLANS.md) measured the drop-rate curve per geometry; on
+    * clustered corpora start from [[semanticTauClustered]], on
+    * scattered ones the shared [[cosineThreshold]] holds, and when the
+    * duplicate BUDGET is the known quantity (the paper's own tuning
+    * loop), use [[dedupSemanticPercentile]], which needs no τ at all. */
+  def dedupSemantic(s: SparkSession, dir: String,
+      tau: Double = cosineThreshold): DataFrame =
+    dedupSemanticWith(s, dir, Similarity.centroidsOf, tau)
 
   /** SemDeDup with the TRAINED quantizer — the paper's actual recipe
     * (real k-means, better-balanced clusters ⇒ lower Σ cluster² for the
@@ -1154,19 +1169,82 @@ object Dedup {
     * search and blocked-dedup paths. Rows-only like every `_trained`
     * variant (float-summation order); its self-check recomputes every
     * keep decision brute-force from the collected trained centroid
-    * table ([[graft.SelfChecks]]). */
-  def dedupSemanticTrained(s: SparkSession, dir: String): DataFrame =
-    dedupSemanticWith(s, dir, _ => Similarity.trainedCentroidsOf(s, dir))
+    * table ([[graft.SelfChecks]]). Same τ policy as [[dedupSemantic]]. */
+  def dedupSemanticTrained(s: SparkSession, dir: String,
+      tau: Double = cosineThreshold): DataFrame =
+    dedupSemanticWith(s, dir, _ => Similarity.trainedCentroidsOf(s, dir), tau)
+
+  /** Clustered-geometry τ default, from the round-10 sweep on the
+    * 250k-vector ScaleSmoke corpora (PLANS.md has the full drop-rate
+    * table per geometry). The measured cliff: on the 50-Gaussian
+    * clustered family the drop rate is still 98.4% at τ=0.95 and falls
+    * to 1.1% at τ=0.99 (planted-dup recall 0.936, false-drop 0.18%) —
+    * the within-cluster cosine mass sits between 0.95 and 0.99, so any
+    * τ below it flushes whole clusters. On the near-orthogonal family
+    * the same cliff sits between 0.80 and 0.90. The cliff POSITION is a
+    * corpus property, which is why the right production move is a
+    * one-pass calibration on a corpus sample — exactly what
+    * [[dedupSemanticPercentile]] automates. */
+  val semanticTauClustered = 0.99
 
   private def dedupSemanticWith(s: SparkSession, dir: String,
-      centFn: DataFrame => DataFrame): DataFrame = {
+      centFn: DataFrame => DataFrame, tau: Double = cosineThreshold): DataFrame = {
     val n = Similarity.normed(s, dir)
     val asg = Similarity.nearestCentroids(centFn(n))(
       n, "vec_id", "embedding", "nrm", 1, carry = Seq("embedding", "nrm"))
     // probes = 1 ⇒ each pair appears in exactly one block: no distinct
-    val dropped = tiledBlockPairs(asg)
+    val dropped = tiledBlockPairs(asg, tau)
       .select(col("id_b").as("vec_id")).distinct()
       .withColumn("dup", lit(1L))
+    asg.select(col("vec_id"), col("c_id"))
+      .join(dropped, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("c_id"),
+        (lit(1L) - coalesce(col("dup"), lit(0L))).as("kept"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** Fraction of the corpus the percentile keep rule drops — the
+    * duplicate BUDGET. 1% is the conservative production default
+    * (dedup budgets are set from an expected duplication rate, not a
+    * similarity scale). */
+  val semanticDropFrac = 0.01
+
+  /** Candidate floor for the percentile scoring: pairs below this
+    * cosine can never be in the dropped head at any sane budget, so the
+    * quadratic kernel does not materialize them. Must sit BELOW any
+    * cutoff the budget could select — 0.3 is far under the clustered
+    * within-cluster mass the sweep measured. */
+  val semanticPairFloor = 0.3
+
+  /** Percentile-based SemDeDup — the τ-free form of the keep decision,
+    * for when the duplicate BUDGET is the known quantity (the common
+    * production case; the SemDeDup paper itself tunes τ against a
+    * target drop fraction). Each vector's redundancy score is its
+    * maximum cosine to a lower-id member of its cluster (the same
+    * masking orientation as [[dedupSemantic]]); the `dropFrac` most
+    * redundant vectors corpus-wide are dropped. Self-calibrating by
+    * construction: on clustered geometry the cutoff lands wherever the
+    * within-cluster mass puts it, instead of a fixed τ silently
+    * flushing 99% of the corpus (the round-9 finding).
+    *
+    * Scale shape: the same 1-probe triangle-tiled kernel; the global
+    * head selection is a TakeOrderedAndProject over the per-vector
+    * scores (top-K by score, never a single-partition window), K =
+    * floor(dropFrac · corpus). Scores are rounded to 6 decimals with a
+    * vec_id tie-break, which makes the head deterministic and
+    * DuckDB-restatable (the oracle reorders float sums). */
+  def dedupSemanticPercentile(s: SparkSession, dir: String,
+      dropFrac: Double = semanticDropFrac): DataFrame = {
+    val n = Similarity.normed(s, dir)
+    val asg = Similarity.nearestCentroids(Similarity.centroidsOf(n))(
+      n, "vec_id", "embedding", "nrm", 1, carry = Seq("embedding", "nrm"))
+    val k = math.floor(dropFrac * asg.count()).toLong
+    val dropped = tiledBlockPairs(asg, semanticPairFloor)
+      .groupBy(col("id_b").as("vec_id"))
+      .agg(round(max(col("cosine")), 6).as("score"))
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(k.toInt)
+      .select(col("vec_id"), lit(1L).as("dup"))
     asg.select(col("vec_id"), col("c_id"))
       .join(dropped, Seq("vec_id"), "left")
       .select(col("vec_id"), col("c_id"),
@@ -1337,8 +1415,9 @@ object Dedup {
     "dedup_embedding_cosine" -> dedupEmbeddingCosine _,
     "dedup_embedding_blocked" -> dedupEmbeddingBlocked _,
     "dedup_embedding_blocked_trained" -> dedupEmbeddingBlockedTrained _,
-    "dedup_semantic" -> dedupSemantic _,
-    "dedup_semantic_trained" -> dedupSemanticTrained _,
+    "dedup_semantic" -> ((s, d) => dedupSemantic(s, d)),
+    "dedup_semantic_trained" -> ((s, d) => dedupSemanticTrained(s, d)),
+    "dedup_semantic_pctl" -> ((s, d) => dedupSemanticPercentile(s, d)),
   )
 
   private val mhValuesSql =
@@ -1760,6 +1839,48 @@ object Dedup {
     "dedup_semantic" ->
       s"""WITH $semanticCteSql
          |SELECT vec_id, c_id, kept FROM sem ORDER BY vec_id""".stripMargin,
+    // percentile (budget) form: per-vector redundancy score = max cosine
+    // to a lower-id same-cluster member (candidates floored at
+    // semanticPairFloor), global top floor(dropFrac*N) head dropped.
+    // Scores are rounded to 6 decimals with a vec_id tie-break in BOTH
+    // engines, so the head membership is deterministic.
+    "dedup_semantic_pctl" ->
+      s"""WITH n AS (
+         |  SELECT * FROM (
+         |    SELECT vec_id, embedding,
+         |      sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
+         |        i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS nrm
+         |    FROM embeddings) WHERE nrm > 0),
+         |cent AS (SELECT vec_id AS c_id, embedding AS c_emb, nrm AS c_nrm
+         |         FROM n WHERE vec_id % ${Similarity.centroidStride} = 1),
+         |asgn AS (
+         |  SELECT vec_id, c_id FROM (
+         |    SELECT v.vec_id, c.c_id,
+         |      row_number() OVER (PARTITION BY v.vec_id
+         |        ORDER BY list_sum(list_transform(range(1, len(v.embedding) + 1),
+         |          i -> CAST(v.embedding[i] AS DOUBLE) * CAST(c.c_emb[i] AS DOUBLE))) / (v.nrm * c.c_nrm) DESC,
+         |          c.c_id) AS c_rk
+         |    FROM n v, cent c)
+         |  WHERE c_rk = 1),
+         |scored AS (
+         |  SELECT y.vec_id, round(max(
+         |      list_sum(list_transform(range(1, len(a.embedding) + 1),
+         |        i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) / (a.nrm * b.nrm)), 6) AS score
+         |  FROM asgn x JOIN asgn y ON x.c_id = y.c_id AND x.vec_id < y.vec_id
+         |  JOIN n a ON x.vec_id = a.vec_id JOIN n b ON y.vec_id = b.vec_id
+         |  WHERE list_sum(list_transform(range(1, len(a.embedding) + 1),
+         |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) / (a.nrm * b.nrm) >= $semanticPairFloor
+         |  GROUP BY y.vec_id),
+         |kk AS (SELECT CAST(floor($semanticDropFrac * count(*)) AS BIGINT) AS k FROM asgn),
+         |dropped AS (
+         |  SELECT vec_id FROM (
+         |    SELECT s.vec_id, row_number() OVER (ORDER BY s.score DESC, s.vec_id) AS rk, kk.k
+         |    FROM scored s CROSS JOIN kk)
+         |  WHERE rk <= k)
+         |SELECT asgn.vec_id, c_id,
+         |  CAST(CASE WHEN dropped.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
+         |FROM asgn LEFT JOIN dropped ON asgn.vec_id = dropped.vec_id
+         |ORDER BY asgn.vec_id""".stripMargin,
     "dedup_embedding_cosine" ->
       s"""WITH n AS (
          |  SELECT * FROM (

@@ -544,11 +544,81 @@ object Similarity {
   def ivfProbesFor(nLists: Double): Int =
     math.max(nProbe, math.round(nLists * ivfProbeFraction).toInt)
 
-  /** The IVF SCALE serving path: trained quantizer + constant-FRACTION
+  /** Above this many inverted lists the AUTO path's corpus-side
+    * assignment goes TWO-LEVEL (coarse→fine): exact nearest-centroid
+    * assignment is Θ(N·k) dot products, and with k ∝ N/centroidStride
+    * that is Θ(N²/stride) — at 250k vectors × 2500 centroids the
+    * assignment alone (625M fused dots) cost more than HALF of what the
+    * brute-force scan pays for the whole query batch, which is how the
+    * one-shot auto path lost to brute force in the round-9 measurement.
+    * Two-level assignment (nearest of √k super-centroids, then nearest
+    * child within that super's group — FAISS's approximate coarse
+    * assignment) pays ~2√k dots per vector instead of k, a 25× cut at
+    * k=2500. Below the threshold assignment stays EXACT, so small
+    * corpora keep the oracle-checked configuration byte-for-byte (the
+    * served/trained identity specs). Assignment becomes approximate
+    * above it — a boundary vector can land in its second-best list —
+    * which the WIDE probe ring (the mass budget) absorbs; the clustered
+    * + near-orthogonal ScaleSmoke rows measure the recall. */
+  val twoLevelMinLists = 512
+
+  /** Corpus-side list assignment for the auto path: exact below
+    * [[twoLevelMinLists]], two-level above (see there). Carries
+    * (embedding, nrm) alongside (vec_id, c_id) like the exact form. */
+  private def autoAssign(cent: DataFrame, n: DataFrame): DataFrame = {
+    val k = cent.count()
+    if (k < twoLevelMinLists)
+      nearestCentroids(cent)(n, "vec_id", "embedding", "nrm", 1,
+        carry = Seq("embedding", "nrm"))
+    else {
+      val k1 = math.max(1, math.round(math.sqrt(k.toDouble)).toInt)
+      val step = math.max(1, (k / k1).toInt)
+      // deterministic super sample: every step-th centroid in c_id order
+      val w = Window.orderBy(col("c_id"))
+      val supers = cent.withColumn("srk", row_number().over(w))
+        .filter(pmod(col("srk"), lit(step)) === 1).drop("srk")
+      val superArr = broadcast(centArrayOf(supers))
+      // centroid -> super (k rows, exact against the k1 supers)
+      val cnc = graft.plans.VectorFunctions.nearest_centroid_ids(
+        col("c_emb").cast("array<float>"), col("c_nrm"), col("cents"), 1)
+      val c2s = cent.crossJoin(superArr)
+        .select(col("c_id"), col("c_emb"), col("c_nrm"), explode(cnc).as("s_id"))
+      // per-super child-centroid arrays, broadcast to the vector scan
+      val groups = broadcast(c2s
+        .select(col("s_id"), struct(col("c_id"),
+          col("c_emb").cast("array<double>").as("c_emb"), col("c_nrm")).as("c"))
+        .groupBy(col("s_id")).agg(sort_array(collect_list(col("c"))).as("group_cents")))
+      // vector -> super (k1 dots) -> child within the super (k/k1 dots)
+      val snc = graft.plans.VectorFunctions.nearest_centroid_ids(
+        col("embedding"), col("nrm"), col("cents"), 1)
+      val gnc = graft.plans.VectorFunctions.nearest_centroid_ids(
+        col("embedding"), col("nrm"), col("group_cents"), 1)
+      n.select(col("vec_id"), col("embedding"), col("nrm"))
+        .crossJoin(superArr)
+        .select(col("vec_id"), col("embedding"), col("nrm"), explode(snc).as("s_id"))
+        .join(groups, "s_id")
+        .select(col("vec_id"), col("embedding"), col("nrm"), explode(gnc).as("c_id"))
+    }
+  }
+
+  /** The IVF SCALE serving path: trained quantizer + MASS-budgeted
     * probing + tiled per-list scoring. Differences from `ivfTopkWith`:
     *
-    *  - nProbe is derived from the corpus size statistic (lazy, same
-    *    signal as [[simLshAnnAuto]]'s depth), not pinned at 2;
+    *  - the probe budget is a fraction of VECTORS, not of lists
+    *    ([[ivfProbeFraction]] of the corpus): each query walks its
+    *    nearest lists in quantizer order and stops once the cumulative
+    *    probed LIST MASS reaches the budget. The round-9 clustered
+    *    experiment showed why list-count probing fails on real
+    *    geometry: with 4.2× hot-list skew, a constant 156-of-2500-lists
+    *    ring around a clustered query covers most of its Gaussian —
+    *    41.6 s vs 4.3 s brute force at 250k, a probe policy paying 10×
+    *    the work its budget intended. Mass probing makes the candidate
+    *    count ≈ probedFraction·N BY CONSTRUCTION on every geometry
+    *    (skew changes how many lists that takes, not how much work);
+    *  - the list-count rule survives as the ordinal CAP (a query never
+    *    probes more lists than the old policy) and [[nProbe]] stays the
+    *    floor, so small corpora keep the oracle-checked configuration
+    *    byte-for-byte;
     *  - candidate scoring happens INSIDE per-list tile cells via the
     *    fused `cell_topk_pairs` loop instead of expanding a (q_id,
     *    cand_id) join — at 312 probes × 5k queries the join form would
@@ -566,17 +636,45 @@ object Similarity {
     // count EQUAL the served path's list-count-derived one everywhere,
     // not just where the ~350 B/row calibration happened to round alike
     val rows = Tables(s, dir, "embeddings").count().toDouble
-    val probes = ivfProbesFor(rows / centroidStride)
+    val cap = ivfProbesFor(rows / centroidStride)
+    val massBudget = rows * ivfProbeFraction
     val n = normed(s, dir)
     val cent = trainedCentroidsOf(s, dir)
-    val lists = nearestCentroids(cent)(
-        n, "vec_id", "embedding", "nrm", 1, carry = Seq("embedding", "nrm"))
-      .groupBy(col("c_id"))
-      .agg(sort_array(collect_list(
-        struct(col("vec_id"), col("embedding"), col("nrm")))).as("cands"))
+    val asg = autoAssign(cent, n)
+    // the built lists memoize per dir (the IVF value proposition: the
+    // assignment + group shuffle are BUILD cost, paid once — steady-state
+    // serving reads the cached lists), same memo the trained quantizer
+    // uses; PlanCache.clear()/invalidate on corpus replacement
+    val lists = PlanCache.memoized(s, s"$dir|ivf-auto-lists") {
+      asg.groupBy(col("c_id"))
+        .agg(sort_array(collect_list(
+          struct(col("vec_id"), col("embedding"), col("nrm")))).as("cands"))
+    }
+    // per-list masses: k rows, broadcast to the probe trim below —
+    // derived from the SAME (memoized) grouped frame so the assignment
+    // is computed once, not paid a second time for a count
+    val listSizes = lists.select(col("c_id"), size(col("cands")).cast("long").as("lsz"))
     val q = n.filter(col("vec_id") % queryStride === 0)
-    val qlists = nearestCentroids(cent)(
-        q, "vec_id", "embedding", "nrm", probes, carry = Seq("embedding", "nrm"))
+    // probes in quantizer order WITH their ordinal, trimmed by
+    // cumulative mass: list i survives if it is within the nProbe floor
+    // or the mass probed BEFORE it is still under budget (so the budget
+    // is always reached, never undershot)
+    val nc = graft.plans.VectorFunctions.nearest_centroid_ids(
+      col("embedding"), col("nrm"), col("cents"), cap)
+    val wq = Window.partitionBy(col("vec_id")).orderBy(col("ord"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // trim on the NARROW (vec_id, ord, c_id) rows — the cumulative-mass
+    // window sorts cap rows per query, and riding the 256 B embeddings
+    // through that shuffle would triple its width for nothing; the
+    // embeddings re-join from the (tiny, broadcast) query set after
+    val kept = q.crossJoin(broadcast(centArrayOf(cent)))
+      .select(col("vec_id"), posexplode(nc).as(Seq("ord", "c_id")))
+      .join(broadcast(listSizes), Seq("c_id"), "left")
+      .withColumn("cum_before", coalesce(sum(coalesce(col("lsz"), lit(0L))).over(wq), lit(0L)))
+      .filter(col("ord") < nProbe || col("cum_before") < massBudget)
+      .select(col("vec_id"), col("c_id"))
+    val qlists = kept
+      .join(broadcast(q.select(col("vec_id"), col("embedding"), col("nrm"))), "vec_id")
       .groupBy(col("c_id"))
       .agg(collect_list(struct(col("vec_id"), col("embedding"), col("nrm"))).as("qs"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("cand_id"))

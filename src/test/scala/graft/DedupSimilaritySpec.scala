@@ -362,6 +362,52 @@ class DedupSimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("semantic dedup on CLUSTERED geometry: tauClustered and the percentile budget " +
+      "catch the planted dups without flushing the clusters") {
+    import spark.implicits._
+    // 20 Gaussian clusters x 250 members (the topical-corpus geometry the
+    // round-9 scale experiment showed breaks tau=0.45: within-cluster
+    // cosine ~0.85 >> 0.45, so the default dropped 99% of the corpus),
+    // with 50 planted near-dups (ids >= 4950 copy id-50 + 2% noise)
+    val rnd = new scala.util.Random(11)
+    val centers = Array.fill(20)(Array.fill(64)(rnd.nextGaussian()))
+    val base = (0L until 4950L).map { id =>
+      val c = centers((id % 20).toInt)
+      id -> Array.tabulate(64)(d => (c(d) + 0.35 * rnd.nextGaussian()).toFloat)
+    }
+    val dups = (4950L until 5000L).map { id =>
+      val src = base((id - 50L).toInt)._2
+      id -> src.map(x => (x + 0.02 * rnd.nextGaussian()).toFloat)
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("sem-clustered")
+    (base ++ dups).toDF("vec_id", "embedding").write.parquet(s"$tmp/embeddings.parquet")
+    def stats(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      import org.apache.spark.sql.functions.{col, lit, sum, when}
+      val r = df.agg(sum(lit(1L) - col("kept")),
+        sum(when(col("vec_id") >= 4950L, lit(1L) - col("kept")).otherwise(lit(0L))))
+        .collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
+    // the round-9 failure mode, reproduced: the scattered-corpus default
+    // flushes most of the clustered corpus
+    val (d045, _) = stats(Dedup.dedupSemantic(spark, tmp.toString))
+    info(s"tau=0.45 dropped $d045 of 5000 (the mis-calibration this test pins the fix for)")
+    assert(d045 > 2500L, "corpus no longer reproduces the clustered collapse")
+    // the clustered-sane default: planted dups caught, clusters kept
+    val (dTau, pTau) = stats(Dedup.dedupSemantic(spark, tmp.toString,
+      Dedup.semanticTauClustered))
+    info(s"tauClustered=${Dedup.semanticTauClustered} dropped $dTau, planted caught $pTau/50")
+    assert(pTau >= 45L, s"tauClustered missed planted dups: $pTau/50")
+    assert(dTau - pTau <= 50L,
+      s"tauClustered false-dropped ${dTau - pTau} of 4950 non-dups (bound: 1%)")
+    // the budgeted percentile form needs NO tau: drops exactly its budget,
+    // and the planted dups are the most redundant so they fill the head
+    val (dP, pP) = stats(Dedup.dedupSemanticPercentile(spark, tmp.toString))
+    info(s"percentile(${Dedup.semanticDropFrac}) dropped $dP, planted caught $pP/50")
+    assert(dP == 50L, s"percentile budget floor(0.01*5000)=50, dropped $dP")
+    assert(pP >= 45L, s"percentile form missed planted dups: $pP/50")
+  }
+
   test("multi-probe LSH ANN: recall >= 0.6 at a bounded scored fraction") {
     val exact = Similarity.simTopkBruteforce(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet
