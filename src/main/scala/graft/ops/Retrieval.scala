@@ -131,6 +131,33 @@ object Retrieval {
   def searchHybridRrf(s: SparkSession, dir: String): DataFrame =
     fuse(s, dir, lexRanks(s, dir))
 
+  /** The BOUNDED served hybrid as a registered, oracled query:
+    * [[searchHybridRrfServed]] with the df-share cut at
+    * [[TextAnalysis.bm25MaxDfShare]], plus per-query-slot `act_i` flags
+    * (1 = the slot's term survives the bound, 0 = banned stopword head,
+    * its lexical contribution zeroed) — the same visible-contract
+    * pattern as `text_bm25_served_bounded`, extended to the hybrid's
+    * dynamic per-query terms. The flags come from the SAME persisted
+    * term dictionary the serve's anti-filter reads, and the oracle
+    * recomputes both the cut and the flags from corpus statistics. */
+  def searchHybridRrfServedBounded(s: SparkSession, dir: String): DataFrame = {
+    val idxDir = TextAnalysis.textIndexFor(s, dir)
+    val banned = TextAnalysis.bannedTerms(s, idxDir, TextAnalysis.bm25MaxDfShare)
+    val fused = searchHybridRrfServed(s, dir, Some(TextAnalysis.bm25MaxDfShare))
+    val actCols = (1 to hybridQueryTerms).map { i =>
+      max(when(col("pos") === i,
+        when(if (banned.isEmpty) lit(false) else col("qt").isin(banned: _*), 0L)
+          .otherwise(1L))).as(s"act_$i")
+    }
+    val acts = hybridQueryTermsOf(s, dir)
+      .groupBy(col("q_id")).agg(actCols.head, actCols.tail: _*)
+    fused.join(broadcast(acts), Seq("q_id"), "left")
+      .select(col("q_id") +: col("rk") +: col("doc_id") +: col("lex_rk") +:
+        col("sem_rk") +: col("rrf") +:
+        (1 to hybridQueryTerms).map(i => coalesce(col(s"act_$i"), lit(1L)).as(s"act_$i")): _*)
+      .orderBy(col("q_id"), col("rk"))
+  }
+
   /** SERVED hybrid retrieval: the lexical side reads the PERSISTED
     * posting table (the shared text-index memo — same artifact the
     * BM25/phrase serving family reads) instead of re-tokenizing the
@@ -179,7 +206,8 @@ object Retrieval {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "search_hybrid_rrf" -> searchHybridRrf _,
-    "search_hybrid_rrf_served" -> ((s: org.apache.spark.sql.SparkSession, d: String) => searchHybridRrfServed(s, d))
+    "search_hybrid_rrf_served" -> ((s: org.apache.spark.sql.SparkSession, d: String) => searchHybridRrfServed(s, d)),
+    "search_hybrid_rrf_served_bounded" -> (searchHybridRrfServedBounded _)
   )
 
   private val tokSql =
@@ -192,10 +220,17 @@ object Retrieval {
     // semantic side: the LSH chain's `ranked` over the full stride set;
     // lexical side: the grouped BM25 restated with the same fixed-slot
     // pivot and 6-decimal quantization; fusion per (q_id, doc_id)
-    "search_hybrid_rrf" -> hybridOracleSql
+    "search_hybrid_rrf" -> hybridOracleSql,
+    // bounded form: the df-share cut restated as a banned-term anti
+    // filter on the scoring postings, per-slot act flags recomputed
+    // from the same corpus statistics
+    "search_hybrid_rrf_served_bounded" ->
+      hybridOracleSqlOf(Some(TextAnalysis.bm25MaxDfShare))
   )
 
-  private lazy val hybridOracleSql: String = {
+  private lazy val hybridOracleSql: String = hybridOracleSqlOf(None)
+
+  private def hybridOracleSqlOf(bound: Option[Double]): String = {
       val k1 = TextAnalysis.bm25K1
       val b = TextAnalysis.bm25B
       val slots = 1 to hybridQueryTerms
@@ -209,6 +244,43 @@ object Retrieval {
            |    * (CAST(tf_$i AS DOUBLE) * ${k1 + 1.0})
            |    / (CAST(tf_$i AS DOUBLE) + $k1 * (${1.0 - b} + $b * CAST(dl AS DOUBLE) / avgdl)), 0.0)""".stripMargin
       }.mkString("\n    + ")
+      val bannedCte = bound.fold("") { share =>
+        s"""banned AS (
+           |  SELECT term FROM dfr CROSS JOIN lstats
+           |  WHERE CAST(df AS DOUBLE) > $share * CAST(n_docs AS DOUBLE)),
+           |""".stripMargin
+      }
+      // the scoring postings: anti-filtered against the banned head in
+      // the bounded form, the plain posting rows otherwise — dl, df,
+      // and the global stats always aggregate the UNFILTERED corpus
+      // (frozen-statistics serving, as in the code path)
+      val spostCte = bound.fold("spost AS (SELECT * FROM post)")( _ =>
+        "spost AS (SELECT * FROM post WHERE term NOT IN (SELECT term FROM banned))")
+      val actsCte = bound.fold("") { _ =>
+        val cols = (1 to hybridQueryTerms).map(i =>
+          s"    max(CASE WHEN pos = $i THEN (CASE WHEN qt IN (SELECT term FROM banned) " +
+          s"THEN 0 ELSE 1 END) END) AS act_$i").mkString(",\n")
+        s""",
+           |acts AS (
+           |  SELECT q_id,
+           |$cols
+           |  FROM qt GROUP BY q_id)""".stripMargin
+      }
+      val finalSelect = bound.fold(
+        s"""SELECT q_id, rk, doc_id, lex_rk, sem_rk, rrf FROM (
+           |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY rrf DESC, doc_id) AS BIGINT) AS rk
+           |  FROM fused)
+           |WHERE rk <= $hybridTopK
+           |ORDER BY q_id, rk""".stripMargin) { _ =>
+        val actSel = (1 to hybridQueryTerms)
+          .map(i => s"CAST(COALESCE(a.act_$i, 1) AS BIGINT) AS act_$i").mkString(", ")
+        s"""SELECT r.q_id, rk, doc_id, lex_rk, sem_rk, rrf, $actSel FROM (
+           |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY rrf DESC, doc_id) AS BIGINT) AS rk
+           |  FROM fused) r
+           |LEFT JOIN acts a ON r.q_id = a.q_id
+           |WHERE rk <= $hybridTopK
+           |ORDER BY r.q_id, rk""".stripMargin
+      }
       s"""WITH ${Similarity.lshAnnOracleCtes("TRUE")},
          |lbase AS (
          |  SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS dl
@@ -223,18 +295,19 @@ object Retrieval {
          |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
          |    CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
          |  FROM lbase),
+         |${bannedCte}$spostCte,
          |qtl AS (
          |  SELECT doc_id AS q_id,
          |    list_filter(toks, (t, i) -> list_position(toks, t) = i)[1:$hybridQueryTerms] AS l
          |  FROM lbase WHERE doc_id % ${Similarity.queryStride} = 0),
          |qt AS (
          |  SELECT q_id, pos, l[pos] AS qt FROM (
-         |    SELECT q_id, l, unnest(generate_series(1, len(l))) AS pos FROM qtl)),
+         |    SELECT q_id, l, unnest(generate_series(1, len(l))) AS pos FROM qtl))$actsCte,
          |piv AS (
-         |  SELECT qt.q_id, post.doc_id,
+         |  SELECT qt.q_id, spost.doc_id,
          |$pivotCols
-         |  FROM qt JOIN post ON post.term = qt.qt JOIN dfr ON dfr.term = qt.qt
-         |  GROUP BY qt.q_id, post.doc_id),
+         |  FROM qt JOIN spost ON spost.term = qt.qt JOIN dfr ON dfr.term = qt.qt
+         |  GROUP BY qt.q_id, spost.doc_id),
          |lscored AS (
          |  SELECT q_id, piv.doc_id,
          |    round($contribSql, 6) AS score
@@ -255,10 +328,6 @@ object Retrieval {
          |      + COALESCE(1.0 / ($rrfK + sem.sem_rk), 0.0) AS rrf
          |  FROM lexr FULL OUTER JOIN sem
          |    ON lexr.q_id = sem.q_id AND lexr.doc_id = sem.doc_id)
-         |SELECT q_id, rk, doc_id, lex_rk, sem_rk, rrf FROM (
-         |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY rrf DESC, doc_id) AS BIGINT) AS rk
-         |  FROM fused)
-         |WHERE rk <= $hybridTopK
-         |ORDER BY q_id, rk""".stripMargin
+         |$finalSelect""".stripMargin
   }
 }

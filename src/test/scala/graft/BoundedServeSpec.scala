@@ -80,6 +80,49 @@ class BoundedServeSpec extends AnyFunSuite {
       "a stopword-only doc survived as a candidate")
   }
 
+  test("hybrid bounded serve: a banned stopword slot actually fires (act flag 0, posting excluded)") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("bounded-hybrid").toString
+    // 60 docs; 'spark' in 58 (df-share 0.967 > 0.9); the one stride
+    // query doc (50) leads with 'spark', then its own unique fillers —
+    // so under the bound its ONLY lexical matches are itself
+    def tokensOf(i: Long): Seq[String] = {
+      val b = Seq.newBuilder[String]
+      if (i <= 58) b += "spark"
+      (0 until (3 + (i % 5)).toInt).foreach(w => b += s"f${i}w$w")
+      b.result()
+    }
+    (1L to 60L).map(i => (i, tokensOf(i).mkString(" "), "en", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val rnd = new scala.util.Random(5)
+    (1L to 60L).map(i => (i, Array.fill(64)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val unbounded = Retrieval.searchHybridRrfServed(spark, tmp).collect()
+    val bounded = Retrieval.searchHybridRrfServedBounded(spark, tmp).collect()
+    assert(bounded.nonEmpty && unbounded.nonEmpty, "vacuous comparison")
+    // the flags name the fired slot: slot 1 ('spark') banned, the
+    // query's own fillers untouched
+    assert(bounded.forall(r => r.getLong(6) == 0L && r.getLong(7) == 1L && r.getLong(8) == 1L),
+      "act flags must report exactly the stopword slot as banned")
+    // under the bound the query's only lexical match is itself; the
+    // unbounded serve ranks the whole stopword posting
+    def lexDocs(rows: Array[org.apache.spark.sql.Row]) =
+      rows.filter(!_.isNullAt(3)).map(_.getLong(2)).toSet
+    assert(lexDocs(bounded) == Set(50L),
+      s"bounded lexical candidates ${lexDocs(bounded)} — the mega posting leaked past the ban")
+    // the fused output caps at hybridTopK rows per query, so "many" here
+    // means several of the top-10 carry stopword-driven lexical ranks
+    assert(lexDocs(unbounded).size > 3,
+      "crafted corpus failed to make the stopword dominate the unbounded lexical list")
+    // the semantic side is untouched by the lexical bound
+    def semRanks(rows: Array[org.apache.spark.sql.Row]) =
+      rows.filter(!_.isNullAt(4)).map(r => (r.getLong(0), r.getLong(2), r.getLong(4))).toSet
+    assert(semRanks(bounded) == semRanks(unbounded),
+      "the lexical df-share bound changed semantic ranks")
+  }
+
   test("term dictionary: frozen between compacts, recomputed at compact") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("termstats").toString
