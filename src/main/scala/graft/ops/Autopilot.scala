@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
 /** Index AUTOPILOT — the round-8 health findings as an executable
   * policy. The health reports ([[AnnIndex.ivfIndexHealth]],
@@ -53,6 +54,15 @@ object Autopilot {
     * estimated on a corpus fifth different from the one being served. */
   val maxStalenessShare = 0.2
 
+  /** Bloom saturation alarm for the decontamination index: cumulative
+    * inserts over the filter's sized capacity (the round-8 accounting
+    * `decontamBloomAppend` warns on). Past 1.0 the actual FP rate
+    * exceeds the built fpp — the exact-confirm tier absorbs the extra
+    * false positives (correctness holds) but every FP pays a confirm
+    * join, so the screen tier is decaying toward a no-op. The fix is
+    * the compact's REBUILD at fresh geometry (2× the surviving count). */
+  val maxBloomSaturation = 1.0
+
   private def exists(s: SparkSession, p: String): Boolean = {
     val path = new org.apache.hadoop.fs.Path(p)
     path.getFileSystem(s.sparkContext.hadoopConfiguration).exists(path)
@@ -61,19 +71,31 @@ object Autopilot {
   private def healthMap(df: DataFrame): Map[String, Double] =
     df.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
 
-  /** Run the autopilot pass on the index at `indexDir` (family detected
-    * from the on-disk layout: buckets+meta = LSH, lists+codebook =
-    * IVF-PQ, lists+centroids = IVF, postings+doclen = text). Returns
-    * the decision log: one row per evaluated trigger —
+  /** Run the autopilot pass on the index at `indexDir` (families
+    * detected from the on-disk layout: buckets+meta = LSH,
+    * lists+codebook = IVF-PQ, lists+centroids = IVF, postings+doclen =
+    * text, bloom+eval_shingles = decontamination, simhash = dedup
+    * signature store — an ingest-manifest index legitimately carries
+    * the last TWO side by side, and both are evaluated). Returns the
+    * decision log: one row per evaluated trigger —
     * (family, trigger, value, threshold, action, performed). */
   def indexAutopilot(s: SparkSession, indexDir: String,
       corpusDirs: Seq[String] = Seq.empty,
       hotListSkewMax: Double = maxHotListSkew,
       hotBucketSkewMax: Double = maxHotBucketSkew,
       dataFilesMax: Int = maxDataFiles,
-      stalenessShareMax: Double = maxStalenessShare): DataFrame = {
+      stalenessShareMax: Double = maxStalenessShare,
+      bloomSaturationMax: Double = maxBloomSaturation): DataFrame = {
     import s.implicits._
     val rows = scala.collection.mutable.ArrayBuffer[(String, String, Double, Double, String, Boolean)]()
+    var matched = false
+
+    // file/tombstone maintenance debt of one table — the same values
+    // the oracled health reports emit for their families
+    def debtOf(table: String): (Double, Double) = (
+      IndexMaintenance.dataFiles(s, table).size.toDouble,
+      IndexMaintenance.pendingTombstones(s, table)
+        .map(_.count().toDouble).getOrElse(0.0))
 
     def vectorFamily(family: String, skewMetric: String, skewMax: Double,
         health: => Map[String, Double],
@@ -97,22 +119,26 @@ object Autopilot {
         wantCompact && pend > 0))
     }
 
-    if (exists(s, s"$indexDir/buckets") && exists(s, s"$indexDir/meta"))
+    if (exists(s, s"$indexDir/buckets") && exists(s, s"$indexDir/meta")) {
+      matched = true
       vectorFamily("lsh", "hot_bucket_skew", hotBucketSkewMax,
         healthMap(AnnIndex.lshIndexHealth(s, indexDir)),
         () => AnnIndex.lshIndexRetrain(s, indexDir, corpusDirs),
         () => { AnnIndex.lshIndexCompact(s, indexDir); () })
-    else if (exists(s, s"$indexDir/lists") && exists(s, s"$indexDir/codebook"))
+    } else if (exists(s, s"$indexDir/lists") && exists(s, s"$indexDir/codebook")) {
+      matched = true
       vectorFamily("ivfpq", "hot_list_skew", hotListSkewMax,
         healthMap(AnnIndex.ivfIndexHealth(s, indexDir)),
         () => AnnIndex.ivfPqIndexRetrain(s, indexDir, corpusDirs),
         () => { AnnIndex.ivfPqIndexCompact(s, indexDir); () })
-    else if (exists(s, s"$indexDir/lists") && exists(s, s"$indexDir/centroids"))
+    } else if (exists(s, s"$indexDir/lists") && exists(s, s"$indexDir/centroids")) {
+      matched = true
       vectorFamily("ivf", "hot_list_skew", hotListSkewMax,
         healthMap(AnnIndex.ivfIndexHealth(s, indexDir)),
         () => AnnIndex.ivfIndexRetrain(s, indexDir, corpusDirs),
         () => { AnnIndex.ivfIndexCompact(s, indexDir); () })
-    else if (exists(s, s"$indexDir/postings") && exists(s, s"$indexDir/doclen")) {
+    } else if (exists(s, s"$indexDir/postings") && exists(s, s"$indexDir/doclen")) {
+      matched = true
       val h = healthMap(TextAnalysis.textIndexHealth(s, indexDir))
       val statsDocs = math.max(1.0, h.getOrElse("stats_n_docs", 0.0))
       val stale = math.abs(h.getOrElse("stats_staleness", 0.0)) / statsDocs
@@ -126,9 +152,56 @@ object Autopilot {
         "compact", wantCompact && files > dataFilesMax))
       rows += (("text", "pending_tombstones", pend, 0.0,
         "compact", wantCompact && pend > 0))
-    } else throw new IllegalArgumentException(
+    }
+
+    // DECONTAMINATION family (bloom + eval shingle table). The bloom's
+    // saturation share is the round-8 capacity accounting the append
+    // path warns on (cumulative inserts / sized capacity, both read
+    // from the persisted bloom row); past the threshold the filter's
+    // actual FP rate exceeds its built fpp, and the ONE fix for a
+    // saturated (or retraction-stale) bloom is the compact's rebuild at
+    // fresh geometry — bits cannot be unset or extended in place.
+    if (exists(s, s"$indexDir/bloom") && exists(s, s"$indexDir/eval_shingles")) {
+      matched = true
+      val meta = s.read.parquet(s"$indexDir/bloom")
+        .select(col("n_items"), col("total_items")).head()
+      val sat = meta.getLong(1).toDouble / math.max(1.0, meta.getLong(0).toDouble)
+      val (files, pend) = debtOf(s"$indexDir/eval_shingles")
+      val wantRebuild = sat > bloomSaturationMax
+      val wantCompact = wantRebuild || files > dataFilesMax || pend > 0
+      if (wantCompact) Curation.decontamIndexCompact(s, indexDir)
+      rows += (("decontam", "bloom_saturation_share", sat, bloomSaturationMax,
+        "rebuild_bloom", wantRebuild))
+      rows += (("decontam", "data_files", files, dataFilesMax.toDouble,
+        "compact", wantCompact && files > dataFilesMax))
+      rows += (("decontam", "pending_tombstones", pend, 0.0,
+        "compact", wantCompact && pend > 0))
+    }
+
+    // DEDUP SIGNATURE family (simhash store, plus the clean-text store
+    // when the dir is a curating ingest index). Signatures carry no
+    // corpus-dependent parameters (no drift, no retrain) — the only
+    // maintenance is file/tombstone debt, fixed by the ingest compact
+    // (which also covers the clean store when present).
+    if (exists(s, s"$indexDir/simhash")) {
+      matched = true
+      val (sf, sp) = debtOf(s"$indexDir/simhash")
+      val (cf, cp) =
+        if (exists(s, s"$indexDir/clean")) debtOf(s"$indexDir/clean") else (0.0, 0.0)
+      val files = sf + cf
+      val pend = sp + cp
+      val wantCompact = files > dataFilesMax || pend > 0
+      if (wantCompact) Dedup.ingestIndexCompact(s, indexDir)
+      rows += (("signature", "data_files", files, dataFilesMax.toDouble,
+        "compact", wantCompact && files > dataFilesMax))
+      rows += (("signature", "pending_tombstones", pend, 0.0,
+        "compact", wantCompact && pend > 0))
+    }
+
+    if (!matched) throw new IllegalArgumentException(
       s"indexAutopilot: no known index family at $indexDir " +
-      "(want buckets+meta, lists+centroids[+codebook], or postings+doclen)")
+      "(want buckets+meta, lists+centroids[+codebook], postings+doclen, " +
+      "bloom+eval_shingles, or simhash)")
 
     rows.toSeq.toDF("family", "trigger", "value", "threshold", "action", "performed")
   }

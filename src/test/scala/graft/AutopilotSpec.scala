@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
-import graft.ops.{AnnIndex, Autopilot, TextAnalysis}
+import graft.ops.{AnnIndex, Autopilot, Curation, Dedup, TextAnalysis}
 
 /** The autopilot drives a drifted-then-healed lifecycle end-to-end
   * through ONE entry point: health report → threshold → maintenance op
@@ -73,6 +73,71 @@ class AutopilotSpec extends AnyFunSuite {
       s"compact did not catch the statistics up: $h2")
     val d2 = decisions(Autopilot.indexAutopilot(spark, s"$tmp/idx"))
     assert(d2.forall(!_._5), s"autopilot acted on a healthy text index: $d2")
+  }
+
+  test("decontam lifecycle: bloom saturation -> rebuild at fresh geometry -> no-op") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("autopilot-bloom").toString
+    // tiny seed eval set: the bloom is sized to max(1024, 2*shingles)
+    def evalDoc(i: Long, tag: String) =
+      (i, (0 until 20).map(w => s"$tag${i}w$w").mkString(" "), "en", "s")
+    (1L to 4L).map(i => evalDoc(i * Curation.evalStride, "seed"))
+      .toDF("doc_id", "text", "lang", "source")
+      .write.mode("overwrite").parquet(s"$tmp/eval/documents.parquet")
+    Curation.decontamBloomWrite(spark, s"$tmp/eval", s"$tmp/idx")
+    Curation.decontamShingleWrite(spark, s"$tmp/eval", s"$tmp/idx")
+    def sat(): Double = {
+      val m = spark.read.parquet(s"$tmp/idx/bloom")
+        .select(col("n_items"), col("total_items")).head()
+      m.getLong(1).toDouble / m.getLong(0).toDouble
+    }
+    assert(sat() < 1.0, s"seed index must start below capacity: ${sat()}")
+    // stream in far more eval shingles than the seed geometry holds:
+    // the capacity accounting crosses 1.0 (the append path's warning)
+    Curation.decontamIndexAppendBatch(spark,
+      (1L to 100L).map(i => evalDoc(1000L + i, "batch")).toDF("doc_id", "text", "lang", "source")
+        .select(col("doc_id"), col("text")), s"$tmp/idx")
+    val saturated = sat()
+    assert(saturated > 1.0, s"staging failed to saturate the bloom: $saturated")
+    // ONE entry point: saturation alarm -> compact rebuilds the bloom
+    // at fresh geometry (2x the surviving distinct shingles)
+    val d1 = decisions(Autopilot.indexAutopilot(spark, s"$tmp/idx"))
+    assert(d1.exists { case (f, t, v, a, p) =>
+      f == "decontam" && t == "bloom_saturation_share" && v == saturated &&
+        a == "rebuild_bloom" && p }, s"bloom rebuild did not fire: $d1")
+    assert(sat() <= 0.5 + 1e-9, s"rebuild did not refresh the geometry: ${sat()}")
+    val d2 = decisions(Autopilot.indexAutopilot(spark, s"$tmp/idx"))
+    assert(d2.forall(!_._5), s"autopilot acted on a healthy decontam index: $d2")
+  }
+
+  test("signature lifecycle: tombstone debt -> ingest compact -> no-op; dual-family dirs report both") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("autopilot-sig").toString
+    (1L to 80L).map(i => (i, s"sig doc w$i x${i % 9} y${i % 13} z${i % 17}"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/c/documents.parquet")
+    Dedup.dedupIndexWrite(spark, s"$tmp/c", s"$tmp/idx")
+    Dedup.dedupIndexDelete(spark, s"$tmp/idx", Seq(7L, 8L, 9L))
+    val d1 = decisions(Autopilot.indexAutopilot(spark, s"$tmp/idx"))
+    assert(d1.exists { case (f, t, v, a, p) =>
+      f == "signature" && t == "pending_tombstones" && v == 3.0 &&
+        a == "compact" && p }, s"signature debt compact did not fire: $d1")
+    assert(spark.read.parquet(s"$tmp/idx/simhash")
+      .filter(col("doc_id").isin(7L, 8L, 9L)).count() == 0L,
+      "compact did not drop the tombstoned signatures")
+    val d2 = decisions(Autopilot.indexAutopilot(spark, s"$tmp/idx"))
+    assert(d2.forall(!_._5), s"autopilot acted on a healthy signature index: $d2")
+    // a manifest-ingest index carries decontam AND signature layouts in
+    // one dir: the autopilot evaluates both families in one pass
+    (1L to 3L).map(i => (i * Curation.evalStride,
+        (0 until 20).map(w => s"ev${i}w$w").mkString(" "), "en", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+      .write.mode("overwrite").parquet(s"$tmp/eval/documents.parquet")
+    Curation.decontamBloomWrite(spark, s"$tmp/eval", s"$tmp/idx")
+    Curation.decontamShingleWrite(spark, s"$tmp/eval", s"$tmp/idx")
+    val d3 = decisions(Autopilot.indexAutopilot(spark, s"$tmp/idx"))
+    assert(d3.map(_._1).toSet == Set("decontam", "signature"),
+      s"dual-family dir must report both families: $d3")
   }
 
   test("tombstone debt compacts; unknown layouts fail loudly") {
