@@ -19,6 +19,12 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // push doc_id IN (...) lists of MaxScore-contender size into the
+      // parquet scan: on a serve-key-sorted index the row-group min/max
+      // check skips the mega posting list around the survivors — the
+      // parquet analog of Lucene's skip pointers (default is 10, far
+      // below a top-k contender set)
+      .config("spark.sql.parquet.pushdown.inFilterThreshold", "100")
       .config("spark.ui.enabled", "false")
       // the custom expressions resolve by name in spark.sql(...) too
       .withExtensions(new plans.GraftExtensions)

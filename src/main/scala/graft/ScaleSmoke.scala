@@ -429,13 +429,22 @@ object ScaleSmoke {
       // what the pushed predicate actually skips at scale.
       val hc = spark.sparkContext.hadoopConfiguration
       val oldBlock = hc.get("parquet.block.size")
+      val oldPageRows = hc.get("parquet.page.row.count.limit")
       hc.setInt("parquet.block.size", 1 << 20)
+      // page-granular rows too: the MaxScore contender lookup prunes at
+      // parquet page level (column indexes on the sorted doc_id), and
+      // the default 20k-row pages would make each group one page; pages
+      // must be smaller than the contender SPACING (~1k ids here) for
+      // the skip to be visible at smoke scale
+      hc.setInt("parquet.page.row.count.limit", 200)
       try {
         ops.TextAnalysis.textIndexWrite(spark, stopDir, stopIdx)
         ops.TextAnalysis.textIndexCompact(spark, stopIdx) // term-sorted row groups
       } finally {
         if (oldBlock == null) hc.unset("parquet.block.size")
         else hc.set("parquet.block.size", oldBlock)
+        if (oldPageRows == null) hc.unset("parquet.page.row.count.limit")
+        else hc.set("parquet.page.row.count.limit", oldPageRows)
       }
     }
     time("text_bm25_served UNBOUNDED vs mega-posting")(
@@ -488,6 +497,36 @@ object ScaleSmoke {
       s"bounded postings scan produced $boundedScanRows rows vs $unboundedScanRows " +
       s"unbounded — fewer than 90% of the $megaPostingRows-row mega posting " +
       "was skipped; the df-share cut did not keep it in the scan")
+
+    // 7c'. EXACT bounded serving (MaxScore): same mega posting, exact
+    //      BM25 semantics — the dictionary's per-term score upper
+    //      bounds prove which docs can reach the top-k, and only those
+    //      CONTENDERS re-read the mega list, with their doc_id IN
+    //      pushed into the sorted postings (row-group min/max + page
+    //      column indexes skip around them — parquet's skip pointers).
+    val msCand = ops.TextAnalysis.maxScoreContenders(spark, stopIdx)
+    assert(msCand.isDefined, "MaxScore pruning must engage on the stopword corpus")
+    val cand = msCand.get
+    val msScanRows = scanRecords {
+      noop(spark.read.parquet(s"$stopIdx/postings")
+        .filter(col("term").isin(ops.TextAnalysis.bm25Query: _*) &&
+          col("doc_id").isin(cand: _*) &&
+          col("doc_id") >= lit(cand.min) && col("doc_id") <= lit(cand.max))
+        .select(col("term"), col("doc_id"), col("tf")))
+    }
+    val msServe = time("text_bm25_served MAXSCORE (exact, contender re-scan)") {
+      ops.TextAnalysis.textBm25ServedMaxScore(spark, stopIdx).collect().map(_.toSeq).toSeq
+    }
+    val exactServe = ops.TextAnalysis.textBm25Served(spark, stopIdx)
+      .collect().map(_.toSeq).toSeq
+    assert(msServe == exactServe,
+      "MaxScore serve diverged from the unbounded serve — it must be EXACT")
+    say(s"  -> maxscore: ${cand.size} contenders; postings scan rows " +
+      s"unbounded $unboundedScanRows vs contender-pushed $msScanRows " +
+      f"(${(unboundedScanRows - msScanRows) / 1e3}%.0fk skipped at EXACT semantics)")
+    assert(unboundedScanRows - msScanRows >= megaPostingRows / 2,
+      s"maxscore contender scan produced $msScanRows rows vs $unboundedScanRows — " +
+      s"less than half the $megaPostingRows-row mega posting was skipped")
 
     // 7d. BPE training at production merge counts: the scale mode's K
     //     axis must be FLAT per merge — batched selection divides the

@@ -982,7 +982,7 @@ object TextAnalysis {
     writeTermStats(s, indexDir)
   }
 
-  /** (Re)build the TERM DICTIONARY sidecar: one (term, df) row per
+  /** (Re)build the TERM DICTIONARY sidecar: one (term, df, ub) row per
     * vocabulary term, term-sorted so a query-term lookup prunes to a
     * few row groups. This is what lets the bounded serve decide "is
     * this query term a mega-posting stopword?" from an O(|query|) read
@@ -990,12 +990,32 @@ object TextAnalysis {
     * the 1-row stats table, it is FROZEN between compactions — appends
     * and deletes leave it stale until [[textIndexCompact]] recomputes
     * it (Lucene's semantic: the term dictionary is per-segment state
-    * that merges refresh). */
+    * that merges refresh).
+    *
+    * `ub` is the term's SCORE UPPER BOUND — the maximum BM25
+    * contribution any posting of the term can make under the index's
+    * frozen stats (Lucene's per-term max score, the MaxScore/WAND
+    * prerequisite): idf(df) × max over the term's postings of the tf
+    * normalization. Exact (from the actual postings + doclen), built
+    * once per rebuild; the EXACT bounded serve
+    * ([[textBm25ServedMaxScore]]) prunes with it. */
   private def writeTermStats(s: SparkSession, indexDir: String): Unit = {
     val dest = new org.apache.hadoop.fs.Path(s"$indexDir/termstats")
     val tmp = new org.apache.hadoop.fs.Path(s"$indexDir/.termstats.tmp")
+    val st = s.read.parquet(s"$indexDir/stats").head()
+    val nDocs = st.getLong(0)
+    val avgdl = st.getDouble(1)
+    val tfn = (col("tf").cast("double") * lit(bm25K1 + 1.0)) /
+      (col("tf").cast("double") + lit(bm25K1) * (lit(1.0 - bm25B) +
+        lit(bm25B) * col("dl").cast("double") / lit(avgdl)))
+    val idf = log(lit(1.0) +
+      (lit(nDocs.toDouble) - col("df").cast("double") + 0.5) /
+        (col("df").cast("double") + 0.5))
     s.read.parquet(s"$indexDir/postings")
-      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .select(col("term"), col("doc_id"), col("tf"))
+      .join(s.read.parquet(s"$indexDir/doclen").select(col("doc_id"), col("dl")), "doc_id")
+      .groupBy(col("term")).agg(count(lit(1)).as("df"), max(tfn).as("_mtfn"))
+      .select(col("term"), col("df"), (idf * col("_mtfn")).as("ub"))
       .repartitionByRange(1, col("term")).sortWithinPartitions(col("term"))
       .write.mode("overwrite").parquet(tmp.toString)
     val f = dest.getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -1131,6 +1151,126 @@ object TextAnalysis {
     b
   }
 
+  /** MaxScore pruning decision for the fixed query: Some(contenders)
+    * when exact top-k membership is PROVABLE from the dictionary's
+    * per-term score upper bounds, None when the caller must serve
+    * unbounded (exactness is never traded — None is a fallback, not a
+    * failure). The batch adaptation of Lucene's MaxScore:
+    *
+    *  1. split the query terms at the df-share cut: CHEAP terms (small
+    *     postings) vs MEGA terms (the stopword head whose O(corpus)
+    *     posting lists the serve wants to avoid reading);
+    *  2. score every cheap-posting doc with the cheap terms only — an
+    *     UNDERESTIMATE of its true score — and take the k-th best as
+    *     `floor`: the true k-th best score is ≥ floor (those same k
+    *     docs can only go up);
+    *  3. a doc matching ONLY mega terms scores ≤ Σ ub(mega); if that is
+    *     < floor, no such doc can reach the top k (strictly below the
+    *     k-th, so no tie either) — otherwise fall back;
+    *  4. a cheap-matching doc can reach the top k only if its cheap
+    *     score + Σ ub(mega) ≥ floor — everything below is pruned. The
+    *     survivors are the CONTENDERS, typically ≈ k on a Zipf corpus
+    *     (the mega head's ub ≈ idf ≈ 0 at high df-share).
+    *
+    * The contenders then re-score EXACTLY through the shared serve
+    * pipeline with `doc_id IN (contenders)` pushed into the posting
+    * scan — on a compacted ((term, doc_id)-sorted) index that prunes
+    * the mega list to the contenders' row groups: the parquet analog of
+    * Lucene's skip pointers. Soundness preconditions (returning None
+    * when violated): the dictionary must carry `ub` and be CURRENT —
+    * dictionary df/ub are rebuild-frozen, so any append since the last
+    * rebuild (doclen count ≠ stats n_docs) or pending tombstone makes
+    * the bounds unsound for pruning. */
+  def maxScoreContenders(s: SparkSession,
+      indexDir: String): Option[Seq[Long]] = {
+    val ts = s.read.parquet(s"$indexDir/termstats")
+    if (!ts.columns.contains("ub")) return None // pre-round-10 dictionary
+    if (IndexMaintenance.pendingTombstones(s, s"$indexDir/postings").isDefined ||
+        IndexMaintenance.pendingTombstones(s, s"$indexDir/doclen").isDefined) return None
+    val st = s.read.parquet(s"$indexDir/stats").head()
+    val nDocs = st.getLong(0)
+    val avgdl = st.getDouble(1)
+    if (s.read.parquet(s"$indexDir/doclen").count() != nDocs) return None // appends since rebuild
+    val dict = ts.filter(col("term").isin(bm25Query: _*))
+      .select(col("term"), col("df"), col("ub")).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val mega = bm25Query.filter(t => dict.get(t)
+      .exists(_._1.toDouble > bm25MaxDfShare * nDocs))
+    if (mega.isEmpty) return None  // no mega posting to avoid
+    val cheap = bm25Query.filterNot(mega.contains)
+    if (cheap.isEmpty) return None // all-stopword query: no cheap floor
+    val ubMega = mega.map(t => dict(t)._2).sum
+    val idfOf = cheap.map { t =>
+      val df = dict.get(t).map(_._1).getOrElse(0L).toDouble
+      t -> math.log(1.0 + (nDocs.toDouble - df + 0.5) / (df + 0.5))
+    }.toMap
+    val idfCol = cheap.tail.foldLeft(
+      when(col("term") === cheap.head, lit(idfOf(cheap.head)))) { (acc, t) =>
+      acc.when(col("term") === t, lit(idfOf(t)))
+    }.otherwise(lit(0.0))
+    val tfn = (col("tf").cast("double") * lit(bm25K1 + 1.0)) /
+      (col("tf").cast("double") + lit(bm25K1) * (lit(1.0 - bm25B) +
+        lit(bm25B) * col("dl").cast("double") / lit(avgdl)))
+    val eScores = s.read.parquet(s"$indexDir/postings")
+      .filter(col("term").isin(cheap: _*))
+      .select(col("doc_id"), col("term"), col("tf"))
+      .join(s.read.parquet(s"$indexDir/doclen").select(col("doc_id"), col("dl")), "doc_id")
+      .groupBy(col("doc_id")).agg(sum(idfCol * tfn).as("e"))
+    val topE = eScores.orderBy(col("e").desc, col("doc_id"))
+      .limit(bm25TopK).collect()
+    if (topE.length < bm25TopK) return None // cheap terms can't seat a full top-k
+    val floor = topE.last.getDouble(1)
+    if (!(ubMega < floor)) return None // a mega-only doc could reach the top k
+    val cand = eScores.filter(col("e") + lit(ubMega) >= lit(floor))
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSeq.sorted
+    // a contender set too large to push as an IN filter would scan the
+    // mega list anyway — serve unbounded rather than pretend
+    if (cand.size > 10000) None else Some(cand)
+  }
+
+  /** EXACT bounded BM25 serving — MaxScore over the persisted index.
+    * Result-identical to [[textBm25Served]] on EVERY corpus (pruning
+    * only ever removes provably-sub-top-k docs; every uncertain case
+    * falls back to the unbounded serve), at bounded cost when the
+    * dictionary bounds let it prune: the mega posting list contributes
+    * only the contenders' rows to the final scan, and on a compacted
+    * index the pushed `doc_id IN` skips its other row groups entirely.
+    * This keeps exact BM25 semantics where the df-share cut
+    * ([[textBm25ServedBoundedQuery]]) documents a semantic change —
+    * the two bounded forms are complementary policies over the same
+    * term dictionary. */
+  def textBm25ServedMaxScore(s: SparkSession, indexDir: String): DataFrame =
+    maxScoreContenders(s, indexDir) match {
+      case None => textBm25Served(s, indexDir)
+      case Some(cand) =>
+        val dict = s.read.parquet(s"$indexDir/termstats")
+          .filter(col("term").isin(bm25Query: _*))
+          .select(col("term"), col("df")).collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        val hits = s.read.parquet(s"$indexDir/postings")
+          .filter(col("term").isin(bm25Query: _*) &&
+            col("doc_id").isin(cand: _*) &&
+            col("doc_id") >= lit(cand.min) && col("doc_id") <= lit(cand.max))
+        val perDocAggs = bm25Query.zipWithIndex.map { case (t, i) =>
+          sum(when(col("term") === t, col("tf")).otherwise(0L)).as(s"tf_$i")
+        }
+        val perDoc = hits.groupBy(col("doc_id")).agg(perDocAggs.head, perDocAggs.tail: _*)
+        // df values from the dictionary — equal to the postings-derived
+        // ones by the freshness precondition, same Long type, so the
+        // downstream double arithmetic is bit-identical to the
+        // unbounded serve's
+        import s.implicits._
+        val dfs = Seq(1).toDF("_one").select(bm25Query.zipWithIndex.map { case (t, i) =>
+          lit(dict.getOrElse(t, 0L)).as(s"df_$i")
+        }: _*)
+        val stats = s.read.parquet(s"$indexDir/stats")
+        val doclen = s.read.parquet(s"$indexDir/doclen")
+        bm25Rank(perDoc
+          .join(doclen, "doc_id")
+          .crossJoin(broadcast(stats))
+          .crossJoin(broadcast(dfs)))
+    }
+
   /** Compact the posting table on term — the sort that puts each
     * term's posting list into contiguous, min/max-prunable row groups,
     * which is exactly what the serve path's pushed `term IN (...)`
@@ -1262,6 +1402,16 @@ object TextAnalysis {
   def textBm25ServedBoundedQuery(s: SparkSession, dir: String): DataFrame =
     textBm25Served(s, textIndexFor(s, dir), maxDfShare = Some(bm25MaxDfShare))
 
+  /** Registered-query form of the EXACT bounded serve
+    * ([[textBm25ServedMaxScore]]): result-identical to
+    * `text_bm25_served` by construction, so it shares that oracle — on
+    * this corpus no query term crosses the df-share cut, so the run
+    * exercises the fallback arm; the pruning arm is pinned by
+    * `BoundedServeSpec`'s crafted stopword corpus and measured by the
+    * ScaleSmoke scan-rows row. */
+  def textBm25ServedMaxScoreQuery(s: SparkSession, dir: String): DataFrame =
+    textBm25ServedMaxScore(s, textIndexFor(s, dir))
+
   /** Registered-query form of [[textPhraseServed]] — shares the ONE
     * persisted index (build memo) with the BM25 serving family. */
   def textPhraseServedQuery(s: SparkSession, dir: String): DataFrame =
@@ -1283,6 +1433,7 @@ object TextAnalysis {
     "text_phrase_served" -> textPhraseServedQuery _,
     "text_bm25_served" -> textBm25ServedQuery _,
     "text_bm25_served_bounded" -> textBm25ServedBoundedQuery _,
+    "text_bm25_served_maxscore" -> textBm25ServedMaxScoreQuery _,
     "text_index_health" -> textIndexHealthQuery _,
     "text_bpe_train" -> textBpeTrain _,
     "text_bm25_filtered" -> textBm25FilteredQuery _,
@@ -1506,6 +1657,9 @@ object TextAnalysis {
     // scoring tail is the shared bm25Rank — identical result, identical
     // oracle (byte-identity pinned in OperatorSpec)
     "text_bm25_served" -> bm25OracleSql,
+    // the MaxScore serve is result-identical to the unbounded serve on
+    // every corpus (exactness is its contract), so it shares its oracle
+    "text_bm25_served_maxscore" -> bm25OracleSql,
     "text_bm25_served_bounded" -> bm25BoundedOracleSql,
     // health over a fresh build: staleness and tombstone debt are 0 BY
     // CONSTRUCTION and the oracle asserts exactly that; every content

@@ -123,6 +123,55 @@ class BoundedServeSpec extends AnyFunSuite {
       "the lexical df-share bound changed semantic ranks")
   }
 
+  test("maxscore serve: exact top-k, mega posting pruned to contenders, stale bounds fall back") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("maxscore").toString
+    // 'spark' in 58/60 docs (mega, df-share 0.967); 'join'/'vector'
+    // cheap with enough matching docs to seat a full top-k floor
+    def tok(i: Long): Seq[String] = {
+      val b = Seq.newBuilder[String]
+      if (i <= 58) b += "spark"
+      if (i % 2 == 0) b += "join"
+      if (i % 3 == 0) b += "vector"
+      (0 until (3 + (i % 5)).toInt).foreach(w => b += s"f${i}w$w")
+      b.result()
+    }
+    (1L to 60L).map(i => (i, tok(i).mkString(" "), "en", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+      .write.mode("overwrite").parquet(s"$tmp/c/documents.parquet")
+    TextAnalysis.textIndexWrite(spark, s"$tmp/c", s"$tmp/idx")
+    val cand = TextAnalysis.maxScoreContenders(spark, s"$tmp/idx")
+    assert(cand.isDefined, "pruning must engage on the stopword corpus")
+    assert(cand.get.size >= TextAnalysis.bm25TopK && cand.get.size < 60,
+      s"contender set ${cand.get.size} — want a proper subset covering the top-k")
+    val exact = TextAnalysis.textBm25Served(spark, s"$tmp/idx").collect().map(_.toSeq).toSeq
+    val ms = TextAnalysis.textBm25ServedMaxScore(spark, s"$tmp/idx").collect().map(_.toSeq).toSeq
+    assert(ms.nonEmpty && ms === exact,
+      "MaxScore serve diverged from the unbounded serve — it must be EXACT")
+    // registered-corpus arm: no query term crosses the cut -> fallback,
+    // still identical (the shared oracle's contract)
+    assert(TextAnalysis.maxScoreContenders(spark,
+      TextAnalysis.textIndexFor(spark, sf0001)).isEmpty,
+      "no mega term on the shared corpus — pruning must not engage")
+    // stale dictionary (append since rebuild): bounds are unsound for
+    // pruning -> exact fallback, never a wrong answer
+    TextAnalysis.textIndexAppendBatch(spark,
+      Seq((61L, "spark join vector fresh", "en", "s"))
+        .toDF("doc_id", "text", "lang", "source"), s"$tmp/idx")
+    assert(TextAnalysis.maxScoreContenders(spark, s"$tmp/idx").isEmpty,
+      "stale (post-append) bounds must not prune")
+    val exact2 = TextAnalysis.textBm25Served(spark, s"$tmp/idx").collect().map(_.toSeq).toSeq
+    val ms2 = TextAnalysis.textBm25ServedMaxScore(spark, s"$tmp/idx").collect().map(_.toSeq).toSeq
+    assert(ms2 === exact2, "fallback arm diverged from the unbounded serve")
+    // compact refreshes the dictionary: pruning re-engages
+    TextAnalysis.textIndexCompact(spark, s"$tmp/idx")
+    assert(TextAnalysis.maxScoreContenders(spark, s"$tmp/idx").isDefined,
+      "compact must refresh the bounds and re-enable pruning")
+    val exact3 = TextAnalysis.textBm25Served(spark, s"$tmp/idx").collect().map(_.toSeq).toSeq
+    val ms3 = TextAnalysis.textBm25ServedMaxScore(spark, s"$tmp/idx").collect().map(_.toSeq).toSeq
+    assert(ms3 === exact3)
+  }
+
   test("term dictionary: frozen between compacts, recomputed at compact") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("termstats").toString
