@@ -802,14 +802,8 @@ object AnnIndex {
     * SQL-restatable — the oracle recomputes the stride assignment and
     * the same distribution statistics — except the physical file count,
     * which is excluded here and stays in the library report. */
-  def simIvfHealth(s: SparkSession, dir: String): DataFrame = {
-    val indexDir = builtIndexes.computeIfAbsent(s"$dir|ivf-stride", { _ =>
-      val d = java.nio.file.Files.createTempDirectory("graft-ivf-stride-index").toString
-      ivfIndexWriteStride(s, dir, d)
-      d
-    })
-    ivfIndexHealth(s, indexDir).filter(col("metric") =!= "data_files")
-  }
+  def simIvfHealth(s: SparkSession, dir: String): DataFrame =
+    ivfIndexHealth(s, strideIndexFor(s, dir)).filter(col("metric") =!= "data_files")
 
   /** Compact the LSH bucket table: few files, sorted on the serve key
     * (tbl, bucket) so probed buckets cluster into prunable row groups.

@@ -1238,7 +1238,10 @@ object Dedup {
     val n = Similarity.normed(s, dir)
     val asg = Similarity.nearestCentroids(Similarity.centroidsOf(n))(
       n, "vec_id", "embedding", "nrm", 1, carry = Seq("embedding", "nrm"))
-    val k = math.floor(dropFrac * asg.count()).toLong
+    // the assignment emits exactly one row per normed vector (keep=1),
+    // so the budget's N comes from the cheap normed scan — counting asg
+    // would pay the whole nearest-centroid kernel a second time
+    val k = math.floor(dropFrac * n.count()).toLong
     val dropped = tiledBlockPairs(asg, semanticPairFloor)
       .groupBy(col("id_b").as("vec_id"))
       .agg(round(max(col("cosine")), 6).as("score"))

@@ -113,9 +113,17 @@ object IndexMaintenance {
     * swap. */
   val leaseStaleMs: Long = 15L * 60 * 1000
 
-  private val heldLeases = new ThreadLocal[java.util.HashSet[String]] {
-    override def initialValue() = new java.util.HashSet[String]()
-  }
+  /** Scopes this PROCESS currently holds, with a hold count — the lease
+    * is reentrant per PROCESS, not per thread: its job is cross-process
+    * exclusion only (threads of this process are serialized by the
+    * in-JVM monitors), and per-thread tracking let a second thread of
+    * the same process mistake the first thread's LIVE lease for a
+    * crashed leftover, break it mid-operation, and hand the scope to a
+    * genuinely foreign process. All acquire/release file ops run under
+    * [[leaseGate]], so two same-process threads can never race the
+    * create/break sequence either. */
+  private val heldLeases = scala.collection.mutable.Map[String, Int]()
+  private val leaseGate = new Object
 
   /** The lease scope of a table path: its parent (the index dir). A
     * parentless path scopes to itself (degenerate — test tables at a
@@ -153,34 +161,44 @@ object IndexMaintenance {
   private def withLeaseScope[T](s: SparkSession, scope: org.apache.hadoop.fs.Path)(body: => T): T = {
     val f = fs(s, scope)
     val key = f.makeQualified(scope).toString
-    if (heldLeases.get.contains(key)) body
-    else {
-      val lp = leasePath(scope)
-      def tryAcquire(): Boolean =
-        try {
-          val out = f.create(lp, false)
-          out.write(processId.getBytes("UTF-8")); out.close(); true
-        } catch { case _: java.io.IOException => false }
-      if (!tryAcquire()) {
-        val st = try Some(f.getFileStatus(lp))
-          catch { case _: java.io.FileNotFoundException => None }
-        val owner = readLeaseOwner(f, lp).getOrElse("")
-        val live = st.exists(x =>
-          System.currentTimeMillis() - x.getModificationTime < leaseStaleMs)
-        if (live && owner != processId)
-          throw new IllegalStateException(
-            s"maintenance lease on $scope is held by process $owner — a " +
-            "concurrent maintenance writer; refusing to race the swap " +
-            s"(lease $lp, stale after ${leaseStaleMs / 1000} s)")
-        f.delete(lp, false) // crashed holder's leftover (or our own)
-        if (!tryAcquire()) throw new IllegalStateException(
-          s"maintenance lease on $scope: lost the acquire race after breaking " +
-          s"a stale lease ($lp)")
+    val lp = leasePath(scope)
+    leaseGate.synchronized {
+      val held = heldLeases.getOrElse(key, 0)
+      if (held > 0) heldLeases(key) = held + 1
+      else {
+        def tryAcquire(): Boolean =
+          try {
+            val out = f.create(lp, false)
+            out.write(processId.getBytes("UTF-8")); out.close(); true
+          } catch { case _: java.io.IOException => false }
+        if (!tryAcquire()) {
+          val st = try Some(f.getFileStatus(lp))
+            catch { case _: java.io.FileNotFoundException => None }
+          val owner = readLeaseOwner(f, lp).getOrElse("")
+          val live = st.exists(x =>
+            System.currentTimeMillis() - x.getModificationTime < leaseStaleMs)
+          if (live && owner != processId)
+            throw new IllegalStateException(
+              s"maintenance lease on $scope is held by process $owner — a " +
+              "concurrent maintenance writer; refusing to race the swap " +
+              s"(lease $lp, stale after ${leaseStaleMs / 1000} s)")
+          // a leftover owned by OUR id with zero holds is a leaked file
+          // (a crashed release), never a live sibling thread — live
+          // same-process holds reenter above and never reach here
+          f.delete(lp, false)
+          if (!tryAcquire()) throw new IllegalStateException(
+            s"maintenance lease on $scope: lost the acquire race after breaking " +
+            s"a stale lease ($lp)")
+        }
+        heldLeases(key) = 1
       }
-      heldLeases.get.add(key)
-      try body
-      finally {
-        heldLeases.get.remove(key)
+    }
+    try body
+    finally leaseGate.synchronized {
+      val held = heldLeases.getOrElse(key, 1)
+      if (held > 1) heldLeases(key) = held - 1
+      else {
+        heldLeases.remove(key)
         // release ONLY our own lease: a thief that judged us stale and
         // re-took it owns the file now — deleting it would re-open the
         // very race the steal detection exists to close
@@ -733,20 +751,30 @@ object IndexMaintenance {
     }
   }
 
-  /** Sweep the table files of INCOMPLETE markerless batches before a
-    * rewrite can absorb them. A markerless tag must have a complete
-    * file set in EVERY table of `tables` (a multi-table index — text:
-    * doclen then postings — appends all its tables under one tag, in
-    * order): a tag complete in doclen but absent from postings is a
-    * crash BETWEEN the two appends, and compacting it away with a
-    * pinned marker would silently lose the batch's postings rows
-    * forever (the retry would skip). Swept batches are uncommitted by
-    * construction — the marker is written only after every table's
-    * append — so the stream re-presents them, and the retry re-lands
-    * the whole batch under its persisted sequence stamp
-    * ([[appendBatchAs]]'s `.seq_` sentinel survives the sweep). Tags
-    * that already HAVE a marker are never swept: their partial presence
-    * is a previous compact having absorbed the other tables' files. */
+  /** Reconcile MARKERLESS batch tags across the tables of one index
+    * before a rewrite can absorb them — `tables` in APPEND ORDER (text:
+    * doclen then postings). The discriminator is the LAST table's file
+    * set, because [[appendBatchAs]] runs the tables in order:
+    *
+    *  - last table COMPLETE ⇒ the batch's data fully landed everywhere
+    *    (postings presence implies doclen landed — even when a crashed
+    *    earlier pass already absorbed the doclen copy and RETIRED its
+    *    marker, the legitimate state a naive
+    *    "complete-in-every-table" rule would misread as a crashed
+    *    append and silently destroy): PIN the fold marker, so the
+    *    rewrite may absorb the files and a retry skips;
+    *  - last table ABSENT or PARTIAL ⇒ the crash hit inside the batch's
+    *    append sequence; its files are uncommitted partial output:
+    *    SWEEP them all, so the rewrite cannot absorb them — the stream
+    *    re-presents the batch (the marker is written only after every
+    *    table's append, so an uncommitted batch always retries) and the
+    *    retry re-lands the whole batch under its persisted sequence
+    *    stamp ([[appendBatchAs]]'s `.seq_` sentinel survives the
+    *    sweep).
+    *
+    * Tags that already HAVE a marker are untouched: their partial
+    * presence is a previous compact having absorbed the other tables'
+    * files. */
   private[graft] def sweepIncompleteBatches(s: SparkSession, tables: Seq[String],
       markerDir: String): Unit = {
     val mp = new org.apache.hadoop.fs.Path(markerDir)
@@ -760,8 +788,11 @@ object IndexMaintenance {
         .groupBy(_._1).map { case (k, v) => k -> v.map(_._2) })
     val candidates = perTable.flatMap(_.keys).toSet -- markers
     candidates.foreach { tag =>
-      val committed = perTable.forall(m => m.get(tag).exists(tagComplete))
-      if (!committed) perTable.foreach(_.get(tag).foreach(_.foreach { st =>
+      val committed = perTable.last.get(tag).exists(tagComplete)
+      if (committed) {
+        f.mkdirs(mp)
+        f.create(new org.apache.hadoop.fs.Path(mp, tag), true).close()
+      } else perTable.foreach(_.get(tag).foreach(_.foreach { st =>
         f.delete(st.getPath, false)
       }))
     }
@@ -924,6 +955,15 @@ object IndexMaintenance {
       if (sentinelSeqOf(f, dest, tag).isEmpty)
         f.create(new org.apache.hadoop.fs.Path(
           Option(dest.getParent).getOrElse(dest), sentinelName(dest, tag, seq)), true).close()
+      // round-8 batches were tagged `${lineage}_${batchId}` (no 'b'
+      // before the id): a pre-upgrade crashed attempt's files would
+      // escape the sweep under the round-9+ spelling and the retry
+      // would append alongside them as duplicates — sweep the legacy
+      // spelling too (the trailing '-' keeps batch 5 from matching 50)
+      val legacy = tag.replaceFirst("_b(\\d+)$", "_$1")
+      if (legacy != tag && f.exists(dest)) f.listStatus(dest).toSeq
+        .filter(st => st.isFile && st.getPath.getName.startsWith(s"b$legacy-"))
+        .foreach(st => f.delete(st.getPath, false))
       landAs(s, df, dest, (i, n) => s"b$tag-$i.c$n.s$seq.parquet", s"_staging_$tag",
         sweepPrefix = Some(s"b$tag-"))
     }

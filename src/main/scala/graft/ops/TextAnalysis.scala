@@ -1183,6 +1183,9 @@ object TextAnalysis {
     * the bounds unsound for pruning. */
   def maxScoreContenders(s: SparkSession,
       indexDir: String): Option[Seq[Long]] = {
+    val tsPath = new org.apache.hadoop.fs.Path(s"$indexDir/termstats")
+    if (!tsPath.getFileSystem(s.sparkContext.hadoopConfiguration).exists(tsPath))
+      return None // pre-dictionary index layout: fall back, don't throw
     val ts = s.read.parquet(s"$indexDir/termstats")
     if (!ts.columns.contains("ub")) return None // pre-round-10 dictionary
     if (IndexMaintenance.pendingTombstones(s, s"$indexDir/postings").isDefined ||

@@ -166,6 +166,32 @@ class MaintenanceSpec extends AnyFunSuite {
     lease.delete() // the thief's lease, not ours to release
   }
 
+  test("a sibling thread of the same process reenters the lease instead of breaking it") {
+    import spark.implicits._
+    val tmp = tmpDir("lease-thread")
+    (1L to 20L).map(i => (i, s"v$i")).toDF("id", "v")
+      .write.mode("overwrite").parquet(s"$tmp/t")
+    val lease = file(s"${file(tmp).getParent}/.${file(tmp).getName}.lease")
+    var threadErr: Option[Throwable] = None
+    IndexMaintenance.withIndexMaintenance(spark, tmp) {
+      // a second THREAD of this process (an operator takedown landing
+      // while a compact holds the index lease): per-thread tracking
+      // used to mistake the live lease for a crashed leftover, break
+      // it, and delete it on release — leaving the long op unprotected
+      // and aborting its promote on the ownership re-check
+      val t = new Thread(() => try
+        IndexMaintenance.deleteIds(spark, s"$tmp/t", Seq(1L))
+      catch { case e: Throwable => threadErr = Some(e) })
+      t.start(); t.join()
+      assert(threadErr.isEmpty, s"sibling thread failed: $threadErr")
+      assert(lease.exists(), "sibling thread released the outer hold's lease")
+      // the outer hold still owns the lease: the promote gate passes
+      IndexMaintenance.verifyHeldLease(spark, s"$tmp/t")
+    }
+    assert(!lease.exists(), "lease leaked after the outer release")
+    assert(file(s"$tmp/t/_tombstones").exists(), "the sibling thread's delete was lost")
+  }
+
   test("text index: a batch crashed between doclen and postings appends is swept, not marker-pinned") {
     import spark.implicits._
     val r = tmpDir("text-orphan")
@@ -204,6 +230,45 @@ class MaintenanceSpec extends AnyFunSuite {
       .filter(col("doc_id") === 900001L).count() == 2L, "alpha + beta posting rows")
     assert(spark.read.parquet(s"$r/index/doclen").count() == doclenBefore + 1)
     assert(spark.read.parquet(s"$r/index/postings").count() == postingsBefore + 2)
+    IndexMaintenance.checkUnique(spark, s"$r/index/postings", Seq("term", "doc_id"), "doc_id")
+  }
+
+  test("committed batch whose marker was retired after one table's compact is re-pinned, not swept") {
+    import spark.implicits._
+    val r = tmpDir("retired-orphan")
+    val docs = Tables(spark, TestSpark.sf0001, "documents")
+    docs.filter(org.apache.spark.sql.functions.pmod(col("doc_id"), lit(3)) === 0)
+      .write.mode("overwrite").parquet(s"$r/seed/documents.parquet")
+    graft.ops.TextAnalysis.textIndexWrite(spark, s"$r/seed", s"$r/index")
+    // two COMMITTED batches (appended to both tables, markers recorded)
+    val lineage = "abcd9999"
+    def commit(b: Long, id: Long, text: String): Unit = {
+      graft.ops.TextAnalysis.textIndexAppendBatch(spark,
+        Seq((id, "en", "web", text)).toDF("doc_id", "lang", "source", "text"),
+        s"$r/index", tag = Some(IndexMaintenance.batchTag(lineage, b)))
+      IndexMaintenance.recordBatch(spark, s"$r/index", lineage, b)
+    }
+    commit(8L, 800001L, "alpha beta")
+    commit(9L, 900001L, "gamma")
+    // a crashed pass: the DOCLEN compact ran (absorbing both tags and
+    // retiring marker 8 — 9 is the lineage max), then the process died
+    // before the postings compact
+    IndexMaintenance.compactTable(spark, s"$r/index/doclen", Seq("doc_id"),
+      tombstoneCol = Some("doc_id"), markerDir = Some(s"$r/index/_batches"))
+    assert(!IndexMaintenance.batchSeen(spark, s"$r/index", lineage, 8L),
+      "staging failed: marker 8 should be retired by the doclen compact")
+    assert(IndexMaintenance.batchSeen(spark, s"$r/index", lineage, 9L))
+    val postingsBefore = spark.read.parquet(s"$r/index/postings").count()
+    // the next full compact sees batch 8's postings files complete but
+    // markerless, with its doclen copy long absorbed: the COMPLETE
+    // last-table file set is the commit witness — the batch must be
+    // re-pinned and retained, never judged 'crashed mid-append' and
+    // swept (that would silently lose a committed batch's rows forever)
+    graft.ops.TextAnalysis.textIndexCompact(spark, s"$r/index")
+    assert(spark.read.parquet(s"$r/index/postings").count() == postingsBefore,
+      "a committed batch's postings rows were lost by the sweep")
+    assert(spark.read.parquet(s"$r/index/postings")
+      .filter(col("doc_id") === 800001L).count() == 2L, "alpha+beta rows must survive")
     IndexMaintenance.checkUnique(spark, s"$r/index/postings", Seq("term", "doc_id"), "doc_id")
   }
 
