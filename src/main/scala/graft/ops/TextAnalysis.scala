@@ -992,30 +992,31 @@ object TextAnalysis {
     * it (Lucene's semantic: the term dictionary is per-segment state
     * that merges refresh).
     *
-    * `ub` is the term's SCORE UPPER BOUND — the maximum BM25
+    * `ub` is a SCORE UPPER BOUND per term — at least the maximum BM25
     * contribution any posting of the term can make under the index's
     * frozen stats (Lucene's per-term max score, the MaxScore/WAND
-    * prerequisite): idf(df) × max over the term's postings of the tf
-    * normalization. Exact (from the actual postings + doclen), built
-    * once per rebuild; the EXACT bounded serve
-    * ([[textBm25ServedMaxScore]]) prunes with it. */
+    * prerequisite). It is computed from the postings ALONE by taking
+    * the tf normalization at its dl → 0 limit, idf(df) × (k1+1)·maxTf /
+    * (maxTf + k1·(1−b)): sound (the true max has dl > 0 in the
+    * denominator, so it can only be smaller) and slightly loose (~10%
+    * on a stopword), which only ever ADMITS extra contenders — never
+    * wrongly prunes. The exact per-posting max would cost a
+    * postings×doclen join at every rebuild, a real tax on the
+    * streaming compact cadence for a bound whose slack the idf factor
+    * dwarfs anyway. */
   private def writeTermStats(s: SparkSession, indexDir: String): Unit = {
     val dest = new org.apache.hadoop.fs.Path(s"$indexDir/termstats")
     val tmp = new org.apache.hadoop.fs.Path(s"$indexDir/.termstats.tmp")
     val st = s.read.parquet(s"$indexDir/stats").head()
     val nDocs = st.getLong(0)
-    val avgdl = st.getDouble(1)
-    val tfn = (col("tf").cast("double") * lit(bm25K1 + 1.0)) /
-      (col("tf").cast("double") + lit(bm25K1) * (lit(1.0 - bm25B) +
-        lit(bm25B) * col("dl").cast("double") / lit(avgdl)))
     val idf = log(lit(1.0) +
       (lit(nDocs.toDouble) - col("df").cast("double") + 0.5) /
         (col("df").cast("double") + 0.5))
+    val mtfn = (col("_maxtf").cast("double") * lit(bm25K1 + 1.0)) /
+      (col("_maxtf").cast("double") + lit(bm25K1) * lit(1.0 - bm25B))
     s.read.parquet(s"$indexDir/postings")
-      .select(col("term"), col("doc_id"), col("tf"))
-      .join(s.read.parquet(s"$indexDir/doclen").select(col("doc_id"), col("dl")), "doc_id")
-      .groupBy(col("term")).agg(count(lit(1)).as("df"), max(tfn).as("_mtfn"))
-      .select(col("term"), col("df"), (idf * col("_mtfn")).as("ub"))
+      .groupBy(col("term")).agg(count(lit(1)).as("df"), max(col("tf")).as("_maxtf"))
+      .select(col("term"), col("df"), (idf * mtfn).as("ub"))
       .repartitionByRange(1, col("term")).sortWithinPartitions(col("term"))
       .write.mode("overwrite").parquet(tmp.toString)
     val f = dest.getFileSystem(s.sparkContext.hadoopConfiguration)
