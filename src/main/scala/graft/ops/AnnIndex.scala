@@ -329,7 +329,35 @@ object AnnIndex {
     val cent = PlanCache.memoized(s, s"$indexDir|ivf-index-centroids") {
       s.read.parquet(s"$indexDir/centroids")
     }
-    val probes = probeOverride.getOrElse(Similarity.ivfProbesFor(cent.count().toDouble))
+    val qn = queries
+      .select(col("q_id").as("vec_id"), col("embedding"))
+      .withColumn("nrm", sqrt(graft.plans.VectorFunctions.vec_dot(
+        col("embedding"), col("embedding"))))
+      .filter(col("nrm") > 0)
+    // probe set: an explicit override keeps the pinned count (the
+    // oracled stride twins and point lookups); otherwise the probes are
+    // MASS-budgeted exactly like the in-session auto path — each query
+    // walks its nearest lists (capped at the old list-count rule) until
+    // the cumulative probed LIST MASS reaches ivfProbeFraction of the
+    // corpus, so skew changes how many lists the budget takes, not how
+    // much work it buys (the round-9 clustered experiment's 10x lesson,
+    // now also on the persisted production path). The per-list sizes
+    // memoize per index (one aggregation per process, invalidated with
+    // the other index memos on append/compact); the corpus size is a
+    // metadata-only count.
+    val probeRows = probeOverride match {
+      case Some(p) => Similarity.nearestCentroids(cent)(
+        qn, "vec_id", "embedding", "nrm", p, carry = Seq("embedding", "nrm"))
+      case None =>
+        val cap = Similarity.ivfProbesFor(cent.count().toDouble)
+        val rows = s.read.parquet(s"$indexDir/lists").count().toDouble
+        val budget = rows * Similarity.ivfProbeFraction
+        val sizes = PlanCache.memoized(s, s"$indexDir|ivf-list-sizes") {
+          s.read.parquet(s"$indexDir/lists")
+            .groupBy(col("c_id")).agg(count(lit(1)).as("lsz"))
+        }
+        Similarity.massTrimmedProbes(cent, qn, cap, sizes, budget)
+    }
     // the point-lookup shape deliberately BYPASSES the memoized cache:
     // materializing a whole-table cache to serve a handful of queries is
     // the opposite of the goal, and only a direct parquet read lets the
@@ -343,19 +371,14 @@ object AnnIndex {
           }, "vec_id")
       else IndexMaintenance.minusTombstones(s, s"$indexDir/lists",
           s.read.parquet(s"$indexDir/lists"), "vec_id")
-        .filter(col("c_id").isin(probedCellsWith(cent, queries, probes): _*))
+        .filter(col("c_id").isin(probeRows.select(col("c_id")).distinct()
+          .collect().map(_.getLong(0)).toSeq: _*))
     val n = memberPool(s, corpusDirs, memberPred)
     val lists = assign.join(n, "vec_id")
       .groupBy(col("c_id"))
       .agg(sort_array(collect_list(
         struct(col("vec_id"), col("embedding"), col("nrm")))).as("cands"))
-    val qn = queries
-      .select(col("q_id").as("vec_id"), col("embedding"))
-      .withColumn("nrm", sqrt(graft.plans.VectorFunctions.vec_dot(
-        col("embedding"), col("embedding"))))
-      .filter(col("nrm") > 0)
-    val qlists = Similarity.nearestCentroids(cent)(
-        qn, "vec_id", "embedding", "nrm", probes, carry = Seq("embedding", "nrm"))
+    val qlists = probeRows
       .groupBy(col("c_id"))
       .agg(collect_list(struct(col("vec_id"), col("embedding"), col("nrm"))).as("qs"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("cand_id"))

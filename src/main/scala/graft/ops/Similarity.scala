@@ -601,6 +601,32 @@ object Similarity {
     }
   }
 
+  /** Per-query probe set trimmed by cumulative LIST MASS — the shared
+    * policy of the in-session auto path and the persisted serve
+    * ([[AnnIndex.ivfIndexServe]]): each query's `cap` nearest centroids
+    * in quantizer order, kept while it is within the [[nProbe]] floor
+    * or the mass probed BEFORE it is under `budget` (so the budget is
+    * always reached, never undershot). Returns (vec_id, embedding,
+    * nrm, c_id) probe rows. The trim runs on NARROW rows — the
+    * cumulative-mass window sorts `cap` rows per query, and riding the
+    * embeddings through that shuffle would triple its width; they
+    * re-join from the (tiny, broadcast) query set after. */
+  private[ops] def massTrimmedProbes(cent: DataFrame, qn: DataFrame,
+      cap: Int, listSizes: DataFrame, budget: Double): DataFrame = {
+    val nc = graft.plans.VectorFunctions.nearest_centroid_ids(
+      col("embedding"), col("nrm"), col("cents"), cap)
+    val wq = Window.partitionBy(col("vec_id")).orderBy(col("ord"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    qn.crossJoin(broadcast(centArrayOf(cent)))
+      .select(col("vec_id"), posexplode(nc).as(Seq("ord", "c_id")))
+      .join(broadcast(listSizes), Seq("c_id"), "left")
+      .withColumn("cum_before", coalesce(sum(coalesce(col("lsz"), lit(0L))).over(wq), lit(0L)))
+      .filter(col("ord") < nProbe || col("cum_before") < budget)
+      .select(col("vec_id"), col("c_id"))
+      .join(broadcast(qn.select(col("vec_id"), col("embedding"), col("nrm"))), "vec_id")
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("c_id"))
+  }
+
   /** The IVF SCALE serving path: trained quantizer + MASS-budgeted
     * probing + tiled per-list scoring. Differences from `ivfTopkWith`:
     *
@@ -655,26 +681,8 @@ object Similarity {
     // is computed once, not paid a second time for a count
     val listSizes = lists.select(col("c_id"), size(col("cands")).cast("long").as("lsz"))
     val q = n.filter(col("vec_id") % queryStride === 0)
-    // probes in quantizer order WITH their ordinal, trimmed by
-    // cumulative mass: list i survives if it is within the nProbe floor
-    // or the mass probed BEFORE it is still under budget (so the budget
-    // is always reached, never undershot)
-    val nc = graft.plans.VectorFunctions.nearest_centroid_ids(
-      col("embedding"), col("nrm"), col("cents"), cap)
-    val wq = Window.partitionBy(col("vec_id")).orderBy(col("ord"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    // trim on the NARROW (vec_id, ord, c_id) rows — the cumulative-mass
-    // window sorts cap rows per query, and riding the 256 B embeddings
-    // through that shuffle would triple its width for nothing; the
-    // embeddings re-join from the (tiny, broadcast) query set after
-    val kept = q.crossJoin(broadcast(centArrayOf(cent)))
-      .select(col("vec_id"), posexplode(nc).as(Seq("ord", "c_id")))
-      .join(broadcast(listSizes), Seq("c_id"), "left")
-      .withColumn("cum_before", coalesce(sum(coalesce(col("lsz"), lit(0L))).over(wq), lit(0L)))
-      .filter(col("ord") < nProbe || col("cum_before") < massBudget)
-      .select(col("vec_id"), col("c_id"))
-    val qlists = kept
-      .join(broadcast(q.select(col("vec_id"), col("embedding"), col("nrm"))), "vec_id")
+    val qlists = massTrimmedProbes(cent, q.select(col("vec_id"), col("embedding"), col("nrm")),
+        cap, listSizes, massBudget)
       .groupBy(col("c_id"))
       .agg(collect_list(struct(col("vec_id"), col("embedding"), col("nrm"))).as("qs"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("cand_id"))
