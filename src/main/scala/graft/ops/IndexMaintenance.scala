@@ -308,10 +308,36 @@ object IndexMaintenance {
     fs(s, p).makeQualified(p).toString
   }
 
-  /** Raise (never lower) the carried sequence for `path` to `seq`. */
+  /** Raise (never lower) the carried sequence for `path` to `seq`.
+    * SEEDS a cold cache — callers must pass a value derived from the
+    * FULL sequence computation (standing files AND pending finite
+    * tombstone watermarks, i.e. [[nextSeq]]'s cold-start listing).
+    * Only [[nextSeq]] itself satisfies that; every other write path
+    * knows at most a files-only or sentinel-reused stamp and must use
+    * [[raiseSeq]], which cannot seed. Seeding from a files-only value
+    * after a crash state (high-stamped files swept, finite `del_seq`
+    * tombstone pending) would hand the next append a stamp at or below
+    * the pending watermark — the rows would be silently masked and
+    * physically dropped at the next compact, a lost append. */
   private def noteSeq(s: SparkSession, path: String, seq: Long): Unit =
     seqCache.merge(qualifiedOf(s, path), Long.box(seq),
       (a, b) => if (a >= b) a else b)
+
+  /** Raise the carried sequence for `path` to `seq` ONLY if an entry
+    * already exists (i.e. some [[nextSeq]] in this process has done the
+    * full files+tombstones computation). On a cold cache this is a
+    * no-op, leaving the next [[nextSeq]] to run its listing fallback —
+    * the safe behavior when the caller's `seq` came from file names or
+    * a reuse sentinel alone and may sit below a pending tombstone
+    * watermark. */
+  private def raiseSeq(s: SparkSession, path: String, seq: Long): Unit =
+    seqCache.computeIfPresent(qualifiedOf(s, path),
+      (_, a) => if (a >= seq) a else Long.box(seq))
+
+  /** TEST ONLY: drop the carried sequence for `path`, simulating a
+    * process restart (cold cache). */
+  private[graft] def forgetSeqForTest(s: SparkSession, path: String): Unit =
+    seqCache.remove(qualifiedOf(s, path))
 
   /** Next write sequence for the table: strictly above every standing
     * file's stamp AND every pending finite tombstone watermark (so an
@@ -947,7 +973,9 @@ object IndexMaintenance {
       val seq = sentinelSeqOf(f, dest, tag)
         .orElse(fromFiles)
         .getOrElse(nextSeq(s, tablePath))
-      noteSeq(s, tablePath, seq)
+      // raise-only: a sentinel/files-derived stamp must not SEED a cold
+      // cache below a pending tombstone watermark (lost-append window)
+      raiseSeq(s, tablePath, seq)
       // persist the stamp before anything can remove the files carrying
       // it (this landing's own sweep on retry, or a maintenance sweep of
       // an incomplete landing); sibling placement survives the compact
@@ -1072,7 +1100,10 @@ object IndexMaintenance {
         import s.implicits._
         val seq = dataFiles(s, tablePath)
           .map(st => fileSeqOf(st.getPath.getName)).foldLeft(0L)(math.max)
-        noteSeq(s, tablePath, seq)
+        // raise-only: this is a files-only watermark — seeding a cold
+        // cache with it would bypass nextSeq's pending-tombstone fold
+        // and let a later append stamp under a standing watermark
+        raiseSeq(s, tablePath, seq)
         ids.map(i => (i, seq)).toDF("id", "del_seq").coalesce(1)
           .write.mode("append").parquet(s"$tablePath/_tombstones")
       }

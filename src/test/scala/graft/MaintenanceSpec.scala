@@ -353,4 +353,62 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(IndexMaintenance.batchSeen(spark, s"$tmp/idx", lineage, 4L),
       "retrain publish lost the absorbed batch's fold marker")
   }
+
+  test("cold seqCache is never seeded below a pending tombstone watermark (lost append)") {
+    import spark.implicits._
+    // crash state under repro: files stamped ABOVE a finite del_seq
+    // tombstone were swept (a retry's sweep ran, its re-land never did),
+    // then the process restarted (cold cache). A files-only stamp noted
+    // by deleteIds — or a reuse-sentinel stamp noted by appendBatchAs —
+    // must NOT seed the cache, or the next append stamps at-or-below
+    // the pending watermark and its rows are masked and then physically
+    // dropped at the next compact.
+    def served(t: String) = IndexMaintenance.minusTombstones(spark, t,
+      spark.read.parquet(t), "id")
+      .filter(col("id") === 5L).collect().map(_.getString(1)).toSeq
+    def sweepStamped(t: String, stamps: Set[Long]): Unit =
+      file(t).listFiles().filter(f => f.isFile &&
+        stamps.exists(s => f.getName.contains(s".s$s."))).foreach(f => assert(f.delete()))
+
+    // --- arm 1: deleteIds on a cold cache (files-only watermark) ---
+    val tmp1 = tmpDir("coldseed1")
+    (1L to 20L).map(i => (i, s"v$i")).toDF("id", "v")
+      .write.mode("overwrite").parquet(s"$tmp1/t")
+    for (k <- 100L to 102L)  // stamps s1, s2, s3
+      IndexMaintenance.appendPlain(spark, Seq((k, s"x$k")).toDF("id", "v"), s"$tmp1/t")
+    IndexMaintenance.deleteIds(spark, s"$tmp1/t", Seq(5L))  // watermark 3
+    sweepStamped(s"$tmp1/t", Set(2L, 3L))
+    IndexMaintenance.forgetSeqForTest(spark, s"$tmp1/t")    // process restart
+    // the buggy path: this seeded the cache at max-file-stamp 1
+    IndexMaintenance.deleteIds(spark, s"$tmp1/t", Seq(6L))
+    IndexMaintenance.appendPlain(spark,
+      Seq((5L, "re-admitted")).toDF("id", "v"), s"$tmp1/t")
+    assert(served(s"$tmp1/t") === Seq("re-admitted"),
+      "append after a cold-cache deleteIds stamped under the pending watermark (masked)")
+    IndexMaintenance.compactTable(spark, s"$tmp1/t", Seq("id"), tombstoneCol = Some("id"))
+    assert(spark.read.parquet(s"$tmp1/t").filter(col("id") === 5L)
+      .collect().map(_.getString(1)).toSeq === Seq("re-admitted"),
+      "compaction physically dropped the re-append (the lost-append mode)")
+
+    // --- arm 2: appendBatchAs reusing a low sentinel stamp on a cold cache ---
+    val tmp2 = tmpDir("coldseed2")
+    (1L to 20L).map(i => (i, s"v$i")).toDF("id", "v")
+      .write.mode("overwrite").parquet(s"$tmp2/t")
+    for (k <- 100L to 102L)
+      IndexMaintenance.appendPlain(spark, Seq((k, s"x$k")).toDF("id", "v"), s"$tmp2/t")
+    IndexMaintenance.deleteIds(spark, s"$tmp2/t", Seq(5L))  // watermark 3
+    sweepStamped(s"$tmp2/t", Set(2L, 3L))
+    IndexMaintenance.forgetSeqForTest(spark, s"$tmp2/t")
+    // fabricate the first attempt's persisted stamp (seq 1): the retry
+    // legitimately REUSES it for its own files, but must not seed the
+    // carried sequence with it
+    val sentinel = file(s"$tmp2/.seq_t.lin_b0.s1")
+    assert(sentinel.createNewFile())
+    IndexMaintenance.appendBatchAs(spark,
+      Seq((200L, "batch")).toDF("id", "v"), s"$tmp2/t", "lin_b0")
+    IndexMaintenance.appendPlain(spark,
+      Seq((5L, "re-admitted")).toDF("id", "v"), s"$tmp2/t")
+    assert(served(s"$tmp2/t") === Seq("re-admitted"),
+      "append after a cold-cache sentinel-reusing appendBatchAs was masked")
+  }
 }
