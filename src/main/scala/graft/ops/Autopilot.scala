@@ -163,8 +163,13 @@ object Autopilot {
     // fresh geometry — bits cannot be unset or extended in place.
     if (exists(s, s"$indexDir/bloom") && exists(s, s"$indexDir/eval_shingles")) {
       matched = true
-      val meta = s.read.parquet(s"$indexDir/bloom")
-        .select(col("n_items"), col("total_items")).head()
+      // pre-upgrade bloom rows lack total_items — same schema guard as
+      // Curation.loadBloom: default to n_items (saturation share 1.0
+      // of sized capacity at build time, i.e. exactly full, not over)
+      val metaDf = s.read.parquet(s"$indexDir/bloom")
+      val totalCol = if (metaDf.schema.fieldNames.contains("total_items"))
+        col("total_items") else col("n_items")
+      val meta = metaDf.select(col("n_items"), totalCol).head()
       val sat = meta.getLong(1).toDouble / math.max(1.0, meta.getLong(0).toDouble)
       val (files, pend) = debtOf(s"$indexDir/eval_shingles")
       val wantRebuild = sat > bloomSaturationMax

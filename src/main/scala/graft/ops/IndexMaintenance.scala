@@ -749,7 +749,12 @@ object IndexMaintenance {
   def batchTag(lineage: String, batchId: Long): String = s"${lineage}_b$batchId"
 
   private val tagFileRe = """^b(.+_b\d+)-\d+(?:\.c\d+)?(?:\.s\d+)?\.parquet$""".r
-  private val countRe = """\.c(\d+)\.""".r
+  // tail-anchored: an unanchored `\.c(\d+)\.` would take the FIRST
+  // match anywhere in the name, so a tag containing a `.cN.` substring
+  // would advertise a wrong part count and tagComplete would judge the
+  // lineage's complete batches permanently incomplete (sweep/retry
+  // churn at every compact)
+  private val countRe = """\.c(\d+)(?:\.s\d+)?\.parquet$""".r
 
   /** The batch tag a landed data file belongs to, if it is a
     * [[appendBatchAs]] batch file (`b$tag-N[.cM][.sK].parquet`). */

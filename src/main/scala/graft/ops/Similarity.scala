@@ -610,9 +610,20 @@ object Similarity {
     * nrm, c_id) probe rows. The trim runs on NARROW rows — the
     * cumulative-mass window sorts `cap` rows per query, and riding the
     * embeddings through that shuffle would triple its width; they
-    * re-join from the (tiny, broadcast) query set after. */
+    * re-join from the query set after.
+    *
+    * `broadcastQueries` hints that re-join. The persisted serve passes
+    * true (its query set is a handful of externally supplied vectors);
+    * the AUTO path passes false — there the query set is
+    * corpus/queryStride, 1/50 of ALL vectors with full embeddings, so a
+    * broadcast would grow linearly with corpus size and blow
+    * driver/executor memory at exactly the scales that path targets.
+    * Unhinted, AQE still broadcasts when the runtime size is under the
+    * threshold (small corpora keep the same physical plan) and falls
+    * back to a shuffle join when it is not. */
   private[ops] def massTrimmedProbes(cent: DataFrame, qn: DataFrame,
-      cap: Int, listSizes: DataFrame, budget: Double): DataFrame = {
+      cap: Int, listSizes: DataFrame, budget: Double,
+      broadcastQueries: Boolean = true): DataFrame = {
     val nc = graft.plans.VectorFunctions.nearest_centroid_ids(
       col("embedding"), col("nrm"), col("cents"), cap)
     val wq = Window.partitionBy(col("vec_id")).orderBy(col("ord"))
@@ -623,7 +634,10 @@ object Similarity {
       .withColumn("cum_before", coalesce(sum(coalesce(col("lsz"), lit(0L))).over(wq), lit(0L)))
       .filter(col("ord") < nProbe || col("cum_before") < budget)
       .select(col("vec_id"), col("c_id"))
-      .join(broadcast(qn.select(col("vec_id"), col("embedding"), col("nrm"))), "vec_id")
+      .join({
+        val qs = qn.select(col("vec_id"), col("embedding"), col("nrm"))
+        if (broadcastQueries) broadcast(qs) else qs
+      }, "vec_id")
       .select(col("vec_id"), col("embedding"), col("nrm"), col("c_id"))
   }
 
@@ -682,7 +696,7 @@ object Similarity {
     val listSizes = lists.select(col("c_id"), size(col("cands")).cast("long").as("lsz"))
     val q = n.filter(col("vec_id") % queryStride === 0)
     val qlists = massTrimmedProbes(cent, q.select(col("vec_id"), col("embedding"), col("nrm")),
-        cap, listSizes, massBudget)
+        cap, listSizes, massBudget, broadcastQueries = false)
       .groupBy(col("c_id"))
       .agg(collect_list(struct(col("vec_id"), col("embedding"), col("nrm"))).as("qs"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("cand_id"))
