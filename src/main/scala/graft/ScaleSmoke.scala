@@ -1177,12 +1177,23 @@ object ScaleSmoke {
       f"dropped=${cal.getLong(0)} recall=$calRecall%.3f false-drop=$calFalse%.4f")
     assert(calRecall >= 0.9 && calFalse <= 0.01,
       f"clustered tau default mis-calibrated: recall=$calRecall%.3f false-drop=$calFalse%.4f")
-    val pc = ops.Dedup.dedupSemanticPercentile(spark, cdir)
+    // at 250k the budget K = 2,500 > semanticHeadTakeOrderedMax, so this
+    // exercises the distributed rank-threshold head (round 12): the plan
+    // must contain NO global TakeOrdered/limit merge point — the round-10/11
+    // scale-killer was K corpus rows through one TakeOrdered task.
+    val pcDf = time("CLUSTERED dedup_semantic_pctl (rank-threshold head, 250k)") {
+      ops.Dedup.dedupSemanticPercentile(spark, cdir)
+    }
+    val pcPlan = pcDf.queryExecution.sparkPlan.toString
+    assert(!pcPlan.contains("TakeOrderedAndProject") && !pcPlan.contains("GlobalLimit"),
+      "250k percentile head regressed to a single-point global sort/limit")
+    val pc = pcDf
       .agg(sum(lit(1L) - col("kept")),
         sum(when(col("vec_id") >= lit(nVec - nVecDup), lit(1L) - col("kept"))
           .otherwise(lit(0L)))).collect()(0)
     say(f"  CLUSTERED semdedup PCTL(${ops.Dedup.semanticDropFrac}): " +
-      f"dropped=${pc.getLong(0)} recall=${pc.getLong(1).toDouble / nVecDup}%.3f")
+      f"dropped=${pc.getLong(0)} recall=${pc.getLong(1).toDouble / nVecDup}%.3f " +
+      "(rank-threshold head, no TakeOrdered in plan)")
     assert(pc.getLong(0) == math.floor(ops.Dedup.semanticDropFrac * nVec).toLong &&
       pc.getLong(1).toDouble / nVecDup >= 0.9,
       "percentile semdedup missed its budget or the planted dups on clustered geometry")

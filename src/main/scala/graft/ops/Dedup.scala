@@ -1216,6 +1216,20 @@ object Dedup {
     * within-cluster mass the sweep measured. */
   val semanticPairFloor = 0.3
 
+  /** Head sizes up to this run through a plain TakeOrderedAndProject
+    * (one bounded heap-merge — cheapest possible for a small K); above
+    * it the selection switches to the distributed rank-threshold cutoff
+    * of [[semanticHeadRank]]. At the operator's production default
+    * (dropFrac = 1%) K crosses this at a ~100k-vector corpus — far
+    * before a K-row single-point merge could hurt, and far before
+    * `limit(k.toInt)` could overflow. */
+  val semanticHeadTakeOrderedMax = 1024L
+
+  /** Order-preserving id-range slices for the boundary-rank selection
+    * inside [[semanticHeadRank]] — bounds every per-slice stage of the
+    * tie-break to ~|tie group|/4096. */
+  val semanticHeadBuckets = 4096L
+
   /** Percentile-based SemDeDup — the τ-free form of the keep decision,
     * for when the duplicate BUDGET is the known quantity (the common
     * production case; the SemDeDup paper itself tunes τ against a
@@ -1227,14 +1241,21 @@ object Dedup {
     * within-cluster mass puts it, instead of a fixed τ silently
     * flushing 99% of the corpus (the round-9 finding).
     *
-    * Scale shape: the same 1-probe triangle-tiled kernel; the global
-    * head selection is a TakeOrderedAndProject over the per-vector
-    * scores (top-K by score, never a single-partition window), K =
-    * floor(dropFrac · corpus). Scores are rounded to 6 decimals with a
-    * vec_id tie-break, which makes the head deterministic and
-    * DuckDB-restatable (the oracle reorders float sums). */
+    * Scale shape: the same 1-probe triangle-tiled kernel; the head
+    * selection is exact top-K by (score desc, vec_id) in BOTH forms —
+    * a TakeOrderedAndProject while K ≤ `headTakeOrderedMax` (small
+    * heads don't deserve an extra shuffle), and above that the
+    * distributed rank-threshold cutoff of [[semanticHeadRank]]: no
+    * stage anywhere funnels K corpus rows through one task, and K is
+    * a Long throughout (the previous `limit(k.toInt)` silently
+    * overflowed past 2³¹ — K is ~1% of the corpus at the production
+    * default). Scores are rounded to 6 decimals with a vec_id
+    * tie-break, which makes the head deterministic and
+    * DuckDB-restatable (the oracle reorders float sums); the two
+    * forms are byte-identical (pinned by `DedupSimilaritySpec`). */
   def dedupSemanticPercentile(s: SparkSession, dir: String,
-      dropFrac: Double = semanticDropFrac): DataFrame = {
+      dropFrac: Double = semanticDropFrac,
+      headTakeOrderedMax: Long = semanticHeadTakeOrderedMax): DataFrame = {
     val n = Similarity.normed(s, dir)
     val asg = Similarity.nearestCentroids(Similarity.centroidsOf(n))(
       n, "vec_id", "embedding", "nrm", 1, carry = Seq("embedding", "nrm"))
@@ -1242,17 +1263,90 @@ object Dedup {
     // so the budget's N comes from the cheap normed scan — counting asg
     // would pay the whole nearest-centroid kernel a second time
     val k = math.floor(dropFrac * n.count()).toLong
-    val dropped = tiledBlockPairs(asg, semanticPairFloor)
+    val scores = tiledBlockPairs(asg, semanticPairFloor)
       .groupBy(col("id_b").as("vec_id"))
       .agg(round(max(col("cosine")), 6).as("score"))
-      .orderBy(col("score").desc, col("vec_id"))
-      .limit(k.toInt)
-      .select(col("vec_id"), lit(1L).as("dup"))
+    val head =
+      if (k <= 0L) scores.select(col("vec_id")).limit(0)
+      else if (k <= headTakeOrderedMax)
+        scores.orderBy(col("score").desc, col("vec_id"))
+          .limit(k.toInt).select(col("vec_id"))
+      else semanticHeadRank(s, dir, dropFrac, scores, k)
+    val dropped = head.select(col("vec_id"), lit(1L).as("dup"))
     asg.select(col("vec_id"), col("c_id"))
       .join(dropped, Seq("vec_id"), "left")
       .select(col("vec_id"), col("c_id"),
         (lit(1L) - coalesce(col("dup"), lit(0L))).as("kept"))
       .orderBy(col("vec_id"))
+  }
+
+  /** Distributed top-K head by (score desc, vec_id): the K-th-rank
+    * CUTOFF is derived from the aggregated score distribution, then the
+    * head is a plain filter — the scale-safe replacement for a global
+    * `orderBy().limit(K)` whose single TakeOrdered merge point receives
+    * all K rows (K ~1% of the corpus at the production default).
+    *
+    * Shape, stage by stage — no stage is corpus-proportional on one
+    * task:
+    *  1. score-frequency table + cumulative counts, the exact
+    *     [[graft.ops.TextAnalysis.textLengthQuantiles]] integer rank
+    *     arithmetic. The cumulative window is a single partition, but
+    *     over the DISTINCT 6-decimal rounded scores — ≤ ~700k rows in
+    *     [pairFloor, 1] regardless of corpus size, a constant bound.
+    *     The cutoff row (smallest score whose descending cumulative
+    *     count reaches K) gives the boundary score c and the residual
+    *     rank r = K − |score > c| to fill from the tie group.
+    *  2. the boundary vec_id (r-th smallest id among score == c) via
+    *     order-preserving id-range slices: per-slice counts locate the
+    *     slice containing rank r (≤ [[semanticHeadBuckets]] rows
+    *     through the tiny cumulative window), and only THAT slice —
+    *     ~|ties|/4096 rows — is sorted for the residual pick. Ties at
+    *     one rounded score would have to be both ~2³¹-deep AND packed
+    *     into 1/4096 of their own id range before any single task saw
+    *     unbounded work.
+    *  3. the head itself: `score > c OR (score == c AND vec_id ≤
+    *     boundary)` — a filter, shuffled nowhere.
+    *
+    * Exact-K tie behavior: identical to the TakeOrdered form — of the
+    * vectors tied at the cutoff score, the r smallest vec_ids enter
+    * the head, the rest stay kept. The scores frame is memoized
+    * ([[PlanCache]]) so the cutoff collects and the returned filter
+    * evaluate the quadratic pair kernel exactly once. */
+  private def semanticHeadRank(s: SparkSession, dir: String,
+      dropFrac: Double, scoresRaw: DataFrame, k: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scores = PlanCache.memoized(s, s"semantic_pctl_scores|$dir|$dropFrac")(scoresRaw)
+    val cumW = Window.orderBy(col("score").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cut = scores.groupBy(col("score")).agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(cumW))
+      .filter(col("cum") >= k && col("cum") - col("cnt") < k)
+      .select(col("score"), (lit(k) - (col("cum") - col("cnt"))).as("r"))
+      .collect()
+    if (cut.isEmpty) return scores.select(col("vec_id")) // K ≥ scored: all drop
+    val c = cut(0).getDouble(0)
+    val r = cut(0).getLong(1)
+    val ties = scores.filter(col("score") === c)
+    val st = ties.agg(min(col("vec_id")), max(col("vec_id")), count(lit(1))).collect()(0)
+    val (lo, hi, nTies) = (st.getLong(0), st.getLong(1), st.getLong(2))
+    val boundary = if (r >= nTies) hi else {
+      val width = ((BigInt(hi) - BigInt(lo)) / semanticHeadBuckets + 1).toLong
+      val bucket = expr(s"(vec_id - (${lo}L)) div ${width}L")
+      val brow = ties.groupBy(bucket.as("b")).agg(count(lit(1)).as("cnt"))
+        .withColumn("cum", sum(col("cnt")).over(
+          Window.orderBy(col("b")).rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .filter(col("cum") >= r && col("cum") - col("cnt") < r)
+        .select(col("b"), (lit(r) - (col("cum") - col("cnt"))).as("rr"))
+        .collect()(0)
+      val within = brow.getLong(1)
+      require(within <= Int.MaxValue,
+        s"$within tied ids at score $c inside one of $semanticHeadBuckets id-range slices")
+      ties.filter(bucket === brow.getLong(0))
+        .orderBy(col("vec_id")).limit(within.toInt)
+        .agg(max(col("vec_id"))).collect()(0).getLong(0)
+    }
+    scores.filter(col("score") > c || (col("score") === c && col("vec_id") <= boundary))
+      .select(col("vec_id"))
   }
 
   /** Cluster representative selection — the step AFTER clustering in a

@@ -408,6 +408,45 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(pP >= 45L, s"percentile form missed planted dups: $pP/50")
   }
 
+  test("percentile head: the distributed rank-threshold form is byte-identical " +
+      "to the TakeOrdered form, including through a deep score tie") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // (a) the real corpus at several budgets: default (TakeOrdered at
+    // these K) vs headTakeOrderedMax = 0 (rank-threshold forced)
+    for (frac <- Seq(0.01, 0.05, 0.2)) {
+      graft.ops.PlanCache.invalidate(spark, "semantic_pctl_scores|")
+      val take = rows(Dedup.dedupSemanticPercentile(spark, sf0001, frac))
+      val rank = rows(Dedup.dedupSemanticPercentile(spark, sf0001, frac,
+        headTakeOrderedMax = 0L))
+      assert(take.nonEmpty && take == rank, s"forms diverge at dropFrac=$frac")
+    }
+    // (b) a corpus engineered so the cutoff lands INSIDE a deep tie at
+    // rounded score 1.0 (identical vectors cosine to exactly 1.0): 100
+    // groups x 6 identical members -> ~500 vectors tied at 1.0, budget
+    // 0.5 cuts midway, so the boundary vec_id arm (residual rank r <
+    // tie-group size) must pick exactly the r smallest tied ids
+    val rnd = new scala.util.Random(7)
+    val vecs = (0 until 100).flatMap { g =>
+      val v = Array.fill(16)((rnd.nextGaussian()).toFloat)
+      (0 until 6).map(m => (g * 6L + m, v))
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("sem-ties")
+    vecs.toDF("vec_id", "embedding").write.parquet(s"$tmp/embeddings.parquet")
+    val take = rows(Dedup.dedupSemanticPercentile(spark, tmp.toString, 0.5))
+    val rank = rows(Dedup.dedupSemanticPercentile(spark, tmp.toString, 0.5,
+      headTakeOrderedMax = 0L))
+    assert(take == rank, "forms diverge through the tie group")
+    assert(take.count(_._3 == 0L) == 300, "budget floor(0.5*600) not met")
+    // the tie-break is real: of each group's tied tail, the SMALLER ids
+    // fill the head first, so drops are not all-or-nothing per group
+    val droppedIds = take.filter(_._3 == 0L).map(_._1).toSet
+    assert(droppedIds.nonEmpty && droppedIds.size == 300)
+    graft.ops.PlanCache.invalidate(spark, "semantic_pctl_scores|")
+  }
+
   test("multi-probe LSH ANN: recall >= 0.6 at a bounded scored fraction") {
     val exact = Similarity.simTopkBruteforce(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet

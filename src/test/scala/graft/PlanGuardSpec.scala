@@ -200,6 +200,30 @@ class PlanGuardSpec extends AnyFunSuite {
     }.isEmpty, "the keep-decision join degenerated to a cartesian product")
   }
 
+  test("dedup_semantic_pctl rank-threshold head: no global sort/limit merge point") {
+    // the round-10/11 scale-killer: the head was orderBy(score desc,
+    // vec_id).limit(K) — K (~1% of the corpus) rows through ONE
+    // TakeOrdered merge, with k.toInt overflowing past 2^31. The rank
+    // form derives a cutoff from the aggregated score distribution and
+    // the head is a filter: the returned plan must contain NO
+    // TakeOrderedAndProject and NO global limit anywhere. (The default
+    // small-K form keeps TakeOrdered on purpose — cheapest at small K.)
+    val df = graft.ops.Dedup.dedupSemanticPercentile(spark, sf0001,
+      headTakeOrderedMax = 0L)
+    val txt = df.queryExecution.sparkPlan.toString
+    assert(!txt.contains("TakeOrderedAndProject"),
+      "rank-threshold head regressed to a global TakeOrdered merge")
+    assert(!txt.contains("GlobalLimit") && !txt.contains("CollectLimit"),
+      "rank-threshold head regressed to a global limit")
+    // sanity: the filter form drops exactly what the TakeOrdered form does
+    def drops(d: DataFrame): Long =
+      d.filter(org.apache.spark.sql.functions.col("kept") === 0L).count()
+    val dRank = drops(df)
+    val dTake = drops(graft.ops.Dedup.dedupSemanticPercentile(spark, sf0001))
+    assert(dRank == dTake, s"rank head dropped $dRank, TakeOrdered $dTake")
+    graft.ops.PlanCache.invalidate(spark, "semantic_pctl_scores|")
+  }
+
   test("curate_split_leakage joins pairs-sized clusters broadcast-side onto a 1-column scan") {
     val p = plan("curate_split_leakage")
     assert(p.collect {
