@@ -281,6 +281,7 @@ object AnnIndex {
         Similarity.normed(s, batchDir), "vec_id", "embedding", "nrm", 1),
       s"$indexDir/lists")
     PlanCache.invalidate(s, s"$indexDir|ivf-index-lists")
+    PlanCache.invalidate(s, s"$indexDir|ivf-list-sizes")
   }
 
   /** Append a landed BATCH FRAME of vectors to the IVF index (streaming
@@ -300,6 +301,7 @@ object AnnIndex {
       case None => IndexMaintenance.appendPlain(s, rows, s"$indexDir/lists")
     }
     PlanCache.invalidate(s, s"$indexDir|ivf-index-lists")
+    PlanCache.invalidate(s, s"$indexDir|ivf-list-sizes")
   }
 
   /** Serve top-k for an external (q_id, embedding) frame from a
@@ -342,21 +344,23 @@ object AnnIndex {
     // corpus, so skew changes how many lists the budget takes, not how
     // much work it buys (the round-9 clustered experiment's 10x lesson,
     // now also on the persisted production path). The per-list sizes
-    // memoize per index (one aggregation per process, invalidated with
-    // the other index memos on append/compact); the corpus size is a
-    // metadata-only count.
+    // memoize per index (one tombstone-masked aggregation per process,
+    // invalidated on append/delete/compact); the corpus size is the
+    // masked sizes' own sum, so the budget covers the SERVABLE corpus.
     val probeRows = probeOverride match {
       case Some(p) => Similarity.nearestCentroids(cent)(
         qn, "vec_id", "embedding", "nrm", p, carry = Seq("embedding", "nrm"))
       case None =>
         val cap = Similarity.ivfProbesFor(cent.count().toDouble)
-        val rows = s.read.parquet(s"$indexDir/lists").count().toDouble
-        val budget = rows * Similarity.ivfProbeFraction
-        val sizes = PlanCache.memoized(s, s"$indexDir|ivf-list-sizes") {
-          s.read.parquet(s"$indexDir/lists")
-            .groupBy(col("c_id")).agg(count(lit(1)).as("lsz"))
-        }
-        Similarity.massTrimmedProbes(cent, qn, cap, sizes, budget)
+        val (sizes, budget) = ivfServableBudget(s, indexDir)
+        // hint the probe re-join's query side ONLY when Catalyst's own
+        // size estimate fits the broadcast threshold — an unconditional
+        // hint bypassed AQE's size check, so an externally supplied
+        // large query batch could OOM the driver (r11 advice)
+        val thr = s.sessionState.conf.autoBroadcastJoinThreshold
+        Similarity.massTrimmedProbes(cent, qn, cap, sizes, budget,
+          broadcastQueries =
+            thr > 0 && qn.queryExecution.optimizedPlan.stats.sizeInBytes <= thr)
     }
     // the point-lookup shape deliberately BYPASSES the memoized cache:
     // materializing a whole-table cache to serve a handful of queries is
@@ -387,6 +391,27 @@ object AnnIndex {
       .filter(col("rk") <= Similarity.topK)
       .select(col("q_id"), col("rk"), col("cand_id"), col("cosine"))
       .orderBy(col("q_id"), col("rk"))
+  }
+
+  /** The persisted serve's mass budget, over the SERVABLE corpus: the
+    * per-list sizes AND their sum both come from the tombstone-masked
+    * lists frame, so a heavily-retracted index buys probes proportional
+    * to what it can actually serve, not to rows compaction hasn't swept
+    * yet (round-10 finding; tombstone-free indexes see identical
+    * numbers — the mask is a no-op anti join there). The masked
+    * aggregation memoizes per process (invalidated on
+    * append/delete/compact); the per-serve cost is a sum over
+    * ≤ nLists cached rows. */
+  private[graft] def ivfServableBudget(
+      s: SparkSession, indexDir: String): (DataFrame, Double) = {
+    val sizes = PlanCache.memoized(s, s"$indexDir|ivf-list-sizes") {
+      IndexMaintenance.minusTombstones(s, s"$indexDir/lists",
+          s.read.parquet(s"$indexDir/lists"), "vec_id")
+        .groupBy(col("c_id")).agg(count(lit(1)).as("lsz"))
+    }
+    val rows = Option(sizes.agg(sum(col("lsz"))).collect()(0).get(0))
+      .fold(0.0)(_.asInstanceOf[Long].toDouble)
+    (sizes, rows * Similarity.ivfProbeFraction)
   }
 
   /** Registered-query form: persist the trained IVF index once for
@@ -863,6 +888,10 @@ object AnnIndex {
   def ivfIndexDelete(s: SparkSession, indexDir: String, vecIds: Seq[Long]): Unit = {
     IndexMaintenance.recoverPublish(s, indexDir, "lists")
     IndexMaintenance.deleteIds(s, s"$indexDir/lists", vecIds)
+    // the serve-budget memo bakes the tombstone MASK into a cached
+    // frame (ivfServableBudget) — unlike the raw lists memo, it goes
+    // stale on delete, not just on append/compact
+    PlanCache.invalidate(s, s"$indexDir|ivf-list-sizes")
   }
 
   /** Compact the IVF-PQ code-carrying list table on c_id. */

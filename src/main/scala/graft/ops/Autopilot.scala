@@ -164,11 +164,16 @@ object Autopilot {
     if (exists(s, s"$indexDir/bloom") && exists(s, s"$indexDir/eval_shingles")) {
       matched = true
       // pre-upgrade bloom rows lack total_items — same schema guard as
-      // Curation.loadBloom: default to n_items (saturation share 1.0
-      // of sized capacity at build time, i.e. exactly full, not over)
+      // Curation.loadBloom: default to n_items, a LOWER BOUND (the
+      // filter was sized for n_items at build; appends since are
+      // unrecorded), NOT a measurement. The decision row says so in its
+      // action column (the r11 advice: a caller alarming below 1.0 sees
+      // every pre-upgrade bloom flagged until its first rebuild writes
+      // the upgraded row — the row must read as "total unknown", not as
+      // a measured exactly-full filter).
       val metaDf = s.read.parquet(s"$indexDir/bloom")
-      val totalCol = if (metaDf.schema.fieldNames.contains("total_items"))
-        col("total_items") else col("n_items")
+      val upgraded = metaDf.schema.fieldNames.contains("total_items")
+      val totalCol = if (upgraded) col("total_items") else col("n_items")
       val meta = metaDf.select(col("n_items"), totalCol).head()
       val sat = meta.getLong(1).toDouble / math.max(1.0, meta.getLong(0).toDouble)
       val (files, pend) = debtOf(s"$indexDir/eval_shingles")
@@ -176,7 +181,8 @@ object Autopilot {
       val wantCompact = wantRebuild || files > dataFilesMax || pend > 0
       if (wantCompact) Curation.decontamIndexCompact(s, indexDir)
       rows += (("decontam", "bloom_saturation_share", sat, bloomSaturationMax,
-        "rebuild_bloom", wantRebuild))
+        if (upgraded) "rebuild_bloom"
+        else "rebuild_bloom_preupgrade_total_unknown", wantRebuild))
       rows += (("decontam", "data_files", files, dataFilesMax.toDouble,
         "compact", wantCompact && files > dataFilesMax))
       rows += (("decontam", "pending_tombstones", pend, 0.0,

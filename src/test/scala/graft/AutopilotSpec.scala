@@ -110,6 +110,49 @@ class AutopilotSpec extends AnyFunSuite {
     assert(d2.forall(!_._5), s"autopilot acted on a healthy decontam index: $d2")
   }
 
+  test("pre-upgrade bloom (no total_items): reported as 'total unknown', not measured; rebuild upgrades") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("autopilot-legacy").toString
+    def evalDoc(i: Long, tag: String) =
+      (i, (0 until 20).map(w => s"$tag${i}w$w").mkString(" "), "en", "s")
+    (1L to 4L).map(i => evalDoc(i * Curation.evalStride, "seed"))
+      .toDF("doc_id", "text", "lang", "source")
+      .write.mode("overwrite").parquet(s"$tmp/eval/documents.parquet")
+    Curation.decontamBloomWrite(spark, s"$tmp/eval", s"$tmp/idx")
+    Curation.decontamShingleWrite(spark, s"$tmp/eval", s"$tmp/idx")
+    // strip total_items — the pre-upgrade on-disk schema
+    spark.read.parquet(s"$tmp/idx/bloom").drop("total_items")
+      .write.parquet(s"$tmp/bloom-legacy")
+    val fs = new org.apache.hadoop.fs.Path(tmp)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$tmp/idx/bloom"), true)
+    fs.rename(new org.apache.hadoop.fs.Path(s"$tmp/bloom-legacy"),
+      new org.apache.hadoop.fs.Path(s"$tmp/idx/bloom"))
+    // the r11 fix under pin: the legacy row must not throw, and the
+    // saturation decision must read as a lower bound ("total unknown"),
+    // not as a measured exactly-full filter; at the default threshold
+    // (1.0, strict >) it must not fire
+    val d1 = decisions(Autopilot.indexAutopilot(spark, s"$tmp/idx"))
+    val satRow = d1.find(r => r._1 == "decontam" && r._2 == "bloom_saturation_share")
+    assert(satRow.exists(r => r._3 == 1.0 &&
+      r._4 == "rebuild_bloom_preupgrade_total_unknown" && !r._5),
+      s"legacy bloom row not surfaced as pre-upgrade: $d1")
+    // a caller alarming below 1.0 fires the rebuild — which WRITES the
+    // upgraded row, so the flag clears after exactly one pass
+    val d2 = decisions(Autopilot.indexAutopilot(spark, s"$tmp/idx",
+      bloomSaturationMax = 0.9))
+    assert(d2.exists(r => r._2 == "bloom_saturation_share" &&
+      r._4 == "rebuild_bloom_preupgrade_total_unknown" && r._5),
+      s"sub-1.0 alarm did not fire on the pre-upgrade bloom: $d2")
+    assert(spark.read.parquet(s"$tmp/idx/bloom")
+      .schema.fieldNames.contains("total_items"), "rebuild did not upgrade the bloom row")
+    val d3 = decisions(Autopilot.indexAutopilot(spark, s"$tmp/idx",
+      bloomSaturationMax = 0.9))
+    assert(d3.forall(!_._5), s"autopilot acted after the upgrade pass: $d3")
+    assert(d3.exists(r => r._2 == "bloom_saturation_share" && r._4 == "rebuild_bloom"),
+      s"upgraded row still reports as pre-upgrade: $d3")
+  }
+
   test("signature lifecycle: tombstone debt -> ingest compact -> no-op; dual-family dirs report both") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("autopilot-sig").toString

@@ -447,6 +447,37 @@ class DedupSimilaritySpec extends AnyFunSuite {
     graft.ops.PlanCache.invalidate(spark, "semantic_pctl_scores|")
   }
 
+  test("auto-IVF never FORCES the query re-join broadcast: the size check stays in charge") {
+    // r11 advisory fix under pin (Similarity.scala massTrimmedProbes call
+    // site): the auto path's query set is corpus/queryStride WITH full
+    // embeddings — a forced broadcast hint grew linearly with the corpus
+    // and bypassed the size check. With the hint gone, a sub-threshold
+    // query frame still broadcasts (so small corpora keep their plan and
+    // results), but when the size check says no, the join must NOT be
+    // broadcast — a hint would override the threshold, which is exactly
+    // the regression this pins out.
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val old = spark.conf.get(key)
+    def shape(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+    val baseline = Similarity.simIvfTopkAuto(spark, sf0001).collect().map(shape).toSeq
+    assert(baseline.nonEmpty)
+    spark.conf.set(key, "1KB")
+    try {
+      val df = Similarity.simIvfTopkAuto(spark, sf0001)
+      val forced = df.queryExecution.sparkPlan.collect {
+        case j: BroadcastHashJoinExec
+            if (j.leftKeys ++ j.rightKeys).mkString(",").contains("vec_id") => j
+      }
+      assert(forced.isEmpty,
+        "query re-join broadcast is hint-FORCED — it ignored the size threshold")
+      // join strategy never changes results
+      assert(df.collect().map(shape).toSeq === baseline,
+        "auto-IVF results depend on the re-join strategy")
+    } finally spark.conf.set(key, old)
+  }
+
   test("multi-probe LSH ANN: recall >= 0.6 at a bounded scored fraction") {
     val exact = Similarity.simTopkBruteforce(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet

@@ -98,6 +98,33 @@ class IndexDeleteSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF persisted-serve mass budget covers only the SERVABLE corpus") {
+    // round-10 What's wrong #3: the probe budget counted tombstoned rows,
+    // so a heavily-retracted index over-budgeted probes until compaction
+    val (tmp, corpus, _) = splitEmb("ivf-budget")
+    val idx = s"$tmp/index"
+    AnnIndex.ivfIndexWrite(spark, corpus, idx)
+    val raw = spark.read.parquet(s"$idx/lists").count()
+    // tombstone-free: masked and raw budgets are identical
+    val (_, b0) = AnnIndex.ivfServableBudget(spark, idx)
+    assert(b0 == raw * Similarity.ivfProbeFraction,
+      s"tombstone-free budget $b0 != raw ${raw * Similarity.ivfProbeFraction}")
+    // mass-delete half the index: the budget must shrink with the
+    // servable corpus BEFORE compaction sweeps the rows
+    val dropIds = spark.read.parquet(s"$idx/lists")
+      .filter(col("vec_id") % 2 === 1)
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSeq
+    assert(dropIds.nonEmpty)
+    AnnIndex.ivfIndexDelete(spark, idx, dropIds)
+    val (_, b1) = AnnIndex.ivfServableBudget(spark, idx)
+    assert(b1 == (raw - dropIds.size) * Similarity.ivfProbeFraction,
+      s"post-delete budget $b1 still counts tombstoned rows (raw-based: $b0)")
+    // compaction changes nothing the budget can see
+    AnnIndex.ivfIndexCompact(spark, idx)
+    val (_, b2) = AnnIndex.ivfServableBudget(spark, idx)
+    assert(b2 == b1, s"budget moved across compaction: $b1 -> $b2")
+  }
+
   test("simhash delete: a retracted doc stops masking near-dups immediately") {
     import spark.implicits._
     val mk = (i: Long) => (i, (0 until 40).map(w => s"sd${i}w$w").mkString(" "))

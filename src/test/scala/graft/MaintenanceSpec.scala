@@ -301,6 +301,35 @@ class MaintenanceSpec extends AnyFunSuite {
     IndexMaintenance.checkUnique(spark, s"$tmp/idx/t", Seq("id"), "id")
   }
 
+  test("a tag containing a .cN. substring still advertises the TAIL part count (anchor pin)") {
+    import spark.implicits._
+    // the r11 fix under pin: an unanchored `\.c(\d+)\.` count regex took
+    // the FIRST match anywhere in the file name, so a tag carrying a
+    // `.cN.` substring advertised N as the part count and tagComplete
+    // judged the lineage's committed batches permanently incomplete —
+    // swept (rows lost) and re-landed at every compact
+    val tmp = tmpDir("ctag")
+    val tag = "aa.c9.bb_b0" // adversarial: '.c9.' inside the TAG itself
+    (1L to 10L).map(i => (i, i * 2)).toDF("id", "v")
+      .write.mode("overwrite").parquet(s"$tmp/idx/t")
+    IndexMaintenance.appendBatchAs(spark,
+      (11L to 40L).map(i => (i, i * 2)).toDF("id", "v").repartition(3), s"$tmp/idx/t", tag)
+    val landed = file(s"$tmp/idx/t").listFiles().filter(_.getName.startsWith(s"b$tag-"))
+    assert(landed.length == 3, s"expected 3 parts, got ${landed.length}")
+    // unit pin: the advertised count is the tail `.c` stamp, never the tag's
+    assert(IndexMaintenance.partCountOf(landed.head.getName).contains(3),
+      s"partCountOf read the tag's .c9. as the part count: ${landed.head.getName}")
+    assert(IndexMaintenance.batchTagOf(landed.head.getName).contains(tag))
+    // end-to-end: the complete markerless batch is judged complete at the
+    // next compact — retained and re-pinned, not swept as crashed
+    IndexMaintenance.compactTable(spark, s"$tmp/idx/t", Seq("id"),
+      markerDir = Some(s"$tmp/idx/_batches"))
+    assert(spark.read.parquet(s"$tmp/idx/t").count() == 40L,
+      "a committed batch with .cN. in its tag was swept (unanchored count regex)")
+    assert(IndexMaintenance.batchSeen(spark, s"$tmp/idx", "aa.c9.bb", 0L),
+      "the absorbed batch's marker was not re-pinned")
+  }
+
   test("reuse stamp survives the zero-file crash window (takedown not resurrected)") {
     import spark.implicits._
     val tmp = tmpDir("reuse")
@@ -410,5 +439,11 @@ class MaintenanceSpec extends AnyFunSuite {
       Seq((5L, "re-admitted")).toDF("id", "v"), s"$tmp2/t")
     assert(served(s"$tmp2/t") === Seq("re-admitted"),
       "append after a cold-cache sentinel-reusing appendBatchAs was masked")
+    // the physical lost-append mode, same as arm 1 (r11 advice: serve-time
+    // visibility alone leaves the compaction drop untested on this arm)
+    IndexMaintenance.compactTable(spark, s"$tmp2/t", Seq("id"), tombstoneCol = Some("id"))
+    assert(spark.read.parquet(s"$tmp2/t").filter(col("id") === 5L)
+      .collect().map(_.getString(1)).toSeq === Seq("re-admitted"),
+      "compaction physically dropped the re-append (sentinel arm)")
   }
 }
