@@ -506,7 +506,7 @@ object ScaleSmoke {
     //      column indexes skip around them — parquet's skip pointers).
     val msCand = ops.TextAnalysis.maxScoreContenders(spark, stopIdx)
     assert(msCand.isDefined, "MaxScore pruning must engage on the stopword corpus")
-    val cand = msCand.get
+    val cand = msCand.get.contenders
     val msScanRows = scanRecords {
       noop(spark.read.parquet(s"$stopIdx/postings")
         .filter(col("term").isin(ops.TextAnalysis.bm25Query: _*) &&

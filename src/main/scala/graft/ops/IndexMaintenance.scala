@@ -46,6 +46,18 @@ object IndexMaintenance {
         !st.getPath.getName.startsWith("."))
   }
 
+  /** The table's APPENDED-TAIL data files — everything landed since the
+    * last rebuild/compact, identified from the names alone: both append
+    * paths stamp their files (`…\.sN\.parquet` — [[appendPlain]]'s
+    * `p-i.sN.parquet`, [[appendBatchAs]]'s `b$tag-i.cM.sN.parquet`)
+    * while build/compact/publish rewrites emit unstamped `part-*` files
+    * (= sequence 0, the same convention [[minusTombstones]] reads). One
+    * FS listing, no footer reads — the cheap per-serve segment probe. */
+  private[graft] def appendedTailFiles(s: SparkSession, path: String): Seq[String] =
+    dataFiles(s, path).map(_.getPath)
+      .filter(_.getName.matches(""".*\.s\d+\.parquet$"""))
+      .map(_.toString)
+
   /** Per-table-path maintenance locks: delete, compact, and the
     * idempotent batch append serialize in-JVM, so a deleteIds landing
     * mid-rewrite cannot be silently discarded by the directory swap (a

@@ -1152,11 +1152,54 @@ object TextAnalysis {
     b
   }
 
-  /** MaxScore pruning decision for the fixed query: Some(contenders)
-    * when exact top-k membership is PROVABLE from the dictionary's
-    * per-term score upper bounds, None when the caller must serve
-    * unbounded (exactness is never traded — None is a fallback, not a
-    * failure). The batch adaptation of Lucene's MaxScore:
+  /** Decision payload of [[maxScoreContenders]]: the provable top-k
+    * contender set, plus the LIVE per-query-term document frequency
+    * (dictionary/base-segment df + appended-tail rows) the exact
+    * re-score needs — equal by construction to what the unbounded
+    * serve derives by counting posting rows. */
+  final case class MaxScorePrune(contenders: Seq[Long], dfLive: Map[String, Long])
+
+  /** Contender-set cap: a set too large to push as an IN filter would
+    * scan the mega list anyway — serve unbounded rather than pretend. */
+  private val maxScoreCandCap = 10000
+
+  /** The cheap-term underestimate scores and their k-th-best floor, as
+    * ONE lazy frame (doc_id, floor, n_top): every doc whose cheap score
+    * could still reach the floor under the mega headroom. Both the
+    * floor aggregate and the contender filter consume the SAME grouped
+    * eScores subtree, whose aggregation exchange AQE collapses onto one
+    * runtime computation (`ReusedExchange`, the text_unigram_lm shape)
+    * — one scan of the cheap postings and ONE Spark action where the
+    * round-10/11 form paid the subtree twice across two collects
+    * (r10 What's wrong #4). Exposed for the PlanGuardSpec reuse pin. */
+  private[graft] def maxScoreCandFrame(s: SparkSession, indexDir: String,
+      cheap: Seq[String], idfOf: Map[String, Double], avgdl: Double,
+      ubMega: Double): DataFrame = {
+    val idfCol = cheap.tail.foldLeft(
+      when(col("term") === cheap.head, lit(idfOf(cheap.head)))) { (acc, t) =>
+      acc.when(col("term") === t, lit(idfOf(t)))
+    }.otherwise(lit(0.0))
+    val tfn = (col("tf").cast("double") * lit(bm25K1 + 1.0)) /
+      (col("tf").cast("double") + lit(bm25K1) * (lit(1.0 - bm25B) +
+        lit(bm25B) * col("dl").cast("double") / lit(avgdl)))
+    val eScores = s.read.parquet(s"$indexDir/postings")
+      .filter(col("term").isin(cheap: _*))
+      .select(col("doc_id"), col("term"), col("tf"))
+      .join(s.read.parquet(s"$indexDir/doclen").select(col("doc_id"), col("dl")), "doc_id")
+      .groupBy(col("doc_id")).agg(sum(idfCol * tfn).as("e"))
+    val floorDf = eScores.orderBy(col("e").desc, col("doc_id"))
+      .limit(bm25TopK)
+      .agg(min(col("e")).as("floor"), count(lit(1)).as("n_top"))
+    eScores.crossJoin(floorDf)
+      .filter(col("e") + lit(ubMega) >= col("floor"))
+      .select(col("doc_id"), col("floor"), col("n_top"))
+  }
+
+  /** MaxScore pruning decision for the fixed query: Some(prune) when
+    * exact top-k membership is PROVABLE from the dictionary's per-term
+    * score upper bounds, None when the caller must serve unbounded
+    * (exactness is never traded — None is a fallback, not a failure).
+    * The batch adaptation of Lucene's MaxScore:
     *
     *  1. split the query terms at the df-share cut: CHEAP terms (small
     *     postings) vs MEGA terms (the stopword head whose O(corpus)
@@ -1173,17 +1216,36 @@ object TextAnalysis {
     *     survivors are the CONTENDERS, typically ≈ k on a Zipf corpus
     *     (the mega head's ub ≈ idf ≈ 0 at high df-share).
     *
+    * SEGMENT MODEL (round 12 — Lucene's per-segment bounds): an append
+    * since the last rebuild no longer forces the unbounded serve. The
+    * dictionary exactly describes the COMPACTED segment (rebuilds and
+    * compacts recompute it; appends land as sequence-stamped files next
+    * to the unstamped base — [[IndexMaintenance.appendedTailFiles]]
+    * tells them apart from one FS listing, replacing the per-serve
+    * doclen footer count the old freshness probe paid). The appended
+    * TAIL is scanned once, pruned to the query terms: its per-term rows
+    * give the LIVE df (dict + tail — equal to the posting-row count the
+    * unbounded serve derives), and every tail doc matching a mega term
+    * joins the contenders outright (tail docs have no dictionary bound;
+    * tail docs matching cheap terms flow through the e-score floor like
+    * base docs, since the e-score scan reads base + tail). Dictionary
+    * ub stays sound for BASE docs: their tf/dl are fixed, avgdl/n_docs
+    * are frozen stats both serves share, and the final idf can only
+    * shrink as live df grows. The tail is bounded by the compaction
+    * cadence — ~one trigger-batch of rows, not the corpus.
+    *
     * The contenders then re-score EXACTLY through the shared serve
     * pipeline with `doc_id IN (contenders)` pushed into the posting
     * scan — on a compacted ((term, doc_id)-sorted) index that prunes
     * the mega list to the contenders' row groups: the parquet analog of
-    * Lucene's skip pointers. Soundness preconditions (returning None
-    * when violated): the dictionary must carry `ub` and be CURRENT —
-    * dictionary df/ub are rebuild-frozen, so any append since the last
-    * rebuild (doclen count ≠ stats n_docs) or pending tombstone makes
-    * the bounds unsound for pruning. */
+    * Lucene's skip pointers. Remaining fallbacks (returning None): a
+    * dictionary without `ub` (pre-round-10), pending tombstones (a
+    * masked doc's rows would need del-seq reasoning inside the bound),
+    * no mega term / no cheap term / cheap floor unseated, a mega-only
+    * doc that could reach the floor, or a contender set too large to
+    * push as an IN filter. */
   def maxScoreContenders(s: SparkSession,
-      indexDir: String): Option[Seq[Long]] = {
+      indexDir: String): Option[MaxScorePrune] = {
     val tsPath = new org.apache.hadoop.fs.Path(s"$indexDir/termstats")
     if (!tsPath.getFileSystem(s.sparkContext.hadoopConfiguration).exists(tsPath))
       return None // pre-dictionary index layout: fall back, don't throw
@@ -1194,7 +1256,6 @@ object TextAnalysis {
     val st = s.read.parquet(s"$indexDir/stats").head()
     val nDocs = st.getLong(0)
     val avgdl = st.getDouble(1)
-    if (s.read.parquet(s"$indexDir/doclen").count() != nDocs) return None // appends since rebuild
     val dict = ts.filter(col("term").isin(bm25Query: _*))
       .select(col("term"), col("df"), col("ub")).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
@@ -1204,32 +1265,41 @@ object TextAnalysis {
     val cheap = bm25Query.filterNot(mega.contains)
     if (cheap.isEmpty) return None // all-stopword query: no cheap floor
     val ubMega = mega.map(t => dict(t)._2).sum
+    // the appended tail's query-term rows: live df deltas + the tail's
+    // mega-matching docs (contenders by inclusion, not by bound)
+    val tailFiles = IndexMaintenance.appendedTailFiles(s, s"$indexDir/postings")
+    val (tailDf, megaTail): (Map[String, Long], Seq[Long]) =
+      if (tailFiles.isEmpty) (Map.empty, Seq.empty)
+      else {
+        val tseg = s.read.parquet(tailFiles: _*)
+          .filter(col("term").isin(bm25Query: _*))
+          .select(col("term"), col("doc_id"))
+        val d = tseg.groupBy(col("term")).agg(count(lit(1)).as("n"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        val m = tseg.filter(col("term").isin(mega: _*))
+          .select(col("doc_id")).distinct()
+          .limit(maxScoreCandCap + 1).collect().map(_.getLong(0)).toSeq
+        if (m.size > maxScoreCandCap) return None // compaction overdue
+        (d, m)
+      }
+    val dfLive = bm25Query.map { t =>
+      t -> (dict.get(t).map(_._1).getOrElse(0L) + tailDf.getOrElse(t, 0L))
+    }.toMap
+    // floor idf uses the LIVE df — the exact per-term factor the final
+    // serve scores with, keeping the e-scores true underestimates
     val idfOf = cheap.map { t =>
-      val df = dict.get(t).map(_._1).getOrElse(0L).toDouble
+      val df = dfLive(t).toDouble
       t -> math.log(1.0 + (nDocs.toDouble - df + 0.5) / (df + 0.5))
     }.toMap
-    val idfCol = cheap.tail.foldLeft(
-      when(col("term") === cheap.head, lit(idfOf(cheap.head)))) { (acc, t) =>
-      acc.when(col("term") === t, lit(idfOf(t)))
-    }.otherwise(lit(0.0))
-    val tfn = (col("tf").cast("double") * lit(bm25K1 + 1.0)) /
-      (col("tf").cast("double") + lit(bm25K1) * (lit(1.0 - bm25B) +
-        lit(bm25B) * col("dl").cast("double") / lit(avgdl)))
-    val eScores = s.read.parquet(s"$indexDir/postings")
-      .filter(col("term").isin(cheap: _*))
-      .select(col("doc_id"), col("term"), col("tf"))
-      .join(s.read.parquet(s"$indexDir/doclen").select(col("doc_id"), col("dl")), "doc_id")
-      .groupBy(col("doc_id")).agg(sum(idfCol * tfn).as("e"))
-    val topE = eScores.orderBy(col("e").desc, col("doc_id"))
-      .limit(bm25TopK).collect()
-    if (topE.length < bm25TopK) return None // cheap terms can't seat a full top-k
-    val floor = topE.last.getDouble(1)
-    if (!(ubMega < floor)) return None // a mega-only doc could reach the top k
-    val cand = eScores.filter(col("e") + lit(ubMega) >= lit(floor))
-      .select(col("doc_id")).collect().map(_.getLong(0)).toSeq.sorted
-    // a contender set too large to push as an IN filter would scan the
-    // mega list anyway — serve unbounded rather than pretend
-    if (cand.size > 10000) None else Some(cand)
+    val rows = maxScoreCandFrame(s, indexDir, cheap, idfOf, avgdl, ubMega)
+      .limit(maxScoreCandCap + 1).collect()
+    if (rows.isEmpty) return None
+    if (rows.head.getLong(2) < bm25TopK) return None // cheap floor unseated
+    val floor = rows.head.getDouble(1)
+    if (!(ubMega < floor)) return None // a mega-only BASE doc could reach the top k
+    if (rows.length > maxScoreCandCap) return None
+    val cand = (rows.map(_.getLong(0)) ++ megaTail).distinct.sorted.toSeq
+    if (cand.size > maxScoreCandCap) None else Some(MaxScorePrune(cand, dfLive))
   }
 
   /** EXACT bounded BM25 serving — MaxScore over the persisted index.
@@ -1246,11 +1316,7 @@ object TextAnalysis {
   def textBm25ServedMaxScore(s: SparkSession, indexDir: String): DataFrame =
     maxScoreContenders(s, indexDir) match {
       case None => textBm25Served(s, indexDir)
-      case Some(cand) =>
-        val dict = s.read.parquet(s"$indexDir/termstats")
-          .filter(col("term").isin(bm25Query: _*))
-          .select(col("term"), col("df")).collect()
-          .map(r => r.getString(0) -> r.getLong(1)).toMap
+      case Some(MaxScorePrune(cand, dfLive)) =>
         val hits = s.read.parquet(s"$indexDir/postings")
           .filter(col("term").isin(bm25Query: _*) &&
             col("doc_id").isin(cand: _*) &&
@@ -1259,13 +1325,12 @@ object TextAnalysis {
           sum(when(col("term") === t, col("tf")).otherwise(0L)).as(s"tf_$i")
         }
         val perDoc = hits.groupBy(col("doc_id")).agg(perDocAggs.head, perDocAggs.tail: _*)
-        // df values from the dictionary — equal to the postings-derived
-        // ones by the freshness precondition, same Long type, so the
-        // downstream double arithmetic is bit-identical to the
-        // unbounded serve's
+        // LIVE df values (dictionary base + appended tail) — equal to
+        // the posting-row counts the unbounded serve derives, same Long
+        // type, so the downstream double arithmetic is bit-identical
         import s.implicits._
         val dfs = Seq(1).toDF("_one").select(bm25Query.zipWithIndex.map { case (t, i) =>
-          lit(dict.getOrElse(t, 0L)).as(s"df_$i")
+          lit(dfLive.getOrElse(t, 0L)).as(s"df_$i")
         }: _*)
         val stats = s.read.parquet(s"$indexDir/stats")
         val doclen = s.read.parquet(s"$indexDir/doclen")

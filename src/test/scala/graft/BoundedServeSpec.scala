@@ -142,8 +142,8 @@ class BoundedServeSpec extends AnyFunSuite {
     TextAnalysis.textIndexWrite(spark, s"$tmp/c", s"$tmp/idx")
     val cand = TextAnalysis.maxScoreContenders(spark, s"$tmp/idx")
     assert(cand.isDefined, "pruning must engage on the stopword corpus")
-    assert(cand.get.size >= TextAnalysis.bm25TopK && cand.get.size < 60,
-      s"contender set ${cand.get.size} — want a proper subset covering the top-k")
+    assert(cand.get.contenders.size >= TextAnalysis.bm25TopK && cand.get.contenders.size < 60,
+      s"contender set ${cand.get.contenders.size} — want a proper subset covering the top-k")
     val exact = TextAnalysis.textBm25Served(spark, s"$tmp/idx").collect().map(_.toSeq).toSeq
     val ms = TextAnalysis.textBm25ServedMaxScore(spark, s"$tmp/idx").collect().map(_.toSeq).toSeq
     assert(ms.nonEmpty && ms === exact,
@@ -153,20 +153,33 @@ class BoundedServeSpec extends AnyFunSuite {
     assert(TextAnalysis.maxScoreContenders(spark,
       TextAnalysis.textIndexFor(spark, sf0001)).isEmpty,
       "no mega term on the shared corpus — pruning must not engage")
-    // stale dictionary (append since rebuild): bounds are unsound for
-    // pruning -> exact fallback, never a wrong answer
+    // SEGMENT MODEL (round 12): an append no longer blinds the bounds —
+    // the compacted segment stays dictionary-bounded, the appended tail
+    // is scanned unbounded, and the result stays EXACT. The appended doc
+    // matches the mega term in the tail, so it must be a contender by
+    // inclusion, and the live df must count its rows.
     TextAnalysis.textIndexAppendBatch(spark,
       Seq((61L, "spark join vector fresh", "en", "s"))
         .toDF("doc_id", "text", "lang", "source"), s"$tmp/idx")
-    assert(TextAnalysis.maxScoreContenders(spark, s"$tmp/idx").isEmpty,
-      "stale (post-append) bounds must not prune")
+    val cand2 = TextAnalysis.maxScoreContenders(spark, s"$tmp/idx")
+    assert(cand2.isDefined, "pruning must STAY engaged across an append (segment bounds)")
+    assert(cand2.get.contenders.contains(61L),
+      "the tail doc matching the mega term must be a contender by inclusion")
+    assert(cand2.get.dfLive("spark") == 59L && cand2.get.dfLive("join") == 31L,
+      s"live df must be dictionary + tail: ${cand2.get.dfLive}")
     val exact2 = TextAnalysis.textBm25Served(spark, s"$tmp/idx").collect().map(_.toSeq).toSeq
     val ms2 = TextAnalysis.textBm25ServedMaxScore(spark, s"$tmp/idx").collect().map(_.toSeq).toSeq
-    assert(ms2 === exact2, "fallback arm diverged from the unbounded serve")
-    // compact refreshes the dictionary: pruning re-engages
+    assert(ms2 === exact2, "post-append pruned serve diverged from the unbounded serve")
+    assert(exact2 != exact, "the appended doc must change the unbounded top-k " +
+      "(otherwise the post-append identity is vacuous)")
+    // compact absorbs the tail into the base segment: pruning continues,
+    // dictionary df catches up to the live value
     TextAnalysis.textIndexCompact(spark, s"$tmp/idx")
-    assert(TextAnalysis.maxScoreContenders(spark, s"$tmp/idx").isDefined,
-      "compact must refresh the bounds and re-enable pruning")
+    val cand3 = TextAnalysis.maxScoreContenders(spark, s"$tmp/idx")
+    assert(cand3.isDefined, "compact must keep pruning enabled")
+    assert(cand3.get.dfLive("spark") == 59L, s"post-compact df: ${cand3.get.dfLive}")
+    // (scores legitimately move at compact: the frozen n_docs/avgdl
+    // catch up to the absorbed tail — the Lucene semantic)
     val exact3 = TextAnalysis.textBm25Served(spark, s"$tmp/idx").collect().map(_.toSeq).toSeq
     val ms3 = TextAnalysis.textBm25ServedMaxScore(spark, s"$tmp/idx").collect().map(_.toSeq).toSeq
     assert(ms3 === exact3)

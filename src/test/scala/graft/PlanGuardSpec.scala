@@ -418,6 +418,34 @@ class PlanGuardSpec extends AnyFunSuite {
       "scan-form shape drifted — this guard's baseline needs re-deriving")
   }
 
+  test("maxscore floor + contender filter share ONE cheap-postings computation") {
+    // r10 What's wrong #4: the cheap e-scores were evaluated twice —
+    // once for the top-k floor collect, once for the contender filter.
+    // maxScoreCandFrame now folds both into one frame whose shared
+    // aggregation exchange AQE collapses at runtime (the text_unigram_lm
+    // shape), and maxScoreContenders drains it in ONE action.
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("guard-maxscore").toString
+    (1L to 40L).map(i => (i,
+        (if (i <= 38) "spark " else "") + (if (i % 2 == 0) "join " else "") +
+          (if (i % 3 == 0) "vector " else "") + s"w$i x$i", "en", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+      .write.mode("overwrite").parquet(s"$tmp/c/documents.parquet")
+    graft.ops.TextAnalysis.textIndexWrite(spark, s"$tmp/c", s"$tmp/idx")
+    val cheap = Seq("join", "vector")
+    val idfOf = cheap.map(_ -> 1.0).toMap
+    val df = graft.ops.TextAnalysis.maxScoreCandFrame(spark, s"$tmp/idx",
+      cheap, idfOf, 5.0, 0.1)
+    df.collect()
+    val txt = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert("ReusedExchange".r.findAllIn(txt).length >= 1,
+      "e-score exchange not reused — cheap postings computed twice at runtime")
+    val postingsScans = txt.linesIterator.count(l =>
+      l.contains("Scan parquet") && l.contains("postings"))
+    assert(postingsScans == 1,
+      s"$postingsScans postings scans in the final plan — the e-score subtree is duplicated")
+  }
+
   test("bounded BM25 serve: the banned term is absent from the pushed postings filter") {
     // the df-share cut's whole point: the mega-posting term must not
     // appear in the scan predicate at all — its posting list is pruned
