@@ -528,6 +528,56 @@ object ScaleSmoke {
       s"maxscore contender scan produced $msScanRows rows vs $unboundedScanRows — " +
       s"less than half the $megaPostingRows-row mega posting was skipped")
 
+    // 7c''. HYBRID MaxScore (round 12): per-query DYNAMIC slots over the
+    //       same planted mega posting. A 10k-doc slice keeps the
+    //       unbounded reference affordable (200 stride queries x ~80%-df
+    //       organic cheap slots is already a ~4M-pair pivot stream);
+    //       stride query docs get the stopword PREPENDED so every
+    //       query's slot 1 is mega while its other slots stay organic —
+    //       the per-query floor seats from thousands of cheap matches
+    //       and the mega-only population is provably pruned.
+    val hmsDir = s"$dir-hybridms"
+    val hmsIdx = s"$hmsDir-idx"
+    time("hybrid-maxscore corpus + index (10k docs, stride queries lead with the stopword)") {
+      spark.read.parquet(s"$stopDir/documents.parquet")
+        .filter(col("doc_id") < 10000)
+        .withColumn("text", when(col("doc_id") % ops.Similarity.queryStride === 0,
+          concat(lit("spark "), col("text"))).otherwise(col("text")))
+        .write.mode("overwrite").parquet(s"$hmsDir/documents.parquet")
+      ops.TextAnalysis.textIndexWrite(spark, hmsDir, hmsIdx)
+      ops.TextAnalysis.textIndexCompact(spark, hmsIdx)
+    }
+    val hms = ops.Retrieval.hybridMaxScoreLex(spark, hmsDir, hmsIdx)
+    assert(hms.isDefined, "hybrid MaxScore must engage on the stopword corpus")
+    val (hmsLex, hmsDec) = hms.get
+    val hmsModes = hmsDec.groupBy(col("mode")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    say(s"  hybrid maxscore per-query modes: $hmsModes")
+    assert(hmsModes.getOrElse("pruned", 0L) > 0,
+      "no query pruned — the per-query MaxScore bound never engaged")
+    val hmsPost = spark.read.parquet(s"$hmsIdx/postings")
+      .select(col("doc_id"), col("term"), col("tf"))
+    var msLexRows: Seq[(Long, Long, Long)] = null
+    var unLexRows: Seq[(Long, Long, Long)] = null
+    val msLexScan = scanRecords {
+      msLexRows = time("hybrid lex ranks MAXSCORE (per-query pruned)") {
+        hmsLex.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      }
+    }
+    val unLexScan = scanRecords {
+      unLexRows = time("hybrid lex ranks UNBOUNDED (full pivot stream)") {
+        ops.Retrieval.lexRanksOver(spark, hmsDir, hmsPost)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      }
+    }
+    assert(msLexRows.toSet == unLexRows.toSet && msLexRows.nonEmpty,
+      "hybrid MaxScore lexical ranks diverged from the unbounded serve — must be EXACT")
+    say(f"  -> hybrid maxscore: ${hmsModes.getOrElse("pruned", 0L)} of " +
+      f"${hmsModes.values.sum} queries pruned; scan rows unbounded $unLexScan " +
+      f"vs maxscore $msLexScan (${(unLexScan - msLexScan) / 1e3}%.0fk fewer at EXACT semantics)")
+    assert(msLexScan < unLexScan,
+      s"maxscore lexical serve read $msLexScan rows vs $unLexScan unbounded — no reduction")
+
     // 7d. BPE training at production merge counts: the scale mode's K
     //     axis must be FLAT per merge — batched selection divides the
     //     driver round-trips by bpeBatchMerges and localCheckpoint

@@ -78,7 +78,7 @@ object Retrieval {
     * the per-doc tf sum (≡ token count — tokenize runs ONCE, and the
     * served form never tokenizes at all), df/n_docs/avgdl follow from
     * the same grouped frame. */
-  private def lexRanksOver(s: SparkSession, dir: String, postings: DataFrame,
+  private[graft] def lexRanksOver(s: SparkSession, dir: String, postings: DataFrame,
       bannedTerms: Seq[String] = Seq.empty): DataFrame = {
     // dl/avgdl/df are WHOLE-CORPUS statistics and never shrink under
     // the df-share bound — only the scoring join excludes the banned
@@ -183,6 +183,195 @@ object Retrieval {
     fuse(s, dir, lexRanksOver(s, dir, postings, banned))
   }
 
+  /** One 6-decimal rounding quantum: the MaxScore floor/bound tests run
+    * on UNROUNDED scores while the final ranking compares ROUNDED ones,
+    * so every cut is slackened by this much — a doc whose true score
+    * sits just under the floor could still round into a tie with the
+    * k-th and win the doc_id tie-break, and must stay a contender. */
+  private val roundEps = 1e-6
+
+  /** MaxScore for the hybrid's DYNAMIC per-query term slots — the
+    * generalization of [[TextAnalysis.maxScoreContenders]] from the one
+    * fixed query to a query SET, decided PER QUERY and entirely
+    * in-plan (no driver collect grows with the query count, which is
+    * corpus/queryStride here — the constraint the fixed-query form's
+    * collected contender list cannot meet):
+    *
+    *  1. each query's slots split at the df-share cut against the term
+    *     dictionary: CHEAP slots vs MEGA slots (the global banned head,
+    *     collected once — Zipf-bounded);
+    *  2. the cheap pass scores every (query, doc) pair over the cheap
+    *     slots only — the postings scan EXCLUDES the banned head, so
+    *     the mega lists never enter the pivot join — and seats a
+    *     per-query floor (k-th best cheap underestimate);
+    *  3. per query, one of three modes: PURE (no mega slot — the cheap
+    *     scores already are the exact scores), PRUNED (Σ ub(mega
+    *     slots) < floor − ε: mega-only docs provably can't reach the
+    *     top k; contenders are the cheap candidates within ub of the
+    *     floor), FALLBACK (bound inconclusive or the cheap floor
+    *     unseated: that one query keeps the unbounded semantics —
+    *     exactness is never traded);
+    *  4. mega tf re-reads are CONTENDER-BOUNDED: pruned queries join
+    *     the mega postings on (term, doc_id) against their contender
+    *     pairs, so the mega list's rows move once through one narrow
+    *     equi-join instead of exploding per query through the pivot
+    *     (the unbounded form's Q × |posting| candidate stream);
+    *  5. merged cheap+mega slot frequencies re-score through the
+    *     IDENTICAL fixed-slot expression and ranking tail.
+    *
+    * Returns None — caller serves unbounded — when the dictionary
+    * predates `ub`, tombstones are pending, the index has an appended
+    * tail (the fixed-query serve handles segments; the hybrid keeps
+    * the simpler whole-index precondition), or no term crosses the
+    * df-share cut (nothing to avoid). Preconditions make the persisted
+    * doclen/stats/termstats EQUAL the live derivations the unbounded
+    * form aggregates from the postings, which is what lets this path
+    * skip those corpus-wide aggregations entirely.
+    *
+    * The Some payload is (lexRanks frame, per-query decision frame
+    * (q_id, mode)) — the decisions feed the ScaleSmoke accounting and
+    * the BoundedServeSpec engagement pin. */
+  private[graft] def hybridMaxScoreLex(s: SparkSession, dir: String,
+      idxDir: String): Option[(DataFrame, DataFrame)] = {
+    val tsPath = new org.apache.hadoop.fs.Path(s"$idxDir/termstats")
+    if (!tsPath.getFileSystem(s.sparkContext.hadoopConfiguration).exists(tsPath))
+      return None
+    val ts = s.read.parquet(s"$idxDir/termstats")
+    if (!ts.columns.contains("ub")) return None
+    if (IndexMaintenance.pendingTombstones(s, s"$idxDir/postings").isDefined ||
+        IndexMaintenance.pendingTombstones(s, s"$idxDir/doclen").isDefined) return None
+    if (IndexMaintenance.appendedTailFiles(s, s"$idxDir/postings").nonEmpty ||
+        IndexMaintenance.appendedTailFiles(s, s"$idxDir/doclen").nonEmpty) return None
+    val banned = scala.util.Try(
+      TextAnalysis.bannedTerms(s, idxDir, TextAnalysis.bm25MaxDfShare)).getOrElse(return None)
+    if (banned.isEmpty) return None // no mega posting to avoid
+    val st = s.read.parquet(s"$idxDir/stats").head()
+    val nDocs = st.getLong(0)
+    val avgdl = st.getDouble(1)
+    val slots = 1 to hybridQueryTerms
+    val k = TextAnalysis.bm25TopK.toLong
+
+    // per-query slots classified against the dictionary (terms absent
+    // from the vocabulary: df 0, ub 0, cheap — they match nothing)
+    val qslots = hybridQueryTermsOf(s, dir)
+      .join(ts.select(col("term"), col("df"), col("ub")),
+        col("qt") === col("term"), "left")
+      .select(col("q_id"), col("pos"), col("qt"),
+        coalesce(col("df"), lit(0L)).as("df"),
+        coalesce(col("ub"), lit(0.0)).as("ub"),
+        (coalesce(col("df"), lit(0L)).cast("double") >
+          lit(TextAnalysis.bm25MaxDfShare) * lit(nDocs.toDouble)).as("is_mega"))
+    val ubMega = qslots.groupBy(col("q_id")).agg(
+      sum(when(col("is_mega"), col("ub")).otherwise(lit(0.0))).as("ub_mega"),
+      sum(when(col("is_mega"), 1L).otherwise(0L)).as("n_mega"))
+
+    // the cheap pass: the banned head never enters the scan
+    val cheapPost = s.read.parquet(s"$idxDir/postings")
+      .filter(!col("term").isin(banned: _*))
+      .select(col("doc_id"), col("term"), col("tf"))
+    val cpivots = slots.flatMap { i =>
+      Seq(sum(when(col("pos") === i, col("tf"))).as(s"ctf_$i"),
+        max(when(col("pos") === i, col("df"))).as(s"cdf_$i"))
+    }
+    val cpiv = qslots.filter(!col("is_mega"))
+      .join(cheapPost, col("qt") === col("term"))
+      .groupBy(col("q_id"), col("doc_id"))
+      .agg(cpivots.head, cpivots.tail: _*)
+    val doclen = s.read.parquet(s"$idxDir/doclen").select(col("doc_id"), col("dl"))
+    // the per-slot contribution — the IDENTICAL expression the
+    // unbounded lexRanksOver evaluates, so the merged re-score below is
+    // bit-for-bit the unbounded score
+    def contrib(tfC: Int => org.apache.spark.sql.Column,
+        dfC: Int => org.apache.spark.sql.Column) = slots.map { i =>
+      val idf = log(lit(1.0) +
+        (lit(nDocs.toDouble) - dfC(i).cast("double") + 0.5) / (dfC(i).cast("double") + 0.5))
+      val tf = tfC(i).cast("double")
+      coalesce(idf * (tf * lit(TextAnalysis.bm25K1 + 1.0)) /
+        (tf + lit(TextAnalysis.bm25K1) * (lit(1.0 - TextAnalysis.bm25B) +
+          lit(TextAnalysis.bm25B) * col("dl").cast("double") / lit(avgdl))),
+        lit(0.0))
+    }
+    val eScored = cpiv.join(doclen, "doc_id")
+      .withColumn("e", contrib(i => col(s"ctf_$i"), i => col(s"cdf_$i")).reduce(_ + _))
+    val wq = Window.partitionBy(col("q_id")).orderBy(col("e").desc, col("doc_id"))
+    val floors = eScored
+      .withColumn("crk", row_number().over(wq))
+      .filter(col("crk") <= TextAnalysis.bm25TopK)
+      .groupBy(col("q_id")).agg(min(col("e")).as("floor"), count(lit(1)).as("n_top"))
+
+    // per-query mode — pure / pruned / fallback
+    val qdec = ubMega.join(floors, Seq("q_id"), "left")
+      .withColumn("mode",
+        when(col("n_mega") === 0L, lit("pure"))
+          .when(col("n_top") === lit(k) &&
+            col("ub_mega") < col("floor") - lit(roundEps), lit("pruned"))
+          .otherwise(lit("fallback")))
+      .select(col("q_id"), col("mode"), col("ub_mega"), col("floor"))
+
+    // cheap-side final pairs: everything for pure/fallback queries,
+    // floor-survivors for pruned ones
+    val cheapFinal = eScored.join(qdec, "q_id")
+      .filter(col("mode") =!= "pruned" ||
+        col("e") + col("ub_mega") >= col("floor") - lit(roundEps))
+      .select(col("q_id") +: col("doc_id") +:
+        slots.flatMap(i => Seq(col(s"ctf_$i"), col(s"cdf_$i"))): _*)
+
+    // mega tf re-reads: contender-bounded for pruned queries, full for
+    // fallback ones (their exactness demands the unbounded candidates)
+    val megaSlots = qslots.filter(col("is_mega"))
+      .select(col("q_id"), col("pos"), col("qt"), col("df").as("mdf"))
+    val megaPost = s.read.parquet(s"$idxDir/postings")
+      .filter(col("term").isin(banned: _*))
+      .select(col("term").as("qt"), col("doc_id"), col("tf"))
+    val mpPruned = megaSlots
+      .join(qdec.filter(col("mode") === "pruned").select(col("q_id")), "q_id")
+      .join(cheapFinal.select(col("q_id"), col("doc_id")), "q_id")
+      .join(megaPost, Seq("qt", "doc_id"))
+    val mpFallback = megaSlots
+      .join(qdec.filter(col("mode") === "fallback").select(col("q_id")), "q_id")
+      .join(megaPost, "qt")
+    val mpivots = slots.flatMap { i =>
+      Seq(sum(when(col("pos") === i, col("tf"))).as(s"mtf_$i"),
+        max(when(col("pos") === i, col("mdf"))).as(s"mdf_$i"))
+    }
+    val mpiv = mpPruned.select(col("q_id"), col("doc_id"), col("pos"), col("mdf"), col("tf"))
+      .union(mpFallback.select(col("q_id"), col("doc_id"), col("pos"), col("mdf"), col("tf")))
+      .groupBy(col("q_id"), col("doc_id"))
+      .agg(mpivots.head, mpivots.tail: _*)
+
+    // merge (slots are disjoint per query: a slot is cheap or mega,
+    // never both) and re-score through the identical expression + tail
+    val merged = cheapFinal.join(mpiv, Seq("q_id", "doc_id"), "full_outer")
+    val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("doc_id"))
+    val lex = merged.join(doclen, "doc_id")
+      .withColumn("score", round(contrib(
+        i => coalesce(col(s"ctf_$i"), col(s"mtf_$i")),
+        i => coalesce(col(s"cdf_$i"), col(s"mdf_$i"))).reduce(_ + _), 6))
+      .withColumn("lex_rk", row_number().over(w).cast("long"))
+      .filter(col("lex_rk") <= TextAnalysis.bm25TopK)
+      .select(col("q_id"), col("doc_id"), col("lex_rk"))
+    Some((lex, qdec.select(col("q_id"), col("mode"))))
+  }
+
+  /** EXACT bounded served hybrid — per-query MaxScore over the
+    * persisted index. Result-identical to [[searchHybridRrfServed]] on
+    * EVERY corpus (pruning removes only provably-sub-top-k docs; every
+    * uncertain query individually falls back), so it shares that
+    * oracle — on the registered corpus no term crosses the df-share
+    * cut and the whole serve takes the fallback arm, while the pruning
+    * arms are pinned by `BoundedServeSpec` and measured by ScaleSmoke.
+    * This closes the hybrid half of the bounded-serving story: where
+    * `search_hybrid_rrf_served_bounded` documents a semantic CHANGE
+    * (banned slots contribute 0), this keeps exact semantics at
+    * bounded cost. */
+  def searchHybridRrfServedMaxScore(s: SparkSession, dir: String): DataFrame = {
+    val idxDir = TextAnalysis.textIndexFor(s, dir)
+    hybridMaxScoreLex(s, dir, idxDir) match {
+      case None => searchHybridRrfServed(s, dir)
+      case Some((lex, _)) => fuse(s, dir, lex)
+    }
+  }
+
   /** The fusion tail shared by the scan and served forms. */
   private def fuse(s: SparkSession, dir: String, lex: DataFrame): DataFrame = {
     val sem = AnnIndex.lshIndexServe(s, AnnIndex.lshIndexFor(s, dir), Seq(dir),
@@ -207,7 +396,8 @@ object Retrieval {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "search_hybrid_rrf" -> searchHybridRrf _,
     "search_hybrid_rrf_served" -> ((s: org.apache.spark.sql.SparkSession, d: String) => searchHybridRrfServed(s, d)),
-    "search_hybrid_rrf_served_bounded" -> (searchHybridRrfServedBounded _)
+    "search_hybrid_rrf_served_bounded" -> (searchHybridRrfServedBounded _),
+    "search_hybrid_rrf_served_maxscore" -> (searchHybridRrfServedMaxScore _)
   )
 
   private val tokSql =
@@ -217,6 +407,10 @@ object Retrieval {
     // the served form reads identical (doc_id, term, tf) integers from
     // the persisted postings, so it shares the scan form's oracle
     "search_hybrid_rrf_served" -> hybridOracleSql,
+    // MaxScore form: result-identical to the unbounded serve by
+    // construction (per-query pruning removes only provably-sub-top-k
+    // docs), so it shares the same oracle
+    "search_hybrid_rrf_served_maxscore" -> hybridOracleSql,
     // semantic side: the LSH chain's `ranked` over the full stride set;
     // lexical side: the grouped BM25 restated with the same fixed-slot
     // pivot and 6-decimal quantization; fusion per (q_id, doc_id)

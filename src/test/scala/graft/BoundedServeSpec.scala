@@ -185,6 +185,50 @@ class BoundedServeSpec extends AnyFunSuite {
     assert(ms3 === exact3)
   }
 
+  test("hybrid maxscore: per-query pruning engages, fallback stays per-query, result EXACT") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("hybrid-maxscore").toString
+    // 120 docs. 'spark' in 116 (share 0.967 > 0.9 -> mega); 'alpha' in 90
+    // (0.75, cheap, seats a deep floor); 'beta' in 30 (cheap). Mega-ONLY
+    // docs exist (i%4==0, even, >60: no alpha, no beta, spark yes) — the
+    // population pruning must provably exclude. Two stride queries:
+    //  - doc 50  -> slots (spark, alpha, beta): floor deep, ub(spark)
+    //    tiny -> PRUNED
+    //  - doc 100 -> slots (spark, f100w0, f100w1): cheap slots match one
+    //    doc, floor unseated -> FALLBACK (exact unbounded semantics for
+    //    that one query)
+    def tok(i: Long): Seq[String] = {
+      val b = Seq.newBuilder[String]
+      if (i <= 116) b += "spark"
+      if (i % 4 != 0) b += "alpha"
+      if (i % 2 == 0 && i <= 60) b += "beta"
+      (0 until (3 + (i % 5)).toInt).foreach(w => b += s"f${i}w$w")
+      b.result()
+    }
+    (1L to 120L).map(i => (i, tok(i).mkString(" "), "en", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val rnd = new scala.util.Random(13)
+    (1L to 120L).map(i => (i, Array.fill(64)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val idxDir = TextAnalysis.textIndexFor(spark, tmp)
+    val dec = Retrieval.hybridMaxScoreLex(spark, tmp, idxDir)
+    assert(dec.isDefined, "hybrid MaxScore must engage on the stopword corpus")
+    val modes = dec.get._2.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(modes == Map(50L -> "pruned", 100L -> "fallback"),
+      s"per-query modes $modes — want doc 50 pruned, doc 100 fallback")
+    val unbounded = Retrieval.searchHybridRrfServed(spark, tmp).collect().map(_.toSeq).toSeq
+    val ms = Retrieval.searchHybridRrfServedMaxScore(spark, tmp).collect().map(_.toSeq).toSeq
+    assert(ms.nonEmpty && ms === unbounded,
+      "hybrid MaxScore serve diverged from the unbounded serve — it must be EXACT")
+    // the pruned query's lexical list is where the mega posting would
+    // have flooded in: doc 50's lexical candidates must include alpha/
+    // beta matchers, and the unbounded/maxscore lists agree rank by rank
+    assert(ms.count(r => r(0) == 50L) > 0 && ms.count(r => r(0) == 100L) > 0,
+      "both queries must produce fused rows")
+  }
+
   test("term dictionary: frozen between compacts, recomputed at compact") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("termstats").toString
