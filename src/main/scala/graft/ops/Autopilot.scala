@@ -71,6 +71,47 @@ object Autopilot {
   private def healthMap(df: DataFrame): Map[String, Double] =
     df.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
 
+  /** Cheap per-trigger maintenance alarm — the autopilot's
+    * file/tombstone debt triggers evaluated from FS LISTINGS and one
+    * 1-row metadata read only, no data aggregation: this runs inside a
+    * streaming foreachBatch on EVERY trigger, so the steady-state
+    * per-trigger cost must stay flat (the aggregation-priced drift
+    * alarms — list/bucket skew, staleness share — stay on
+    * [[indexAutopilot]]'s on-demand pass, whose fix is a retrain, not
+    * a cadence compaction). True when any table under `dirs` carries
+    * more data files than `dataFilesMax` or any pending tombstones, or
+    * a decontam bloom's saturation share exceeds `bloomSaturationMax`
+    * (pre-upgrade blooms report the n_items lower bound 1.0, which
+    * does not cross the default strict bound). A dir entry may be an
+    * index dir (table subdirs are probed) or a bare table/sink dir of
+    * parquet files. */
+  def maintenanceDue(s: SparkSession, dirs: Seq[String],
+      dataFilesMax: Int = maxDataFiles,
+      bloomSaturationMax: Double = maxBloomSaturation): Boolean =
+    dirs.exists { d =>
+      val p = new org.apache.hadoop.fs.Path(d)
+      val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      f.exists(p) && {
+        val subs = f.listStatus(p).toSeq.filter(st => st.isDirectory &&
+          !st.getPath.getName.startsWith("_") && !st.getPath.getName.startsWith("."))
+        val tables = if (subs.isEmpty) Seq(d) else subs.map(_.getPath.toString)
+        val debt = tables.exists { t =>
+          IndexMaintenance.dataFiles(s, t).size > dataFilesMax ||
+            IndexMaintenance.pendingTombstones(s, t).isDefined
+        }
+        debt || {
+          val bloomP = new org.apache.hadoop.fs.Path(s"$d/bloom")
+          f.exists(bloomP) && {
+            val m = s.read.parquet(s"$d/bloom")
+            val totalCol = if (m.schema.fieldNames.contains("total_items"))
+              col("total_items") else col("n_items")
+            val r = m.select(col("n_items"), totalCol).head()
+            r.getLong(1).toDouble / math.max(1.0, r.getLong(0).toDouble) > bloomSaturationMax
+          }
+        }
+      }
+    }
+
   /** Run the autopilot pass on the index at `indexDir` (families
     * detected from the on-disk layout: buckets+meta = LSH,
     * lists+codebook = IVF-PQ, lists+centroids = IVF, postings+doclen =

@@ -52,7 +52,7 @@ object AnnIngest {
       checkpointDir: String): Unit = {
     val lineage = IndexMaintenance.lineageTag(checkpointDir)
     IngestDedup.runLandingStream(s, landingDir, checkpointDir,
-      batchId => if ((batchId + 1) % IngestDedup.ingestCompactEvery == 0) {
+      IngestDedup.alarmCadence(s, Seq(indexDir)) {
         IndexMaintenance.checkUnique(s, s"$indexDir/buckets",
           Seq("vec_id", "tbl"), "vec_id")
         AnnIndex.lshIndexCompact(s, indexDir)
@@ -78,7 +78,7 @@ object AnnIngest {
       checkpointDir: String): Unit = {
     val lineage = IndexMaintenance.lineageTag(checkpointDir)
     IngestDedup.runLandingStream(s, landingDir, checkpointDir,
-      batchId => if ((batchId + 1) % IngestDedup.ingestCompactEvery == 0) {
+      IngestDedup.alarmCadence(s, Seq(indexDir)) {
         IndexMaintenance.checkUnique(s, s"$indexDir/lists", Seq("vec_id"), "vec_id")
         AnnIndex.ivfIndexCompact(s, indexDir)
       }) { (batch, batchId) =>

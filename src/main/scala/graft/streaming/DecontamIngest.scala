@@ -42,7 +42,9 @@ object DecontamIngest {
       checkpointDir: String): Unit = {
     val lineage = IndexMaintenance.lineageTag(checkpointDir)
     IngestDedup.runLandingStream(s, landingDir, checkpointDir,
-      batchId => if ((batchId + 1) % IngestDedup.ingestCompactEvery == 0) {
+      // the alarm matters most HERE: a saturating bloom (capacity debt
+      // the fixed cadence can't see) fires its rebuild mid-stream
+      IngestDedup.alarmCadence(s, Seq(indexDir)) {
         IndexMaintenance.checkUnique(s, s"$indexDir/eval_shingles",
           Seq("eval_id", "h"), "eval_id")
         Curation.decontamIndexCompact(s, indexDir)

@@ -33,17 +33,22 @@ object IngestDedup {
     * (shared with the oracle generator in [[Dedup.ingestBatches]]). */
   val ingestBatches: Int = Dedup.ingestBatches
 
-  /** Index compaction cadence: every N micro-batches the foreachBatch
-    * loop compacts its index stores before committing the batch. Each
+  /** Index compaction cadence FLOOR: at most N micro-batches pass
+    * before the foreachBatch loop compacts its index stores. Each
     * append writes new parquet files next to the standing ones — at
     * production trigger rates that is the classic small-file death
     * (a day of 1-minute triggers = 1440 file groups, each a listing
-    * entry + footer read + task at serve time). With the cadence, the
+    * entry + footer read + task at serve time). With the floor, the
     * standing file count is bounded by N × files-per-append regardless
     * of stream lifetime, and the compaction cost amortizes to 1/N of
-    * an index rewrite per batch. Compaction is content-preserving
-    * (pinned by the mid-stream compaction spec), so cadence choice
-    * affects only performance, never verdicts. */
+    * an index rewrite per batch. Round 12: the floor is no longer the
+    * ONLY trigger — [[graft.ops.Autopilot.maintenanceDue]]'s cheap
+    * per-trigger debt alarms (file-count breach, pending tombstones, a
+    * saturating decontam bloom) fire the same compaction EARLY, so a
+    * takedown or a fat landing burst is repaired now instead of up to
+    * N triggers later. Compaction is content-preserving (pinned by the
+    * mid-stream compaction spec), so cadence choice affects only
+    * performance, never verdicts. */
   val ingestCompactEvery = 10
 
   /** Drive a per-landed-file ingest stream over `landingDir` until no
@@ -89,23 +94,28 @@ object IngestDedup {
     * a standing corpus); verdicts append to `outDir`. */
   def streamIngestDedupToFiles(s: SparkSession, landingDir: String, indexDir: String,
       outDir: String, checkpointDir: String): Unit =
-    runLandingStream(s, landingDir, checkpointDir, compactCadence {
+    runLandingStream(s, landingDir, checkpointDir, alarmCadence(s, Seq(indexDir, outDir)) {
       Dedup.ingestIndexCompact(s, indexDir)
       Dedup.ingestSinkCompact(s, outDir)
     }) { (batch, batchId) =>
       Dedup.ingestBatch(s, batch, indexDir, outDir, batchId)
     }
 
-  /** Every [[ingestCompactEvery]]-th batch runs the given compaction. */
-  private def compactCadence(compact: => Unit): Long => Unit =
-    batchId => if ((batchId + 1) % ingestCompactEvery == 0) compact
+  /** Alarm-driven cadence (round 12): the fixed every-
+    * [[ingestCompactEvery]]-th-batch FLOOR, plus the autopilot's cheap
+    * per-trigger debt alarms over the loop's index and sink dirs —
+    * shared by all five ingest families. */
+  private[streaming] def alarmCadence(s: SparkSession, dirs: Seq[String])(
+      compact: => Unit): Long => Unit =
+    batchId => if ((batchId + 1) % ingestCompactEvery == 0 ||
+      graft.ops.Autopilot.maintenanceDue(s, dirs)) compact
 
   /** Curation-at-ingest production path: scrub -> quality gate -> dedup
     * per landed file, admitted CLEAN text + signatures folded into the
     * index (see [[Dedup.ingestCurateBatch]]). */
   def streamIngestCurateToFiles(s: SparkSession, landingDir: String, indexDir: String,
       outDir: String, checkpointDir: String): Unit =
-    runLandingStream(s, landingDir, checkpointDir, compactCadence {
+    runLandingStream(s, landingDir, checkpointDir, alarmCadence(s, Seq(indexDir, outDir)) {
       Dedup.ingestIndexCompact(s, indexDir)
       Dedup.ingestSinkCompact(s, outDir)
     }) { (batch, batchId) =>
@@ -120,7 +130,7 @@ object IngestDedup {
     * eval bloom, eval shingle table). */
   def streamIngestManifestToFiles(s: SparkSession, landingDir: String, indexDir: String,
       outDir: String, checkpointDir: String, filesPerTrigger: Int = 1): Unit =
-    runLandingStream(s, landingDir, checkpointDir, compactCadence {
+    runLandingStream(s, landingDir, checkpointDir, alarmCadence(s, Seq(indexDir, outDir)) {
       Dedup.ingestIndexCompact(s, indexDir)
       Dedup.ingestSinkCompact(s, outDir)
     }, filesPerTrigger) { (batch, batchId) =>

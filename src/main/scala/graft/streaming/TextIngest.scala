@@ -44,7 +44,7 @@ object TextIngest {
       checkpointDir: String): Unit = {
     val lineage = IndexMaintenance.lineageTag(checkpointDir)
     IngestDedup.runLandingStream(s, landingDir, checkpointDir,
-      batchId => if ((batchId + 1) % IngestDedup.ingestCompactEvery == 0) {
+      IngestDedup.alarmCadence(s, Seq(indexDir)) {
         IndexMaintenance.checkUnique(s, s"$indexDir/postings",
           Seq("term", "doc_id"), "doc_id")
         TextAnalysis.textIndexCompact(s, indexDir)
