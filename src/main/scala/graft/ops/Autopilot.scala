@@ -71,20 +71,43 @@ object Autopilot {
   private def healthMap(df: DataFrame): Map[String, Double] =
     df.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
 
-  /** Cheap per-trigger maintenance alarm — the autopilot's
-    * file/tombstone debt triggers evaluated from FS LISTINGS and one
-    * 1-row metadata read only, no data aggregation: this runs inside a
-    * streaming foreachBatch on EVERY trigger, so the steady-state
-    * per-trigger cost must stay flat (the aggregation-priced drift
-    * alarms — list/bucket skew, staleness share — stay on
-    * [[indexAutopilot]]'s on-demand pass, whose fix is a retrain, not
-    * a cadence compaction). True when any table under `dirs` carries
-    * more data files than `dataFilesMax` or any pending tombstones, or
-    * a decontam bloom's saturation share exceeds `bloomSaturationMax`
-    * (pre-upgrade blooms report the n_items lower bound 1.0, which
-    * does not cross the default strict bound). A dir entry may be an
-    * index dir (table subdirs are probed) or a bare table/sink dir of
-    * parquet files. */
+  /** A bloom table's (saturation share, schema-upgraded) — the ONE
+    * pre-upgrade guard [[indexAutopilot]] and [[maintenanceDue]] share:
+    * rows without `total_items` report the n_items LOWER BOUND 1.0
+    * (exactly full, total unknown — never over), flagged `upgraded =
+    * false` so callers can say so instead of presenting it as measured
+    * (same schema rule as `Curation.loadBloom`). */
+  private[graft] def bloomSaturationOf(
+      s: SparkSession, bloomDir: String): (Double, Boolean) = {
+    val m = s.read.parquet(bloomDir)
+    val upgraded = m.schema.fieldNames.contains("total_items")
+    val r = m.select(col("n_items"),
+      if (upgraded) col("total_items") else col("n_items")).head()
+    (r.getLong(1).toDouble / math.max(1.0, r.getLong(0).toDouble), upgraded)
+  }
+
+  /** Cheap per-trigger maintenance alarm — the autopilot's debt
+    * triggers evaluated from FS LISTINGS and one 1-row metadata read
+    * only, no data aggregation: this runs inside a streaming
+    * foreachBatch on EVERY trigger, so the steady-state per-trigger
+    * cost must stay flat (the aggregation-priced drift alarms —
+    * list/bucket skew, staleness share — stay on [[indexAutopilot]]'s
+    * on-demand pass, whose fix is a retrain, not a cadence compaction).
+    *
+    * True when any table under `dirs` carries more APPENDED (sequence-
+    * stamped) files than `dataFilesMax` or any pending tombstones, or a
+    * decontam bloom's saturation share exceeds `bloomSaturationMax`.
+    * All three signals RESET at the compaction they trigger — appended
+    * files absorb into unstamped rewrites, tombstones retire, the
+    * bloom rebuilds at fresh geometry — so the alarm can never latch.
+    * (The health reports' `data_files` metric counts the TOTAL standing
+    * files on purpose — that is serve-cost reporting; alarming on it
+    * here would re-fire forever once a table's compacted size exceeds
+    * dataFilesMax × the compact target file size, turning the cadence
+    * into a full rewrite per trigger.) Sink dirs append unstamped
+    * files, so their fragmentation stays bounded by the cadence FLOOR,
+    * as before. A dir entry may be an index dir (table subdirs are
+    * probed) or a bare table/sink dir of parquet files. */
   def maintenanceDue(s: SparkSession, dirs: Seq[String],
       dataFilesMax: Int = maxDataFiles,
       bloomSaturationMax: Double = maxBloomSaturation): Boolean =
@@ -96,18 +119,12 @@ object Autopilot {
           !st.getPath.getName.startsWith("_") && !st.getPath.getName.startsWith("."))
         val tables = if (subs.isEmpty) Seq(d) else subs.map(_.getPath.toString)
         val debt = tables.exists { t =>
-          IndexMaintenance.dataFiles(s, t).size > dataFilesMax ||
+          IndexMaintenance.appendedTailFiles(s, t).size > dataFilesMax ||
             IndexMaintenance.pendingTombstones(s, t).isDefined
         }
         debt || {
           val bloomP = new org.apache.hadoop.fs.Path(s"$d/bloom")
-          f.exists(bloomP) && {
-            val m = s.read.parquet(s"$d/bloom")
-            val totalCol = if (m.schema.fieldNames.contains("total_items"))
-              col("total_items") else col("n_items")
-            val r = m.select(col("n_items"), totalCol).head()
-            r.getLong(1).toDouble / math.max(1.0, r.getLong(0).toDouble) > bloomSaturationMax
-          }
+          f.exists(bloomP) && bloomSaturationOf(s, s"$d/bloom")._1 > bloomSaturationMax
         }
       }
     }
@@ -204,19 +221,14 @@ object Autopilot {
     // fresh geometry — bits cannot be unset or extended in place.
     if (exists(s, s"$indexDir/bloom") && exists(s, s"$indexDir/eval_shingles")) {
       matched = true
-      // pre-upgrade bloom rows lack total_items — same schema guard as
-      // Curation.loadBloom: default to n_items, a LOWER BOUND (the
-      // filter was sized for n_items at build; appends since are
-      // unrecorded), NOT a measurement. The decision row says so in its
-      // action column (the r11 advice: a caller alarming below 1.0 sees
-      // every pre-upgrade bloom flagged until its first rebuild writes
-      // the upgraded row — the row must read as "total unknown", not as
-      // a measured exactly-full filter).
-      val metaDf = s.read.parquet(s"$indexDir/bloom")
-      val upgraded = metaDf.schema.fieldNames.contains("total_items")
-      val totalCol = if (upgraded) col("total_items") else col("n_items")
-      val meta = metaDf.select(col("n_items"), totalCol).head()
-      val sat = meta.getLong(1).toDouble / math.max(1.0, meta.getLong(0).toDouble)
+      // pre-upgrade bloom rows lack total_items — the shared
+      // [[bloomSaturationOf]] guard reports the n_items LOWER BOUND
+      // 1.0 with upgraded = false, and the decision row says so in its
+      // action column (the r11 advice: a caller alarming below 1.0
+      // sees every pre-upgrade bloom flagged until its first rebuild
+      // writes the upgraded row — the row must read as "total
+      // unknown", not as a measured exactly-full filter).
+      val (sat, upgraded) = bloomSaturationOf(s, s"$indexDir/bloom")
       val (files, pend) = debtOf(s"$indexDir/eval_shingles")
       val wantRebuild = sat > bloomSaturationMax
       val wantCompact = wantRebuild || files > dataFilesMax || pend > 0

@@ -1271,7 +1271,7 @@ object Dedup {
       else if (k <= headTakeOrderedMax)
         scores.orderBy(col("score").desc, col("vec_id"))
           .limit(k.toInt).select(col("vec_id"))
-      else semanticHeadRank(s, dir, dropFrac, scores, k)
+      else semanticHeadRank(s, dir, scores, k)
     val dropped = head.select(col("vec_id"), lit(1L).as("dup"))
     asg.select(col("vec_id"), col("c_id"))
       .join(dropped, Seq("vec_id"), "left")
@@ -1313,9 +1313,11 @@ object Dedup {
     * ([[PlanCache]]) so the cutoff collects and the returned filter
     * evaluate the quadratic pair kernel exactly once. */
   private def semanticHeadRank(s: SparkSession, dir: String,
-      dropFrac: Double, scoresRaw: DataFrame, k: Long): DataFrame = {
+      scoresRaw: DataFrame, k: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val scores = PlanCache.memoized(s, s"semantic_pctl_scores|$dir|$dropFrac")(scoresRaw)
+    // keyed by dir ALONE: the scores frame is budget-independent, so
+    // two dropFrac calls on one corpus share one cached kernel output
+    val scores = PlanCache.memoized(s, s"semantic_pctl_scores|$dir")(scoresRaw)
     val cumW = Window.orderBy(col("score").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cut = scores.groupBy(col("score")).agg(count(lit(1)).as("cnt"))

@@ -183,12 +183,10 @@ object Retrieval {
     fuse(s, dir, lexRanksOver(s, dir, postings, banned))
   }
 
-  /** One 6-decimal rounding quantum: the MaxScore floor/bound tests run
-    * on UNROUNDED scores while the final ranking compares ROUNDED ones,
-    * so every cut is slackened by this much — a doc whose true score
-    * sits just under the floor could still round into a tie with the
-    * k-th and win the doc_id tie-break, and must stay a contender. */
-  private val roundEps = 1e-6
+  /** One 6-decimal rounding quantum — see
+    * [[TextAnalysis.maxScoreRoundEps]] (the one definition both
+    * MaxScore forms slacken their cuts by). */
+  private def roundEps = TextAnalysis.maxScoreRoundEps
 
   /** MaxScore for the hybrid's DYNAMIC per-query term slots — the
     * generalization of [[TextAnalysis.maxScoreContenders]] from the one

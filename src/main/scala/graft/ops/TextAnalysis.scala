@@ -1163,6 +1163,14 @@ object TextAnalysis {
     * scan the mega list anyway — serve unbounded rather than pretend. */
   private val maxScoreCandCap = 10000
 
+  /** One 6-decimal rounding quantum: the MaxScore floor/bound tests run
+    * on UNROUNDED scores while the final ranking compares ROUNDED ones,
+    * so every cut is slackened by this much — a doc whose true score
+    * sits just under the floor could still round into a tie with the
+    * k-th and win the doc_id tie-break, and must stay a contender.
+    * Shared with the hybrid per-query form ([[Retrieval]]). */
+  private[graft] val maxScoreRoundEps = 1e-6
+
   /** The cheap-term underestimate scores and their k-th-best floor, as
     * ONE lazy frame (doc_id, floor, n_top): every doc whose cheap score
     * could still reach the floor under the mega headroom. Both the
@@ -1191,7 +1199,7 @@ object TextAnalysis {
       .limit(bm25TopK)
       .agg(min(col("e")).as("floor"), count(lit(1)).as("n_top"))
     eScores.crossJoin(floorDf)
-      .filter(col("e") + lit(ubMega) >= col("floor"))
+      .filter(col("e") + lit(ubMega) >= col("floor") - lit(maxScoreRoundEps))
       .select(col("doc_id"), col("floor"), col("n_top"))
   }
 
@@ -1296,7 +1304,9 @@ object TextAnalysis {
     if (rows.isEmpty) return None
     if (rows.head.getLong(2) < bm25TopK) return None // cheap floor unseated
     val floor = rows.head.getDouble(1)
-    if (!(ubMega < floor)) return None // a mega-only BASE doc could reach the top k
+    // eps-slackened like every MaxScore cut: a mega-only doc strictly
+    // below the floor could still ROUND into a tie with the k-th
+    if (!(ubMega < floor - maxScoreRoundEps)) return None
     if (rows.length > maxScoreCandCap) return None
     val cand = (rows.map(_.getLong(0)) ++ megaTail).distinct.sorted.toSeq
     if (cand.size > maxScoreCandCap) None else Some(MaxScorePrune(cand, dfLive))
