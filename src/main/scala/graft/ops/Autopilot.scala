@@ -71,19 +71,60 @@ object Autopilot {
   private def healthMap(df: DataFrame): Map[String, Double] =
     df.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
 
+  /** Process-level bloom saturation memo: qualified bloom dir →
+    * (file-set fingerprint, saturation share, schema-upgraded). The
+    * per-trigger alarm must not pay a Spark read per call — the 1-row
+    * parquet read is a ~200 ms job, and the decontam ingest loop
+    * rewrites the bloom EVERY trigger, so a read-on-change memo alone
+    * would still re-read per trigger. Instead the ONE bloom writer
+    * ([[Curation]]'s writeBloomRow]) notes the saturation it just
+    * published via [[noteBloomSaturation]]; any change from outside
+    * this process flips the fingerprint and forces a single re-read. */
+  private val bloomSatMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Double, Boolean)]()
+
+  private def bloomFingerprint(f: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): String =
+    f.listStatus(p).filter(_.isFile)
+      .map(st => s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
+      .sorted.mkString("|")
+
+  /** Called by the bloom writer right after its publish rename, with
+    * the counters it just wrote — keeps [[bloomSaturationOf]] a pure
+    * FS-listing check on the hot per-trigger path. */
+  private[graft] def noteBloomSaturation(s: SparkSession, bloomDir: String,
+      nItems: Long, totalItems: Long): Unit = {
+    val p = new org.apache.hadoop.fs.Path(bloomDir)
+    val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (f.exists(p)) bloomSatMemo.put(f.makeQualified(p).toString,
+      (bloomFingerprint(f, p),
+        totalItems.toDouble / math.max(1.0, nItems.toDouble), true))
+  }
+
   /** A bloom table's (saturation share, schema-upgraded) — the ONE
     * pre-upgrade guard [[indexAutopilot]] and [[maintenanceDue]] share:
     * rows without `total_items` report the n_items LOWER BOUND 1.0
     * (exactly full, total unknown — never over), flagged `upgraded =
     * false` so callers can say so instead of presenting it as measured
-    * (same schema rule as `Curation.loadBloom`). */
+    * (same schema rule as `Curation.loadBloom`). Served from the
+    * writer-fed fingerprint memo when current; one parquet read
+    * otherwise (cold process or an external rewrite). */
   private[graft] def bloomSaturationOf(
       s: SparkSession, bloomDir: String): (Double, Boolean) = {
-    val m = s.read.parquet(bloomDir)
-    val upgraded = m.schema.fieldNames.contains("total_items")
-    val r = m.select(col("n_items"),
-      if (upgraded) col("total_items") else col("n_items")).head()
-    (r.getLong(1).toDouble / math.max(1.0, r.getLong(0).toDouble), upgraded)
+    val p = new org.apache.hadoop.fs.Path(bloomDir)
+    val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val key = f.makeQualified(p).toString
+    val fp = bloomFingerprint(f, p)
+    Option(bloomSatMemo.get(key)).filter(_._1 == fp)
+      .map(c => (c._2, c._3)).getOrElse {
+        val m = s.read.parquet(bloomDir)
+        val upgraded = m.schema.fieldNames.contains("total_items")
+        val r = m.select(col("n_items"),
+          if (upgraded) col("total_items") else col("n_items")).head()
+        val sat = r.getLong(1).toDouble / math.max(1.0, r.getLong(0).toDouble)
+        bloomSatMemo.put(key, (fp, sat, upgraded))
+        (sat, upgraded)
+      }
   }
 
   /** Cheap per-trigger maintenance alarm — the autopilot's debt
@@ -94,22 +135,26 @@ object Autopilot {
     * list/bucket skew, staleness share — stay on [[indexAutopilot]]'s
     * on-demand pass, whose fix is a retrain, not a cadence compaction).
     *
-    * True when any table under `dirs` carries more APPENDED (sequence-
-    * stamped) files than `dataFilesMax` or any pending tombstones, or a
-    * decontam bloom's saturation share exceeds `bloomSaturationMax`.
-    * All three signals RESET at the compaction they trigger — appended
-    * files absorb into unstamped rewrites, tombstones retire, the
-    * bloom rebuilds at fresh geometry — so the alarm can never latch.
-    * (The health reports' `data_files` metric counts the TOTAL standing
-    * files on purpose — that is serve-cost reporting; alarming on it
-    * here would re-fire forever once a table's compacted size exceeds
-    * dataFilesMax × the compact target file size, turning the cadence
-    * into a full rewrite per trigger.) Sink dirs append unstamped
-    * files, so their fragmentation stays bounded by the cadence FLOOR,
-    * as before. A dir entry may be an index dir (table subdirs are
-    * probed) or a bare table/sink dir of parquet files. */
+    * True when any table under `dirs` carries more un-absorbed APPEND
+    * BATCHES (distinct sequence stamps among its stamped files) than
+    * `maxAppendedBatches`, any pending tombstones, or a decontam
+    * bloom's saturation share over `bloomSaturationMax`. All three
+    * signals RESET at the compaction they trigger — appends absorb
+    * into unstamped rewrites, tombstones retire, the bloom rebuilds at
+    * fresh geometry — so the alarm can never latch. The file leg
+    * counts BATCHES, not files: an append lands one file per shuffle
+    * partition (32 at the bench SF), so a file-count threshold fires
+    * on the very first normal append and turns the cadence into a
+    * rewrite per trigger (measured +40% on the ingest family before
+    * this was caught); batch count can only exceed the floor when the
+    * floor's own compaction failed to absorb — a genuine anomaly, so
+    * this leg is a self-healing backstop, while the tombstone and
+    * saturation legs are the real early triggers. Sink dirs append
+    * unstamped files and stay bounded by the cadence FLOOR, as before.
+    * A dir entry may be an index dir (table subdirs are probed) or a
+    * bare table/sink dir of parquet files. */
   def maintenanceDue(s: SparkSession, dirs: Seq[String],
-      dataFilesMax: Int = maxDataFiles,
+      maxAppendedBatches: Int = 10,
       bloomSaturationMax: Double = maxBloomSaturation): Boolean =
     dirs.exists { d =>
       val p = new org.apache.hadoop.fs.Path(d)
@@ -118,8 +163,11 @@ object Autopilot {
         val subs = f.listStatus(p).toSeq.filter(st => st.isDirectory &&
           !st.getPath.getName.startsWith("_") && !st.getPath.getName.startsWith("."))
         val tables = if (subs.isEmpty) Seq(d) else subs.map(_.getPath.toString)
+        val stampRe = """\.s(\d+)\.parquet$""".r
         val debt = tables.exists { t =>
-          IndexMaintenance.appendedTailFiles(s, t).size > dataFilesMax ||
+          IndexMaintenance.appendedTailFiles(s, t)
+            .flatMap(n => stampRe.findFirstMatchIn(n).map(_.group(1)))
+            .distinct.size > maxAppendedBatches ||
             IndexMaintenance.pendingTombstones(s, t).isDefined
         }
         debt || {

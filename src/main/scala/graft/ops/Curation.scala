@@ -304,6 +304,9 @@ object Curation {
     if (fs.exists(dest)) fs.delete(dest, true)
     if (!fs.rename(tmp, dest))
       throw new java.io.IOException(s"rename $tmp -> $dest failed")
+    // feed the per-trigger alarm's saturation memo so maintenanceDue
+    // never pays a parquet read on the hot streaming path
+    Autopilot.noteBloomSaturation(s, dest.toString, nItems, totalItems)
   }
 
   /** PERSIST the eval slice's shingle hashes WITH their eval doc ids

@@ -108,7 +108,8 @@ object IngestDedup {
   private[streaming] def alarmCadence(s: SparkSession, dirs: Seq[String])(
       compact: => Unit): Long => Unit =
     batchId => if ((batchId + 1) % ingestCompactEvery == 0 ||
-      graft.ops.Autopilot.maintenanceDue(s, dirs)) compact
+      graft.ops.Autopilot.maintenanceDue(s, dirs,
+        maxAppendedBatches = ingestCompactEvery)) compact
 
   /** Curation-at-ingest production path: scrub -> quality gate -> dedup
     * per landed file, admitted CLEAN text + signatures folded into the
