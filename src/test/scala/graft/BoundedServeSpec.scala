@@ -123,7 +123,7 @@ class BoundedServeSpec extends AnyFunSuite {
       "the lexical df-share bound changed semantic ranks")
   }
 
-  test("maxscore serve: exact top-k, mega posting pruned to contenders, stale bounds fall back") {
+  test("maxscore serve: exact top-k, mega posting pruned to contenders, appends stay bounded (segments)") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("maxscore").toString
     // 'spark' in 58/60 docs (mega, df-share 0.967); 'join'/'vector'
