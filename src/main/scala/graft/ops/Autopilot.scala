@@ -63,6 +63,15 @@ object Autopilot {
     * the compact's REBUILD at fresh geometry (2× the surviving count). */
   val maxBloomSaturation = 1.0
 
+  /** Backstop bound on un-absorbed APPEND BATCHES for
+    * [[maintenanceDue]]'s file-debt leg — callers running a cadence
+    * FLOOR must pass their own floor (the streaming loops pass
+    * `ingestCompactEvery`): the leg is meant to fire only when the
+    * floor's compaction failed to absorb, so a default below a
+    * caller's floor would re-create the compact-per-trigger latch the
+    * round-12 A/B measured at +20–40%. */
+  val maxUnabsorbedBatches = 10
+
   private def exists(s: SparkSession, p: String): Boolean = {
     val path = new org.apache.hadoop.fs.Path(p)
     path.getFileSystem(s.sparkContext.hadoopConfiguration).exists(path)
@@ -89,16 +98,29 @@ object Autopilot {
       .map(st => s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
       .sorted.mkString("|")
 
+  /** Fingerprint of a bloom table's file set for the memo protocol —
+    * the WRITER takes this of its STAGING dir BEFORE the publish
+    * rename (child names/lengths/mtimes survive a directory rename),
+    * so a concurrent external rewrite landing right after the rename
+    * can never be memoized under OUR saturation: the on-disk
+    * fingerprint would be theirs, ours mismatches, and the next probe
+    * re-reads. Listing the destination after the rename had exactly
+    * that poisoning window. */
+  private[graft] def bloomFingerprintOf(s: SparkSession, dir: String): String = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    bloomFingerprint(p.getFileSystem(s.sparkContext.hadoopConfiguration), p)
+  }
+
   /** Called by the bloom writer right after its publish rename, with
-    * the counters it just wrote — keeps [[bloomSaturationOf]] a pure
-    * FS-listing check on the hot per-trigger path. */
+    * the counters it just wrote and the STAGING-dir fingerprint taken
+    * before the rename — keeps [[bloomSaturationOf]] a pure FS-listing
+    * check on the hot per-trigger path. */
   private[graft] def noteBloomSaturation(s: SparkSession, bloomDir: String,
-      nItems: Long, totalItems: Long): Unit = {
+      fingerprint: String, nItems: Long, totalItems: Long): Unit = {
     val p = new org.apache.hadoop.fs.Path(bloomDir)
     val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (f.exists(p)) bloomSatMemo.put(f.makeQualified(p).toString,
-      (bloomFingerprint(f, p),
-        totalItems.toDouble / math.max(1.0, nItems.toDouble), true))
+    bloomSatMemo.put(f.makeQualified(p).toString,
+      (fingerprint, totalItems.toDouble / math.max(1.0, nItems.toDouble), true))
   }
 
   /** A bloom table's (saturation share, schema-upgraded) — the ONE
@@ -154,7 +176,7 @@ object Autopilot {
     * A dir entry may be an index dir (table subdirs are probed) or a
     * bare table/sink dir of parquet files. */
   def maintenanceDue(s: SparkSession, dirs: Seq[String],
-      maxAppendedBatches: Int = 10,
+      maxAppendedBatches: Int = maxUnabsorbedBatches,
       bloomSaturationMax: Double = maxBloomSaturation): Boolean =
     dirs.exists { d =>
       val p = new org.apache.hadoop.fs.Path(d)
@@ -163,10 +185,13 @@ object Autopilot {
         val subs = f.listStatus(p).toSeq.filter(st => st.isDirectory &&
           !st.getPath.getName.startsWith("_") && !st.getPath.getName.startsWith("."))
         val tables = if (subs.isEmpty) Seq(d) else subs.map(_.getPath.toString)
-        val stampRe = """\.s(\d+)\.parquet$""".r
         val debt = tables.exists { t =>
+          // stamp grammar owned by IndexMaintenance (fileSeqOf) — a
+          // second regex copy here would go silently dead if the
+          // naming ever changes again
           IndexMaintenance.appendedTailFiles(s, t)
-            .flatMap(n => stampRe.findFirstMatchIn(n).map(_.group(1)))
+            .map(n => IndexMaintenance.fileSeqOf(
+              new org.apache.hadoop.fs.Path(n).getName))
             .distinct.size > maxAppendedBatches ||
             IndexMaintenance.pendingTombstones(s, t).isDefined
         }

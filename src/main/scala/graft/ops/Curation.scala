@@ -301,12 +301,16 @@ object Curation {
     Seq((bos.toByteArray, nItems, fpp, totalItems))
       .toDF("bloom", "n_items", "fpp", "total_items")
       .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    // fingerprint the STAGING files before the rename (names, lengths
+    // and mtimes survive it): memoizing a post-rename listing could
+    // bind OUR saturation to a concurrent external rewrite's files
+    val fp = Autopilot.bloomFingerprintOf(s, tmp.toString)
     if (fs.exists(dest)) fs.delete(dest, true)
     if (!fs.rename(tmp, dest))
       throw new java.io.IOException(s"rename $tmp -> $dest failed")
     // feed the per-trigger alarm's saturation memo so maintenanceDue
     // never pays a parquet read on the hot streaming path
-    Autopilot.noteBloomSaturation(s, dest.toString, nItems, totalItems)
+    Autopilot.noteBloomSaturation(s, dest.toString, fp, nItems, totalItems)
   }
 
   /** PERSIST the eval slice's shingle hashes WITH their eval doc ids

@@ -43,12 +43,19 @@ object IngestDedup {
     * of stream lifetime, and the compaction cost amortizes to 1/N of
     * an index rewrite per batch. Round 12: the floor is no longer the
     * ONLY trigger — [[graft.ops.Autopilot.maintenanceDue]]'s cheap
-    * per-trigger debt alarms (file-count breach, pending tombstones, a
-    * saturating decontam bloom) fire the same compaction EARLY, so a
-    * takedown or a fat landing burst is repaired now instead of up to
-    * N triggers later. Compaction is content-preserving (pinned by the
-    * mid-stream compaction spec), so cadence choice affects only
-    * performance, never verdicts. */
+    * per-trigger debt alarms fire the same compaction EARLY: pending
+    * tombstones (a takedown is repaired at the NEXT trigger, not up to
+    * N later) and a saturating decontam bloom (capacity debt the batch
+    * counter can't see) are the real early triggers, while the
+    * un-absorbed-batch leg (> floor distinct append stamps — possible
+    * only when the floor's own compaction failed to absorb) is a
+    * self-healing backstop. Deliberately NOT an early trigger: raw
+    * file counts — one append lands one file per shuffle partition,
+    * so a per-file threshold fires on the first normal append and
+    * turns the cadence into a rewrite per trigger (measured +20–40%
+    * on this family before being caught). Compaction is
+    * content-preserving (pinned by the mid-stream compaction spec),
+    * so cadence choice affects only performance, never verdicts. */
   val ingestCompactEvery = 10
 
   /** Drive a per-landed-file ingest stream over `landingDir` until no

@@ -183,6 +183,62 @@ class AutopilotSpec extends AnyFunSuite {
       s"dual-family dir must report both families: $d3")
   }
 
+  test("maintenanceDue legs: wide appends don't fire, stamp debt does, memo tracks rewrites") {
+    import spark.implicits._
+    import graft.ops.{Autopilot, IndexMaintenance}
+    val tmp = java.nio.file.Files.createTempDirectory("alarm-legs").toString
+    (1L to 40L).map(i => (i, i * 3)).toDF("id", "v")
+      .write.mode("overwrite").parquet(s"$tmp/idx/t")
+    // (a) ONE batch landing MANY files must not fire — the +40%
+    // compact-per-trigger regression class (an append lands one file
+    // per shuffle partition, 32 at the bench SF)
+    IndexMaintenance.appendBatchAs(spark,
+      (100L to 140L).map(i => (i, i * 3)).toDF("id", "v").repartition(20),
+      s"$tmp/idx/t", "wide_b0")
+    assert(!Autopilot.maintenanceDue(spark, Seq(s"$tmp/idx"), maxAppendedBatches = 3),
+      "a single wide append fired the batch-debt leg — the file-count latch is back")
+    // (b) more DISTINCT append stamps than the floor DOES fire
+    for (b <- 1L to 3L)
+      IndexMaintenance.appendBatchAs(spark,
+        Seq((200L + b, b)).toDF("id", "v"), s"$tmp/idx/t", s"wide_b$b")
+    assert(Autopilot.maintenanceDue(spark, Seq(s"$tmp/idx"), maxAppendedBatches = 3),
+      "4 un-absorbed batches above a floor of 3 did not fire the backstop")
+    // (c) pending tombstones fire immediately and clear at compact
+    val tmp2 = java.nio.file.Files.createTempDirectory("alarm-tomb").toString
+    (1L to 10L).map(i => (i, s"v$i")).toDF("id", "v")
+      .write.mode("overwrite").parquet(s"$tmp2/t")
+    assert(!Autopilot.maintenanceDue(spark, Seq(tmp2)))
+    IndexMaintenance.deleteIds(spark, s"$tmp2/t", Seq(3L))
+    assert(Autopilot.maintenanceDue(spark, Seq(tmp2)), "pending tombstone did not fire")
+    IndexMaintenance.compactTable(spark, s"$tmp2/t", Seq("id"), tombstoneCol = Some("id"))
+    assert(!Autopilot.maintenanceDue(spark, Seq(tmp2)), "alarm latched after the compact")
+    // (d) bloom memo protocol: writer-fed value served without a read;
+    // an EXTERNAL rewrite flips the fingerprint and the next probe
+    // re-reads the real (saturated) row instead of serving stale 0.x
+    val tmp3 = java.nio.file.Files.createTempDirectory("alarm-bloom").toString
+    (1L to 4L).map(i => (i * graft.ops.Curation.evalStride,
+        (0 until 20).map(w => s"s${i}w$w").mkString(" "), "en", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+      .write.mode("overwrite").parquet(s"$tmp3/eval/documents.parquet")
+    graft.ops.Curation.decontamBloomWrite(spark, s"$tmp3/eval", s"$tmp3/idx")
+    graft.ops.Curation.decontamShingleWrite(spark, s"$tmp3/eval", s"$tmp3/idx")
+    assert(!Autopilot.maintenanceDue(spark, Seq(s"$tmp3/idx")),
+      "fresh bloom reported saturated")
+    // fabricate an external rewrite claiming saturation 2.0
+    val meta = spark.read.parquet(s"$tmp3/idx/bloom").collect()(0)
+    Seq((meta.getAs[Array[Byte]]("bloom"), meta.getLong(1), meta.getDouble(2),
+        meta.getLong(1) * 2))
+      .toDF("bloom", "n_items", "fpp", "total_items")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp3/ext")
+    val f = new org.apache.hadoop.fs.Path(tmp3)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.delete(new org.apache.hadoop.fs.Path(s"$tmp3/idx/bloom"), true)
+    f.rename(new org.apache.hadoop.fs.Path(s"$tmp3/ext"),
+      new org.apache.hadoop.fs.Path(s"$tmp3/idx/bloom"))
+    assert(Autopilot.maintenanceDue(spark, Seq(s"$tmp3/idx")),
+      "external bloom rewrite served the stale memoized saturation")
+  }
+
   test("tombstone debt compacts; unknown layouts fail loudly") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("autopilot-ts").toString
