@@ -95,17 +95,21 @@ object Autopilot {
   private def bloomFingerprint(f: org.apache.hadoop.fs.FileSystem,
       p: org.apache.hadoop.fs.Path): String =
     f.listStatus(p).filter(_.isFile)
-      .map(st => s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
+      .map(st => s"${st.getPath.getName}:${st.getLen}")
       .sorted.mkString("|")
 
   /** Fingerprint of a bloom table's file set for the memo protocol —
     * the WRITER takes this of its STAGING dir BEFORE the publish
-    * rename (child names/lengths/mtimes survive a directory rename),
-    * so a concurrent external rewrite landing right after the rename
-    * can never be memoized under OUR saturation: the on-disk
+    * rename, so a concurrent external rewrite landing right after the
+    * rename can never be memoized under OUR saturation: the on-disk
     * fingerprint would be theirs, ours mismatches, and the next probe
     * re-reads. Listing the destination after the rename had exactly
-    * that poisoning window. */
+    * that poisoning window. Names + lengths only, NO mtimes: Spark's
+    * per-write UUID part names already make the pair collision-safe,
+    * and on copy-based filesystems (object stores where rename = copy)
+    * mtimes do NOT survive the publish rename — an mtime term silently
+    * degraded the memo to a parquet read per streaming trigger there,
+    * the exact cost it exists to avoid. */
   private[graft] def bloomFingerprintOf(s: SparkSession, dir: String): String = {
     val p = new org.apache.hadoop.fs.Path(dir)
     bloomFingerprint(p.getFileSystem(s.sparkContext.hadoopConfiguration), p)

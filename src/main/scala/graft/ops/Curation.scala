@@ -301,8 +301,9 @@ object Curation {
     Seq((bos.toByteArray, nItems, fpp, totalItems))
       .toDF("bloom", "n_items", "fpp", "total_items")
       .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-    // fingerprint the STAGING files before the rename (names, lengths
-    // and mtimes survive it): memoizing a post-rename listing could
+    // fingerprint the STAGING files before the rename (names + lengths
+    // survive it on every FS, including copy-based object-store
+    // renames): memoizing a post-rename listing could
     // bind OUR saturation to a concurrent external rewrite's files
     val fp = Autopilot.bloomFingerprintOf(s, tmp.toString)
     if (fs.exists(dest)) fs.delete(dest, true)

@@ -1300,10 +1300,11 @@ object Dedup {
     *     order-preserving id-range slices: per-slice counts locate the
     *     slice containing rank r (≤ [[semanticHeadBuckets]] rows
     *     through the tiny cumulative window), and only THAT slice —
-    *     ~|ties|/4096 rows — is sorted for the residual pick. Ties at
-    *     one rounded score would have to be both ~2³¹-deep AND packed
-    *     into 1/4096 of their own id range before any single task saw
-    *     unbounded work.
+    *     ~|ties|/4096 rows — is sorted for the residual pick. A slice
+    *     still too deep to sort (ties ~2³¹-deep AND packed into 1/4096
+    *     of their own id range) recurses — [[boundaryIdOf]] re-slices
+    *     within the boundary slice, so adversarial packing degrades to
+    *     a few more O(slice) passes instead of failing.
     *  3. the head itself: `score > c OR (score == c AND vec_id ≤
     *     boundary)` — a filter, shuffled nowhere.
     *
@@ -1315,9 +1316,10 @@ object Dedup {
   private def semanticHeadRank(s: SparkSession, dir: String,
       scoresRaw: DataFrame, k: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // keyed by dir ALONE: the scores frame is budget-independent, so
-    // two dropFrac calls on one corpus share one cached kernel output
-    val scores = PlanCache.memoized(s, s"semantic_pctl_scores|$dir")(scoresRaw)
+    // keyed by dir ALONE (budget-independent), under the repo-wide
+    // "$dir|name" convention so a consumer's dir-prefix invalidation
+    // after replacing corpus files sweeps this memo like every other
+    val scores = PlanCache.memoized(s, s"$dir|semantic_pctl_scores")(scoresRaw)
     val cumW = Window.orderBy(col("score").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cut = scores.groupBy(col("score")).agg(count(lit(1)).as("cnt"))
@@ -1331,24 +1333,46 @@ object Dedup {
     val ties = scores.filter(col("score") === c)
     val st = ties.agg(min(col("vec_id")), max(col("vec_id")), count(lit(1))).collect()(0)
     val (lo, hi, nTies) = (st.getLong(0), st.getLong(1), st.getLong(2))
-    val boundary = if (r >= nTies) hi else {
-      val width = ((BigInt(hi) - BigInt(lo)) / semanticHeadBuckets + 1).toLong
-      val bucket = expr(s"(vec_id - (${lo}L)) div ${width}L")
-      val brow = ties.groupBy(bucket.as("b")).agg(count(lit(1)).as("cnt"))
-        .withColumn("cum", sum(col("cnt")).over(
-          Window.orderBy(col("b")).rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .filter(col("cum") >= r && col("cum") - col("cnt") < r)
-        .select(col("b"), (lit(r) - (col("cum") - col("cnt"))).as("rr"))
-        .collect()(0)
-      val within = brow.getLong(1)
-      require(within <= Int.MaxValue,
-        s"$within tied ids at score $c inside one of $semanticHeadBuckets id-range slices")
-      ties.filter(bucket === brow.getLong(0))
-        .orderBy(col("vec_id")).limit(within.toInt)
-        .agg(max(col("vec_id"))).collect()(0).getLong(0)
-    }
+    val boundary = if (r >= nTies) hi else boundaryIdOf(ties, lo, hi, r)
     scores.filter(col("score") > c || (col("score") === c && col("vec_id") <= boundary))
       .select(col("vec_id"))
+  }
+
+  /** The `rank`-th smallest vec_id (1-based) among `ties`, all of whose
+    * ids lie in [lo, hi]: order-preserving id-range slices locate the
+    * slice holding the rank, and only that slice is sorted — RECURSING
+    * into it when its tied population is still too large to sort
+    * through one limit (adversarially packed ties). Each level divides
+    * the id RANGE by [[semanticHeadBuckets]] and ids are unique, so a
+    * slice of width 1 holds ≤ 1 row — depth is bounded by
+    * log_4096(range) ≤ 6 over the full Long range, and the degenerate
+    * packing that used to `require`-fail now degrades to one more
+    * O(slice) pass. `sortCap` (tests shrink it to force the recursive
+    * leg) is how many tied rows one limit-sort is allowed to absorb. */
+  @annotation.tailrec
+  private[graft] def boundaryIdOf(ties: DataFrame, lo: Long, hi: Long, rank: Long,
+      sortCap: Long = Int.MaxValue): Long = {
+    import org.apache.spark.sql.expressions.Window
+    val width = ((BigInt(hi) - BigInt(lo)) / semanticHeadBuckets + 1).toLong
+    val bucket = expr(s"(vec_id - (${lo}L)) div ${width}L")
+    val brow = ties.groupBy(bucket.as("b")).agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(
+        Window.orderBy(col("b")).rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("cum") >= rank && col("cum") - col("cnt") < rank)
+      .select(col("b"), (lit(rank) - (col("cum") - col("cnt"))).as("rr"),
+        col("cnt"))
+      .collect()(0)
+    val b = brow.getLong(0)
+    val rr = brow.getLong(1)
+    val cnt = brow.getLong(2)
+    val slice = ties.filter(bucket === b)
+    if (cnt <= sortCap)
+      slice.orderBy(col("vec_id")).limit(rr.toInt)
+        .agg(max(col("vec_id"))).collect()(0).getLong(0)
+    else {
+      val bLo = lo + b * width
+      boundaryIdOf(slice, bLo, math.min(hi, bLo + width - 1), rr, sortCap)
+    }
   }
 
   /** Cluster representative selection — the step AFTER clustering in a

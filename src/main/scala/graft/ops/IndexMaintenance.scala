@@ -1155,7 +1155,10 @@ object IndexMaintenance {
         // guard the cast — ANSI mode throws on "" -> long
         .select(when(stamp === "", lit(0L)).otherwise(stamp.cast("long")).as("_fseq") +:
           df.columns.toSeq.map(col): _*)
-        .join(broadcast(dels), Seq(idCol), "left")
+        // gated, not forced: dels grows with the takedown volume since
+        // the last compact — normally tiny, but a mass takedown must
+        // not be hint-collected onto the driver past the threshold
+        .join(JoinHints.broadcastIfSmall(dels), Seq(idCol), "left")
         .filter(col("_del_seq").isNull || col("_fseq") > col("_del_seq"))
         .select(df.columns.toSeq.map(col): _*)
     }

@@ -142,8 +142,10 @@ object Retrieval {
     * recomputes both the cut and the flags from corpus statistics. */
   def searchHybridRrfServedBounded(s: SparkSession, dir: String): DataFrame = {
     val idxDir = TextAnalysis.textIndexFor(s, dir)
+    // ONE banned-head resolution, plumbed through — the serve used to
+    // recompute it inside the maxDfShare plumbing (r12 verdict)
     val banned = TextAnalysis.bannedTerms(s, idxDir, TextAnalysis.bm25MaxDfShare)
-    val fused = searchHybridRrfServed(s, dir, Some(TextAnalysis.bm25MaxDfShare))
+    val fused = searchHybridRrfServedWith(s, dir, idxDir, banned)
     val actCols = (1 to hybridQueryTerms).map { i =>
       max(when(col("pos") === i,
         when(if (banned.isEmpty) lit(false) else col("qt").isin(banned: _*), 0L)
@@ -151,7 +153,11 @@ object Retrieval {
     }
     val acts = hybridQueryTermsOf(s, dir)
       .groupBy(col("q_id")).agg(actCols.head, actCols.tail: _*)
-    fused.join(broadcast(acts), Seq("q_id"), "left")
+    // gated, not forced: acts grows with the query set
+    // (corpus/queryStride rows), so an unconditional hint was the same
+    // growing-frame-forced-broadcast pattern r12 gated on the IVF probe
+    // re-join — past the threshold, the planner/AQE decide
+    fused.join(JoinHints.broadcastIfSmall(acts), Seq("q_id"), "left")
       .select(col("q_id") +: col("rk") +: col("doc_id") +: col("lex_rk") +:
         col("sem_rk") +: col("rrf") +:
         (1 to hybridQueryTerms).map(i => coalesce(col(s"act_$i"), lit(1L)).as(s"act_$i")): _*)
@@ -170,6 +176,15 @@ object Retrieval {
   def searchHybridRrfServed(s: SparkSession, dir: String,
       maxDfShare: Option[Double] = None): DataFrame = {
     val idxDir = TextAnalysis.textIndexFor(s, dir)
+    val banned = maxDfShare.fold(Seq.empty[String])(TextAnalysis.bannedTerms(s, idxDir, _))
+    searchHybridRrfServedWith(s, dir, idxDir, banned)
+  }
+
+  /** [[searchHybridRrfServed]] with the banned head already resolved —
+    * the shared body callers with their own dictionary read plumb
+    * through instead of recomputing the (capped, but non-free) collect. */
+  private def searchHybridRrfServedWith(s: SparkSession, dir: String,
+      idxDir: String, banned: Seq[String]): DataFrame = {
     // BOUNDED form: the hybrid's query terms are dynamic (per-query
     // slots), so the mega-posting guard is an anti-filter against the
     // term dictionary's banned head rather than a positive pushed IN —
@@ -179,7 +194,6 @@ object Retrieval {
     val postings = IndexMaintenance.minusTombstones(s, s"$idxDir/postings",
         s.read.parquet(s"$idxDir/postings"), "doc_id")
       .select(col("doc_id"), col("term"), col("tf"))
-    val banned = maxDfShare.fold(Seq.empty[String])(TextAnalysis.bannedTerms(s, idxDir, _))
     fuse(s, dir, lexRanksOver(s, dir, postings, banned))
   }
 

@@ -1322,7 +1322,17 @@ object TextAnalysis {
     * This keeps exact BM25 semantics where the df-share cut
     * ([[textBm25ServedBoundedQuery]]) documents a semantic change —
     * the two bounded forms are complementary policies over the same
-    * term dictionary. */
+    * term dictionary.
+    *
+    * CONCURRENCY NOTE: the pruned arm bakes decision-time index state
+    * (live df literals, the contender id list, a raw posting read)
+    * into the returned lazy frame — it is a SNAPSHOT of the index as
+    * of this call. The unbounded serve re-derives df and re-applies
+    * the tombstone mask at execution time, so a caller that holds the
+    * frame across a concurrent append/delete and collects late can
+    * observe the two diverge. When ingest is concurrent, collect the
+    * frame promptly (or re-derive it per serve) — the registered
+    * query and every streaming consumer do. */
   def textBm25ServedMaxScore(s: SparkSession, indexDir: String): DataFrame =
     maxScoreContenders(s, indexDir) match {
       case None => textBm25Served(s, indexDir)

@@ -417,7 +417,7 @@ class DedupSimilaritySpec extends AnyFunSuite {
     // (a) the real corpus at several budgets: default (TakeOrdered at
     // these K) vs headTakeOrderedMax = 0 (rank-threshold forced)
     for (frac <- Seq(0.01, 0.05, 0.2)) {
-      graft.ops.PlanCache.invalidate(spark, "semantic_pctl_scores|")
+      graft.ops.PlanCache.invalidate(spark, s"$sf0001|semantic_pctl_scores")
       val take = rows(Dedup.dedupSemanticPercentile(spark, sf0001, frac))
       val rank = rows(Dedup.dedupSemanticPercentile(spark, sf0001, frac,
         headTakeOrderedMax = 0L))
@@ -444,7 +444,29 @@ class DedupSimilaritySpec extends AnyFunSuite {
     // fill the head first, so drops are not all-or-nothing per group
     val droppedIds = take.filter(_._3 == 0L).map(_._1).toSet
     assert(droppedIds.nonEmpty && droppedIds.size == 300)
-    graft.ops.PlanCache.invalidate(spark, "semantic_pctl_scores|")
+    graft.ops.PlanCache.invalidate(spark, s"$sf0001|semantic_pctl_scores")
+    graft.ops.PlanCache.invalidate(spark, s"$tmp|semantic_pctl_scores")
+  }
+
+  test("percentile boundary pick: adversarially packed ties recurse into the slice " +
+      "instead of failing, same boundary id") {
+    import spark.implicits._
+    // 1000 tied ids packed into the bottom sliver of a 2^40-wide id
+    // range (all land in ONE of the 4096 id-range slices), plus one far
+    // outlier stretching the range. The old code require-failed once a
+    // slice outgrew the sort cap; the recursive form re-slices within
+    // and must return the identical rank-500 boundary (id 499).
+    val ids = (0L until 1000L) :+ (1L << 40)
+    val ties = ids.map(i => (i, 1.0)).toDF("vec_id", "score")
+    val lo = 0L
+    val hi = 1L << 40
+    val expected = ids.sorted.apply(499) // rank 500, 1-based
+    val viaSort = Dedup.boundaryIdOf(ties, lo, hi, 500L)
+    val viaRecursion = Dedup.boundaryIdOf(ties, lo, hi, 500L, sortCap = 10L)
+    assert(viaSort == expected, s"sort leg picked $viaSort, want $expected")
+    assert(viaRecursion == expected,
+      s"recursive leg picked $viaRecursion, want $expected — packed ties must " +
+      "degrade gracefully, byte-identical to the sort leg")
   }
 
   test("auto-IVF never FORCES the query re-join broadcast: the size check stays in charge") {
@@ -475,6 +497,38 @@ class DedupSimilaritySpec extends AnyFunSuite {
       // join strategy never changes results
       assert(df.collect().map(shape).toSeq === baseline,
         "auto-IVF results depend on the re-join strategy")
+    } finally spark.conf.set(key, old)
+  }
+
+  test("no query-set-sized frame is hint-FORCED broadcast anywhere (r13 repo sweep)") {
+    // the round-13 generalization of the pin above (JoinHints
+    // .broadcastIfSmall): every broadcast-queries scan shape — range
+    // search, brute-force/PQ cells, IVF re-join, hybrid act flags —
+    // gates its hint on Catalyst's size estimate. Under a 1KB
+    // threshold none of them may plan a broadcast join, and the
+    // results must not depend on the join strategy.
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec}
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val old = spark.conf.get(key)
+    val paths: Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(
+      "sim_range_search" -> (() => Similarity.simRangeSearch(spark, sf0001)),
+      "sim_topk_bruteforce" -> (() => Similarity.simTopkBruteforce(spark, sf0001)),
+      // (the PQ paths share the same gated pqShortlist crossJoin but
+      // carry a deliberate 1-row guard hint that stays forced — the
+      // constant-bounded exception the rule documents)
+      "mm_feature_ann" -> (() => graft.multimodal.Multimodal.mmFeatureAnn(spark, sf0001)))
+    val baselines = paths.map { case (n, f) => n -> f().collect().map(_.toSeq).toSeq }.toMap
+    spark.conf.set(key, "1KB")
+    try paths.foreach { case (name, f) =>
+      val df = f()
+      val forced = df.queryExecution.sparkPlan.collect {
+        case j: BroadcastHashJoinExec => j: Any
+        case j: BroadcastNestedLoopJoinExec => j: Any
+      }
+      assert(forced.isEmpty,
+        s"$name still hint-forces a broadcast past the size threshold: $forced")
+      assert(df.collect().map(_.toSeq).toSeq === baselines(name),
+        s"$name results depend on the join strategy")
     } finally spark.conf.set(key, old)
   }
 

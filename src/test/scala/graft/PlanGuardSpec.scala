@@ -221,7 +221,7 @@ class PlanGuardSpec extends AnyFunSuite {
     val dRank = drops(df)
     val dTake = drops(graft.ops.Dedup.dedupSemanticPercentile(spark, sf0001))
     assert(dRank == dTake, s"rank head dropped $dRank, TakeOrdered $dTake")
-    graft.ops.PlanCache.invalidate(spark, "semantic_pctl_scores|")
+    graft.ops.PlanCache.invalidate(spark, s"$sf0001|semantic_pctl_scores")
   }
 
   test("curate_split_leakage joins pairs-sized clusters broadcast-side onto a 1-column scan") {
