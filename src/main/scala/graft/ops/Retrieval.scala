@@ -74,22 +74,29 @@ object Retrieval {
 
   /** The lexical tail over an arbitrary (doc_id, term, tf) relation —
     * shared by the in-session scan and the persisted-postings serve.
-    * Everything downstream derives from the posting rows alone: dl is
-    * the per-doc tf sum (≡ token count — tokenize runs ONCE, and the
-    * served form never tokenizes at all), df/n_docs/avgdl follow from
-    * the same grouped frame. */
+    * By default everything downstream derives from the posting rows
+    * alone: dl is the per-doc tf sum (≡ token count — tokenize runs
+    * ONCE, and the served form never tokenizes at all), df/n_docs/avgdl
+    * follow from the same grouped frame. The SERVED form passes
+    * `doclenStats` (the persisted doc-values table + its stats,
+    * [[TextAnalysis.textIndexDoclenStats]]) instead: identical longs by
+    * the index writer's construction, one narrow table scan instead of
+    * a corpus-wide posting aggregation, and — decisively — the SAME
+    * source frames its MaxScore twin prices its bounds against. */
   private[graft] def lexRanksOver(s: SparkSession, dir: String, postings: DataFrame,
-      bannedTerms: Seq[String] = Seq.empty): DataFrame = {
+      bannedTerms: Seq[String] = Seq.empty,
+      doclenStats: Option[(DataFrame, DataFrame)] = None): DataFrame = {
     // dl/avgdl/df are WHOLE-CORPUS statistics and never shrink under
     // the df-share bound — only the scoring join excludes the banned
     // head, so a stopword slot contributes 0 without re-shaping every
     // other term's score (frozen-statistics serving, as in the bounded
     // BM25 form)
-    val doclen = postings.groupBy(col("doc_id"))
-      .agg(sum(col("tf")).as("dl"))
+    val doclen = doclenStats.fold(
+      postings.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl")))(_._1)
     val dfr = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val stats = doclen.agg(count(lit(1)).as("n_docs"),
-      (sum(col("dl")).cast("double") / count(lit(1)).cast("double")).as("avgdl"))
+    val stats = doclenStats.fold(
+      doclen.agg(count(lit(1)).as("n_docs"),
+        (sum(col("dl")).cast("double") / count(lit(1)).cast("double")).as("avgdl")))(_._2)
     val scoring =
       if (bannedTerms.isEmpty) postings
       else postings.filter(!col("term").isin(bannedTerms: _*))
@@ -194,7 +201,8 @@ object Retrieval {
     val postings = IndexMaintenance.minusTombstones(s, s"$idxDir/postings",
         s.read.parquet(s"$idxDir/postings"), "doc_id")
       .select(col("doc_id"), col("term"), col("tf"))
-    fuse(s, dir, lexRanksOver(s, dir, postings, banned))
+    fuse(s, dir, lexRanksOver(s, dir, postings, banned,
+      doclenStats = Some(TextAnalysis.textIndexDoclenStats(s, idxDir))))
   }
 
   /** One 6-decimal rounding quantum — see
@@ -231,18 +239,51 @@ object Retrieval {
     *  5. merged cheap+mega slot frequencies re-score through the
     *     IDENTICAL fixed-slot expression and ranking tail.
     *
+    * SEGMENT MODEL (round 13 — the r12 fixed-query model, per query):
+    * an appended tail no longer forces the unbounded serve. The
+    * dictionary exactly describes the COMPACTED segment; the tail's
+    * query-term df lands as an in-plan per-term count joined onto the
+    * slots (live df = dict + tail, equal to the posting-row count the
+    * unbounded serve derives), dl/n_docs/avgdl come from the SAME
+    * [[TextAnalysis.textIndexDoclenStats]] frames the unbounded serve
+    * scores with (frozen 1-row stats when provably equal, the live
+    * doclen aggregate under a tail), and every tail doc matching a
+    * mega term joins its query's contenders BY INCLUSION (tail docs
+    * have no dictionary bound). Dictionary `ub` bounds BASE docs only,
+    * and — unlike the fixed-query serve, whose frozen-stats scoring
+    * keeps idf monotone in df — the hybrid scores with LIVE n_docs,
+    * which can RAISE idf past the frozen value when the tail grows the
+    * corpus faster than the term: each mega slot's bound is therefore
+    * rescaled by max(1, idf_live/idf_frozen) (maxTf is frozen — a base
+    * posting's tf cannot exceed the dictionary-time max — so the idf
+    * factor is the only live correction; the ratio is 1.0 exactly on a
+    * tail-less index, and the ±1-ulp division noise sits 9 orders
+    * under the ε the cut is already slackened by).
+    *
+    * TOMBSTONES (round 13, with the fixed-query form): pending
+    * takedowns no longer force the unbounded serve either. Every
+    * posting read here is tombstone-masked (free when none pending),
+    * the shared doclen/stats frames already mask, and the per-slot
+    * live df switches from dictionary+tail arithmetic to ONE masked
+    * per-term posting count — the same relation the unbounded serve's
+    * dfr aggregates, so equality holds by shared source. That count
+    * scans the masked postings once (the sequenced mask cannot be
+    * priced per-term from the dictionary), which the unbounded serve
+    * pays anyway — the savings that remain are the ones that matter:
+    * no corpus-wide pivot/window ever sees the mega rows. The ub
+    * rescale stays sound under deletes: maxTf only shrinks, the
+    * frozen bound's dl→0 limit is avgdl-free, and max(1, ratio)
+    * absorbs idf moving in either direction.
+    *
     * Returns None — caller serves unbounded — when the dictionary
-    * predates `ub`, tombstones are pending, the index has an appended
-    * tail (the fixed-query serve handles segments; the hybrid keeps
-    * the simpler whole-index precondition), or no term crosses the
-    * df-share cut (nothing to avoid). Preconditions make the persisted
-    * doclen/stats/termstats EQUAL the live derivations the unbounded
-    * form aggregates from the postings, which is what lets this path
-    * skip those corpus-wide aggregations entirely.
+    * predates `ub` or no term crosses the df-share cut (nothing to
+    * avoid).
     *
     * The Some payload is (lexRanks frame, per-query decision frame
     * (q_id, mode)) — the decisions feed the ScaleSmoke accounting and
-    * the BoundedServeSpec engagement pin. */
+    * the BoundedServeSpec engagement pin. Like the fixed-query form,
+    * the returned frame SNAPSHOTS decision-time index state (tail file
+    * list, banned head) — collect promptly when ingest is concurrent. */
   private[graft] def hybridMaxScoreLex(s: SparkSession, dir: String,
       idxDir: String): Option[(DataFrame, DataFrame)] = {
     val tsPath = new org.apache.hadoop.fs.Path(s"$idxDir/termstats")
@@ -250,35 +291,70 @@ object Retrieval {
       return None
     val ts = s.read.parquet(s"$idxDir/termstats")
     if (!ts.columns.contains("ub")) return None
-    if (IndexMaintenance.pendingTombstones(s, s"$idxDir/postings").isDefined ||
-        IndexMaintenance.pendingTombstones(s, s"$idxDir/doclen").isDefined) return None
-    if (IndexMaintenance.appendedTailFiles(s, s"$idxDir/postings").nonEmpty ||
-        IndexMaintenance.appendedTailFiles(s, s"$idxDir/doclen").nonEmpty) return None
+    val tombPending =
+      IndexMaintenance.pendingTombstones(s, s"$idxDir/postings").isDefined ||
+      IndexMaintenance.pendingTombstones(s, s"$idxDir/doclen").isDefined
     val banned = scala.util.Try(
       TextAnalysis.bannedTerms(s, idxDir, TextAnalysis.bm25MaxDfShare)).getOrElse(return None)
     if (banned.isEmpty) return None // no mega posting to avoid
     val st = s.read.parquet(s"$idxDir/stats").head()
-    val nDocs = st.getLong(0)
-    val avgdl = st.getDouble(1)
+    val nDocsFrozen = st.getLong(0)
     val slots = 1 to hybridQueryTerms
     val k = TextAnalysis.bm25TopK.toLong
+    val tailFiles = IndexMaintenance.appendedTailFiles(s, s"$idxDir/postings")
+    // dl + live 1-row stats — the exact frames the unbounded serve
+    // scores with (consistency by shared source, not by precondition)
+    val (doclen, statsLive) = TextAnalysis.textIndexDoclenStats(s, idxDir)
 
     // per-query slots classified against the dictionary (terms absent
-    // from the vocabulary: df 0, ub 0, cheap — they match nothing)
-    val qslots = hybridQueryTermsOf(s, dir)
+    // from the vocabulary: df 0, ub 0, cheap — they match nothing in
+    // the base segment; tail rows still count into the live df).
+    // is_mega stays a DICTIONARY-df decision — it must agree with the
+    // banned list the cheap scan anti-filters on.
+    val dictSlots = hybridQueryTermsOf(s, dir)
       .join(ts.select(col("term"), col("df"), col("ub")),
         col("qt") === col("term"), "left")
       .select(col("q_id"), col("pos"), col("qt"),
-        coalesce(col("df"), lit(0L)).as("df"),
-        coalesce(col("ub"), lit(0.0)).as("ub"),
-        (coalesce(col("df"), lit(0L)).cast("double") >
-          lit(TextAnalysis.bm25MaxDfShare) * lit(nDocs.toDouble)).as("is_mega"))
-    val ubMega = qslots.groupBy(col("q_id")).agg(
-      sum(when(col("is_mega"), col("ub")).otherwise(lit(0.0))).as("ub_mega"),
-      sum(when(col("is_mega"), 1L).otherwise(0L)).as("n_mega"))
+        coalesce(col("df"), lit(0L)).as("dict_df"),
+        coalesce(col("ub"), lit(0.0)).as("ub"))
+    val maskedPostings = IndexMaintenance.minusTombstones(s, s"$idxDir/postings",
+      s.read.parquet(s"$idxDir/postings"), "doc_id")
+    val qslots = (if (tombPending) {
+        // pending deletes: dict+tail arithmetic can't see which rows the
+        // sequenced mask hides — join the masked per-term count instead
+        // (the identical relation the unbounded dfr aggregates)
+        val liveDf = maskedPostings
+          .groupBy(col("term").as("_tt")).agg(count(lit(1)).as("_live_df"))
+        dictSlots.join(liveDf, col("qt") === col("_tt"), "left")
+          .withColumn("df", coalesce(col("_live_df"), lit(0L)))
+          .drop("_tt", "_live_df")
+      } else if (tailFiles.isEmpty) dictSlots.withColumn("df", col("dict_df"))
+      else {
+        val tailDf = s.read.parquet(tailFiles: _*)
+          .groupBy(col("term").as("_tt")).agg(count(lit(1)).as("_tail_df"))
+        dictSlots.join(tailDf, col("qt") === col("_tt"), "left")
+          .withColumn("df", col("dict_df") + coalesce(col("_tail_df"), lit(0L)))
+          .drop("_tt", "_tail_df")
+      })
+      .withColumn("is_mega", col("dict_df").cast("double") >
+        lit(TextAnalysis.bm25MaxDfShare) * lit(nDocsFrozen.toDouble))
+    // per-slot idf at (df, n): the scoring factor and its frozen twin
+    def idfAt(dfC: org.apache.spark.sql.Column, nC: org.apache.spark.sql.Column) =
+      log(lit(1.0) + (nC - dfC.cast("double") + 0.5) / (dfC.cast("double") + 0.5))
+    val ubMega = qslots
+      .crossJoin(broadcast(statsLive.select(col("n_docs").as("_n_live"))))
+      .withColumn("ub_adj", col("ub") * greatest(lit(1.0),
+        idfAt(col("df"), col("_n_live").cast("double")) /
+          idfAt(col("dict_df"), lit(nDocsFrozen.toDouble))))
+      .groupBy(col("q_id")).agg(
+        sum(when(col("is_mega"), col("ub_adj")).otherwise(lit(0.0))).as("ub_mega"),
+        sum(when(col("is_mega"), 1L).otherwise(0L)).as("n_mega"))
 
-    // the cheap pass: the banned head never enters the scan
-    val cheapPost = s.read.parquet(s"$idxDir/postings")
+    // the cheap pass: the banned head never enters the scan (the scan
+    // spans base + tail files — tail cheap rows flow through the floor
+    // like base rows — and is tombstone-masked: a deleted doc seating
+    // the floor would push it too high, an unsound prune)
+    val cheapPost = maskedPostings
       .filter(!col("term").isin(banned: _*))
       .select(col("doc_id"), col("term"), col("tf"))
     val cpivots = slots.flatMap { i =>
@@ -289,21 +365,23 @@ object Retrieval {
       .join(cheapPost, col("qt") === col("term"))
       .groupBy(col("q_id"), col("doc_id"))
       .agg(cpivots.head, cpivots.tail: _*)
-    val doclen = s.read.parquet(s"$idxDir/doclen").select(col("doc_id"), col("dl"))
     // the per-slot contribution — the IDENTICAL expression the
-    // unbounded lexRanksOver evaluates, so the merged re-score below is
+    // unbounded lexRanksOver evaluates over the identical live df and
+    // the identical statsLive columns, so the merged re-score below is
     // bit-for-bit the unbounded score
     def contrib(tfC: Int => org.apache.spark.sql.Column,
         dfC: Int => org.apache.spark.sql.Column) = slots.map { i =>
       val idf = log(lit(1.0) +
-        (lit(nDocs.toDouble) - dfC(i).cast("double") + 0.5) / (dfC(i).cast("double") + 0.5))
+        (col("n_docs").cast("double") - dfC(i).cast("double") + 0.5) /
+          (dfC(i).cast("double") + 0.5))
       val tf = tfC(i).cast("double")
       coalesce(idf * (tf * lit(TextAnalysis.bm25K1 + 1.0)) /
         (tf + lit(TextAnalysis.bm25K1) * (lit(1.0 - TextAnalysis.bm25B) +
-          lit(TextAnalysis.bm25B) * col("dl").cast("double") / lit(avgdl))),
+          lit(TextAnalysis.bm25B) * col("dl").cast("double") / col("avgdl"))),
         lit(0.0))
     }
     val eScored = cpiv.join(doclen, "doc_id")
+      .crossJoin(broadcast(statsLive))
       .withColumn("e", contrib(i => col(s"ctf_$i"), i => col(s"cdf_$i")).reduce(_ + _))
     val wq = Window.partitionBy(col("q_id")).orderBy(col("e").desc, col("doc_id"))
     val floors = eScored
@@ -320,24 +398,52 @@ object Retrieval {
           .otherwise(lit("fallback")))
       .select(col("q_id"), col("mode"), col("ub_mega"), col("floor"))
 
-    // cheap-side final pairs: everything for pure/fallback queries,
-    // floor-survivors for pruned ones
-    val cheapFinal = eScored.join(qdec, "q_id")
-      .filter(col("mode") =!= "pruned" ||
-        col("e") + col("ub_mega") >= col("floor") - lit(roundEps))
-      .select(col("q_id") +: col("doc_id") +:
-        slots.flatMap(i => Seq(col(s"ctf_$i"), col(s"cdf_$i"))): _*)
-
-    // mega tf re-reads: contender-bounded for pruned queries, full for
-    // fallback ones (their exactness demands the unbounded candidates)
+    // tail docs matching a query's mega slot: contenders BY INCLUSION
+    // (no dictionary bound covers them) — their cheap rows, if any,
+    // already scored through eScored; this brings back the pairs the
+    // floor filter would otherwise prune and the cheap-only pairs the
+    // pivot never saw
     val megaSlots = qslots.filter(col("is_mega"))
       .select(col("q_id"), col("pos"), col("qt"), col("df").as("mdf"))
-    val megaPost = s.read.parquet(s"$idxDir/postings")
+    val tailMegaPairs: Option[DataFrame] =
+      if (tailFiles.isEmpty) None
+      else Some(s.read.parquet(tailFiles: _*)
+        .filter(col("term").isin(banned: _*))
+        .select(col("term").as("qt"), col("doc_id"))
+        .join(megaSlots.select(col("q_id"), col("qt")), "qt")
+        .select(col("q_id"), col("doc_id")).distinct())
+
+    // cheap-side final pairs: everything for pure/fallback queries,
+    // floor-survivors (plus tail-mega inclusions) for pruned ones
+    val cheapScored = eScored.join(qdec, "q_id")
+    val cheapKept = tailMegaPairs.fold(
+      cheapScored.filter(col("mode") =!= "pruned" ||
+        col("e") + col("ub_mega") >= col("floor") - lit(roundEps))) { tm =>
+      cheapScored.join(tm.withColumn("_tm", lit(true)), Seq("q_id", "doc_id"), "left")
+        .filter(col("mode") =!= "pruned" ||
+          col("e") + col("ub_mega") >= col("floor") - lit(roundEps) ||
+          coalesce(col("_tm"), lit(false)))
+    }
+    val cheapFinal = cheapKept
+      .select(col("q_id") +: col("doc_id") +:
+        slots.flatMap(i => Seq(col(s"ctf_$i"), col(s"cdf_$i"))): _*)
+    // the pruned arm's contender pairs for the mega re-read: the kept
+    // cheap pairs plus the tail-mega inclusions that matched no cheap
+    // slot at all (distinct — a doubled pair would double its tf sum)
+    val prunedPairs = tailMegaPairs.fold(
+      cheapFinal.select(col("q_id"), col("doc_id")))(tm =>
+      cheapFinal.select(col("q_id"), col("doc_id")).union(tm).distinct())
+
+    // mega tf re-reads: contender-bounded for pruned queries, full for
+    // fallback ones (their exactness demands the unbounded candidates);
+    // the masked read spans base + tail, so tail mega rows re-read
+    // exactly like base rows and a deleted contender contributes none
+    val megaPost = maskedPostings
       .filter(col("term").isin(banned: _*))
       .select(col("term").as("qt"), col("doc_id"), col("tf"))
     val mpPruned = megaSlots
       .join(qdec.filter(col("mode") === "pruned").select(col("q_id")), "q_id")
-      .join(cheapFinal.select(col("q_id"), col("doc_id")), "q_id")
+      .join(prunedPairs, "q_id")
       .join(megaPost, Seq("qt", "doc_id"))
     val mpFallback = megaSlots
       .join(qdec.filter(col("mode") === "fallback").select(col("q_id")), "q_id")
@@ -356,6 +462,7 @@ object Retrieval {
     val merged = cheapFinal.join(mpiv, Seq("q_id", "doc_id"), "full_outer")
     val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("doc_id"))
     val lex = merged.join(doclen, "doc_id")
+      .crossJoin(broadcast(statsLive))
       .withColumn("score", round(contrib(
         i => coalesce(col(s"ctf_$i"), col(s"mtf_$i")),
         i => coalesce(col(s"cdf_$i"), col(s"mdf_$i"))).reduce(_ + _), 6))

@@ -982,6 +982,34 @@ object TextAnalysis {
     writeTermStats(s, indexDir)
   }
 
+  /** The LIVE (doclen, 1-row stats) pair of a persisted text index —
+    * the dl/n_docs/avgdl source the hybrid serving family shares, so
+    * its bounded and unbounded forms are consistent BY CONSTRUCTION
+    * (both read these frames, not independent derivations). doclen is
+    * the tombstone-masked doc-values table; stats is the persisted
+    * 1-row table when it provably equals the live aggregate (no
+    * appended tail, no pending tombstones — rebuilds and compacts
+    * recompute it from these same doclen rows with this same
+    * expression), and the live doclen aggregate otherwise. The live
+    * branch is one narrow 2-column scan — at any scale a rounding
+    * error next to the posting aggregation the unbounded serve runs —
+    * and only engages while a tail/tombstone is actually outstanding
+    * (the compaction cadence bounds that window). */
+  private[graft] def textIndexDoclenStats(s: SparkSession,
+      indexDir: String): (DataFrame, DataFrame) = {
+    val doclen = IndexMaintenance.minusTombstones(s, s"$indexDir/doclen",
+        s.read.parquet(s"$indexDir/doclen"), "doc_id")
+      .select(col("doc_id"), col("dl"))
+    val fresh =
+      IndexMaintenance.appendedTailFiles(s, s"$indexDir/doclen").isEmpty &&
+      IndexMaintenance.pendingTombstones(s, s"$indexDir/doclen").isEmpty
+    val stats =
+      if (fresh) s.read.parquet(s"$indexDir/stats").select(col("n_docs"), col("avgdl"))
+      else doclen.agg(count(lit(1)).as("n_docs"),
+        (sum(col("dl")).cast("double") / count(lit(1)).cast("double")).as("avgdl"))
+    (doclen, stats)
+  }
+
   /** (Re)build the TERM DICTIONARY sidecar: one (term, df, ub) row per
     * vocabulary term, term-sorted so a query-term lookup prunes to a
     * few row groups. This is what lets the bounded serve decide "is
@@ -1190,10 +1218,17 @@ object TextAnalysis {
     val tfn = (col("tf").cast("double") * lit(bm25K1 + 1.0)) /
       (col("tf").cast("double") + lit(bm25K1) * (lit(1.0 - bm25B) +
         lit(bm25B) * col("dl").cast("double") / lit(avgdl)))
-    val eScores = s.read.parquet(s"$indexDir/postings")
+    // both reads TOMBSTONE-MASKED (free when none pending): a deleted
+    // doc seating the floor would push it too HIGH — an unsound prune —
+    // and a delete-then-reappend's duplicated doclen row would double a
+    // survivor's e the same way
+    val eScores = IndexMaintenance.minusTombstones(s, s"$indexDir/postings",
+        s.read.parquet(s"$indexDir/postings"), "doc_id")
       .filter(col("term").isin(cheap: _*))
       .select(col("doc_id"), col("term"), col("tf"))
-      .join(s.read.parquet(s"$indexDir/doclen").select(col("doc_id"), col("dl")), "doc_id")
+      .join(IndexMaintenance.minusTombstones(s, s"$indexDir/doclen",
+          s.read.parquet(s"$indexDir/doclen"), "doc_id")
+        .select(col("doc_id"), col("dl")), "doc_id")
       .groupBy(col("doc_id")).agg(sum(idfCol * tfn).as("e"))
     val floorDf = eScores.orderBy(col("e").desc, col("doc_id"))
       .limit(bm25TopK)
@@ -1246,12 +1281,26 @@ object TextAnalysis {
     * pipeline with `doc_id IN (contenders)` pushed into the posting
     * scan — on a compacted ((term, doc_id)-sorted) index that prunes
     * the mega list to the contenders' row groups: the parquet analog of
-    * Lucene's skip pointers. Remaining fallbacks (returning None): a
-    * dictionary without `ub` (pre-round-10), pending tombstones (a
-    * masked doc's rows would need del-seq reasoning inside the bound),
-    * no mega term / no cheap term / cheap floor unseated, a mega-only
-    * doc that could reach the floor, or a contender set too large to
-    * push as an IN filter. */
+    * Lucene's skip pointers.
+    *
+    * TOMBSTONES (round 13 — Lucene's delete masks): a pending takedown
+    * no longer disables bounded serving until the next compact. The
+    * e-score floor scan is tombstone-masked (a deleted doc must not
+    * seat the floor), the contender re-score masks like every index
+    * read, and the live df comes from ONE masked, query-term-pruned
+    * posting count — exactly the relation the unbounded serve derives
+    * its df from, so the serves stay equal by shared source. That
+    * count does read the mega list's (term, doc_id) columns (the
+    * sequenced mask cannot be priced from the dictionary alone), but
+    * the expensive parts stay bounded: no corpus-wide pivot, window,
+    * or tf fetch ever sees the mega rows, and the maintenance alarm
+    * keeps the tombstone window short. Dictionary ub stays sound under
+    * deletes: maxTf can only shrink, the bound's dl→0 limit is
+    * avgdl-free, and frozen-stats scoring keeps idf monotone in df.
+    * Remaining fallbacks (returning None): a dictionary without `ub`
+    * (pre-round-10), no mega term / no cheap term / cheap floor
+    * unseated, a mega-only doc that could reach the floor, or a
+    * contender set too large to push as an IN filter. */
   def maxScoreContenders(s: SparkSession,
       indexDir: String): Option[MaxScorePrune] = {
     val tsPath = new org.apache.hadoop.fs.Path(s"$indexDir/termstats")
@@ -1259,8 +1308,9 @@ object TextAnalysis {
       return None // pre-dictionary index layout: fall back, don't throw
     val ts = s.read.parquet(s"$indexDir/termstats")
     if (!ts.columns.contains("ub")) return None // pre-round-10 dictionary
-    if (IndexMaintenance.pendingTombstones(s, s"$indexDir/postings").isDefined ||
-        IndexMaintenance.pendingTombstones(s, s"$indexDir/doclen").isDefined) return None
+    val tombPending =
+      IndexMaintenance.pendingTombstones(s, s"$indexDir/postings").isDefined ||
+      IndexMaintenance.pendingTombstones(s, s"$indexDir/doclen").isDefined
     val st = s.read.parquet(s"$indexDir/stats").head()
     val nDocs = st.getLong(0)
     val avgdl = st.getDouble(1)
@@ -1290,9 +1340,22 @@ object TextAnalysis {
         if (m.size > maxScoreCandCap) return None // compaction overdue
         (d, m)
       }
-    val dfLive = bm25Query.map { t =>
-      t -> (dict.get(t).map(_._1).getOrElse(0L) + tailDf.getOrElse(t, 0L))
-    }.toMap
+    val dfLive: Map[String, Long] =
+      if (!tombPending) bm25Query.map { t =>
+        t -> (dict.get(t).map(_._1).getOrElse(0L) + tailDf.getOrElse(t, 0L))
+      }.toMap
+      else {
+        // pending deletes: dictionary + tail arithmetic can't see which
+        // rows the sequenced mask hides — count the masked, term-pruned
+        // posting rows instead (the identical relation the unbounded
+        // serve aggregates its df from)
+        val m = IndexMaintenance.minusTombstones(s, s"$indexDir/postings",
+            s.read.parquet(s"$indexDir/postings"), "doc_id")
+          .filter(col("term").isin(bm25Query: _*))
+          .groupBy(col("term")).agg(count(lit(1)).as("n"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        bm25Query.map(t => t -> m.getOrElse(t, 0L)).toMap
+      }
     // floor idf uses the LIVE df — the exact per-term factor the final
     // serve scores with, keeping the e-scores true underestimates
     val idfOf = cheap.map { t =>
@@ -1337,7 +1400,11 @@ object TextAnalysis {
     maxScoreContenders(s, indexDir) match {
       case None => textBm25Served(s, indexDir)
       case Some(MaxScorePrune(cand, dfLive)) =>
-        val hits = s.read.parquet(s"$indexDir/postings")
+        // tombstone-masked like every index read (free when none
+        // pending): a deleted doc that slipped into the contender set
+        // contributes no rows, so it never resurfaces in the ranking
+        val hits = IndexMaintenance.minusTombstones(s, s"$indexDir/postings",
+            s.read.parquet(s"$indexDir/postings"), "doc_id")
           .filter(col("term").isin(bm25Query: _*) &&
             col("doc_id").isin(cand: _*) &&
             col("doc_id") >= lit(cand.min) && col("doc_id") <= lit(cand.max))
@@ -1353,7 +1420,8 @@ object TextAnalysis {
           lit(dfLive.getOrElse(t, 0L)).as(s"df_$i")
         }: _*)
         val stats = s.read.parquet(s"$indexDir/stats")
-        val doclen = s.read.parquet(s"$indexDir/doclen")
+        val doclen = IndexMaintenance.minusTombstones(s, s"$indexDir/doclen",
+          s.read.parquet(s"$indexDir/doclen"), "doc_id")
         bm25Rank(perDoc
           .join(doclen, "doc_id")
           .crossJoin(broadcast(stats))

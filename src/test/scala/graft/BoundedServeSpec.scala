@@ -183,6 +183,23 @@ class BoundedServeSpec extends AnyFunSuite {
     val exact3 = TextAnalysis.textBm25Served(spark, s"$tmp/idx").collect().map(_.toSeq).toSeq
     val ms3 = TextAnalysis.textBm25ServedMaxScore(spark, s"$tmp/idx").collect().map(_.toSeq).toSeq
     assert(ms3 === exact3)
+    // TOMBSTONES (round 13 — Lucene's delete masks): a takedown no
+    // longer disables bounded serving until the next compact. Doc 2
+    // matches 'join' (it sits in the served top-k, so the identity is
+    // non-vacuous) and 'spark'; the live df must be the MASKED posting
+    // count, the floor must re-seat without the deleted doc, and the
+    // serve must equal the unbounded serve over the masked corpus.
+    TextAnalysis.textIndexDelete(spark, s"$tmp/idx", Seq(2L))
+    val cand4 = TextAnalysis.maxScoreContenders(spark, s"$tmp/idx")
+    assert(cand4.isDefined, "pruning must STAY engaged across a takedown (delete masks)")
+    assert(!cand4.get.contenders.contains(2L), "the deleted doc must not be a contender")
+    assert(cand4.get.dfLive("spark") == 58L && cand4.get.dfLive("join") == 30L,
+      s"live df must be the tombstone-masked posting count: ${cand4.get.dfLive}")
+    val exact4 = TextAnalysis.textBm25Served(spark, s"$tmp/idx").collect().map(_.toSeq).toSeq
+    val ms4 = TextAnalysis.textBm25ServedMaxScore(spark, s"$tmp/idx").collect().map(_.toSeq).toSeq
+    assert(ms4 === exact4, "post-delete pruned serve diverged from the unbounded serve")
+    assert(exact4 != exact3, "the takedown must change the unbounded top-k " +
+      "(otherwise the post-delete identity is vacuous)")
   }
 
   test("hybrid maxscore: per-query pruning engages, fallback stays per-query, result EXACT") {
@@ -227,6 +244,89 @@ class BoundedServeSpec extends AnyFunSuite {
     // beta matchers, and the unbounded/maxscore lists agree rank by rank
     assert(ms.count(r => r(0) == 50L) > 0 && ms.count(r => r(0) == 100L) > 0,
       "both queries must produce fused rows")
+  }
+
+  test("hybrid maxscore SEGMENT MODEL: appends keep per-query pruning engaged; " +
+      "a tail doc matching the mega term is a contender by inclusion") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("hybrid-maxscore-seg").toString
+    // 300 base docs. 'mm' in 273 (share 0.91 > 0.9 -> mega, every tf 1
+    // so the frozen per-term bound is tight); 'aa' in 27 (doc 50 + docs
+    // 274..299 at dl 120 — the 26 no-mega docs that seat a 25-deep
+    // cheap floor). Stride queries: doc 50 -> (mm, aa, f50w0), PRUNED;
+    // docs 100/150/200/250 -> (mm, filler, filler), cheap floor
+    // unseated -> FALLBACK; doc 300 (no mm at all) -> PURE. The numbers
+    // are chosen so that after the append below the floor sits ~11%
+    // above the idf-rescaled mega bound (pruning stays engaged) and the
+    // tail doc's mm-only score sits ~10% above the floor (it MUST
+    // surface in the top-k, which only the inclusion path can do — a
+    // dictionary bound cannot cover a tail posting's tf=150).
+    def tok(i: Long): Seq[String] = {
+      val b = Seq.newBuilder[String]
+      if (i == 50) { b += "mm"; b += "aa"; (0 until 6).foreach(w => b += s"f${i}w$w") }
+      else if (i <= 273) { b += "mm"; (0 until 7).foreach(w => b += s"f${i}w$w") }
+      else if (i <= 299) { b += "aa"; (0 until 119).foreach(w => b += s"f${i}w$w") }
+      else (0 until 8).foreach(w => b += s"f${i}w$w")
+      b.result()
+    }
+    (1L to 300L).map(i => (i, tok(i).mkString(" "), "en", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val rnd = new scala.util.Random(29)
+    (1L to 300L).map(i => (i, Array.fill(64)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val idxDir = TextAnalysis.textIndexFor(spark, tmp)
+    def modesOf = Retrieval.hybridMaxScoreLex(spark, tmp, idxDir)
+      .map(_._2.collect().map(r => r.getLong(0) -> r.getString(1)).toMap)
+    val modes0 = modesOf
+    assert(modes0.exists(_.get(50L).contains("pruned")),
+      s"pre-append engagement sanity: $modes0")
+    // the append: 100 filler docs (the corpus outgrows the mega term,
+    // RAISING its live idf past the frozen dictionary value — the case
+    // the per-slot max(1, idf_live/idf_frozen) rescale exists for) plus
+    // one mm-heavy doc (tf 150) no frozen bound can cover
+    val batch = ((400L to 499L).map(i =>
+        (i, (0 until 8).map(w => s"f${i}w$w").mkString(" "), "en", "s")) :+
+      (350L, Seq.fill(150)("mm").mkString(" "), "en", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+    TextAnalysis.textIndexAppendBatch(spark, batch, idxDir)
+    val modes1 = modesOf
+    assert(modes1.isDefined, "an appended tail must no longer force the unbounded hybrid serve")
+    assert(modes1.get(50L) == "pruned",
+      s"per-query pruning must STAY engaged across the append: ${modes1.get}")
+    assert(modes1.get(300L) == "pure" &&
+      Seq(100L, 150L, 200L, 250L).forall(q => modes1.get(q) == "fallback"),
+      s"mode coexistence under a tail: ${modes1.get}")
+    val unbounded = Retrieval.searchHybridRrfServed(spark, tmp).collect().map(_.toSeq).toSeq
+    val ms = Retrieval.searchHybridRrfServedMaxScore(spark, tmp).collect().map(_.toSeq).toSeq
+    assert(ms.nonEmpty && ms === unbounded,
+      "post-append hybrid MaxScore diverged from the unbounded serve — it must stay EXACT")
+    // the inclusion is DECISIVE, not vacuous: the tail doc outscores the
+    // cheap floor on its mega term alone, so it must surface in query
+    // 50's fused lexical candidates — only the contender-by-inclusion
+    // path can put it there
+    assert(ms.exists(r => r(0) == 50L && r(2) == 350L && r(3) != null),
+      "the mm-heavy tail doc must reach query 50's lexical top-k by inclusion")
+    // TOMBSTONES on top of the live tail: take down doc 274 — the 'aa'
+    // doc at lexical rank 3 of query 50's FUSED top-10, so the delete
+    // is visible in the output — per-query pruning must stay engaged
+    // (live df switches to the masked posting count), and the serve
+    // must equal the unbounded serve over the masked corpus. (Only the
+    // TEXT index takes the delete; the doc legitimately stays visible
+    // to the semantic side.)
+    TextAnalysis.textIndexDelete(spark, idxDir, Seq(274L))
+    val modes2 = modesOf
+    assert(modes2.isDefined && modes2.get(50L) == "pruned",
+      s"pruning must STAY engaged across a takedown: $modes2")
+    val unbounded2 = Retrieval.searchHybridRrfServed(spark, tmp).collect().map(_.toSeq).toSeq
+    val ms2 = Retrieval.searchHybridRrfServedMaxScore(spark, tmp).collect().map(_.toSeq).toSeq
+    assert(ms2 === unbounded2,
+      "post-delete hybrid MaxScore diverged from the unbounded serve")
+    assert(ms2.forall(r => !(r(2) == 274L && r(3) != null)),
+      "the deleted doc resurfaced in the lexical ranking")
+    assert(unbounded2 != unbounded, "the takedown must change the unbounded result " +
+      "(otherwise the post-delete identity is vacuous)")
   }
 
   test("term dictionary: frozen between compacts, recomputed at compact") {
