@@ -578,6 +578,39 @@ object ScaleSmoke {
     assert(msLexScan < unLexScan,
       s"maxscore lexical serve read $msLexScan rows vs $unLexScan unbounded — no reduction")
 
+    // 7c'''. SEGMENT MODEL for the hybrid (round 13): a 10% appended
+    //        tail — 1000 docs, nearly all matching the mega term, so
+    //        the contender-by-inclusion path carries real volume — must
+    //        keep per-query pruning ENGAGED (live df = dict + in-plan
+    //        tail count; per-slot ub rescaled by the live/frozen idf
+    //        ratio) with exact identity to the unbounded serve over
+    //        base + tail.
+    time("hybrid-maxscore 10% tail append (1000 docs)") {
+      ops.TextAnalysis.textIndexAppendBatch(spark,
+        spark.read.parquet(s"$stopDir/documents.parquet")
+          .filter(col("doc_id") >= 10000 && col("doc_id") < 11000), hmsIdx)
+    }
+    val hmsT = ops.Retrieval.hybridMaxScoreLex(spark, hmsDir, hmsIdx)
+    assert(hmsT.isDefined,
+      "an appended tail must not force the unbounded hybrid serve (r13 segment model)")
+    val (hmsLexT, hmsDecT) = hmsT.get
+    val hmsModesT = hmsDecT.groupBy(col("mode")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    say(s"  hybrid maxscore per-query modes under a 10% appended tail: $hmsModesT")
+    assert(hmsModesT.getOrElse("pruned", 0L) > 0,
+      "no query pruned under the tail — the segment model never engaged")
+    val hmsPostT = spark.read.parquet(s"$hmsIdx/postings")
+      .select(col("doc_id"), col("term"), col("tf"))
+    val msLexRowsT = time("hybrid lex ranks MAXSCORE (10% tail, pruning live)") {
+      hmsLexT.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    }
+    val unLexRowsT = time("hybrid lex ranks UNBOUNDED (10% tail reference)") {
+      ops.Retrieval.lexRanksOver(spark, hmsDir, hmsPostT)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    }
+    assert(msLexRowsT.toSet == unLexRowsT.toSet && msLexRowsT.nonEmpty,
+      "hybrid MaxScore lexical ranks diverged under the appended tail — must stay EXACT")
+
     // 7d. BPE training at production merge counts: the scale mode's K
     //     axis must be FLAT per merge — batched selection divides the
     //     driver round-trips by bpeBatchMerges and localCheckpoint

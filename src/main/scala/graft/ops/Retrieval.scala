@@ -285,7 +285,8 @@ object Retrieval {
     * the returned frame SNAPSHOTS decision-time index state (tail file
     * list, banned head) — collect promptly when ingest is concurrent. */
   private[graft] def hybridMaxScoreLex(s: SparkSession, dir: String,
-      idxDir: String): Option[(DataFrame, DataFrame)] = {
+      idxDir: String,
+      maxDfShare: Double = TextAnalysis.bm25MaxDfShare): Option[(DataFrame, DataFrame)] = {
     val tsPath = new org.apache.hadoop.fs.Path(s"$idxDir/termstats")
     if (!tsPath.getFileSystem(s.sparkContext.hadoopConfiguration).exists(tsPath))
       return None
@@ -295,7 +296,7 @@ object Retrieval {
       IndexMaintenance.pendingTombstones(s, s"$idxDir/postings").isDefined ||
       IndexMaintenance.pendingTombstones(s, s"$idxDir/doclen").isDefined
     val banned = scala.util.Try(
-      TextAnalysis.bannedTerms(s, idxDir, TextAnalysis.bm25MaxDfShare)).getOrElse(return None)
+      TextAnalysis.bannedTerms(s, idxDir, maxDfShare)).getOrElse(return None)
     if (banned.isEmpty) return None // no mega posting to avoid
     val st = s.read.parquet(s"$idxDir/stats").head()
     val nDocsFrozen = st.getLong(0)
@@ -337,7 +338,7 @@ object Retrieval {
           .drop("_tt", "_tail_df")
       })
       .withColumn("is_mega", col("dict_df").cast("double") >
-        lit(TextAnalysis.bm25MaxDfShare) * lit(nDocsFrozen.toDouble))
+        lit(maxDfShare) * lit(nDocsFrozen.toDouble))
     // per-slot idf at (df, n): the scoring factor and its frozen twin
     def idfAt(dfC: org.apache.spark.sql.Column, nC: org.apache.spark.sql.Column) =
       log(lit(1.0) + (nC - dfC.cast("double") + 0.5) / (dfC.cast("double") + 0.5))
@@ -476,16 +477,19 @@ object Retrieval {
     * persisted index. Result-identical to [[searchHybridRrfServed]] on
     * EVERY corpus (pruning removes only provably-sub-top-k docs; every
     * uncertain query individually falls back), so it shares that
-    * oracle — on the registered corpus no term crosses the df-share
-    * cut and the whole serve takes the fallback arm, while the pruning
-    * arms are pinned by `BoundedServeSpec` and measured by ScaleSmoke.
+    * oracle — at the DEFAULT cut no corpus term crosses, so that
+    * registered run takes the fallback arm, while the `_lowcut` twin
+    * (a cut the corpus does cross) puts per-query PRUNED serving under
+    * the same oracle; the pruning arms are additionally pinned by
+    * `BoundedServeSpec` and measured by ScaleSmoke.
     * This closes the hybrid half of the bounded-serving story: where
     * `search_hybrid_rrf_served_bounded` documents a semantic CHANGE
     * (banned slots contribute 0), this keeps exact semantics at
     * bounded cost. */
-  def searchHybridRrfServedMaxScore(s: SparkSession, dir: String): DataFrame = {
+  def searchHybridRrfServedMaxScore(s: SparkSession, dir: String,
+      maxDfShare: Double = TextAnalysis.bm25MaxDfShare): DataFrame = {
     val idxDir = TextAnalysis.textIndexFor(s, dir)
-    hybridMaxScoreLex(s, dir, idxDir) match {
+    hybridMaxScoreLex(s, dir, idxDir, maxDfShare) match {
       case None => searchHybridRrfServed(s, dir)
       case Some((lex, _)) => fuse(s, dir, lex)
     }
@@ -516,7 +520,16 @@ object Retrieval {
     "search_hybrid_rrf" -> searchHybridRrf _,
     "search_hybrid_rrf_served" -> ((s: org.apache.spark.sql.SparkSession, d: String) => searchHybridRrfServed(s, d)),
     "search_hybrid_rrf_served_bounded" -> (searchHybridRrfServedBounded _),
-    "search_hybrid_rrf_served_maxscore" -> (searchHybridRrfServedMaxScore _)
+    "search_hybrid_rrf_served_maxscore" ->
+      ((s: org.apache.spark.sql.SparkSession, d: String) => searchHybridRrfServedMaxScore(s, d)),
+    // the lowcut twin at TextAnalysis.bm25LowDfShare — a cut the corpus
+    // distribution crosses, so per-query PRUNED serving (cheap floor,
+    // contender-bounded mega re-reads) executes under the oracle at
+    // sf0.01+ instead of only the fallback arm; exact at any cut, so it
+    // shares the unbounded serve's oracle
+    "search_hybrid_rrf_served_maxscore_lowcut" ->
+      ((s: org.apache.spark.sql.SparkSession, d: String) =>
+        searchHybridRrfServedMaxScore(s, d, TextAnalysis.bm25LowDfShare))
   )
 
   private val tokSql =
@@ -530,6 +543,8 @@ object Retrieval {
     // construction (per-query pruning removes only provably-sub-top-k
     // docs), so it shares the same oracle
     "search_hybrid_rrf_served_maxscore" -> hybridOracleSql,
+    // lowcut twin: exact at any cut — same oracle, engaged-pruning plan
+    "search_hybrid_rrf_served_maxscore_lowcut" -> hybridOracleSql,
     // semantic side: the LSH chain's `ranked` over the full stride set;
     // lexical side: the grouped BM25 restated with the same fixed-slot
     // pivot and 6-decimal quantization; fusion per (q_id, doc_id)

@@ -883,6 +883,17 @@ object TextAnalysis {
     * down accordingly. */
   val bm25MaxDfShare = 0.9
 
+  /** A LOW df-share cut the synthetic corpus's term distribution
+    * actually crosses (its dense head sits at ~0.77–0.83; the fixed
+    * query's 'join' lands at ~0.79, 'spark'/'vector' just under): the
+    * registered `*_maxscore_lowcut` twins run the exact bounded serves
+    * with this cut, so the ENGAGED-pruning plan — not just the
+    * fallback arm — executes under the DuckDB oracle at every SF. The
+    * results are identical to the unbounded serves by MaxScore's
+    * construction at ANY cut; the cut only moves which arm does the
+    * work. */
+  val bm25LowDfShare = 0.78
+
   /** Language slice the FILTERED lexical search serves within — the
     * same serve-time-predicate semantics as the filtered ANN paths:
     * ranking is restricted to slice documents, but the BM25 corpus
@@ -1301,8 +1312,8 @@ object TextAnalysis {
     * (pre-round-10), no mega term / no cheap term / cheap floor
     * unseated, a mega-only doc that could reach the floor, or a
     * contender set too large to push as an IN filter. */
-  def maxScoreContenders(s: SparkSession,
-      indexDir: String): Option[MaxScorePrune] = {
+  def maxScoreContenders(s: SparkSession, indexDir: String,
+      maxDfShare: Double = bm25MaxDfShare): Option[MaxScorePrune] = {
     val tsPath = new org.apache.hadoop.fs.Path(s"$indexDir/termstats")
     if (!tsPath.getFileSystem(s.sparkContext.hadoopConfiguration).exists(tsPath))
       return None // pre-dictionary index layout: fall back, don't throw
@@ -1318,7 +1329,7 @@ object TextAnalysis {
       .select(col("term"), col("df"), col("ub")).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
     val mega = bm25Query.filter(t => dict.get(t)
-      .exists(_._1.toDouble > bm25MaxDfShare * nDocs))
+      .exists(_._1.toDouble > maxDfShare * nDocs))
     if (mega.isEmpty) return None  // no mega posting to avoid
     val cheap = bm25Query.filterNot(mega.contains)
     if (cheap.isEmpty) return None // all-stopword query: no cheap floor
@@ -1396,8 +1407,9 @@ object TextAnalysis {
     * observe the two diverge. When ingest is concurrent, collect the
     * frame promptly (or re-derive it per serve) — the registered
     * query and every streaming consumer do. */
-  def textBm25ServedMaxScore(s: SparkSession, indexDir: String): DataFrame =
-    maxScoreContenders(s, indexDir) match {
+  def textBm25ServedMaxScore(s: SparkSession, indexDir: String,
+      maxDfShare: Double = bm25MaxDfShare): DataFrame =
+    maxScoreContenders(s, indexDir, maxDfShare) match {
       case None => textBm25Served(s, indexDir)
       case Some(MaxScorePrune(cand, dfLive)) =>
         // tombstone-masked like every index read (free when none
@@ -1562,12 +1574,24 @@ object TextAnalysis {
   /** Registered-query form of the EXACT bounded serve
     * ([[textBm25ServedMaxScore]]): result-identical to
     * `text_bm25_served` by construction, so it shares that oracle — on
-    * this corpus no query term crosses the df-share cut, so the run
-    * exercises the fallback arm; the pruning arm is pinned by
-    * `BoundedServeSpec`'s crafted stopword corpus and measured by the
+    * this corpus no query term crosses the DEFAULT cut, so this run
+    * exercises the fallback arm, while the `_lowcut` twin below puts
+    * the engaged-pruning plan under the same oracle; the pruning arm
+    * is additionally pinned by `BoundedServeSpec` and measured by the
     * ScaleSmoke scan-rows row. */
   def textBm25ServedMaxScoreQuery(s: SparkSession, dir: String): DataFrame =
     textBm25ServedMaxScore(s, textIndexFor(s, dir))
+
+  /** The default-cut twin at [[bm25LowDfShare]] — a cut this corpus's
+    * term distribution DOES cross ('join' goes mega at sf0.01+), so the
+    * ENGAGED-pruning plan itself executes under the DuckDB oracle:
+    * contender floor, live-df literals, masked re-score and all. Result
+    * still identical to `text_bm25_served` (MaxScore is exact at any
+    * cut — the cut moves work between arms, never the answer), so it
+    * shares that oracle; `BoundedServeSpec` asserts the run really
+    * takes the pruned path. */
+  def textBm25ServedMaxScoreLowcutQuery(s: SparkSession, dir: String): DataFrame =
+    textBm25ServedMaxScore(s, textIndexFor(s, dir), maxDfShare = bm25LowDfShare)
 
   /** Registered-query form of [[textPhraseServed]] — shares the ONE
     * persisted index (build memo) with the BM25 serving family. */
@@ -1591,6 +1615,7 @@ object TextAnalysis {
     "text_bm25_served" -> textBm25ServedQuery _,
     "text_bm25_served_bounded" -> textBm25ServedBoundedQuery _,
     "text_bm25_served_maxscore" -> textBm25ServedMaxScoreQuery _,
+    "text_bm25_served_maxscore_lowcut" -> textBm25ServedMaxScoreLowcutQuery _,
     "text_index_health" -> textIndexHealthQuery _,
     "text_bpe_train" -> textBpeTrain _,
     "text_bm25_filtered" -> textBm25FilteredQuery _,
@@ -1817,6 +1842,9 @@ object TextAnalysis {
     // the MaxScore serve is result-identical to the unbounded serve on
     // every corpus (exactness is its contract), so it shares its oracle
     "text_bm25_served_maxscore" -> bm25OracleSql,
+    // the lowcut twin is exact at ANY cut — same oracle; what changes
+    // is WHICH plan runs under it (the engaged-pruning arm at sf0.01+)
+    "text_bm25_served_maxscore_lowcut" -> bm25OracleSql,
     "text_bm25_served_bounded" -> bm25BoundedOracleSql,
     // health over a fresh build: staleness and tombstone debt are 0 BY
     // CONSTRUCTION and the oracle asserts exactly that; every content

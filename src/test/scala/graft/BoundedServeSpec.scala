@@ -329,6 +329,32 @@ class BoundedServeSpec extends AnyFunSuite {
       "(otherwise the post-delete identity is vacuous)")
   }
 
+  test("lowcut twins: the ENGAGED-pruning plan is what runs under the oracle (sf0.01)") {
+    import TestSpark.sf001
+    // the registered *_maxscore_lowcut queries exist so the PRUNED arm
+    // — not just the fallback — executes under the DuckDB hash oracle.
+    // This pin proves the engagement claim on the exact corpus the
+    // correctness gate reads: at bm25LowDfShare the fixed query's
+    // 'join' slot goes mega with a seated cheap floor, and several
+    // hybrid queries decide "pruned". Identity to the unbounded serves
+    // is what the shared oracle then verifies against DuckDB.
+    val idx = TextAnalysis.textIndexFor(spark, sf001)
+    val cand = TextAnalysis.maxScoreContenders(spark, idx, TextAnalysis.bm25LowDfShare)
+    assert(cand.isDefined,
+      "fixed-query pruning must engage at bm25LowDfShare on the oracle corpus")
+    val exact = TextAnalysis.textBm25Served(spark, idx).collect().map(_.toSeq).toSeq
+    val low = TextAnalysis.textBm25ServedMaxScoreLowcutQuery(spark, sf001)
+      .collect().map(_.toSeq).toSeq
+    assert(low.nonEmpty && low === exact,
+      "lowcut MaxScore serve must stay identical to the unbounded serve")
+    val dec = Retrieval.hybridMaxScoreLex(spark, sf001, idx, TextAnalysis.bm25LowDfShare)
+    assert(dec.isDefined, "hybrid lowcut MaxScore must engage on the oracle corpus")
+    val modeCounts = dec.get._2.groupBy("mode").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(modeCounts.getOrElse("pruned", 0L) >= 1L,
+      s"at least one hybrid query must take the pruned path: $modeCounts")
+  }
+
   test("term dictionary: frozen between compacts, recomputed at compact") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("termstats").toString

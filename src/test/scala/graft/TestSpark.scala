@@ -12,4 +12,9 @@ object TestSpark {
     s
   }
   val sf0001 = "/root/testdata/sf0.001"
+
+  /** The correctness-gate scale — for pins that must hold on the SAME
+    * corpus the DuckDB oracle compare runs against (e.g. "the lowcut
+    * MaxScore twins really take the pruned path there"). */
+  val sf001 = "/root/testdata/sf0.01"
 }
