@@ -349,7 +349,8 @@ object Multimodal {
       .select(col("doc_id").as("q_id"), col("features").as("q_f"), col("nrm").as("q_nrm"))
     val c = n.select(col("doc_id").as("cand_id"), col("features").as("c_f"), col("nrm").as("c_nrm"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("cand_id"))
-    c.join(graft.ops.JoinHints.broadcastIfSmall(q), col("cand_id") =!= col("q_id"))
+    c.join(graft.ops.JoinHints.broadcastIfSmall(q, 1.0 / annQueryStride),
+        col("cand_id") =!= col("q_id"))
       .withColumn("cosine", dot(col("q_f"), col("c_f")) / (col("q_nrm") * col("c_nrm")))
       .withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= annTopK)

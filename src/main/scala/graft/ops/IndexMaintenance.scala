@@ -1146,20 +1146,41 @@ object IndexMaintenance {
   def minusTombstones(s: SparkSession, tablePath: String, df: DataFrame,
       idCol: String): DataFrame =
     pendingTombstones(s, tablePath).fold(df) { t =>
-      import org.apache.spark.sql.functions.{broadcast, lit, max, regexp_extract, when}
-      val dels = t.groupBy(col("id")).agg(max(col("del_seq")).as("_del_seq"))
-        .withColumnRenamed("id", idCol)
-      val stamp = regexp_extract(col("_metadata.file_name"), "\\.s(\\d+)\\.parquet$", 1)
-      s.read.parquet(tablePath)
-        // no-match yields "" (unstamped build/compact files = seq 0);
-        // guard the cast — ANSI mode throws on "" -> long
-        .select(when(stamp === "", lit(0L)).otherwise(stamp.cast("long")).as("_fseq") +:
-          df.columns.toSeq.map(col): _*)
-        // gated, not forced: dels grows with the takedown volume since
-        // the last compact — normally tiny, but a mass takedown must
-        // not be hint-collected onto the driver past the threshold
-        .join(JoinHints.broadcastIfSmall(dels), Seq(idCol), "left")
-        .filter(col("_del_seq").isNull || col("_fseq") > col("_del_seq"))
-        .select(df.columns.toSeq.map(col): _*)
+      maskBySeq(s, t, s.read.parquet(tablePath), df.columns.toSeq, idCol)
     }
+
+  /** [[minusTombstones]] over an explicit FILE SUBSET of `tablePath`
+    * (its appended tail, typically): the subset is re-read with the
+    * file-name pseudo-column so rows carry their sequence stamps, then
+    * masked against the TABLE's pending tombstones. Needed because the
+    * tail frames feeding MaxScore's contender-by-inclusion lists are
+    * not plain table reads — left unmasked, a mass takedown of tail
+    * docs would inflate the contender counts toward the candidate cap
+    * and flip the serve to the unbounded fallback over docs that are
+    * already dead. Identity (zero plan overhead) when no delete is
+    * pending, like the table form. */
+  private[graft] def minusTombstonesFiles(s: SparkSession, tablePath: String,
+      files: Seq[String], df: DataFrame, idCol: String): DataFrame =
+    pendingTombstones(s, tablePath).fold(df) { t =>
+      maskBySeq(s, t, s.read.parquet(files: _*), df.columns.toSeq, idCol)
+    }
+
+  private def maskBySeq(s: SparkSession, tombs: DataFrame, reread: DataFrame,
+      columns: Seq[String], idCol: String): DataFrame = {
+    import org.apache.spark.sql.functions.{lit, max, regexp_extract, when}
+    val dels = tombs.groupBy(col("id")).agg(max(col("del_seq")).as("_del_seq"))
+      .withColumnRenamed("id", idCol)
+    val stamp = regexp_extract(col("_metadata.file_name"), "\\.s(\\d+)\\.parquet$", 1)
+    reread
+      // no-match yields "" (unstamped build/compact files = seq 0);
+      // guard the cast — ANSI mode throws on "" -> long
+      .select(when(stamp === "", lit(0L)).otherwise(stamp.cast("long")).as("_fseq") +:
+        columns.map(col): _*)
+      // gated, not forced: dels grows with the takedown volume since
+      // the last compact — normally tiny, but a mass takedown must
+      // not be hint-collected onto the driver past the threshold
+      .join(JoinHints.broadcastIfSmall(dels), Seq(idCol), "left")
+      .filter(col("_del_seq").isNull || col("_fseq") > col("_del_seq"))
+      .select(columns.map(col): _*)
+  }
 }

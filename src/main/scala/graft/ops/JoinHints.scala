@@ -17,12 +17,22 @@ import org.apache.spark.sql.functions.broadcast
   *
   * Constant-bounded frames (1-row stats, k centroids, capped literals)
   * keep their unconditional hints — the gate is for frames whose row
-  * count scales with an input. */
+  * count scales with an input.
+  *
+  * `knownFraction`: Catalyst's size-ONLY estimator propagates a
+  * Filter's CHILD size unchanged (no CBO selectivity), so a
+  * stride-filtered query frame is estimated at the full table's bytes
+  * — the gate would drop the hint at exactly the corpus sizes where
+  * broadcasting 1/stride of the table is still right, and on the
+  * NON-EQUI similarity joins the un-hinted fallback is a cartesian
+  * product, not a shuffle join. Callers whose filter guarantees a
+  * structural fraction (`vec_id % stride === 0` keeps exactly
+  * 1/stride of the rows) pass it, and the gate prices the estimate by
+  * it; everything else keeps the conservative 1.0. */
 object JoinHints {
-  def broadcastIfSmall(df: DataFrame): DataFrame = {
+  def broadcastIfSmall(df: DataFrame, knownFraction: Double = 1.0): DataFrame = {
     val thr = df.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
-    if (thr > 0 && df.queryExecution.optimizedPlan.stats.sizeInBytes <= thr)
-      broadcast(df)
-    else df
+    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes.toDouble * knownFraction
+    if (thr > 0 && est <= thr.toDouble) broadcast(df) else df
   }
 }

@@ -111,9 +111,7 @@ object Retrieval {
       .groupBy(col("q_id"), col("doc_id"))
       .agg(pivots.head, pivots.tail: _*)
     val contrib = slots.map { i =>
-      val idf = log(lit(1.0) +
-        (col("n_docs").cast("double") - col(s"df_$i").cast("double") + 0.5) /
-          (col(s"df_$i").cast("double") + 0.5))
+      val idf = TextAnalysis.bm25Idf(col(s"df_$i"), col("n_docs").cast("double"))
       val tf = col(s"tf_$i").cast("double")
       coalesce(idf * (tf * lit(TextAnalysis.bm25K1 + 1.0)) /
         (tf + lit(TextAnalysis.bm25K1) * (lit(1.0 - TextAnalysis.bm25B) +
@@ -164,7 +162,8 @@ object Retrieval {
     // (corpus/queryStride rows), so an unconditional hint was the same
     // growing-frame-forced-broadcast pattern r12 gated on the IVF probe
     // re-join — past the threshold, the planner/AQE decide
-    fused.join(JoinHints.broadcastIfSmall(acts), Seq("q_id"), "left")
+    fused.join(JoinHints.broadcastIfSmall(acts, 1.0 / Similarity.queryStride),
+        Seq("q_id"), "left")
       .select(col("q_id") +: col("rk") +: col("doc_id") +: col("lex_rk") +:
         col("sem_rk") +: col("rrf") +:
         (1 to hybridQueryTerms).map(i => coalesce(col(s"act_$i"), lit(1L)).as(s"act_$i")): _*)
@@ -323,8 +322,13 @@ object Retrieval {
     val qslots = (if (tombPending) {
         // pending deletes: dict+tail arithmetic can't see which rows the
         // sequenced mask hides — join the masked per-term count instead
-        // (the identical relation the unbounded dfr aggregates)
+        // (the identical relation the unbounded dfr aggregates), semi-
+        // join-pruned to the query slot terms first so the aggregation
+        // sees ~|queries|×3 terms' rows, not the whole vocabulary
+        val slotTerms = hybridQueryTermsOf(s, dir)
+          .select(col("qt").as("term")).distinct()
         val liveDf = maskedPostings
+          .join(slotTerms, Seq("term"), "left_semi")
           .groupBy(col("term").as("_tt")).agg(count(lit(1)).as("_live_df"))
         dictSlots.join(liveDf, col("qt") === col("_tt"), "left")
           .withColumn("df", coalesce(col("_live_df"), lit(0L)))
@@ -339,14 +343,11 @@ object Retrieval {
       })
       .withColumn("is_mega", col("dict_df").cast("double") >
         lit(maxDfShare) * lit(nDocsFrozen.toDouble))
-    // per-slot idf at (df, n): the scoring factor and its frozen twin
-    def idfAt(dfC: org.apache.spark.sql.Column, nC: org.apache.spark.sql.Column) =
-      log(lit(1.0) + (nC - dfC.cast("double") + 0.5) / (dfC.cast("double") + 0.5))
     val ubMega = qslots
       .crossJoin(broadcast(statsLive.select(col("n_docs").as("_n_live"))))
       .withColumn("ub_adj", col("ub") * greatest(lit(1.0),
-        idfAt(col("df"), col("_n_live").cast("double")) /
-          idfAt(col("dict_df"), lit(nDocsFrozen.toDouble))))
+        TextAnalysis.bm25Idf(col("df"), col("_n_live").cast("double")) /
+          TextAnalysis.bm25Idf(col("dict_df"), lit(nDocsFrozen.toDouble))))
       .groupBy(col("q_id")).agg(
         sum(when(col("is_mega"), col("ub_adj")).otherwise(lit(0.0))).as("ub_mega"),
         sum(when(col("is_mega"), 1L).otherwise(0L)).as("n_mega"))
@@ -372,9 +373,7 @@ object Retrieval {
     // bit-for-bit the unbounded score
     def contrib(tfC: Int => org.apache.spark.sql.Column,
         dfC: Int => org.apache.spark.sql.Column) = slots.map { i =>
-      val idf = log(lit(1.0) +
-        (col("n_docs").cast("double") - dfC(i).cast("double") + 0.5) /
-          (dfC(i).cast("double") + 0.5))
+      val idf = TextAnalysis.bm25Idf(dfC(i), col("n_docs").cast("double"))
       val tf = tfC(i).cast("double")
       coalesce(idf * (tf * lit(TextAnalysis.bm25K1 + 1.0)) /
         (tf + lit(TextAnalysis.bm25K1) * (lit(1.0 - TextAnalysis.bm25B) +
@@ -408,7 +407,8 @@ object Retrieval {
       .select(col("q_id"), col("pos"), col("qt"), col("df").as("mdf"))
     val tailMegaPairs: Option[DataFrame] =
       if (tailFiles.isEmpty) None
-      else Some(s.read.parquet(tailFiles: _*)
+      else Some(IndexMaintenance.minusTombstonesFiles(s, s"$idxDir/postings",
+          tailFiles, s.read.parquet(tailFiles: _*), "doc_id")
         .filter(col("term").isin(banned: _*))
         .select(col("term").as("qt"), col("doc_id"))
         .join(megaSlots.select(col("q_id"), col("qt")), "qt")

@@ -62,7 +62,8 @@ object Similarity {
     val q = n.filter(col("vec_id") % queryStride === 0)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
     val c = n.select(col("vec_id").as("cand_id"), col("embedding").as("c_emb"), col("nrm").as("c_nrm"))
-    c.join(JoinHints.broadcastIfSmall(q), col("cand_id") =!= col("q_id"))
+    c.join(JoinHints.broadcastIfSmall(q, 1.0 / queryStride),
+        col("cand_id") =!= col("q_id"))
       .withColumn("cosine", dot(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm")))
       .filter(col("cosine") >= rangeThreshold)
       .select(col("q_id"), col("cand_id"), col("cosine"))
@@ -103,7 +104,7 @@ object Similarity {
       .groupBy((col("vec_id") / (lshTile.toLong * queryStride)).cast("long").as("qcell"))
       .agg(collect_list(struct(col("vec_id"), col("embedding"), col("nrm"))).as("qs"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("cand_id"))
-    cands.crossJoin(JoinHints.broadcastIfSmall(qs))
+    cands.crossJoin(JoinHints.broadcastIfSmall(qs, 1.0 / queryStride))
       .select(explode(graft.plans.VectorFunctions.cell_topk_pairs(
         col("qs"), col("cands"), topK)).as("p"))
       .select(col("p.q_id").as("q_id"), col("p.cand_id").as("cand_id"),
@@ -504,7 +505,7 @@ object Similarity {
       .distinct()
     val c = n.select(col("vec_id").as("cand_id"), col("embedding").as("c_emb2"), col("nrm").as("c_nrm2"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("cand_id"))
-    cand.join(JoinHints.broadcastIfSmall(q), "q_id").join(c, "cand_id")
+    cand.join(JoinHints.broadcastIfSmall(q, 1.0 / queryStride), "q_id").join(c, "cand_id")
       .withColumn("cosine", dot(col("q_emb"), col("c_emb2")) / (col("q_nrm") * col("c_nrm2")))
       .withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= topK)
@@ -1001,7 +1002,7 @@ object Similarity {
         col("embedding"), col("nrm"), cb, pqM, kEff).as("lut"))
       .groupBy((col("vec_id") / (lshTile.toLong * queryStride)).cast("long").as("qcell"))
       .agg(collect_list(struct(col("vec_id"), col("lut"))).as("qs"))
-    cands.crossJoin(JoinHints.broadcastIfSmall(qs))
+    cands.crossJoin(JoinHints.broadcastIfSmall(qs, 1.0 / queryStride))
       .select(explode(graft.plans.VectorFunctions.cell_pq_topk(
         col("qs"), col("cands"), kEff, depth)).as("p"))
       .select(col("p.q_id").as("q_id"), col("p.cand_id").as("cand_id"), col("p.adc").as("adc"))

@@ -939,6 +939,23 @@ object TextAnalysis {
     bm25Rank(ranked.crossJoin(broadcast(stats)))
   }
 
+  /** The ONE BM25 idf expression — ln(1 + (n − df + 0.5)/(df + 0.5)) —
+    * shared by every scorer, bound, and dictionary writer. Bit-for-bit
+    * agreement across its call sites is LOAD-BEARING: the MaxScore
+    * serves claim result-identity with the unbounded serves, and the
+    * hybrid's ub-rescale ratio must be exactly 1.0 on a fresh index —
+    * a drifted copy (operand order, a cast) would break those
+    * contracts in ways the ε slack could mask on small corpora, which
+    * is why the formula exists exactly once in each representation
+    * (Column / scalar; the DuckDB oracles restate it in SQL). */
+  private[graft] def bm25Idf(dfC: org.apache.spark.sql.Column,
+      nC: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    log(lit(1.0) + (nC - dfC.cast("double") + 0.5) / (dfC.cast("double") + 0.5))
+
+  /** Scalar twin of [[bm25Idf]] for driver-side bound arithmetic. */
+  private[graft] def bm25IdfAt(df: Double, n: Double): Double =
+    math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+
   /** The shared BM25 scoring tail: expects tf_i / df_i / dl / n_docs /
     * avgdl columns and produces the ranked top-k. ONE definition serves
     * the linear-scan path and the persisted-index path, so the double
@@ -947,9 +964,7 @@ object TextAnalysis {
     * identical by construction. */
   private def bm25Rank(scored: DataFrame): DataFrame = {
     val contrib = bm25Query.indices.map { i =>
-      val idf = log(lit(1.0) +
-        (col("n_docs").cast("double") - col(s"df_$i").cast("double") + 0.5) /
-          (col(s"df_$i").cast("double") + 0.5))
+      val idf = bm25Idf(col(s"df_$i"), col("n_docs").cast("double"))
       val tf = col(s"tf_$i").cast("double")
       idf * (tf * lit(bm25K1 + 1.0)) /
         (tf + lit(bm25K1) * (lit(1.0 - bm25B) + lit(bm25B) * col("dl").cast("double") / col("avgdl")))
@@ -1048,9 +1063,7 @@ object TextAnalysis {
     val tmp = new org.apache.hadoop.fs.Path(s"$indexDir/.termstats.tmp")
     val st = s.read.parquet(s"$indexDir/stats").head()
     val nDocs = st.getLong(0)
-    val idf = log(lit(1.0) +
-      (lit(nDocs.toDouble) - col("df").cast("double") + 0.5) /
-        (col("df").cast("double") + 0.5))
+    val idf = bm25Idf(col("df"), lit(nDocs.toDouble))
     val mtfn = (col("_maxtf").cast("double") * lit(bm25K1 + 1.0)) /
       (col("_maxtf").cast("double") + lit(bm25K1) * lit(1.0 - bm25B))
     s.read.parquet(s"$indexDir/postings")
@@ -1305,9 +1318,13 @@ object TextAnalysis {
     * sequenced mask cannot be priced from the dictionary alone), but
     * the expensive parts stay bounded: no corpus-wide pivot, window,
     * or tf fetch ever sees the mega rows, and the maintenance alarm
-    * keeps the tombstone window short. Dictionary ub stays sound under
-    * deletes: maxTf can only shrink, the bound's dl→0 limit is
-    * avgdl-free, and frozen-stats scoring keeps idf monotone in df.
+    * keeps the tombstone window short. Dictionary ub is RESCALED by
+    * max(1, idf_live/idf_frozen) before the bound tests: a delete
+    * shrinks df under the frozen n, which RAISES the serve's idf past
+    * the dictionary-time value (the append direction only shrinks it);
+    * maxTf stays sound in both directions (appends are contenders by
+    * inclusion, deletes only shrink it) and the bound's dl→0 limit is
+    * avgdl-free.
     * Remaining fallbacks (returning None): a dictionary without `ub`
     * (pre-round-10), no mega term / no cheap term / cheap floor
     * unseated, a mega-only doc that could reach the floor, or a
@@ -1333,14 +1350,17 @@ object TextAnalysis {
     if (mega.isEmpty) return None  // no mega posting to avoid
     val cheap = bm25Query.filterNot(mega.contains)
     if (cheap.isEmpty) return None // all-stopword query: no cheap floor
-    val ubMega = mega.map(t => dict(t)._2).sum
     // the appended tail's query-term rows: live df deltas + the tail's
     // mega-matching docs (contenders by inclusion, not by bound)
     val tailFiles = IndexMaintenance.appendedTailFiles(s, s"$indexDir/postings")
     val (tailDf, megaTail): (Map[String, Long], Seq[Long]) =
       if (tailFiles.isEmpty) (Map.empty, Seq.empty)
       else {
-        val tseg = s.read.parquet(tailFiles: _*)
+        // tombstone-masked like the table reads (identity when none
+        // pending): a deleted tail doc must not count toward the
+        // contender cap or the inclusion list
+        val tseg = IndexMaintenance.minusTombstonesFiles(s, s"$indexDir/postings",
+            tailFiles, s.read.parquet(tailFiles: _*), "doc_id")
           .filter(col("term").isin(bm25Query: _*))
           .select(col("term"), col("doc_id"))
         val d = tseg.groupBy(col("term")).agg(count(lit(1)).as("n"))
@@ -1369,10 +1389,21 @@ object TextAnalysis {
       }
     // floor idf uses the LIVE df — the exact per-term factor the final
     // serve scores with, keeping the e-scores true underestimates
-    val idfOf = cheap.map { t =>
-      val df = dfLive(t).toDouble
-      t -> math.log(1.0 + (nDocs.toDouble - df + 0.5) / (df + 0.5))
-    }.toMap
+    val idfOf = cheap.map(t => t -> bm25IdfAt(dfLive(t).toDouble, nDocs.toDouble)).toMap
+    // per-term bound rescaled by max(1, idf_live/idf_frozen): the
+    // dictionary's ub froze idf at the rebuild's df, but the serve
+    // scores with the LIVE df under the frozen n — an APPEND grows df
+    // (idf shrinks, ratio < 1, frozen ub stays the sound bound) while
+    // a DELETE shrinks df (idf GROWS, and the unscaled ub would
+    // under-bound the surviving mega postings by the idf ratio — the
+    // round-13 review's mass-takedown soundness hole). maxTf is frozen
+    // sound in both directions: appends are covered by inclusion,
+    // deletes only shrink it.
+    val ubMega = mega.map { t =>
+      val (dictDf, ub) = dict(t)
+      ub * math.max(1.0, bm25IdfAt(dfLive(t).toDouble, nDocs.toDouble) /
+        bm25IdfAt(dictDf.toDouble, nDocs.toDouble))
+    }.sum
     val rows = maxScoreCandFrame(s, indexDir, cheap, idfOf, avgdl, ubMega)
       .limit(maxScoreCandCap + 1).collect()
     if (rows.isEmpty) return None

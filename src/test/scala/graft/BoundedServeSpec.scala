@@ -200,6 +200,36 @@ class BoundedServeSpec extends AnyFunSuite {
     assert(ms4 === exact4, "post-delete pruned serve diverged from the unbounded serve")
     assert(exact4 != exact3, "the takedown must change the unbounded top-k " +
       "(otherwise the post-delete identity is vacuous)")
+    // MASS takedown of mega-term docs (the r13 review's soundness
+    // scenario): deleting 'spark'-only docs shrinks its live df under
+    // the FROZEN n, so the serve's live idf RISES well past the
+    // dictionary-time value the frozen ub priced in. The bound must be
+    // rescaled by the idf ratio or it silently under-bounds the
+    // surviving mega postings and prunes true top-k docs.
+    // Arm A — moderate inflation (8 of the 19 spark-only docs): the
+    // rescaled bound still clears the floor, pruning stays engaged,
+    // and the serve stays identical to the unbounded one.
+    TextAnalysis.textIndexDelete(spark, s"$tmp/idx", Seq(5L, 7L, 11L, 13L, 17L, 19L, 23L, 25L))
+    val cand5 = TextAnalysis.maxScoreContenders(spark, s"$tmp/idx")
+    assert(cand5.isDefined,
+      "pruning must stay engaged under moderate mega-df shrinkage")
+    val exact5 = TextAnalysis.textBm25Served(spark, s"$tmp/idx").collect().map(_.toSeq).toSeq
+    val ms5 = TextAnalysis.textBm25ServedMaxScore(spark, s"$tmp/idx").collect().map(_.toSeq).toSeq
+    assert(ms5 === exact5, "mass-takedown pruned serve diverged from the unbounded serve")
+    // Arm B — extreme inflation (all remaining spark-only docs + four
+    // spark+vector docs): the rescaled bound exceeds any seatable
+    // floor, so the ONLY sound decision is the unbounded fallback. The
+    // unscaled frozen ub would still claim "pruned" here — this arm is
+    // the regression pin for the rescale itself.
+    TextAnalysis.textIndexDelete(spark, s"$tmp/idx",
+      Seq(1L, 29L, 31L, 35L, 37L, 41L, 43L, 47L, 49L, 53L, 55L, 9L, 15L, 21L, 27L))
+    val cand6 = TextAnalysis.maxScoreContenders(spark, s"$tmp/idx")
+    assert(cand6.isEmpty,
+      "extreme mega-idf inflation must force the sound unbounded fallback " +
+      "(an unscaled frozen bound would wrongly keep pruning)")
+    val exact6 = TextAnalysis.textBm25Served(spark, s"$tmp/idx").collect().map(_.toSeq).toSeq
+    val ms6 = TextAnalysis.textBm25ServedMaxScore(spark, s"$tmp/idx").collect().map(_.toSeq).toSeq
+    assert(ms6 === exact6)
   }
 
   test("hybrid maxscore: per-query pruning engages, fallback stays per-query, result EXACT") {

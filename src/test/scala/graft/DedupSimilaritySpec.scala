@@ -504,9 +504,11 @@ class DedupSimilaritySpec extends AnyFunSuite {
     // the round-13 generalization of the pin above (JoinHints
     // .broadcastIfSmall): every broadcast-queries scan shape — range
     // search, brute-force/PQ cells, IVF re-join, hybrid act flags —
-    // gates its hint on Catalyst's size estimate. Under a 1KB
-    // threshold none of them may plan a broadcast join, and the
-    // results must not depend on the join strategy.
+    // gates its hint on Catalyst's size estimate scaled by the known
+    // stride fraction. Under a 1-BYTE threshold (1KB would still pass
+    // the fraction-scaled estimate on this tiny corpus — correctly so)
+    // none of them may plan a broadcast join, and the results must not
+    // depend on the join strategy.
     import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec}
     val key = "spark.sql.autoBroadcastJoinThreshold"
     val old = spark.conf.get(key)
@@ -518,7 +520,7 @@ class DedupSimilaritySpec extends AnyFunSuite {
       // constant-bounded exception the rule documents)
       "mm_feature_ann" -> (() => graft.multimodal.Multimodal.mmFeatureAnn(spark, sf0001)))
     val baselines = paths.map { case (n, f) => n -> f().collect().map(_.toSeq).toSeq }.toMap
-    spark.conf.set(key, "1KB")
+    spark.conf.set(key, "1")
     try paths.foreach { case (name, f) =>
       val df = f()
       val forced = df.queryExecution.sparkPlan.collect {
