@@ -1160,10 +1160,12 @@ object IndexMaintenance {
     * already dead. Identity (zero plan overhead) when no delete is
     * pending, like the table form. */
   private[graft] def minusTombstonesFiles(s: SparkSession, tablePath: String,
-      files: Seq[String], df: DataFrame, idCol: String): DataFrame =
-    pendingTombstones(s, tablePath).fold(df) { t =>
-      maskBySeq(s, t, s.read.parquet(files: _*), df.columns.toSeq, idCol)
+      files: Seq[String], idCol: String): DataFrame = {
+    val base = s.read.parquet(files: _*)
+    pendingTombstones(s, tablePath).fold(base) { t =>
+      maskBySeq(s, t, base, base.columns.toSeq, idCol)
     }
+  }
 
   private def maskBySeq(s: SparkSession, tombs: DataFrame, reread: DataFrame,
       columns: Seq[String], idCol: String): DataFrame = {

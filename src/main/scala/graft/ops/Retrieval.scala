@@ -408,7 +408,7 @@ object Retrieval {
     val tailMegaPairs: Option[DataFrame] =
       if (tailFiles.isEmpty) None
       else Some(IndexMaintenance.minusTombstonesFiles(s, s"$idxDir/postings",
-          tailFiles, s.read.parquet(tailFiles: _*), "doc_id")
+          tailFiles, "doc_id")
         .filter(col("term").isin(banned: _*))
         .select(col("term").as("qt"), col("doc_id"))
         .join(megaSlots.select(col("q_id"), col("qt")), "qt")

@@ -1360,11 +1360,16 @@ object TextAnalysis {
         // pending): a deleted tail doc must not count toward the
         // contender cap or the inclusion list
         val tseg = IndexMaintenance.minusTombstonesFiles(s, s"$indexDir/postings",
-            tailFiles, s.read.parquet(tailFiles: _*), "doc_id")
+            tailFiles, "doc_id")
           .filter(col("term").isin(bm25Query: _*))
           .select(col("term"), col("doc_id"))
-        val d = tseg.groupBy(col("term")).agg(count(lit(1)).as("n"))
-          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        // the tail df deltas feed only the no-tombstone arithmetic —
+        // under pending deletes dfLive recounts from the masked table,
+        // so don't pay this aggregation action just to discard it
+        val d =
+          if (tombPending) Map.empty[String, Long]
+          else tseg.groupBy(col("term")).agg(count(lit(1)).as("n"))
+            .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
         val m = tseg.filter(col("term").isin(mega: _*))
           .select(col("doc_id")).distinct()
           .limit(maxScoreCandCap + 1).collect().map(_.getLong(0)).toSeq
