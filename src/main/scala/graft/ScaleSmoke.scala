@@ -646,6 +646,25 @@ object ScaleSmoke {
       assert(m.length == ops.TextAnalysis.bpeTrainMerges,
         s"learned ${m.length} of ${ops.TextAnalysis.bpeTrainMerges} merges")
     }
+    // round 13: tokenizer APPLY — encoding runs over the vocabulary
+    // (types), the corpus pays one explode + word join + per-doc agg;
+    // token_freq then reuses the memoized encoded vocab and never
+    // touches the corpus at all
+    val encTokens = time(s"text_bpe_encode (100k docs, trained tokenizer applied per doc)") {
+      ops.TextAnalysis.textBpeEncode(spark, dir)
+        .agg(org.apache.spark.sql.functions.sum(col("n_tokens"))).collect()(0).getLong(0)
+    }
+    time("text_bpe_token_freq (vocabulary-sized, memoized encoded vocab)") {
+      val top = ops.TextAnalysis.textBpeTokenFreq(spark, dir).collect()
+      assert(top.nonEmpty && top.length <= ops.TextAnalysis.bpeTokenFreqTopK)
+      val vocabMass = ops.TextAnalysis.bpeEncodedVocab(spark, dir)
+        .selectExpr("sum(freq * size(split(w, ' ')))").collect()(0).getLong(0)
+      assert(vocabMass == encTokens,
+        s"vocabulary token mass $vocabMass != per-doc token mass $encTokens")
+      say(f"  -> corpus tokens under the trained tokenizer: $encTokens%,d; " +
+        s"top token '${top.head.getString(0)}' x ${top.head.getLong(1)}")
+    }
+
     // round 8: the health reports a deployment schedules — one
     // aggregation of the assignment/bucket/posting table each
     time("ivf_index_health + lsh_index_health + text_index_health (250k vecs / 100k docs)") {

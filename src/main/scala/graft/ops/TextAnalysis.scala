@@ -389,6 +389,109 @@ object TextAnalysis {
     out.toSeq.toDF("step", "lhs", "rhs", "merged", "pair_count").orderBy(col("step"))
   }
 
+  /** Tokens reported by [[textBpeTokenFreq]]. */
+  val bpeTokenFreqTopK = 40
+
+  /** Learned merge table, memoized per (session, corpus) so the three
+    * BPE queries (train / encode / token-freq) train ONCE per session:
+    * [[textBpeTrain]] is eager (the merge loop collects its argmax per
+    * step), so memoizing the bounded [[bpeTrainMerges]]-row output
+    * frame memoizes the training work itself. */
+  private[graft] def bpeMergesDf(s: SparkSession, dir: String): DataFrame =
+    PlanCache.memoized(s, s"$dir|bpe_merges")(textBpeTrain(s, dir))
+
+  /** ENCODED VOCABULARY — every distinct word of the corpus with its
+    * BPE segmentation under the learned merge table, `(word, w, freq)`
+    * where `w` is the space-joined symbol sequence. This is where the
+    * 100 TB scale story of BPE ENCODING lives: merges are applied to
+    * word TYPES (a vocabulary — millions of rows), never to the
+    * trillions of corpus tokens; the corpus pays one word-frequency
+    * aggregation (already needed for training) plus, per consumer, a
+    * hash join back from words to their encodings. The apply is the
+    * merge-ordered chain of boundary-anchored two-pass replaces —
+    * operation-for-operation the trainer's own apply
+    * ([[textBpeTrain]]'s scaladoc explains the two-pass fixed point),
+    * so the encoded vocabulary here is bit-identical to the trainer's
+    * final internal state and to the DuckDB oracle's `s{K}` CTE. All
+    * [[bpeTrainMerges]] replaces fold into ONE projection over the
+    * vocabulary (no per-merge driver round-trip beyond training's
+    * own), memoized per (session, corpus) for the queries that share
+    * it. */
+  private[graft] def bpeEncodedVocab(s: SparkSession, dir: String): DataFrame =
+    PlanCache.memoized(s, s"$dir|bpe_encoded_vocab") {
+      val merges = bpeMergesDf(s, dir).orderBy(col("step")).collect()
+        .map(r => (r.getString(1), r.getString(2)))
+      val words = Tables(s, dir, "documents")
+        .select(explode(TextFns.tokens(col("text"))).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+        .select(col("word"),
+          concat_ws(" ", split(col("word"), "")).as("w"), col("freq"))
+      merges.foldLeft(words) { case (cur, (l, r)) =>
+        val (pat, rep) = (lit(s" $l $r "), lit(s" ${l + r} "))
+        val padded = concat(lit(" "), col("w"), lit(" "))
+        cur.withColumn("w", trim(
+          org.apache.spark.sql.functions.replace(
+            org.apache.spark.sql.functions.replace(padded, pat, rep), pat, rep)))
+      }
+    }
+
+  /** BPE ENCODE — apply the trained tokenizer to the corpus: per-doc
+    * token counts under the learned merge table, the number every
+    * downstream packing / token-budget / mixing step actually needs
+    * (whitespace-token counts under- or over-state a real tokenizer's
+    * sequence lengths; this closes the train → APPLY half of the
+    * tokenizer story). Output: (doc_id, n_words, n_tokens,
+    * chars_per_token) for every document — n_tokens is the encoded
+    * sequence length, chars_per_token the corpus-side compression the
+    * tokenizer achieves on that doc (0.0 for token-less docs).
+    *
+    * Scale shape: encoding runs on the VOCABULARY once
+    * ([[bpeEncodedVocab]]); the corpus side is one explode + hash join
+    * on `word` + per-doc aggregation — partial aggregation applies,
+    * nothing corpus-sized crosses the driver, and the join key is the
+    * word (Zipf-distributed, but the heavy words are few and the
+    * per-row payload is one small struct; AQE's skew handling covers
+    * the head). No broadcast hint: the vocabulary grows with the
+    * corpus (millions of word types at 100 TB), so the planner decides
+    * from its size estimate. */
+  def textBpeEncode(s: SparkSession, dir: String): DataFrame = {
+    val enc = bpeEncodedVocab(s, dir)
+      .select(col("word"), size(split(col("w"), " ")).cast("long").as("n_syms"))
+    val perDoc = Tables(s, dir, "documents")
+      .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("word"))
+      .join(enc, "word")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_syms")).as("n_tokens"),
+        sum(length(col("word")).cast("long")).as("n_word_chars"))
+    Tables(s, dir, "documents").select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        when(coalesce(col("n_tokens"), lit(0L)) === 0L, lit(0.0))
+          .otherwise(round(
+            col("n_word_chars").cast("double") / col("n_tokens").cast("double"),
+            6))
+          .as("chars_per_token"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Corpus token distribution under the TRAINED tokenizer — the top
+    * [[bpeTokenFreqTopK]] tokens by total occurrence count (ties broken
+    * lexicographically). Computed entirely over the encoded VOCABULARY
+    * (symbols weighted by word frequency) — the corpus is never
+    * re-touched, so the whole query is vocabulary-sized regardless of
+    * corpus scale. The vocabulary-side identity
+    * Σ_word freq(word)·|encode(word)| = Σ_doc n_tokens(doc) is pinned
+    * against [[textBpeEncode]] in `BpeTrainSpec`. */
+  def textBpeTokenFreq(s: SparkSession, dir: String): DataFrame =
+    bpeEncodedVocab(s, dir)
+      .select(explode(split(col("w"), " ")).as("token"), col("freq"))
+      .groupBy(col("token")).agg(sum(col("freq")).cast("long").as("freq"))
+      .orderBy(col("freq").desc, col("token"))
+      .limit(bpeTokenFreqTopK)
+
   /** Discrete quantile percentages for the corpus profile. */
   val quantilePs = Seq(50, 90, 99)
 
@@ -1653,7 +1756,9 @@ object TextAnalysis {
     "text_bm25_served_maxscore" -> textBm25ServedMaxScoreQuery _,
     "text_bm25_served_maxscore_lowcut" -> textBm25ServedMaxScoreLowcutQuery _,
     "text_index_health" -> textIndexHealthQuery _,
-    "text_bpe_train" -> textBpeTrain _,
+    "text_bpe_train" -> bpeMergesDf _,
+    "text_bpe_encode" -> textBpeEncode _,
+    "text_bpe_token_freq" -> textBpeTokenFreq _,
     "text_bm25_filtered" -> textBm25FilteredQuery _,
     "text_tfidf_topterms" -> textTfidfTopTerms _,
     "text_vocab_coverage" -> textVocabCoverage _,
@@ -1711,19 +1816,21 @@ object TextAnalysis {
       s"CAST(len(list_filter(toks, x -> x = '$t')) AS BIGINT) AS tf_$i"
     }
 
-  /** Oracle for the BPE trainer: the merge loop unrolled into
-    * [[bpeTrainMerges]] CTE triples (pairs → best → apply-merge, the
-    * apply being the padded boundary-anchored DOUBLE replace
-    * [[textBpeTrain]] documents). The `coalesce(..., chr(1))` guards
-    * make an exhausted step (no pairs left) a no-op replace
-    * contributing zero output rows — matching the Spark loop's early
-    * stop. Every `s${t}` is MATERIALIZED: each is referenced twice
-    * (next step's pair count and next apply), and default CTE
-    * inlining would duplicate the base scan 2^K times. */
-  private lazy val bpeTrainOracleSql: String = {
+  /** WITH-body of the unrolled BPE merge chain, shared by the train,
+    * encode, and token-freq oracles: `s0` (the word-frequency
+    * vocabulary in split-symbol form) through `s{bpeTrainMerges}` (the
+    * fully ENCODED vocabulary), with per-step pair-count/argmax CTEs
+    * `p$t`/`b$t`. The apply is the padded boundary-anchored DOUBLE
+    * replace [[textBpeTrain]] documents. The `coalesce(..., chr(1))`
+    * guards make an exhausted step (no pairs left) a no-op replace —
+    * matching the Spark loop's early stop. Every `s${t}` is
+    * MATERIALIZED: each is referenced twice (next step's pair count
+    * and next apply), and default CTE inlining would duplicate the
+    * base scan 2^K times. */
+  private lazy val bpeChainCtesSql: String = {
     val sb = new StringBuilder
     sb.append(
-      s"""WITH s0 AS MATERIALIZED (
+      s"""s0 AS MATERIALIZED (
          |  SELECT array_to_string(regexp_split_to_array(word, ''), ' ') AS w,
          |         CAST(count(*) AS BIGINT) AS freq
          |  FROM (SELECT unnest($tokSql) AS word FROM documents)
@@ -1745,6 +1852,15 @@ object TextAnalysis {
            |    coalesce((SELECT ' ' || l || r || ' ' FROM b$t), chr(1)))) AS w, freq
            |  FROM s${t - 1})""".stripMargin)
     }
+    sb.toString
+  }
+
+  /** Oracle for the BPE trainer: the merge loop unrolled into
+    * [[bpeTrainMerges]] CTE triples ([[bpeChainCtesSql]]); the output
+    * unions the per-step argmax rows. */
+  private lazy val bpeTrainOracleSql: String = {
+    val sb = new StringBuilder
+    sb.append(s"WITH $bpeChainCtesSql")
     sb.append("\nSELECT * FROM (\n")
     sb.append((1 to bpeTrainMerges).map { t =>
       s"  SELECT CAST($t AS BIGINT) AS step, l AS lhs, r AS rhs, l || r AS merged, cnt AS pair_count FROM b$t"
@@ -1752,6 +1868,45 @@ object TextAnalysis {
     sb.append("\n) ORDER BY step")
     sb.toString
   }
+
+  /** Oracle for [[textBpeEncode]]: the same unrolled chain, whose final
+    * `s{K}` IS the encoded vocabulary — the original word is recovered
+    * by deleting the symbol-boundary spaces (symbols are exact
+    * substrings of the word, so their concatenation is the word), then
+    * per-doc counts re-derive from a SQL tokenize + vocabulary join. */
+  private lazy val bpeEncodeOracleSql: String =
+    s"""WITH $bpeChainCtesSql,
+       |enc AS (
+       |  SELECT replace(w, ' ', '') AS word,
+       |         CAST(len(string_split(w, ' ')) AS BIGINT) AS n_syms
+       |  FROM s$bpeTrainMerges),
+       |tok AS (SELECT doc_id, unnest($tokSql) AS word FROM documents),
+       |agg AS (
+       |  SELECT t.doc_id,
+       |         CAST(count(*) AS BIGINT) AS n_words,
+       |         CAST(sum(e.n_syms) AS BIGINT) AS n_tokens,
+       |         CAST(sum(len(t.word)) AS BIGINT) AS n_word_chars
+       |  FROM tok t JOIN enc e ON t.word = e.word
+       |  GROUP BY t.doc_id)
+       |SELECT d.doc_id,
+       |  CAST(coalesce(a.n_words, 0) AS BIGINT) AS n_words,
+       |  CAST(coalesce(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+       |  CASE WHEN coalesce(a.n_tokens, 0) = 0 THEN 0.0
+       |       ELSE round(CAST(a.n_word_chars AS DOUBLE) / CAST(a.n_tokens AS DOUBLE), 6)
+       |  END AS chars_per_token
+       |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
+  /** Oracle for [[textBpeTokenFreq]]: token occurrences are the encoded
+    * vocabulary's symbols weighted by word frequency — no corpus-side
+    * unnest needed. */
+  private lazy val bpeTokenFreqOracleSql: String =
+    s"""WITH $bpeChainCtesSql,
+       |tokf AS (SELECT unnest(string_split(w, ' ')) AS token, freq
+       |         FROM s$bpeTrainMerges)
+       |SELECT token, CAST(sum(freq) AS BIGINT) AS freq
+       |FROM tokf GROUP BY token
+       |ORDER BY freq DESC, token LIMIT $bpeTokenFreqTopK""".stripMargin
 
   private lazy val bm25OracleSql: String = bm25OracleSqlWhere("TRUE")
 
@@ -1866,6 +2021,8 @@ object TextAnalysis {
          |FROM ranked WHERE rk <= $tfidfTopTerms ORDER BY doc_id, rk""".stripMargin,
     "text_bm25_search" -> bm25OracleSql,
     "text_bpe_train" -> bpeTrainOracleSql,
+    "text_bpe_encode" -> bpeEncodeOracleSql,
+    "text_bpe_token_freq" -> bpeTokenFreqOracleSql,
     "text_phrase_search" -> phraseOracleSql,
     // byte-identical by construction (shared adjacency tail; stored
     // positions are the same integers the scan path derives)

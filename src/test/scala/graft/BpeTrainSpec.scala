@@ -140,6 +140,83 @@ class BpeTrainSpec extends AnyFunSuite {
     assert(seq1.nonEmpty, "sequential scale-mode produced nothing")
   }
 
+  /** In-memory ENCODE reference: apply the learned merges in step order
+    * with the same boundary-anchored two-pass replace the trainer (and
+    * its oracle) use — the encoded form of a word is the trainer's
+    * final internal state for that word. */
+  private def referenceEncode(word: String,
+      merges: Seq[(String, String)]): Seq[String] = {
+    var w = word.split("").mkString(" ")
+    merges.foreach { case (l, r) =>
+      val (pat, rep) = (s" $l $r ", s" ${l + r} ")
+      w = (" " + w + " ").replace(pat, rep).replace(pat, rep).trim
+    }
+    w.split(" ").toSeq
+  }
+
+  test("encode + token-freq match the in-memory reference on a planted corpus") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("bpe-encode").toString
+    val texts = Seq(
+      "low lower lowest low low lowest",
+      "new newer newest new wider wide wide newer",
+      "",
+      "low lower newer new wide west lowest wide")
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, t, "en", "s") }
+      .toDF("doc_id", "text", "lang", "source")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val words = texts.flatMap(_.split("\\s+").filter(_.nonEmpty))
+    val merges = referenceBpe(words, TextAnalysis.bpeTrainMerges)
+      .map { case (_, l, r, _, _) => (l, r) }
+    // expected per-doc counts from the reference encode
+    val wantDocs = texts.zipWithIndex.map { case (t, i) =>
+      val ws = t.split("\\s+").filter(_.nonEmpty).toSeq
+      val nTok = ws.map(referenceEncode(_, merges).size.toLong).sum
+      val chars = ws.map(_.length.toLong).sum
+      val cpt = if (nTok == 0) 0.0
+        else BigDecimal(chars.toDouble / nTok.toDouble)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (i.toLong, ws.size.toLong, nTok, cpt)
+    }
+    val gotDocs = TextAnalysis.textBpeEncode(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(gotDocs === wantDocs, s"per-doc encode diverged:\n got: $gotDocs\nwant: $wantDocs")
+    // the empty doc is present with zeros, not dropped
+    assert(gotDocs.exists { case (id, nw, nt, cpt) => id == 2L && nw == 0L && nt == 0L && cpt == 0.0 })
+    // expected token distribution: reference-encoded words weighted by freq
+    val wantFreq = words.groupBy(identity).toSeq
+      .flatMap { case (w, g) => referenceEncode(w, merges).map(_ -> g.size.toLong) }
+      .groupBy(_._1).map { case (t, g) => (t, g.map(_._2).sum) }.toSeq
+      .sortBy { case (t, f) => (-f, t) }
+      .take(TextAnalysis.bpeTokenFreqTopK)
+    val gotFreq = TextAnalysis.textBpeTokenFreq(spark, tmp).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(gotFreq === wantFreq, s"token freq diverged:\n got: $gotFreq\nwant: $wantFreq")
+  }
+
+  test("encode invariants and the vocabulary-side identity hold on sf0.001") {
+    val dir = TestSpark.sf0001
+    val enc = TextAnalysis.textBpeEncode(spark, dir).collect()
+    assert(enc.nonEmpty)
+    // a merge never splits: n_words <= n_tokens <= word chars; cpt >= 1
+    enc.foreach { r =>
+      val (nw, nt) = (r.getLong(1), r.getLong(2))
+      assert(nw <= nt, s"doc ${r.getLong(0)}: more words than tokens")
+      if (nt > 0) assert(r.getDouble(3) >= 1.0 - 1e-9,
+        s"doc ${r.getLong(0)}: chars_per_token ${r.getDouble(3)} < 1 — a token longer than its characters")
+    }
+    // Σ_word freq·|encode(word)| == Σ_doc n_tokens — the vocabulary-side
+    // identity textBpeTokenFreq's scaladoc promises (full distribution,
+    // not the top-k slice)
+    val vocabTokens = TextAnalysis.bpeEncodedVocab(spark, dir)
+      .selectExpr("sum(freq * size(split(w, ' ')))").collect()(0).getLong(0)
+    assert(vocabTokens == enc.map(_.getLong(2)).sum,
+      "vocabulary-weighted token mass != per-doc token mass")
+    // deterministic rerun
+    val again = TextAnalysis.textBpeEncode(spark, dir).collect()
+    assert(enc.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
   test("training reads the corpus once: merge iterations run over the cached vocabulary") {
     val dir = TestSpark.sf0001
     val docBytes = new java.io.File(s"$dir/documents.parquet").listFiles() match {
