@@ -74,10 +74,16 @@ object Curation {
     * gets large. Results are identical to the direct window, row for
     * row. Returns (doc_id, source, n_tokens, cum_tokens) with
     * cum_tokens INCLUSIVE of the current doc. */
-  private def cumTokensBySource(s: SparkSession, dir: String): DataFrame = {
-    val base = Tables(s, dir, "documents")
+  private def cumTokensBySource(s: SparkSession, dir: String): DataFrame =
+    cumBySource(Tables(s, dir, "documents")
       .select(col("doc_id"), col("source"),
-        size(TextFns.tokens(col("text"))).cast("long").as("n_tokens"))
+        size(TextFns.tokens(col("text"))).cast("long").as("n_tokens")))
+
+  /** The scan itself, over any `(doc_id, source, n_tokens)` frame —
+    * shared by the whitespace-counted operators above and the
+    * BPE-counted packing twin. */
+  private def cumBySource(base0: DataFrame): DataFrame = {
+    val base = base0
       .withColumn("bkt", expr(s"doc_id div $budgetBucketWidth"))
     val wb = Window.partitionBy(col("source")).orderBy(col("bkt"))
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -102,6 +108,30 @@ object Curation {
       .filter(col("cum_tokens") - col("n_tokens") < tokenBudgetPerSource)
       .select(col("doc_id"), col("source"), col("n_tokens"), col("cum_tokens"))
       .orderBy(col("doc_id"))
+
+  /** Sequence packing under the TRAINED tokenizer — the packing twin
+    * that consumes REAL token lengths ([[TextAnalysis.bpeDocCounts]],
+    * the encode of the corpus-trained BPE merge table) instead of
+    * whitespace counts. Whitespace counts mis-state a real tokenizer's
+    * sequence lengths doc-by-doc (a long word is several BPE symbols;
+    * a merged bigram is one), so bins packed on them overflow or
+    * underfill the trainer's actual context windows — this is the form
+    * a production pipeline feeds the data loader. Same two-level
+    * prefix scan (never a single-task-per-source window), same output
+    * contract as [[curatePackSequences]]; the encode side adds one
+    * vocabulary-sized apply + a word join, both shared (memoized) with
+    * the other BPE queries. */
+  def curatePackBpe(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables(s, dir, "documents").select(col("doc_id"), col("source"))
+      .join(TextAnalysis.bpeDocCounts(s, dir).select(col("doc_id"), col("n_tokens")),
+        "doc_id")
+    cumBySource(base)
+      .withColumn("start_off", col("cum_tokens") - col("n_tokens"))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        expr(s"start_off div $packSeqLen").as("bin_id"),
+        (col("start_off") % packSeqLen).as("bin_off"))
+      .orderBy(col("doc_id"))
+  }
 
   /** Training sequence length (tokens) for greedy concat packing. */
   val packSeqLen = 128L
@@ -767,6 +797,7 @@ object Curation {
     "curate_sample_stratified" -> curateSampleStratified _,
     "curate_token_budget" -> curateTokenBudget _,
     "curate_pack_sequences" -> curatePackSequences _,
+    "curate_pack_bpe" -> curatePackBpe _,
     "curate_mix_epochs" -> curateMixEpochs _,
     "decontaminate_ngram" -> decontaminateNgram _,
     "decontaminate_report" -> decontaminateReport _,
@@ -811,6 +842,17 @@ object Curation {
          |    CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - n_tokens AS start_off
          |  FROM (SELECT doc_id, source, CAST(len($tokSql) AS BIGINT) AS n_tokens FROM documents))
+         |ORDER BY doc_id""".stripMargin,
+    "curate_pack_bpe" ->
+      s"""WITH ${TextAnalysis.bpeDocTokensCtesSql}
+         |SELECT doc_id, source, n_tokens,
+         |  start_off // $packSeqLen AS bin_id,
+         |  start_off % $packSeqLen AS bin_off
+         |FROM (
+         |  SELECT d.doc_id, d.source, b.n_tokens,
+         |    CAST(sum(b.n_tokens) OVER (PARTITION BY d.source ORDER BY d.doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - b.n_tokens AS start_off
+         |  FROM documents d JOIN bpe_doc b ON d.doc_id = b.doc_id)
          |ORDER BY doc_id""".stripMargin,
     "curate_mix_epochs" ->
       s"""SELECT doc_id, source, epoch FROM (

@@ -454,7 +454,22 @@ object TextAnalysis {
     * the head). No broadcast hint: the vocabulary grows with the
     * corpus (millions of word types at 100 TB), so the planner decides
     * from its size estimate. */
-  def textBpeEncode(s: SparkSession, dir: String): DataFrame = {
+  def textBpeEncode(s: SparkSession, dir: String): DataFrame =
+    bpeDocCounts(s, dir)
+      .select(col("doc_id"), col("n_words"), col("n_tokens"),
+        when(col("n_tokens") === 0L, lit(0.0))
+          .otherwise(round(
+            col("n_word_chars").cast("double") / col("n_tokens").cast("double"),
+            6))
+          .as("chars_per_token"))
+      .orderBy(col("doc_id"))
+
+  /** Unsorted per-doc encode counts `(doc_id, n_words, n_tokens,
+    * n_word_chars)`, every document present (token-less docs as zeros)
+    * — the core [[textBpeEncode]] sorts for presentation and the
+    * BPE-counted curation compositions consume as-is (no global sort
+    * under their own shuffles). */
+  private[ops] def bpeDocCounts(s: SparkSession, dir: String): DataFrame = {
     val enc = bpeEncodedVocab(s, dir)
       .select(col("word"), size(split(col("w"), " ")).cast("long").as("n_syms"))
     val perDoc = Tables(s, dir, "documents")
@@ -469,12 +484,7 @@ object TextAnalysis {
       .select(col("doc_id"),
         coalesce(col("n_words"), lit(0L)).as("n_words"),
         coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
-        when(coalesce(col("n_tokens"), lit(0L)) === 0L, lit(0.0))
-          .otherwise(round(
-            col("n_word_chars").cast("double") / col("n_tokens").cast("double"),
-            6))
-          .as("chars_per_token"))
-      .orderBy(col("doc_id"))
+        coalesce(col("n_word_chars"), lit(0L)).as("n_word_chars"))
   }
 
   /** Corpus token distribution under the TRAINED tokenizer — the top
@@ -1896,6 +1906,27 @@ object TextAnalysis {
        |  END AS chars_per_token
        |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
        |ORDER BY d.doc_id""".stripMargin
+
+  /** WITH-body producing `bpe_doc(doc_id, n_tokens)` — per-doc token
+    * counts under the trained tokenizer, every document present
+    * (token-less docs as 0) — for oracles in OTHER operator files whose
+    * queries consume real tokenizer lengths (the BPE-counted packing
+    * twin in `Curation`). Same chain + recovery trick as
+    * [[bpeEncodeOracleSql]]. */
+  private[ops] lazy val bpeDocTokensCtesSql: String =
+    s"""$bpeChainCtesSql,
+       |enc AS (
+       |  SELECT replace(w, ' ', '') AS word,
+       |         CAST(len(string_split(w, ' ')) AS BIGINT) AS n_syms
+       |  FROM s$bpeTrainMerges),
+       |tok AS (SELECT doc_id, unnest($tokSql) AS word FROM documents),
+       |bagg AS (
+       |  SELECT t.doc_id, CAST(sum(e.n_syms) AS BIGINT) AS n_tokens
+       |  FROM tok t JOIN enc e ON t.word = e.word
+       |  GROUP BY t.doc_id),
+       |bpe_doc AS (
+       |  SELECT d.doc_id, CAST(coalesce(a.n_tokens, 0) AS BIGINT) AS n_tokens
+       |  FROM documents d LEFT JOIN bagg a ON d.doc_id = a.doc_id)""".stripMargin
 
   /** Oracle for [[textBpeTokenFreq]]: token occurrences are the encoded
     * vocabulary's symbols weighted by word frequency — no corpus-side

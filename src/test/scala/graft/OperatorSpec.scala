@@ -493,6 +493,34 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("curatePackBpe: gap-free packing in REAL tokenizer lengths, consistent with the encode") {
+    val dir = TestSpark.sf0001
+    val rows = ops.Curation.curatePackBpe(spark, dir)
+      .orderBy(col("source"), col("doc_id")).collect()
+    assert(rows.nonEmpty)
+    val seqLen = ops.Curation.packSeqLen
+    // gap-free greedy concat, exactly like the whitespace-counted form
+    rows.groupBy(_.getAs[String]("source")).foreach { case (_, docs) =>
+      var expectedStart = 0L
+      docs.foreach { r =>
+        val start = r.getAs[Long]("bin_id") * seqLen + r.getAs[Long]("bin_off")
+        assert(start === expectedStart, s"gap at doc ${r.getAs[Long]("doc_id")}")
+        assert(r.getAs[Long]("bin_off") >= 0 && r.getAs[Long]("bin_off") < seqLen)
+        expectedStart += r.getAs[Long]("n_tokens")
+      }
+    }
+    // the lengths ARE the tokenizer's: per-doc n_tokens matches textBpeEncode
+    val enc = ops.TextAnalysis.textBpeEncode(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    rows.foreach(r => assert(r.getAs[Long]("n_tokens") === enc(r.getAs[Long]("doc_id"))))
+    // and they differ from whitespace counts somewhere — otherwise the
+    // twin adds nothing (the corpus always has multi-symbol words)
+    val ws = ops.Curation.curatePackSequences(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_tokens")).toMap
+    assert(rows.exists(r => ws(r.getAs[Long]("doc_id")) != r.getAs[Long]("n_tokens")),
+      "BPE token lengths identical to whitespace counts on every doc — encode not engaged")
+  }
+
   test("curateMixEpochs: copies bounded by floor/ceil of the source multiplier") {
     val rows = ops.Curation.curateMixEpochs(spark, TestSpark.sf0001).collect()
     val pctOf = ops.Curation.mixEpochsPct.toMap
