@@ -644,6 +644,64 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Interpolation weight on the bigram model in [[textBigramLm]] (the
+    * unigram back-off gets 1 − λ). 0.75 and 0.25 are both exactly
+    * binary-representable, so the two engines' interpolation arithmetic
+    * starts from identical constants. */
+  val bigramLambda = 0.75
+
+  /** BIGRAM-INTERPOLATED LM document scoring — the CCNet-style quality
+    * filter [[textUnigramLm]] approximates, with the real conditional
+    * model: per-doc cross-entropy under p(w|v) = λ·c(v,w)/c(v,·) +
+    * (1−λ)·cf(w)/total, MLE-trained on the corpus itself (c(v,·) sums
+    * bigram counts over the follower, so the conditional is a proper
+    * distribution; the unigram back-off makes every observed bigram
+    * scoreable even where the context is rare). Repetitive boilerplate
+    * scores low (predictable under its own statistics), token salad
+    * scores high — the standard perplexity-bucketing signal.
+    *
+    * Scale shape, per the unigram operator's lesson: ONE corpus-sized
+    * adjacent-pair aggregation into per-(doc, v, w) counts; the model
+    * tables (`bc`, then context totals `ctx`) aggregate from that
+    * GROUPED frame — model-sized, not corpus-sized; the unigram side
+    * reuses the same grouped-frame trick; the corpus total is a 1-row
+    * broadcast; model tables join back with the strategy left to stats
+    * (broadcast while the bigram vocabulary fits, shuffle join once it
+    * is corpus-sized). Docs with fewer than two tokens have no bigram
+    * positions and drop out, exactly like token-less docs in the
+    * unigram form. */
+  def textBigramLm(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables(s, dir, "documents")
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
+    val dbc = toks.filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(arrays_zip(
+        slice(col("toks"), lit(1), size(col("toks")) - 1).as("v"),
+        slice(col("toks"), lit(2), size(col("toks")) - 1).as("w"))).as("p"))
+      .groupBy(col("doc_id"), col("p.v").as("v"), col("p.w").as("w"))
+      .agg(count(lit(1)).as("c"))
+    val bc = dbc.groupBy(col("v"), col("w")).agg(sum(col("c")).as("bc"))
+    val ctx = bc.groupBy(col("v")).agg(sum(col("bc")).as("cfx"))
+    val tfc = Tables(s, dir, "documents")
+      .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("c1"))
+    val cf = tfc.groupBy(col("term")).agg(sum(col("c1")).as("cf"))
+    val tot = cf.agg(sum(col("cf")).cast("double").as("total"))
+    dbc.join(bc, Seq("v", "w"))
+      .join(ctx, Seq("v"))
+      .join(cf.withColumnRenamed("term", "w"), Seq("w"))
+      .crossJoin(broadcast(tot))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).cast("long").as("n_bigrams"),
+        (-sum(col("c").cast("double") *
+            log(lit(bigramLambda) * (col("bc").cast("double") / col("cfx").cast("double"))
+              + lit(1.0 - bigramLambda) * (col("cf").cast("double") / col("total")))) /
+          sum(col("c")).cast("double")).as("xr"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("xr"), 6).as("xent_nats"),
+        round(exp(col("xr")), 4).as("ppl"))
+      .orderBy(col("doc_id"))
+  }
+
   /** PII patterns, shared verbatim with the oracle SQL: dialect-neutral
     * regexes (character classes and bounded repeats only — no lookaround,
     * so Java regex and RE2 agree) applied in a FIXED order, each stage
@@ -1785,6 +1843,7 @@ object TextAnalysis {
     "text_repetition" -> textRepetition _,
     "text_entropy" -> textEntropy _,
     "text_unigram_lm" -> textUnigramLm _,
+    "text_bigram_lm" -> textBigramLm _,
     "text_pii_scrub" -> textPiiScrub _,
     "text_boilerplate" -> textBoilerplate _,
     "text_compress_ratio" -> textCompressRatio _,
@@ -2235,6 +2294,33 @@ object TextAnalysis {
          |      FROM tfc t JOIN cf f ON t.term = f.term, tot
          |      GROUP BY t.doc_id)
          |SELECT doc_id, n_tokens, round(xent, 6) AS xent_nats, round(exp(xent), 4) AS ppl
+         |FROM a ORDER BY doc_id""".stripMargin,
+    // interpolation constants restated verbatim; ln and double division
+    // agree across engines the same way the unigram form's do
+    "text_bigram_lm" ->
+      s"""WITH base AS (SELECT doc_id, $tokSql AS toks FROM documents),
+         |pairs AS (
+         |  SELECT doc_id, toks[i] AS v, toks[i+1] AS w
+         |  FROM base, unnest(generate_series(1, len(toks) - 1)) AS u(i)
+         |  WHERE len(toks) >= 2),
+         |dbc AS (SELECT doc_id, v, w, count(*) AS c FROM pairs GROUP BY doc_id, v, w),
+         |bc AS (SELECT v, w, sum(c) AS bc FROM dbc GROUP BY v, w),
+         |ctx AS (SELECT v, sum(bc) AS cfx FROM bc GROUP BY v),
+         |tok AS (SELECT doc_id, unnest($tokSql) AS term FROM documents),
+         |tfc AS (SELECT doc_id, term, count(*) AS c1 FROM tok GROUP BY doc_id, term),
+         |cf AS (SELECT term, sum(c1) AS cf FROM tfc GROUP BY term),
+         |tot AS (SELECT CAST(sum(cf) AS DOUBLE) AS total FROM cf),
+         |a AS (SELECT d.doc_id, CAST(sum(d.c) AS BIGINT) AS n_bigrams,
+         |        -sum(CAST(d.c AS DOUBLE) *
+         |             ln($bigramLambda * (CAST(b.bc AS DOUBLE) / CAST(x.cfx AS DOUBLE))
+         |                + ${1.0 - bigramLambda} * (CAST(f.cf AS DOUBLE) / tot.total)))
+         |          / CAST(sum(d.c) AS DOUBLE) AS xent
+         |      FROM dbc d
+         |      JOIN bc b ON d.v = b.v AND d.w = b.w
+         |      JOIN ctx x ON d.v = x.v
+         |      JOIN cf f ON d.w = f.term, tot
+         |      GROUP BY d.doc_id)
+         |SELECT doc_id, n_bigrams, round(xent, 6) AS xent_nats, round(exp(xent), 4) AS ppl
          |FROM a ORDER BY doc_id""".stripMargin,
     // same constants, same stage order: counts taken on the PREVIOUS
     // stage's output in both engines; DuckDB regexp_replace needs the

@@ -217,6 +217,36 @@ class OperatorSpec extends AnyFunSuite {
     assert(math.abs(r(2).getDouble(3) - 1.5) < 1e-3) // ppl = 1/p(b)
   }
 
+  test("text_bigram_lm: interpolated conditional model matches hand-computed; repetition scores low") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("bigram-corpus")
+    // bigrams: doc1 = (a,b) (b,a) (a,b); doc2 = (b,b) (b,b)
+    // bc: (a,b)=2 (b,a)=1 (b,b)=2; ctx: a·=2, b·=3; cf: a=3 b=5 total=8
+    Seq(
+      (1L, "a b a b", "en", "s", 0L),
+      (2L, "b b b", "en", "s", 0L),
+      (3L, "a", "en", "s", 0L)) // single token: no bigram positions
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val lam = graft.ops.TextAnalysis.bigramLambda
+    def p(bc: Double, cfx: Double, cf: Double) = lam * bc / cfx + (1 - lam) * cf / 8.0
+    val r = graft.ops.TextAnalysis.textBigramLm(spark, tmp.toString)
+      .collect().map(x => x.getLong(0) -> x).toMap
+    assert(!r.contains(3L), "a single-token doc has no bigram positions")
+    val x1 = -(2 * math.log(p(2, 2, 5)) + math.log(p(1, 3, 3))) / 3.0
+    val x2 = -(2 * math.log(p(2, 3, 5))) / 2.0
+    assert(r(1).getLong(1) == 3L && r(2).getLong(1) == 2L)
+    assert(math.abs(r(1).getDouble(2) - x1) < 1e-5)
+    assert(math.abs(r(2).getDouble(2) - x2) < 1e-5)
+    assert(math.abs(r(2).getDouble(3) - math.exp(x2)) < 1e-3)
+    // the quality-signal direction on sf0.001: a doc repeated from one
+    // bigram is more predictable than the corpus average
+    val dir = TestSpark.sf0001
+    val all = graft.ops.TextAnalysis.textBigramLm(spark, dir).collect()
+    assert(all.nonEmpty)
+    all.foreach(x => assert(x.getDouble(3) >= 1.0 - 1e-9, s"ppl < 1 at doc ${x.getLong(0)}"))
+  }
+
   test("curate_source_mix: token shares sum to 1, doc counts cover the corpus") {
     import TestSpark.sf0001
     val r = graft.ops.Curation.curateSourceMix(spark, sf0001).collect()
