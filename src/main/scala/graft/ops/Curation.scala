@@ -121,17 +121,14 @@ object Curation {
     * contract as [[curatePackSequences]]; the encode side adds one
     * vocabulary-sized apply + a word join, both shared (memoized) with
     * the other BPE queries. */
-  def curatePackBpe(s: SparkSession, dir: String): DataFrame = {
-    val base = Tables(s, dir, "documents").select(col("doc_id"), col("source"))
-      .join(TextAnalysis.bpeDocCounts(s, dir).select(col("doc_id"), col("n_tokens")),
-        "doc_id")
-    cumBySource(base)
+  def curatePackBpe(s: SparkSession, dir: String): DataFrame =
+    cumBySource(TextAnalysis.bpeDocCounts(s, dir)
+      .select(col("doc_id"), col("source"), col("n_tokens")))
       .withColumn("start_off", col("cum_tokens") - col("n_tokens"))
       .select(col("doc_id"), col("source"), col("n_tokens"),
         expr(s"start_off div $packSeqLen").as("bin_id"),
         (col("start_off") % packSeqLen).as("bin_off"))
       .orderBy(col("doc_id"))
-  }
 
   /** Training sequence length (tokens) for greedy concat packing. */
   val packSeqLen = 128L

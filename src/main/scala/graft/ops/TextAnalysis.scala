@@ -419,20 +419,31 @@ object TextAnalysis {
     * it. */
   private[graft] def bpeEncodedVocab(s: SparkSession, dir: String): DataFrame =
     PlanCache.memoized(s, s"$dir|bpe_encoded_vocab") {
-      val merges = bpeMergesDf(s, dir).orderBy(col("step")).collect()
-        .map(r => (r.getString(1), r.getString(2)))
-      val words = Tables(s, dir, "documents")
-        .select(explode(TextFns.tokens(col("text"))).as("word"))
-        .groupBy(col("word")).agg(count(lit(1)).as("freq"))
-        .select(col("word"),
-          concat_ws(" ", split(col("word"), "")).as("w"), col("freq"))
-      merges.foldLeft(words) { case (cur, (l, r)) =>
-        val (pat, rep) = (lit(s" $l $r "), lit(s" ${l + r} "))
-        val padded = concat(lit(" "), col("w"), lit(" "))
-        cur.withColumn("w", trim(
-          org.apache.spark.sql.functions.replace(
-            org.apache.spark.sql.functions.replace(padded, pat, rep), pat, rep)))
-      }
+      val merges = bpeMergesDf(s, dir).select(col("step"), col("lhs"), col("rhs"))
+        .orderBy(col("step")).collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      bpeApplyMerges(bpeWordVocab(s, dir), merges)
+    }
+
+  /** The corpus word-frequency vocabulary with the word kept:
+    * `(word, w, freq)`, `w` the split-symbol form. */
+  private def bpeWordVocab(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .select(explode(TextFns.tokens(col("text"))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .select(col("word"),
+        concat_ws(" ", split(col("word"), "")).as("w"), col("freq"))
+
+  /** Fold a merge list (step order) over a `(…, w, …)` vocabulary with
+    * the trainer's boundary-anchored two-pass replace — all merges in
+    * ONE projection, no per-merge driver round-trip. */
+  private def bpeApplyMerges(words: DataFrame, merges: Seq[(String, String)]): DataFrame =
+    merges.foldLeft(words) { case (cur, (l, r)) =>
+      val (pat, rep) = (lit(s" $l $r "), lit(s" ${l + r} "))
+      val padded = concat(lit(" "), col("w"), lit(" "))
+      cur.withColumn("w", trim(
+        org.apache.spark.sql.functions.replace(
+          org.apache.spark.sql.functions.replace(padded, pat, rep), pat, rep)))
     }
 
   /** BPE ENCODE — apply the trained tokenizer to the corpus: per-doc
@@ -455,7 +466,12 @@ object TextAnalysis {
     * corpus (millions of word types at 100 TB), so the planner decides
     * from its size estimate. */
   def textBpeEncode(s: SparkSession, dir: String): DataFrame =
-    bpeDocCounts(s, dir)
+    bpeEncodePresentation(bpeDocCounts(s, dir))
+
+  /** The encode queries' output shape over a [[bpeDocCountsWith]]
+    * frame. */
+  private def bpeEncodePresentation(counts: DataFrame): DataFrame =
+    counts
       .select(col("doc_id"), col("n_words"), col("n_tokens"),
         when(col("n_tokens") === 0L, lit(0.0))
           .otherwise(round(
@@ -464,28 +480,86 @@ object TextAnalysis {
           .as("chars_per_token"))
       .orderBy(col("doc_id"))
 
-  /** Unsorted per-doc encode counts `(doc_id, n_words, n_tokens,
-    * n_word_chars)`, every document present (token-less docs as zeros)
-    * — the core [[textBpeEncode]] sorts for presentation and the
-    * BPE-counted curation compositions consume as-is (no global sort
-    * under their own shuffles). */
-  private[ops] def bpeDocCounts(s: SparkSession, dir: String): DataFrame = {
-    val enc = bpeEncodedVocab(s, dir)
+  /** Unsorted per-doc encode counts `(doc_id, source, n_words,
+    * n_tokens, n_word_chars)`, every document present (token-less docs
+    * as zeros) — the core [[textBpeEncode]] sorts for presentation and
+    * the BPE-counted curation compositions consume as-is (no global
+    * sort under their own shuffles). ONE corpus scan: `explode_outer`
+    * keeps token-less docs as a null-word row the vocabulary join
+    * leaves unmatched, so the zero rows fall out of the same
+    * aggregation instead of a second documents scan + doc_id join;
+    * `source` rides along (functionally dependent on doc_id) so the
+    * packing twin needs no re-join either. */
+  private[ops] def bpeDocCounts(s: SparkSession, dir: String): DataFrame =
+    bpeDocCountsWith(s, dir, bpeEncodedVocab(s, dir))
+
+  /** [[bpeDocCounts]] under an explicit encoded vocabulary (the served
+    * form passes the persisted model's apply). */
+  private def bpeDocCountsWith(s: SparkSession, dir: String,
+      vocab: DataFrame): DataFrame = {
+    val enc = vocab
       .select(col("word"), size(split(col("w"), " ")).cast("long").as("n_syms"))
-    val perDoc = Tables(s, dir, "documents")
-      .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("word"))
-      .join(enc, "word")
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_words"),
-        sum(col("n_syms")).as("n_tokens"),
-        sum(length(col("word")).cast("long")).as("n_word_chars"))
-    Tables(s, dir, "documents").select(col("doc_id"))
-      .join(perDoc, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("n_words"), lit(0L)).as("n_words"),
-        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
-        coalesce(col("n_word_chars"), lit(0L)).as("n_word_chars"))
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        explode_outer(TextFns.tokens(col("text"))).as("word"))
+      .join(enc, Seq("word"), "left")
+      .groupBy(col("doc_id"), col("source"))
+      .agg(count(col("word")).as("n_words"),
+        coalesce(sum(col("n_syms")), lit(0L)).as("n_tokens"),
+        coalesce(sum(length(col("word")).cast("long")), lit(0L)).as("n_word_chars"))
   }
+
+  /** PERSISTED TOKENIZER ARTIFACT — the merge table as a shippable
+    * model: train once on a reference corpus, write `(step, lhs, rhs,
+    * merged, pair_count)` under `modelDir/merges`, and every consumer
+    * (a batch encode on another corpus, a streaming admission path,
+    * another cluster) applies it WITHOUT retraining — the deploy shape
+    * of every production tokenizer. The artifact is tiny (one row per
+    * merge) and STATIC: a changed tokenizer is a NEW model, trained and
+    * shipped whole, so unlike the six persisted index families there is
+    * no landing zone, tombstone, or compaction lifecycle — one
+    * overwrite write is the whole story. */
+  def bpeModelWrite(s: SparkSession, corpusDir: String, modelDir: String): Unit =
+    bpeMergesDf(s, corpusDir).write.mode("overwrite").parquet(s"$modelDir/merges")
+
+  /** Step-ordered merge list of a persisted model — a bounded read
+    * (one row per merge). */
+  private[graft] def bpeModelMerges(s: SparkSession, modelDir: String): Seq[(String, String)] =
+    s.read.parquet(s"$modelDir/merges")
+      .select(col("step"), col("lhs"), col("rhs")).orderBy(col("step"))
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+
+  /** SERVED BPE encode — [[textBpeEncode]]'s plan with the training
+    * replaced by a bounded artifact read: per-doc token counts over
+    * `dir` under the PERSISTED model at `modelDir`, whatever corpus
+    * that model was trained on. The authority is the FILE: the spec's
+    * doctored-model arm pins that a hand-edited merge table changes the
+    * output (no retraining sneaks in). */
+  def textBpeEncodeServed(s: SparkSession, dir: String, modelDir: String): DataFrame = {
+    val vocab = PlanCache.memoized(s, s"$dir|bpe_encoded_vocab@$modelDir")(
+      bpeApplyMerges(bpeWordVocab(s, dir), bpeModelMerges(s, modelDir)))
+    bpeEncodePresentation(bpeDocCountsWith(s, dir, vocab))
+  }
+
+  private val builtBpeModels = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The memoized persisted tokenizer model for `dir` (written on first
+    * use) — the served-encode registered query's artifact, mirroring
+    * [[textIndexFor]]. */
+  private[graft] def bpeModelFor(s: SparkSession, dir: String): String =
+    builtBpeModels.computeIfAbsent(dir, { _ =>
+      val d = java.nio.file.Files.createTempDirectory("graft-bpe-model").toString
+      bpeModelWrite(s, dir, d)
+      d
+    })
+
+  /** Registered-query form of [[textBpeEncodeServed]]: the model is the
+    * demo trainer's own merge table persisted once per session, so the
+    * result is byte-identical to [[textBpeEncode]] and shares its
+    * oracle — what the oracle then checks is the artifact round-trip
+    * (train → write → read → apply). */
+  def textBpeEncodeServedQuery(s: SparkSession, dir: String): DataFrame =
+    textBpeEncodeServed(s, dir, bpeModelFor(s, dir))
 
   /** Corpus token distribution under the TRAINED tokenizer — the top
     * [[bpeTokenFreqTopK]] tokens by total occurrence count (ties broken
@@ -1826,6 +1900,7 @@ object TextAnalysis {
     "text_index_health" -> textIndexHealthQuery _,
     "text_bpe_train" -> bpeMergesDf _,
     "text_bpe_encode" -> textBpeEncode _,
+    "text_bpe_encode_served" -> textBpeEncodeServedQuery _,
     "text_bpe_token_freq" -> textBpeTokenFreq _,
     "text_bm25_filtered" -> textBm25FilteredQuery _,
     "text_tfidf_topterms" -> textTfidfTopTerms _,
@@ -2112,6 +2187,11 @@ object TextAnalysis {
     "text_bm25_search" -> bm25OracleSql,
     "text_bpe_train" -> bpeTrainOracleSql,
     "text_bpe_encode" -> bpeEncodeOracleSql,
+    // the served encode applies the SAME demo-trained merge table, read
+    // back from the persisted artifact — byte-identical by construction,
+    // so it shares the oracle; what the oracle checks here is the
+    // train → write → read → apply round-trip
+    "text_bpe_encode_served" -> bpeEncodeOracleSql,
     "text_bpe_token_freq" -> bpeTokenFreqOracleSql,
     "text_phrase_search" -> phraseOracleSql,
     // byte-identical by construction (shared adjacency tail; stored

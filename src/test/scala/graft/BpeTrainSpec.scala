@@ -217,6 +217,40 @@ class BpeTrainSpec extends AnyFunSuite {
     assert(enc.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
 
+  test("served encode follows the persisted artifact: identity on own model, divergence on a doctored one") {
+    import spark.implicits._
+    val dir = TestSpark.sf0001
+    // own model: train -> write -> read -> apply is byte-identical to the scan form
+    val scan = TextAnalysis.textBpeEncode(spark, dir).collect().map(_.toString).toSeq
+    val served = TextAnalysis.textBpeEncodeServedQuery(spark, dir).collect().map(_.toString).toSeq
+    assert(scan == served, "served encode diverged from the scan encode under the same model")
+    // doctored model: persist a TRUNCATED merge table (first trained
+    // merge only); the serve must follow the FILE (no retraining) —
+    // counts match the in-memory reference under exactly that one merge,
+    // and differ from the full table (merges 2..K each merged something)
+    val tmp = java.nio.file.Files.createTempDirectory("bpe-doctored").toString
+    val first = TextAnalysis.bpeMergesDf(spark, dir)
+      .orderBy(org.apache.spark.sql.functions.col("step")).collect().head
+    val mergeList = Seq((first.getString(1), first.getString(2)))
+    Seq((1L, first.getString(1), first.getString(2), first.getString(3), first.getLong(4)))
+      .toDF("step", "lhs", "rhs", "merged", "pair_count")
+      .write.mode("overwrite").parquet(s"$tmp/merges")
+    val got = TextAnalysis.textBpeEncodeServed(spark, dir, tmp).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val want = spark.read.parquet(s"$dir/documents.parquet")
+      .selectExpr("doc_id", "text").collect()
+      .map { r =>
+        val ws = Option(r.getString(1)).getOrElse("")
+          .split(graft.functions.TextFns.WhitespaceRegex).filter(_.nonEmpty).toSeq
+        r.getLong(0) -> ws.map(referenceEncode(_, mergeList).size.toLong).sum
+      }.toMap
+    assert(got == want, "served encode did not follow the doctored merge table")
+    // and the doctored model genuinely changes something vs the trained one
+    val trained = TextAnalysis.textBpeEncode(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got != trained, "doctored model produced identical counts — the arm proves nothing")
+  }
+
   test("training reads the corpus once: merge iterations run over the cached vocabulary") {
     val dir = TestSpark.sf0001
     val docBytes = new java.io.File(s"$dir/documents.parquet").listFiles() match {
