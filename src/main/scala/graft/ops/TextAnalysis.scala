@@ -541,6 +541,33 @@ object TextAnalysis {
     bpeEncodePresentation(bpeDocCountsWith(s, dir, vocab))
   }
 
+  /** Per-source `(source, n_docs, n_tokens)` of a DOCUMENT FRAME under
+    * an explicit merge list — the streaming token ledger's per-trigger
+    * unit of work. The apply runs over the frame's own DISTINCT words
+    * (batch-vocabulary-sized — per-trigger cost is proportional to the
+    * batch, never the corpus), then the frame pays one explode + word
+    * join + two-level aggregation; token-less docs count toward
+    * `n_docs` with zero tokens, exactly like [[bpeDocCounts]]. Encoding
+    * is per-word and the merges are FROZEN, so counting batch-by-batch
+    * and summing equals one whole-corpus encode — bit-exactly. */
+  private[graft] def bpeSourceCounts(docs: DataFrame,
+      merges: Seq[(String, String)]): DataFrame = {
+    val vocab = bpeApplyMerges(
+      docs.select(explode(TextFns.tokens(col("text"))).as("word")).distinct()
+        .select(col("word"), concat_ws(" ", split(col("word"), "")).as("w")),
+      merges)
+    val enc = vocab.select(col("word"),
+      size(split(col("w"), " ")).cast("long").as("n_syms"))
+    docs.select(col("doc_id"), col("source"),
+        explode_outer(TextFns.tokens(col("text"))).as("word"))
+      .join(enc, Seq("word"), "left")
+      .groupBy(col("doc_id"), col("source"))
+      .agg(coalesce(sum(col("n_syms")), lit(0L)).as("n_tokens"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).cast("long").as("n_tokens"))
+  }
+
   private val builtBpeModels = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** The memoized persisted tokenizer model for `dir` (written on first
@@ -1971,13 +1998,18 @@ object TextAnalysis {
     * MATERIALIZED: each is referenced twice (next step's pair count
     * and next apply), and default CTE inlining would duplicate the
     * base scan 2^K times. */
-  private lazy val bpeChainCtesSql: String = {
+  private lazy val bpeChainCtesSql: String = bpeChainCtesSqlWhere("TRUE")
+
+  /** The chain with the TRAINING corpus restricted to `cond` (the
+    * streaming token ledger trains its shipped model on the seed slice
+    * only); the default TRUE trains on the whole table. */
+  private[graft] def bpeChainCtesSqlWhere(cond: String): String = {
     val sb = new StringBuilder
     sb.append(
       s"""s0 AS MATERIALIZED (
          |  SELECT array_to_string(regexp_split_to_array(word, ''), ' ') AS w,
          |         CAST(count(*) AS BIGINT) AS freq
-         |  FROM (SELECT unnest($tokSql) AS word FROM documents)
+         |  FROM (SELECT unnest($tokSql) AS word FROM documents WHERE $cond)
          |  GROUP BY word)""".stripMargin)
     (1 to bpeTrainMerges).foreach { t =>
       sb.append(
@@ -1995,6 +2027,33 @@ object TextAnalysis {
            |    coalesce((SELECT ' ' || l || ' ' || r || ' ' FROM b$t), chr(1)),
            |    coalesce((SELECT ' ' || l || r || ' ' FROM b$t), chr(1)))) AS w, freq
            |  FROM s${t - 1})""".stripMargin)
+    }
+    sb.toString
+  }
+
+  /** Apply chain over the FULL corpus vocabulary under the merge
+    * argmaxes `b1..bK` of a (possibly slice-trained)
+    * [[bpeChainCtesSqlWhere]] chain — `f0` (distinct full-corpus words
+    * in split-symbol form) through `f{K}`, each step the same
+    * boundary-anchored double replace with the step's learned pair.
+    * For oracles whose model is TRAINED on a slice but APPLIED to
+    * everything (the streaming token ledger's frozen shipped model). */
+  private[graft] lazy val bpeForeignApplyCtesSql: String = {
+    val sb = new StringBuilder
+    sb.append(
+      s"""f0 AS MATERIALIZED (
+         |  SELECT DISTINCT array_to_string(regexp_split_to_array(word, ''), ' ') AS w
+         |  FROM (SELECT unnest($tokSql) AS word FROM documents))""".stripMargin)
+    (1 to bpeTrainMerges).foreach { t =>
+      sb.append(
+        s""",
+           |f$t AS MATERIALIZED (
+           |  SELECT trim(replace(replace(' ' || w || ' ',
+           |    coalesce((SELECT ' ' || l || ' ' || r || ' ' FROM b$t), chr(1)),
+           |    coalesce((SELECT ' ' || l || r || ' ' FROM b$t), chr(1))),
+           |    coalesce((SELECT ' ' || l || ' ' || r || ' ' FROM b$t), chr(1)),
+           |    coalesce((SELECT ' ' || l || r || ' ' FROM b$t), chr(1)))) AS w
+           |  FROM f${t - 1})""".stripMargin)
     }
     sb.toString
   }

@@ -80,14 +80,94 @@ object TextIngest {
     TextAnalysis.textBm25Served(s, s"$root/index")
   }
 
+  /** TOKEN LEDGER AT ADMISSION — the dataset-budget dashboard number,
+    * kept current while data streams in: each landed batch is encoded
+    * under the FROZEN shipped tokenizer (a [[TextAnalysis.bpeModelWrite]]
+    * artifact trained on the standing corpus at deployment — streaming
+    * data never retrains the tokenizer, exactly like production) and
+    * appends its per-source `(n_docs, n_tokens)` rows to a ledger.
+    * Per-trigger cost is batch-sized: the merge apply runs over the
+    * BATCH's distinct words, the artifact is one bounded driver read at
+    * stream start, and nothing standing is re-read. Idempotence needs
+    * no marker here: each batch writes to its own DETERMINISTIC path
+    * with overwrite, so an at-least-once retry replaces its own rows
+    * instead of double-counting. Counting batch-by-batch under frozen
+    * merges sums to exactly one whole-corpus encode
+    * ([[TextAnalysis.bpeSourceCounts]]'s contract). */
+  def streamTokenLedgerToFiles(s: SparkSession, landingDir: String, modelDir: String,
+      ledgerDir: String, checkpointDir: String): Unit = {
+    val merges = TextAnalysis.bpeModelMerges(s, modelDir)
+    IngestDedup.runLandingStream(s, landingDir, checkpointDir) { (batch, batchId) =>
+      TextAnalysis.bpeSourceCounts(batch, merges)
+        .withColumn("batch_id", lit(batchId))
+        .coalesce(1).write.mode("overwrite").parquet(s"$ledgerDir/b$batchId")
+    }
+  }
+
+  /** Registered-query replay: train + persist the tokenizer on the
+    * modulo-0 seed slice (the deployment moment — the model the stream
+    * serves is FROZEN at these merges), stamp the seed's own ledger
+    * rows, stream the remaining slices through the ledger loop, then
+    * report per-source totals over seed + streamed batches. The oracle
+    * restates the split: merges trained on the seed slice ONLY
+    * (`bpeChainCtesSqlWhere`), applied to the FULL corpus
+    * (`bpeForeignApplyCtesSql`), grouped by source. */
+  def streamTokenLedger(s: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables(s, dir, "documents")
+    val root = IngestDedup.stageLanding(s, docs,
+        batches = 1 until IngestDedup.ingestBatches) { root =>
+      docs.filter(pmod(col("doc_id"), lit(IngestDedup.ingestBatches.toLong)) === 0)
+        .write.mode("overwrite").parquet(s"$root/seed/documents.parquet")
+      TextAnalysis.bpeModelWrite(s, s"$root/seed", s"$root/model")
+      TextAnalysis.bpeSourceCounts(
+          s.read.parquet(s"$root/seed/documents.parquet"),
+          TextAnalysis.bpeModelMerges(s, s"$root/model"))
+        .withColumn("batch_id", lit(-1L))
+        .coalesce(1).write.mode("overwrite").parquet(s"$root/ledger/seed")
+    }
+    streamTokenLedgerToFiles(s, s"$root/landing/flat", s"$root/model",
+      s"$root/ledger", s"$root/checkpoint")
+    // explicit subdir list (not a glob): a glob path makes the batch
+    // reader probe it for a streaming-sink metadata dir and log a
+    // spurious FileNotFound warning
+    val parts = new java.io.File(s"$root/ledger").listFiles()
+      .filter(_.isDirectory).map(_.toString).sorted.toSeq
+    s.read.parquet(parts: _*)
+      .groupBy(col("source"))
+      .agg(sum(col("n_docs")).cast("long").as("n_docs"),
+        sum(col("n_tokens")).cast("long").as("n_tokens"))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "stream_text_ingest" -> streamTextIngest _
+    "stream_text_ingest" -> streamTextIngest _,
+    "stream_token_ledger" -> streamTokenLedger _
   )
 
   val oracles: Map[String, String] = Map(
     // df + ranking over the grown (full) corpus; n_docs/avgdl frozen
     // at the seed build — the uncompacted-append staleness semantic
     "stream_text_ingest" -> TextAnalysis.bm25OracleSqlSeedStats(
-      s"doc_id % ${IngestDedup.ingestBatches} = 0")
+      s"doc_id % ${IngestDedup.ingestBatches} = 0"),
+    // merges trained on the seed slice only, applied to the full corpus
+    // (the foreign-vocabulary apply chain), per-source totals
+    "stream_token_ledger" ->
+      s"""WITH ${TextAnalysis.bpeChainCtesSqlWhere(
+               s"doc_id % ${IngestDedup.ingestBatches} = 0")},
+         |${TextAnalysis.bpeForeignApplyCtesSql},
+         |enc AS (
+         |  SELECT replace(w, ' ', '') AS word,
+         |         CAST(len(string_split(w, ' ')) AS BIGINT) AS n_syms
+         |  FROM f${TextAnalysis.bpeTrainMerges}),
+         |tok AS (SELECT doc_id, unnest(${graft.functions.TextFns.duckTokSql}) AS word
+         |        FROM documents),
+         |dagg AS (
+         |  SELECT t.doc_id, CAST(sum(e.n_syms) AS BIGINT) AS n_tokens
+         |  FROM tok t JOIN enc e ON t.word = e.word
+         |  GROUP BY t.doc_id)
+         |SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(coalesce(sum(a.n_tokens), 0) AS BIGINT) AS n_tokens
+         |FROM documents d LEFT JOIN dagg a ON d.doc_id = a.doc_id
+         |GROUP BY d.source ORDER BY d.source""".stripMargin
   )
 }

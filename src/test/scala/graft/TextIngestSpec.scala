@@ -90,4 +90,49 @@ class TextIngestSpec extends AnyFunSuite {
     IndexMaintenance.checkUnique(spark, s"$r/index/postings",
       Seq("term", "doc_id"), "doc_id")
   }
+
+  test("streaming token ledger: batch-by-batch totals == one whole-corpus encode under the frozen seed model; redelivery double-counts nothing") {
+    val r = java.nio.file.Files.createTempDirectory("graft-ledger-spec").toString
+    val docs = Tables(spark, TestSpark.sf0001, "documents")
+    (0 until 3).foreach { b =>
+      docs.filter(pmod(col("doc_id"), lit(3)) === b)
+        .write.mode("overwrite").parquet(s"$r/slice_$b/documents.parquet")
+    }
+    TextAnalysis.bpeModelWrite(spark, s"$r/slice_0", s"$r/model")
+    val merges = TextAnalysis.bpeModelMerges(spark, s"$r/model")
+    assert(merges.nonEmpty)
+    // seed's own ledger rows, stamped at deployment
+    TextAnalysis.bpeSourceCounts(
+        spark.read.parquet(s"$r/slice_0/documents.parquet"), merges)
+      .withColumn("batch_id", lit(-1L))
+      .coalesce(1).write.mode("overwrite").parquet(s"$r/ledger/seed")
+    land(r, 1, "batch_1"); land(r, 2, "batch_2")
+    graft.streaming.TextIngest.streamTokenLedgerToFiles(spark, s"$r/landing",
+      s"$r/model", s"$r/ledger", s"$r/checkpoint")
+    def totals(): Seq[(String, Long, Long)] = {
+      val parts = new java.io.File(s"$r/ledger").listFiles()
+        .filter(_.isDirectory).map(_.toString).sorted.toSeq
+      spark.read.parquet(parts: _*)
+        .groupBy(col("source"))
+        .agg(sum(col("n_docs")).cast("long").as("n_docs"),
+          sum(col("n_tokens")).cast("long").as("n_tokens"))
+        .collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2))).sorted.toSeq
+    }
+    val got = totals()
+    // batch-by-batch accounting under FROZEN merges == one whole-corpus
+    // encode under the same merges (bpeSourceCounts' exactness contract)
+    val want = TextAnalysis.bpeSourceCounts(docs, merges).collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2))).sorted.toSeq
+    assert(got.nonEmpty && got === want,
+      s"ledger totals diverged from the whole-corpus encode:\n got: $got\nwant: $want")
+    // redelivery: lose the last commit marker and re-run — the
+    // deterministic per-batch overwrite replaces rows, never adds
+    val commits = new java.io.File(s"$r/checkpoint/commits")
+      .listFiles().filter(_.getName.forall(_.isDigit)).maxBy(_.getName.toInt)
+    new java.io.File(commits.getParentFile, s".${commits.getName}.crc").delete()
+    assert(commits.delete(), "could not remove the last commit marker")
+    graft.streaming.TextIngest.streamTokenLedgerToFiles(spark, s"$r/landing",
+      s"$r/model", s"$r/ledger", s"$r/checkpoint")
+    assert(totals() === want, "redelivered batch double-counted ledger rows")
+  }
 }
