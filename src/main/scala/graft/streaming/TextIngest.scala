@@ -93,14 +93,110 @@ object TextIngest {
     * with overwrite, so an at-least-once retry replaces its own rows
     * instead of double-counting. Counting batch-by-batch under frozen
     * merges sums to exactly one whole-corpus encode
-    * ([[TextAnalysis.bpeSourceCounts]]'s contract). */
+    * ([[TextAnalysis.bpeSourceCounts]]'s contract). Every
+    * [[IngestDedup.ingestCompactEvery]]-th trigger rolls the ledger up
+    * ([[ledgerCompact]]) so the dir count stays bounded by the cadence
+    * instead of growing one-per-trigger forever. */
   def streamTokenLedgerToFiles(s: SparkSession, landingDir: String, modelDir: String,
       ledgerDir: String, checkpointDir: String): Unit = {
     val merges = TextAnalysis.bpeModelMerges(s, modelDir)
-    IngestDedup.runLandingStream(s, landingDir, checkpointDir) { (batch, batchId) =>
+    IngestDedup.runLandingStream(s, landingDir, checkpointDir,
+      maintenance = batchId =>
+        if ((batchId + 1) % IngestDedup.ingestCompactEvery == 0)
+          ledgerCompact(s, ledgerDir, upTo = batchId)) { (batch, batchId) =>
       TextAnalysis.bpeSourceCounts(batch, merges)
         .withColumn("batch_id", lit(batchId))
         .coalesce(1).write.mode("overwrite").parquet(s"$ledgerDir/b$batchId")
+    }
+  }
+
+  private val ledgerBatchRe = "^b(\\d+)$".r
+  private val ledgerCompactedRe = "^c(\\d+)$".r
+
+  /** Live ledger parts under the sequence-stamp convention: the highest
+    * `c<hwm>` rollup (if any) plus every `b<i>` with `i > hwm` plus the
+    * `seed` rows when no rollup has absorbed them yet. Everything else
+    * in the directory — older rollups, covered batch dirs a crashed
+    * sweep left behind, `.cstage` staging — is ignored, which is what
+    * makes the compact crash-safe at every boundary. */
+  private def ledgerLiveParts(ledgerDir: String): Seq[String] = {
+    val entries = Option(new java.io.File(ledgerDir).listFiles()).getOrElse(Array.empty)
+      .filter(_.isDirectory)
+    val hwm = entries.flatMap(f => f.getName match {
+      case ledgerCompactedRe(n) => Some(n.toLong)
+      case _ => None
+    }).sorted.lastOption
+    entries.filter { f =>
+      f.getName match {
+        case ledgerCompactedRe(n) => hwm.contains(n.toLong)
+        case ledgerBatchRe(n) => hwm.forall(n.toLong > _)
+        case "seed" => hwm.isEmpty
+        case _ => false
+      }
+    }.map(_.toString).sorted.toSeq
+  }
+
+  /** Per-source totals over the live ledger parts. */
+  private[graft] def ledgerTotals(s: SparkSession, ledgerDir: String): DataFrame =
+    s.read.parquet(ledgerLiveParts(ledgerDir): _*)
+      .groupBy(col("source"))
+      .agg(sum(col("n_docs")).cast("long").as("n_docs"),
+        sum(col("n_tokens")).cast("long").as("n_tokens"))
+      .orderBy(col("source"))
+
+  /** Roll the ledger up to one per-source dir — the small-files answer:
+    * without it a long-running stream accumulates one directory per
+    * trigger forever (a year of minute-triggers is ~525k dirs) and
+    * every read lists them all. Covers the seed rows, any previous
+    * rollup, and every committed batch BELOW `upTo` — never the
+    * in-flight batch, whose trigger may still retry and rewrite its
+    * `b` dir (covering it would double-count the redelivery). The swap
+    * is the repo's sequence-stamp pattern: write to a dot-prefixed
+    * staging dir, rename to `c<upTo-1>` (the atomic commit point —
+    * readers switch to the new rollup and ignore everything it
+    * covers), then sweep the covered dirs; a crash between rename and
+    * sweep leaves garbage the READER already ignores and the next
+    * compact deletes — the sweep runs on EVERY invocation, even when
+    * there is nothing new to roll up, so stale redelivery rewrites of
+    * already-covered batches are also collected. */
+  private[graft] def ledgerCompact(s: SparkSession, ledgerDir: String, upTo: Long): Unit = {
+    val live = ledgerLiveParts(ledgerDir).filter { p =>
+      new java.io.File(p).getName match {
+        case ledgerBatchRe(n) => n.toLong < upTo
+        case _ => true // seed or current rollup
+      }
+    }
+    if (live.size > 1) {
+      val stage = new java.io.File(s"$ledgerDir/.cstage")
+      if (stage.exists()) org.apache.commons.io.FileUtils.deleteDirectory(stage)
+      s.read.parquet(live: _*)
+        .groupBy(col("source"))
+        .agg(sum(col("n_docs")).cast("long").as("n_docs"),
+          sum(col("n_tokens")).cast("long").as("n_tokens"))
+        .withColumn("batch_id", lit(upTo - 1))
+        .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val target = new java.io.File(s"$ledgerDir/c${upTo - 1}")
+      require(stage.renameTo(target), s"ledger rollup rename failed: $target")
+    }
+    // lazy sweep under the CURRENT high-water mark (re-listed, so it
+    // covers both what this rollup superseded and leftovers of earlier
+    // crashed sweeps or post-rollup redelivery rewrites)
+    val entries = Option(new java.io.File(ledgerDir).listFiles())
+      .getOrElse(Array.empty).filter(_.isDirectory)
+    entries.flatMap(f => f.getName match {
+      case ledgerCompactedRe(n) => Some(n.toLong)
+      case _ => None
+    }).sorted.lastOption.foreach { hwm =>
+      entries.foreach { f =>
+        f.getName match {
+          case ledgerCompactedRe(n) if n.toLong < hwm =>
+            org.apache.commons.io.FileUtils.deleteDirectory(f)
+          case ledgerBatchRe(n) if n.toLong <= hwm =>
+            org.apache.commons.io.FileUtils.deleteDirectory(f)
+          case "seed" => org.apache.commons.io.FileUtils.deleteDirectory(f)
+          case _ => ()
+        }
+      }
     }
   }
 
@@ -127,16 +223,7 @@ object TextIngest {
     }
     streamTokenLedgerToFiles(s, s"$root/landing/flat", s"$root/model",
       s"$root/ledger", s"$root/checkpoint")
-    // explicit subdir list (not a glob): a glob path makes the batch
-    // reader probe it for a streaming-sink metadata dir and log a
-    // spurious FileNotFound warning
-    val parts = new java.io.File(s"$root/ledger").listFiles()
-      .filter(_.isDirectory).map(_.toString).sorted.toSeq
-    s.read.parquet(parts: _*)
-      .groupBy(col("source"))
-      .agg(sum(col("n_docs")).cast("long").as("n_docs"),
-        sum(col("n_tokens")).cast("long").as("n_tokens"))
-      .orderBy(col("source"))
+    ledgerTotals(s, s"$root/ledger")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

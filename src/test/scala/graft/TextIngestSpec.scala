@@ -109,15 +109,9 @@ class TextIngestSpec extends AnyFunSuite {
     land(r, 1, "batch_1"); land(r, 2, "batch_2")
     graft.streaming.TextIngest.streamTokenLedgerToFiles(spark, s"$r/landing",
       s"$r/model", s"$r/ledger", s"$r/checkpoint")
-    def totals(): Seq[(String, Long, Long)] = {
-      val parts = new java.io.File(s"$r/ledger").listFiles()
-        .filter(_.isDirectory).map(_.toString).sorted.toSeq
-      spark.read.parquet(parts: _*)
-        .groupBy(col("source"))
-        .agg(sum(col("n_docs")).cast("long").as("n_docs"),
-          sum(col("n_tokens")).cast("long").as("n_tokens"))
+    def totals(): Seq[(String, Long, Long)] =
+      graft.streaming.TextIngest.ledgerTotals(spark, s"$r/ledger")
         .collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2))).sorted.toSeq
-    }
     val got = totals()
     // batch-by-batch accounting under FROZEN merges == one whole-corpus
     // encode under the same merges (bpeSourceCounts' exactness contract)
@@ -134,5 +128,35 @@ class TextIngestSpec extends AnyFunSuite {
     graft.streaming.TextIngest.streamTokenLedgerToFiles(spark, s"$r/landing",
       s"$r/model", s"$r/ledger", s"$r/checkpoint")
     assert(totals() === want, "redelivered batch double-counted ledger rows")
+
+    // ROLLUP: compacting seed + all committed batches into one c<hwm>
+    // dir changes nothing observable and bounds the dir count
+    graft.streaming.TextIngest.ledgerCompact(spark, s"$r/ledger", upTo = 2L)
+    def dirs(): Seq[String] = new java.io.File(s"$r/ledger").listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted.toSeq
+    assert(dirs() === Seq("c1"), s"rollup left uncovered dirs: ${dirs()}")
+    assert(totals() === want, "rollup changed the ledger totals")
+    // crashed-sweep window: a covered batch dir reappearing next to the
+    // rollup (rename done, sweep pending) must be IGNORED by the reader
+    spark.read.parquet(s"$r/ledger/c1").limit(1)
+      .selectExpr("source", "CAST(999999 AS BIGINT) AS n_docs",
+        "CAST(999999 AS BIGINT) AS n_tokens", "CAST(0 AS BIGINT) AS batch_id")
+      .write.mode("overwrite").parquet(s"$r/ledger/b0")
+    assert(totals() === want, "reader counted a batch dir the rollup already covers")
+    // redelivery AFTER the rollup: the re-presented batch rewrites its
+    // b dir below the high-water mark; the reader ignores it (already
+    // in the rollup) — no double count from the compact/retry interplay
+    val commits2 = new java.io.File(s"$r/checkpoint/commits")
+      .listFiles().filter(_.getName.forall(_.isDigit)).maxBy(_.getName.toInt)
+    new java.io.File(commits2.getParentFile, s".${commits2.getName}.crc").delete()
+    assert(commits2.delete(), "could not remove the last commit marker")
+    graft.streaming.TextIngest.streamTokenLedgerToFiles(spark, s"$r/landing",
+      s"$r/model", s"$r/ledger", s"$r/checkpoint")
+    assert(totals() === want, "post-rollup redelivery double-counted")
+    // and the next compact invocation sweeps the stale rewrites even
+    // with nothing new to roll up (the every-invocation sweep)
+    graft.streaming.TextIngest.ledgerCompact(spark, s"$r/ledger", upTo = 3L)
+    assert(dirs() === Seq("c1"), s"sweep left stale dirs: ${dirs()}")
+    assert(totals() === want, "sweep changed the ledger totals")
   }
 }
