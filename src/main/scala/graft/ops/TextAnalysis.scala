@@ -489,9 +489,16 @@ object TextAnalysis {
     * leaves unmatched, so the zero rows fall out of the same
     * aggregation instead of a second documents scan + doc_id join;
     * `source` rides along (functionally dependent on doc_id) so the
-    * packing twin needs no re-join either. */
+    * packing twin needs no re-join either. MEMOIZED per (session,
+    * corpus): the packing twin's two-level prefix scan consumes the
+    * frame TWICE (bucket totals + join-back), and without the memo
+    * each copy re-runs the corpus explode + vocabulary join — the memo
+    * makes both copies (and the encode query itself) one
+    * InMemoryTableScan, pinned in `PlanGuardSpec`. One row per doc —
+    * the same cache weight class as the dedup shingle memos. */
   private[ops] def bpeDocCounts(s: SparkSession, dir: String): DataFrame =
-    bpeDocCountsWith(s, dir, bpeEncodedVocab(s, dir))
+    PlanCache.memoized(s, s"$dir|bpe_doc_counts")(
+      bpeDocCountsWith(s, dir, bpeEncodedVocab(s, dir)))
 
   /** [[bpeDocCounts]] under an explicit encoded vocabulary (the served
     * form passes the persisted model's apply). */
@@ -774,16 +781,25 @@ object TextAnalysis {
   def textBigramLm(s: SparkSession, dir: String): DataFrame = {
     val toks = Tables(s, dir, "documents")
       .select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
+    // the explicit isNotNull filters are semantic no-ops (words are
+    // never null) that keep every copy of the dbc/tfc subtrees
+    // CANONICALLY identical — join-pushed null checks would otherwise
+    // appear on some copies only, blocking AQE's exchange reuse and
+    // re-tokenizing the corpus per consumer (the dedup_shared_spans
+    // lesson; pinned in PlanGuardSpec)
     val dbc = toks.filter(size(col("toks")) >= 2)
       .select(col("doc_id"), explode(arrays_zip(
         slice(col("toks"), lit(1), size(col("toks")) - 1).as("v"),
         slice(col("toks"), lit(2), size(col("toks")) - 1).as("w"))).as("p"))
-      .groupBy(col("doc_id"), col("p.v").as("v"), col("p.w").as("w"))
+      .select(col("doc_id"), col("p.v").as("v"), col("p.w").as("w"))
+      .filter(col("v").isNotNull && col("w").isNotNull)
+      .groupBy(col("doc_id"), col("v"), col("w"))
       .agg(count(lit(1)).as("c"))
     val bc = dbc.groupBy(col("v"), col("w")).agg(sum(col("c")).as("bc"))
     val ctx = bc.groupBy(col("v")).agg(sum(col("bc")).as("cfx"))
     val tfc = Tables(s, dir, "documents")
       .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("term"))
+      .filter(col("term").isNotNull)
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("c1"))
     val cf = tfc.groupBy(col("term")).agg(sum(col("c1")).as("cf"))
     val tot = cf.agg(sum(col("cf")).cast("double").as("total"))

@@ -339,6 +339,58 @@ class PlanGuardSpec extends AnyFunSuite {
       "final plan scans documents more than once")
   }
 
+  /** Count LIVE FileSource scans in the runtime plan: recurse through
+    * AQE wrappers and query stages, but NOT into cached relations (the
+    * plan PRINTED inside an InMemoryRelation is lineage, not work) or
+    * reused-exchange references (already counted at their source). */
+  private def liveScans(p: SparkPlan): Int = p match {
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+      liveScans(a.executedPlan)
+    case qs: org.apache.spark.sql.execution.adaptive.QueryStageExec => liveScans(qs.plan)
+    case _: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec => 0
+    case _: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => 0
+    case _: org.apache.spark.sql.execution.FileSourceScanExec => 1
+    case other => other.children.map(liveScans).sum
+  }
+
+  test("text_bpe_encode serves from the doc-counts memo; no forced broadcast") {
+    // the r13 review fix: explode_outer folds the zero-token docs into
+    // ONE corpus scan (inside the memoized counts) instead of a second
+    // documents read + re-join; the memo then serves every consumer
+    val df = q("text_bpe_encode")
+    df.collect() // materializes the memoized encoded vocabulary
+    val txt = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert("InMemoryTableScan".r.findAllIn(txt).nonEmpty,
+      "encoded vocabulary not served from the PlanCache memo")
+    assert(liveScans(df.queryExecution.executedPlan) == 0,
+      "corpus re-scanned — the per-doc counts must come from the bpe_doc_counts memo")
+    // the vocabulary grows with the corpus: the join strategy must come
+    // from stats/AQE, never a hint baked into the plan
+    assert(!df.queryExecution.logical.toString.contains("UnresolvedHint") &&
+      !df.queryExecution.optimizedPlan.toString.contains("ResolvedHint"),
+      "encode join carries a broadcast hint on the growing vocabulary")
+  }
+
+  test("curate_pack_bpe consumes the memoized doc counts twice, scans the corpus never") {
+    // the prefix scan reads its base TWICE (bucket totals + join-back);
+    // without the bpe_doc_counts memo each copy re-ran the corpus
+    // explode + vocabulary join
+    val df = q("curate_pack_bpe")
+    df.collect()
+    val txt = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert("InMemoryTableScan".r.findAllIn(txt).length >= 2,
+      "prefix-scan copies not served from the doc-counts memo")
+    assert(liveScans(df.queryExecution.executedPlan) == 0,
+      "packing twin re-reads documents — both copies must come from the memo")
+  }
+
+  test("text_bigram_lm: exactly the two designed corpus passes (pairs + unigram back-off)") {
+    val df = q("text_bigram_lm")
+    df.collect()
+    assert(liveScans(df.queryExecution.executedPlan) <= 2,
+      "bigram LM scans documents more than its two designed passes")
+  }
+
   test("dedup_shared_spans hashes the corpus once (grouped-frame exchange reused)") {
     // the (doc_id, h) grouped subtree feeds BOTH the span-frequency
     // aggregate and the join-back; the explicit isNotNull(doc_id) in the
