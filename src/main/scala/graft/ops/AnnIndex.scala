@@ -192,6 +192,8 @@ object AnnIndex {
     * reps, repeated sessions on the same corpus) measures SERVING only,
     * which is the deployment-relevant number. */
   private val builtIndexes = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  PlanCache.onClear("AnnIndex.builtIndexes")(() =>
+    PlanCache.drainTempDirs(builtIndexes))
 
   /** The registered-query form: build (once) a persisted index for
     * `dir`'s embeddings, then serve the same stride-sampled query set as

@@ -943,6 +943,8 @@ object Dedup {
   /** One (landing split + signature index) per corpus per JVM for the
     * registered-query form of the indexed incremental check. */
   private val builtDedupIndexes = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  PlanCache.onClear("Dedup.builtDedupIndexes")(() =>
+    PlanCache.drainTempDirs(builtDedupIndexes))
 
   /** Registered-query form: split the corpus into the modulo landing
     * batch and standing corpus ONCE (temp dirs), persist the standing

@@ -14,30 +14,84 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * WeakHashMap still helps when a session is dropped without being
   * referenced by any retained value. Assumes the corpus under the key's
   * dir is immutable while memoized — if files change, call `clear()`.
-  */
+  *
+  * LOCKING (round 14): the global `memo` monitor is held only for map
+  * bookkeeping; each entry is a per-key CELL with its own monitor, and
+  * `build` runs under the cell's. Some builders are EAGER (the BPE
+  * merge table runs its whole multi-job training loop inside `build`),
+  * and under the old single-lock shape every other memoized-plan
+  * consumer on ANY session blocked for that training's full duration;
+  * now only consumers of the SAME key wait (which is the point — they
+  * want its result). Cross-key deadlock-free: a builder that reaches
+  * into another key (bpe_encoded_vocab → bpe_merges) nests cell
+  * monitors in key-DAG order, and the global lock is never held while
+  * a cell's is. */
 private[graft] object PlanCache {
 
+  /** One memo slot: `df` is filled exactly once, under the cell's own
+    * monitor. `null` = not built yet (volatile so clear()'s unpersist
+    * sweep can read it without taking every cell's monitor). */
+  private final class Cell { @volatile var df: DataFrame = _ }
+
   private val memo =
-    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, DataFrame]]()
+    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, Cell]]()
+
+  /** Callbacks run by [[clear]] after the memo sweep — sibling caches
+    * whose validity is tied to the same "corpus files are immutable"
+    * assumption (the persisted demo text index / BPE model temp dirs).
+    * Registration is idempotent by key. */
+  private val clearHooks =
+    scala.collection.mutable.Map[String, () => Unit]()
+
+  private[graft] def onClear(key: String)(hook: () => Unit): Unit =
+    memo.synchronized { clearHooks.getOrElseUpdate(key, hook); () }
 
   /** Memoize `build` as a cached DataFrame under (session, key). The
     * plan is built and `.cache()`d lazily — nothing materializes until a
-    * query actually runs, so construction stays job-free. */
-  def memoized(s: SparkSession, key: String)(build: => DataFrame): DataFrame =
-    memo.synchronized {
+    * query actually runs, so construction stays job-free (for the eager
+    * builders, the jobs run under the per-key cell monitor only). */
+  def memoized(s: SparkSession, key: String)(build: => DataFrame): DataFrame = {
+    val cell = memo.synchronized {
       val it = memo.entrySet().iterator()
       while (it.hasNext) if (it.next().getKey.sparkContext.isStopped) it.remove()
-      val perKey = memo.computeIfAbsent(s, _ => scala.collection.mutable.Map.empty)
-      perKey.getOrElseUpdate(key, build.cache())
+      memo.computeIfAbsent(s, _ => scala.collection.mutable.Map.empty)
+        .getOrElseUpdate(key, new Cell)
     }
+    cell.synchronized {
+      if (cell.df == null) cell.df = build.cache()
+      cell.df
+    }
+  }
 
   /** Unpersist and forget every memoized plan (library consumers call
-    * this when done with a corpus, or after replacing corpus files).
-    * Each unpersist is Try-wrapped so an already-stopped session cannot
+    * this when done with a corpus, or after replacing corpus files),
+    * then run the registered sibling-cache hooks — the persisted demo
+    * artifacts (text index, BPE model) are derived from the same corpus
+    * files and would otherwise keep serving the pre-swap state. Each
+    * unpersist/hook is Try-wrapped so an already-stopped session cannot
     * abort the sweep and leak the remaining entries. */
   def clear(): Unit = memo.synchronized {
-    memo.values.forEach(_.values.foreach(df => scala.util.Try(df.unpersist())))
+    memo.values.forEach(_.values.foreach(c =>
+      Option(c.df).foreach(df => scala.util.Try(df.unpersist()))))
     memo.clear()
+    clearHooks.values.foreach(h => scala.util.Try(h()))
+  }
+
+  /** [[onClear]] helper for the per-JVM persisted-artifact memos
+    * (`built*` maps: corpus dir → local TEMP dir holding a demo
+    * artifact built from it): forget every entry and delete its temp
+    * dir. Local `java.io` deletion is correct here BY CONSTRUCTION —
+    * these dirs come from `Files.createTempDirectory`, never from a
+    * deployment filesystem (unlike the ledger/index dirs, which go
+    * through the Hadoop FS API). */
+  private[graft] def drainTempDirs(
+      m: java.util.concurrent.ConcurrentHashMap[String, String]): Unit = {
+    val it = m.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next(); it.remove()
+      scala.util.Try(org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(e.getValue)))
+    }
   }
 
   /** Drop (and unpersist) this session's memoized plans whose key
@@ -47,7 +101,7 @@ private[graft] object PlanCache {
   def invalidate(s: SparkSession, prefix: String): Unit = memo.synchronized {
     Option(memo.get(s)).foreach { perKey =>
       perKey.keys.filter(_.startsWith(prefix)).toSeq.foreach { k =>
-        scala.util.Try(perKey(k).unpersist())
+        Option(perKey(k).df).foreach(df => scala.util.Try(df.unpersist()))
         perKey -= k
       }
     }

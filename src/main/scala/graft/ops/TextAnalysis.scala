@@ -576,6 +576,12 @@ object TextAnalysis {
   }
 
   private val builtBpeModels = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  // corpus-derived like the PlanCache memos: a corpus swap at the same
+  // path must drop the frozen model too, or text_bpe_encode_served keeps
+  // serving the pre-swap merges while text_bpe_encode retrains (r13
+  // advice) — same clear() entry point, temp dirs deleted
+  PlanCache.onClear("TextAnalysis.builtBpeModels")(() =>
+    PlanCache.drainTempDirs(builtBpeModels))
 
   /** The memoized persisted tokenizer model for `dir` (written on first
     * use) — the served-encode registered query's artifact, mirroring
@@ -1870,6 +1876,8 @@ object TextAnalysis {
   /** One persisted text index per corpus per JVM for the registered
     * query (build lazily once; bench reps measure SERVING only). */
   private val builtTextIndexes = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  PlanCache.onClear("TextAnalysis.builtTextIndexes")(() =>
+    PlanCache.drainTempDirs(builtTextIndexes))
 
   /** The memoized persisted text index for `dir` (built on first use) —
     * shared by the whole lexical serving family including the hybrid

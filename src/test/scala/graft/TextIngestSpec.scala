@@ -158,5 +158,74 @@ class TextIngestSpec extends AnyFunSuite {
     graft.streaming.TextIngest.ledgerCompact(spark, s"$r/ledger", upTo = 3L)
     assert(dirs() === Seq("c1"), s"sweep left stale dirs: ${dirs()}")
     assert(totals() === want, "sweep changed the ledger totals")
+
+    // CONCURRENT READ DURING COMPACT (r14): totals and rollups share
+    // the index-scoped maintenance lock+lease, so a reader that listed
+    // live parts can never have them swept mid-read. Churn the ledger
+    // (new live dirs + covering rollups + sweeps) while a reader loops;
+    // the zero-row batch dirs keep the expected totals constant.
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val readerErr = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val reader = new Thread(() => {
+      try while (!stop.get()) assert(totals() === want)
+      catch { case t: Throwable => readerErr.set(t) }
+    })
+    // zero-row batch dirs (materialized schema — the churn sweeps the
+    // dir a lazy frame would re-read) keep the expected totals constant
+    val zero = spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+      spark.read.parquet(s"$r/ledger/c1").schema)
+    reader.start()
+    try (4L to 13L).foreach { i =>
+      zero.write.mode("overwrite").parquet(s"$r/ledger/b$i")
+      graft.streaming.TextIngest.ledgerCompact(spark, s"$r/ledger", upTo = i + 1)
+    } finally { stop.set(true); reader.join(60000) }
+    assert(readerErr.get() == null,
+      s"concurrent ledgerTotals failed during compaction churn: ${readerErr.get()}")
+    assert(dirs() === Seq("c13"), s"churn left uncovered dirs: ${dirs()}")
+    assert(totals() === want, "churn changed the ledger totals")
+  }
+
+  test("token ledger cadence: alarm fires off the floor, and a 12-batch stream keeps the dir count bounded") {
+    // the wiring: alarmCadenceAt runs the compaction on the floor OR
+    // when the extra debt probe trips, and passes the batch id through
+    val fired = scala.collection.mutable.ArrayBuffer[Long]()
+    var debt = false
+    val cadence = graft.streaming.IngestDedup.alarmCadenceAt(spark, Seq.empty,
+      due = () => debt)(fired += _)
+    cadence(3L); assert(fired.isEmpty, "compaction ran with no floor and no debt")
+    debt = true; cadence(4L)
+    assert(fired.toSeq == Seq(4L), "debt alarm did not fire the compaction off the floor")
+    debt = false
+    cadence(graft.streaming.IngestDedup.ingestCompactEvery - 1L)
+    assert(fired.size == 2, "floor boundary did not fire the compaction")
+
+    // end to end: 12 streamed batches cross the floor once; the live
+    // dir count afterwards is bounded by the cadence, not the stream
+    // length, and totals still equal one whole-corpus encode
+    val r = java.nio.file.Files.createTempDirectory("graft-ledger-alarm").toString
+    val docs = Tables(spark, TestSpark.sf0001, "documents")
+    val nB = 12
+    graft.ops.TextAnalysis.bpeModelWrite(spark, TestSpark.sf0001, s"$r/model")
+    val merges = graft.ops.TextAnalysis.bpeModelMerges(spark, s"$r/model")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$r/landing"))
+    (0 until nB).foreach { b =>
+      val tmp = s"$r/stage_$b"
+      docs.filter(pmod(col("doc_id"), lit(nB.toLong)) === b)
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      new java.io.File(tmp).listFiles().filter(_.getName.endsWith(".parquet")).foreach { f =>
+        java.nio.file.Files.move(f.toPath,
+          java.nio.file.Paths.get(s"$r/landing/batch_$b.parquet"))
+      }
+    }
+    graft.streaming.TextIngest.streamTokenLedgerToFiles(spark, s"$r/landing",
+      s"$r/model", s"$r/ledger", s"$r/checkpoint")
+    val nDirs = new java.io.File(s"$r/ledger").listFiles().count(_.isDirectory)
+    assert(nDirs <= graft.streaming.IngestDedup.ingestCompactEvery,
+      s"$nB streamed batches left $nDirs ledger dirs — the cadence is not bounding the count")
+    val got = graft.streaming.TextIngest.ledgerTotals(spark, s"$r/ledger")
+      .collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2))).sorted.toSeq
+    val want = graft.ops.TextAnalysis.bpeSourceCounts(docs, merges).collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2))).sorted.toSeq
+    assert(got === want, "bounded-dir ledger totals diverged from the whole-corpus encode")
   }
 }
