@@ -302,7 +302,71 @@ object SelfChecks {
       s"rows=${rows.length} bad=$bad dropped=${rows.count(_._3 == 0L)}")
   }
 
+  /** Scale-mode BPE trainer contract: the registered
+    * `text_bpe_train_scaled` merge table is bit-equal to an independent
+    * in-memory replay of the SAME rules (batched non-conflicting
+    * selection greedy by count desc / lex tie-break; canonical
+    * left-to-right non-overlapping apply) over the collected
+    * word-frequency vocabulary — the reference `BpeTrainSpec` pins on
+    * planted corpora, run here against the Verify corpus itself. The
+    * stateful batched scan has no tractable SQL restatement, hence
+    * rows-only. */
+  private def bpeTrainScaledCheck(s: SparkSession, dir: String): CheckResult = {
+    var vocab: Map[String, Long] = Tables(s, dir, "documents")
+      .select(explode(graft.functions.TextFns.tokens(col("text"))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .collect().map(r => r.getString(0).split("").mkString(" ") -> r.getLong(1)).toMap
+    val k = ops.TextAnalysis.bpeScaledTrainMerges
+    val batchM = ops.TextAnalysis.bpeBatchMerges
+    val want = scala.collection.mutable.ArrayBuffer[(Long, String, String, String, Long)]()
+    var done = false
+    while (want.size < k && !done) {
+      val counts = scala.collection.mutable.Map[(String, String), Long]().withDefaultValue(0L)
+      vocab.foreach { case (w, f) =>
+        w.split(" ").sliding(2).foreach {
+          case Array(l, r) => counts((l, r)) += f
+          case _ =>
+        }
+      }
+      if (counts.isEmpty) done = true
+      else {
+        val wantN = math.min(batchM, k - want.size)
+        val used = scala.collection.mutable.Set[String]()
+        val admitted = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
+        counts.toSeq.sortBy { case ((l, r), c) => (-c, l, r) }.iterator
+          .takeWhile(_ => admitted.size < wantN)
+          .foreach { case ((l, r), c) =>
+            if (!used(l) && !used(r) && !used(l + r)) {
+              admitted += ((l, r, c)); used += l; used += r; used += (l + r)
+            }
+          }
+        admitted.foreach { case (l, r, c) => want += ((want.size + 1L, l, r, l + r, c)) }
+        val m = admitted.map { case (l, r, _) => (l, r) -> (l + r) }.toMap
+        vocab = vocab.map { case (w, f) =>
+          val res = scala.collection.mutable.ArrayBuffer[String]()
+          var pend = ""
+          w.split(" ").foreach { x =>
+            m.get((pend, x)) match {
+              case Some(merged) => res += merged; pend = ""
+              case None => if (pend.nonEmpty) res += pend; pend = x
+            }
+          }
+          if (pend.nonEmpty) res += pend
+          res.mkString(" ") -> f
+        }
+      }
+    }
+    val got = ops.TextAnalysis.textBpeTrainScaledQuery(s, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+      .toSeq
+    CheckResult(got.nonEmpty && got == want.toSeq,
+      "batched+canonical BPE induction is a stateful scan with no tractable SQL restatement",
+      "merge table bit-equal to an independent in-memory reference trainer over the collected vocabulary",
+      s"merges=${got.size} match=${got == want.toSeq}")
+  }
+
   val checks: Map[String, (SparkSession, String) => CheckResult] = Map(
+    "text_bpe_train_scaled" -> (bpeTrainScaledCheck _),
     "sim_ivf_topk_trained" -> annCheck(ops.Similarity.simIvfTopkTrained,
       "k-means training sums floats in partition order; centroids are not bit-reproducible in SQL"),
     "sim_ivf_topk_auto" -> annCheck(ops.Similarity.simIvfTopkAuto,

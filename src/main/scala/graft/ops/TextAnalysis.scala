@@ -392,6 +392,24 @@ object TextAnalysis {
   /** Tokens reported by [[textBpeTokenFreq]]. */
   val bpeTokenFreqTopK = 40
 
+  /** Merge count of the REGISTERED scaled-trainer query — enough for
+    * several batched rounds (48 = a full 32-batch plus a 16-batch) and
+    * at least one lineage truncation, so the per-round gate exercises
+    * the production trainer's own admission/fold/checkpoint path. */
+  val bpeScaledTrainMerges = 48
+
+  /** Registered-query form of [[textBpeTrainScaled]] — the code path a
+    * production deployment trains its artifact with, under the
+    * per-round gate at a bounded merge count. Rows-only by design (the
+    * batched+canonical scan is stateful — no tractable SQL
+    * restatement); its per-Verify self-check replays the training
+    * against an independent in-memory reference of the same rules over
+    * the collected word-frequency vocabulary (the same reference
+    * `BpeTrainSpec` pins), bit-equal on every (step, lhs, rhs, merged,
+    * pair_count) row. */
+  def textBpeTrainScaledQuery(s: SparkSession, dir: String): DataFrame =
+    textBpeTrainScaled(s, dir, bpeScaledTrainMerges)
+
   /** Learned merge table, memoized per (session, corpus) so the three
     * BPE queries (train / encode / token-freq) train ONCE per session:
     * [[textBpeTrain]] is eager (the merge loop collects its argmax per
@@ -445,6 +463,109 @@ object TextAnalysis {
         org.apache.spark.sql.functions.replace(
           org.apache.spark.sql.functions.replace(padded, pat, rep), pat, rep)))
     }
+
+  /** Longest merge table the demo replace-chain apply is used for. The
+    * chain folds 2 nested `replace` nodes per merge into one projection
+    * — ideal at [[bpeTrainMerges]] = 12 (and exactly restatable in the
+    * DuckDB oracle), but a ~30k-merge production artifact would build a
+    * ~60k-node expression tree: the per-plane-literal analysis blowup
+    * this repo already measured and fixed once (`LshProjections`,
+    * README: a ~10k-node tree cost 3.8 s of analysis). Above this,
+    * [[bpeApplyMergesAuto]] dispatches to the scaled encoder. */
+  private[graft] val bpeReplaceChainMax = 32
+
+  /** SCALED merge apply — the serve path for production-sized
+    * artifacts: one deterministic JVM encoder per word over the
+    * vocabulary, the merge table rides the closure (one broadcast per
+    * stage; ~MBs at 30k merges — model-sized, never corpus-sized).
+    * Plan depth is CONSTANT in the merge count: one projection, one
+    * non-codegen UDF call per word TYPE (the corpus itself still pays
+    * only its explode + hash join — the UDF is off the corpus hot
+    * path by the vocabulary design of [[bpeEncodedVocab]]).
+    *
+    * Semantics: the CANONICAL sequential apply — for each merge in
+    * step order, one left-to-right non-overlapping pass — i.e. the
+    * scaled trainer's own internal state ([[textBpeTrainScaled]]'s
+    * per-round fold, which batches only symbol-disjoint pairs, so
+    * per-round simultaneous application equals per-merge sequential
+    * application). [[bpeEncodeSequential]] implements it as a
+    * monotone-rank scan (jump to the lowest applicable rank above the
+    * last applied one) — O(applied merges × |word|) per word instead
+    * of O(K × |word|), and EXACTLY sequential: between two applied
+    * ranks the symbol state does not change, so every skipped rank was
+    * equally absent at its own sequential turn, and a rank once passed
+    * is never revisited. Byte-identity to an independent in-memory
+    * sequential encoder over a 500-merge trained artifact is pinned in
+    * `BpeTrainSpec`. */
+  private def bpeApplyMergesScaled(words: DataFrame,
+      merges: Seq[(String, String)]): DataFrame = {
+    val mergeArr = merges.toArray
+    // a pair can legitimately recur in a merge table (re-learned after
+    // later merges recreate its adjacency): keep EVERY rank, sorted, so
+    // the sequential replay applies each occurrence at its own turn
+    val ranksAll: Map[(String, String), Array[Int]] =
+      merges.zipWithIndex.groupBy(_._1)
+        .map { case (p, g) => p -> g.map(_._2).sorted.toArray }
+    val enc = udf { (w: String) =>
+      if (w == null || w.isEmpty) w
+      else bpeEncodeSequential(w.split(" "), mergeArr, ranksAll).mkString(" ")
+    }
+    words.withColumn("w", enc(col("w")))
+  }
+
+  /** One word's canonical sequential BPE apply (see
+    * [[bpeApplyMergesScaled]]): repeatedly find the lowest merge rank
+    * STRICTLY ABOVE the last applied one whose pair is adjacent in the
+    * current symbols, and run that merge's single left-to-right
+    * non-overlapping pass. */
+  private[graft] def bpeEncodeSequential(word: Array[String],
+      mergeArr: Array[(String, String)],
+      ranksAll: Map[(String, String), Array[Int]]): Array[String] = {
+    var syms = word
+    var lastApplied = -1
+    var done = false
+    while (!done && syms.length > 1) {
+      var best = Int.MaxValue
+      var i = 0
+      while (i < syms.length - 1) {
+        ranksAll.get((syms(i), syms(i + 1))).foreach { rs =>
+          var j = 0
+          while (j < rs.length && rs(j) <= lastApplied) j += 1
+          if (j < rs.length && rs(j) < best) best = rs(j)
+        }
+        i += 1
+      }
+      if (best == Int.MaxValue) done = true
+      else {
+        val (l, r) = mergeArr(best)
+        val lr = l + r
+        val out = scala.collection.mutable.ArrayBuffer[String]()
+        var j = 0
+        while (j < syms.length) {
+          if (j < syms.length - 1 && syms(j) == l && syms(j + 1) == r) {
+            out += lr; j += 2
+          } else { out += syms(j); j += 1 }
+        }
+        syms = out.toArray
+        lastApplied = best
+      }
+    }
+    syms
+  }
+
+  /** Merge apply with the scale dispatch: the demo replace chain (the
+    * DuckDB-oracle semantics) up to [[bpeReplaceChainMax]] merges, the
+    * scaled canonical encoder above. The dispatch is also a SEMANTICS
+    * boundary, deliberately aligned with artifact provenance: every
+    * ≤[[bpeTrainMerges]]-merge artifact in this engine comes from the
+    * demo trainer (whose internal state IS the two-pass replace), while
+    * every production-sized artifact comes from [[textBpeTrainScaled]]
+    * (whose internal state is the canonical scan) — the two forms
+    * differ only on odd same-symbol runs (see the trainers' scaladoc). */
+  private def bpeApplyMergesAuto(words: DataFrame,
+      merges: Seq[(String, String)]): DataFrame =
+    if (merges.size <= bpeReplaceChainMax) bpeApplyMerges(words, merges)
+    else bpeApplyMergesScaled(words, merges)
 
   /** BPE ENCODE — apply the trained tokenizer to the corpus: per-doc
     * token counts under the learned merge table, the number every
@@ -544,7 +665,7 @@ object TextAnalysis {
     * output (no retraining sneaks in). */
   def textBpeEncodeServed(s: SparkSession, dir: String, modelDir: String): DataFrame = {
     val vocab = PlanCache.memoized(s, s"$dir|bpe_encoded_vocab@$modelDir")(
-      bpeApplyMerges(bpeWordVocab(s, dir), bpeModelMerges(s, modelDir)))
+      bpeApplyMergesAuto(bpeWordVocab(s, dir), bpeModelMerges(s, modelDir)))
     bpeEncodePresentation(bpeDocCountsWith(s, dir, vocab))
   }
 
@@ -559,7 +680,7 @@ object TextAnalysis {
     * and summing equals one whole-corpus encode — bit-exactly. */
   private[graft] def bpeSourceCounts(docs: DataFrame,
       merges: Seq[(String, String)]): DataFrame = {
-    val vocab = bpeApplyMerges(
+    val vocab = bpeApplyMergesAuto(
       docs.select(explode(TextFns.tokens(col("text"))).as("word")).distinct()
         .select(col("word"), concat_ws(" ", split(col("word"), "")).as("w")),
       merges)
@@ -1950,6 +2071,7 @@ object TextAnalysis {
     "text_bm25_served_maxscore_lowcut" -> textBm25ServedMaxScoreLowcutQuery _,
     "text_index_health" -> textIndexHealthQuery _,
     "text_bpe_train" -> bpeMergesDf _,
+    "text_bpe_train_scaled" -> textBpeTrainScaledQuery _,
     "text_bpe_encode" -> textBpeEncode _,
     "text_bpe_encode_served" -> textBpeEncodeServedQuery _,
     "text_bpe_token_freq" -> textBpeTokenFreq _,

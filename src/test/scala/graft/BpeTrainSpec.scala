@@ -251,6 +251,104 @@ class BpeTrainSpec extends AnyFunSuite {
     assert(got != trained, "doctored model produced identical counts — the arm proves nothing")
   }
 
+  /** Canonical SEQUENTIAL encode reference: each merge in step order,
+    * one left-to-right non-overlapping pass — the scaled trainer's own
+    * internal state (per-round simultaneous application of
+    * symbol-disjoint batches equals per-merge sequential application). */
+  private def referenceEncodeCanonical(word: String,
+      merges: Seq[(String, String)]): Seq[String] = {
+    var syms: Seq[String] = word.split("").toSeq
+    merges.foreach { case (l, r) =>
+      val out = scala.collection.mutable.ArrayBuffer[String]()
+      var j = 0
+      while (j < syms.length) {
+        if (j < syms.length - 1 && syms(j) == l && syms(j + 1) == r) {
+          out += (l + r); j += 2
+        } else { out += syms(j); j += 1 }
+      }
+      syms = out.toSeq
+    }
+    syms
+  }
+
+  test("served encode of a 500-merge scaled artifact takes the scaled path, byte-identical to the canonical reference") {
+    val dir = TestSpark.sf0001
+    val model = java.nio.file.Files.createTempDirectory("bpe-scaled-model").toString
+    TextAnalysis.textBpeTrainScaled(spark, dir, 500)
+      .write.mode("overwrite").parquet(s"$model/merges")
+    val merges = TextAnalysis.bpeModelMerges(spark, model)
+    assert(merges.size > TextAnalysis.bpeReplaceChainMax,
+      s"corpus exhausted at ${merges.size} merges — below the scaled-path threshold; the arm proves nothing")
+    val got = TextAnalysis.textBpeEncodeServed(spark, dir, model).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    val want = spark.read.parquet(s"$dir/documents.parquet")
+      .selectExpr("doc_id", "text").collect()
+      .map { r =>
+        val ws = Option(r.getString(1)).getOrElse("")
+          .split(graft.functions.TextFns.WhitespaceRegex).filter(_.nonEmpty).toSeq
+        val nTok = ws.map(referenceEncodeCanonical(_, merges).size.toLong).sum
+        val chars = ws.map(_.length.toLong).sum
+        val cpt = if (nTok == 0) 0.0
+          else BigDecimal(chars.toDouble / nTok.toDouble)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (r.getLong(0), ws.size.toLong, nTok, cpt)
+      }.sortBy(_._1).toSeq
+    assert(got === want,
+      "served encode under the 500-merge scaled artifact diverged from the canonical sequential reference")
+  }
+
+  test("the apply dispatch is a semantics boundary: big models encode canonically, demo models keep the two-pass replace") {
+    import spark.implicits._
+    // one doc, five a's, merges (a,a) then (a,aa). Canonical leftmost
+    // scan: [aa aa a] after merge 1, merge 2's pair (a,aa) is ABSENT ->
+    // 3 tokens. Demo two-pass anchored replace: [aa a aa] after merge 1
+    // (the documented odd-run divergence), where (a,aa) IS adjacent ->
+    // [aa aaa], 2 tokens.
+    val tmp = java.nio.file.Files.createTempDirectory("bpe-dispatch").toString
+    Seq((0L, "aaaaa", "en", "s")).toDF("doc_id", "text", "lang", "source")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    def modelOf(nInert: Int): String = {
+      val d = java.nio.file.Files.createTempDirectory(s"bpe-dispatch-m$nInert").toString
+      // the two live merges plus inert pairs of symbols absent from the
+      // corpus, only there to push the table across/below the
+      // bpeReplaceChainMax dispatch threshold
+      (Seq((1L, "a", "a", "aa", 2L), (2L, "a", "aa", "aaa", 1L)) ++
+          (1 to nInert).map(i =>
+            ((i + 2).toLong, s"_$i", "_x", s"_$i" + "_x", 1L)))
+        .toDF("step", "lhs", "rhs", "merged", "pair_count")
+        .write.mode("overwrite").parquet(s"$d/merges")
+      d
+    }
+    def servedTokens(model: String): Long =
+      TextAnalysis.textBpeEncodeServed(spark, tmp, model).collect().head.getLong(2)
+    assert(servedTokens(modelOf(TextAnalysis.bpeReplaceChainMax - 2)) == 2L,
+      "a threshold-sized model must keep the demo two-pass replace semantics (its oracle's form)")
+    assert(servedTokens(modelOf(TextAnalysis.bpeReplaceChainMax - 1)) == 3L,
+      "an above-threshold model must encode through the scaled canonical path")
+  }
+
+  test("corpus swap + PlanCache.clear drops the frozen served model: served encode retrains with the scan form") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("bpe-swap").toString
+    def write(texts: Seq[String]): Unit =
+      texts.zipWithIndex.map { case (t, i) => (i.toLong, t, "en", "s") }
+        .toDF("doc_id", "text", "lang", "source")
+        .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    write(Seq("low lower lowest low low", "new newer newest new"))
+    val v1 = TextAnalysis.textBpeEncodeServedQuery(spark, tmp).collect().map(_.toString).toSeq
+    assert(v1 == TextAnalysis.textBpeEncode(spark, tmp).collect().map(_.toString).toSeq)
+    // replace the corpus files at the SAME path — the library contract
+    // says call clear(); afterwards the served query must serve the
+    // RETRAINED model, not the pre-swap frozen artifact (r13 advice)
+    write(Seq("wide wider widest wide wide", "west western wests", "ban banana bananas"))
+    graft.ops.PlanCache.clear()
+    val v2served = TextAnalysis.textBpeEncodeServedQuery(spark, tmp).collect().map(_.toString).toSeq
+    val v2scan = TextAnalysis.textBpeEncode(spark, tmp).collect().map(_.toString).toSeq
+    assert(v2served == v2scan,
+      "after corpus swap + clear(), the served encode still used the stale frozen model")
+    assert(v2served != v1, "swap arm proves nothing — the two corpora encode identically")
+  }
+
   test("training reads the corpus once: merge iterations run over the cached vocabulary") {
     val dir = TestSpark.sf0001
     val docBytes = new java.io.File(s"$dir/documents.parquet").listFiles() match {
