@@ -282,7 +282,9 @@ object Retrieval {
     * (q_id, mode)) — the decisions feed the ScaleSmoke accounting and
     * the BoundedServeSpec engagement pin. Like the fixed-query form,
     * the returned frame SNAPSHOTS decision-time index state (tail file
-    * list, banned head) — collect promptly when ingest is concurrent. */
+    * list, banned head) — collect promptly when ingest is concurrent,
+    * or serve through [[searchHybridRrfServedMaxScoreNow]], which
+    * materializes before returning. */
   private[graft] def hybridMaxScoreLex(s: SparkSession, dir: String,
       idxDir: String,
       maxDfShare: Double = TextAnalysis.bm25MaxDfShare): Option[(DataFrame, DataFrame)] = {
@@ -494,6 +496,17 @@ object Retrieval {
       case Some((lex, _)) => fuse(s, dir, lex)
     }
   }
+
+  /** PER-SERVE SNAPSHOT form of [[searchHybridRrfServedMaxScore]] —
+    * the hybrid half of the snapshot-race closure
+    * ([[TextAnalysis.textBm25ServedMaxScoreNow]] is the fixed-query
+    * half): the per-query decisions, pruned re-scores, and fusion all
+    * evaluate before this returns (per-query-top-k-bounded output), so
+    * the returned local relation is pinned to the decision-time index
+    * state no matter how late it is consumed. */
+  def searchHybridRrfServedMaxScoreNow(s: SparkSession, dir: String,
+      maxDfShare: Double = TextAnalysis.bm25MaxDfShare): DataFrame =
+    TextAnalysis.materializedNow(s, searchHybridRrfServedMaxScore(s, dir, maxDfShare))
 
   /** The fusion tail shared by the scan and served forms. */
   private def fuse(s: SparkSession, dir: String, lex: DataFrame): DataFrame = {

@@ -1857,7 +1857,11 @@ object TextAnalysis {
     * frame across a concurrent append/delete and collects late can
     * observe the two diverge. When ingest is concurrent, collect the
     * frame promptly (or re-derive it per serve) — the registered
-    * query and every streaming consumer do. */
+    * query and every streaming consumer do — or use
+    * [[textBm25ServedMaxScoreNow]], which materializes the bounded
+    * result before returning and is immune to late collection by
+    * construction (pinned with a concurrent-append arm in
+    * `BoundedServeSpec`). */
   def textBm25ServedMaxScore(s: SparkSession, indexDir: String,
       maxDfShare: Double = bm25MaxDfShare): DataFrame =
     maxScoreContenders(s, indexDir, maxDfShare) match {
@@ -1890,6 +1894,26 @@ object TextAnalysis {
           .crossJoin(broadcast(stats))
           .crossJoin(broadcast(dfs)))
     }
+
+  /** Materialize a BOUNDED result frame into a local relation with the
+    * identical schema: the rows are collected here, so the returned
+    * frame is pinned to the index state as of THIS call no matter how
+    * late a consumer evaluates it. Only for serve outputs bounded by
+    * construction (top-k rankings) — never corpus-sized frames. */
+  private[graft] def materializedNow(s: SparkSession, df: DataFrame): DataFrame =
+    s.createDataFrame(java.util.Arrays.asList(df.collect(): _*), df.schema)
+
+  /** PER-SERVE SNAPSHOT form of [[textBm25ServedMaxScore]] — the
+    * re-derivation hook that closes its documented snapshot race for
+    * callers that cannot promise a prompt collect: the decision, the
+    * contender re-score, and the ranking all evaluate BEFORE this
+    * returns (the output is top-k-bounded, so the collect is small by
+    * construction), and the returned local relation can be held across
+    * any amount of concurrent ingest without observing a mixed state.
+    * Each call re-derives everything from the index's current state. */
+  def textBm25ServedMaxScoreNow(s: SparkSession, indexDir: String,
+      maxDfShare: Double = bm25MaxDfShare): DataFrame =
+    materializedNow(s, textBm25ServedMaxScore(s, indexDir, maxDfShare))
 
   /** Compact the posting table on term — the sort that puts each
     * term's posting list into contiguous, min/max-prunable row groups,

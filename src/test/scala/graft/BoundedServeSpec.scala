@@ -232,6 +232,49 @@ class BoundedServeSpec extends AnyFunSuite {
     assert(ms6 === exact6)
   }
 
+  test("maxscore snapshot race (r14): the Now form is pinned to decision-time state across a concurrent append; a fresh serve re-derives") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("maxscore-now").toString
+    def tok(i: Long): Seq[String] = {
+      val b = Seq.newBuilder[String]
+      if (i <= 58) b += "spark"
+      if (i % 2 == 0) b += "join"
+      if (i % 3 == 0) b += "vector"
+      (0 until (3 + (i % 5)).toInt).foreach(w => b += s"f${i}w$w")
+      b.result()
+    }
+    (1L to 60L).map(i => (i, tok(i).mkString(" "), "en", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+      .write.mode("overwrite").parquet(s"$tmp/c/documents.parquet")
+    TextAnalysis.textIndexWrite(spark, s"$tmp/c", s"$tmp/idx")
+    assert(TextAnalysis.maxScoreContenders(spark, s"$tmp/idx").isDefined,
+      "pruning must engage — the arm tests the PRUNED path's snapshot")
+    val want = TextAnalysis.textBm25Served(spark, s"$tmp/idx").collect().map(_.toSeq).toSeq
+    val now = TextAnalysis.textBm25ServedMaxScoreNow(spark, s"$tmp/idx")
+    // a concurrent append lands between the serve and its consumption
+    TextAnalysis.textIndexAppendBatch(spark,
+      Seq((61L, "spark join vector fresh", "en", "s"))
+        .toDF("doc_id", "text", "lang", "source"), s"$tmp/idx")
+    // the materialized snapshot is immune to the late collect...
+    assert(now.collect().map(_.toSeq).toSeq === want,
+      "the Now form's late collect observed post-append state — the snapshot leaked")
+    // ...while a FRESH serve re-derives and equals the fresh unbounded
+    // serve over base + tail (and genuinely differs from the snapshot)
+    val freshWant = TextAnalysis.textBm25Served(spark, s"$tmp/idx").collect().map(_.toSeq).toSeq
+    val freshNow = TextAnalysis.textBm25ServedMaxScoreNow(spark, s"$tmp/idx")
+      .collect().map(_.toSeq).toSeq
+    assert(freshNow === freshWant, "a fresh Now serve diverged from the fresh unbounded serve")
+    assert(freshNow != want, "the append must move the top-k, or the immunity assertion is vacuous")
+    // hybrid half: the Now form collects per-query-top-k rows eagerly
+    // and matches the lazy served hybrid evaluated at the same moment
+    val hybridWant = ops.Retrieval.searchHybridRrfServedMaxScore(spark, sf0001)
+      .collect().map(_.toSeq).toSeq
+    val hybridNow = ops.Retrieval.searchHybridRrfServedMaxScoreNow(spark, sf0001)
+      .collect().map(_.toSeq).toSeq
+    assert(hybridNow === hybridWant && hybridNow.nonEmpty,
+      "hybrid Now serve diverged from the lazy served hybrid at the same index state")
+  }
+
   test("hybrid maxscore: per-query pruning engages, fallback stays per-query, result EXACT") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("hybrid-maxscore").toString
