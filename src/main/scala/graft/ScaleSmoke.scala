@@ -514,16 +514,26 @@ object ScaleSmoke {
           col("doc_id") >= lit(cand.min) && col("doc_id") <= lit(cand.max))
         .select(col("term"), col("doc_id"), col("tf")))
     }
+    val tMs0 = System.nanoTime()
     val msServe = time("text_bm25_served MAXSCORE (exact, contender re-scan)") {
       ops.TextAnalysis.textBm25ServedMaxScore(spark, stopIdx).collect().map(_.toSeq).toSeq
     }
-    val exactServe = ops.TextAnalysis.textBm25Served(spark, stopIdx)
-      .collect().map(_.toSeq).toSeq
+    val msServeSecs = (System.nanoTime() - tMs0) / 1e9
+    val tUn0 = System.nanoTime()
+    val exactServe = time("text_bm25_served UNBOUNDED reference (same Zipf-head corpus)") {
+      ops.TextAnalysis.textBm25Served(spark, stopIdx).collect().map(_.toSeq).toSeq
+    }
+    val unServeSecs = (System.nanoTime() - tUn0) / 1e9
     assert(msServe == exactServe,
       "MaxScore serve diverged from the unbounded serve — it must be EXACT")
     say(s"  -> maxscore: ${cand.size} contenders; postings scan rows " +
       s"unbounded $unboundedScanRows vs contender-pushed $msScanRows " +
       f"(${(unboundedScanRows - msScanRows) / 1e3}%.0fk skipped at EXACT semantics)")
+    // the PRICING row the lowcut oracle instruments can't show (their
+    // registered corpus has no real stopword head, so pruning is pure
+    // cost there — PLANS.md cites this line as where the machinery WINS)
+    say(f"  -> lowcut pricing (Zipf-head corpus, 100k docs): PRUNED BM25 serve " +
+      f"$msServeSecs%.2f s vs UNBOUNDED $unServeSecs%.2f s at identical results")
     assert(unboundedScanRows - msScanRows >= megaPostingRows / 2,
       s"maxscore contender scan produced $msScanRows rows vs $unboundedScanRows — " +
       s"less than half the $megaPostingRows-row mega posting was skipped")
@@ -559,22 +569,28 @@ object ScaleSmoke {
       .select(col("doc_id"), col("term"), col("tf"))
     var msLexRows: Seq[(Long, Long, Long)] = null
     var unLexRows: Seq[(Long, Long, Long)] = null
+    val tHms0 = System.nanoTime()
     val msLexScan = scanRecords {
       msLexRows = time("hybrid lex ranks MAXSCORE (per-query pruned)") {
         hmsLex.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
       }
     }
+    val hmsSecs = (System.nanoTime() - tHms0) / 1e9 - 1.0 // scanRecords' listener sleep
+    val tHun0 = System.nanoTime()
     val unLexScan = scanRecords {
       unLexRows = time("hybrid lex ranks UNBOUNDED (full pivot stream)") {
         ops.Retrieval.lexRanksOver(spark, hmsDir, hmsPost)
           .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
       }
     }
+    val hunSecs = (System.nanoTime() - tHun0) / 1e9 - 1.0
     assert(msLexRows.toSet == unLexRows.toSet && msLexRows.nonEmpty,
       "hybrid MaxScore lexical ranks diverged from the unbounded serve — must be EXACT")
     say(f"  -> hybrid maxscore: ${hmsModes.getOrElse("pruned", 0L)} of " +
       f"${hmsModes.values.sum} queries pruned; scan rows unbounded $unLexScan " +
       f"vs maxscore $msLexScan (${(unLexScan - msLexScan) / 1e3}%.0fk fewer at EXACT semantics)")
+    say(f"  -> lowcut pricing (Zipf-head hybrid, 10k docs x 200 queries): PRUNED lex ranks " +
+      f"$hmsSecs%.2f s vs UNBOUNDED $hunSecs%.2f s at identical results")
     assert(msLexScan < unLexScan,
       s"maxscore lexical serve read $msLexScan rows vs $unLexScan unbounded — no reduction")
 
@@ -630,6 +646,27 @@ object ScaleSmoke {
     assert(bpe500 / bpe100 < 10.0,
       f"500-merge run cost ${bpe500 / bpe100}%.1fx the 100-merge run — " +
       "per-merge time is not flat on the K axis")
+    // round 14: SERVING a production-sized artifact — the 500-merge
+    // model persists once, then the encode dispatches to the scaled
+    // canonical encoder (constant plan depth; the merge table rides the
+    // closure), the corpus paying its usual explode + vocab join. The
+    // demo replace chain at this merge count would build a ~1000-node
+    // expression tree per projection and grow with every merge.
+    locally {
+      val model = java.nio.file.Files.createTempDirectory("smoke-bpe-model").toString
+      ops.TextAnalysis.textBpeTrainScaled(spark, dir, 500)
+        .write.mode("overwrite").parquet(s"$model/merges")
+      val served = time("text_bpe_encode_served, 500-merge scaled artifact (100k docs)") {
+        ops.TextAnalysis.textBpeEncodeServed(spark, dir, model)
+          .agg(org.apache.spark.sql.functions.sum(col("n_tokens")),
+            org.apache.spark.sql.functions.sum(col("n_words"))).collect()(0)
+      }
+      assert(served.getLong(0) >= served.getLong(1) && served.getLong(1) > 0,
+        s"500-merge served encode token mass ${served.getLong(0)} vs words ${served.getLong(1)} — " +
+        "a merge never splits, so tokens >= words must hold")
+      say(f"  -> 500-merge served encode: ${served.getLong(0)}%,d tokens over " +
+        f"${served.getLong(1)}%,d words (scaled canonical apply)")
+    }
     say(f"  -> bytes read after compact: served BM25 ${servedBytesC / 1e6}%.1f MB " +
       f"(was ${servedBytes / 1e6}%.1f), phrase ${phraseBytesC / 1e6}%.1f MB " +
       f"(was ${phraseBytes / 1e6}%.1f)")

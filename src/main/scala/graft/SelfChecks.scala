@@ -311,6 +311,25 @@ object SelfChecks {
     * planted corpora, run here against the Verify corpus itself. The
     * stateful batched scan has no tractable SQL restatement, hence
     * rows-only. */
+  /** UTF-8 byte-order string comparison — the tie-break order Spark's
+    * `orderBy` (UTF8String binary compare) and DuckDB's default
+    * collation share. JVM `String` ordering compares UTF-16 code units,
+    * which diverges from byte order on supplementary characters, so an
+    * in-memory reference replaying an engine-side lexicographic
+    * tie-break MUST compare bytes or a fuzz corpus with astral-plane
+    * symbols would flag a phantom divergence. */
+  private def utf8Lt(a: String, b: String): Boolean = {
+    val x = a.getBytes("UTF-8")
+    val y = b.getBytes("UTF-8")
+    var i = 0
+    while (i < x.length && i < y.length) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
   private def bpeTrainScaledCheck(s: SparkSession, dir: String): CheckResult = {
     var vocab: Map[String, Long] = Tables(s, dir, "documents")
       .select(explode(graft.functions.TextFns.tokens(col("text"))).as("word"))
@@ -333,13 +352,24 @@ object SelfChecks {
         val wantN = math.min(batchM, k - want.size)
         val used = scala.collection.mutable.Set[String]()
         val admitted = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
-        counts.toSeq.sortBy { case ((l, r), c) => (-c, l, r) }.iterator
+        // replay the engine's EXACT admission rule, including its
+        // bounded conflict headroom (`limit(want*4+16)` in
+        // textBpeTrainScaled): on an adversarial corpus whose top
+        // candidates all conflict, the engine legitimately admits fewer
+        // this round and catches up at the next round's fresh counts —
+        // an unbounded reference scan would flag a phantom divergence
+        counts.toSeq.sortWith { case (((l1, r1), c1), ((l2, r2), c2)) =>
+            if (c1 != c2) c1 > c2
+            else if (l1 != l2) utf8Lt(l1, l2)
+            else utf8Lt(r1, r2)
+          }.take(wantN * 4 + 16).iterator
           .takeWhile(_ => admitted.size < wantN)
           .foreach { case ((l, r), c) =>
             if (!used(l) && !used(r) && !used(l + r)) {
               admitted += ((l, r, c)); used += l; used += r; used += (l + r)
             }
           }
+        if (admitted.isEmpty) done = true // headroom exhausted by conflicts
         admitted.foreach { case (l, r, c) => want += ((want.size + 1L, l, r, l + r, c)) }
         val m = admitted.map { case (l, r, _) => (l, r) -> (l + r) }.toMap
         vocab = vocab.map { case (w, f) =>

@@ -58,7 +58,20 @@ private[graft] object PlanCache {
         .getOrElseUpdate(key, new Cell)
     }
     cell.synchronized {
-      if (cell.df == null) cell.df = build.cache()
+      if (cell.df == null) {
+        val built = build.cache()
+        // a clear()/invalidate() that ran DURING the build already swept
+        // this cell out of the map: filling it would orphan a cached
+        // plan nobody can unpersist. Hand the caller the (uncached)
+        // result and let the next call rebuild under the fresh cell.
+        // Lock order memo-inside-cell is safe: no path nests a cell
+        // monitor inside the memo monitor.
+        val still = memo.synchronized {
+          Option(memo.get(s)).exists(_.get(key).contains(cell))
+        }
+        if (!still) { scala.util.Try(built.unpersist()); return built }
+        cell.df = built
+      }
       cell.df
     }
   }
