@@ -62,15 +62,17 @@ private[graft] object PlanCache {
         val built = build.cache()
         // a clear()/invalidate() that ran DURING the build already swept
         // this cell out of the map: filling it would orphan a cached
-        // plan nobody can unpersist. Hand the caller the (uncached)
-        // result and let the next call rebuild under the fresh cell.
-        // Lock order memo-inside-cell is safe: no path nests a cell
-        // monitor inside the memo monitor.
-        val still = memo.synchronized {
-          Option(memo.get(s)).exists(_.get(key).contains(cell))
+        // plan nobody can unpersist. The membership check AND the fill
+        // are one atomic step under the memo monitor (a check-then-fill
+        // with the fill outside would reopen the same orphan window in
+        // the gap). Lock order memo-inside-cell is safe: no path nests
+        // a cell monitor inside the memo monitor.
+        val filled = memo.synchronized {
+          val still = Option(memo.get(s)).exists(_.get(key).contains(cell))
+          if (still) cell.df = built
+          still
         }
-        if (!still) { scala.util.Try(built.unpersist()); return built }
-        cell.df = built
+        if (!filled) { scala.util.Try(built.unpersist()); return built }
       }
       cell.df
     }
@@ -83,11 +85,20 @@ private[graft] object PlanCache {
     * files and would otherwise keep serving the pre-swap state. Each
     * unpersist/hook is Try-wrapped so an already-stopped session cannot
     * abort the sweep and leak the remaining entries. */
-  def clear(): Unit = memo.synchronized {
-    memo.values.forEach(_.values.foreach(c =>
-      Option(c.df).foreach(df => scala.util.Try(df.unpersist()))))
-    memo.clear()
-    clearHooks.values.foreach(h => scala.util.Try(h()))
+  def clear(): Unit = {
+    // snapshot under the monitor, run the IO outside it: an unpersist
+    // or a hook's recursive temp-dir delete under the global monitor
+    // would stall every memoized() lookup for its duration — and a hook
+    // body touching a class still mid-<clinit> (whose init thread is
+    // blocked registering ITS hook on this monitor) would deadlock
+    val (dfs, hooks) = memo.synchronized {
+      val ds = scala.collection.mutable.ArrayBuffer[DataFrame]()
+      memo.values.forEach(_.values.foreach(c => Option(c.df).foreach(ds += _)))
+      memo.clear()
+      (ds.toSeq, clearHooks.values.toSeq)
+    }
+    dfs.foreach(df => scala.util.Try(df.unpersist()))
+    hooks.foreach(h => scala.util.Try(h()))
   }
 
   /** [[onClear]] helper for the per-JVM persisted-artifact memos

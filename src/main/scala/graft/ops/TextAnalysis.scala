@@ -393,22 +393,24 @@ object TextAnalysis {
   val bpeTokenFreqTopK = 40
 
   /** Merge count of the REGISTERED scaled-trainer query — enough for
-    * several batched rounds (48 = a full 32-batch plus a 16-batch) and
-    * at least one lineage truncation, so the per-round gate exercises
-    * the production trainer's own admission/fold/checkpoint path. */
+    * several batched rounds (48 = a full 32-batch plus a 16-batch). */
   val bpeScaledTrainMerges = 48
 
   /** Registered-query form of [[textBpeTrainScaled]] — the code path a
     * production deployment trains its artifact with, under the
-    * per-round gate at a bounded merge count. Rows-only by design (the
+    * per-round gate at a bounded merge count. `checkpointEvery = 2`
+    * (not the production default 4) so the 2-round gate run REALLY
+    * executes the lineage-truncation branch — at the default it would
+    * ship unexercised by the gate. Rows-only by design (the
     * batched+canonical scan is stateful — no tractable SQL
     * restatement); its per-Verify self-check replays the training
     * against an independent in-memory reference of the same rules over
     * the collected word-frequency vocabulary (the same reference
     * `BpeTrainSpec` pins), bit-equal on every (step, lhs, rhs, merged,
-    * pair_count) row. */
+    * pair_count) row (checkpointing truncates plan lineage only, never
+    * content — so the reference needs no notion of it). */
   def textBpeTrainScaledQuery(s: SparkSession, dir: String): DataFrame =
-    textBpeTrainScaled(s, dir, bpeScaledTrainMerges)
+    textBpeTrainScaled(s, dir, bpeScaledTrainMerges, checkpointEvery = 2)
 
   /** Learned merge table, memoized per (session, corpus) so the three
     * BPE queries (train / encode / token-freq) train ONCE per session:
@@ -648,7 +650,64 @@ object TextAnalysis {
     * no landing zone, tombstone, or compaction lifecycle — one
     * overwrite write is the whole story. */
   def bpeModelWrite(s: SparkSession, corpusDir: String, modelDir: String): Unit =
-    bpeMergesDf(s, corpusDir).write.mode("overwrite").parquet(s"$modelDir/merges")
+    bpeModelPersist(s, bpeMergesDf(s, corpusDir), modelDir, applyForm = "two_pass")
+
+  /** Persist a SCALED-trained tokenizer artifact: [[textBpeTrainScaled]]
+    * at `merges`, stamped `canonical` — the apply semantics that ARE
+    * that trainer's internal state. The production artifact-write path. */
+  def bpeModelWriteScaled(s: SparkSession, corpusDir: String, modelDir: String,
+      merges: Int): Unit =
+    bpeModelPersist(s, textBpeTrainScaled(s, corpusDir, merges), modelDir,
+      applyForm = "canonical")
+
+  /** Write a merge table + its APPLY-FORM marker as one model artifact.
+    * The marker (a 1-row `spec` table: `two_pass` for the demo
+    * trainer's boundary-anchored two-pass replace, `canonical` for the
+    * scaled trainer's leftmost sequential scan) records the artifact's
+    * PROVENANCE, so the serve side dispatches on what the trainer's
+    * internal state actually was instead of inferring it from table
+    * size — a ≤32-merge scaled artifact (a small corpus exhausting
+    * early) would otherwise be served with the wrong fixed point on
+    * same-symbol runs. Markerless artifacts (pre-round-14, or
+    * hand-built merge tables) keep the size heuristic
+    * ([[bpeApplyMergesAuto]]). */
+  def bpeModelPersist(s: SparkSession, mergesDf: DataFrame, modelDir: String,
+      applyForm: String): Unit = {
+    require(applyForm == "two_pass" || applyForm == "canonical",
+      s"unknown BPE apply form '$applyForm'")
+    import s.implicits._
+    mergesDf.write.mode("overwrite").parquet(s"$modelDir/merges")
+    Seq(applyForm).toDF("apply").coalesce(1)
+      .write.mode("overwrite").parquet(s"$modelDir/spec")
+  }
+
+  /** The persisted model's apply-form marker, if it carries one. */
+  private[graft] def bpeModelApplyForm(s: SparkSession, modelDir: String): Option[String] = {
+    val p = new org.apache.hadoop.fs.Path(s"$modelDir/spec")
+    if (!p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p)) None
+    else Some(s.read.parquet(p.toString).head().getString(0))
+  }
+
+  /** Merge apply dispatched on the artifact's recorded provenance
+    * ([[bpeModelApplyForm]]); markerless models fall back to the size
+    * heuristic. A `two_pass` marker on a table past
+    * [[bpeReplaceChainMax]] fails loudly — the demo trainer never
+    * produces one, and silently building its 2-nodes-per-merge
+    * expression tree at production size is the analysis blowup the
+    * dispatch exists to prevent. */
+  private def bpeApplyDispatch(words: DataFrame, merges: Seq[(String, String)],
+      form: Option[String]): DataFrame = form match {
+    case Some("canonical") => bpeApplyMergesScaled(words, merges)
+    case Some("two_pass") =>
+      require(merges.size <= bpeReplaceChainMax,
+        s"a two_pass-marked model with ${merges.size} merges exceeds the replace-chain " +
+        s"bound ($bpeReplaceChainMax) — demo artifacts are bounded by construction; " +
+        "re-train through textBpeTrainScaled/bpeModelWriteScaled for production sizes")
+      bpeApplyMerges(words, merges)
+    case Some(other) => throw new IllegalArgumentException(
+      s"unknown BPE apply form '$other' in the model spec")
+    case None => bpeApplyMergesAuto(words, merges)
+  }
 
   /** Step-ordered merge list of a persisted model — a bounded read
     * (one row per merge). */
@@ -665,7 +724,8 @@ object TextAnalysis {
     * output (no retraining sneaks in). */
   def textBpeEncodeServed(s: SparkSession, dir: String, modelDir: String): DataFrame = {
     val vocab = PlanCache.memoized(s, s"$dir|bpe_encoded_vocab@$modelDir")(
-      bpeApplyMergesAuto(bpeWordVocab(s, dir), bpeModelMerges(s, modelDir)))
+      bpeApplyDispatch(bpeWordVocab(s, dir), bpeModelMerges(s, modelDir),
+        bpeModelApplyForm(s, modelDir)))
     bpeEncodePresentation(bpeDocCountsWith(s, dir, vocab))
   }
 
@@ -679,11 +739,12 @@ object TextAnalysis {
     * is per-word and the merges are FROZEN, so counting batch-by-batch
     * and summing equals one whole-corpus encode — bit-exactly. */
   private[graft] def bpeSourceCounts(docs: DataFrame,
-      merges: Seq[(String, String)]): DataFrame = {
-    val vocab = bpeApplyMergesAuto(
+      merges: Seq[(String, String)],
+      applyForm: Option[String] = None): DataFrame = {
+    val vocab = bpeApplyDispatch(
       docs.select(explode(TextFns.tokens(col("text"))).as("word")).distinct()
         .select(col("word"), concat_ws(" ", split(col("word"), "")).as("w")),
-      merges)
+      merges, applyForm)
     val enc = vocab.select(col("word"),
       size(split(col("w"), " ")).cast("long").as("n_syms"))
     docs.select(col("doc_id"), col("source"),

@@ -100,12 +100,18 @@ object TextIngest {
   def streamTokenLedgerToFiles(s: SparkSession, landingDir: String, modelDir: String,
       ledgerDir: String, checkpointDir: String): Unit = {
     val merges = TextAnalysis.bpeModelMerges(s, modelDir)
+    // the artifact's recorded apply form (r14): counting must use the
+    // semantics the model was TRAINED under, marker over heuristic
+    val applyForm = TextAnalysis.bpeModelApplyForm(s, modelDir)
     IngestDedup.runLandingStream(s, landingDir, checkpointDir,
       // alarm-driven cadence like the five index loops: the fixed floor
       // plus the ledger's own debt probe — live batch-DIR count past the
       // floor (a crashed compact's backlog, which the counter alone
-      // would only repair at the next floor boundary)
-      maintenance = IngestDedup.alarmCadenceAt(s, Seq(ledgerDir),
+      // would only repair at the next floor boundary). The autopilot's
+      // index-shaped alarms get NO dirs: the ledger layout has no
+      // stamped appends, tombstones, or bloom, so maintenanceDue is
+      // constant-false on it and would only pay listings per trigger
+      maintenance = IngestDedup.alarmCadenceAt(s, Seq.empty,
         due = () => ledgerLiveParts(s, ledgerDir)
           .count(p => ledgerBatchRe.matches(nameOf(p))) >
             IngestDedup.ingestCompactEvery)(
@@ -114,7 +120,7 @@ object TextIngest {
       // redelivery rewrite of an already-covered b dir can otherwise
       // race the compact's sweep of that same dir mid-write
       IndexMaintenance.withIndexMaintenance(s, ledgerDir) {
-        TextAnalysis.bpeSourceCounts(batch, merges)
+        TextAnalysis.bpeSourceCounts(batch, merges, applyForm)
           .withColumn("batch_id", lit(batchId))
           .coalesce(1).write.mode("overwrite").parquet(s"$ledgerDir/b$batchId")
       }
@@ -170,25 +176,18 @@ object TextIngest {
     * paths. A ledger with no live parts fails loudly — it was never
     * seeded, or the dir is wrong. */
   private[graft] def ledgerTotals(s: SparkSession, ledgerDir: String): DataFrame = {
-    val rows = IndexMaintenance.withIndexMaintenance(s, ledgerDir) {
+    val (rows, schema) = IndexMaintenance.withIndexMaintenance(s, ledgerDir) {
       val live = ledgerLiveParts(s, ledgerDir)
       require(live.nonEmpty,
         s"token ledger at $ledgerDir has no live parts — not seeded, or the wrong dir")
-      s.read.parquet(live: _*)
+      val agg = s.read.parquet(live: _*)
         .groupBy(col("source"))
         .agg(sum(col("n_docs")).cast("long").as("n_docs"),
           sum(col("n_tokens")).cast("long").as("n_tokens"))
         .orderBy(col("source"))
-        .collect()
+      (agg.collect(), agg.schema) // the frame's OWN schema — no literal twin to drift
     }
-    s.createDataFrame(java.util.Arrays.asList(rows: _*),
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("source",
-          org.apache.spark.sql.types.StringType),
-        org.apache.spark.sql.types.StructField("n_docs",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("n_tokens",
-          org.apache.spark.sql.types.LongType))))
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
   }
 
   /** Roll the ledger up to one per-source dir — the small-files answer:

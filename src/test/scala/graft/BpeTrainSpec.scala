@@ -322,9 +322,34 @@ class BpeTrainSpec extends AnyFunSuite {
     def servedTokens(model: String): Long =
       TextAnalysis.textBpeEncodeServed(spark, tmp, model).collect().head.getLong(2)
     assert(servedTokens(modelOf(TextAnalysis.bpeReplaceChainMax - 2)) == 2L,
-      "a threshold-sized model must keep the demo two-pass replace semantics (its oracle's form)")
+      "a markerless threshold-sized model must keep the demo two-pass replace semantics (its oracle's form)")
     assert(servedTokens(modelOf(TextAnalysis.bpeReplaceChainMax - 1)) == 3L,
-      "an above-threshold model must encode through the scaled canonical path")
+      "a markerless above-threshold model must encode through the scaled canonical path")
+    // r14 provenance marker: the artifact's recorded apply form beats
+    // the size heuristic — a tiny CANONICAL-marked model (a scaled run
+    // that exhausted a small corpus early) must encode canonically
+    val marked = java.nio.file.Files.createTempDirectory("bpe-marked").toString
+    TextAnalysis.bpeModelPersist(spark,
+      Seq((1L, "a", "a", "aa", 2L), (2L, "a", "aa", "aaa", 1L))
+        .toDF("step", "lhs", "rhs", "merged", "pair_count"),
+      marked, applyForm = "canonical")
+    assert(servedTokens(marked) == 3L,
+      "a canonical-marked model below the size threshold was served with two-pass semantics — the marker must win")
+    // and a two_pass marker past the replace-chain bound fails loudly
+    // instead of silently building the per-merge expression blowup
+    val tooBig = java.nio.file.Files.createTempDirectory("bpe-toobig").toString
+    TextAnalysis.bpeModelPersist(spark,
+      ((1L, "a", "a", "aa", 2L) +: (1 to TextAnalysis.bpeReplaceChainMax).map(i =>
+          ((i + 1).toLong, s"_$i", "_x", s"_$i" + "_x", 1L)))
+        .toDF("step", "lhs", "rhs", "merged", "pair_count"),
+      tooBig, applyForm = "two_pass")
+    val e = intercept[IllegalArgumentException](
+      TextAnalysis.textBpeEncodeServed(spark, tmp, tooBig).collect())
+    assert(e.getMessage.contains("two_pass-marked"),
+      s"wrong failure for an oversized two_pass model: ${e.getMessage}")
+    // the demo write path stamps its own provenance
+    assert(TextAnalysis.bpeModelApplyForm(spark, TextAnalysis.bpeModelFor(spark, TestSpark.sf0001))
+      .contains("two_pass"), "bpeModelWrite must stamp the two_pass marker")
   }
 
   test("corpus swap + PlanCache.clear drops the frozen served model: served encode retrains with the scan form") {
