@@ -330,11 +330,20 @@ object SelfChecks {
     x.length < y.length
   }
 
-  private def bpeTrainScaledCheck(s: SparkSession, dir: String): CheckResult = {
-    var vocab: Map[String, Long] = Tables(s, dir, "documents")
+  /** The corpus word-frequency vocabulary in split-symbol form — the
+    * shared input of the two in-memory BPE references below. */
+  private def collectedSplitVocab(s: SparkSession, dir: String): Map[String, Long] =
+    Tables(s, dir, "documents")
       .select(explode(graft.functions.TextFns.tokens(col("text"))).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
       .collect().map(r => r.getString(0).split("").mkString(" ") -> r.getLong(1)).toMap
+
+  /** Independent in-memory replay of [[ops.TextAnalysis.textBpeTrainScaled]]'s
+    * rules at the registered gate parameters (batched non-conflicting
+    * admission over the engine's bounded conflict-headroom window,
+    * UTF-8-byte tie-breaks, canonical leftmost apply). */
+  private def referenceScaledTrain(vocab0: Map[String, Long]): Seq[(Long, String, String, String, Long)] = {
+    var vocab = vocab0
     val k = ops.TextAnalysis.bpeScaledTrainMerges
     val batchM = ops.TextAnalysis.bpeBatchMerges
     val want = scala.collection.mutable.ArrayBuffer[(Long, String, String, String, Long)]()
@@ -386,16 +395,68 @@ object SelfChecks {
         }
       }
     }
+    want.toSeq
+  }
+
+  private def bpeTrainScaledCheck(s: SparkSession, dir: String): CheckResult = {
+    val want = referenceScaledTrain(collectedSplitVocab(s, dir))
     val got = ops.TextAnalysis.textBpeTrainScaledQuery(s, dir).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
       .toSeq
-    CheckResult(got.nonEmpty && got == want.toSeq,
+    CheckResult(got.nonEmpty && got == want,
       "batched+canonical BPE induction is a stateful scan with no tractable SQL restatement",
       "merge table bit-equal to an independent in-memory reference trainer over the collected vocabulary",
-      s"merges=${got.size} match=${got == want.toSeq}")
+      s"merges=${got.size} match=${got == want}")
+  }
+
+  /** Scaled-serve encode contract: every (doc_id, n_words, n_tokens,
+    * chars_per_token) row of `text_bpe_encode_scaled_served` recomputed
+    * from the reference trainer + an in-memory CANONICAL sequential
+    * encoder (one leftmost non-overlapping pass per merge in step
+    * order). `codePointCount` mirrors Spark's `length()` (code points,
+    * not UTF-16 units — they diverge on astral-plane symbols). */
+  private def bpeEncodeScaledServedCheck(s: SparkSession, dir: String): CheckResult = {
+    val merges = referenceScaledTrain(collectedSplitVocab(s, dir))
+      .map(t => (t._2, t._3))
+    val encCache = scala.collection.mutable.Map[String, Long]()
+    def encLen(word: String): Long = encCache.getOrElseUpdate(word, {
+      var syms: Array[String] = word.split("")
+      merges.foreach { case (l, r) =>
+        if (syms.length > 1) {
+          val out = scala.collection.mutable.ArrayBuffer[String]()
+          var j = 0
+          while (j < syms.length) {
+            if (j < syms.length - 1 && syms(j) == l && syms(j + 1) == r) {
+              out += (l + r); j += 2
+            } else { out += syms(j); j += 1 }
+          }
+          syms = out.toArray
+        }
+      }
+      syms.length.toLong
+    })
+    val want = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+      .collect().map { r =>
+        val ws = Option(r.getString(1)).getOrElse("")
+          .split(graft.functions.TextFns.WhitespaceRegex).filter(_.nonEmpty).toSeq
+        val nTok = ws.map(encLen).sum
+        val chars = ws.map(w => w.codePointCount(0, w.length).toLong).sum
+        val cpt = if (nTok == 0) 0.0
+          else BigDecimal(chars.toDouble / nTok.toDouble)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (r.getLong(0), ws.size.toLong, nTok, cpt)
+      }.sortBy(_._1).toSeq
+    val got = ops.TextAnalysis.textBpeEncodeScaledServedQuery(s, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    val bad = got.zip(want).count { case (g, w) => g != w }
+    CheckResult(got.nonEmpty && got == want,
+      "the canonical leftmost scan is stateful — no tractable SQL restatement (same as the trainer)",
+      "every per-doc row bit-equal to reference-trainer merges + in-memory canonical encoder",
+      s"rows=${got.size} bad=$bad")
   }
 
   val checks: Map[String, (SparkSession, String) => CheckResult] = Map(
+    "text_bpe_encode_scaled_served" -> (bpeEncodeScaledServedCheck _),
     "text_bpe_train_scaled" -> (bpeTrainScaledCheck _),
     "sim_ivf_topk_trained" -> annCheck(ops.Similarity.simIvfTopkTrained,
       "k-means training sums floats in partition order; centroids are not bit-reproducible in SQL"),

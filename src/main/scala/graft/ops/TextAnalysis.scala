@@ -783,6 +783,34 @@ object TextAnalysis {
   def textBpeEncodeServedQuery(s: SparkSession, dir: String): DataFrame =
     textBpeEncodeServed(s, dir, bpeModelFor(s, dir))
 
+  private val builtScaledBpeModels = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  PlanCache.onClear("TextAnalysis.builtScaledBpeModels")(() =>
+    PlanCache.drainTempDirs(builtScaledBpeModels))
+
+  /** The memoized persisted SCALED tokenizer artifact for `dir`: the
+    * registered trainer form's exact output ([[textBpeTrainScaledQuery]]
+    * — deterministic in the corpus), persisted once per JVM with the
+    * `canonical` provenance marker. */
+  private[graft] def scaledBpeModelFor(s: SparkSession, dir: String): String =
+    builtScaledBpeModels.computeIfAbsent(dir, { _ =>
+      val d = java.nio.file.Files.createTempDirectory("graft-bpe-model-scaled").toString
+      bpeModelPersist(s, textBpeTrainScaledQuery(s, dir), d, applyForm = "canonical")
+      d
+    })
+
+  /** Registered SCALED-serve form (round 14): train the PRODUCTION
+    * trainer at the gate merge count, persist with the canonical
+    * marker, serve the encode under the artifact — so the code path a
+    * deployment actually serves with (marker dispatch → the
+    * constant-plan-depth canonical encoder) rides the per-round gate,
+    * not just its specs. Rows-only by design (the canonical leftmost
+    * scan is stateful — the same no-SQL-restatement reason as the
+    * trainer); the self-check recomputes every per-doc row from an
+    * independent in-memory reference trainer + reference canonical
+    * encoder. */
+  def textBpeEncodeScaledServedQuery(s: SparkSession, dir: String): DataFrame =
+    textBpeEncodeServed(s, dir, scaledBpeModelFor(s, dir))
+
   /** Corpus token distribution under the TRAINED tokenizer — the top
     * [[bpeTokenFreqTopK]] tokens by total occurrence count (ties broken
     * lexicographically). Computed entirely over the encoded VOCABULARY
@@ -2159,6 +2187,7 @@ object TextAnalysis {
     "text_bpe_train_scaled" -> textBpeTrainScaledQuery _,
     "text_bpe_encode" -> textBpeEncode _,
     "text_bpe_encode_served" -> textBpeEncodeServedQuery _,
+    "text_bpe_encode_scaled_served" -> textBpeEncodeScaledServedQuery _,
     "text_bpe_token_freq" -> textBpeTokenFreq _,
     "text_bm25_filtered" -> textBm25FilteredQuery _,
     "text_tfidf_topterms" -> textTfidfTopTerms _,

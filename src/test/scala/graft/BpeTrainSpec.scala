@@ -347,9 +347,11 @@ class BpeTrainSpec extends AnyFunSuite {
       TextAnalysis.textBpeEncodeServed(spark, tmp, tooBig).collect())
     assert(e.getMessage.contains("two_pass-marked"),
       s"wrong failure for an oversized two_pass model: ${e.getMessage}")
-    // the demo write path stamps its own provenance
+    // the two write paths stamp their own provenance
     assert(TextAnalysis.bpeModelApplyForm(spark, TextAnalysis.bpeModelFor(spark, TestSpark.sf0001))
       .contains("two_pass"), "bpeModelWrite must stamp the two_pass marker")
+    assert(TextAnalysis.bpeModelApplyForm(spark, TextAnalysis.scaledBpeModelFor(spark, TestSpark.sf0001))
+      .contains("canonical"), "the scaled-serve artifact must stamp the canonical marker")
   }
 
   test("corpus swap + PlanCache.clear drops the frozen served model: served encode retrains with the scan form") {
