@@ -788,13 +788,14 @@ object TextAnalysis {
     PlanCache.drainTempDirs(builtScaledBpeModels))
 
   /** The memoized persisted SCALED tokenizer artifact for `dir`: the
-    * registered trainer form's exact output ([[textBpeTrainScaledQuery]]
-    * — deterministic in the corpus), persisted once per JVM with the
-    * `canonical` provenance marker. */
+    * production write path ([[bpeModelWriteScaled]]) at the gate merge
+    * count, once per JVM. Content-identical to the registered trainer
+    * form's output — the checkpoint cadence truncates plan lineage
+    * only, never the merge table. */
   private[graft] def scaledBpeModelFor(s: SparkSession, dir: String): String =
     builtScaledBpeModels.computeIfAbsent(dir, { _ =>
       val d = java.nio.file.Files.createTempDirectory("graft-bpe-model-scaled").toString
-      bpeModelPersist(s, textBpeTrainScaledQuery(s, dir), d, applyForm = "canonical")
+      bpeModelWriteScaled(s, dir, d, bpeScaledTrainMerges)
       d
     })
 
