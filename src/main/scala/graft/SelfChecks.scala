@@ -398,8 +398,20 @@ object SelfChecks {
     want.toSeq
   }
 
+  /** One reference training per (JVM, corpus dir): the train check and
+    * the scaled-serve encode check both need it in the same Verify run,
+    * and each would otherwise pay the driver-side corpus collect plus
+    * the O(rounds × vocab) in-memory trainer a second time. Verify (and
+    * each fuzz suite) is one fresh JVM per corpus, so staleness is not
+    * a concern here. */
+  private val refTrainMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(Long, String, String, String, Long)]]()
+  private def referenceScaledMergesFor(s: SparkSession, dir: String): Seq[(Long, String, String, String, Long)] =
+    refTrainMemo.computeIfAbsent(dir,
+      _ => referenceScaledTrain(collectedSplitVocab(s, dir)))
+
   private def bpeTrainScaledCheck(s: SparkSession, dir: String): CheckResult = {
-    val want = referenceScaledTrain(collectedSplitVocab(s, dir))
+    val want = referenceScaledMergesFor(s, dir)
     val got = ops.TextAnalysis.textBpeTrainScaledQuery(s, dir).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
       .toSeq
@@ -416,8 +428,7 @@ object SelfChecks {
     * order). `codePointCount` mirrors Spark's `length()` (code points,
     * not UTF-16 units — they diverge on astral-plane symbols). */
   private def bpeEncodeScaledServedCheck(s: SparkSession, dir: String): CheckResult = {
-    val merges = referenceScaledTrain(collectedSplitVocab(s, dir))
-      .map(t => (t._2, t._3))
+    val merges = referenceScaledMergesFor(s, dir).map(t => (t._2, t._3))
     val encCache = scala.collection.mutable.Map[String, Long]()
     def encLen(word: String): Long = encCache.getOrElseUpdate(word, {
       var syms: Array[String] = word.split("")
@@ -452,7 +463,9 @@ object SelfChecks {
     CheckResult(got.nonEmpty && got == want,
       "the canonical leftmost scan is stateful — no tractable SQL restatement (same as the trainer)",
       "every per-doc row bit-equal to reference-trainer merges + in-memory canonical encoder",
-      s"rows=${got.size} bad=$bad")
+      // both lengths: zip truncates, so a row-count mismatch would
+      // otherwise fail the check while its own diagnostic said bad=0
+      s"gotRows=${got.size} wantRows=${want.size} badAligned=$bad")
   }
 
   val checks: Map[String, (SparkSession, String) => CheckResult] = Map(

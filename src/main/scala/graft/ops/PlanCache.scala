@@ -122,12 +122,19 @@ private[graft] object PlanCache {
     * starts with `prefix` — the targeted form of [[clear]] for index
     * maintenance: compaction swaps an index's files out from under any
     * memoized read of them. */
-  def invalidate(s: SparkSession, prefix: String): Unit = memo.synchronized {
-    Option(memo.get(s)).foreach { perKey =>
-      perKey.keys.filter(_.startsWith(prefix)).toSeq.foreach { k =>
-        Option(perKey(k).df).foreach(df => scala.util.Try(df.unpersist()))
-        perKey -= k
+  def invalidate(s: SparkSession, prefix: String): Unit = {
+    // same snapshot-then-IO shape as clear(): index compaction calls
+    // this on hot maintenance paths, and an unpersist under the global
+    // monitor would stall every memoized() lookup for its duration
+    val dropped = memo.synchronized {
+      Option(memo.get(s)).fold(Seq.empty[DataFrame]) { perKey =>
+        perKey.keys.filter(_.startsWith(prefix)).toSeq.map { k =>
+          val c = perKey(k)
+          perKey -= k
+          c
+        }.flatMap(c => Option(c.df))
       }
     }
+    dropped.foreach(df => scala.util.Try(df.unpersist()))
   }
 }

@@ -383,7 +383,11 @@ object TextAnalysis {
             " "))
         cur = cur.select(folded.as("w"), col("freq"))
         round += 1
-        if (round % checkpointEvery == 0) cur = cur.localCheckpoint()
+        // skip the checkpoint when this was the LAST round: nothing
+        // ever reads the truncated lineage, so it would be one wasted
+        // eager materialization of the full folded vocabulary per train
+        if (round % checkpointEvery == 0 && out.size < merges)
+          cur = cur.localCheckpoint()
       }
     }
     out.toSeq.toDF("step", "lhs", "rhs", "merged", "pair_count").orderBy(col("step"))
@@ -398,19 +402,22 @@ object TextAnalysis {
 
   /** Registered-query form of [[textBpeTrainScaled]] — the code path a
     * production deployment trains its artifact with, under the
-    * per-round gate at a bounded merge count. `checkpointEvery = 2`
-    * (not the production default 4) so the 2-round gate run REALLY
-    * executes the lineage-truncation branch — at the default it would
-    * ship unexercised by the gate. Rows-only by design (the
-    * batched+canonical scan is stateful — no tractable SQL
-    * restatement); its per-Verify self-check replays the training
-    * against an independent in-memory reference of the same rules over
-    * the collected word-frequency vocabulary (the same reference
-    * `BpeTrainSpec` pins), bit-equal on every (step, lhs, rhs, merged,
-    * pair_count) row (checkpointing truncates plan lineage only, never
-    * content — so the reference needs no notion of it). */
+    * per-round gate at a bounded merge count. `checkpointEvery = 1`
+    * (not the production default 4) so the 2-round gate run trains
+    * THROUGH a truncated lineage — round 2's pair counting consumes
+    * round 1's checkpoint — rather than merely calling the branch; at
+    * the default the truncation path would ship unexercised by the
+    * gate (the final-round checkpoint is skipped as dead work by the
+    * trainer itself). Rows-only by design (the batched+canonical scan
+    * is stateful — no tractable SQL restatement); its per-Verify
+    * self-check replays the training against an independent in-memory
+    * reference of the same rules over the collected word-frequency
+    * vocabulary (the same reference `BpeTrainSpec` pins), bit-equal on
+    * every (step, lhs, rhs, merged, pair_count) row (checkpointing
+    * truncates plan lineage only, never content — so the reference
+    * needs no notion of it). */
   def textBpeTrainScaledQuery(s: SparkSession, dir: String): DataFrame =
-    textBpeTrainScaled(s, dir, bpeScaledTrainMerges, checkpointEvery = 2)
+    textBpeTrainScaled(s, dir, bpeScaledTrainMerges, checkpointEvery = 1)
 
   /** Learned merge table, memoized per (session, corpus) so the three
     * BPE queries (train / encode / token-freq) train ONCE per session:
@@ -676,9 +683,24 @@ object TextAnalysis {
     require(applyForm == "two_pass" || applyForm == "canonical",
       s"unknown BPE apply form '$applyForm'")
     import s.implicits._
-    mergesDf.write.mode("overwrite").parquet(s"$modelDir/merges")
+    // stage-then-swap: merges and the apply-form marker must land as
+    // ONE artifact — two in-place overwrites would open a crash window
+    // where a stale marker sits over a fresh table (silently served
+    // with the wrong fixed point) or a fresh table has no marker at
+    // all. Both torn states here are LOUD instead: a crash before the
+    // delete leaves the old artifact whole; between delete and rename,
+    // no artifact (readers fail on the missing dir; re-persist heals).
+    val root = new org.apache.hadoop.fs.Path(modelDir)
+    val f = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val stage = new org.apache.hadoop.fs.Path(
+      Option(root.getParent).getOrElse(root), s".${root.getName}.mstage")
+    f.delete(stage, true)
+    mergesDf.write.mode("overwrite").parquet(new org.apache.hadoop.fs.Path(stage, "merges").toString)
     Seq(applyForm).toDF("apply").coalesce(1)
-      .write.mode("overwrite").parquet(s"$modelDir/spec")
+      .write.mode("overwrite").parquet(new org.apache.hadoop.fs.Path(stage, "spec").toString)
+    f.delete(root, true)
+    if (!f.rename(stage, root))
+      throw new java.io.IOException(s"bpeModelPersist: rename $stage -> $root failed")
   }
 
   /** The persisted model's apply-form marker, if it carries one. */

@@ -277,9 +277,14 @@ object TextIngest {
       docs.filter(pmod(col("doc_id"), lit(IngestDedup.ingestBatches.toLong)) === 0)
         .write.mode("overwrite").parquet(s"$root/seed/documents.parquet")
       TextAnalysis.bpeModelWrite(s, s"$root/seed", s"$root/model")
+      // the seed rows count under the SAME recorded apply form as every
+      // streamed batch — splitting the marker rule across the two halves
+      // would let ledgerTotals sum token counts computed under two
+      // different tokenizer semantics
       TextAnalysis.bpeSourceCounts(
           s.read.parquet(s"$root/seed/documents.parquet"),
-          TextAnalysis.bpeModelMerges(s, s"$root/model"))
+          TextAnalysis.bpeModelMerges(s, s"$root/model"),
+          TextAnalysis.bpeModelApplyForm(s, s"$root/model"))
         .withColumn("batch_id", lit(-1L))
         .coalesce(1).write.mode("overwrite").parquet(s"$root/ledger/seed")
     }

@@ -100,10 +100,12 @@ class TextIngestSpec extends AnyFunSuite {
     }
     TextAnalysis.bpeModelWrite(spark, s"$r/slice_0", s"$r/model")
     val merges = TextAnalysis.bpeModelMerges(spark, s"$r/model")
-    assert(merges.nonEmpty)
-    // seed's own ledger rows, stamped at deployment
+    val form = TextAnalysis.bpeModelApplyForm(spark, s"$r/model")
+    assert(merges.nonEmpty && form.contains("two_pass"))
+    // seed's own ledger rows, stamped at deployment — counted under the
+    // model's recorded apply form like every streamed batch
     TextAnalysis.bpeSourceCounts(
-        spark.read.parquet(s"$r/slice_0/documents.parquet"), merges)
+        spark.read.parquet(s"$r/slice_0/documents.parquet"), merges, form)
       .withColumn("batch_id", lit(-1L))
       .coalesce(1).write.mode("overwrite").parquet(s"$r/ledger/seed")
     land(r, 1, "batch_1"); land(r, 2, "batch_2")
@@ -115,7 +117,7 @@ class TextIngestSpec extends AnyFunSuite {
     val got = totals()
     // batch-by-batch accounting under FROZEN merges == one whole-corpus
     // encode under the same merges (bpeSourceCounts' exactness contract)
-    val want = TextAnalysis.bpeSourceCounts(docs, merges).collect()
+    val want = TextAnalysis.bpeSourceCounts(docs, merges, form).collect()
       .map(x => (x.getString(0), x.getLong(1), x.getLong(2))).sorted.toSeq
     assert(got.nonEmpty && got === want,
       s"ledger totals diverged from the whole-corpus encode:\n got: $got\nwant: $want")
@@ -224,7 +226,8 @@ class TextIngestSpec extends AnyFunSuite {
       s"$nB streamed batches left $nDirs ledger dirs — the cadence is not bounding the count")
     val got = graft.streaming.TextIngest.ledgerTotals(spark, s"$r/ledger")
       .collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2))).sorted.toSeq
-    val want = graft.ops.TextAnalysis.bpeSourceCounts(docs, merges).collect()
+    val want = graft.ops.TextAnalysis.bpeSourceCounts(docs, merges,
+        graft.ops.TextAnalysis.bpeModelApplyForm(spark, s"$r/model")).collect()
       .map(x => (x.getString(0), x.getLong(1), x.getLong(2))).sorted.toSeq
     assert(got === want, "bounded-dir ledger totals diverged from the whole-corpus encode")
   }
