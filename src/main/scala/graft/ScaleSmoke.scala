@@ -504,7 +504,10 @@ object ScaleSmoke {
     //      CONTENDERS re-read the mega list, with their doc_id IN
     //      pushed into the sorted postings (row-group min/max + page
     //      column indexes skip around them — parquet's skip pointers).
-    val msCand = ops.TextAnalysis.maxScoreContenders(spark, stopIdx)
+    // forced engagement: this is the pricing instrument for the ENGAGED
+    // path (the r15 auto-disengage floor would — correctly — refuse the
+    // decision pass at 100k mega rows; a deployment-scale head clears it)
+    val msCand = ops.TextAnalysis.maxScoreContenders(spark, stopIdx, minMegaRows = 0L)
     assert(msCand.isDefined, "MaxScore pruning must engage on the stopword corpus")
     val cand = msCand.get.contenders
     val msScanRows = scanRecords {
@@ -516,7 +519,7 @@ object ScaleSmoke {
     }
     val tMs0 = System.nanoTime()
     val msServe = time("text_bm25_served MAXSCORE (exact, contender re-scan)") {
-      ops.TextAnalysis.textBm25ServedMaxScore(spark, stopIdx).collect().map(_.toSeq).toSeq
+      ops.TextAnalysis.textBm25ServedMaxScore(spark, stopIdx, minMegaRows = 0L).collect().map(_.toSeq).toSeq
     }
     val msServeSecs = (System.nanoTime() - tMs0) / 1e9
     val tUn0 = System.nanoTime()

@@ -406,6 +406,11 @@ object SelfChecks {
     * a concern here. */
   private val refTrainMemo =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[(Long, String, String, String, Long)]]()
+  // invalidated with the engine's own artifact memos: a library
+  // consumer that swaps corpus files at the same path and calls
+  // PlanCache.clear() per the contract gets a fresh reference train,
+  // not a phantom divergence against the retrained engine
+  ops.PlanCache.onClear("SelfChecks.refTrainMemo")(() => refTrainMemo.clear())
   private def referenceScaledMergesFor(s: SparkSession, dir: String): Seq[(Long, String, String, String, Long)] =
     refTrainMemo.computeIfAbsent(dir,
       _ => referenceScaledTrain(collectedSplitVocab(s, dir)))

@@ -210,8 +210,9 @@ object Autopilot {
     * detected from the on-disk layout: buckets+meta = LSH,
     * lists+codebook = IVF-PQ, lists+centroids = IVF, postings+doclen =
     * text, bloom+eval_shingles = decontamination, simhash = dedup
-    * signature store — an ingest-manifest index legitimately carries
-    * the last TWO side by side, and both are evaluated). Returns the
+    * signature store, seed/b<i>/c<n> = token ledger — an
+    * ingest-manifest index legitimately carries bloom+simhash side by
+    * side, and both are evaluated). Returns the
     * decision log: one row per evaluated trigger —
     * (family, trigger, value, threshold, action, performed). */
   def indexAutopilot(s: SparkSession, indexDir: String,
@@ -339,10 +340,32 @@ object Autopilot {
         "compact", wantCompact && pend > 0))
     }
 
+    // TOKEN LEDGER family (seed/b<i>/c<n> rollup grammar — round 15).
+    // The ledger's maintenance debt is live part-DIRECTORY count (no
+    // stamped appends, tombstones, or bloom — the index-shaped alarms
+    // are constant-false on it): `unrolled_batches` past the backstop
+    // means the stream's own cadence compaction is failing to absorb,
+    // and `covered_garbage` means a crashed sweep (or a copy-rename
+    // crash's uncommitted rollup) left dirs every totals read re-lists.
+    // Both are fixed by one rollup-all pass, whose lazy sweep also
+    // collects the garbage.
+    if (!matched && graft.streaming.TextIngest.isLedgerDir(s, indexDir)) {
+      matched = true
+      val h = healthMap(graft.streaming.TextIngest.ledgerHealth(s, indexDir))
+      val unrolled = h.getOrElse("unrolled_batches", 0.0)
+      val garbage = h.getOrElse("covered_garbage", 0.0)
+      val wantRollup = unrolled > maxUnabsorbedBatches || garbage > 0
+      if (wantRollup) graft.streaming.TextIngest.ledgerRollupAll(s, indexDir)
+      rows += (("ledger", "unrolled_batches", unrolled, maxUnabsorbedBatches.toDouble,
+        "rollup", wantRollup && unrolled > maxUnabsorbedBatches))
+      rows += (("ledger", "covered_garbage", garbage, 0.0,
+        "rollup", wantRollup && garbage > 0))
+    }
+
     if (!matched) throw new IllegalArgumentException(
       s"indexAutopilot: no known index family at $indexDir " +
       "(want buckets+meta, lists+centroids[+codebook], postings+doclen, " +
-      "bloom+eval_shingles, or simhash)")
+      "bloom+eval_shingles, simhash, or a seed/b<i>/c<n> token ledger)")
 
     rows.toSeq.toDF("family", "trigger", "value", "threshold", "action", "performed")
   }

@@ -39,12 +39,21 @@ private[graft] object PlanCache {
   /** Callbacks run by [[clear]] after the memo sweep — sibling caches
     * whose validity is tied to the same "corpus files are immutable"
     * assumption (the persisted demo text index / BPE model temp dirs).
-    * Registration is idempotent by key. */
+    * One hook per key, LAST registration wins: keys are the draining
+    * cache's static identity (`"Class.memberName"`), never per-corpus
+    * values, so the map's size is bounded by the number of artifact
+    * memos in the codebase — a long-lived JVM re-registering a key
+    * replaces the old closure instead of stranding it (the r14 shape
+    * kept the FIRST closure forever and grew on any dynamic key). */
   private val clearHooks =
     scala.collection.mutable.Map[String, () => Unit]()
 
   private[graft] def onClear(key: String)(hook: () => Unit): Unit =
-    memo.synchronized { clearHooks.getOrElseUpdate(key, hook); () }
+    memo.synchronized { clearHooks.update(key, hook) }
+
+  /** Registered hook count — the growth pin for the spec arm. */
+  private[graft] def clearHookCount: Int =
+    memo.synchronized { clearHooks.size }
 
   /** Memoize `build` as a cached DataFrame under (session, key). The
     * plan is built and `.cache()`d lazily — nothing materializes until a

@@ -542,7 +542,16 @@ object Retrieval {
     // shares the unbounded serve's oracle
     "search_hybrid_rrf_served_maxscore_lowcut" ->
       ((s: org.apache.spark.sql.SparkSession, d: String) =>
-        searchHybridRrfServedMaxScore(s, d, TextAnalysis.bm25LowDfShare))
+        searchHybridRrfServedMaxScore(s, d, TextAnalysis.bm25LowDfShare)),
+    // the PER-SERVE SNAPSHOT form on the per-round gate (round 15):
+    // lowcut so what materializes is the ENGAGED per-query pruned
+    // fusion, pinned to decision-time index state — the path a
+    // deployment holds across concurrent ingest. Identical rows to the
+    // unbounded serve by MaxScore exactness + materialization, so it
+    // shares the oracle.
+    "search_hybrid_rrf_served_maxscore_now" ->
+      ((s: org.apache.spark.sql.SparkSession, d: String) =>
+        searchHybridRrfServedMaxScoreNow(s, d, TextAnalysis.bm25LowDfShare))
   )
 
   private val tokSql =
@@ -558,6 +567,8 @@ object Retrieval {
     "search_hybrid_rrf_served_maxscore" -> hybridOracleSql,
     // lowcut twin: exact at any cut — same oracle, engaged-pruning plan
     "search_hybrid_rrf_served_maxscore_lowcut" -> hybridOracleSql,
+    // materialized snapshot serve: identical rows by construction
+    "search_hybrid_rrf_served_maxscore_now" -> hybridOracleSql,
     // semantic side: the LSH chain's `ranked` over the full stride set;
     // lexical side: the grouped BM25 restated with the same fixed-slot
     // pivot and 6-decimal quantization; fusion per (q_id, doc_id)

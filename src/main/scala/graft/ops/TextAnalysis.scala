@@ -690,6 +690,16 @@ object TextAnalysis {
     // all. Both torn states here are LOUD instead: a crash before the
     // delete leaves the old artifact whole; between delete and rename,
     // no artifact (readers fail on the missing dir; re-persist heals).
+    // The stage→root rename is atomic only on HDFS/local — on S3A it
+    // degrades to copy+delete, and a crash mid-copy leaves a PARTIAL
+    // artifact (a truncated multi-file merge table, possibly missing
+    // the spec) that would serve a silently wrong tokenizer. So the
+    // commit point is the [[bpeModelCommitMarker]] created AFTER the
+    // rename returns — readers ([[bpeModelMerges]] /
+    // [[bpeModelApplyForm]]) refuse a markerless dir loudly. The
+    // marker cannot ride inside the stage: copy-rename copies files in
+    // unspecified order, so it could land before the data it vouches
+    // for.
     val root = new org.apache.hadoop.fs.Path(modelDir)
     val f = root.getFileSystem(s.sparkContext.hadoopConfiguration)
     val stage = new org.apache.hadoop.fs.Path(
@@ -701,10 +711,36 @@ object TextAnalysis {
     f.delete(root, true)
     if (!f.rename(stage, root))
       throw new java.io.IOException(s"bpeModelPersist: rename $stage -> $root failed")
+    f.create(new org.apache.hadoop.fs.Path(root, bpeModelCommitMarker), true).close()
   }
 
-  /** The persisted model's apply-form marker, if it carries one. */
+  /** Completion marker of a persisted BPE model dir, created after the
+    * stage→root swap FINISHED — the artifact's real commit point on
+    * filesystems whose rename is copy+delete. A model dir without it is
+    * incomplete and every reader fails loudly instead of serving a
+    * truncated tokenizer. Hand-assembled model dirs (a merge table
+    * written without [[bpeModelPersist]]) must create this file last
+    * to declare themselves complete. */
+  private[graft] val bpeModelCommitMarker = "_MODEL_COMMITTED"
+
+  private def requireCommittedModel(s: SparkSession, modelDir: String): Unit = {
+    val mp = new org.apache.hadoop.fs.Path(s"$modelDir/$bpeModelCommitMarker")
+    if (!mp.getFileSystem(s.sparkContext.hadoopConfiguration).exists(mp))
+      throw new IllegalStateException(
+        s"BPE model at $modelDir has no $bpeModelCommitMarker — the artifact is " +
+        "incomplete (a crash mid-persist, or a hand-built dir that never " +
+        "declared completion); re-persist through bpeModelPersist, or create " +
+        "the marker last if the dir was assembled by hand")
+  }
+
+  /** The persisted model's apply-form marker, if it carries one.
+    * Requires the completion marker first: on a copy-rename filesystem
+    * a partially-copied artifact can be missing `spec` while carrying
+    * (some of) `merges` — without the completion gate that torn state
+    * would dispatch through the size heuristic as if it were a legacy
+    * markerless model, silently serving truncated merges. */
   private[graft] def bpeModelApplyForm(s: SparkSession, modelDir: String): Option[String] = {
+    requireCommittedModel(s, modelDir)
     val p = new org.apache.hadoop.fs.Path(s"$modelDir/spec")
     if (!p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p)) None
     else Some(s.read.parquet(p.toString).head().getString(0))
@@ -732,11 +768,15 @@ object TextAnalysis {
   }
 
   /** Step-ordered merge list of a persisted model — a bounded read
-    * (one row per merge). */
-  private[graft] def bpeModelMerges(s: SparkSession, modelDir: String): Seq[(String, String)] =
+    * (one row per merge). Completion-gated like [[bpeModelApplyForm]]:
+    * a merge table from a crashed copy-rename can be silently
+    * truncated, which is worse than missing. */
+  private[graft] def bpeModelMerges(s: SparkSession, modelDir: String): Seq[(String, String)] = {
+    requireCommittedModel(s, modelDir)
     s.read.parquet(s"$modelDir/merges")
       .select(col("step"), col("lhs"), col("rhs")).orderBy(col("step"))
       .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+  }
 
   /** SERVED BPE encode — [[textBpeEncode]]'s plan with the training
     * replaced by a bounded artifact read: per-doc token counts over
@@ -1742,6 +1782,24 @@ object TextAnalysis {
     * scan the mega list anyway — serve unbounded rather than pretend. */
   private val maxScoreCandCap = 10000
 
+  /** AUTO-DISENGAGE floor for the fixed-query MaxScore decision pass
+    * (round 15): the pruning's payoff is the SKIPPED mega posting rows,
+    * a quantity the term dictionary prices for free (Σ df over the mega
+    * terms), while the decision pass costs a cheap-postings floor scan
+    * plus ~0.3 s of flat driver actions (measured, PLANS.md round-14
+    * pricing: at 100k skipped rows the serve pays 1.56–1.68× the
+    * unbounded time — the saving was ~0.1 s against ~0.3 s of decision
+    * overhead, putting break-even near ~300k rows at local[32]). Below
+    * this floor the serve goes unbounded DIRECTLY, paying only the
+    * dictionary read — so the production default never eats the
+    * smoke-scale overhead, while a Zipf corpus whose mega head is
+    * posting-mass-heavy (a billion rows at 100 TB) still engages.
+    * Exactness is unaffected in both directions (MaxScore is exact at
+    * any cut; disengaging just serves the always-exact unbounded
+    * plan). Declared instruments (the `_lowcut` twins) pass 0 to force
+    * engagement under the oracle. */
+  private[graft] val maxScoreMinMegaRows = 1000000L
+
   /** One 6-decimal rounding quantum: the MaxScore floor/bound tests run
     * on UNROUNDED scores while the final ranking compares ROUNDED ones,
     * so every cut is slackened by this much — a doc whose true score
@@ -1857,7 +1915,8 @@ object TextAnalysis {
     * unseated, a mega-only doc that could reach the floor, or a
     * contender set too large to push as an IN filter. */
   def maxScoreContenders(s: SparkSession, indexDir: String,
-      maxDfShare: Double = bm25MaxDfShare): Option[MaxScorePrune] = {
+      maxDfShare: Double = bm25MaxDfShare,
+      minMegaRows: Long = maxScoreMinMegaRows): Option[MaxScorePrune] = {
     val tsPath = new org.apache.hadoop.fs.Path(s"$indexDir/termstats")
     if (!tsPath.getFileSystem(s.sparkContext.hadoopConfiguration).exists(tsPath))
       return None // pre-dictionary index layout: fall back, don't throw
@@ -1877,6 +1936,11 @@ object TextAnalysis {
     if (mega.isEmpty) return None  // no mega posting to avoid
     val cheap = bm25Query.filterNot(mega.contains)
     if (cheap.isEmpty) return None // all-stopword query: no cheap floor
+    // AUTO-DISENGAGE ([[maxScoreMinMegaRows]]): everything above this
+    // line is one dictionary collect — if the posting mass the pruning
+    // would skip can't pay for the floor scan + decision actions,
+    // serve unbounded without paying them
+    if (mega.map(t => dict(t)._1).sum < minMegaRows) return None
     // the appended tail's query-term rows: live df deltas + the tail's
     // mega-matching docs (contenders by inclusion, not by bound)
     val tailFiles = IndexMaintenance.appendedTailFiles(s, s"$indexDir/postings")
@@ -1975,8 +2039,9 @@ object TextAnalysis {
     * construction (pinned with a concurrent-append arm in
     * `BoundedServeSpec`). */
   def textBm25ServedMaxScore(s: SparkSession, indexDir: String,
-      maxDfShare: Double = bm25MaxDfShare): DataFrame =
-    maxScoreContenders(s, indexDir, maxDfShare) match {
+      maxDfShare: Double = bm25MaxDfShare,
+      minMegaRows: Long = maxScoreMinMegaRows): DataFrame =
+    maxScoreContenders(s, indexDir, maxDfShare, minMegaRows) match {
       case None => textBm25Served(s, indexDir)
       case Some(MaxScorePrune(cand, dfLive)) =>
         // tombstone-masked like every index read (free when none
@@ -2024,8 +2089,9 @@ object TextAnalysis {
     * any amount of concurrent ingest without observing a mixed state.
     * Each call re-derives everything from the index's current state. */
   def textBm25ServedMaxScoreNow(s: SparkSession, indexDir: String,
-      maxDfShare: Double = bm25MaxDfShare): DataFrame =
-    materializedNow(s, textBm25ServedMaxScore(s, indexDir, maxDfShare))
+      maxDfShare: Double = bm25MaxDfShare,
+      minMegaRows: Long = maxScoreMinMegaRows): DataFrame =
+    materializedNow(s, textBm25ServedMaxScore(s, indexDir, maxDfShare, minMegaRows))
 
   /** Compact the posting table on term — the sort that puts each
     * term's posting list into contiguous, min/max-prunable row groups,
@@ -2178,9 +2244,25 @@ object TextAnalysis {
     * still identical to `text_bm25_served` (MaxScore is exact at any
     * cut — the cut moves work between arms, never the answer), so it
     * shares that oracle; `BoundedServeSpec` asserts the run really
-    * takes the pruned path. */
+    * takes the pruned path. A DECLARED INSTRUMENT: `minMegaRows = 0`
+    * forces engagement past the round-15 auto-disengage floor, which
+    * at gate scale would (correctly) refuse to pay the decision pass. */
   def textBm25ServedMaxScoreLowcutQuery(s: SparkSession, dir: String): DataFrame =
-    textBm25ServedMaxScore(s, textIndexFor(s, dir), maxDfShare = bm25LowDfShare)
+    textBm25ServedMaxScore(s, textIndexFor(s, dir), maxDfShare = bm25LowDfShare,
+      minMegaRows = 0L)
+
+  /** Registered form of the PER-SERVE SNAPSHOT serve
+    * ([[textBm25ServedMaxScoreNow]]) — the path a deployment holds
+    * across concurrent ingest, now riding the per-round hash gate
+    * (round 15): lowcut + forced engagement like the `_lowcut`
+    * instrument, so what materializes is the ENGAGED pruned plan's
+    * decision-time state, not the fallback's lazy frame. Result
+    * identical to `text_bm25_served` by MaxScore exactness +
+    * materialization (a local relation of the same rows), so it shares
+    * that oracle. */
+  def textBm25ServedMaxScoreNowQuery(s: SparkSession, dir: String): DataFrame =
+    textBm25ServedMaxScoreNow(s, textIndexFor(s, dir), maxDfShare = bm25LowDfShare,
+      minMegaRows = 0L)
 
   /** Registered-query form of [[textPhraseServed]] — shares the ONE
     * persisted index (build memo) with the BM25 serving family. */
@@ -2205,6 +2287,7 @@ object TextAnalysis {
     "text_bm25_served_bounded" -> textBm25ServedBoundedQuery _,
     "text_bm25_served_maxscore" -> textBm25ServedMaxScoreQuery _,
     "text_bm25_served_maxscore_lowcut" -> textBm25ServedMaxScoreLowcutQuery _,
+    "text_bm25_served_maxscore_now" -> textBm25ServedMaxScoreNowQuery _,
     "text_index_health" -> textIndexHealthQuery _,
     "text_bpe_train" -> bpeMergesDf _,
     "text_bpe_train_scaled" -> textBpeTrainScaledQuery _,
@@ -2547,6 +2630,9 @@ object TextAnalysis {
     // the MaxScore serve is result-identical to the unbounded serve on
     // every corpus (exactness is its contract), so it shares its oracle
     "text_bm25_served_maxscore" -> bm25OracleSql,
+    // the materialized snapshot serve: identical rows by construction
+    // (engaged pruned plan collected into a local relation)
+    "text_bm25_served_maxscore_now" -> bm25OracleSql,
     // the lowcut twin is exact at ANY cut — same oracle; what changes
     // is WHICH plan runs under it (the engaged-pruning arm at sf0.01+)
     "text_bm25_served_maxscore_lowcut" -> bm25OracleSql,

@@ -130,8 +130,30 @@ object TextIngest {
   private val ledgerBatchRe = "^b(\\d+)$".r
   private val ledgerCompactedRe = "^c(\\d+)$".r
 
+  /** Completion marker a rollup dir carries once its commit FINISHED.
+    * Created as a separate file AFTER the stage→`c<N>` rename returns:
+    * on a filesystem whose rename is copy+delete (S3A), a crash
+    * mid-copy leaves a PARTIAL `c<N>` dir whose contents look
+    * authoritative — without the marker the live-parts grammar would
+    * adopt it as the high-water rollup and silently undercount the
+    * batches it claims to cover. A `c` dir without this marker is
+    * GARBAGE to readers and the sweep (the covered `b` dirs are still
+    * live, so totals stay exact). Underscore-prefixed so parquet scans
+    * of the dir ignore it. The marker cannot ride inside the staging
+    * dir: a copy-rename copies files in unspecified order, so it could
+    * land before the data it vouches for. */
+  private[graft] val ledgerCommitMarker = "_LEDGER_COMMITTED"
+
   private def nameOf(path: String): String =
     new org.apache.hadoop.fs.Path(path).getName
+
+  private def isCommitted(f: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path): Boolean =
+    f.exists(new org.apache.hadoop.fs.Path(dir, ledgerCommitMarker))
+
+  private def markCommitted(f: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path): Unit =
+    f.create(new org.apache.hadoop.fs.Path(dir, ledgerCommitMarker), true).close()
 
   /** The ledger directory's sub-directories through the Hadoop FS API —
     * the ledger is a persisted deployment artifact like the six index
@@ -146,19 +168,26 @@ object TextIngest {
   }
 
   /** Live ledger parts under the sequence-stamp convention: the highest
-    * `c<hwm>` rollup (if any) plus every `b<i>` with `i > hwm` plus the
-    * `seed` rows when no rollup has absorbed them yet. Everything else
-    * in the directory — older rollups, covered batch dirs a crashed
-    * sweep left behind, `.cstage` staging — is ignored, which is what
-    * makes the compact crash-safe at every boundary. */
+    * COMMITTED `c<hwm>` rollup (if any) plus every `b<i>` with
+    * `i > hwm` plus the `seed` rows when no rollup has absorbed them
+    * yet. Everything else in the directory — older rollups, covered
+    * batch dirs a crashed sweep left behind, `.cstage` staging, and any
+    * `c` dir WITHOUT its [[ledgerCommitMarker]] (a copy-rename that
+    * crashed mid-copy: partial content that must not shadow the `b`
+    * dirs it claims to cover) — is ignored, which is what makes the
+    * compact crash-safe at every boundary. */
   private def ledgerLiveParts(s: SparkSession, ledgerDir: String): Seq[String] = {
     val entries = ledgerDirs(s, ledgerDir)
-    val hwm = entries.flatMap(f => f.getPath.getName match {
-      case ledgerCompactedRe(n) => Some(n.toLong)
+    val p = new org.apache.hadoop.fs.Path(ledgerDir)
+    val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val hwm = entries.flatMap(e => e.getPath.getName match {
+      case ledgerCompactedRe(n) if isCommitted(f, e.getPath) => Some(n.toLong)
       case _ => None
     }).sorted.lastOption
-    entries.filter { f =>
-      f.getPath.getName match {
+    entries.filter { e =>
+      e.getPath.getName match {
+        // dir names are unique, so the dir matching hwm IS the
+        // committed one the hwm scan just verified
         case ledgerCompactedRe(n) => hwm.contains(n.toLong)
         case ledgerBatchRe(n) => hwm.forall(n.toLong > _)
         case "seed" => hwm.isEmpty
@@ -167,27 +196,88 @@ object TextIngest {
     }.map(_.getPath.toString).sorted
   }
 
-  /** Per-source totals over the live ledger parts — MATERIALIZED under
-    * the ledger's maintenance lock (in-JVM monitor + cross-process
-    * lease, the same [[IndexMaintenance.withIndexMaintenance]] scope
-    * the compact holds), so a rollup can never sweep a `b<i>` dir out
-    * from under this read: the returned frame is a bounded local
-    * relation (one row per source), not a lazy scan of swap-able
-    * paths. A ledger with no live parts fails loudly — it was never
-    * seeded, or the dir is wrong. */
+  /** True when `t` (or anything in its cause chain) says a file or
+    * path vanished between our listing and the read — the one failure
+    * an optimistic snapshot read over swap-able parts can hit. */
+  private def isFileGone(t: Throwable): Boolean = {
+    var c: Throwable = t
+    while (c != null) {
+      if (c.isInstanceOf[java.io.FileNotFoundException]) return true
+      val m = Option(c.getMessage).getOrElse("")
+      if (m.contains("does not exist") || m.contains("PATH_NOT_FOUND") ||
+          m.contains("FileNotFoundException")) return true
+      c = if (c.getCause eq c) null else c.getCause
+    }
+    false
+  }
+
+  /** Per-source totals over the live ledger parts — an OPTIMISTIC
+    * snapshot read that never takes the writer lease: monitoring reads
+    * must stay available WHILE maintenance runs (the r14 form acquired
+    * the exclusive cross-process lease, so a foreign compact made every
+    * totals probe fail loudly for its whole duration, and each read
+    * paid a lease create/delete round-trip). Consistency comes from the
+    * live-parts grammar instead: rollup content is deterministic in its
+    * mark and the commit marker lands only after a complete rollup, so
+    * EVERY listing is a consistent snapshot — the only race is a sweep
+    * deleting a listed part mid-read, which surfaces as FileNotFound
+    * and is healed by re-listing (bounded retries, then loud failure).
+    * The result is MATERIALIZED before returning (one bounded row per
+    * source), never a lazy scan of swap-able paths. A ledger with no
+    * live parts fails loudly — it was never seeded, or the dir is
+    * wrong. */
   private[graft] def ledgerTotals(s: SparkSession, ledgerDir: String): DataFrame = {
-    val (rows, schema) = IndexMaintenance.withIndexMaintenance(s, ledgerDir) {
+    val p = new org.apache.hadoop.fs.Path(ledgerDir)
+    val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    // file-level fingerprint of the live parts (name + length; Spark's
+    // per-write UUID part names make every rewrite visible). Equality
+    // before and after the read proves no writer touched the snapshot
+    // mid-read — the FileNotFound retry alone would miss a redelivery
+    // OVERWRITE of a live `b` dir, whose mid-write state is an EMPTY
+    // dir that reads as zero rows instead of an error.
+    def fingerprintOf(live: Seq[String]): String = live.map { d =>
+      val dp = new org.apache.hadoop.fs.Path(d)
+      if (!f.exists(dp)) s"$d:GONE"
+      else f.listStatus(dp).map(st => s"${st.getPath.getName}:${st.getLen}")
+        .sorted.mkString(s"$d[", ",", "]")
+    }.mkString("|")
+    // TIME-bounded patience, not attempt-bounded: each torn read proves
+    // a compact/rewrite ran DURING it, so attempts measure writer churn,
+    // not reader health — under back-to-back maintenance a small retry
+    // count fails spuriously while the state is perfectly readable
+    // between passes. 30 s of continuous tearing, though, means
+    // maintenance is churning pathologically faster than one bounded
+    // aggregation — that IS worth a loud failure.
+    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+    var last: Throwable = null
+    var torn = 0
+    while (true) {
       val live = ledgerLiveParts(s, ledgerDir)
       require(live.nonEmpty,
         s"token ledger at $ledgerDir has no live parts — not seeded, or the wrong dir")
-      val agg = s.read.parquet(live: _*)
-        .groupBy(col("source"))
-        .agg(sum(col("n_docs")).cast("long").as("n_docs"),
-          sum(col("n_tokens")).cast("long").as("n_tokens"))
-        .orderBy(col("source"))
-      (agg.collect(), agg.schema) // the frame's OWN schema — no literal twin to drift
+      val before = fingerprintOf(live)
+      try {
+        val agg = s.read.parquet(live: _*)
+          .groupBy(col("source"))
+          .agg(sum(col("n_docs")).cast("long").as("n_docs"),
+            sum(col("n_tokens")).cast("long").as("n_tokens"))
+          .orderBy(col("source"))
+        // the frame's OWN schema — no literal twin to drift
+        val rows = agg.collect()
+        if (fingerprintOf(live) == before)
+          return s.createDataFrame(java.util.Arrays.asList(rows: _*), agg.schema)
+        last = null // torn by a concurrent writer: re-list and re-read
+      } catch {
+        case t: Throwable if isFileGone(t) => last = t
+      }
+      torn += 1
+      if (System.nanoTime() > deadline) throw new IllegalStateException(
+        s"ledgerTotals at $ledgerDir: $torn consecutive snapshot reads torn " +
+        "over 30 s — compaction is churning pathologically faster than one " +
+        "bounded aggregation can complete", last)
+      Thread.sleep(math.min(500L, 50L * torn)) // maintenance in flight; re-list
     }
-    s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+    throw new IllegalStateException("unreachable")
   }
 
   /** Roll the ledger up to one per-source dir — the small-files answer:
@@ -209,12 +299,17 @@ object TextIngest {
     * Runs entirely through the Hadoop FS API under the index-scoped
     * maintenance lock+lease ([[IndexMaintenance.withIndexMaintenance]]):
     * a second process's compact fails loudly on the lease instead of
-    * racing the rename, and [[ledgerTotals]]' read (same scope) can
-    * never observe the sweep half-done. On a filesystem without atomic
-    * dir rename (S3A) the commit point degrades to copy+delete, but
-    * the reader stays correct at every boundary by the live-parts
-    * grammar: a half-renamed rollup is just `.cstage` garbage (ignored)
-    * plus still-live `b` dirs. */
+    * racing the rename ([[ledgerTotals]] reads optimistically WITHOUT
+    * the lease and heals any sweep it races via its snapshot
+    * fingerprint). On a filesystem without atomic dir rename (S3A) the
+    * commit point degrades to copy+delete — which is why the commit
+    * point is NOT the rename but the [[ledgerCommitMarker]] created
+    * after it: a crash mid-copy leaves a partial `c<N>` dir WITHOUT the
+    * marker, which readers and the sweep treat as garbage while the
+    * covered `b` dirs stay live, so totals never undercount. A crash
+    * between rename and marker is the same state (complete content,
+    * still garbage — the retry or a later sweep collects it and the
+    * `b` dirs re-roll). */
   private[graft] def ledgerCompact(s: SparkSession, ledgerDir: String, upTo: Long): Unit =
       IndexMaintenance.withIndexMaintenance(s, ledgerDir) {
     val root = new org.apache.hadoop.fs.Path(ledgerDir)
@@ -235,20 +330,25 @@ object TextIngest {
         .withColumn("batch_id", lit(upTo - 1))
         .coalesce(1).write.mode("overwrite").parquet(stage.toString)
       val target = new org.apache.hadoop.fs.Path(root, s"c${upTo - 1}")
-      // an existing target is a finished rollup at the same mark (a
-      // crash between its rename and sweep, retried): rollup content is
-      // deterministic in the mark, so ours is redundant — drop the
-      // stage and fall through to the sweep
-      if (f.exists(target)) f.delete(stage, true)
-      else if (!f.rename(stage, target))
-        throw new java.io.IOException(s"ledger rollup rename failed: $target")
+      // an existing COMMITTED target is a finished rollup at the same
+      // mark (a crash between its marker and sweep, retried): rollup
+      // content is deterministic in the mark, so ours is redundant —
+      // drop the stage and fall through to the sweep. An UNcommitted
+      // one is a crashed copy-rename's partial content: replace it.
+      if (f.exists(target) && isCommitted(f, target)) f.delete(stage, true)
+      else {
+        f.delete(target, true)
+        if (!f.rename(stage, target))
+          throw new java.io.IOException(s"ledger rollup rename failed: $target")
+        markCommitted(f, target) // the commit point readers switch on
+      }
     }
     // lazy sweep under the CURRENT high-water mark (re-listed, so it
     // covers both what this rollup superseded and leftovers of earlier
     // crashed sweeps or post-rollup redelivery rewrites)
     val entries = ledgerDirs(s, ledgerDir)
     entries.flatMap(e => e.getPath.getName match {
-      case ledgerCompactedRe(n) => Some(n.toLong)
+      case ledgerCompactedRe(n) if isCommitted(f, e.getPath) => Some(n.toLong)
       case _ => None
     }).sorted.lastOption.foreach { hwm =>
       entries.foreach { e =>
@@ -258,6 +358,18 @@ object TextIngest {
           case "seed" => f.delete(e.getPath, true)
           case _ => ()
         }
+      }
+    }
+    // uncommitted rollups are garbage at ANY mark (no foreign compact
+    // can be mid-commit here — we hold the lease, and our own commit
+    // marker landed above): collect them even when no committed hwm
+    // exists yet, or a crashed copy at a mark ABOVE the hwm would
+    // linger past every `< hwm` sweep forever
+    ledgerDirs(s, ledgerDir).foreach { e =>
+      e.getPath.getName match {
+        case ledgerCompactedRe(_) if !isCommitted(f, e.getPath) =>
+          f.delete(e.getPath, true)
+        case _ => ()
       }
     }
   }
@@ -270,7 +382,13 @@ object TextIngest {
     * restates the split: merges trained on the seed slice ONLY
     * (`bpeChainCtesSqlWhere`), applied to the FULL corpus
     * (`bpeForeignApplyCtesSql`), grouped by source. */
-  def streamTokenLedger(s: SparkSession, dir: String): DataFrame = {
+  def streamTokenLedger(s: SparkSession, dir: String): DataFrame =
+    ledgerTotals(s, s"${ledgerReplay(s, dir)}/ledger")
+
+  /** The shared replay body: seed model + seed rows, stream the
+    * remaining slices through the ledger loop, return the temp root
+    * (`$root/ledger` is the ledger, `$root/model` the frozen model). */
+  private def ledgerReplay(s: SparkSession, dir: String): String = {
     val docs = graft.Tables(s, dir, "documents")
     val root = IngestDedup.stageLanding(s, docs,
         batches = 1 until IngestDedup.ingestBatches) { root =>
@@ -290,15 +408,147 @@ object TextIngest {
     }
     streamTokenLedgerToFiles(s, s"$root/landing/flat", s"$root/model",
       s"$root/ledger", s"$root/checkpoint")
-    ledgerTotals(s, s"$root/ledger")
+    root
   }
+
+  /** LEDGER HEALTH — the operational report of the token-ledger
+    * artifact, mirroring [[TextAnalysis.textIndexHealth]]'s shape (one
+    * (metric, value) row each, metric-sorted): `live_parts` (dirs a
+    * totals read lists), `unrolled_batches` (committed `b` dirs no
+    * rollup has absorbed — the ROLLUP LAG a deployment pages on: it
+    * should stay under the cadence floor), `rollup_hwm` (the committed
+    * rollup's mark, −1 before the first rollup), `covered_garbage`
+    * (dirs the live-parts grammar ignores — covered batches, stale
+    * rollups, uncommitted copy-rename leftovers; nonzero past one
+    * cadence means the lazy sweep is not keeping up), `n_sources` /
+    * `n_docs_total` / `n_tokens_total` (the dashboard totals
+    * themselves). Listing metrics are one FS listing; totals ride
+    * [[ledgerTotals]]'s snapshot read. */
+  private[graft] def ledgerHealth(s: SparkSession, ledgerDir: String): DataFrame = {
+    import s.implicits._
+    val entries = ledgerDirs(s, ledgerDir).map(_.getPath.getName)
+    val live = ledgerLiveParts(s, ledgerDir).map(nameOf)
+    val hwm = live.collectFirst { case ledgerCompactedRe(n) => n.toLong }
+    val unrolled = live.count(n => ledgerBatchRe.matches(n))
+    val garbage = entries.count(n => !live.contains(n))
+    val totals = ledgerTotals(s, ledgerDir)
+      .agg(count(lit(1)), sum(col("n_docs")), sum(col("n_tokens"))).head()
+    Seq(
+      ("covered_garbage", garbage.toDouble),
+      ("live_parts", live.size.toDouble),
+      ("n_docs_total", totals.getLong(1).toDouble),
+      ("n_sources", totals.getLong(0).toDouble),
+      ("n_tokens_total", totals.getLong(2).toDouble),
+      ("rollup_hwm", hwm.fold(-1.0)(_.toDouble)),
+      ("unrolled_batches", unrolled.toDouble)
+    ).toDF("metric", "value")
+      .select(col("metric"), round(col("value"), 6).as("value"))
+      .orderBy(col("metric"))
+  }
+
+  /** Roll the ledger all the way up — the autopilot's on-demand form
+    * of the cadence compaction: no trigger is in flight when a
+    * maintenance pass runs, and even if a stream retries the covered
+    * top batch, its deterministic rewrite lands BELOW the new
+    * high-water mark and is ignored by readers, then collected by the
+    * next sweep (totals already include its content via the rollup).
+    * With nothing to roll up this degrades to the lazy sweep, which is
+    * how the autopilot clears `covered_garbage` debt. */
+  private[graft] def ledgerRollupAll(s: SparkSession, ledgerDir: String): Unit = {
+    val upTo = ledgerLiveParts(s, ledgerDir).map(nameOf)
+      .collect { case ledgerBatchRe(n) => n.toLong }
+      .maxOption.map(_ + 1).getOrElse(0L)
+    ledgerCompact(s, ledgerDir, upTo)
+  }
+
+  /** True when `dir` holds a token-ledger layout: at least one
+    * grammar dir (`seed` / `b<i>` / `c<n>`) and nothing else but
+    * staging/marker noise — the autopilot's family detector. */
+  private[graft] def isLedgerDir(s: SparkSession, dir: String): Boolean = {
+    val names = ledgerDirs(s, dir).map(_.getPath.getName)
+    val grammar = names.filter(n => n == "seed" ||
+      ledgerBatchRe.matches(n) || ledgerCompactedRe.matches(n))
+    grammar.nonEmpty && names.forall(n => grammar.contains(n) ||
+      n.startsWith(".") || n.startsWith("_"))
+  }
+
+  /** One replayed ledger per (JVM, corpus) for the health query —
+    * the [[TextAnalysis.textIndexFor]] pattern: the health report
+    * reads state, it should not pay a fresh stream replay per call
+    * (bench reps measure the REPORT, not the replay). */
+  private val builtLedgers = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  graft.ops.PlanCache.onClear("TextIngest.builtLedgers")(() =>
+    graft.ops.PlanCache.drainTempDirs(builtLedgers))
+
+  private[graft] def ledgerFor(s: SparkSession, dir: String): String =
+    builtLedgers.computeIfAbsent(dir, _ => ledgerReplay(s, dir))
+
+  /** Registered-query form of [[ledgerHealth]] over the memoized
+    * replayed ledger. The replay's final listing state is DETERMINISTIC
+    * (fixed batch count, cadence constants, and alarm thresholds), so
+    * every metric is oracle-able: the totals restate through the same
+    * train-on-seed / apply-to-all SQL chain as `stream_token_ledger`,
+    * and the listing metrics are literals derived from the SAME Scala
+    * constants the replay runs under — a cadence change breaks the
+    * gate loudly instead of silently re-shaping the artifact. */
+  def streamLedgerHealth(s: SparkSession, dir: String): DataFrame =
+    ledgerHealth(s, s"${ledgerFor(s, dir)}/ledger")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_text_ingest" -> streamTextIngest _,
-    "stream_token_ledger" -> streamTokenLedger _
+    "stream_token_ledger" -> streamTokenLedger _,
+    "stream_ledger_health" -> streamLedgerHealth _
   )
 
+  /** The health oracle's listing-metric literals, derived from the
+    * SAME constants the replay runs under. The registered replay
+    * streams `ingestBatches − 1` batches, and with that count under
+    * the cadence floor neither the floor nor the dir-count debt probe
+    * ever fires — so the final listing is exactly seed + every `b` dir,
+    * no rollup, no garbage. The require is the drift alarm: if the
+    * cadence constants ever change enough that a rollup fires inside
+    * the replay, this fails at registration time instead of the gate
+    * silently comparing against stale literals. */
+  private def ledgerHealthOracleSql: String = {
+    val streamed = IngestDedup.ingestBatches - 1
+    require(streamed < IngestDedup.ingestCompactEvery,
+      "stream_ledger_health oracle literals assume the registered replay " +
+      "never rolls up (streamed batches under the cadence floor) — " +
+      "recompute the literals if the cadence constants change")
+    s"""WITH ${TextAnalysis.bpeChainCtesSqlWhere(
+             s"doc_id % ${IngestDedup.ingestBatches} = 0")},
+       |${TextAnalysis.bpeForeignApplyCtesSql},
+       |enc AS (
+       |  SELECT replace(w, ' ', '') AS word,
+       |         CAST(len(string_split(w, ' ')) AS BIGINT) AS n_syms
+       |  FROM f${TextAnalysis.bpeTrainMerges}),
+       |tok AS (SELECT doc_id, unnest(${graft.functions.TextFns.duckTokSql}) AS word
+       |        FROM documents),
+       |dagg AS (
+       |  SELECT t.doc_id, CAST(sum(e.n_syms) AS BIGINT) AS n_tokens
+       |  FROM tok t JOIN enc e ON t.word = e.word
+       |  GROUP BY t.doc_id),
+       |tot AS (
+       |  SELECT CAST(count(DISTINCT d.source) AS DOUBLE) AS n_sources,
+       |         CAST(count(*) AS DOUBLE) AS n_docs_total,
+       |         CAST(coalesce(sum(a.n_tokens), 0) AS DOUBLE) AS n_tokens_total
+       |  FROM documents d LEFT JOIN dagg a ON d.doc_id = a.doc_id),
+       |m AS (
+       |  SELECT 'covered_garbage' AS metric, 0.0 AS value
+       |  UNION ALL SELECT 'live_parts', ${(streamed + 1).toDouble}
+       |  UNION ALL SELECT 'n_docs_total', (SELECT n_docs_total FROM tot)
+       |  UNION ALL SELECT 'n_sources', (SELECT n_sources FROM tot)
+       |  UNION ALL SELECT 'n_tokens_total', (SELECT n_tokens_total FROM tot)
+       |  UNION ALL SELECT 'rollup_hwm', -1.0
+       |  UNION ALL SELECT 'unrolled_batches', ${streamed.toDouble})
+       |SELECT metric, round(value, 6) AS value FROM m ORDER BY metric""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    // listing metrics are literals from the replay's own cadence
+    // constants (drift-guarded); totals restate the train-on-seed /
+    // apply-to-all chain
+    "stream_ledger_health" -> ledgerHealthOracleSql,
     // df + ranking over the grown (full) corpus; n_docs/avgdl frozen
     // at the seed build — the uncompacted-append staleness semantic
     "stream_text_ingest" -> TextAnalysis.bm25OracleSqlSeedStats(

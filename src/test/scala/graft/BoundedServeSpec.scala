@@ -140,12 +140,12 @@ class BoundedServeSpec extends AnyFunSuite {
       .toDF("doc_id", "text", "lang", "source")
       .write.mode("overwrite").parquet(s"$tmp/c/documents.parquet")
     TextAnalysis.textIndexWrite(spark, s"$tmp/c", s"$tmp/idx")
-    val cand = TextAnalysis.maxScoreContenders(spark, s"$tmp/idx")
+    val cand = TextAnalysis.maxScoreContenders(spark, s"$tmp/idx", minMegaRows = 0L)
     assert(cand.isDefined, "pruning must engage on the stopword corpus")
     assert(cand.get.contenders.size >= TextAnalysis.bm25TopK && cand.get.contenders.size < 60,
       s"contender set ${cand.get.contenders.size} — want a proper subset covering the top-k")
     val exact = TextAnalysis.textBm25Served(spark, s"$tmp/idx").collect().map(_.toSeq).toSeq
-    val ms = TextAnalysis.textBm25ServedMaxScore(spark, s"$tmp/idx").collect().map(_.toSeq).toSeq
+    val ms = TextAnalysis.textBm25ServedMaxScore(spark, s"$tmp/idx", minMegaRows = 0L).collect().map(_.toSeq).toSeq
     assert(ms.nonEmpty && ms === exact,
       "MaxScore serve diverged from the unbounded serve — it must be EXACT")
     // registered-corpus arm: no query term crosses the cut -> fallback,
@@ -161,27 +161,27 @@ class BoundedServeSpec extends AnyFunSuite {
     TextAnalysis.textIndexAppendBatch(spark,
       Seq((61L, "spark join vector fresh", "en", "s"))
         .toDF("doc_id", "text", "lang", "source"), s"$tmp/idx")
-    val cand2 = TextAnalysis.maxScoreContenders(spark, s"$tmp/idx")
+    val cand2 = TextAnalysis.maxScoreContenders(spark, s"$tmp/idx", minMegaRows = 0L)
     assert(cand2.isDefined, "pruning must STAY engaged across an append (segment bounds)")
     assert(cand2.get.contenders.contains(61L),
       "the tail doc matching the mega term must be a contender by inclusion")
     assert(cand2.get.dfLive("spark") == 59L && cand2.get.dfLive("join") == 31L,
       s"live df must be dictionary + tail: ${cand2.get.dfLive}")
     val exact2 = TextAnalysis.textBm25Served(spark, s"$tmp/idx").collect().map(_.toSeq).toSeq
-    val ms2 = TextAnalysis.textBm25ServedMaxScore(spark, s"$tmp/idx").collect().map(_.toSeq).toSeq
+    val ms2 = TextAnalysis.textBm25ServedMaxScore(spark, s"$tmp/idx", minMegaRows = 0L).collect().map(_.toSeq).toSeq
     assert(ms2 === exact2, "post-append pruned serve diverged from the unbounded serve")
     assert(exact2 != exact, "the appended doc must change the unbounded top-k " +
       "(otherwise the post-append identity is vacuous)")
     // compact absorbs the tail into the base segment: pruning continues,
     // dictionary df catches up to the live value
     TextAnalysis.textIndexCompact(spark, s"$tmp/idx")
-    val cand3 = TextAnalysis.maxScoreContenders(spark, s"$tmp/idx")
+    val cand3 = TextAnalysis.maxScoreContenders(spark, s"$tmp/idx", minMegaRows = 0L)
     assert(cand3.isDefined, "compact must keep pruning enabled")
     assert(cand3.get.dfLive("spark") == 59L, s"post-compact df: ${cand3.get.dfLive}")
     // (scores legitimately move at compact: the frozen n_docs/avgdl
     // catch up to the absorbed tail — the Lucene semantic)
     val exact3 = TextAnalysis.textBm25Served(spark, s"$tmp/idx").collect().map(_.toSeq).toSeq
-    val ms3 = TextAnalysis.textBm25ServedMaxScore(spark, s"$tmp/idx").collect().map(_.toSeq).toSeq
+    val ms3 = TextAnalysis.textBm25ServedMaxScore(spark, s"$tmp/idx", minMegaRows = 0L).collect().map(_.toSeq).toSeq
     assert(ms3 === exact3)
     // TOMBSTONES (round 13 — Lucene's delete masks): a takedown no
     // longer disables bounded serving until the next compact. Doc 2
@@ -190,13 +190,13 @@ class BoundedServeSpec extends AnyFunSuite {
     // count, the floor must re-seat without the deleted doc, and the
     // serve must equal the unbounded serve over the masked corpus.
     TextAnalysis.textIndexDelete(spark, s"$tmp/idx", Seq(2L))
-    val cand4 = TextAnalysis.maxScoreContenders(spark, s"$tmp/idx")
+    val cand4 = TextAnalysis.maxScoreContenders(spark, s"$tmp/idx", minMegaRows = 0L)
     assert(cand4.isDefined, "pruning must STAY engaged across a takedown (delete masks)")
     assert(!cand4.get.contenders.contains(2L), "the deleted doc must not be a contender")
     assert(cand4.get.dfLive("spark") == 58L && cand4.get.dfLive("join") == 30L,
       s"live df must be the tombstone-masked posting count: ${cand4.get.dfLive}")
     val exact4 = TextAnalysis.textBm25Served(spark, s"$tmp/idx").collect().map(_.toSeq).toSeq
-    val ms4 = TextAnalysis.textBm25ServedMaxScore(spark, s"$tmp/idx").collect().map(_.toSeq).toSeq
+    val ms4 = TextAnalysis.textBm25ServedMaxScore(spark, s"$tmp/idx", minMegaRows = 0L).collect().map(_.toSeq).toSeq
     assert(ms4 === exact4, "post-delete pruned serve diverged from the unbounded serve")
     assert(exact4 != exact3, "the takedown must change the unbounded top-k " +
       "(otherwise the post-delete identity is vacuous)")
@@ -210,11 +210,11 @@ class BoundedServeSpec extends AnyFunSuite {
     // rescaled bound still clears the floor, pruning stays engaged,
     // and the serve stays identical to the unbounded one.
     TextAnalysis.textIndexDelete(spark, s"$tmp/idx", Seq(5L, 7L, 11L, 13L, 17L, 19L, 23L, 25L))
-    val cand5 = TextAnalysis.maxScoreContenders(spark, s"$tmp/idx")
+    val cand5 = TextAnalysis.maxScoreContenders(spark, s"$tmp/idx", minMegaRows = 0L)
     assert(cand5.isDefined,
       "pruning must stay engaged under moderate mega-df shrinkage")
     val exact5 = TextAnalysis.textBm25Served(spark, s"$tmp/idx").collect().map(_.toSeq).toSeq
-    val ms5 = TextAnalysis.textBm25ServedMaxScore(spark, s"$tmp/idx").collect().map(_.toSeq).toSeq
+    val ms5 = TextAnalysis.textBm25ServedMaxScore(spark, s"$tmp/idx", minMegaRows = 0L).collect().map(_.toSeq).toSeq
     assert(ms5 === exact5, "mass-takedown pruned serve diverged from the unbounded serve")
     // Arm B — extreme inflation (all remaining spark-only docs + four
     // spark+vector docs): the rescaled bound exceeds any seatable
@@ -223,12 +223,12 @@ class BoundedServeSpec extends AnyFunSuite {
     // the regression pin for the rescale itself.
     TextAnalysis.textIndexDelete(spark, s"$tmp/idx",
       Seq(1L, 29L, 31L, 35L, 37L, 41L, 43L, 47L, 49L, 53L, 55L, 9L, 15L, 21L, 27L))
-    val cand6 = TextAnalysis.maxScoreContenders(spark, s"$tmp/idx")
+    val cand6 = TextAnalysis.maxScoreContenders(spark, s"$tmp/idx", minMegaRows = 0L)
     assert(cand6.isEmpty,
       "extreme mega-idf inflation must force the sound unbounded fallback " +
       "(an unscaled frozen bound would wrongly keep pruning)")
     val exact6 = TextAnalysis.textBm25Served(spark, s"$tmp/idx").collect().map(_.toSeq).toSeq
-    val ms6 = TextAnalysis.textBm25ServedMaxScore(spark, s"$tmp/idx").collect().map(_.toSeq).toSeq
+    val ms6 = TextAnalysis.textBm25ServedMaxScore(spark, s"$tmp/idx", minMegaRows = 0L).collect().map(_.toSeq).toSeq
     assert(ms6 === exact6)
   }
 
@@ -247,10 +247,10 @@ class BoundedServeSpec extends AnyFunSuite {
       .toDF("doc_id", "text", "lang", "source")
       .write.mode("overwrite").parquet(s"$tmp/c/documents.parquet")
     TextAnalysis.textIndexWrite(spark, s"$tmp/c", s"$tmp/idx")
-    assert(TextAnalysis.maxScoreContenders(spark, s"$tmp/idx").isDefined,
+    assert(TextAnalysis.maxScoreContenders(spark, s"$tmp/idx", minMegaRows = 0L).isDefined,
       "pruning must engage — the arm tests the PRUNED path's snapshot")
     val want = TextAnalysis.textBm25Served(spark, s"$tmp/idx").collect().map(_.toSeq).toSeq
-    val now = TextAnalysis.textBm25ServedMaxScoreNow(spark, s"$tmp/idx")
+    val now = TextAnalysis.textBm25ServedMaxScoreNow(spark, s"$tmp/idx", minMegaRows = 0L)
     // a concurrent append lands between the serve and its consumption
     TextAnalysis.textIndexAppendBatch(spark,
       Seq((61L, "spark join vector fresh", "en", "s"))
@@ -261,7 +261,7 @@ class BoundedServeSpec extends AnyFunSuite {
     // ...while a FRESH serve re-derives and equals the fresh unbounded
     // serve over base + tail (and genuinely differs from the snapshot)
     val freshWant = TextAnalysis.textBm25Served(spark, s"$tmp/idx").collect().map(_.toSeq).toSeq
-    val freshNow = TextAnalysis.textBm25ServedMaxScoreNow(spark, s"$tmp/idx")
+    val freshNow = TextAnalysis.textBm25ServedMaxScoreNow(spark, s"$tmp/idx", minMegaRows = 0L)
       .collect().map(_.toSeq).toSeq
     assert(freshNow === freshWant, "a fresh Now serve diverged from the fresh unbounded serve")
     assert(freshNow != want, "the append must move the top-k, or the immunity assertion is vacuous")
@@ -273,6 +273,20 @@ class BoundedServeSpec extends AnyFunSuite {
       .collect().map(_.toSeq).toSeq
     assert(hybridNow === hybridWant && hybridNow.nonEmpty,
       "hybrid Now serve diverged from the lazy served hybrid at the same index state")
+    // the REGISTERED snapshot forms (r15): lowcut + forced engagement +
+    // materialization — identical to the unbounded serves on the shared
+    // corpus (the identity the per-round DuckDB oracle then re-verifies
+    // at sf0.01 with the engaged plan)
+    val regBm25 = TextAnalysis.textBm25ServedMaxScoreNowQuery(spark, sf0001)
+      .collect().map(_.toSeq).toSeq
+    assert(regBm25.nonEmpty &&
+      regBm25 === TextAnalysis.textBm25ServedQuery(spark, sf0001).collect().map(_.toSeq).toSeq,
+      "registered bm25 snapshot serve diverged from the unbounded serve")
+    val regHyb = ops.Retrieval.queries("search_hybrid_rrf_served_maxscore_now")(spark, sf0001)
+      .collect().map(_.toSeq).toSeq
+    assert(regHyb.nonEmpty &&
+      regHyb === ops.Retrieval.searchHybridRrfServed(spark, sf0001).collect().map(_.toSeq).toSeq,
+      "registered hybrid snapshot serve diverged from the unbounded serve")
   }
 
   test("hybrid maxscore: per-query pruning engages, fallback stays per-query, result EXACT") {
@@ -412,7 +426,7 @@ class BoundedServeSpec extends AnyFunSuite {
     // hybrid queries decide "pruned". Identity to the unbounded serves
     // is what the shared oracle then verifies against DuckDB.
     val idx = TextAnalysis.textIndexFor(spark, sf001)
-    val cand = TextAnalysis.maxScoreContenders(spark, idx, TextAnalysis.bm25LowDfShare)
+    val cand = TextAnalysis.maxScoreContenders(spark, idx, TextAnalysis.bm25LowDfShare, minMegaRows = 0L)
     assert(cand.isDefined,
       "fixed-query pruning must engage at bm25LowDfShare on the oracle corpus")
     val exact = TextAnalysis.textBm25Served(spark, idx).collect().map(_.toSeq).toSeq
@@ -426,6 +440,46 @@ class BoundedServeSpec extends AnyFunSuite {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(modeCounts.getOrElse("pruned", 0L) >= 1L,
       s"at least one hybrid query must take the pruned path: $modeCounts")
+  }
+
+  test("auto-disengage (r15): below the mega-row floor the default serve skips the decision pass; forced engagement still prunes") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("maxscore-disengage").toString
+    // the canonical stopword corpus: pruning is PROVABLE here (the
+    // machinery arms above pin that), but the mega head is only 58
+    // posting rows — paying the floor scan + decision actions to skip
+    // 58 rows is the smoke-scale overhead the r14 pricing measured at
+    // 1.56–1.68x. The default serve must therefore go unbounded
+    // WITHOUT the decision pass.
+    def tok(i: Long): Seq[String] = {
+      val b = Seq.newBuilder[String]
+      if (i <= 58) b += "spark"
+      if (i % 2 == 0) b += "join"
+      if (i % 3 == 0) b += "vector"
+      (0 until (3 + (i % 5)).toInt).foreach(w => b += s"f${i}w$w")
+      b.result()
+    }
+    (1L to 60L).map(i => (i, tok(i).mkString(" "), "en", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+      .write.mode("overwrite").parquet(s"$tmp/c/documents.parquet")
+    TextAnalysis.textIndexWrite(spark, s"$tmp/c", s"$tmp/idx")
+    // small corpus + default floor -> no decision (unbounded plan)...
+    assert(TextAnalysis.maxScoreContenders(spark, s"$tmp/idx").isEmpty,
+      "the default serve must disengage below the mega-row floor")
+    // ...while forced engagement (instruments, or a deployment that
+    // measured its own break-even) still proves and prunes
+    assert(TextAnalysis.maxScoreContenders(spark, s"$tmp/idx", minMegaRows = 0L).isDefined,
+      "forced engagement must still prove pruning on the same corpus")
+    // a floor the planted head CLEARS engages without forcing — the
+    // gate is the dictionary-priced mega mass, not a hardcoded off
+    assert(TextAnalysis.maxScoreContenders(spark, s"$tmp/idx", minMegaRows = 50L).isDefined,
+      "a cleared floor must engage: the gate reads the dictionary's mega df mass")
+    // PARITY both ways: disengaged == unbounded == forced-engaged
+    val exact = TextAnalysis.textBm25Served(spark, s"$tmp/idx").collect().map(_.toSeq).toSeq
+    assert(TextAnalysis.textBm25ServedMaxScore(spark, s"$tmp/idx")
+      .collect().map(_.toSeq).toSeq === exact)
+    assert(TextAnalysis.textBm25ServedMaxScore(spark, s"$tmp/idx", minMegaRows = 0L)
+      .collect().map(_.toSeq).toSeq === exact)
   }
 
   test("term dictionary: frozen between compacts, recomputed at compact") {

@@ -235,6 +235,8 @@ class BpeTrainSpec extends AnyFunSuite {
     Seq((1L, first.getString(1), first.getString(2), first.getString(3), first.getLong(4)))
       .toDF("step", "lhs", "rhs", "merged", "pair_count")
       .write.mode("overwrite").parquet(s"$tmp/merges")
+    // hand-built dirs declare completion LAST (the r15 torn-artifact contract)
+    assert(new java.io.File(tmp, TextAnalysis.bpeModelCommitMarker).createNewFile())
     val got = TextAnalysis.textBpeEncodeServed(spark, dir, tmp).collect()
       .map(r => r.getLong(0) -> r.getLong(2)).toMap
     val want = spark.read.parquet(s"$dir/documents.parquet")
@@ -276,6 +278,7 @@ class BpeTrainSpec extends AnyFunSuite {
     val model = java.nio.file.Files.createTempDirectory("bpe-scaled-model").toString
     TextAnalysis.textBpeTrainScaled(spark, dir, 500)
       .write.mode("overwrite").parquet(s"$model/merges")
+    assert(new java.io.File(model, TextAnalysis.bpeModelCommitMarker).createNewFile())
     val merges = TextAnalysis.bpeModelMerges(spark, model)
     assert(merges.size > TextAnalysis.bpeReplaceChainMax,
       s"corpus exhausted at ${merges.size} merges — below the scaled-path threshold; the arm proves nothing")
@@ -317,6 +320,7 @@ class BpeTrainSpec extends AnyFunSuite {
             ((i + 2).toLong, s"_$i", "_x", s"_$i" + "_x", 1L)))
         .toDF("step", "lhs", "rhs", "merged", "pair_count")
         .write.mode("overwrite").parquet(s"$d/merges")
+      assert(new java.io.File(d, TextAnalysis.bpeModelCommitMarker).createNewFile())
       d
     }
     def servedTokens(model: String): Long =
@@ -352,6 +356,52 @@ class BpeTrainSpec extends AnyFunSuite {
       .contains("two_pass"), "bpeModelWrite must stamp the two_pass marker")
     assert(TextAnalysis.bpeModelApplyForm(spark, TextAnalysis.scaledBpeModelFor(spark, TestSpark.sf0001))
       .contains("canonical"), "the scaled-serve artifact must stamp the canonical marker")
+  }
+
+  test("torn model artifact (r15): a dir without the commit marker fails loudly instead of serving truncated merges") {
+    import spark.implicits._
+    val model = java.nio.file.Files.createTempDirectory("bpe-torn").toString
+    TextAnalysis.bpeModelPersist(spark,
+      Seq((1L, "a", "a", "aa", 2L)).toDF("step", "lhs", "rhs", "merged", "pair_count"),
+      model, applyForm = "canonical")
+    // a persisted artifact carries the marker and serves normally
+    assert(new java.io.File(model, TextAnalysis.bpeModelCommitMarker).exists(),
+      "bpeModelPersist did not create the completion marker")
+    assert(TextAnalysis.bpeModelMerges(spark, model) == Seq(("a", "a")))
+    // simulate a crash mid copy-rename (S3A): content present — maybe
+    // partially — but the completion marker never landed
+    assert(new java.io.File(model, TextAnalysis.bpeModelCommitMarker).delete())
+    val e1 = intercept[IllegalStateException](TextAnalysis.bpeModelMerges(spark, model))
+    assert(e1.getMessage.contains("incomplete"),
+      s"wrong failure for a torn artifact: ${e1.getMessage}")
+    val e2 = intercept[IllegalStateException](TextAnalysis.bpeModelApplyForm(spark, model))
+    assert(e2.getMessage.contains("incomplete"),
+      "the apply-form reader must not dispatch off a torn artifact " +
+      "(a partial copy missing spec would silently fall back to the size heuristic)")
+    // re-persisting heals
+    TextAnalysis.bpeModelPersist(spark,
+      Seq((1L, "a", "a", "aa", 2L)).toDF("step", "lhs", "rhs", "merged", "pair_count"),
+      model, applyForm = "canonical")
+    assert(TextAnalysis.bpeModelApplyForm(spark, model).contains("canonical"))
+  }
+
+  test("PlanCache.onClear hooks (r15): re-registration replaces — register/clear/re-register cycles don't grow the hook map") {
+    val before = graft.ops.PlanCache.clearHookCount
+    var firstRan = 0
+    var secondRan = 0
+    graft.ops.PlanCache.onClear("BpeTrainSpec.hookGrowth")(() => firstRan += 1)
+    assert(graft.ops.PlanCache.clearHookCount == before + 1)
+    (1 to 5).foreach { _ =>
+      graft.ops.PlanCache.clear()
+      // a long-lived JVM re-registering the same key must REPLACE the
+      // closure (last wins), never strand the old one
+      graft.ops.PlanCache.onClear("BpeTrainSpec.hookGrowth")(() => secondRan += 1)
+      assert(graft.ops.PlanCache.clearHookCount == before + 1,
+        "re-registration grew the hook map")
+    }
+    graft.ops.PlanCache.clear()
+    assert(firstRan == 1 && secondRan == 5,
+      s"replaced hooks kept running: first=$firstRan second=$secondRan")
   }
 
   test("corpus swap + PlanCache.clear drops the frozen served model: served encode retrains with the scan form") {

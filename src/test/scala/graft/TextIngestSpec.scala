@@ -187,6 +187,59 @@ class TextIngestSpec extends AnyFunSuite {
     assert(totals() === want, "churn changed the ledger totals")
   }
 
+  test("ledger rollup commit marker (r15): an uncommitted c dir never shadows the batches it claims; health + autopilot see and clear it") {
+    import spark.implicits._
+    val r = java.nio.file.Files.createTempDirectory("graft-ledger-marker").toString
+    def row(src: String, d: Long, t: Long, b: Long) = (src, d, t, b)
+    Seq(row("s1", 2L, 10L, -1L)).toDF("source", "n_docs", "n_tokens", "batch_id")
+      .coalesce(1).write.parquet(s"$r/ledger/seed")
+    Seq(row("s1", 1L, 5L, 0L)).toDF("source", "n_docs", "n_tokens", "batch_id")
+      .coalesce(1).write.parquet(s"$r/ledger/b0")
+    Seq(row("s2", 1L, 7L, 1L)).toDF("source", "n_docs", "n_tokens", "batch_id")
+      .coalesce(1).write.parquet(s"$r/ledger/b1")
+    def totals(): Seq[(String, Long, Long)] =
+      graft.streaming.TextIngest.ledgerTotals(spark, s"$r/ledger")
+        .collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2))).sorted.toSeq
+    val want = Seq(("s1", 3L, 15L), ("s2", 1L, 7L))
+    assert(totals() === want)
+    // a crashed copy-rename's PARTIAL rollup: complete-looking rows at
+    // a mark that claims to cover b0/b1, but NO commit marker — the
+    // pre-r15 grammar adopted it as hwm and silently undercounted
+    Seq(row("s1", 1L, 1L, 1L)).toDF("source", "n_docs", "n_tokens", "batch_id")
+      .coalesce(1).write.parquet(s"$r/ledger/c1")
+    assert(totals() === want,
+      "an uncommitted rollup shadowed the live batch dirs — silent undercount")
+    // health names the debt: the garbage dir is counted, nothing live
+    // is lost, and no hwm is adopted
+    def health(): Map[String, Double] =
+      graft.streaming.TextIngest.ledgerHealth(spark, s"$r/ledger")
+        .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    val h = health()
+    assert(h("covered_garbage") == 1.0 && h("rollup_hwm") == -1.0 &&
+      h("unrolled_batches") == 2.0 && h("live_parts") == 3.0 &&
+      h("n_docs_total") == 4.0 && h("n_tokens_total") == 22.0 && h("n_sources") == 2.0,
+      s"health misread the torn state: $h")
+    // the autopilot detects the ledger family, fires on the garbage,
+    // and the rollup-all pass commits a REAL rollup + sweeps the junk
+    val dec = graft.ops.Autopilot.indexAutopilot(spark, s"$r/ledger").collect()
+      .map(x => (x.getString(0), x.getString(1), x.getDouble(2), x.getString(4), x.getBoolean(5)))
+    assert(dec.exists(d => d._1 == "ledger" && d._2 == "covered_garbage" &&
+      d._3 == 1.0 && d._4 == "rollup" && d._5),
+      s"autopilot did not fire the rollup on garbage debt: ${dec.toSeq}")
+    assert(totals() === want, "the autopilot rollup changed the totals")
+    val h2 = health()
+    assert(h2("covered_garbage") == 0.0 && h2("rollup_hwm") == 1.0 &&
+      h2("unrolled_batches") == 0.0 && h2("live_parts") == 1.0,
+      s"rollup-all did not converge the listing state: $h2")
+    // and the committed rollup dir carries the marker file
+    assert(new java.io.File(s"$r/ledger/c1",
+      graft.streaming.TextIngest.ledgerCommitMarker).exists(),
+      "the committed rollup is missing its commit marker")
+    // a second autopilot pass is a no-op (nothing fires)
+    val dec2 = graft.ops.Autopilot.indexAutopilot(spark, s"$r/ledger").collect()
+    assert(dec2.forall(!_.getBoolean(5)), "a clean ledger re-fired the autopilot")
+  }
+
   test("token ledger cadence: alarm fires off the floor, and a 12-batch stream keeps the dir count bounded") {
     // the wiring: alarmCadenceAt runs the compaction on the floor OR
     // when the extra debt probe trips, and passes the batch id through
