@@ -93,10 +93,20 @@ def fit_alpha(sfs, ts):
 
 
 def main():
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    argv = sys.argv[1:]
     top_n = 8
-    if "--top" in sys.argv:
-        top_n = int(sys.argv[sys.argv.index("--top") + 1])
+    args = []
+    i = 0
+    while i < len(argv):
+        if argv[i] == "--top":
+            top_n = int(argv[i + 1])
+            i += 2
+        elif argv[i].startswith("--top="):
+            top_n = int(argv[i].split("=", 1)[1])
+            i += 1
+        else:
+            args.append(argv[i])
+            i += 1
     if len(args) != 3:
         sys.exit(__doc__)
     sfs = [0.001, 0.01, 0.1]
@@ -129,6 +139,18 @@ def main():
             flagged.append(fam)
             print(f"| {fam} (below top-{top_n}) | {nq} | {ts[0]:.2f} | {ts[1]:.2f} "
                   f"| {ts[2]:.2f} | {a_top:.2f} | {a_all:.2f} | SUPER-LINEAR |")
+    # per-QUERY sweep: a super-linear query can hide inside a sub-linear
+    # family aggregate. Only queries costing >= 0.5 s at sf0.1 are
+    # eligible — below that, fixed overhead noise dominates the fit.
+    for q in sorted(shared):
+        ts = [r[q] for r in runs]
+        if ts[2] < 0.5:
+            continue
+        a_top = fit_alpha(sfs[1:], ts[1:])
+        if a_top > SUPERLINEAR_ALPHA:
+            flagged.append(q)
+            print(f"| query {q} | 1 | {ts[0]:.2f} | {ts[1]:.2f} | {ts[2]:.2f} "
+                  f"| {a_top:.2f} | {fit_alpha(sfs, ts):.2f} | SUPER-LINEAR (per-query) |")
     print()
     if flagged:
         print(f"FLAGGED super-linear (top-decade alpha > {SUPERLINEAR_ALPHA}): "
