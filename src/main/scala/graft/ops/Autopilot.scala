@@ -351,9 +351,15 @@ object Autopilot {
     // collects the garbage.
     if (!matched && graft.streaming.TextIngest.isLedgerDir(s, indexDir)) {
       matched = true
-      val h = healthMap(graft.streaming.TextIngest.ledgerHealth(s, indexDir))
-      val unrolled = h.getOrElse("unrolled_batches", 0.0)
-      val garbage = h.getOrElse("covered_garbage", 0.0)
+      // listing-only stats, NOT the full health report: the decision
+      // consumes two directory-listing numbers, and the report's
+      // totals leg is a Spark aggregation (with a torn-read retry
+      // budget under churn) that a per-pass alarm must not pay — the
+      // same rule the bloom saturation memo enforces for its family
+      val (_, unrolledN, _, garbageN) =
+        graft.streaming.TextIngest.ledgerListingStats(s, indexDir)
+      val unrolled = unrolledN.toDouble
+      val garbage = garbageN.toDouble
       val wantRollup = unrolled > maxUnabsorbedBatches || garbage > 0
       if (wantRollup) graft.streaming.TextIngest.ledgerRollupAll(s, indexDir)
       rows += (("ledger", "unrolled_batches", unrolled, maxUnabsorbedBatches.toDouble,

@@ -69,6 +69,26 @@ object IndexMaintenance {
     * maintenance op FAILS LOUDLY instead of silently corrupting the
     * swap — with the post-promote tombstone re-check below as a second
     * net for deletes (conservative but never lossy). */
+  // -------------------------------------- copy-rename commit markers
+  //
+  // Shared by the artifact families whose commit point must survive
+  // filesystems where rename is copy+delete (S3A): the token ledger's
+  // rollup dirs and the persisted BPE model. The marker file is
+  // created AFTER the stage→target rename RETURNS, so a crash mid-copy
+  // leaves a marker-less dir that readers treat as garbage/incomplete
+  // instead of adopting partial content. The marker cannot ride inside
+  // the staging dir — a copy-rename copies files in unspecified order,
+  // so it could land before the data it vouches for. Underscore-
+  // prefixed marker names keep parquet scans of the dir blind to it.
+
+  private[graft] def commitMarkerPresent(f: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path, marker: String): Boolean =
+    f.exists(new org.apache.hadoop.fs.Path(dir, marker))
+
+  private[graft] def commitMarkerCreate(f: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path, marker: String): Unit =
+    f.create(new org.apache.hadoop.fs.Path(dir, marker), true).close()
+
   private val tableLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
   private def lockFor(s: SparkSession, path: String): Object = {

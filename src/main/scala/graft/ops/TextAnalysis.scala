@@ -675,9 +675,12 @@ object TextAnalysis {
     * internal state actually was instead of inferring it from table
     * size — a ≤32-merge scaled artifact (a small corpus exhausting
     * early) would otherwise be served with the wrong fixed point on
-    * same-symbol runs. Markerless artifacts (pre-round-14, or
-    * hand-built merge tables) keep the size heuristic
-    * ([[bpeApplyMergesAuto]]). */
+    * same-symbol runs. SPEC-less artifacts (hand-built merge tables
+    * that declared completion but carry no provenance row) keep the
+    * size heuristic ([[bpeApplyMergesAuto]]); dirs without the r15
+    * COMPLETION marker fail loudly before any dispatch — a partial
+    * copy missing `spec` must not masquerade as a legacy artifact
+    * (see [[bpeModelCommitMarker]]). */
   def bpeModelPersist(s: SparkSession, mergesDf: DataFrame, modelDir: String,
       applyForm: String): Unit = {
     require(applyForm == "two_pass" || applyForm == "canonical",
@@ -711,26 +714,31 @@ object TextAnalysis {
     f.delete(root, true)
     if (!f.rename(stage, root))
       throw new java.io.IOException(s"bpeModelPersist: rename $stage -> $root failed")
-    f.create(new org.apache.hadoop.fs.Path(root, bpeModelCommitMarker), true).close()
+    IndexMaintenance.commitMarkerCreate(f, root, bpeModelCommitMarker)
   }
 
   /** Completion marker of a persisted BPE model dir, created after the
-    * stage→root swap FINISHED — the artifact's real commit point on
-    * filesystems whose rename is copy+delete. A model dir without it is
-    * incomplete and every reader fails loudly instead of serving a
-    * truncated tokenizer. Hand-assembled model dirs (a merge table
-    * written without [[bpeModelPersist]]) must create this file last
-    * to declare themselves complete. */
+    * stage→root swap FINISHED — the copy-rename commit protocol shared
+    * with the ledger rollups ([[IndexMaintenance.commitMarkerCreate]]).
+    * A model dir without it is incomplete and every reader fails
+    * loudly instead of serving a truncated tokenizer. MIGRATION NOTE:
+    * artifacts persisted before this marker existed (pre-round-15)
+    * must be re-persisted once, or hand-marked — a deliberate one-time
+    * cost, because a complete legacy dir is indistinguishable from a
+    * torn copy. Hand-assembled model dirs (a merge table written
+    * without [[bpeModelPersist]]) likewise create this file LAST to
+    * declare themselves complete. */
   private[graft] val bpeModelCommitMarker = "_MODEL_COMMITTED"
 
   private def requireCommittedModel(s: SparkSession, modelDir: String): Unit = {
-    val mp = new org.apache.hadoop.fs.Path(s"$modelDir/$bpeModelCommitMarker")
-    if (!mp.getFileSystem(s.sparkContext.hadoopConfiguration).exists(mp))
+    val p = new org.apache.hadoop.fs.Path(modelDir)
+    if (!IndexMaintenance.commitMarkerPresent(
+        p.getFileSystem(s.sparkContext.hadoopConfiguration), p, bpeModelCommitMarker))
       throw new IllegalStateException(
         s"BPE model at $modelDir has no $bpeModelCommitMarker — the artifact is " +
-        "incomplete (a crash mid-persist, or a hand-built dir that never " +
-        "declared completion); re-persist through bpeModelPersist, or create " +
-        "the marker last if the dir was assembled by hand")
+        "incomplete (a crash mid-persist, a pre-marker-era dir, or a hand-built " +
+        "dir that never declared completion); re-persist through bpeModelPersist, " +
+        "or create the marker last if the dir is known complete")
   }
 
   /** The persisted model's apply-form marker, if it carries one.
@@ -747,7 +755,7 @@ object TextAnalysis {
   }
 
   /** Merge apply dispatched on the artifact's recorded provenance
-    * ([[bpeModelApplyForm]]); markerless models fall back to the size
+    * ([[bpeModelApplyForm]]); spec-less models fall back to the size
     * heuristic. A `two_pass` marker on a table past
     * [[bpeReplaceChainMax]] fails loudly — the demo trainer never
     * produces one, and silently building its 2-nodes-per-merge

@@ -130,18 +130,14 @@ object TextIngest {
   private val ledgerBatchRe = "^b(\\d+)$".r
   private val ledgerCompactedRe = "^c(\\d+)$".r
 
-  /** Completion marker a rollup dir carries once its commit FINISHED.
-    * Created as a separate file AFTER the stage→`c<N>` rename returns:
-    * on a filesystem whose rename is copy+delete (S3A), a crash
-    * mid-copy leaves a PARTIAL `c<N>` dir whose contents look
-    * authoritative — without the marker the live-parts grammar would
-    * adopt it as the high-water rollup and silently undercount the
-    * batches it claims to cover. A `c` dir without this marker is
-    * GARBAGE to readers and the sweep (the covered `b` dirs are still
-    * live, so totals stay exact). Underscore-prefixed so parquet scans
-    * of the dir ignore it. The marker cannot ride inside the staging
-    * dir: a copy-rename copies files in unspecified order, so it could
-    * land before the data it vouches for. */
+  /** Completion marker a rollup dir carries once its commit FINISHED —
+    * the copy-rename commit protocol shared with the BPE model
+    * artifact (see [[IndexMaintenance.commitMarkerCreate]] for the
+    * rationale). Without it the live-parts grammar would adopt a
+    * crashed copy's PARTIAL `c<N>` dir as the high-water rollup and
+    * silently undercount the batches it claims to cover; a marker-less
+    * `c` dir is GARBAGE to readers and the sweep, and the covered `b`
+    * dirs stay live, so totals stay exact. */
   private[graft] val ledgerCommitMarker = "_LEDGER_COMMITTED"
 
   private def nameOf(path: String): String =
@@ -149,11 +145,11 @@ object TextIngest {
 
   private def isCommitted(f: org.apache.hadoop.fs.FileSystem,
       dir: org.apache.hadoop.fs.Path): Boolean =
-    f.exists(new org.apache.hadoop.fs.Path(dir, ledgerCommitMarker))
+    IndexMaintenance.commitMarkerPresent(f, dir, ledgerCommitMarker)
 
   private def markCommitted(f: org.apache.hadoop.fs.FileSystem,
       dir: org.apache.hadoop.fs.Path): Unit =
-    f.create(new org.apache.hadoop.fs.Path(dir, ledgerCommitMarker), true).close()
+    IndexMaintenance.commitMarkerCreate(f, dir, ledgerCommitMarker)
 
   /** The ledger directory's sub-directories through the Hadoop FS API —
     * the ledger is a persisted deployment artifact like the six index
@@ -226,29 +222,46 @@ object TextIngest {
     * source), never a lazy scan of swap-able paths. A ledger with no
     * live parts fails loudly — it was never seeded, or the dir is
     * wrong. */
-  private[graft] def ledgerTotals(s: SparkSession, ledgerDir: String): DataFrame = {
+  private[graft] def ledgerTotals(s: SparkSession, ledgerDir: String,
+      patienceMs: Long = 30000L): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(ledgerDir)
     val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    // file-level fingerprint of the live parts (name + length; Spark's
+    // DATA-file fingerprint of the live parts (name + length; Spark's
     // per-write UUID part names make every rewrite visible). Equality
     // before and after the read proves no writer touched the snapshot
     // mid-read — the FileNotFound retry alone would miss a redelivery
-    // OVERWRITE of a live `b` dir, whose mid-write state is an EMPTY
-    // dir that reads as zero rows instead of an error.
+    // OVERWRITE of a live `b` dir, which reads as zero rows instead of
+    // an error mid-write. Two hardenings the first cut missed (r15
+    // review): (a) a dir with NO data files fingerprints as TORN, not
+    // as a stable empty listing — an in-flight overwrite holds only a
+    // `_temporary` subdir for its whole job, so a non-recursive
+    // listing would look IDENTICAL before and after while the read
+    // saw zero rows (every committed ledger write has >= 1 part
+    // file, so "no data files" always means mid-write); (b) a part
+    // vanishing between the exists probe and the listing (the sweep
+    // race) folds into the fingerprint as GONE instead of throwing
+    // from outside the retry loop.
     def fingerprintOf(live: Seq[String]): String = live.map { d =>
       val dp = new org.apache.hadoop.fs.Path(d)
-      if (!f.exists(dp)) s"$d:GONE"
-      else f.listStatus(dp).map(st => s"${st.getPath.getName}:${st.getLen}")
-        .sorted.mkString(s"$d[", ",", "]")
+      try {
+        val files = f.listStatus(dp).filter(_.isFile)
+          .map(st => st.getPath.getName -> st.getLen)
+          .filterNot(_._1.startsWith("_")).filterNot(_._1.startsWith("."))
+        if (files.isEmpty) s"$d:TORN-${System.nanoTime()}" // mid-overwrite
+        else files.map { case (n, l) => s"$n:$l" }
+          .sorted.mkString(s"$d[", ",", "]")
+      } catch {
+        case _: java.io.FileNotFoundException => s"$d:GONE-${System.nanoTime()}"
+      }
     }.mkString("|")
     // TIME-bounded patience, not attempt-bounded: each torn read proves
     // a compact/rewrite ran DURING it, so attempts measure writer churn,
     // not reader health — under back-to-back maintenance a small retry
     // count fails spuriously while the state is perfectly readable
-    // between passes. 30 s of continuous tearing, though, means
+    // between passes. `patienceMs` (default 30 s) of continuous tearing, though, means
     // maintenance is churning pathologically faster than one bounded
     // aggregation — that IS worth a loud failure.
-    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+    val deadline = System.nanoTime() + patienceMs * 1000 * 1000
     var last: Throwable = null
     var torn = 0
     while (true) {
@@ -273,8 +286,10 @@ object TextIngest {
       torn += 1
       if (System.nanoTime() > deadline) throw new IllegalStateException(
         s"ledgerTotals at $ledgerDir: $torn consecutive snapshot reads torn " +
-        "over 30 s — compaction is churning pathologically faster than one " +
-        "bounded aggregation can complete", last)
+        s"over ${patienceMs / 1000} s — either maintenance is churning pathologically faster " +
+        "than one bounded aggregation can complete, or a live part has no " +
+        "data files (a write crashed mid-overwrite and its stream was never " +
+        "restarted to retry the batch — restart the ingest to heal)", last)
       Thread.sleep(math.min(500L, 50L * torn)) // maintenance in flight; re-list
     }
     throw new IllegalStateException("unreachable")
@@ -364,11 +379,17 @@ object TextIngest {
     // can be mid-commit here — we hold the lease, and our own commit
     // marker landed above): collect them even when no committed hwm
     // exists yet, or a crashed copy at a mark ABOVE the hwm would
-    // linger past every `< hwm` sweep forever
+    // linger past every `< hwm` sweep forever. A leftover `.cstage`
+    // is the same story one step earlier (a compact that crashed
+    // before its rename): our own stage was consumed by the rename
+    // above, so any stage present now is a crashed run's — without
+    // this it would only be collected when a future rollup happens
+    // to run (the staging delete sits inside the rollup branch).
     ledgerDirs(s, ledgerDir).foreach { e =>
       e.getPath.getName match {
         case ledgerCompactedRe(_) if !isCommitted(f, e.getPath) =>
           f.delete(e.getPath, true)
+        case ".cstage" => f.delete(e.getPath, true)
         case _ => ()
       }
     }
@@ -424,13 +445,32 @@ object TextIngest {
     * `n_docs_total` / `n_tokens_total` (the dashboard totals
     * themselves). Listing metrics are one FS listing; totals ride
     * [[ledgerTotals]]'s snapshot read. */
-  private[graft] def ledgerHealth(s: SparkSession, ledgerDir: String): DataFrame = {
-    import s.implicits._
+  /** Listing-only ledger state — (live part names, unrolled batch
+    * count, committed hwm, covered-garbage count) from ONE directory
+    * listing, no Spark read: this is what the autopilot's per-pass
+    * decision consumes (the bloomSatMemo rule — alarms must not pay a
+    * Spark job per evaluation). Garbage counts READER-VISIBLE debt
+    * only: covered batches, stale or uncommitted rollups, an orphaned
+    * seed. Dot-prefixed staging is deliberately EXCLUDED — an
+    * in-flight compact's `.cstage` is workspace, not garbage, and
+    * counting it would make a health probe racing the stream's own
+    * cadence flag (and an autopilot acting on it fire into) perfectly
+    * healthy maintenance; crashed staging is swept by every
+    * [[ledgerCompact]] invocation regardless. */
+  private[graft] def ledgerListingStats(s: SparkSession,
+      ledgerDir: String): (Seq[String], Int, Option[Long], Int) = {
     val entries = ledgerDirs(s, ledgerDir).map(_.getPath.getName)
     val live = ledgerLiveParts(s, ledgerDir).map(nameOf)
     val hwm = live.collectFirst { case ledgerCompactedRe(n) => n.toLong }
     val unrolled = live.count(n => ledgerBatchRe.matches(n))
-    val garbage = entries.count(n => !live.contains(n))
+    val garbage = entries.count(n => !live.contains(n) &&
+      !n.startsWith(".") && !n.startsWith("_"))
+    (live, unrolled, hwm, garbage)
+  }
+
+  private[graft] def ledgerHealth(s: SparkSession, ledgerDir: String): DataFrame = {
+    import s.implicits._
+    val (live, unrolled, hwm, garbage) = ledgerListingStats(s, ledgerDir)
     val totals = ledgerTotals(s, ledgerDir)
       .agg(count(lit(1)), sum(col("n_docs")), sum(col("n_tokens"))).head()
     Seq(

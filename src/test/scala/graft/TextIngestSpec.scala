@@ -240,6 +240,44 @@ class TextIngestSpec extends AnyFunSuite {
     assert(dec2.forall(!_.getBoolean(5)), "a clean ledger re-fired the autopilot")
   }
 
+  test("ledger snapshot read (r15 review): a data-file-less live part is TORN (loud after patience), staging is workspace not garbage, crashed staging is swept") {
+    import spark.implicits._
+    val r = java.nio.file.Files.createTempDirectory("graft-ledger-torn").toString
+    Seq(("s1", 2L, 10L, -1L)).toDF("source", "n_docs", "n_tokens", "batch_id")
+      .coalesce(1).write.parquet(s"$r/ledger/seed")
+    Seq(("s1", 1L, 5L, 0L)).toDF("source", "n_docs", "n_tokens", "batch_id")
+      .coalesce(1).write.parquet(s"$r/ledger/b0")
+    // a crashed mid-overwrite b dir: Spark deleted the old files and
+    // died before the job committed — only an underscore entry remains.
+    // A non-recursive name fingerprint would read it as a STABLE empty
+    // listing (zero rows, no error) and silently undercount; the
+    // data-file rule must classify it TORN and fail loudly instead.
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$r/ledger/b1/_temporary"))
+    val e = intercept[IllegalStateException](
+      graft.streaming.TextIngest.ledgerTotals(spark, s"$r/ledger", patienceMs = 1200L))
+    assert(e.getMessage.contains("no data files"),
+      s"wrong failure for a torn live part: ${e.getMessage}")
+    // an in-flight compact's staging dir is WORKSPACE: health must not
+    // page on it, and the autopilot must not fire a rollup into a
+    // running compact's lease because of it
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$r/ledger/.cstage"))
+    val (_, unrolled, _, garbage) =
+      graft.streaming.TextIngest.ledgerListingStats(spark, s"$r/ledger")
+    assert(garbage == 0 && unrolled == 2,
+      s"dot-staging counted as reader-visible garbage: unrolled=$unrolled garbage=$garbage")
+    // heal the torn dir (the stream's retry path) and verify the next
+    // compact invocation sweeps a CRASHED staging dir even with
+    // nothing to roll up
+    Seq(("s2", 1L, 7L, 1L)).toDF("source", "n_docs", "n_tokens", "batch_id")
+      .coalesce(1).write.mode("overwrite").parquet(s"$r/ledger/b1")
+    graft.streaming.TextIngest.ledgerCompact(spark, s"$r/ledger", upTo = 0L)
+    assert(!new java.io.File(s"$r/ledger/.cstage").exists(),
+      "crashed staging dir survived the sweep")
+    val got = graft.streaming.TextIngest.ledgerTotals(spark, s"$r/ledger")
+      .collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2))).sorted.toSeq
+    assert(got === Seq(("s1", 3L, 15L), ("s2", 1L, 7L)))
+  }
+
   test("token ledger cadence: alarm fires off the floor, and a 12-batch stream keeps the dir count bounded") {
     // the wiring: alarmCadenceAt runs the compaction on the floor OR
     // when the extra debt probe trips, and passes the batch id through
