@@ -173,9 +173,16 @@ object TextIngest {
     * dirs it claims to cover) — is ignored, which is what makes the
     * compact crash-safe at every boundary. */
   private def ledgerLiveParts(s: SparkSession, ledgerDir: String): Seq[String] = {
-    val entries = ledgerDirs(s, ledgerDir)
     val p = new org.apache.hadoop.fs.Path(ledgerDir)
     val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    ledgerLiveStatuses(f, ledgerDirs(s, ledgerDir)).map(_.getPath.toString).sorted
+  }
+
+  /** The live-parts grammar over an ALREADY-LISTED entry set — so
+    * callers that also need the raw entries ([[ledgerListingStats]])
+    * pay one listing, not two racing ones. */
+  private def ledgerLiveStatuses(f: org.apache.hadoop.fs.FileSystem,
+      entries: Seq[org.apache.hadoop.fs.FileStatus]): Seq[org.apache.hadoop.fs.FileStatus] = {
     val hwm = entries.flatMap(e => e.getPath.getName match {
       case ledgerCompactedRe(n) if isCommitted(f, e.getPath) => Some(n.toLong)
       case _ => None
@@ -189,7 +196,7 @@ object TextIngest {
         case "seed" => hwm.isEmpty
         case _ => false
       }
-    }.map(_.getPath.toString).sorted
+    }
   }
 
   /** True when `t` (or anything in its cause chain) says a file or
@@ -201,7 +208,12 @@ object TextIngest {
       if (c.isInstanceOf[java.io.FileNotFoundException]) return true
       val m = Option(c.getMessage).getOrElse("")
       if (m.contains("does not exist") || m.contains("PATH_NOT_FOUND") ||
-          m.contains("FileNotFoundException")) return true
+          m.contains("FileNotFoundException") ||
+          // every part emptied out between the torn pre-check and the
+          // read (a sweep mid-race): parquet schema inference fails
+          // with neither a missing path nor an FNF in the chain
+          m.contains("UNABLE_TO_INFER_SCHEMA") ||
+          m.contains("Unable to infer schema")) return true
       c = if (c.getCause eq c) null else c.getCause
     }
     false
@@ -269,7 +281,13 @@ object TextIngest {
       require(live.nonEmpty,
         s"token ledger at $ledgerDir has no live parts — not seeded, or the wrong dir")
       val before = fingerprintOf(live)
-      try {
+      // a snapshot already known torn must not be READ: the aggregation
+      // would be discarded by the post-read comparison regardless (the
+      // TORN/GONE tokens are unique), so reading just burns a Spark job
+      // per retry — and an all-parts-torn snapshot would fail parquet
+      // SCHEMA INFERENCE with an AnalysisException the file-gone guard
+      // doesn't match, escaping the retry loop entirely (r15 review #2)
+      if (!before.contains(":TORN-") && !before.contains(":GONE-")) try {
         val agg = s.read.parquet(live: _*)
           .groupBy(col("source"))
           .agg(sum(col("n_docs")).cast("long").as("n_docs"),
@@ -335,7 +353,19 @@ object TextIngest {
         case _ => true // seed or current rollup
       }
     }
-    if (live.size > 1) {
+    // a TORN part (no data files — a crashed overwrite awaiting its
+    // stream's retry) must NOT be absorbed: rolling it up as zero rows
+    // and sweeping it would permanently drop its batch, because the
+    // retry's deterministic rewrite then lands BELOW the new
+    // high-water mark and is ignored forever. Skip the rollup (the
+    // sweep below still runs); the next compact after the stream heals
+    // the part rolls up normally.
+    def hasDataFiles(d: String): Boolean =
+      try f.listStatus(new org.apache.hadoop.fs.Path(d)).exists(st =>
+        st.isFile && !st.getPath.getName.startsWith("_") &&
+          !st.getPath.getName.startsWith("."))
+      catch { case _: java.io.FileNotFoundException => false }
+    if (live.size > 1 && live.forall(hasDataFiles)) {
       val stage = new org.apache.hadoop.fs.Path(root, ".cstage")
       f.delete(stage, true)
       s.read.parquet(live: _*)
@@ -446,25 +476,41 @@ object TextIngest {
     * themselves). Listing metrics are one FS listing; totals ride
     * [[ledgerTotals]]'s snapshot read. */
   /** Listing-only ledger state — (live part names, unrolled batch
-    * count, committed hwm, covered-garbage count) from ONE directory
-    * listing, no Spark read: this is what the autopilot's per-pass
-    * decision consumes (the bloomSatMemo rule — alarms must not pay a
-    * Spark job per evaluation). Garbage counts READER-VISIBLE debt
-    * only: covered batches, stale or uncommitted rollups, an orphaned
-    * seed. Dot-prefixed staging is deliberately EXCLUDED — an
-    * in-flight compact's `.cstage` is workspace, not garbage, and
-    * counting it would make a health probe racing the stream's own
-    * cadence flag (and an autopilot acting on it fire into) perfectly
-    * healthy maintenance; crashed staging is swept by every
-    * [[ledgerCompact]] invocation regardless. */
+    * count, committed hwm, covered-garbage count) from one directory
+    * listing plus one commit-marker probe per rollup dir, no Spark
+    * read: this is what the autopilot's per-pass decision consumes
+    * (the bloomSatMemo rule — alarms must not pay a Spark job per
+    * evaluation). The single listing also makes the garbage count a
+    * consistent snapshot — a second racing listing could see a compact
+    * sweep dirs in between and transiently inflate it. Garbage counts
+    * READER-VISIBLE debt (covered batches, stale or uncommitted
+    * rollups, an orphaned seed) plus STALE staging: a FRESH `.cstage`
+    * (younger than [[IndexMaintenance.leaseStaleMs]]) is an in-flight
+    * compact's workspace — counting it would make a health probe
+    * racing the stream's own cadence flag, and an autopilot acting on
+    * it fire into, perfectly healthy maintenance — but one older than
+    * any live lease is a CRASHED compact's leftover copy of the
+    * ledger, and without counting it here an autopilot-only
+    * deployment would never trigger the rollup pass whose sweep
+    * collects it. Underscore-prefixed entries stay excluded as
+    * filesystem noise (the [[isLedgerDir]] rule — e.g. a stray
+    * `_temporary` is a writer's workspace, never reader-visible). */
   private[graft] def ledgerListingStats(s: SparkSession,
       ledgerDir: String): (Seq[String], Int, Option[Long], Int) = {
-    val entries = ledgerDirs(s, ledgerDir).map(_.getPath.getName)
-    val live = ledgerLiveParts(s, ledgerDir).map(nameOf)
+    val p = new org.apache.hadoop.fs.Path(ledgerDir)
+    val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val entries = ledgerDirs(s, ledgerDir)
+    val live = ledgerLiveStatuses(f, entries).map(_.getPath.getName).sorted
     val hwm = live.collectFirst { case ledgerCompactedRe(n) => n.toLong }
     val unrolled = live.count(n => ledgerBatchRe.matches(n))
-    val garbage = entries.count(n => !live.contains(n) &&
-      !n.startsWith(".") && !n.startsWith("_"))
+    val now = System.currentTimeMillis()
+    val garbage = entries.count { e =>
+      val n = e.getPath.getName
+      if (live.contains(n) || n.startsWith("_")) false
+      else if (n.startsWith("."))
+        n == ".cstage" && now - e.getModificationTime > IndexMaintenance.leaseStaleMs
+      else true
+    }
     (live, unrolled, hwm, garbage)
   }
 

@@ -257,22 +257,38 @@ class TextIngestSpec extends AnyFunSuite {
       graft.streaming.TextIngest.ledgerTotals(spark, s"$r/ledger", patienceMs = 1200L))
     assert(e.getMessage.contains("no data files"),
       s"wrong failure for a torn live part: ${e.getMessage}")
-    // an in-flight compact's staging dir is WORKSPACE: health must not
-    // page on it, and the autopilot must not fire a rollup into a
-    // running compact's lease because of it
+    // a FRESH compact staging dir is WORKSPACE: health must not page
+    // on it, and the autopilot must not fire a rollup into a running
+    // compact's lease because of it
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$r/ledger/.cstage"))
     val (_, unrolled, _, garbage) =
       graft.streaming.TextIngest.ledgerListingStats(spark, s"$r/ledger")
     assert(garbage == 0 && unrolled == 2,
-      s"dot-staging counted as reader-visible garbage: unrolled=$unrolled garbage=$garbage")
-    // heal the torn dir (the stream's retry path) and verify the next
-    // compact invocation sweeps a CRASHED staging dir even with
-    // nothing to roll up
+      s"fresh dot-staging counted as reader-visible garbage: unrolled=$unrolled garbage=$garbage")
+    // ...but one older than any live lease is a CRASHED compact's
+    // leftover, and it must surface as debt or an autopilot-only
+    // deployment would never collect it
+    assert(new java.io.File(s"$r/ledger/.cstage").setLastModified(
+      System.currentTimeMillis() - graft.ops.IndexMaintenance.leaseStaleMs - 60000L))
+    val (_, _, _, garbage2) =
+      graft.streaming.TextIngest.ledgerListingStats(spark, s"$r/ledger")
+    assert(garbage2 == 1, s"stale dot-staging not counted as debt: $garbage2")
+    // the autopilot fires on it — and the rollup pass must REFUSE to
+    // absorb the still-torn b1 (rolling it up as zero rows would
+    // permanently drop batch 1 once the stream's retry rewrite lands
+    // below the new high-water mark) while its sweep collects the
+    // crashed staging
+    graft.ops.Autopilot.indexAutopilot(spark, s"$r/ledger")
+    assert(!new java.io.File(s"$r/ledger/.cstage").exists(),
+      "crashed staging dir survived the autopilot's sweep")
+    assert(!new java.io.File(s"$r/ledger").listFiles().exists(_.getName.startsWith("c")),
+      "the rollup absorbed a torn part as zero rows — batch 1 would be dropped forever")
+    // heal the torn dir (the stream's retry path): the next compact
+    // rolls up normally and totals are whole
     Seq(("s2", 1L, 7L, 1L)).toDF("source", "n_docs", "n_tokens", "batch_id")
       .coalesce(1).write.mode("overwrite").parquet(s"$r/ledger/b1")
-    graft.streaming.TextIngest.ledgerCompact(spark, s"$r/ledger", upTo = 0L)
-    assert(!new java.io.File(s"$r/ledger/.cstage").exists(),
-      "crashed staging dir survived the sweep")
+    graft.streaming.TextIngest.ledgerCompact(spark, s"$r/ledger", upTo = 2L)
+    assert(new java.io.File(s"$r/ledger/c1").exists(), "post-heal rollup did not run")
     val got = graft.streaming.TextIngest.ledgerTotals(spark, s"$r/ledger")
       .collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2))).sorted.toSeq
     assert(got === Seq(("s1", 3L, 15L), ("s2", 1L, 7L)))
