@@ -361,11 +361,20 @@ object Autopilot {
       val unrolled = unrolledN.toDouble
       val garbage = garbageN.toDouble
       val wantRollup = unrolled > maxUnabsorbedBatches || garbage > 0
-      if (wantRollup) graft.streaming.TextIngest.ledgerRollupAll(s, indexDir)
+      // the rollup can REFUSE (a torn live part must not be absorbed as
+      // zero rows — see ledgerCompact); the decision log must say so
+      // instead of claiming an absorb that never happened while the
+      // unrolled_batches debt persists across "performed" passes. The
+      // lazy sweep runs on every invocation regardless of the refusal,
+      // so the garbage leg's `performed` stays truthful either way.
+      val outcome = if (wantRollup)
+        graft.streaming.TextIngest.ledgerRollupAll(s, indexDir) else ""
+      val refused = outcome == graft.streaming.TextIngest.RollupRefusedTornPart
       rows += (("ledger", "unrolled_batches", unrolled, maxUnabsorbedBatches.toDouble,
-        "rollup", wantRollup && unrolled > maxUnabsorbedBatches))
+        if (refused) outcome else "rollup",
+        wantRollup && unrolled > maxUnabsorbedBatches && !refused))
       rows += (("ledger", "covered_garbage", garbage, 0.0,
-        "rollup", wantRollup && garbage > 0))
+        if (refused) outcome else "rollup", wantRollup && garbage > 0))
     }
 
     if (!matched) throw new IllegalArgumentException(

@@ -85,9 +85,58 @@ object IndexMaintenance {
       dir: org.apache.hadoop.fs.Path, marker: String): Boolean =
     f.exists(new org.apache.hadoop.fs.Path(dir, marker))
 
+  /** Create the commit marker, optionally carrying a small payload —
+    * content written at creation is part of the same commit point (the
+    * marker file appears atomically with its bytes on HDFS and object
+    * stores), which lets a committed artifact pin bounded summary
+    * stats (the token ledger's per-source totals) without a second
+    * read of the data it vouches for. Markers are immutable once
+    * created; an empty payload is a legacy/stats-less marker and
+    * readers must fall back to reading the data. */
   private[graft] def commitMarkerCreate(f: org.apache.hadoop.fs.FileSystem,
-      dir: org.apache.hadoop.fs.Path, marker: String): Unit =
-    f.create(new org.apache.hadoop.fs.Path(dir, marker), true).close()
+      dir: org.apache.hadoop.fs.Path, marker: String, content: String = ""): Unit = {
+    val out = f.create(new org.apache.hadoop.fs.Path(dir, marker), true)
+    try if (content.nonEmpty) out.write(content.getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** The commit marker's payload, if the marker exists and carries one
+    * — None for an absent marker OR a legacy empty one (callers treat
+    * both as "read the data instead"). Bounded read: payloads are
+    * summary stats, never data. */
+  private[graft] def commitMarkerContent(f: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path, marker: String): Option[String] =
+    try {
+      val in = f.open(new org.apache.hadoop.fs.Path(dir, marker))
+      try {
+        val buf = new java.io.ByteArrayOutputStream()
+        val chunk = new Array[Byte](8192)
+        var n = in.read(chunk)
+        while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+        Some(buf.toString("UTF-8")).filter(_.nonEmpty)
+      } finally in.close()
+    } catch { case _: java.io.IOException => None }
+
+  /** True when the maintenance lease FILE covering `indexDir` exists
+    * and is younger than [[leaseStaleMs]] — a maintenance writer (this
+    * process or a foreign one) is live on the scope, or crashed less
+    * than a stale-window ago. Listing-only health/debt probes
+    * ([[graft.streaming.TextIngest.ledgerListingStats]]) use this to
+    * classify a writer's dot-staging workspace as in-flight vs
+    * crashed: every compact holds the lease for its whole duration
+    * (heartbeated past the window by [[touchLease]]), and lease FILES
+    * carry reliable mtimes everywhere — where DIRECTORY mtimes on
+    * object stores are synthetic (commonly 0), so an age test on the
+    * staging dir itself reads a FRESH in-flight compact as stale
+    * garbage and pages on healthy maintenance. */
+  private[graft] def liveLeasePresent(s: SparkSession, indexDir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(indexDir)
+    val f = fs(s, p)
+    val lp = leasePath(f.makeQualified(p))
+    try System.currentTimeMillis() -
+      f.getFileStatus(lp).getModificationTime < leaseStaleMs
+    catch { case _: java.io.FileNotFoundException => false }
+  }
 
   private val tableLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()

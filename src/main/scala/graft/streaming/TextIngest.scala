@@ -140,6 +140,21 @@ object TextIngest {
     * dirs stay live, so totals stay exact. */
   private[graft] val ledgerCommitMarker = "_LEDGER_COMMITTED"
 
+  /** [[ledgerCompact]] / [[ledgerRollupAll]] outcomes — callers acting
+    * on the decision (the autopilot's `performed` flag) must be able to
+    * tell an absorb that RAN from one the compact refused or had
+    * nothing to do, or the decision log claims rollups that never
+    * happened while `unrolled_batches` debt persists across passes. */
+  private[graft] val RolledUp = "rolled_up"
+  /** Nothing to absorb (≤1 live part) — only the lazy sweep ran. */
+  private[graft] val SweepOnly = "sweep_only"
+  /** A covered live part has no data files (a crashed overwrite
+    * awaiting its stream's retry): absorbing it as zero rows would
+    * permanently drop its batch, so the rollup REFUSED; the sweep
+    * still ran. The next compact after the stream heals the part rolls
+    * up normally. */
+  private[graft] val RollupRefusedTornPart = "rollup_refused_torn_part"
+
   private def nameOf(path: String): String =
     new org.apache.hadoop.fs.Path(path).getName
 
@@ -147,9 +162,37 @@ object TextIngest {
       dir: org.apache.hadoop.fs.Path): Boolean =
     IndexMaintenance.commitMarkerPresent(f, dir, ledgerCommitMarker)
 
+  /** Stamp the rollup committed, with the rolled-up per-source totals
+    * as the marker's payload — written at marker creation, so the
+    * stats land INSIDE the `_LEDGER_COMMITTED` transaction: a reader
+    * that sees the marker sees the stats, and steady-state health
+    * ([[ledgerHealth]]) serves the dashboard totals from one bounded
+    * file read instead of a Spark aggregation. Sources are
+    * base64-coded per line so arbitrary source strings round-trip. */
   private def markCommitted(f: org.apache.hadoop.fs.FileSystem,
-      dir: org.apache.hadoop.fs.Path): Unit =
-    IndexMaintenance.commitMarkerCreate(f, dir, ledgerCommitMarker)
+      dir: org.apache.hadoop.fs.Path,
+      stats: Seq[(String, Long, Long)]): Unit = {
+    val enc = java.util.Base64.getEncoder
+    val body = stats.sortBy(_._1).map { case (src, d, t) =>
+      s"${enc.encodeToString(src.getBytes("UTF-8"))}\t$d\t$t"
+    }.mkString("", "\n", "\n")
+    IndexMaintenance.commitMarkerCreate(f, dir, ledgerCommitMarker, body)
+  }
+
+  /** The committed rollup's persisted per-source totals, if its marker
+    * carries them — None for a legacy payload-less marker (pre-r16
+    * rollups: fall back to the Spark read) or an unparsable one (never
+    * guess at dashboard numbers). */
+  private def committedStats(f: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path): Option[Seq[(String, Long, Long)]] =
+    IndexMaintenance.commitMarkerContent(f, dir, ledgerCommitMarker).flatMap { body =>
+      val dec = java.util.Base64.getDecoder
+      try Some(body.split("\n").toSeq.filter(_.nonEmpty).map { line =>
+        val Array(src, d, t) = line.split("\t", 3)
+        (new String(dec.decode(src), "UTF-8"), d.toLong, t.toLong)
+      })
+      catch { case scala.util.control.NonFatal(_) => None }
+    }
 
   /** The ledger directory's sub-directories through the Hadoop FS API —
     * the ledger is a persisted deployment artifact like the six index
@@ -302,13 +345,23 @@ object TextIngest {
         case t: Throwable if isFileGone(t) => last = t
       }
       torn += 1
-      if (System.nanoTime() > deadline) throw new IllegalStateException(
+      // overflow-safe per the nanoTime contract: compare via subtraction
+      if (System.nanoTime() - deadline > 0) throw new IllegalStateException(
         s"ledgerTotals at $ledgerDir: $torn consecutive snapshot reads torn " +
         s"over ${patienceMs / 1000} s — either maintenance is churning pathologically faster " +
         "than one bounded aggregation can complete, or a live part has no " +
         "data files (a write crashed mid-overwrite and its stream was never " +
         "restarted to retry the batch — restart the ingest to heal)", last)
-      Thread.sleep(math.min(500L, 50L * torn)) // maintenance in flight; re-list
+      try Thread.sleep(math.min(500L, 50L * torn)) // maintenance in flight; re-list
+      catch { case ie: InterruptedException =>
+        // a read API must not swallow (or silently re-throw) the
+        // interrupt: restore the flag and fail loudly like the
+        // patience path
+        Thread.currentThread().interrupt()
+        throw new IllegalStateException(
+          s"ledgerTotals at $ledgerDir: interrupted while waiting out " +
+          "concurrent maintenance", ie)
+      }
     }
     throw new IllegalStateException("unreachable")
   }
@@ -343,7 +396,7 @@ object TextIngest {
     * between rename and marker is the same state (complete content,
     * still garbage — the retry or a later sweep collects it and the
     * `b` dirs re-roll). */
-  private[graft] def ledgerCompact(s: SparkSession, ledgerDir: String, upTo: Long): Unit =
+  private[graft] def ledgerCompact(s: SparkSession, ledgerDir: String, upTo: Long): String =
       IndexMaintenance.withIndexMaintenance(s, ledgerDir) {
     val root = new org.apache.hadoop.fs.Path(ledgerDir)
     val f = root.getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -358,21 +411,32 @@ object TextIngest {
     // and sweeping it would permanently drop its batch, because the
     // retry's deterministic rewrite then lands BELOW the new
     // high-water mark and is ignored forever. Skip the rollup (the
-    // sweep below still runs); the next compact after the stream heals
-    // the part rolls up normally.
+    // sweep below still runs) and SAY SO in the outcome; the next
+    // compact after the stream heals the part rolls up normally.
     def hasDataFiles(d: String): Boolean =
       try f.listStatus(new org.apache.hadoop.fs.Path(d)).exists(st =>
         st.isFile && !st.getPath.getName.startsWith("_") &&
           !st.getPath.getName.startsWith("."))
       catch { case _: java.io.FileNotFoundException => false }
-    if (live.size > 1 && live.forall(hasDataFiles)) {
+    val outcome =
+      if (live.size <= 1) SweepOnly
+      else if (!live.forall(hasDataFiles)) RollupRefusedTornPart
+      else RolledUp
+    if (outcome == RolledUp) {
       val stage = new org.apache.hadoop.fs.Path(root, ".cstage")
       f.delete(stage, true)
-      s.read.parquet(live: _*)
+      // the rolled-up totals are one bounded row per source: collect
+      // them ONCE, write the rollup parquet from the local relation,
+      // and pin the same rows into the commit marker below — the
+      // aggregation runs once, and steady-state health reads become
+      // listing-only ([[ledgerHealth]])
+      val rolled = s.read.parquet(live: _*)
         .groupBy(col("source"))
         .agg(sum(col("n_docs")).cast("long").as("n_docs"),
           sum(col("n_tokens")).cast("long").as("n_tokens"))
         .withColumn("batch_id", lit(upTo - 1))
+      val rows = rolled.collect()
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), rolled.schema)
         .coalesce(1).write.mode("overwrite").parquet(stage.toString)
       val target = new org.apache.hadoop.fs.Path(root, s"c${upTo - 1}")
       // an existing COMMITTED target is a finished rollup at the same
@@ -385,7 +449,9 @@ object TextIngest {
         f.delete(target, true)
         if (!f.rename(stage, target))
           throw new java.io.IOException(s"ledger rollup rename failed: $target")
-        markCommitted(f, target) // the commit point readers switch on
+        // the commit point readers switch on — stats ride the marker
+        markCommitted(f, target,
+          rows.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq)
       }
     }
     // lazy sweep under the CURRENT high-water mark (re-listed, so it
@@ -423,6 +489,7 @@ object TextIngest {
         case _ => ()
       }
     }
+    outcome
   }
 
   /** Registered-query replay: train + persist the tokenizer on the
@@ -473,8 +540,10 @@ object TextIngest {
     * rollups, uncommitted copy-rename leftovers; nonzero past one
     * cadence means the lazy sweep is not keeping up), `n_sources` /
     * `n_docs_total` / `n_tokens_total` (the dashboard totals
-    * themselves). Listing metrics are one FS listing; totals ride
-    * [[ledgerTotals]]'s snapshot read. */
+    * themselves). Listing metrics are one FS listing; totals are
+    * LISTING-ONLY too in the steady state (served from the committed
+    * rollup marker's persisted stats — see the body), riding
+    * [[ledgerTotals]]'s snapshot read only as the fallback. */
   /** Listing-only ledger state — (live part names, unrolled batch
     * count, committed hwm, covered-garbage count) from one directory
     * listing plus one commit-marker probe per rollup dir, no Spark
@@ -484,17 +553,24 @@ object TextIngest {
     * consistent snapshot — a second racing listing could see a compact
     * sweep dirs in between and transiently inflate it. Garbage counts
     * READER-VISIBLE debt (covered batches, stale or uncommitted
-    * rollups, an orphaned seed) plus STALE staging: a FRESH `.cstage`
-    * (younger than [[IndexMaintenance.leaseStaleMs]]) is an in-flight
-    * compact's workspace — counting it would make a health probe
-    * racing the stream's own cadence flag, and an autopilot acting on
-    * it fire into, perfectly healthy maintenance — but one older than
-    * any live lease is a CRASHED compact's leftover copy of the
-    * ledger, and without counting it here an autopilot-only
+    * rollups, an orphaned seed) plus CRASHED staging: a `.cstage`
+    * under a LIVE maintenance lease is an in-flight compact's
+    * workspace — counting it would make a health probe racing the
+    * stream's own cadence flag, and an autopilot acting on it fire
+    * into, perfectly healthy maintenance — but one standing with NO
+    * live lease is a CRASHED compact's leftover copy of the ledger
+    * (every compact holds the heartbeated lease for its whole
+    * duration), and without counting it here an autopilot-only
     * deployment would never trigger the rollup pass whose sweep
-    * collects it. Underscore-prefixed entries stay excluded as
-    * filesystem noise (the [[isLedgerDir]] rule — e.g. a stray
-    * `_temporary` is a writer's workspace, never reader-visible). */
+    * collects it. The probe is [[IndexMaintenance.liveLeasePresent]]
+    * — the lease FILE's mtime, NOT the staging directory's: object
+    * stores report synthetic (commonly zero) directory mtimes, under
+    * which an age test on the dir itself reads every fresh in-flight
+    * compact as stale garbage and re-creates exactly the spurious
+    * alarm the fresh/stale split exists to avoid. Underscore-prefixed
+    * entries stay excluded as filesystem noise (the [[isLedgerDir]]
+    * rule — e.g. a stray `_temporary` is a writer's workspace, never
+    * reader-visible). */
   private[graft] def ledgerListingStats(s: SparkSession,
       ledgerDir: String): (Seq[String], Int, Option[Long], Int) = {
     val p = new org.apache.hadoop.fs.Path(ledgerDir)
@@ -503,12 +579,12 @@ object TextIngest {
     val live = ledgerLiveStatuses(f, entries).map(_.getPath.getName).sorted
     val hwm = live.collectFirst { case ledgerCompactedRe(n) => n.toLong }
     val unrolled = live.count(n => ledgerBatchRe.matches(n))
-    val now = System.currentTimeMillis()
+    // one lease-file stat, paid only when staging is present at all
+    lazy val maintenanceLive = IndexMaintenance.liveLeasePresent(s, ledgerDir)
     val garbage = entries.count { e =>
       val n = e.getPath.getName
       if (live.contains(n) || n.startsWith("_")) false
-      else if (n.startsWith("."))
-        n == ".cstage" && now - e.getModificationTime > IndexMaintenance.leaseStaleMs
+      else if (n.startsWith(".")) n == ".cstage" && !maintenanceLive
       else true
     }
     (live, unrolled, hwm, garbage)
@@ -517,19 +593,63 @@ object TextIngest {
   private[graft] def ledgerHealth(s: SparkSession, ledgerDir: String): DataFrame = {
     import s.implicits._
     val (live, unrolled, hwm, garbage) = ledgerListingStats(s, ledgerDir)
-    val totals = ledgerTotals(s, ledgerDir)
-      .agg(count(lit(1)), sum(col("n_docs")), sum(col("n_tokens"))).head()
-    Seq(
+    // STEADY-STATE totals are listing-only (round 16): when every live
+    // part is the committed rollup — no unrolled batch, no orphan seed
+    // — the rollup's commit marker carries the per-source totals
+    // persisted inside the `_LEDGER_COMMITTED` transaction
+    // ([[markCommitted]]), so the dashboard numbers cost one bounded
+    // file read and ZERO Spark jobs. The Spark aggregation remains
+    // only as the fallback: unrolled batches standing (their rows are
+    // not in any marker), a pre-rollup ledger, a legacy payload-less
+    // marker, or the rollup swept between our listing and the marker
+    // read (committedStats returns None; the re-derive is the same
+    // optimistic-snapshot story as [[ledgerTotals]]).
+    val fromMarker: Option[Seq[(String, Long, Long)]] =
+      if (unrolled == 0 && live.size == 1) hwm.flatMap { m =>
+        val p = new org.apache.hadoop.fs.Path(ledgerDir, s"c$m")
+        committedStats(p.getFileSystem(s.sparkContext.hadoopConfiguration), p)
+      } else None
+    def metricRows(nSources: Double, nDocsTotal: Double,
+        nTokensTotal: Double): Seq[(String, Double)] = Seq(
       ("covered_garbage", garbage.toDouble),
       ("live_parts", live.size.toDouble),
-      ("n_docs_total", totals.getLong(1).toDouble),
-      ("n_sources", totals.getLong(0).toDouble),
-      ("n_tokens_total", totals.getLong(2).toDouble),
+      ("n_docs_total", nDocsTotal),
+      ("n_sources", nSources),
+      ("n_tokens_total", nTokensTotal),
       ("rollup_hwm", hwm.fold(-1.0)(_.toDouble)),
-      ("unrolled_batches", unrolled.toDouble)
-    ).toDF("metric", "value")
-      .select(col("metric"), round(col("value"), 6).as("value"))
-      .orderBy(col("metric"))
+      ("unrolled_batches", unrolled.toDouble))
+    fromMarker match {
+      case Some(st) =>
+        // serve the whole report as a LOCAL relation: driver-side
+        // rounding (the same half-up rule Spark's round applies) and
+        // metric order by construction, so the collect is an
+        // executeCollect over a LocalTableScan — zero Spark jobs, the
+        // steady-state shape the spec pins
+        val rows = metricRows(st.size.toDouble, st.map(_._2).sum.toDouble,
+            st.map(_._3).sum.toDouble)
+          .map { case (m, v) => org.apache.spark.sql.Row(m,
+            BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) }
+        s.createDataFrame(java.util.Arrays.asList(rows: _*),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("metric",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("value",
+              org.apache.spark.sql.types.DoubleType, nullable = false))))
+      case None =>
+        // coalesce against the zero-row aggregate (live parts whose
+        // every row count is zero — e.g. a seed slice written from an
+        // empty corpus): sum() of nothing is null, and a bare getLong
+        // would die in an undiagnosable NPE
+        val totals = ledgerTotals(s, ledgerDir)
+          .agg(count(lit(1)),
+            coalesce(sum(col("n_docs")), lit(0L)),
+            coalesce(sum(col("n_tokens")), lit(0L))).head()
+        metricRows(totals.getLong(0).toDouble, totals.getLong(1).toDouble,
+            totals.getLong(2).toDouble)
+          .toDF("metric", "value")
+          .select(col("metric"), round(col("value"), 6).as("value"))
+          .orderBy(col("metric"))
+    }
   }
 
   /** Roll the ledger all the way up — the autopilot's on-demand form
@@ -539,8 +659,12 @@ object TextIngest {
     * high-water mark and is ignored by readers, then collected by the
     * next sweep (totals already include its content via the rollup).
     * With nothing to roll up this degrades to the lazy sweep, which is
-    * how the autopilot clears `covered_garbage` debt. */
-  private[graft] def ledgerRollupAll(s: SparkSession, ledgerDir: String): Unit = {
+    * how the autopilot clears `covered_garbage` debt. Returns the
+    * compact's outcome ([[RolledUp]] / [[SweepOnly]] /
+    * [[RollupRefusedTornPart]]) so the autopilot's decision log
+    * reports what actually ran — a refused absorb must not read as
+    * `performed`. */
+  private[graft] def ledgerRollupAll(s: SparkSession, ledgerDir: String): String = {
     val upTo = ledgerLiveParts(s, ledgerDir).map(nameOf)
       .collect { case ledgerBatchRe(n) => n.toLong }
       .maxOption.map(_ + 1).getOrElse(0L)

@@ -235,6 +235,35 @@ class TextIngestSpec extends AnyFunSuite {
     assert(new java.io.File(s"$r/ledger/c1",
       graft.streaming.TextIngest.ledgerCommitMarker).exists(),
       "the committed rollup is missing its commit marker")
+    // STEADY-STATE health is LISTING-ONLY (r16): the marker's payload
+    // carries the rolled-up per-source totals (persisted inside the
+    // _LEDGER_COMMITTED transaction), so with every live part under
+    // the rollup the whole report — totals included — executes ZERO
+    // Spark jobs. The sentinel job flushes the async listener bus:
+    // events are ordered, so a count of exactly 1 proves the health
+    // call contributed none.
+    val jobs = new java.util.concurrent.atomic.AtomicInteger()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val h3 = health()
+      assert(h3("n_docs_total") == 4.0 && h3("n_tokens_total") == 22.0 &&
+        h3("n_sources") == 2.0 && h3("rollup_hwm") == 1.0,
+        s"marker-served totals diverged from the rolled-up stats: $h3")
+      // RDD sentinel: exactly ONE job by construction (an SQL count
+      // under AQE materializes per-stage and posts two)
+      spark.sparkContext.parallelize(Seq(1), 1).count()
+      val deadline = System.currentTimeMillis() + 30000L
+      while (jobs.get() == 0 && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      assert(jobs.get() == 1,
+        s"steady-state ledgerHealth ran ${jobs.get() - 1} Spark job(s) — " +
+        "totals must serve listing-only from the committed rollup marker")
+    } finally spark.sparkContext.removeSparkListener(listener)
     // a second autopilot pass is a no-op (nothing fires)
     val dec2 = graft.ops.Autopilot.indexAutopilot(spark, s"$r/ledger").collect()
     assert(dec2.forall(!_.getBoolean(5)), "a clean ledger re-fired the autopilot")
@@ -257,28 +286,46 @@ class TextIngestSpec extends AnyFunSuite {
       graft.streaming.TextIngest.ledgerTotals(spark, s"$r/ledger", patienceMs = 1200L))
     assert(e.getMessage.contains("no data files"),
       s"wrong failure for a torn live part: ${e.getMessage}")
-    // a FRESH compact staging dir is WORKSPACE: health must not page
-    // on it, and the autopilot must not fire a rollup into a running
-    // compact's lease because of it
+    // a `.cstage` under a LIVE maintenance lease is an in-flight
+    // compact's WORKSPACE: health must not page on it, and the
+    // autopilot must not fire a rollup into the running compact's
+    // lease because of it. The probe is the lease FILE's mtime (r16,
+    // every compact holds it heartbeated) — the staging DIRECTORY's
+    // own mtime is synthetic (commonly 0) on object stores and would
+    // misread every fresh in-flight compact as stale garbage.
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$r/ledger/.cstage"))
+    val lease = new java.io.File(s"$r/.ledger.lease")
+    assert(lease.createNewFile(), "could not plant the in-flight compact's lease")
+    // the dir's own mtime is IRRELEVANT now — even an mtime-0 dir (the
+    // S3A synthetic-status shape) must read as workspace under a live lease
+    assert(new java.io.File(s"$r/ledger/.cstage").setLastModified(0L))
     val (_, unrolled, _, garbage) =
       graft.streaming.TextIngest.ledgerListingStats(spark, s"$r/ledger")
     assert(garbage == 0 && unrolled == 2,
-      s"fresh dot-staging counted as reader-visible garbage: unrolled=$unrolled garbage=$garbage")
-    // ...but one older than any live lease is a CRASHED compact's
-    // leftover, and it must surface as debt or an autopilot-only
-    // deployment would never collect it
-    assert(new java.io.File(s"$r/ledger/.cstage").setLastModified(
+      s"staging under a live lease counted as reader-visible garbage: unrolled=$unrolled garbage=$garbage")
+    // ...but once the lease is a crashed holder's (stale mtime — the
+    // same signal withLeaseScope breaks leases on), the staging is a
+    // CRASHED compact's leftover, and it must surface as debt or an
+    // autopilot-only deployment would never collect it
+    assert(lease.setLastModified(
       System.currentTimeMillis() - graft.ops.IndexMaintenance.leaseStaleMs - 60000L))
     val (_, _, _, garbage2) =
       graft.streaming.TextIngest.ledgerListingStats(spark, s"$r/ledger")
-    assert(garbage2 == 1, s"stale dot-staging not counted as debt: $garbage2")
+    assert(garbage2 == 1, s"staging with no live lease not counted as debt: $garbage2")
     // the autopilot fires on it — and the rollup pass must REFUSE to
     // absorb the still-torn b1 (rolling it up as zero rows would
     // permanently drop batch 1 once the stream's retry rewrite lands
     // below the new high-water mark) while its sweep collects the
-    // crashed staging
-    graft.ops.Autopilot.indexAutopilot(spark, s"$r/ledger")
+    // crashed staging. The decision log must SAY it refused (r16 —
+    // ADVICE: `performed` rows claiming absorbs that never ran hide
+    // persisting unrolled_batches debt).
+    val refusedDec = graft.ops.Autopilot.indexAutopilot(spark, s"$r/ledger").collect()
+      .filter(_.getString(0) == "ledger")
+      .map(x => (x.getString(1), x.getString(4), x.getBoolean(5)))
+    assert(refusedDec.nonEmpty && refusedDec.forall(_._2 == "rollup_refused_torn_part"),
+      s"refused rollup not reported in the decision log: ${refusedDec.toSeq}")
+    assert(!refusedDec.exists(d => d._1 == "unrolled_batches" && d._3),
+      s"a refused absorb read as performed: ${refusedDec.toSeq}")
     assert(!new java.io.File(s"$r/ledger/.cstage").exists(),
       "crashed staging dir survived the autopilot's sweep")
     assert(!new java.io.File(s"$r/ledger").listFiles().exists(_.getName.startsWith("c")),
