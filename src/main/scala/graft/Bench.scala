@@ -37,7 +37,13 @@ object Bench {
     def materialize(name: String): Unit =
       SparkEntry.queries(name)(spark, sfDir).write.mode("overwrite").format("noop").save()
 
+    // SPARK_GRAFT_ONLY: comma-separated name PREFIXES restricting the
+    // run (dev iteration and the per-family scale sweeps). Unset — the
+    // driver's canonical run — benches every registered query.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.exists(n.startsWith)))
     // warmup: one untimed pass
     names.foreach { n =>
       try materialize(n)

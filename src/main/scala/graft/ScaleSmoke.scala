@@ -517,11 +517,23 @@ object ScaleSmoke {
           col("doc_id") >= lit(cand.min) && col("doc_id") <= lit(cand.max))
         .select(col("term"), col("doc_id"), col("tf")))
     }
+    // price the COLD path deliberately: the decision memo (r16) would
+    // otherwise serve the contender pass from the maxScoreContenders
+    // call above and this row would under-report the engaged cost
+    ops.DecisionMemo.clear()
     val tMs0 = System.nanoTime()
-    val msServe = time("text_bm25_served MAXSCORE (exact, contender re-scan)") {
+    val msServe = time("text_bm25_served MAXSCORE (exact, contender re-scan, COLD decision)") {
       ops.TextAnalysis.textBm25ServedMaxScore(spark, stopIdx, minMegaRows = 0L).collect().map(_.toSeq).toSeq
     }
     val msServeSecs = (System.nanoTime() - tMs0) / 1e9
+    // the steady-state serving shape: same index generation, decision
+    // served from the artifact-keyed memo — what a deployment pays per
+    // query on a frozen index
+    val tHit0 = System.nanoTime()
+    val msServeHit = time("text_bm25_served MAXSCORE (decision MEMO HIT, same generation)") {
+      ops.TextAnalysis.textBm25ServedMaxScore(spark, stopIdx, minMegaRows = 0L).collect().map(_.toSeq).toSeq
+    }
+    val msHitSecs = (System.nanoTime() - tHit0) / 1e9
     val tUn0 = System.nanoTime()
     val exactServe = time("text_bm25_served UNBOUNDED reference (same Zipf-head corpus)") {
       ops.TextAnalysis.textBm25Served(spark, stopIdx).collect().map(_.toSeq).toSeq
@@ -529,6 +541,8 @@ object ScaleSmoke {
     val unServeSecs = (System.nanoTime() - tUn0) / 1e9
     assert(msServe == exactServe,
       "MaxScore serve diverged from the unbounded serve — it must be EXACT")
+    assert(msServeHit == exactServe,
+      "memo-hit MaxScore serve diverged — the cached decision must be byte-identical")
     say(s"  -> maxscore: ${cand.size} contenders; postings scan rows " +
       s"unbounded $unboundedScanRows vs contender-pushed $msScanRows " +
       f"(${(unboundedScanRows - msScanRows) / 1e3}%.0fk skipped at EXACT semantics)")
@@ -536,7 +550,9 @@ object ScaleSmoke {
     // registered corpus has no real stopword head, so pruning is pure
     // cost there — PLANS.md cites this line as where the machinery WINS)
     say(f"  -> lowcut pricing (Zipf-head corpus, 100k docs): PRUNED BM25 serve " +
-      f"$msServeSecs%.2f s vs UNBOUNDED $unServeSecs%.2f s at identical results")
+      f"$msServeSecs%.2f s COLD / $msHitSecs%.2f s MEMO-HIT vs UNBOUNDED " +
+      f"$unServeSecs%.2f s at identical results (the decision pass is paid " +
+      "once per index generation)")
     assert(unboundedScanRows - msScanRows >= megaPostingRows / 2,
       s"maxscore contender scan produced $msScanRows rows vs $unboundedScanRows — " +
       s"less than half the $megaPostingRows-row mega posting was skipped")

@@ -1921,10 +1921,24 @@ object TextAnalysis {
     * Remaining fallbacks (returning None): a dictionary without `ub`
     * (pre-round-10), no mega term / no cheap term / cheap floor
     * unseated, a mega-only doc that could reach the floor, or a
-    * contender set too large to push as an IN filter. */
+    * contender set too large to push as an IN filter.
+    *
+    * MEMOIZED per index generation (round 16): the whole decision —
+    * Some(prune) and None alike — is a pure function of the index's
+    * on-disk state and the two parameters, so it rides
+    * [[DecisionMemo]] keyed by the index file-listing fingerprint: a
+    * frozen index pays the dictionary collect + floor scan once, and
+    * any append/compact/delete moves the fingerprint and forces the
+    * re-derive (pinned in `BoundedServeSpec`). Byte-identical results
+    * by determinism. */
   def maxScoreContenders(s: SparkSession, indexDir: String,
       maxDfShare: Double = bm25MaxDfShare,
-      minMegaRows: Long = maxScoreMinMegaRows): Option[MaxScorePrune] = {
+      minMegaRows: Long = maxScoreMinMegaRows): Option[MaxScorePrune] =
+    DecisionMemo.cached(s, indexDir, s"bm25-maxscore|$maxDfShare|$minMegaRows")(
+      maxScoreContendersUncached(s, indexDir, maxDfShare, minMegaRows))
+
+  private def maxScoreContendersUncached(s: SparkSession, indexDir: String,
+      maxDfShare: Double, minMegaRows: Long): Option[MaxScorePrune] = {
     val tsPath = new org.apache.hadoop.fs.Path(s"$indexDir/termstats")
     if (!tsPath.getFileSystem(s.sparkContext.hadoopConfiguration).exists(tsPath))
       return None // pre-dictionary index layout: fall back, don't throw

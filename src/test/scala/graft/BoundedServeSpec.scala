@@ -482,6 +482,112 @@ class BoundedServeSpec extends AnyFunSuite {
       .collect().map(_.toSeq).toSeq === exact)
   }
 
+  test("decision memo (r16): the MaxScore decision is paid once per index generation; append/delete/compact each invalidate") {
+    import spark.implicits._
+    import graft.ops.DecisionMemo
+    val tmp = java.nio.file.Files.createTempDirectory("maxscore-memo").toString
+    def tok(i: Long): Seq[String] = {
+      val b = Seq.newBuilder[String]
+      if (i <= 58) b += "spark"
+      if (i % 2 == 0) b += "join"
+      if (i % 3 == 0) b += "vector"
+      (0 until (3 + (i % 5)).toInt).foreach(w => b += s"f${i}w$w")
+      b.result()
+    }
+    (1L to 60L).map(i => (i, tok(i).mkString(" "), "en", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+      .write.mode("overwrite").parquet(s"$tmp/c/documents.parquet")
+    TextAnalysis.textIndexWrite(spark, s"$tmp/c", s"$tmp/idx")
+    def counters() = (DecisionMemo.hits.get(), DecisionMemo.misses.get())
+    def serve() = TextAnalysis.textBm25ServedMaxScore(spark, s"$tmp/idx",
+      minMegaRows = 0L).collect().map(_.toSeq).toSeq
+    DecisionMemo.clear()
+    val (h0, m0) = counters()
+    val first = serve()
+    val (h1, m1) = counters()
+    assert(m1 == m0 + 1 && h1 == h0, "first serve must MISS (cold decision)")
+    val second = serve()
+    val (h2, m2) = counters()
+    assert(h2 == h1 + 1 && m2 == m1,
+      "second serve on the frozen index must HIT — the decision pass ran twice")
+    assert(second === first, "memo-hit serve diverged — must be byte-identical")
+    // a different cut (or floor) is a DIFFERENT decision: its own entry
+    TextAnalysis.textBm25ServedMaxScore(spark, s"$tmp/idx",
+      maxDfShare = 0.5, minMegaRows = 0L).collect()
+    assert(counters()._2 == m2 + 1, "a different cut must not share the memo entry")
+    // APPEND invalidates: the fingerprint moves with the stamped files,
+    // and the re-derived serve reflects the appended doc
+    TextAnalysis.textIndexAppendBatch(spark,
+      Seq((61L, "spark join vector fresh", "en", "s"))
+        .toDF("doc_id", "text", "lang", "source"), s"$tmp/idx")
+    val mBeforeAppend = counters()._2
+    val postAppend = serve()
+    assert(counters()._2 == mBeforeAppend + 1,
+      "an append must move the index fingerprint and force a re-derive")
+    assert(postAppend ===
+      TextAnalysis.textBm25Served(spark, s"$tmp/idx").collect().map(_.toSeq).toSeq,
+      "post-append serve must equal the unbounded serve over base + tail")
+    assert(postAppend != first, "the append must change the top-k, or the pin is vacuous")
+    // DELETE invalidates (tombstone files join the fingerprint)
+    TextAnalysis.textIndexDelete(spark, s"$tmp/idx", Seq(2L))
+    val mBeforeDelete = counters()._2
+    val postDelete = serve()
+    assert(counters()._2 == mBeforeDelete + 1,
+      "a takedown must move the index fingerprint and force a re-derive")
+    assert(postDelete ===
+      TextAnalysis.textBm25Served(spark, s"$tmp/idx").collect().map(_.toSeq).toSeq)
+    // COMPACT invalidates (rewrite renames every part)
+    TextAnalysis.textIndexCompact(spark, s"$tmp/idx")
+    val mBeforeCompact = counters()._2
+    serve()
+    assert(counters()._2 == mBeforeCompact + 1,
+      "a compact must move the index fingerprint and force a re-derive")
+
+    // HYBRID half: the registered serve memoizes the materialized
+    // per-query lexical ranks under the same fingerprint rule
+    val tmpH = java.nio.file.Files.createTempDirectory("hybrid-memo").toString
+    def htok(i: Long): Seq[String] = {
+      val b = Seq.newBuilder[String]
+      if (i <= 116) b += "spark"
+      if (i % 4 != 0) b += "alpha"
+      if (i % 2 == 0 && i <= 60) b += "beta"
+      (0 until (3 + (i % 5)).toInt).foreach(w => b += s"f${i}w$w")
+      b.result()
+    }
+    (1L to 120L).map(i => (i, htok(i).mkString(" "), "en", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+      .write.mode("overwrite").parquet(s"$tmpH/documents.parquet")
+    val rnd = new scala.util.Random(41)
+    (1L to 120L).map(i => (i, Array.fill(64)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$tmpH/embeddings.parquet")
+    val hIdx = TextAnalysis.textIndexFor(spark, tmpH)
+    def hserve() = Retrieval.searchHybridRrfServedMaxScore(spark, tmpH)
+      .collect().map(_.toSeq).toSeq
+    val hm0 = counters()._2
+    val hFirst = hserve()
+    val (hh1, hm1) = counters()
+    assert(hm1 > hm0, "first hybrid serve must MISS")
+    val hSecond = hserve()
+    val (hh2, hm2) = counters()
+    assert(hm2 == hm1 && hh2 > hh1,
+      "second hybrid serve on the frozen index must HIT the lex-ranks memo")
+    assert(hSecond === hFirst && hFirst.nonEmpty,
+      "memo-hit hybrid serve diverged — must be byte-identical")
+    // append to the text index → fingerprint moves → the hybrid serve
+    // re-derives and reflects the appended doc
+    TextAnalysis.textIndexAppendBatch(spark,
+      Seq((121L, "spark alpha beta fresh", "en", "s"))
+        .toDF("doc_id", "text", "lang", "source"), hIdx)
+    val hmBefore = counters()._2
+    val hPost = hserve()
+    assert(counters()._2 > hmBefore,
+      "an append must invalidate the hybrid lex-ranks memo")
+    assert(hPost ===
+      Retrieval.searchHybridRrfServed(spark, tmpH).collect().map(_.toSeq).toSeq,
+      "post-append hybrid serve must equal the unbounded serve over base + tail")
+  }
+
   test("term dictionary: frozen between compacts, recomputed at compact") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("termstats").toString
