@@ -20,7 +20,14 @@ Interpretation notes (also printed):
    starts to dominate overhead.
 
 Usage:
-  python3 scripts/scaling_curve.py bench_sf0.001.json bench_sf0.01.json bench_sf0.1.json [--top N]
+  python3 scripts/scaling_curve.py bench_sf0.001.json bench_sf0.01.json bench_sf0.1.json [bench_sf1.json ...] [--top N] [--sfs 0.001,0.01,0.1,...]
+
+Round 16: accepts MORE than three artifacts (--sfs names each one's
+scale factor; defaults extend 0.001/0.01/0.1 by decades). Artifacts may
+cover different query SUBSETS (the per-family sf1-synthetic sweep runs
+only the top families): each family/query is fitted over the points
+where it appears, requiring at least two for a slope and reporting the
+TOP decade as the slope over the last two points it has.
 """
 import json
 import math
@@ -97,6 +104,7 @@ def main():
     top_n = 8
     args = []
     i = 0
+    sfs_arg = None
     while i < len(argv):
         if argv[i] == "--top":
             top_n = int(argv[i + 1])
@@ -104,53 +112,77 @@ def main():
         elif argv[i].startswith("--top="):
             top_n = int(argv[i].split("=", 1)[1])
             i += 1
+        elif argv[i] == "--sfs":
+            sfs_arg = [float(x) for x in argv[i + 1].split(",")]
+            i += 2
+        elif argv[i].startswith("--sfs="):
+            sfs_arg = [float(x) for x in argv[i].split("=", 1)[1].split(",")]
+            i += 1
         else:
             args.append(argv[i])
             i += 1
-    if len(args) != 3:
+    if len(args) < 3:
         sys.exit(__doc__)
-    sfs = [0.001, 0.01, 0.1]
+    if sfs_arg is None:
+        sfs_arg = [0.001 * (10 ** k) for k in range(len(args))]
+    assert len(sfs_arg) == len(args), "--sfs must name one factor per artifact"
+    sfs = sfs_arg
     runs = [load_minima(p) for p in args]
+    # shared across the FIRST THREE (the full canonical sweep); later
+    # artifacts may cover subsets and contribute points where they do
     shared = set(runs[0]) & set(runs[1]) & set(runs[2])
+
+    def points_for(qs):
+        """(sfs, summed times) over the artifacts containing EVERY q in qs."""
+        pts = [(sf, sum(r[q] for q in qs)) for sf, r in zip(sfs, runs)
+               if all(q in r for q in qs)]
+        return [p[0] for p in pts], [p[1] for p in pts]
+
     fams = {}
     for q in shared:
         fams.setdefault(family_of(q), []).append(q)
     rows = []
     for fam, qs in fams.items():
-        ts = [sum(r[q] for q in qs) for r in runs]
-        a_top = fit_alpha(sfs[1:], ts[1:])
-        a_all = fit_alpha(sfs, ts)
+        fsfs, ts = points_for(qs)
+        a_top = fit_alpha(fsfs[-2:], ts[-2:])
+        a_all = fit_alpha(fsfs, ts)
         rows.append((ts[2], fam, len(qs), ts, a_top, a_all))
     rows.sort(reverse=True)
+    hdr_ts = " | ".join(f"sf{s:g} s" for s in sfs)
     print(f"# scaling curves over {len(shared)} shared queries "
-          f"({len(fams)} families; top {top_n} by sf0.1 cost shown)")
-    print("| family | queries | sf0.001 s | sf0.01 s | sf0.1 s | alpha (0.01->0.1) | alpha (2 decades) | flag |")
-    print("|---|---|---|---|---|---|---|---|")
+          f"({len(fams)} families; top {top_n} by sf0.1 cost shown; "
+          "alpha (top) fits each family's LAST decade of available points)")
+    print(f"| family | queries | {hdr_ts} | alpha (top decade) | alpha (all points) | flag |")
+    print("|---|---|" + "---|" * len(sfs) + "---|---|---|")
     flagged = []
+    def ts_cells(ts):
+        cells = [f"{t:.2f}" for t in ts] + ["-"] * (len(sfs) - len(ts))
+        return " | ".join(cells)
+
     for t01, fam, nq, ts, a_top, a_all in rows[:top_n]:
         flag = "SUPER-LINEAR" if a_top > SUPERLINEAR_ALPHA else ""
         if flag:
             flagged.append(fam)
-        print(f"| {fam} | {nq} | {ts[0]:.2f} | {ts[1]:.2f} | {ts[2]:.2f} "
+        print(f"| {fam} | {nq} | {ts_cells(ts)} "
               f"| {a_top:.2f} | {a_all:.2f} | {flag} |")
     rest = rows[top_n:]
     for t01, fam, nq, ts, a_top, a_all in rest:
         if a_top > SUPERLINEAR_ALPHA:
             flagged.append(fam)
-            print(f"| {fam} (below top-{top_n}) | {nq} | {ts[0]:.2f} | {ts[1]:.2f} "
-                  f"| {ts[2]:.2f} | {a_top:.2f} | {a_all:.2f} | SUPER-LINEAR |")
+            print(f"| {fam} (below top-{top_n}) | {nq} | {ts_cells(ts)} "
+                  f"| {a_top:.2f} | {a_all:.2f} | SUPER-LINEAR |")
     # per-QUERY sweep: a super-linear query can hide inside a sub-linear
     # family aggregate. Only queries costing >= 0.5 s at sf0.1 are
     # eligible — below that, fixed overhead noise dominates the fit.
     for q in sorted(shared):
-        ts = [r[q] for r in runs]
+        qsfs, ts = points_for([q])
         if ts[2] < 0.5:
             continue
-        a_top = fit_alpha(sfs[1:], ts[1:])
+        a_top = fit_alpha(qsfs[-2:], ts[-2:])
         if a_top > SUPERLINEAR_ALPHA:
             flagged.append(q)
-            print(f"| query {q} | 1 | {ts[0]:.2f} | {ts[1]:.2f} | {ts[2]:.2f} "
-                  f"| {a_top:.2f} | {fit_alpha(sfs, ts):.2f} | SUPER-LINEAR (per-query) |")
+            print(f"| query {q} | 1 | {ts_cells(ts)} "
+                  f"| {a_top:.2f} | {fit_alpha(qsfs, ts):.2f} | SUPER-LINEAR (per-query) |")
     print()
     if flagged:
         print(f"FLAGGED super-linear (top-decade alpha > {SUPERLINEAR_ALPHA}): "

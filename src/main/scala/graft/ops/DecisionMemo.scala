@@ -24,9 +24,12 @@ import org.apache.spark.sql.SparkSession
   * collision-safe under Spark's per-write UUID naming.
   *
   * The fingerprint costs one `listStatus` per table dir (~5 RPCs on a
-  * text index) — flat in corpus size, against a decision pass that
-  * costs a bounded Spark scan plus several driver actions (~0.3 s
-  * measured at local[32], more at cluster latencies).
+  * text index) — proportional to the index's FILE count (bounded by
+  * the compaction cadence), and exactly the listing the serve's
+  * segment probe ([[IndexMaintenance.appendedTailFiles]]) already pays
+  * per call, so the memo adds no new scale dependence — against a
+  * decision pass that costs a bounded Spark scan plus several driver
+  * actions (~0.3 s measured at local[32], more at cluster latencies).
   *
   * CONCURRENCY: the fingerprint is taken BEFORE the compute and the
   * value is stored under it. A writer racing the compute leaves the
