@@ -332,26 +332,49 @@ object Multimodal {
   val annTopK = 3
 
   /** The multimodal→similarity composition end-to-end: extracted feature
-    * vectors flow straight into cosine top-k (same codegen'd `vec_dot` +
-    * broadcast-queries shape as `sim_topk_bruteforce`) — image payloads
-    * querying the whole media corpus for nearest neighbors by content
-    * features. Zero-norm vectors (empty payloads) are excluded exactly
-    * like `Similarity.normed`. Deterministic stub features keep even this
-    * cross-modality pipeline oracle-checkable. */
+    * vectors flow straight into cosine top-k — image payloads querying
+    * the whole media corpus for nearest neighbors by content features.
+    * Zero-norm vectors (empty payloads) are excluded exactly like
+    * `Similarity.normed`. Deterministic stub features keep even this
+    * cross-modality pipeline oracle-checkable.
+    *
+    * Shape (round 16): the tiled `cell_topk_pairs` form
+    * `sim_topk_bruteforce` has used since round 5 — the corpus is
+    * hash-grouped by id span into ~[[graft.ops.Similarity.lshTile]]-row
+    * array cells (ONE narrow shuffle, no sort), the query set folds into
+    * a handful of broadcastable array rows, and each (query tile ×
+    * corpus cell) pair runs the fused top-k loop, so only ≤ [[annTopK]]
+    * rows per (query, cell) ever exist and the final ranking window sees
+    * Q·(N/tile)·k narrow rows. The previous broadcast-join + row_number
+    * form was semantically identical but shuffled and sorted ALL Q·N
+    * scored rows with both feature vectors aboard — the round-16 scaling
+    * sweep measured it alpha 1.78 (0.93 s → 56.2 s for 10× rows), this
+    * repo's one remaining quadratic query path. Per-cell top-k contains
+    * the global top-k (cell rank lower-bounds global rank), the kernel
+    * skips self-pairs and breaks cosine ties to the lower cand_id over
+    * id-sorted cells, and its left-fold double arithmetic is `vec_dot`'s
+    * — results are bit-identical, so the DuckDB oracle is unchanged. */
   def mmFeatureAnn(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val dot = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
       graft.plans.VectorFunctions.vec_dot(a, b)
+    val tile = graft.ops.Similarity.lshTile
     val n = featureVectors(s, dir)
       .withColumn("nrm", sqrt(dot(col("features"), col("features"))))
       .filter(col("nrm") > 0)
-    val q = n.filter(col("kind") === "image" && col("doc_id") % annQueryStride === 0)
-      .select(col("doc_id").as("q_id"), col("features").as("q_f"), col("nrm").as("q_nrm"))
-    val c = n.select(col("doc_id").as("cand_id"), col("features").as("c_f"), col("nrm").as("c_nrm"))
+    val cands = n
+      .groupBy((col("doc_id") / tile).cast("long").as("ccell"))
+      .agg(sort_array(collect_list(
+        struct(col("doc_id"), col("features"), col("nrm")))).as("cands"))
+    val qs = n.filter(col("kind") === "image" && col("doc_id") % annQueryStride === 0)
+      .groupBy((col("doc_id") / (tile.toLong * annQueryStride)).cast("long").as("qcell"))
+      .agg(collect_list(struct(col("doc_id"), col("features"), col("nrm"))).as("qs"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("cand_id"))
-    c.join(graft.ops.JoinHints.broadcastIfSmall(q, 1.0 / annQueryStride),
-        col("cand_id") =!= col("q_id"))
-      .withColumn("cosine", dot(col("q_f"), col("c_f")) / (col("q_nrm") * col("c_nrm")))
+    cands.crossJoin(graft.ops.JoinHints.broadcastIfSmall(qs, 1.0 / annQueryStride))
+      .select(explode(graft.plans.VectorFunctions.cell_topk_pairs(
+        col("qs"), col("cands"), annTopK)).as("p"))
+      .select(col("p.q_id").as("q_id"), col("p.cand_id").as("cand_id"),
+        col("p.cosine").as("cosine"))
       .withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= annTopK)
       .select(col("q_id"), col("rk"), col("cand_id"), col("cosine"))

@@ -107,6 +107,36 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("tiled mm_feature_ann equals the naive broadcast-join + window form") {
+    // The round-16 rewrite replaced the all-pairs join + row_number form
+    // (alpha 1.78 in the 10×-row scaling sweep) with the fused
+    // cell_topk_pairs tile kernel. The claim is BIT-identical results —
+    // same left-fold dot, same (cosine DESC, cand_id ASC) tie-break,
+    // same self-pair exclusion — so compare against the naive form
+    // exactly, doubles included (the DuckDB oracle's row hash already
+    // demands exact equality; this pins WHICH side a future drift is on).
+    import org.apache.spark.sql.expressions.Window
+    val dot = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
+      graft.plans.VectorFunctions.vec_dot(a, b)
+    val n = Multimodal.featureVectors(spark, sf0001)
+      .withColumn("nrm", sqrt(dot(col("features"), col("features"))))
+      .filter(col("nrm") > 0)
+    val q = n.filter(col("kind") === "image" && col("doc_id") % Multimodal.annQueryStride === 0)
+      .select(col("doc_id").as("q_id"), col("features").as("q_f"), col("nrm").as("q_nrm"))
+    val c = n.select(col("doc_id").as("cand_id"), col("features").as("c_f"), col("nrm").as("c_nrm"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("cand_id"))
+    val naive = c.join(broadcast(q), col("cand_id") =!= col("q_id"))
+      .withColumn("cosine", dot(col("q_f"), col("c_f")) / (col("q_nrm") * col("c_nrm")))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= Multimodal.annTopK)
+      .select(col("q_id"), col("rk"), col("cand_id"), col("cosine"))
+      .orderBy(col("q_id"), col("rk"))
+      .collect().toSeq
+    val tiled = Multimodal.mmFeatureAnn(spark, sf0001).collect().toSeq
+    assert(naive.nonEmpty)
+    assert(tiled === naive)
+  }
+
   test("decoded image dimensions equal the values the headers declare") {
     val docs = Tables(spark, sf0001, "documents")
       .select(col("doc_id"), length(col("text").cast("binary")).cast("long").as("tlen"))
