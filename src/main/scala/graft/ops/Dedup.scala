@@ -654,7 +654,13 @@ object Dedup {
     * [[hammingThreshold]] of the standing index OR a lower-id batch
     * member — the hit set both ingest forms share. */
   private def ingestHits(s: SparkSession, sig: DataFrame, indexDir: String): DataFrame = {
-    val batchBands = simBandsOf(sig)
+    // the BATCH side is one landed file — bounded per trigger by the
+    // landing contract, so hint it (gated) and the index side streams
+    // through a static BroadcastHashJoin: no exchange is ever planned,
+    // where the unhinted plan paid a full shuffle pair (plus its AQE
+    // stage-materialization jobs per micro-batch) before the runtime
+    // rewrite (guide §3.1; optimization round 16)
+    val batchBands = JoinHints.broadcastIfSmall(simBandsOf(sig))
     val idxBands = simBandsOf(readSigIndex(s, indexDir))
     def near(y: DataFrame, cond: Column) =
       batchBands.as("x").join(y.as("y"),
@@ -685,15 +691,21 @@ object Dedup {
       val sig = simSigOf(docs).persist()
       try {
         val verdicts = docs.select(col("doc_id"))
-          .join(ingestHits(s, sig, indexDir), Seq("doc_id"), "left")
+          .join(JoinHints.broadcastIfSmall(ingestHits(s, sig, indexDir)),
+            Seq("doc_id"), "left")
           .select(col("doc_id"), lit(batchId).as("batch"),
             col("dup_of").isNotNull.as("is_dup"), col("dup_of"), col("min_hamming"))
           .persist()
         try {
-          verdicts.write.mode("append").parquet(outDir)
-          IndexMaintenance.appendPlain(s,
-            sig.join(verdicts.filter(!col("is_dup")).select(col("doc_id")), "doc_id"),
-            s"$indexDir/simhash")
+          IndexMaintenance.labeledJob(s, s"ingest-dedup b$batchId: verdicts") {
+            verdicts.write.mode("append").parquet(outDir)
+          }
+          IndexMaintenance.labeledJob(s, s"ingest-dedup b$batchId: sig append") {
+            IndexMaintenance.appendPlain(s,
+              sig.join(JoinHints.broadcastIfSmall(
+                verdicts.filter(!col("is_dup")).select(col("doc_id"))), "doc_id"),
+              s"$indexDir/simhash")
+          }
         } finally verdicts.unpersist()
       } finally sig.unpersist()
     } finally docs.unpersist()
@@ -760,7 +772,8 @@ object Dedup {
       val sig = simSigOf(qualified).persist()
       try {
         val verdicts = scored.select(col("doc_id"), col("score"), col("ok"))
-          .join(ingestHits(s, sig, indexDir), Seq("doc_id"), "left")
+          .join(JoinHints.broadcastIfSmall(ingestHits(s, sig, indexDir)),
+            Seq("doc_id"), "left")
           .select(col("doc_id"), lit(batchId).as("batch"),
             when(!col("ok"), lit("rejected"))
               .when(col("dup_of").isNotNull, lit("dup"))
@@ -768,7 +781,9 @@ object Dedup {
             col("dup_of"), col("score"))
           .persist()
         try {
-          verdicts.write.mode("append").parquet(outDir)
+          IndexMaintenance.labeledJob(s, s"ingest-curate b$batchId: verdicts") {
+            verdicts.write.mode("append").parquet(outDir)
+          }
           // derive the admitted set from the SINK, not the live verdict
           // lineage: verdicts' plan reads the signature index, and the
           // simhash append below recaches-by-path — a lineage-derived
@@ -787,11 +802,13 @@ object Dedup {
             .filter(col("batch") === batchId && col("verdict") === "admitted")
             .select(col("doc_id")).persist()
           try {
-            val admitted = sunk.distinct()
-            retrySafeAppends(s, sunk, Seq(
-              sig.join(admitted, "doc_id") -> s"$indexDir/simhash",
-              qualified.select(col("doc_id"), col("text"))
-                .join(admitted, "doc_id") -> s"$indexDir/clean"))
+            val admitted = JoinHints.broadcastIfSmall(sunk.distinct())
+            IndexMaintenance.labeledJob(s, s"ingest-curate b$batchId: appends") {
+              retrySafeAppends(s, sunk, Seq(
+                sig.join(admitted, "doc_id") -> s"$indexDir/simhash",
+                qualified.select(col("doc_id"), col("text"))
+                  .join(admitted, "doc_id") -> s"$indexDir/clean"))
+            }
           } finally sunk.unpersist()
         } finally verdicts.unpersist()
       } finally sig.unpersist()
@@ -841,7 +858,9 @@ object Dedup {
         // like ingestHits)
         val idxMd = readSigIndex(s, indexDir)
           .select(col("doc_id"), col("tmd5"))
-        val batchMd = scrubbed.select(col("doc_id"), col("tmd5"))
+        // batch side bounded per trigger — gated hint, as in ingestHits
+        val batchMd = JoinHints.broadcastIfSmall(
+          scrubbed.select(col("doc_id"), col("tmd5")))
         def exact(y: DataFrame, cond: Column) =
           batchMd.as("x").join(y.as("y"),
               col("x.tmd5") === col("y.tmd5") && cond)
@@ -860,12 +879,14 @@ object Dedup {
               h => graft.plans.VectorFunctions.bloom_might_contain(h, bloom)).as("maybe"))
           .filter(size(col("maybe")) > 0)
           .select(col("doc_id"), explode(col("maybe")).as("h"))
-          .join(Curation.evalShingleIndex(s, indexDir).select(col("h")), "h")
+          // persisted eval-sized table, real file-size stats — gate decides
+          .join(JoinHints.broadcastIfSmall(
+            Curation.evalShingleIndex(s, indexDir).select(col("h"))), "h")
           .groupBy(col("doc_id")).agg(countDistinct(col("h")).as("n_shared"))
         val verdicts = scrubbed.select(col("doc_id"), col("score"))
-          .join(exHits, Seq("doc_id"), "left")
-          .join(neHits, Seq("doc_id"), "left")
-          .join(flagged, Seq("doc_id"), "left")
+          .join(JoinHints.broadcastIfSmall(exHits), Seq("doc_id"), "left")
+          .join(JoinHints.broadcastIfSmall(neHits), Seq("doc_id"), "left")
+          .join(JoinHints.broadcastIfSmall(flagged), Seq("doc_id"), "left")
           .withColumn("n_shared", coalesce(col("n_shared"), lit(0L)))
           .withColumn("canon_id", coalesce(col("exact_of"), col("doc_id")))
           .withColumn("rep_id",
@@ -887,7 +908,9 @@ object Dedup {
             (col("reason") === "train").cast("long").as("include"))
           .persist()
         try {
-          verdicts.write.mode("append").parquet(outDir)
+          IndexMaintenance.labeledJob(s, s"ingest-manifest b$batchId: verdicts") {
+            verdicts.write.mode("append").parquet(outDir)
+          }
           // sink-derived admission + retry detection: see ingestCurateBatch
           val sunk = s.read.parquet(outDir)
             .filter(col("batch") === batchId)
@@ -896,19 +919,22 @@ object Dedup {
             // the index admits every NON-DUP doc (signature null for
             // token-less ones — their banded rows never match, but the
             // md5 side still guards their exact twins)
-            val nonDup = sunk
+            val nonDup = JoinHints.broadcastIfSmall(sunk
               .filter(!col("reason").isin("dup_exact", "near_dup"))
-              .select(col("doc_id")).distinct()
-            val train = sunk.filter(col("reason") === "train")
-              .select(col("doc_id")).distinct()
-            retrySafeAppends(s, sunk, Seq(
-              scrubbed.select(col("doc_id"), col("tmd5"))
-                .join(nonDup, "doc_id")
-                .join(sig, Seq("doc_id"), "left")
-                .select(col("doc_id"), col("simhash"), col("tmd5"))
-                -> s"$indexDir/simhash",
-              scrubbed.select(col("doc_id"), col("text"))
-                .join(train, "doc_id") -> s"$indexDir/clean"))
+              .select(col("doc_id")).distinct())
+            val train = JoinHints.broadcastIfSmall(sunk
+              .filter(col("reason") === "train")
+              .select(col("doc_id")).distinct())
+            IndexMaintenance.labeledJob(s, s"ingest-manifest b$batchId: appends") {
+              retrySafeAppends(s, sunk, Seq(
+                scrubbed.select(col("doc_id"), col("tmd5"))
+                  .join(nonDup, "doc_id")
+                  .join(sig, Seq("doc_id"), "left")
+                  .select(col("doc_id"), col("simhash"), col("tmd5"))
+                  -> s"$indexDir/simhash",
+                scrubbed.select(col("doc_id"), col("text"))
+                  .join(train, "doc_id") -> s"$indexDir/clean"))
+            }
           } finally sunk.unpersist()
         } finally verdicts.unpersist()
       } finally sig.unpersist()

@@ -35,6 +35,17 @@ object IndexMaintenance {
   private def fs(s: SparkSession, p: org.apache.hadoop.fs.Path) =
     p.getFileSystem(s.sparkContext.hadoopConfiguration)
 
+  /** Run `f` with a thread-local Spark job description (guide §1.5 —
+    * label your jobs): every action inside shows up in listeners/UI
+    * under `desc` instead of the enclosing stream's run id, restoring
+    * the previous label after. Pure observability; no plan change. */
+  def labeledJob[T](s: SparkSession, desc: String)(f: => T): T = {
+    val sc = s.sparkContext
+    val old = sc.getLocalProperty("spark.job.description")
+    sc.setJobDescription(desc)
+    try f finally sc.setJobDescription(old)
+  }
+
   /** Parquet data files currently making up `path` (ignores _SUCCESS
     * and hidden files). */
   private[graft] def dataFiles(s: SparkSession, path: String): Seq[org.apache.hadoop.fs.FileStatus] = {

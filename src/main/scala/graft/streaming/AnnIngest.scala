@@ -101,9 +101,15 @@ object AnnIngest {
     val emb = graft.Tables(s, dir, "embeddings")
     val root = IngestDedup.stageLanding(s, emb,
         batches = 1 until IngestDedup.ingestBatches, idCol = "vec_id") { root =>
-      emb.filter(pmod(col("vec_id"), lit(IngestDedup.ingestBatches.toLong)) === 0)
-        .write.mode("overwrite").parquet(s"$root/seed/embeddings.parquet")
-      AnnIndex.lshIndexWrite(s, s"$root/seed", s"$root/index")
+      // seed index (thresholds trained on the modulo-0 slice) from the
+      // per-(JVM, corpus) prototype, byte-copied — the stream grows the
+      // copy (see IngestDedup.prototype)
+      val proto = IngestDedup.prototype(s, s"$dir|anningest-seed") { p =>
+        emb.filter(pmod(col("vec_id"), lit(IngestDedup.ingestBatches.toLong)) === 0)
+          .write.mode("overwrite").parquet(s"$p/seed/embeddings.parquet")
+        AnnIndex.lshIndexWrite(s, s"$p/seed", s"$p/index")
+      }
+      IngestDedup.copyDir(s, s"$proto/index", s"$root/index")
     }
     streamAnnIngestToFiles(s, s"$root/landing/flat", s"$root/index", s"$root/checkpoint")
     AnnIndex.lshIndexServe(s, s"$root/index", Seq(dir),
@@ -127,9 +133,13 @@ object AnnIngest {
     val emb = graft.Tables(s, dir, "embeddings")
     val root = IngestDedup.stageLanding(s, emb,
         batches = 1 until IngestDedup.ingestBatches, idCol = "vec_id") { root =>
-      emb.filter(pmod(col("vec_id"), lit(IngestDedup.ingestBatches.toLong)) === 0)
-        .write.mode("overwrite").parquet(s"$root/seed/embeddings.parquet")
-      AnnIndex.ivfIndexWriteStride(s, s"$root/seed", s"$root/index")
+      // stride-quantizer seed index from the prototype, byte-copied
+      val proto = IngestDedup.prototype(s, s"$dir|ivfingest-seed") { p =>
+        emb.filter(pmod(col("vec_id"), lit(IngestDedup.ingestBatches.toLong)) === 0)
+          .write.mode("overwrite").parquet(s"$p/seed/embeddings.parquet")
+        AnnIndex.ivfIndexWriteStride(s, s"$p/seed", s"$p/index")
+      }
+      IngestDedup.copyDir(s, s"$proto/index", s"$root/index")
     }
     streamIvfIngestToFiles(s, s"$root/landing/flat", s"$root/index", s"$root/checkpoint")
     AnnIndex.ivfIndexServe(s, s"$root/index", Seq(dir),

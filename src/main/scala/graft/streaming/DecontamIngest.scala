@@ -74,10 +74,15 @@ object DecontamIngest {
       .filter(col("doc_id") % Curation.evalStride === 0)
     val root = IngestDedup.stageLanding(s, eval,
         batches = 1 until IngestDedup.ingestBatches) { root =>
-      eval.filter(pmod(col("doc_id"), lit(IngestDedup.ingestBatches.toLong)) === 0)
-        .write.mode("overwrite").parquet(s"$root/seed/documents.parquet")
-      Curation.decontamBloomWrite(s, s"$root/seed", s"$root/index")
-      Curation.decontamShingleWrite(s, s"$root/seed", s"$root/index")
+      // seed bloom + shingle tier from the prototype, byte-copied —
+      // the stream appends eval batches to the copy
+      val proto = IngestDedup.prototype(s, s"$dir|decontamingest-seed") { p =>
+        eval.filter(pmod(col("doc_id"), lit(IngestDedup.ingestBatches.toLong)) === 0)
+          .write.mode("overwrite").parquet(s"$p/seed/documents.parquet")
+        Curation.decontamBloomWrite(s, s"$p/seed", s"$p/index")
+        Curation.decontamShingleWrite(s, s"$p/seed", s"$p/index")
+      }
+      IngestDedup.copyDir(s, s"$proto/index", s"$root/index")
     }
     streamDecontamIngestToFiles(s, s"$root/landing/flat", s"$root/index", s"$root/checkpoint")
     Curation.decontamServeTwoTier(s, s"$root/index", dir)
