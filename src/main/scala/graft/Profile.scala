@@ -26,10 +26,25 @@ object Profile {
     spark.sparkContext.setLogLevel("WARN")
 
     case class Job(id: Int, desc: String, start: Long, var end: Long = 0L,
-      var stages: Int = 0)
+      var stages: Int = 0, var execMs: Long = 0L, var cpuMs: Long = 0L,
+      var tasks: Int = 0, var shufR: Long = 0L, var shufW: Long = 0L)
     val jobs = new java.util.concurrent.ConcurrentHashMap[Int, Job]()
+    val stageToJob = new java.util.concurrent.ConcurrentHashMap[Int, Int]()
     val listener = new SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val j = Option(stageToJob.get(sc.stageInfo.stageId)).map(jobs.get).orNull
+        if (j != null) {
+          val m = sc.stageInfo.taskMetrics
+          j.execMs += m.executorRunTime
+          j.cpuMs += m.executorCpuTime / 1000000L
+          j.tasks += sc.stageInfo.numTasks
+          j.shufR += m.shuffleReadMetrics.totalBytesRead
+          j.shufW += m.shuffleWriteMetrics.bytesWritten
+        }
+      }
       override def onJobStart(js: SparkListenerJobStart): Unit = {
+        js.stageInfos.foreach(si => stageToJob.put(si.stageId, js.jobId))
         val props = Option(js.properties)
         val desc = props.flatMap(p => Option(p.getProperty("spark.job.description")))
           // the streaming engine's own description is id/runId noise —
@@ -62,7 +77,7 @@ object Profile {
       println(f"== $name%s wall=$wall%.3fs jobs=${js.length}%d jobTimeSum=$jobSum%.3fs gap=${wall - jobSum}%.3fs")
       val w0 = js.headOption.map(_.start).getOrElse(0L)
       js.foreach { j =>
-        println(f"  job ${j.id}%4d ${math.max(0L, j.end - j.start) / 1e3}%7.3fs at=${(j.start - w0) / 1e3}%7.3f stages=${j.stages}%2d  ${j.desc.take(140)}%s")
+        println(f"  job ${j.id}%4d ${math.max(0L, j.end - j.start) / 1e3}%7.3fs at=${(j.start - w0) / 1e3}%7.3f stages=${j.stages}%2d exec=${j.execMs / 1e3}%7.3f cpu=${j.cpuMs / 1e3}%7.3f tasks=${j.tasks}%3d shufR=${j.shufR}%9d shufW=${j.shufW}%9d  ${j.desc.take(120)}%s")
       }
     }
     spark.stop()

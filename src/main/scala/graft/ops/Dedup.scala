@@ -698,7 +698,13 @@ object Dedup {
           .persist()
         try {
           IndexMaintenance.labeledJob(s, s"ingest-dedup b$batchId: verdicts") {
-            verdicts.write.mode("append").parquet(outDir)
+            // one file per trigger: the verdict batch is landing-file
+            // bounded, and every later read of the sink (the retry
+            // probe, the replay read-back) pays a task per file —
+            // 32-partition appends made a 3-batch replay's sink 96
+            // files for <1 MB (guide §6; the ledger's coalesce(1)
+            // precedent). Compaction still bounds long-stream layout.
+            verdicts.coalesce(1).write.mode("append").parquet(outDir)
           }
           IndexMaintenance.labeledJob(s, s"ingest-dedup b$batchId: sig append") {
             IndexMaintenance.appendPlain(s,
@@ -782,7 +788,8 @@ object Dedup {
           .persist()
         try {
           IndexMaintenance.labeledJob(s, s"ingest-curate b$batchId: verdicts") {
-            verdicts.write.mode("append").parquet(outDir)
+            // one file per trigger — see ingestBatch
+            verdicts.coalesce(1).write.mode("append").parquet(outDir)
           }
           // derive the admitted set from the SINK, not the live verdict
           // lineage: verdicts' plan reads the signature index, and the
@@ -909,7 +916,8 @@ object Dedup {
           .persist()
         try {
           IndexMaintenance.labeledJob(s, s"ingest-manifest b$batchId: verdicts") {
-            verdicts.write.mode("append").parquet(outDir)
+            // one file per trigger — see ingestBatch
+            verdicts.coalesce(1).write.mode("append").parquet(outDir)
           }
           // sink-derived admission + retry detection: see ingestCurateBatch
           val sunk = s.read.parquet(outDir)
