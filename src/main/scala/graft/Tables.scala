@@ -65,6 +65,47 @@ object Tables {
     }
   }
 
+  /** SCALE-ADAPTIVE SCAN SPREAD for compute-dense one-pass text scans
+    * (optimization round 16, guide §2). Parquet splits at ROW-GROUP
+    * boundaries and the driver testdata ships single-row-group files,
+    * so however small `maxPartitionBytes` is, a documents scan runs as
+    * ONE task and the per-doc heavy paths (tokenize/scrub/shingle)
+    * serialize on one core — measured 1.5–1.8 s single-task tokenize
+    * stages at sf0.1. When the table's EFFECTIVE split count (min of
+    * byte-range splits and row groups) is below the session's
+    * parallelism, one hash repartition on the key spreads the rows;
+    * the shuffle is bounded by the `cores × maxPartitionBytes` cap
+    * below, and on a production layout (row groups at
+    * `maxPartitionBytes` or better) the condition never fires — the
+    * knob derives from input size and session parallelism, not a
+    * local constant. Hash (not round-robin) partitioning: no
+    * sort-before-repartition pass, deterministic in the key. Opt-in
+    * PER CALL SITE: a blanket spread in [[apply]] measurably LOST —
+    * one-pass scan+aggregate queries got 3–4× faster, but join/
+    * broadcast pipelines (whose heavy frames are memoized anyway)
+    * paid the extra exchange and 32-way tiny stages for nothing — so
+    * only the profiled winners call this. */
+  def spreadIfTiny(spark: SparkSession, dir: String, name: String,
+      key: String): DataFrame = {
+    val df = apply(spark, dir, name)
+    val p = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val bytes = p.getFileSystem(conf).getFileStatus(p).getLen
+    val mpb = spark.sessionState.conf.filesMaxPartitionBytes
+    val cores = spark.sparkContext.defaultParallelism
+    if (bytes >= mpb * cores.toLong) return df
+    val rowGroups =
+      try {
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getRowGroups.size finally r.close()
+      } catch { case scala.util.control.NonFatal(_) => Int.MaxValue }
+    val effective = math.min(
+      math.max(1L, (bytes + mpb - 1) / mpb), rowGroups.toLong)
+    if (effective >= cores) df
+    else df.repartition(cores, df.col(key))
+  }
+
   /** Normalize `events.ts` to µs TimestampType regardless of how the file
     * stores it — the driver's testdata generations have shipped it as
     * int64 TIMESTAMP(NANOS) (read as raw longs under nanosAsLong) and as

@@ -30,7 +30,7 @@ object TextAnalysis {
   /** Token statistics: token count, distinct count, type-token ratio,
     * mean token length. */
   def textTokenStats(s: SparkSession, dir: String): DataFrame =
-    Tables(s, dir, "documents")
+    docsScan(s, dir)
       .withColumn("toks", TextFns.tokens(col("text")))
       // docs with zero tokens have no defined per-token stats (and ANSI
       // mode makes the ratio a div-by-zero error): excluded in both engines
@@ -66,7 +66,7 @@ object TextAnalysis {
       (stopCount(toks, stopEn).cast("double") / size(toks).cast("double")) * 0.2
 
   def textQuality(s: SparkSession, dir: String): DataFrame =
-    Tables(s, dir, "documents")
+    docsScan(s, dir)
       .withColumn("toks", TextFns.tokens(col("text")))
       .filter(size(col("toks")) >= 1) // see textTokenStats
       .withColumn("n_tokens", size(col("toks")).cast("long"))
@@ -115,7 +115,7 @@ object TextAnalysis {
     * recomputes every row's compressed length with the same JVM zlib
     * (bit-exact) and re-derives the flags. */
   def textCompressRatio(s: SparkSession, dir: String): DataFrame =
-    Tables(s, dir, "documents")
+    docsScan(s, dir)
       .select(col("doc_id"), octet_length(col("text")).cast("long").as("n_bytes"),
         graft.plans.VectorFunctions.deflate_length(col("text"), deflateLevel).as("deflate_bytes"))
       .withColumn("ratio", when(col("n_bytes") > 0,
@@ -128,7 +128,7 @@ object TextAnalysis {
   /** Stopword-overlap language ID (n-gram-free heuristic): score each
     * candidate language by stopword hits, argmax with a fixed tie order. */
   def textLangId(s: SparkSession, dir: String): DataFrame =
-    Tables(s, dir, "documents")
+    docsScan(s, dir)
       .withColumn("toks", TextFns.tokens(col("text")))
       .withColumn("s_en", stopCount(col("toks"), stopEn))
       .withColumn("s_fr", stopCount(col("toks"), stopFr))
@@ -146,7 +146,7 @@ object TextAnalysis {
 
   /** Document fingerprints: polynomial rolling hash + md5 prefix. */
   def textFingerprint(s: SparkSession, dir: String): DataFrame =
-    Tables(s, dir, "documents")
+    docsScan(s, dir)
       .select(
         col("doc_id"),
         TextFns.polyHash(col("text")).as("fp_poly"),
@@ -171,7 +171,7 @@ object TextAnalysis {
     * n-gram analysis (the word-n-gram side lives in Dedup). Deterministic
     * top-50 via (count, gram) ordering. */
   def textNgramFreq(s: SparkSession, dir: String): DataFrame =
-    Tables(s, dir, "documents")
+    docsScanSpread(s, dir)
       // guard: Spark sequence(1, n) runs DESCENDING when n < 1 (texts
       // shorter than 3 chars would yield bogus grams); DuckDB's range is
       // empty there, so filter to keep parity
@@ -193,7 +193,7 @@ object TextAnalysis {
   val bpeRegex = """ ?[\p{L}]+| ?[\p{N}]+| ?[^ \t\n\x0B\f\r\p{L}\p{N}]+"""
 
   def textBpeTokens(s: SparkSession, dir: String): DataFrame =
-    Tables(s, dir, "documents")
+    docsScan(s, dir)
       .select(
         col("doc_id"),
         size(expr(s"regexp_extract_all(text, '${bpeRegex.replace("\\", "\\\\")}', 0)"))
@@ -203,6 +203,23 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
 
   /** Merge steps the BPE trainer learns. */
+  /** The documents scan the text-analysis operators start from. */
+  private def docsScan(s: SparkSession, dir: String) =
+    Tables(s, dir, "documents")
+
+  /** [[docsScan]] through the gated scale-adaptive spread
+    * ([[graft.Tables.spreadIfTiny]]): one hash repartition on doc_id
+    * when (and only when) the file's effective split count is below
+    * the session parallelism. Used ONLY by the operators whose
+    * per-row compute measurably dwarfs the added exchange — the
+    * char-trigram explode (~50x row amplification in the map side;
+    * 1.8 s -> 0.6-0.95 s across every A/B run). Everything else
+    * measured at or under the ambient noise band — or LOST to the
+    * extra exchange + 32-way tiny stages — so only the one decisive
+    * winner keeps it (A/B-benched per query, round 16). */
+  private def docsScanSpread(s: SparkSession, dir: String) =
+    Tables.spreadIfTiny(s, dir, "documents", "doc_id")
+
   val bpeTrainMerges = 12
 
   /** BPE TOKENIZER INDUCTION — learn a merge table from the corpus
@@ -245,7 +262,7 @@ object TextAnalysis {
     * `aggregate`-fold apply IS the canonical scan. */
   def textBpeTrain(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val words = Tables(s, dir, "documents")
+    val words = docsScan(s, dir)
       .select(explode(TextFns.tokens(col("text"))).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
       .select(concat_ws(" ", split(col("word"), "")).as("w"), col("freq"))
@@ -330,7 +347,7 @@ object TextAnalysis {
       checkpointEvery: Int = bpeCheckpointRounds): DataFrame = {
     import s.implicits._
     require(merges > 0 && batchM > 0 && checkpointEvery > 0)
-    var cur = Tables(s, dir, "documents")
+    var cur = docsScan(s, dir)
       .select(explode(TextFns.tokens(col("text"))).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
       .select(concat_ws(" ", split(col("word"), "")).as("w"), col("freq"))
@@ -455,7 +472,7 @@ object TextAnalysis {
   /** The corpus word-frequency vocabulary with the word kept:
     * `(word, w, freq)`, `w` the split-symbol form. */
   private def bpeWordVocab(s: SparkSession, dir: String): DataFrame =
-    Tables(s, dir, "documents")
+    docsScan(s, dir)
       .select(explode(TextFns.tokens(col("text"))).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
       .select(col("word"),
@@ -636,7 +653,7 @@ object TextAnalysis {
       vocab: DataFrame): DataFrame = {
     val enc = vocab
       .select(col("word"), size(split(col("w"), " ")).cast("long").as("n_syms"))
-    Tables(s, dir, "documents")
+    docsScan(s, dir)
       .select(col("doc_id"), col("source"),
         explode_outer(TextFns.tokens(col("text"))).as("word"))
       .join(enc, Seq("word"), "left")
@@ -916,7 +933,7 @@ object TextAnalysis {
     * frequency reaches k — identical to row-ranking, bit-for-bit. */
   def textLengthQuantiles(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val freq = Tables(s, dir, "documents")
+    val freq = docsScan(s, dir)
       .select(col("lang"), size(TextFns.tokens(col("text"))).cast("long").as("n_tokens"))
       .groupBy(col("lang"), col("n_tokens")).agg(count(lit(1)).as("cnt"))
     val w = Window.partitionBy(col("lang")).orderBy(col("n_tokens"))
@@ -948,7 +965,7 @@ object TextAnalysis {
     * an O(grams²) in-row fold. Docs with fewer than two tokens have no
     * 2-grams (and an ANSI div-by-zero) — excluded in both engines. */
   def textRepetition(s: SparkSession, dir: String): DataFrame = {
-    val grams = Tables(s, dir, "documents")
+    val grams = docsScan(s, dir)
       // toks as its OWN projected column: a lambda over an attribute
       // reference — inlining the tokenizer into the transform() would
       // re-split the text once per gram (the HOF per-element re-eval trap)
@@ -991,7 +1008,7 @@ object TextAnalysis {
   def textEntropy(s: SparkSession, dir: String): DataFrame = {
     val ent = log(col("n_tokens").cast("double")) -
       col("clnc") / col("n_tokens").cast("double")
-    Tables(s, dir, "documents")
+    docsScan(s, dir)
       .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("term"))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("c"))
       .groupBy(col("doc_id"))
@@ -1021,7 +1038,7 @@ object TextAnalysis {
     * shape). AQE reuses the shared tfc subtree's exchange instead of
     * re-tokenizing (pinned in PlanGuardSpec). */
   def textUnigramLm(s: SparkSession, dir: String): DataFrame = {
-    val tfc = Tables(s, dir, "documents")
+    val tfc = docsScan(s, dir)
       .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("term"))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("c"))
     val cf = tfc.groupBy(col("term")).agg(sum(col("c")).as("cf"))
@@ -1066,7 +1083,7 @@ object TextAnalysis {
     * positions and drop out, exactly like token-less docs in the
     * unigram form. */
   def textBigramLm(s: SparkSession, dir: String): DataFrame = {
-    val toks = Tables(s, dir, "documents")
+    val toks = docsScan(s, dir)
       .select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
     // the explicit isNotNull filters are semantic no-ops (words are
     // never null) that keep every copy of the dbc/tfc subtrees
@@ -1084,7 +1101,7 @@ object TextAnalysis {
       .agg(count(lit(1)).as("c"))
     val bc = dbc.groupBy(col("v"), col("w")).agg(sum(col("c")).as("bc"))
     val ctx = bc.groupBy(col("v")).agg(sum(col("bc")).as("cfx"))
-    val tfc = Tables(s, dir, "documents")
+    val tfc = docsScan(s, dir)
       .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("term"))
       .filter(col("term").isNotNull)
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("c1"))
@@ -1127,7 +1144,7 @@ object TextAnalysis {
     * by `OperatorSpec` on a purpose-built corpus and by the adversarial
     * fuzz harness. */
   def textPiiScrub(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables(s, dir, "documents")
+    val d = docsScan(s, dir)
       .withColumn("n_emails", regexp_count(col("text"), lit(piiEmailRe)).cast("long"))
       .withColumn("t1", regexp_replace(col("text"), piiEmailRe, "<EMAIL>"))
       .withColumn("n_ips", regexp_count(col("t1"), lit(piiIpRe)).cast("long"))
@@ -1166,7 +1183,7 @@ object TextAnalysis {
     // it throw on sub-3-token docs on top (fuzz-caught). The fused
     // expression is total (short docs yield an empty array) and one
     // compiled call, so the duplicate reference costs nothing.
-    val g = Tables(s, dir, "documents")
+    val g = docsScan(s, dir)
       .select(col("doc_id"), col("source"),
         graft.plans.VectorFunctions.word_shingles(col("text"), 3).as("grams"))
       .filter(size(col("grams")) >= 1)
@@ -1203,7 +1220,7 @@ object TextAnalysis {
     * the result is a small driver-local frame, unlike the lazy plans
     * every other query returns. */
   def textHeavyHitters(s: SparkSession, dir: String): DataFrame = {
-    val words = Tables(s, dir, "documents")
+    val words = docsScan(s, dir)
       .select(explode(TextFns.tokens(col("text"))).as("word"))
     val cms = words.stat.countMinSketch("word", cmsEps, cmsConfidence, cmsSeed)
     val top = words.groupBy(col("word")).agg(count(lit(1)).as("exact_cnt"))
@@ -1244,7 +1261,7 @@ object TextAnalysis {
     * the CMS build runs at call time. */
   def textHeavyHittersSketch(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val words = Tables(s, dir, "documents")
+    val words = docsScan(s, dir)
       .select(explode(TextFns.tokens(col("text"))).as("word"))
     val cms = words.stat.countMinSketch("word", cmsEps, cmsConfidence, cmsSeed)
     val threshold = math.max(1L, math.ceil(cms.totalCount() * hhFraction).toLong)
@@ -1284,7 +1301,7 @@ object TextAnalysis {
     * Ties break by word for cross-engine determinism. */
   def textVocabCoverage(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val counts = Tables(s, dir, "documents")
+    val counts = docsScan(s, dir)
       .select(explode(TextFns.tokens(col("text"))).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
     val total = counts.agg(sum(col("cnt")).as("total"))
@@ -1324,7 +1341,7 @@ object TextAnalysis {
     * `tf` frame below; the head column is the bounded digest of it.) */
   def textInvertedIndex(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val tf = Tables(s, dir, "documents")
+    val tf = docsScan(s, dir)
       .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("term"))
       .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
     // ONE subtree: rank within term, then a single per-term aggregate
@@ -1362,7 +1379,7 @@ object TextAnalysis {
     * sit at p+i for a term-0 position p. Output (doc_id, n_matches,
     * first_pos) is integer-exact ⇒ full DuckDB oracle. */
   def textPhraseSearch(s: SparkSession, dir: String): DataFrame = {
-    val pos = Tables(s, dir, "documents")
+    val pos = docsScan(s, dir)
       .select(col("doc_id"), posexplode(TextFns.tokens(col("text"))).as(Seq("pos", "term")))
       .filter(col("term").isin(phraseQuery: _*))
     phraseHits(phraseQuery.zipWithIndex.map { case (t, i) =>
@@ -1419,7 +1436,7 @@ object TextAnalysis {
     * QUANTIZED score, so the kept set is engine-identical. */
   def textTfidfTopTerms(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val docs = Tables(s, dir, "documents")
+    val docs = docsScan(s, dir)
     val tf = docs
       .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("term"))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
@@ -1498,7 +1515,7 @@ object TextAnalysis {
     * candidate set is sliced. */
   private[graft] def textBm25SearchWhere(s: SparkSession, dir: String,
       pred: Option[org.apache.spark.sql.Column]): DataFrame = {
-    val base = Tables(s, dir, "documents")
+    val base = docsScan(s, dir)
       .select(col("doc_id"), col("lang"), TextFns.tokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= 1)
       .withColumn("dl", size(col("toks")).cast("long"))
