@@ -132,9 +132,40 @@ object Retrieval {
     * rank, doc_id, the two per-list ranks (null when the doc is absent
     * from that list), and the RRF score. Exact over both input
     * rankings, so it carries a full DuckDB oracle composed from the LSH
-    * oracle CTE chain and the grouped-BM25 restatement. */
+    * oracle CTE chain and the grouped-BM25 restatement. The scan-form
+    * lexical ranks are memoized per (session, corpus) like the dedup
+    * pair artifact (round 16): a pure function of the immutable corpus
+    * files, per-query-top-k bounded, shared by every fusion over the
+    * same dir. */
   def searchHybridRrf(s: SparkSession, dir: String): DataFrame =
-    fuse(s, dir, lexRanks(s, dir))
+    fuse(s, dir, PlanCache.memoized(s, s"$dir|hybrid-lex-scan")(lexRanks(s, dir)))
+
+  /** A collected (rows, schema) snapshot back as a local relation. */
+  private def localized(s: SparkSession,
+      snap: (Array[org.apache.spark.sql.Row], org.apache.spark.sql.types.StructType)): DataFrame =
+    s.createDataFrame(java.util.Arrays.asList(snap._1: _*), snap._2)
+
+  /** The semantic ranks every hybrid form fuses — the stride query set
+    * probed against the persisted LSH index, per-query-top-k bounded.
+    * Memoized per INDEX GENERATION ([[DecisionMemo]], round 16): the
+    * ranks are a pure function of the frozen bucket table + corpus
+    * query set, and each of the four registered hybrid forms re-derived
+    * them per call (the bucket-scoring kernel was the single most
+    * expensive stage of the family); any append/compact/retrain of the
+    * index moves the file-listing fingerprint and the next serve
+    * re-derives. Collection is bounded: queries x topK rows — the same
+    * class as the MaxScore lex snapshot. */
+  private def semRanks(s: SparkSession, dir: String): DataFrame = {
+    val idxDir = AnnIndex.lshIndexFor(s, dir)
+    localized(s, DecisionMemo.cached(s, idxDir, s"hybrid-sem-ranks|$dir") {
+      val df = AnnIndex.lshIndexServe(s, idxDir, Seq(dir),
+          Similarity.normed(s, dir)
+            .filter(col("vec_id") % Similarity.queryStride === 0)
+            .select(col("vec_id").as("q_id"), col("embedding")))
+        .select(col("q_id"), col("cand_id").as("doc_id"), col("rk").as("sem_rk"))
+      (df.collect(), df.schema)
+    })
+  }
 
   /** The BOUNDED served hybrid as a registered, oracled query:
     * [[searchHybridRrfServed]] with the df-share cut at
@@ -197,11 +228,21 @@ object Retrieval {
     // a stopword slot contributes 0 instead of dragging an O(corpus)
     // posting list through the per-(query, doc) pivot join. Zipf keeps
     // the banned list a broadcast-sized literal.
-    val postings = IndexMaintenance.minusTombstones(s, s"$idxDir/postings",
-        s.read.parquet(s"$idxDir/postings"), "doc_id")
-      .select(col("doc_id"), col("term"), col("tf"))
-    fuse(s, dir, lexRanksOver(s, dir, postings, banned,
-      doclenStats = Some(TextAnalysis.textIndexDoclenStats(s, idxDir))))
+    // The served lex ranks are memoized per index generation
+    // ([[DecisionMemo]], round 16) under the banned head they were cut
+    // with: per-query-top-k bounded, invalidated by any append/compact/
+    // delete of the text index (pinned in BoundedServeSpec — the
+    // appended-doc arm re-derives through exactly this fingerprint).
+    val lex = localized(s, DecisionMemo.cached(s, idxDir,
+        s"hybrid-lex-served|${banned.sorted.mkString("\u0001")}|$dir") {
+      val postings = IndexMaintenance.minusTombstones(s, s"$idxDir/postings",
+          s.read.parquet(s"$idxDir/postings"), "doc_id")
+        .select(col("doc_id"), col("term"), col("tf"))
+      val df = lexRanksOver(s, dir, postings, banned,
+        doclenStats = Some(TextAnalysis.textIndexDoclenStats(s, idxDir)))
+      (df.collect(), df.schema)
+    })
+    fuse(s, dir, lex)
   }
 
   /** One 6-decimal rounding quantum — see
@@ -527,11 +568,7 @@ object Retrieval {
 
   /** The fusion tail shared by the scan and served forms. */
   private def fuse(s: SparkSession, dir: String, lex: DataFrame): DataFrame = {
-    val sem = AnnIndex.lshIndexServe(s, AnnIndex.lshIndexFor(s, dir), Seq(dir),
-        Similarity.normed(s, dir)
-          .filter(col("vec_id") % Similarity.queryStride === 0)
-          .select(col("vec_id").as("q_id"), col("embedding")))
-      .select(col("q_id"), col("cand_id").as("doc_id"), col("rk").as("sem_rk"))
+    val sem = semRanks(s, dir)
     // fixed-order fusion sum (lex term + sem term), absent list -> 0.0:
     // both engines evaluate the identical double expression
     val w = Window.partitionBy(col("q_id")).orderBy(col("rrf").desc, col("doc_id"))
