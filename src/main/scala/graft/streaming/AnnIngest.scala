@@ -99,7 +99,7 @@ object AnnIngest {
     * with the seed-trained thresholds. Fresh temp dirs per invocation. */
   def streamAnnIngest(s: SparkSession, dir: String): DataFrame = {
     val emb = graft.Tables(s, dir, "embeddings")
-    val root = IngestDedup.stageLanding(s, emb,
+    val (root, landing) = IngestDedup.stageLanding(s, s"$dir|emb-tail", emb,
         batches = 1 until IngestDedup.ingestBatches, idCol = "vec_id") { root =>
       // seed index (thresholds trained on the modulo-0 slice) from the
       // per-(JVM, corpus) prototype, byte-copied — the stream grows the
@@ -111,7 +111,7 @@ object AnnIngest {
       }
       IngestDedup.copyDir(s, s"$proto/index", s"$root/index")
     }
-    streamAnnIngestToFiles(s, s"$root/landing/flat", s"$root/index", s"$root/checkpoint")
+    streamAnnIngestToFiles(s, landing, s"$root/index", s"$root/checkpoint")
     AnnIndex.lshIndexServe(s, s"$root/index", Seq(dir),
       Similarity.normed(s, dir)
         .filter(col("vec_id") % Similarity.queryStride === 0)
@@ -131,7 +131,7 @@ object AnnIngest {
     * deployment has. */
   def streamIvfIngest(s: SparkSession, dir: String): DataFrame = {
     val emb = graft.Tables(s, dir, "embeddings")
-    val root = IngestDedup.stageLanding(s, emb,
+    val (root, landing) = IngestDedup.stageLanding(s, s"$dir|emb-tail", emb,
         batches = 1 until IngestDedup.ingestBatches, idCol = "vec_id") { root =>
       // stride-quantizer seed index from the prototype, byte-copied
       val proto = IngestDedup.prototype(s, s"$dir|ivfingest-seed") { p =>
@@ -141,7 +141,7 @@ object AnnIngest {
       }
       IngestDedup.copyDir(s, s"$proto/index", s"$root/index")
     }
-    streamIvfIngestToFiles(s, s"$root/landing/flat", s"$root/index", s"$root/checkpoint")
+    streamIvfIngestToFiles(s, landing, s"$root/index", s"$root/checkpoint")
     AnnIndex.ivfIndexServe(s, s"$root/index", Seq(dir),
       Similarity.normed(s, dir)
         .filter(col("vec_id") % Similarity.queryStride === 0)

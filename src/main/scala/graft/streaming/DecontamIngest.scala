@@ -72,7 +72,7 @@ object DecontamIngest {
   def streamDecontamIngest(s: SparkSession, dir: String): DataFrame = {
     val eval = graft.Tables(s, dir, "documents")
       .filter(col("doc_id") % Curation.evalStride === 0)
-    val root = IngestDedup.stageLanding(s, eval,
+    val (root, landing) = IngestDedup.stageLanding(s, s"$dir|eval-tail", eval,
         batches = 1 until IngestDedup.ingestBatches) { root =>
       // seed bloom + shingle tier from the prototype, byte-copied —
       // the stream appends eval batches to the copy
@@ -84,7 +84,7 @@ object DecontamIngest {
       }
       IngestDedup.copyDir(s, s"$proto/index", s"$root/index")
     }
-    streamDecontamIngestToFiles(s, s"$root/landing/flat", s"$root/index", s"$root/checkpoint")
+    streamDecontamIngestToFiles(s, landing, s"$root/index", s"$root/checkpoint")
     Curation.decontamServeTwoTier(s, s"$root/index", dir)
   }
 

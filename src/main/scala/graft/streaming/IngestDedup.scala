@@ -168,8 +168,8 @@ object IngestDedup {
     * foreachBatch id, so the oracle ALSO verifies the replay processed
     * files in landing order. */
   def streamIngestDedup(s: SparkSession, dir: String): DataFrame = {
-    val root = replayRoot(s, dir)
-    streamIngestDedupToFiles(s, s"$root/landing/flat", s"$root/index",
+    val (root, landing) = replayRoot(s, dir)
+    streamIngestDedupToFiles(s, landing, s"$root/index",
       s"$root/out", s"$root/checkpoint")
     s.read.parquet(s"$root/out")
       .select(col("doc_id"), col("batch"), col("is_dup"), col("dup_of"), col("min_hamming"))
@@ -181,8 +181,8 @@ object IngestDedup {
     * machinery, curated foreachBatch body, verdict column instead of
     * the boolean flag. */
   def streamIngestCurate(s: SparkSession, dir: String): DataFrame = {
-    val root = replayRoot(s, dir)
-    streamIngestCurateToFiles(s, s"$root/landing/flat", s"$root/index",
+    val (root, landing) = replayRoot(s, dir)
+    streamIngestCurateToFiles(s, landing, s"$root/index",
       s"$root/out", s"$root/checkpoint")
     s.read.parquet(s"$root/out")
       .select(col("doc_id"), col("batch"), col("verdict"), col("dup_of"), col("score"))
@@ -197,8 +197,8 @@ object IngestDedup {
     * modulo files against a manifest index seeded with the eval bloom
     * and shingle table. */
   def streamIngestManifest(s: SparkSession, dir: String): DataFrame = {
-    val root = manifestReplayRoot(s, dir)
-    streamIngestManifestToFiles(s, s"$root/landing/flat", s"$root/index",
+    val (root, landing) = manifestReplayRoot(s, dir)
+    streamIngestManifestToFiles(s, landing, s"$root/index",
       s"$root/out", s"$root/checkpoint")
     s.read.parquet(s"$root/out")
       .select(col("doc_id"), col("batch"), col("canon_id"), col("rep_id"),
@@ -211,8 +211,9 @@ object IngestDedup {
     * so the file source replays them in batch order) and seed an empty
     * index. Fresh temp dirs per invocation — the sink and index are
     * append-only, so a rerun must not see a previous run's state. */
-  private def replayRoot(s: SparkSession, dir: String): String =
-    stageLanding(s, graft.Tables(s, dir, "documents").select(col("doc_id"), col("text"))) {
+  private def replayRoot(s: SparkSession, dir: String): (String, String) =
+    stageLanding(s, s"$dir|docs",
+        graft.Tables(s, dir, "documents").select(col("doc_id"), col("text"))) {
       root => Dedup.ingestIndexInit(s, s"$root/index")
     }
 
@@ -222,8 +223,8 @@ object IngestDedup {
     * the seed artifacts are a pure function of the corpus, so each
     * replay pays one local file copy instead of re-deriving the eval
     * bloom + shingle table per invocation (optimization round 16). */
-  private def manifestReplayRoot(s: SparkSession, dir: String): String =
-    stageLanding(s, graft.Tables(s, dir, "documents")
+  private def manifestReplayRoot(s: SparkSession, dir: String): (String, String) =
+    stageLanding(s, s"$dir|train-docs", graft.Tables(s, dir, "documents")
         .filter(col("doc_id") % graft.ops.Curation.evalStride =!= 0)
         .select(col("doc_id"), col("text"))) { root =>
       val proto = prototype(s, s"$dir|manifest-index")(p =>
@@ -273,33 +274,42 @@ object IngestDedup {
     * dir with ASCENDING mod times, so the file source replays them in
     * batch order. `batches` selects which modulo slices land (the ANN
     * replay keeps slice 0 as the quantizer-training seed); `idCol` is
-    * the modulo key. Fresh temp dirs per invocation — the sink and
-    * index are append-only, so a rerun must not see a previous run's
-    * state. */
-  private[streaming] def stageLanding(s: SparkSession, docs: org.apache.spark.sql.DataFrame,
+    * the modulo key.
+    *
+    * The LANDING FILES themselves are a pure function of (corpus,
+    * slice set, id column) and are READ-ONLY to the stream, so they
+    * live in a per-(JVM, `landingKey`) [[prototype]] staged once per
+    * session — each invocation's stream reads the shared landing dir
+    * through its own FRESH checkpoint (a fresh file-source log
+    * re-lists and replays every file), while the mutable dirs (index,
+    * sink, checkpoint) stay fresh temp dirs per invocation exactly as
+    * before (optimization round 16). Returns (replay root, landing
+    * dir). */
+  private[streaming] def stageLanding(s: SparkSession, landingKey: String,
+      docs: org.apache.spark.sql.DataFrame,
       batches: Range = 0 until ingestBatches, idCol: String = "doc_id")(
-      init: String => Unit): String = {
-    val root = java.nio.file.Files.createTempDirectory("graft-ingest-replay").toString
-    batches.foreach { b =>
-      val d = s"$root/landing/batch_$b"
-      graft.ops.IndexMaintenance.labeledJob(s, s"ingest replay: stage landing b$b") {
+      init: String => Unit): (String, String) = {
+    val landingRoot = prototype(s, s"landing|$landingKey") { p =>
+      batches.foreach { b =>
+        val d = s"$p/batch_$b"
         docs.filter(pmod(col(idCol), lit(ingestBatches)) === b)
           .coalesce(1).write.mode("overwrite").parquet(d)
-      }
-      val dirF = new java.io.File(d)
-      dirF.listFiles().filter(_.getName.endsWith(".parquet")).foreach { f =>
-        val t = 1600000000000L + b * 60000L
-        f.setLastModified(t)
-        // move landed files into ONE flat landing dir (the file source
-        // watches a directory, not a tree of batch subdirs)
-        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$root/landing/flat"))
-        java.nio.file.Files.move(f.toPath,
-          java.nio.file.Paths.get(s"$root/landing/flat/batch_$b.parquet"))
-        new java.io.File(s"$root/landing/flat/batch_$b.parquet").setLastModified(t)
+        val dirF = new java.io.File(d)
+        dirF.listFiles().filter(_.getName.endsWith(".parquet")).foreach { f =>
+          val t = 1600000000000L + b * 60000L
+          f.setLastModified(t)
+          // move landed files into ONE flat landing dir (the file source
+          // watches a directory, not a tree of batch subdirs)
+          java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$p/flat"))
+          java.nio.file.Files.move(f.toPath,
+            java.nio.file.Paths.get(s"$p/flat/batch_$b.parquet"))
+          new java.io.File(s"$p/flat/batch_$b.parquet").setLastModified(t)
+        }
       }
     }
+    val root = java.nio.file.Files.createTempDirectory("graft-ingest-replay").toString
     graft.ops.IndexMaintenance.labeledJob(s, "ingest replay: index init")(init(root))
-    root
+    (root, s"$landingRoot/flat")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -70,7 +70,7 @@ object TextIngest {
     * seed-frozen global stats. Fresh temp dirs per invocation. */
   def streamTextIngest(s: SparkSession, dir: String): DataFrame = {
     val docs = graft.Tables(s, dir, "documents")
-    val root = IngestDedup.stageLanding(s, docs,
+    val (root, landing) = IngestDedup.stageLanding(s, s"$dir|docs-tail", docs,
         batches = 1 until IngestDedup.ingestBatches) { root =>
       // seed index byte-copied from the per-(JVM, corpus) prototype —
       // a pure function of the corpus's modulo-0 slice, so each replay
@@ -83,7 +83,7 @@ object TextIngest {
       }
       IngestDedup.copyDir(s, s"$proto/index", s"$root/index")
     }
-    streamTextIngestToFiles(s, s"$root/landing/flat", s"$root/index", s"$root/checkpoint")
+    streamTextIngestToFiles(s, landing, s"$root/index", s"$root/checkpoint")
     TextAnalysis.textBm25Served(s, s"$root/index")
   }
 
@@ -529,7 +529,7 @@ object TextIngest {
         .write.mode("overwrite").parquet(s"$p/seed/documents.parquet")
       TextAnalysis.bpeModelWrite(s, s"$p/seed", s"$p/model")
     }
-    val root = IngestDedup.stageLanding(s, docs,
+    val (root, landing) = IngestDedup.stageLanding(s, s"$dir|docs-tail", docs,
         batches = 1 until IngestDedup.ingestBatches) { root =>
       // the seed rows count under the SAME recorded apply form as every
       // streamed batch — splitting the marker rule across the two halves
@@ -544,7 +544,7 @@ object TextIngest {
           .coalesce(1).write.mode("overwrite").parquet(s"$root/ledger/seed")
       }
     }
-    streamTokenLedgerToFiles(s, s"$root/landing/flat", s"$proto/model",
+    streamTokenLedgerToFiles(s, landing, s"$proto/model",
       s"$root/ledger", s"$root/checkpoint")
     root
   }
