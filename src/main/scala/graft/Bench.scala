@@ -49,8 +49,29 @@ object Bench {
       try materialize(n)
       catch { case e: Throwable => System.err.println(s"[bench][warmup] $n: ${e.getMessage}") }
     }
+    // Session result/plan memos are cleared before EVERY timed round
+    // (round 17, measurement-bug fix per the r16 verdict: the untimed
+    // warmup built per-session result memos and the timed reps then
+    // measured cache reads — 85% of the r16 headline was this). With
+    // the reset, per-query minima price the declared computation.
+    // Persisted demo ARTIFACTS (standing text/LSH indexes, BPE models,
+    // replay prototypes and their temp dirs) deliberately survive the
+    // reset: a served query's declared computation is an artifact
+    // READ, and draining them (PlanCache.clear()'s hooks) would
+    // misprice every serve as a per-rep artifact REBUILD. Consequence:
+    // queries sharing an eager derived-frame memo (BPE merge training,
+    // k-means centroids, shingle caches) now pay that derivation once
+    // per ROUND in whichever query hits it first — their r15/r16
+    // minima rode a warm memo and are not comparable; the old
+    // methodology stays reachable via SPARK_GRAFT_MEMO_RESET=0 for
+    // cross-round comparability runs.
+    val memoReset = sys.env.getOrElse("SPARK_GRAFT_MEMO_RESET", "1") != "0"
     val failed = scala.collection.mutable.LinkedHashSet[String]()
     val rounds: Seq[Map[String, Double]] = (1 to reps).map { r =>
+      if (memoReset) {
+        graft.ops.PlanCache.resetMemos()
+        graft.ops.DecisionMemo.clear()
+      }
       names.map { n =>
         val t0 = System.nanoTime()
         try materialize(n)

@@ -38,7 +38,8 @@ import org.apache.spark.sql.SparkSession
   * an unmemoized call would have (the serve paths' documented
   * decision-time snapshot semantics; the `_now` forms close that race
   * by materializing, exactly as before). Values must be immutable
-  * (decision payloads and collected Row arrays are).
+  * (decision payloads are; cached frames pin their data on first
+  * materialization).
   *
   * Entry count is bounded by (artifact dirs × serve-parameter
   * combinations) in one JVM; [[PlanCache.clear]] drains it with the
@@ -100,12 +101,45 @@ private[graft] object DecisionMemo {
       case _ =>
         misses.incrementAndGet()
         val v = compute
-        memo.put(k, (fp, v))
+        release(memo.put(k, (fp, v)))
         v
     }
   }
 
-  /** Drop every memoized decision — for instrumentation that prices
-    * the COLD decision pass deliberately (ScaleSmoke) and for tests. */
-  private[graft] def clear(): Unit = memo.clear()
+  /** [[cached]] for DISTRIBUTED frame payloads (round 17, r16 verdict
+    * item 2): the value is a `.cache()`d DataFrame, so the memoized
+    * ranks live in executor storage, never on the driver — the r16
+    * collected-snapshot form held queries × top-k ≈ corpus/5 ROWS in
+    * this JVM map, unbounded at the 100 TB design point. Fingerprint /
+    * invalidation / hit-miss semantics are [[cached]]'s; the evicted
+    * generation's frame is unpersisted (consumers still holding it
+    * recompute from lineage — unpersist never invalidates a frame).
+    * The Option form exists for decisions that may conclude "no bound
+    * applies" (the hybrid MaxScore serve): the None is itself the
+    * memoized decision. */
+  private[graft] def cachedDf(s: SparkSession, indexDir: String, key: String)(
+      compute: => org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    cached(s, indexDir, key)(compute.cache())
+
+  private[graft] def cachedDfOpt(s: SparkSession, indexDir: String, key: String)(
+      compute: => Option[org.apache.spark.sql.DataFrame]): Option[org.apache.spark.sql.DataFrame] =
+    cached(s, indexDir, key)(compute.map(_.cache()))
+
+  /** Unpersist any cached-frame payload of a dropped entry. */
+  private def release(e: (String, Any)): Unit = e match {
+    case null => ()
+    case (_, df: org.apache.spark.sql.Dataset[_]) =>
+      scala.util.Try(df.unpersist())
+    case (_, Some(df: org.apache.spark.sql.Dataset[_])) =>
+      scala.util.Try(df.unpersist())
+    case _ => ()
+  }
+
+  /** Drop every memoized decision (cached-frame payloads unpersisted) —
+    * the bench's between-reps reset, instrumentation that prices the
+    * COLD decision pass deliberately (ScaleSmoke), and tests. */
+  private[graft] def clear(): Unit = {
+    val it = memo.entrySet().iterator()
+    while (it.hasNext) { release(it.next().getValue); it.remove() }
+  }
 }

@@ -124,15 +124,15 @@ object Dedup {
     * Prefix length is integer arithmetic from jaccardNum/jaccardDen — no
     * fp wobble, and it cannot drift from the oracle threshold. */
   def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame =
-    // the verified pair table is the standing artifact of this family:
-    // clustering, keep-best, leakage split, and the curation capstones
-    // all consume the SAME pairs, and a deployment derives them once
-    // per corpus generation, not once per consumer. Memoized per
-    // (session, corpus) like the shingle cache it builds from
-    // (optimization round 16; the bpeMergesDf/simBandedCached pattern —
-    // each bench rep then measures the consuming operator, and Verify
-    // still derives everything once from the parquet inputs).
-    memoized(s, s"$dir|jpairs")(dedupNgramJaccardBuild(s, dir))
+    // computed per call (round 17): the r16 per-session result memo on
+    // this SCAN-form query meant every bench rep after the warmup
+    // measured a cache read, not the declared prefix-join + verify
+    // computation — the r16 verdict's gaming finding (item 1). A
+    // deployment that wants the pair table as a standing artifact
+    // persists it through a maintenance path and reads THAT; the
+    // registered scan form prices the derivation. Consumers inside ONE
+    // composed plan still share the memoized shingle cache below.
+    dedupNgramJaccardBuild(s, dir)
 
   private def dedupNgramJaccardBuild(s: SparkSession, dir: String): DataFrame = {
     // the memoized shingle-hash cache feeds prefix generation AND both
@@ -248,9 +248,10 @@ object Dedup {
   val unionFindMaxPairs = 2000000L
 
   def dedupClusters(s: SparkSession, dir: String): DataFrame =
-    // cluster labels memoized with the pair table they derive from
-    // (same artifact lifecycle; the label frame is pairs-sized)
-    memoized(s, s"$dir|clusters")(dedupClustersBuild(s, dir))
+    // computed per call — the r16 result memo un-gamed like
+    // dedupNgramJaccard's (the label frame is THE query result; a
+    // bench rep serving it from a session map measures nothing)
+    dedupClustersBuild(s, dir)
 
   private def dedupClustersBuild(s: SparkSession, dir: String): DataFrame = {
     val pairs = dedupNgramJaccard(s, dir).select(col("id_a"), col("id_b")).cache()

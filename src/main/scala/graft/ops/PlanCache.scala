@@ -95,19 +95,35 @@ private[graft] object PlanCache {
     * unpersist/hook is Try-wrapped so an already-stopped session cannot
     * abort the sweep and leak the remaining entries. */
   def clear(): Unit = {
-    // snapshot under the monitor, run the IO outside it: an unpersist
-    // or a hook's recursive temp-dir delete under the global monitor
-    // would stall every memoized() lookup for its duration — and a hook
-    // body touching a class still mid-<clinit> (whose init thread is
+    resetMemos()
+    // snapshot under the monitor, run the hooks outside it: a hook's
+    // recursive temp-dir delete under the global monitor would stall
+    // every memoized() lookup for its duration — and a hook body
+    // touching a class still mid-<clinit> (whose init thread is
     // blocked registering ITS hook on this monitor) would deadlock
-    val (dfs, hooks) = memo.synchronized {
+    val hooks = memo.synchronized { clearHooks.values.toSeq }
+    hooks.foreach(h => scala.util.Try(h()))
+  }
+
+  /** Unpersist and forget every memoized plan WITHOUT running the
+    * artifact-drain hooks — the bench's between-reps reset (round 17,
+    * r16 verdict item 1): derived-RESULT memos must not survive from
+    * the untimed warmup into a timed rep (a scan-form query serving a
+    * memoized frame is not the declared computation being priced), but
+    * the persisted demo artifacts the hooks drain (standing text/LSH
+    * indexes, BPE models, replay prototypes) must stand — a served
+    * query's declared computation is an artifact READ, and deleting
+    * the artifact would misprice every serve as a rebuild. [[clear]]
+    * remains the full corpus-swap epoch (memos + hooks). */
+  def resetMemos(): Unit = {
+    // snapshot under the monitor, unpersist outside it (see clear())
+    val dfs = memo.synchronized {
       val ds = scala.collection.mutable.ArrayBuffer[DataFrame]()
       memo.values.forEach(_.values.foreach(c => Option(c.df).foreach(ds += _)))
       memo.clear()
-      (ds.toSeq, clearHooks.values.toSeq)
+      ds.toSeq
     }
     dfs.foreach(df => scala.util.Try(df.unpersist()))
-    hooks.foreach(h => scala.util.Try(h()))
   }
 
   /** [[onClear]] helper for the per-JVM persisted-artifact memos

@@ -453,26 +453,34 @@ class PlanGuardSpec extends AnyFunSuite {
       "a window crept into the shuffle — global row-numbering funnels one task")
   }
 
-  test("search_hybrid_rrf_served steady-state plan reads NO corpus text") {
-    // round 16: the served hybrid's lexical AND semantic ranks are
-    // memoized per index generation (DecisionMemo / PlanCache — see
-    // Retrieval.semRanks and the hybrid-lex-served snapshot), so the
-    // steady-state serve plan fuses two bounded local/cached rank
-    // relations and never scans text at all — corpus text is read
-    // exactly once, inside the memo build, and re-read only when the
-    // index fingerprint moves (pinned by BoundedServeSpec's
-    // append-invalidation arm). The pre-r16 pin asserted ==1 text scan
-    // (the query-term slice); the stronger ==0 here is the same
-    // never-scan-candidates claim with the query slice now inside the
-    // memoized derivation.
+  test("search_hybrid_rrf_served serves ARTIFACT reads — one query-slice text scan, " +
+      "distributed rank relations, no driver-collected snapshot") {
+    // round 17 (re-targeted per the r16 verdict, items 1–3): the
+    // honest served-hybrid plan reads the PERSISTED index artifacts —
+    // postings/doclen parquet on the lexical side, the LSH bucket
+    // table on the semantic side — plus exactly ONE corpus text scan,
+    // the query-term slice (queries are corpus-defined; candidates are
+    // never re-tokenized). The rank relations are DISTRIBUTED cached
+    // frames (InMemoryTableScan), never a LocalTableScan: the r16
+    // driver-collected rank snapshot grew with the corpus (~corpus/5
+    // rows on the driver) and made the steady-state plan an empty
+    // memo read. The scan-form twin must keep COMPUTING: several
+    // corpus text scans (tokenize + postings derivation), not a cache
+    // read.
     def textScans(name: String): Int =
       "ReadSchema: struct<doc_id:bigint,text:string>".r
         .findAllIn(q(name).queryExecution.executedPlan.toString).length
-    assert(textScans("search_hybrid_rrf_served") == 0,
-      "served hybrid reads corpus text in the steady-state serve plan")
     val servedTxt = q("search_hybrid_rrf_served").queryExecution.executedPlan.toString
-    assert(servedTxt.contains("LocalTableScan") || servedTxt.contains("InMemoryTableScan"),
-      "served hybrid no longer fuses the memoized rank relations")
+    assert(textScans("search_hybrid_rrf_served") == 1,
+      "served hybrid must read corpus text exactly once (the query-term slice)")
+    assert(!servedTxt.contains("LocalTableScan"),
+      "served hybrid fuses a driver-collected local relation — ranks must stay distributed")
+    assert(servedTxt.contains("InMemoryTableScan"),
+      "served hybrid no longer fuses the memoized distributed rank relations")
+    assert(servedTxt.contains("term") && servedTxt.contains("tf"),
+      "served hybrid lost the persisted-postings artifact read")
+    assert(textScans("search_hybrid_rrf") >= 2,
+      "scan-form hybrid no longer computes its lexical ranks from the corpus")
   }
 
   test("maxscore floor + contender filter share ONE cheap-postings computation") {
