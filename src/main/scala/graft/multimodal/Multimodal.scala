@@ -354,14 +354,41 @@ object Multimodal {
     * skips self-pairs and breaks cosine ties to the lower cand_id over
     * id-sorted cells, and its left-fold double arithmetic is `vec_dot`'s
     * — results are bit-identical, so the DuckDB oracle is unchanged. */
-  def mmFeatureAnn(s: SparkSession, dir: String): DataFrame = {
+  def mmFeatureAnn(s: SparkSession, dir: String): DataFrame =
+    mmFeatureAnnBounded(s, dir, graft.ops.Dedup.exactCosineMaxRows)
+
+  /** Bound-injectable variant so the over-limit refusal is testable
+    * without a 200k-row corpus — the same pattern as
+    * [[graft.ops.Dedup.dedupEmbeddingCosineBounded]]. Round 17 (the
+    * r16 scaling sweep's one genuine gap): the tiled kernel bounded the
+    * exact form's intermediates and shuffles, but its COMPUTE is still
+    * queries × corpus cosines (Q = N/stride ⇒ O(N²/stride)) — a
+    * deliberate ground-truth shape that must refuse full corpora
+    * in-plan exactly like `dedup_embedding_cosine`; the scale path is
+    * [[mmFeatureAnnBlocked]]. */
+  private[graft] def mmFeatureAnnBounded(s: SparkSession, dir: String,
+      maxRows: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val dot = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
       graft.plans.VectorFunctions.vec_dot(a, b)
     val tile = graft.ops.Similarity.lshTile
+    // guard the quadratic compute IN the plan (broadcast 1-row count +
+    // raise_error consumed by a filter — the dedupEmbeddingCosine
+    // shape: a bare drop() would let column pruning eliminate the
+    // guard; pinned in MultimodalSpec/PlanGuardSpec)
+    val guard = Tables(s, dir, "documents")
+      .agg(count(lit(1)).as("n_media"))
+      .select(when(col("n_media") <= maxRows, lit(1L))
+        .otherwise(raise_error(concat(
+          lit("mmFeatureAnn is the exact stride-queries × corpus ground truth and refuses "),
+          col("n_media").cast("string"),
+          lit(s" > $maxRows media rows; use mmFeatureAnnBlocked (IVF-blocked candidates) at scale"))))
+        .as("guard_ok"))
     val n = featureVectors(s, dir)
       .withColumn("nrm", sqrt(dot(col("features"), col("features"))))
       .filter(col("nrm") > 0)
+      .crossJoin(broadcast(guard))
+      .filter(col("guard_ok") === 1L).drop("guard_ok")
     val cands = n
       .groupBy((col("doc_id") / tile).cast("long").as("ccell"))
       .agg(sort_array(collect_list(
@@ -381,11 +408,60 @@ object Multimodal {
       .orderBy(col("q_id"), col("rk"))
   }
 
+  /** IVF-BLOCKED feature ANN — the scale path the exact form's guard
+    * points at (round 17; the r16 scaling sweep's one genuine gap).
+    * The same extracted feature vectors flow through the IVF
+    * coarse-quantizer shape the embedding family already uses
+    * ([[graft.ops.Similarity.centroidsOf]] stride quantizer +
+    * [[graft.ops.Similarity.nearestCentroids]] fused assignment):
+    * corpus features assign to their nearest centroid, each query
+    * probes its [[graft.ops.Similarity.nProbe]] nearest lists, and the
+    * exact cosine top-k runs on CANDIDATES ONLY — cost ≈
+    * queries × (probed fraction of corpus) instead of queries × corpus.
+    * Approximate (a true neighbor outside every probed list is missed)
+    * but fully deterministic — stride-sampled centroids, argmin with
+    * c_id tie-break, `vec_dot` left-fold doubles — so unlike most ANN
+    * it is DuckDB-oracle-checkable end-to-end, exactly like
+    * `dedup_embedding_blocked`. */
+  def mmFeatureAnnBlocked(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dot = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
+      graft.plans.VectorFunctions.vec_dot(a, b)
+    val v = featureVectors(s, dir)
+      .withColumn("nrm", sqrt(dot(col("features"), col("features"))))
+      .filter(col("nrm") > 0)
+      .select(col("doc_id").as("vec_id"), col("kind"),
+        col("features").as("embedding"), col("nrm"))
+    val cent = graft.ops.Similarity.centroidsOf(v)
+    val assign = graft.ops.Similarity.nearestCentroids(cent)(
+      v.select(col("vec_id"), col("embedding"), col("nrm")),
+      "vec_id", "embedding", "nrm", 1)
+    val q = v.filter(col("kind") === "image" && col("vec_id") % annQueryStride === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+    val probes = graft.ops.Similarity.nearestCentroids(cent)(
+      q, "q_id", "q_emb", "q_nrm", graft.ops.Similarity.nProbe)
+    val cand = probes.join(assign, "c_id")
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("cand_id"))
+      .distinct()
+    val c = v.select(col("vec_id").as("cand_id"),
+      col("embedding").as("c_emb2"), col("nrm").as("c_nrm2"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("cand_id"))
+    cand.join(graft.ops.JoinHints.broadcastIfSmall(q, 1.0 / annQueryStride), "q_id")
+      .join(c, "cand_id")
+      .withColumn("cosine", dot(col("q_emb"), col("c_emb2")) / (col("q_nrm") * col("c_nrm2")))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= annTopK)
+      .select(col("q_id"), col("rk"), col("cand_id"), col("cosine"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_payload_meta" -> mmPayloadMeta _,
     "mm_frame_sample" -> mmFrameSample _,
     "mm_feature_extract" -> mmFeatureExtract _,
     "mm_feature_ann" -> mmFeatureAnn _,
+    "mm_feature_ann_blocked" -> mmFeatureAnnBlocked _,
   )
 
   private val kindSql =
@@ -492,6 +568,58 @@ object Multimodal {
          |  SELECT q.doc_id AS q_id, c.doc_id AS cand_id,
          |    (q.f0*c.f0 + q.f1*c.f1 + q.f2*c.f2 + q.f3*c.f3) / (q.nrm * c.nrm) AS cosine
          |  FROM q JOIN n c ON c.doc_id <> q.doc_id),
+         |ranked AS (
+         |  SELECT q_id, cand_id, cosine,
+         |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, cand_id) AS BIGINT) AS rk
+         |  FROM scored)
+         |SELECT q_id, rk, cand_id, cosine FROM ranked WHERE rk <= $annTopK
+         |ORDER BY q_id, rk""".stripMargin,
+    // the IVF-blocked twin: same feature/norm CTEs, then the
+    // deterministic stride quantizer (doc_id % centroidStride = 1),
+    // 1-probe corpus assignment, nProbe query probes (row_number over
+    // cosine DESC, c_id — the nearest_centroid_ids kernel's exact
+    // tie-break, as in the dedup_embedding_blocked oracle), candidates
+    // = co-probed pairs, exact cosine top-k on candidates only
+    "mm_feature_ann_blocked" ->
+      s"""$payloadCte,
+         |f AS (
+         |  SELECT doc_id, $kindSql AS kind,
+         |    CAST(plen AS DOUBLE) / 255.0 AS f0,
+         |    CAST(plen % 7 AS DOUBLE) / 7.0 AS f1,
+         |    CAST(plen % 640 AS DOUBLE) / 640.0 AS f2,
+         |    CAST(plen % 480 AS DOUBLE) / 480.0 AS f3
+         |  FROM p),
+         |n AS (SELECT * FROM (
+         |    SELECT *, sqrt(f0*f0 + f1*f1 + f2*f2 + f3*f3) AS nrm FROM f)
+         |  WHERE nrm > 0),
+         |cent AS (
+         |  SELECT doc_id AS c_id, f0 AS c0, f1 AS c1, f2 AS c2, f3 AS c3, nrm AS c_nrm
+         |  FROM n WHERE doc_id % ${graft.ops.Similarity.centroidStride} = 1),
+         |asgn AS (
+         |  SELECT doc_id, c_id FROM (
+         |    SELECT v.doc_id, c.c_id,
+         |      row_number() OVER (PARTITION BY v.doc_id
+         |        ORDER BY (v.f0*c.c0 + v.f1*c.c1 + v.f2*c.c2 + v.f3*c.c3) / (v.nrm * c.c_nrm) DESC,
+         |        c.c_id) AS c_rk
+         |    FROM n v, cent c)
+         |  WHERE c_rk = 1),
+         |q AS (SELECT * FROM n WHERE kind = 'image' AND doc_id % $annQueryStride = 0),
+         |qprobe AS (
+         |  SELECT doc_id AS q_id, c_id FROM (
+         |    SELECT v.doc_id, c.c_id,
+         |      row_number() OVER (PARTITION BY v.doc_id
+         |        ORDER BY (v.f0*c.c0 + v.f1*c.c1 + v.f2*c.c2 + v.f3*c.c3) / (v.nrm * c.c_nrm) DESC,
+         |        c.c_id) AS c_rk
+         |    FROM q v, cent c)
+         |  WHERE c_rk <= ${graft.ops.Similarity.nProbe}),
+         |cand AS (
+         |  SELECT DISTINCT p2.q_id, a.doc_id AS cand_id
+         |  FROM qprobe p2 JOIN asgn a ON a.c_id = p2.c_id
+         |  WHERE a.doc_id <> p2.q_id),
+         |scored AS (
+         |  SELECT cand.q_id, cand.cand_id,
+         |    (qq.f0*cc.f0 + qq.f1*cc.f1 + qq.f2*cc.f2 + qq.f3*cc.f3) / (qq.nrm * cc.nrm) AS cosine
+         |  FROM cand JOIN n qq ON qq.doc_id = cand.q_id JOIN n cc ON cc.doc_id = cand.cand_id),
          |ranked AS (
          |  SELECT q_id, cand_id, cosine,
          |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, cand_id) AS BIGINT) AS rk

@@ -360,7 +360,7 @@ object Similarity {
 
   /** The deterministic coarse quantizer's centroid table (every
     * `centroidStride`-th vector, standing in for k-means output). */
-  private[ops] def centroidsOf(n: DataFrame): DataFrame =
+  private[graft] def centroidsOf(n: DataFrame): DataFrame =
     n.filter(col("vec_id") % centroidStride === 1)
       .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"), col("nrm").as("c_nrm"))
 
@@ -387,7 +387,7 @@ object Similarity {
     * narrow-output projection. `carry` lists source columns to keep
     * alongside (id, c_id) — carrying them here beats re-joining the
     * source table downstream. */
-  private[ops] def nearestCentroids(cent: DataFrame)(
+  private[graft] def nearestCentroids(cent: DataFrame)(
       src: DataFrame, idCol: String, embCol: String, nrmCol: String, keep: Int,
       carry: Seq[String] = Nil): DataFrame = {
     val nc = graft.plans.VectorFunctions.nearest_centroid_ids(

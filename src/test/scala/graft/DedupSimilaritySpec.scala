@@ -514,11 +514,13 @@ class DedupSimilaritySpec extends AnyFunSuite {
     val old = spark.conf.get(key)
     val paths: Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(
       "sim_range_search" -> (() => Similarity.simRangeSearch(spark, sf0001)),
-      "sim_topk_bruteforce" -> (() => Similarity.simTopkBruteforce(spark, sf0001)),
-      // (the PQ paths share the same gated pqShortlist crossJoin but
-      // carry a deliberate 1-row guard hint that stays forced — the
-      // constant-bounded exception the rule documents)
-      "mm_feature_ann" -> (() => graft.multimodal.Multimodal.mmFeatureAnn(spark, sf0001)))
+      "sim_topk_bruteforce" -> (() => Similarity.simTopkBruteforce(spark, sf0001)))
+    // (the PQ paths share the same gated pqShortlist crossJoin but
+    // carry a deliberate 1-row guard hint that stays forced — the
+    // constant-bounded exception the rule documents; mm_feature_ann
+    // joined that exception in round 17 when it gained the same 1-row
+    // raise_error scale guard, and its strategy-independence is pinned
+    // by MultimodalSpec's tiled-vs-naive equality instead)
     val baselines = paths.map { case (n, f) => n -> f().collect().map(_.toSeq).toSeq }.toMap
     spark.conf.set(key, "1")
     try paths.foreach { case (name, f) =>

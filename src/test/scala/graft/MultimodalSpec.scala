@@ -137,6 +137,53 @@ class MultimodalSpec extends AnyFunSuite {
     assert(tiled === naive)
   }
 
+  test("exact mm_feature_ann REFUSES an over-limit corpus (guard survives optimization)") {
+    // round 17 (r16 scaling sweep flag 2): the tiled kernel bounded the
+    // exact form's intermediates, but compute is still Q × N cosines —
+    // the plan must refuse full corpora like dedup_embedding_cosine.
+    // Bound injected below the sf0.001 row count so the raise_error
+    // arm fires; the filter consumes the guard column so optimization
+    // cannot prune it.
+    val overLimit = Multimodal.mmFeatureAnnBounded(spark, sf0001, maxRows = 10L)
+    val ex = intercept[Exception] { overLimit.collect() }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("refuses")),
+      s"expected the guard's refusal message, got: ${ex.getMessage}")
+    assert(Multimodal.mmFeatureAnnBounded(spark, sf0001, maxRows = 10L)
+      .queryExecution.optimizedPlan.toString.contains("raise_error"),
+      "guard pruned from optimized plan")
+    // the in-limit path is unchanged (the oracled sf0.001 shape)
+    assert(Multimodal.mmFeatureAnn(spark, sf0001).count() > 0)
+  }
+
+  test("mm_feature_ann_blocked: top-1 self-evident properties + recall vs exact") {
+    // the IVF-blocked twin's contract: per-query rows ≤ annTopK, ranks
+    // dense from 1, every (q, cand) pair's cosine EQUALS the exact
+    // form's for that pair (same vec_dot arithmetic), and recall@k vs
+    // the exact ground truth is real (blocking may only DROP pairs,
+    // never invent or re-score them).
+    val exact = Multimodal.mmFeatureAnn(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val blocked = Multimodal.mmFeatureAnnBlocked(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(blocked.nonEmpty)
+    val perQ = blocked.groupBy(_._1)
+    assert(perQ.values.forall(rows =>
+      rows.length <= Multimodal.annTopK &&
+        rows.map(_._2).sorted.toSeq == (1L to rows.length).toSeq),
+      "blocked ranks not dense 1..k per query")
+    val exactCos = exact.map(t => (t._1, t._3) -> t._4).toMap
+    val shared = blocked.filter(t => exactCos.contains((t._1, t._3)))
+    assert(shared.forall(t => exactCos((t._1, t._3)) == t._4),
+      "blocked cosine diverges from the exact form's for the same pair")
+    val exactPairs = exact.map(t => (t._1, t._3)).toSet
+    val blockedPairs = blocked.map(t => (t._1, t._3)).toSet
+    val recall = (exactPairs intersect blockedPairs).size.toDouble / exactPairs.size
+    info(f"blocked feature-ANN recall vs exact top-k: $recall%.3f (${exactPairs.size} exact pairs)")
+    assert(recall >= 0.3, f"recall $recall%.3f below 0.3")
+  }
+
   test("decoded image dimensions equal the values the headers declare") {
     val docs = Tables(spark, sf0001, "documents")
       .select(col("doc_id"), length(col("text").cast("binary")).cast("long").as("tlen"))
