@@ -1083,29 +1083,34 @@ object TextAnalysis {
     * positions and drop out, exactly like token-less docs in the
     * unigram form. */
   def textBigramLm(s: SparkSession, dir: String): DataFrame = {
-    val toks = docsScan(s, dir)
+    // both corpus passes (bigram pairs + unigram counts) go through the
+    // gated scan spread: the r17 profile showed the two tokenize map
+    // stages serialized on ONE task each (0.57 s + 0.34 s on the
+    // single-row-group layout) — the same compute-dense one-pass shape
+    // the char-trigram spread won on; A/B in OPTIMIZATION_r17.md
+    val toks = docsScanSpread(s, dir)
       .select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
-    // the explicit isNotNull filters are semantic no-ops (words are
-    // never null) that keep every copy of the dbc/tfc subtrees
-    // CANONICALLY identical — join-pushed null checks would otherwise
-    // appear on some copies only, blocking AQE's exchange reuse and
-    // re-tokenizing the corpus per consumer (the dedup_shared_spans
-    // lesson; pinned in PlanGuardSpec)
+    // per-(doc, v, w) counts come out of ONE fused row-local expression
+    // (round 17, guide §2.4): a doc's positions all live in its tokens
+    // array, so the former explode(arrays_zip) → groupBy(doc_id, v, w)
+    // chain paid a corpus-sized exchange plus partial+final hash
+    // aggregation over every token POSITION to group rows that were
+    // never apart. Counts are identical longs; the only exchanges left
+    // on the bigram side are the model-sized (v, w) ones below.
     val dbc = toks.filter(size(col("toks")) >= 2)
-      .select(col("doc_id"), explode(arrays_zip(
-        slice(col("toks"), lit(1), size(col("toks")) - 1).as("v"),
-        slice(col("toks"), lit(2), size(col("toks")) - 1).as("w"))).as("p"))
-      .select(col("doc_id"), col("p.v").as("v"), col("p.w").as("w"))
-      .filter(col("v").isNotNull && col("w").isNotNull)
-      .groupBy(col("doc_id"), col("v"), col("w"))
-      .agg(count(lit(1)).as("c"))
+      .select(col("doc_id"),
+        explode(graft.plans.VectorFunctions.token_pair_counts(col("toks"))).as("p"))
+      .select(col("doc_id"), col("p.v").as("v"), col("p.w").as("w"), col("p.c").as("c"))
     val bc = dbc.groupBy(col("v"), col("w")).agg(sum(col("c")).as("bc"))
     val ctx = bc.groupBy(col("v")).agg(sum(col("bc")).as("cfx"))
-    val tfc = docsScan(s, dir)
-      .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("term"))
+    // corpus-wide term counts aggregate STRAIGHT off the token explode:
+    // the former per-(doc, term) grouping was consumed only by this sum
+    // (Σ per-doc counts ≡ total count, exact longs), so its own
+    // corpus-sized exchange bought nothing (round 17)
+    val cf = docsScanSpread(s, dir)
+      .select(explode(TextFns.tokens(col("text"))).as("term"))
       .filter(col("term").isNotNull)
-      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("c1"))
-    val cf = tfc.groupBy(col("term")).agg(sum(col("c1")).as("cf"))
+      .groupBy(col("term")).agg(count(lit(1)).as("cf"))
     val tot = cf.agg(sum(col("cf")).cast("double").as("total"))
     dbc.join(bc, Seq("v", "w"))
       .join(ctx, Seq("v"))

@@ -42,6 +42,11 @@ private[plans] object InputChecks {
     case NullType => true
     case _ => false
   }
+  val isStringArray: DataType => Boolean = {
+    case ArrayType(StringType, _) => true
+    case NullType => true
+    case _ => false
+  }
   /** array<struct<id: long, emb: array<float|double>, nrm: double>> — the
     * tile-slice row shape shared by CellPairsCosine and CellTopkPairs. */
   val isItemsArray: DataType => Boolean = {
@@ -500,6 +505,37 @@ case class WordShingleHashesPos(child: Expression, n: Int) extends UnaryExpressi
     copy(child = newChild)
 }
 
+/** Per-document adjacent-token (bigram) counts in ONE fused pass:
+  * array<struct<v, w, c>> of each distinct adjacent pair with its count,
+  * sorted by (v, w) byte order for determinism. Replaces the
+  * explode(arrays_zip(slice, slice)) → groupBy(doc_id, v, w) chain of
+  * the bigram LM: a document's positions all live in its one tokens
+  * array, so per-doc pair counting is ROW-LOCAL — the grouped form
+  * paid a corpus-sized exchange (plus partial/final hash aggregation
+  * over every token position) to group rows that were never apart
+  * (guide §2.4, round 17). Counts are exact longs, so downstream
+  * model/scoring arithmetic is unchanged. */
+case class TokenPairCounts(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("v", StringType, nullable = false),
+    StructField("w", StringType, nullable = false),
+    StructField("c", LongType, nullable = false))), containsNull = false)
+  override def prettyName: String = "token_pair_counts"
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    InputChecks.check(prettyName)((child, InputChecks.isStringArray, "array<string>"))
+
+  override def nullSafeEval(v: Any): Any =
+    HashUtil.tokenPairCounts(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.HashUtil.tokenPairCounts($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Rewrite a document by dropping every word covered by a shared
   * `n`-word span: `starts` lists the 0-based word positions where a
   * shared span begins (from the positional shingle hashes joined
@@ -789,6 +825,41 @@ object HashUtil {
     var q = 0
     while (q <= k) { out(q) = hs(q); q += 1 }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** Adjacent-pair counts of a tokens array, sorted by (v, w) binary
+    * order: one index sort over n−1 positions + a run-length pass —
+    * no per-pair string concatenation, no hash map. The emitted
+    * UTF8Strings are cloned: the input array may be an UnsafeArrayData
+    * view whose backing buffer the scan reuses across rows. */
+  def tokenPairCounts(toks: ArrayData): ArrayData = {
+    val n = toks.numElements()
+    if (n < 2)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    val ts = new Array[UTF8String](n)
+    var i = 0
+    while (i < n) { ts(i) = toks.getUTF8String(i); i += 1 }
+    val idx = new Array[Integer](n - 1)
+    i = 0
+    while (i < n - 1) { idx(i) = Integer.valueOf(i); i += 1 }
+    val cmp = new java.util.Comparator[Integer] {
+      override def compare(a: Integer, b: Integer): Int = {
+        val c1 = ts(a).compareTo(ts(b))
+        if (c1 != 0) c1 else ts(a + 1).compareTo(ts(b + 1))
+      }
+    }
+    java.util.Arrays.sort(idx, cmp)
+    val out = new java.util.ArrayList[Any]()
+    var s = 0
+    while (s < idx.length) {
+      var e = s + 1
+      while (e < idx.length && cmp.compare(idx(s), idx(e)) == 0) e += 1
+      val p = idx(s).intValue()
+      out.add(new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](ts(p).clone(), ts(p + 1).clone(), (e - s).toLong)))
+      s = e
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
   }
 
   def sortedIntersectCount(a: ArrayData, b: ArrayData): Long = {
@@ -1377,4 +1448,6 @@ object VectorFunctions {
     GraftBridge.column(BloomMightContain(GraftBridge.expression(c), bloom))
   def span_scrub(text: Column, starts: Column, n: Int): Column =
     GraftBridge.column(SpanScrub(GraftBridge.expression(text), GraftBridge.expression(starts), n))
+  def token_pair_counts(toks: Column): Column =
+    GraftBridge.column(TokenPairCounts(GraftBridge.expression(toks)))
 }

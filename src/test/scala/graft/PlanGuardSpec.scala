@@ -389,6 +389,17 @@ class PlanGuardSpec extends AnyFunSuite {
     df.collect()
     assert(liveScans(df.queryExecution.executedPlan) <= 2,
       "bigram LM scans documents more than its two designed passes")
+    // round 17: per-(doc, v, w) pair counts come out of the fused
+    // row-local token_pair_counts expression — the former corpus-sized
+    // groupBy(doc_id, v, w) / groupBy(doc_id, term) exchanges (which
+    // grouped rows that were never apart) must stay gone; the only
+    // doc_id exchanges left are the gated scan spread and the final
+    // per-doc scoring aggregation
+    val txt = df.queryExecution.executedPlan.toString
+    assert(txt.contains("token_pair_counts"),
+      "bigram pair generation no longer uses the fused row-local expression")
+    assert(!txt.matches("(?s).*hashpartitioning\\(doc_id#\\d+L?, v#.*"),
+      "a corpus-sized (doc_id, v, w) exchange crept back into the bigram LM")
   }
 
   test("dedup_shared_spans hashes the corpus once (grouped-frame exchange reused)") {
